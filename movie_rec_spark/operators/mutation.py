@@ -1,0 +1,115 @@
+"""Mutation layer — CRUD semantics as batch table-maintenance transforms.
+
+The reference mutates Postgres rows transactionally (SURVEY.md §2.9);
+a lakehouse engine reproduces the same end states as pure transforms over
+append-only logs: latest-wins upsert (M2), anti-join delete (M3),
+implicit-value fill (M5), and dense id assignment (M1). Concurrent-writer
+semantics deliberately differ from PG row locks (SURVEY.md §7.3 item 4).
+
+All builders are pure DataFrame → DataFrame so they compose with the
+streaming layer's foreachBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_VALUE = 3.5  # reference DEFAULT_RATING, web/config.py:25
+
+
+def upsert_latest(events: DataFrame,
+                  keys: Sequence[str] = ("user_id", "event_type"),
+                  ts_col: str = "ts",
+                  tiebreak_col: str = "event_id") -> DataFrame:
+    """M2 latest-wins upsert: one surviving row per key, newest ``ts``
+    wins, unique ``tiebreak_col`` makes the survivor deterministic
+    (reference ``session.merge`` on the (user_id, movie_id) PK,
+    controller.py:124).
+
+    Shuffles once on the key; Spark ≥3.5's WindowGroupLimit turns the
+    rn=1 filter into a per-partition top-1 (no full sort of big groups).
+    """
+    w = Window.partitionBy(*keys).orderBy(F.desc(ts_col), F.desc(tiebreak_col))
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def delete_by_key(table: DataFrame, tombstones: DataFrame,
+                  keys: Sequence[str]) -> DataFrame:
+    """M3 delete-by-key as a left_anti rewrite (controller.py:41-42,142-143).
+    The tombstone side is usually tiny → broadcast."""
+    return table.join(F.broadcast(tombstones.select(*keys).distinct()),
+                      list(keys), "left_anti")
+
+
+def q_upsert_latest(events: DataFrame) -> DataFrame:
+    """Declared query: latest event per (user_id, event_type)."""
+    return upsert_latest(events).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+
+
+def q_delete_antijoin(events: DataFrame) -> DataFrame:
+    """Declared query: composite-key delete — drop every event of a
+    (user, day) that logged an 'error' that day (M3 over a derived
+    tombstone set)."""
+    tomb = (
+        events.filter(F.col("event_type") == "error")
+        .select("user_id", F.to_date("ts").alias("event_day"))
+        .distinct()
+    )
+    keyed = events.withColumn("event_day", F.to_date("ts"))
+    return delete_by_key(keyed, tomb, ("user_id", "event_day")).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+
+
+def q_implicit_fill(events: DataFrame) -> DataFrame:
+    """M5 implicit-rating rule: a 'view' (watched-without-rating analogue)
+    gets value := coalesce(user's avg purchase value, 3.5)
+    (controller.py:156-171, README.md:37-40).
+
+    Left-outer join to the per-user stats (small agg → broadcast) then
+    coalesce — exactly the reference's Redis-avg-else-default lookup (F8).
+    """
+    stats = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 2).alias("avg_purchase"))
+    )
+    return (
+        events.filter(F.col("event_type") == "view")
+        .join(F.broadcast(stats), "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("avg_purchase"), F.lit(DEFAULT_VALUE)).alias("implied_value"),
+        )
+    )
+
+
+def assign_dense_ids(new_rows: DataFrame, existing: DataFrame,
+                     id_col: str) -> DataFrame:
+    """M1 serial-id assignment: ids continue from max(existing)+1
+    (PG sequence semantics, prepare_dataset.py:185-193 / controller.py:23-32).
+
+    ``monotonically_increasing_id`` is unsuitable (sparse); instead a
+    window row_number over an arbitrary-but-deterministic order, offset by
+    the current max. The max() is a cheap single-column agg; the window is
+    a single global sort of ONLY the new batch (small by construction).
+    """
+    base = existing.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m"))
+    w = Window.orderBy(*[F.col(c) for c in new_rows.columns])
+    return (
+        new_rows.withColumn("_rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(base))
+        .withColumn(id_col, (F.col("m") + F.col("_rn")).cast("bigint"))
+        .drop("_rn", "m")
+    )

@@ -1,0 +1,305 @@
+"""Relational query core — the reference's complete batch query surface.
+
+Each canonical query (SURVEY.md §2.13, mapped onto the star schema per
+FIXTURES.md §B) is a pure DataFrame builder: it takes input DataFrames and
+returns a DataFrame, so unit tests can feed tiny hand-written frames and
+the `__spark_entry__` harness binds them to the parquet catalog.
+
+Scale notes baked into every builder:
+- aggregate BEFORE joining dimensions (shrinks the shuffle, then the dim
+  join is a broadcast — zero extra shuffle);
+- dimension sides pass through ``F.broadcast`` explicitly so the plan is
+  broadcast-hash-join even if stats are missing;
+- top-k is ``orderBy(...).limit(n)`` which Catalyst plans as
+  TakeOrderedAndProject (no global sort);
+- every computed column is aliased to the oracle-SQL name, and every
+  LIMIT ordering ends in a unique key so the cut is deterministic across
+  engines (SURVEY.md §7.3 item 3).
+
+Reference sites cited per query for parity checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Workload constants — star-schema analogues of the reference's config
+# (reference web/config.py:25-27: DEFAULT_RATING=3.5, TOP_N=20,
+# STAT_MOVIE_USERS_LOWER_LIMIT=5).
+QTY_THRESHOLD = 25.0          # ~ rating >= 3.5 filter (controller.py:86)
+TOP_LIMIT = 100               # /movies/top default (routes.py:77)
+REC_LIMIT = 10                # serving back-fill size
+TOP_N = 20                    # per-user top-N (config.py:26)
+STAT_LOWER_LIMIT = 5          # HAVING count > 5 (statistics.py:30)
+FOCUS_CUSTKEY = 1             # "the user" in per-user queries
+DEFAULT_VALUE = 3.5           # DEFAULT_RATING (config.py:25)
+
+
+def part_popularity(lineitem: DataFrame, qty_threshold: float = QTY_THRESHOLD) -> DataFrame:
+    """Shared agg: per-part order count + avg price over high-quantity rows.
+
+    Reference: the group-avg/count core of get_top_movies
+    (controller.py:83-92) and get_avg_ratings_recommendations
+    (controller.py:293-296). Partial aggregation (map-side combine) and the
+    shuffle-on-l_partkey are Catalyst's; filter is pushed to the scan.
+    """
+    return (
+        lineitem.select("l_partkey", "l_orderkey", "l_quantity", "l_extendedprice")
+        .filter(F.col("l_quantity") >= F.lit(qty_threshold))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("l_orderkey").alias("cnt_orders"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+def q_top_movies(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Popularity ranking: J1 ⋈ P4 → A1+A2 → K1 (controller.py:77-105).
+
+    lineitem ⋈ part; filter l_quantity >= t; group by part;
+    order by count desc, avg desc; limit 100. Aggregates first so the
+    broadcast dim join sees one row per part, not one per lineitem.
+    """
+    agg = part_popularity(lineitem)
+    return (
+        agg.join(
+            F.broadcast(part.select("p_partkey", "p_name")),
+            agg["l_partkey"] == F.col("p_partkey"),
+            "inner",
+        )
+        .select("p_partkey", "p_name", "cnt_orders", "avg_price")
+        .orderBy(F.desc("cnt_orders"), F.desc("avg_price"), F.asc("p_partkey"))
+        .limit(TOP_LIMIT)
+    )
+
+
+def q_user_latest_ratings(orders: DataFrame, customer: DataFrame,
+                          custkey: int = FOCUS_CUSTKEY) -> DataFrame:
+    """User's latest activity: J1 ⋈ P2 → K2 (controller.py:47-58).
+
+    Equality predicate pushes to both scans; the single-customer dim side
+    is broadcast. ORDER BY date DESC, key DESC LIMIT 20 →
+    TakeOrderedAndProject.
+    """
+    o = orders.filter(F.col("o_custkey") == F.lit(custkey))
+    c = customer.filter(F.col("c_custkey") == F.lit(custkey)).select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")
+        .select("o_orderkey", "c_name", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(TOP_N)
+    )
+
+
+def q_user_top_ratings(orders: DataFrame, customer: DataFrame,
+                       custkey: int = FOCUS_CUSTKEY) -> DataFrame:
+    """User's top-valued activity: J1 ⋈ P2 → K3 (controller.py:60-71)."""
+    o = orders.filter(F.col("o_custkey") == F.lit(custkey))
+    c = customer.filter(F.col("c_custkey") == F.lit(custkey)).select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")
+        .select("o_orderkey", "c_name", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(TOP_N)
+    )
+
+
+def q_movie_stats(lineitem: DataFrame, lower_limit: int = STAT_LOWER_LIMIT) -> DataFrame:
+    """Stats view: P5 bool-filter → A1+A2 → A4 HAVING → K4
+    (statistics.py:19-35; threshold is strict ``>`` per statistics.py:30).
+
+    Boolean predicate analogue: keep non-returned rows
+    (l_returnflag <> 'R' ~ ``is_implicit IS FALSE``).
+    """
+    return (
+        lineitem.select("l_partkey", "l_orderkey", "l_quantity", "l_returnflag")
+        .filter(F.col("l_returnflag") != F.lit("R"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("l_orderkey").alias("cnt_users"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        )
+        .filter(F.col("cnt_users") > F.lit(lower_limit))
+        .orderBy(F.desc("cnt_users"), F.asc("l_partkey"))
+    )
+
+
+def user_parts(lineitem: DataFrame, orders: DataFrame,
+               custkey: int = FOCUS_CUSTKEY) -> DataFrame:
+    """Subquery: distinct part keys a customer has ordered — the semi-join
+    build side of controller.py:277-280 (q_user_rated_movies input).
+
+    The single-customer orders side is tiny → broadcast it into the
+    lineitem join so no lineitem shuffle happens.
+    """
+    o = (
+        orders.filter(F.col("o_custkey") == F.lit(custkey))
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(F.broadcast(o), "l_orderkey", "inner")
+        .select("l_partkey")
+        .distinct()
+    )
+
+
+def q_user_rated_movies(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+                        custkey: int = FOCUS_CUSTKEY) -> DataFrame:
+    """Semi-join J3: parts the customer has ordered, with attributes
+    (controller.py:231, IN-subquery membership — no multiplicity)."""
+    ids = user_parts(lineitem, orders, custkey)
+    return (
+        part.join(
+            F.broadcast(ids), part["p_partkey"] == ids["l_partkey"], "left_semi"
+        ).select("p_partkey", "p_name", "p_brand")
+    )
+
+
+def q_avg_recommendations(lineitem: DataFrame, orders: DataFrame,
+                          custkey: int = FOCUS_CUSTKEY) -> DataFrame:
+    """Fallback recommendations: group-agg → J2 anti-join already-seen →
+    K1 sort + limit (controller.py:262-310; the NOT-IN exclusion the
+    reference builds-then-drops at controller.py:299 is applied here as the
+    documented intent — SURVEY.md §2.13 bug (b))."""
+    top = part_popularity(lineitem)
+    seen = user_parts(lineitem, orders, custkey)
+    return (
+        top.join(F.broadcast(seen), "l_partkey", "left_anti")
+        .select(
+            F.col("l_partkey").alias("p_partkey"), "cnt_orders", "avg_price"
+        )
+        .orderBy(F.desc("cnt_orders"), F.desc("avg_price"), F.asc("p_partkey"))
+        .limit(REC_LIMIT)
+    )
+
+
+def q_distinct_users(orders: DataFrame) -> DataFrame:
+    """A5 DISTINCT: unique customer keys (prepare_dataset.py:86-87).
+    Plans as partial HashAggregate → shuffle → final HashAggregate."""
+    return orders.select("o_custkey").distinct()
+
+
+def q_candidates(customer: DataFrame, part: DataFrame, lineitem: DataFrame,
+                 orders: DataFrame) -> DataFrame:
+    """J4 cross ⊳ anti candidate generation, aggregated to a per-customer
+    candidate count (trainer.py:101 build_anti_testset).
+
+    SMALL-SCALE ONLY (SURVEY.md §7.3 item 2): materializing |C|×|P| is the
+    reference's known scaling cliff. At production scale use
+    ALSModel.recommendForAllUsers (ml.py) which never forms the cross
+    product; `candidate_counts_scalable` below gets the same counts with
+    zero cross join.
+    """
+    pairs = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              lineitem["l_orderkey"] == F.col("o_orderkey"), "inner")
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    cand = (
+        customer.select("c_custkey")
+        .crossJoin(F.broadcast(part.select("p_partkey")))
+        .join(
+            pairs,
+            (F.col("c_custkey") == pairs["o_custkey"])
+            & (F.col("p_partkey") == pairs["l_partkey"]),
+            "left_anti",
+        )
+    )
+    return cand.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n_candidates"))
+
+
+def candidate_counts_scalable(customer: DataFrame, part: DataFrame,
+                              lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Same result as q_candidates without the cross join:
+    n_candidates = |parts| − |distinct parts seen by customer|.
+    This is the 100 TB formulation (one small agg + one broadcast)."""
+    n_parts = part.select(F.count(F.lit(1)).alias("n_parts"))
+    seen = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              lineitem["l_orderkey"] == F.col("o_orderkey"), "inner")
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_seen"))
+    )
+    return (
+        customer.select("c_custkey")
+        .join(seen, customer["c_custkey"] == seen["o_custkey"], "left")
+        .crossJoin(F.broadcast(n_parts))
+        .select(
+            "c_custkey",
+            (F.col("n_parts") - F.coalesce(F.col("n_seen"), F.lit(0))).alias("n_candidates"),
+        )
+    )
+
+
+def q_user_topn(orders: DataFrame, n: int = TOP_N) -> DataFrame:
+    """K5 grouped top-K: per-customer top-N orders by value
+    (estimator.py:118-129's defaultdict+sort+slice, done distributed).
+
+    row_number over (partition by customer order by value desc) ≤ N —
+    Spark ≥3.5 rewrites this via the WindowGroupLimit rule into a
+    per-partition top-K that never sorts whole groups.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.lit(n))
+        .select("o_custkey", "o_orderkey", "o_totalprice",
+                F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def q_scalar_funcs(events: DataFrame) -> DataFrame:
+    """Scalar-function surface F1-F10 (SURVEY.md §2.8) as one projection:
+
+    - round-to-half (F2, controller.py:329-331 — spec'd HALF_UP);
+    - year extraction (F6, prepare_dataset.py:139);
+    - concat_ws encode (F5, estimator.py:90);
+    - split + size decode (F4, controller.py:224);
+    - coalesce/default (F8, controller.py:158-161);
+    - casts (F9/F10, routes.py:89-90).
+    All built-in JVM expressions — zero UDFs (SURVEY.md §2.11).
+    """
+    return events.select(
+        "event_id",
+        (F.round(F.col("value") * 2, 0) / 2).alias("value_half"),
+        F.year("ts").cast("int").alias("event_year"),
+        F.concat_ws(";", F.col("event_type"), F.col("user_id").cast("string")).alias("tag"),
+        F.size(F.split(F.col("props"), ":")).cast("int").alias("n_props_parts"),
+        F.coalesce(F.col("value"), F.lit(DEFAULT_VALUE)).alias("value_filled"),
+        F.floor(F.col("value")).cast("bigint").alias("value_floor"),
+        F.col("value").cast("string").alias("value_str"),
+    )
+
+
+def q_set_ops(orders: DataFrame, events: DataFrame) -> DataFrame:
+    """Set operations (UNION / INTERSECT / EXCEPT — absent from the
+    reference, SURVEY.md §2.7; provided for engine completeness):
+    customers who ordered INTERSECT users with events, UNION'd with
+    high-value customers EXCEPT event-error users."""
+    order_users = orders.select(F.col("o_custkey").alias("uid"))
+    event_users = events.select(F.col("user_id").alias("uid"))
+    big_spenders = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("uid"))
+    )
+    error_users = (
+        events.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("uid"))
+    )
+    return (
+        order_users.intersect(event_users)
+        .union(big_spenders.subtract(error_users))
+        .distinct()
+    )

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference performs no query optimization of its own (SURVEY.md §4.1);
+here the session is configured so Catalyst/AQE do the heavy lifting:
+adaptive execution (runtime coalesce + skew-join splitting), broadcast
+joins for the dimension tables, Arrow for any pandas boundary.
+
+On a real cluster these settings are a starting point; `shuffle_partitions`
+should scale with executor cores (2-3× total cores) and
+`autoBroadcastJoinThreshold` with executor memory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "movie_rec_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Local test default: ``local[$SPARK_GRAFT_CPUS]`` with 32 shuffle
+    partitions — sized so sf0.1 shuffle partitions fit comfortably in
+    memory; at 100 TB the same code runs with cluster-level values.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    parts = str(shuffle_partitions or 32)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", parts)
+        # AQE: runtime partition coalescing, skew-join splitting, and
+        # dynamic join-strategy switching — essential at 100 TB where
+        # static planning can't know per-key skew.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Dimension tables (part/customer/nation/region analogues) are
+        # small relative to the fact tables — let Spark broadcast them.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for any pandas_udf / toPandas boundary (10-100× vs pickle).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet scans: vectorized reader + pushdown are on by default;
+        # cap split size so local[32] gets real scan parallelism even on
+        # the small test files.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

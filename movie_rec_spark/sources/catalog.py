@@ -1,0 +1,91 @@
+"""Table catalog over the driver-generated parquet test data.
+
+Reference analogue: the Postgres system-of-record tables
+(reference ``prototype/movierama_ddl.sql:1-33``) become columnar parquet
+"silver" tables read straight by Spark (SURVEY.md §1.4). Scans are
+declarative — ``spark.read.parquet`` + ``.select``/``.filter`` — so
+Catalyst pushes predicates and prunes columns down to the parquet reader
+(visible as PushedFilters / ReadSchema in ``.explain``).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor.
+DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=256)
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't map those
+    natively, so they're read as int64 (nanosAsLong) and converted."""
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name for f in schema
+        if str(f.type).startswith("timestamp[ns")
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Column pruning / predicate pushdown happen at the
+    caller's ``select``/``filter`` — never pre-collect or cache here.
+
+    The driver-generated parquet stores timestamps at nanosecond
+    precision; Spark's reader rejects TIMESTAMP(NANOS), so those columns
+    are read as raw int64 (``spark.sql.legacy.parquet.nanosAsLong``) and
+    floor-truncated to microseconds (``ts div 1000`` — integer division;
+    a double division would lose precision at 1e18 ns). DuckDB performs
+    the same floor-truncation when reading ns parquet, so values match.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    ts_cols = _nanos_ts_columns(path)
+    if ts_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ts_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+class Catalog:
+    """Lazy table accessor bound to one scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return load_table(self.spark, self.sf_dir, name)
+        raise AttributeError(name)
+
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    def register_views(self) -> None:
+        """Register every table as a temp view for spark.sql() use."""
+        for name in TABLES:
+            self.table(name).createOrReplaceTempView(name)

@@ -1,0 +1,70 @@
+"""Property-style tests for the mutation layer (M1-M5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from movie_rec_spark.operators import mutation as M
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [Row(event_id=i, ts=dt.datetime(2024, 1, d, h), user_id=u,
+             event_type=t, value=float(v), props="{}")
+         for (i, u, t, v, d, h) in rows]
+    )
+
+
+def test_upsert_latest_wins_and_tiebreak(spark):
+    ev = _events(spark, [
+        (1, 1, "click", 1.0, 1, 0),
+        (2, 1, "click", 2.0, 2, 0),   # newer ts wins
+        (3, 1, "click", 3.0, 2, 0),   # same ts -> higher event_id wins
+        (4, 2, "click", 4.0, 1, 0),
+    ])
+    out = {(r.user_id, r.event_type): (r.event_id, r.value)
+           for r in M.q_upsert_latest(ev).collect()}
+    assert out == {(1, "click"): (3, 3.0), (2, "click"): (4, 4.0)}
+
+
+def test_upsert_is_idempotent(spark):
+    ev = _events(spark, [(i, i % 3, "t", i, 1 + i % 5, i % 24)
+                         for i in range(1, 40)])
+    once = M.upsert_latest(ev)
+    twice = M.upsert_latest(once)
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_delete_by_key_composite(spark):
+    ev = _events(spark, [
+        (1, 1, "error", 0.0, 1, 1),
+        (2, 1, "click", 1.0, 1, 2),   # same user+day as error -> deleted
+        (3, 1, "click", 1.0, 2, 2),   # other day -> kept
+        (4, 2, "click", 1.0, 1, 2),   # other user -> kept
+    ])
+    kept = {r.event_id for r in M.q_delete_antijoin(ev).collect()}
+    assert kept == {3, 4}
+
+
+def test_implicit_fill_default_and_avg(spark):
+    ev = _events(spark, [
+        (1, 1, "purchase", 10.0, 1, 0),
+        (2, 1, "purchase", 20.0, 1, 1),
+        (3, 1, "view", 0.0, 2, 0),     # user 1 has avg 15.0
+        (4, 2, "view", 0.0, 2, 0),     # user 2 has no purchases -> 3.5
+    ])
+    out = {r.event_id: r.implied_value for r in M.q_implicit_fill(ev).collect()}
+    assert out == {3: 15.0, 4: 3.5}
+
+
+def test_assign_dense_ids(spark):
+    existing = spark.createDataFrame([Row(user_id=7, name="a")])
+    new = spark.createDataFrame([Row(name="b"), Row(name="c"), Row(name="d")])
+    out = M.assign_dense_ids(new, existing, "user_id").collect()
+    assert sorted(r.user_id for r in out) == [8, 9, 10]
+    # empty existing table -> ids start at 1
+    out2 = M.assign_dense_ids(
+        new, existing.filter("user_id < 0"), "user_id").collect()
+    assert sorted(r.user_id for r in out2) == [1, 2, 3]

