@@ -25,8 +25,12 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from movie_rec_spark.operators import dedup as D  # noqa: E402
+from movie_rec_spark.operators import multimodal as MM  # noqa: E402
 from movie_rec_spark.operators import mutation as M  # noqa: E402
 from movie_rec_spark.operators import relational as R  # noqa: E402
+from movie_rec_spark.operators import similarity as S  # noqa: E402
+from movie_rec_spark.operators import text as T  # noqa: E402
 from movie_rec_spark.sources.catalog import load_table  # noqa: E402
 
 
@@ -72,6 +76,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_upsert_latest": lambda s, d: M.q_upsert_latest(_t("events")(s, d)),
         "q_delete_antijoin": lambda s, d: M.q_delete_antijoin(_t("events")(s, d)),
         "q_implicit_fill": lambda s, d: M.q_implicit_fill(_t("events")(s, d)),
+        # --- text analysis (training-data pipeline ops) ---
+        "q_text_stats": lambda s, d: T.q_text_stats(_t("documents")(s, d)),
+        "q_token_counts": lambda s, d: T.q_token_counts(_t("documents")(s, d)),
+        "q_lang_id": lambda s, d: T.q_lang_id(_t("documents")(s, d)),
+        "q_doc_fingerprint": lambda s, d: T.q_doc_fingerprint(_t("documents")(s, d)),
+        # --- deduplication ---
+        "q_dedup_exact": lambda s, d: D.q_dedup_exact(_t("documents")(s, d)),
+        "q_dedup_jaccard": lambda s, d: D.q_dedup_jaccard(_t("documents")(s, d)),
+        "q_dedup_minhash": lambda s, d: D.q_dedup_minhash(_t("documents")(s, d)),
+        "q_dedup_simhash": lambda s, d: D.q_dedup_simhash(_t("documents")(s, d)),
+        # --- similarity search ---
+        "q_knn_brute": lambda s, d: S.q_knn_brute(_t("embeddings")(s, d)),
+        "q_embed_neardup": lambda s, d: S.q_embed_neardup(_t("embeddings")(s, d)),
+        # --- multimodal plumbing ---
+        "q_multimodal_meta": lambda s, d: MM.q_multimodal_meta(_t("documents")(s, d)),
     }
 
 
@@ -208,5 +227,96 @@ def oracle_sql() -> dict[str, str]:
                        GROUP BY user_id) s
               ON e.user_id = s.user_id
             WHERE e.event_type = 'view'
+        """,
+        "q_text_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                   CAST(length(text) AS INTEGER) AS n_chars_calc,
+                   length(replace(text, ' ', ''))
+                       / len(string_split(text, ' ')) AS avg_token_len,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the','a','of','and'))) AS INTEGER) AS n_stopwords,
+                   len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the','a','of','and')))
+                       / len(string_split(text, ' ')) AS stopword_ratio
+            FROM documents
+        """,
+        "q_token_counts": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+                   CAST(len(string_split_regex(text, '[^a-zA-Z0-9]+')) AS INTEGER)
+                       AS n_re_tokens
+            FROM documents
+        """,
+        "q_lang_id": """
+            SELECT doc_id, lang,
+                   CASE WHEN hits_en >= hits_ro AND hits_en > 0 THEN 'en'
+                        WHEN hits_ro > 0 THEN 'ro'
+                        ELSE 'other' END AS guessed_lang,
+                   (CASE WHEN hits_en >= hits_ro AND hits_en > 0 THEN 'en'
+                         WHEN hits_ro > 0 THEN 'ro'
+                         ELSE 'other' END) = lang AS is_match
+            FROM (SELECT doc_id, lang,
+                         len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the','a','of','and'))) AS hits_en,
+                         len(list_filter(string_split(text, ' '),
+                             t -> t IN ('el','la','de','le','et'))) AS hits_ro
+                  FROM documents)
+        """,
+        "q_doc_fingerprint": """
+            SELECT doc_id,
+                   md5(text) AS fp,
+                   md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp_norm,
+                   substring(md5(text), 1, 8) AS fp_prefix
+            FROM documents
+        """,
+        "q_dedup_exact": """
+            SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "q_dedup_jaccard": f"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(list_slice(w, CAST(i AS INT),
+                              CAST(i AS INT) + 2), ' ') AS g
+                   FROM (SELECT doc_id, w,
+                                unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+                         FROM toks)),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             count(*) AS i
+                      FROM sh a JOIN sh b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   i * 1.0 / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sz sa ON doc_a = sa.doc_id
+            JOIN sz sb ON doc_b = sb.doc_id
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= {D.JACCARD_THRESHOLD}
+        """,
+        "q_knn_brute": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = {S.QUERY_VEC_ID})
+            SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS sim
+            FROM e, q WHERE e.vec_id <> {S.QUERY_VEC_ID}
+            ORDER BY sim DESC, e.vec_id LIMIT {S.KNN_K}
+        """,
+        "q_embed_neardup": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 4)
+                  >= {S.NEARDUP_THRESHOLD}
+        """,
+        "q_multimodal_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   md5(text) AS payload_md5,
+                   source AS origin
+            FROM documents
         """,
     }

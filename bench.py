@@ -1,0 +1,70 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-format write (full
+materialization on executors, nothing collected to the driver) — the
+honest analogue of a sink at cluster scale. A single untimed warm-up
+query absorbs JVM/codegen startup so per-query numbers measure the
+plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from movie_rec_spark.session import get_spark  # noqa: E402
+
+# q_candidates (literal cross-join) is deliberately absent: it is the
+# reference's documented scaling cliff (SURVEY.md §7.3 item 2), kept
+# correctness-only; q_candidates_scalable is the at-scale formulation.
+EXCLUDE = {"q_candidates"}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    qs = {k: v for k, v in E.queries().items() if k not in EXCLUDE}
+
+    def run(fn):
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm-up: JVM + codegen + parquet footer caches
+    run(next(iter(qs.values())))
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in qs.items():
+        t0 = time.time()
+        run(fn)
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,4 +1,8 @@
 from movie_rec_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
     mutation,
     relational,
+    similarity,
+    text,
 )

@@ -1,0 +1,199 @@
+"""Deduplication operators — exact through near-dup, batch-scale.
+
+The core of a training-data pipeline at 100 TB. Strategies, cheapest
+first:
+
+- exact: hash-groupBy on content digest — one shuffle on the digest.
+- n-gram Jaccard (exact near-dup): shingle → self-join on shingle →
+  per-pair intersection counts. Quadratic in the worst case; correct
+  ground truth for small corpora and the oracle for the approximate
+  paths.
+- MinHash + LSH (approximate near-dup): shingle → minhash signature →
+  band → bucket-join. Only candidate pairs sharing a band bucket are
+  compared, which is the 100 TB path: cost scales with collisions, not
+  with |docs|².
+- SimHash: per-doc 64-bit signature; near-dups differ in few bits.
+
+MinHash/SimHash signatures here are built from md5-derived hashes via
+built-in expressions (no UDF, no MLlib dependency) so the whole pipeline
+stays inside codegen and is reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movie_rec_spark.functions import word_shingles
+
+JACCARD_THRESHOLD = 0.5
+MINHASH_PERMS = 32
+MINHASH_BANDS = 8  # rows per band = 32/8 = 4
+
+
+def _shingle_rows(documents: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows, distinct per doc."""
+    toks = documents.select("doc_id", F.split("text", " ").alias("w"))
+    return toks.select(
+        "doc_id", F.explode(word_shingles(F.col("w"), k)).alias("g")
+    )
+
+
+def q_dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup: group by content digest, keep the smallest doc_id.
+    One shuffle keyed on the digest — at 100 TB the digest is computed
+    scan-side and the shuffle carries only (digest, doc_id)."""
+    return (
+        documents.select(F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def q_dedup_jaccard(documents: DataFrame,
+                    threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact pairwise word-3-gram Jaccard near-dup pairs.
+
+    inverted-index self-join: only pairs sharing ≥1 shingle are ever
+    formed (no cross join). Still worst-case quadratic on hot shingles —
+    the LSH variant below is the at-scale path; this is ground truth.
+    """
+    sh = _shingle_rows(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # Raw (unrounded) division: int/int is bit-deterministic across
+    # engines; round() would diverge on exact decimal ties.
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def minhash_signatures(documents: DataFrame,
+                       num_perms: int = MINHASH_PERMS) -> DataFrame:
+    """Per-doc MinHash signature as array<bigint> of length num_perms.
+
+    Permutation hashes are xxhash64(shingle, seed=p) — built-in, seeded,
+    64-bit. min over the doc's shingle set per permutation approximates
+    Jaccard: P[min_a = min_b] = J(a, b).
+    """
+    sh = _shingle_rows(documents)
+    hashed = sh.select(
+        "doc_id",
+        F.array(*[
+            F.xxhash64(F.col("g"), F.lit(p)) for p in range(num_perms)
+        ]).alias("hs"),
+    )
+    mins = [
+        F.min(F.col("hs")[p]).alias(f"h{p}") for p in range(num_perms)
+    ]
+    return (
+        hashed.groupBy("doc_id").agg(*mins)
+        .select("doc_id", F.array(*[f"h{p}" for p in range(num_perms)]).alias("sig"))
+    )
+
+
+def q_dedup_minhash(documents: DataFrame,
+                    threshold: float = JACCARD_THRESHOLD,
+                    num_perms: int = MINHASH_PERMS,
+                    bands: int = MINHASH_BANDS) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified by estimated
+    Jaccard (signature agreement rate).
+
+    band → bucket-join: docs collide iff one band of their signatures is
+    identical. The join is on (band_id, band_hash) — an equi-join, so at
+    100 TB it's a plain shuffle-hash join whose cost tracks true
+    near-dup density instead of |docs|².
+    """
+    rows_per_band = num_perms // bands
+    sig = minhash_signatures(documents, num_perms)
+    banded = sig.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                             for r in range(rows_per_band)]).alias("bh"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq)) / F.lit(num_perms), 4)
+    return (
+        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= F.lit(threshold))
+    )
+
+
+def q_dedup_simhash(documents: DataFrame, hamming_max: int = 8) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature per doc; pairs within
+    ``hamming_max`` bits. Signature = sign-aggregated token-hash bits —
+    all built-in expressions (xxhash64 + bit ops inside transform).
+
+    Pair generation blocks on the signature's 16-bit quarters (any pair
+    within hamming 8 of 64 bits shares at least one identical quarter by
+    pigeonhole when differing bits spread; exact for ≤3 differing
+    quarters) — the standard simhash-rotation blocking, equi-join only.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+    hashed = toks.select("doc_id", F.xxhash64("t").alias("h"))
+    # per bit position: +1 if bit set else -1; sum; sign -> bit
+    bit_votes = [
+        F.sum(F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)).alias(f"v{i}")
+        for i in range(64)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*bit_votes).select(
+        "doc_id",
+        F.expr(" + ".join(
+            f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            if i < 63 else
+            f"(CASE WHEN v{i} > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i in range(64)
+        )).alias("sig"),
+    )
+    quarters = sig.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(q).alias("q"),
+                     F.expr(f"(sig >> {q * 16}) & 65535").alias("qh"))
+            for q in range(4)
+        ])).alias("qq"),
+    ).select("doc_id", "sig", F.col("qq.q").alias("q"), F.col("qq.qh").alias("qh"))
+    a, b = quarters.alias("a"), quarters.alias("b")
+    ham = F.expr("bit_count(asig ^ bsig)")
+    return (
+        a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.qh") == F.col("b.qh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sig").alias("asig"), F.col("b.sig").alias("bsig"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= F.lit(hamming_max))
+    )

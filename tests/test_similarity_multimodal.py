@@ -1,0 +1,101 @@
+"""Tests for similarity search + multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from movie_rec_spark.operators import multimodal as MM
+from movie_rec_spark.operators import similarity as S
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v], label=0)
+         for i, v in enumerate(vecs)]
+    )
+
+
+def test_knn_brute_orders_by_cosine(spark):
+    e = _emb(spark, [
+        [1, 0, 0],       # query
+        [1, 0.01, 0],    # nearly identical
+        [0.5, 0.5, 0],   # 45 degrees
+        [0, 1, 0],       # orthogonal
+        [-1, 0, 0],      # opposite
+    ])
+    out = S.q_knn_brute(e, query_vec_id=0, k=4).collect()
+    assert [r.vec_id for r in out] == [1, 2, 3, 4]
+    assert out[0].sim > 0.999 and abs(out[1].sim - math.sqrt(2) / 2) < 0.001
+    assert out[3].sim == -1.0
+
+
+def test_neardup_threshold(spark):
+    e = _emb(spark, [[1, 0], [1, 0.05], [0, 1]])
+    pairs = {(r.vec_a, r.vec_b) for r in
+             S.q_embed_neardup(e, threshold=0.9).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_lsh_recall_vs_brute(spark, sf_emb):
+    """LSH candidates at 8 planes must recover most >=0.4-cosine pairs."""
+    truth = {(r.vec_a, r.vec_b)
+             for r in S.q_embed_neardup(sf_emb, threshold=0.4).collect()}
+    got = {(r.vec_a, r.vec_b)
+           for r in S.lsh_neardup(sf_emb, dim=64, threshold=0.4).collect()}
+    assert got <= truth  # verify step keeps only true pairs
+    if truth:
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.5, f"LSH recall {recall:.2f} over {len(truth)} pairs"
+
+
+def test_ivf_topk_overlaps_brute(spark, sf_emb):
+    query = sf_emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    query = [float(x) for x in query]
+    assigned, centers = S.ivf_index(sf_emb, n_cells=4)
+    ivf = [r.vec_id for r in
+           S.ivf_search(assigned.filter(F.col("vec_id") != 0), centers,
+                        query, k=10, nprobe=2).collect()]
+    brute = [r.vec_id for r in S.q_knn_brute(sf_emb, 0, k=10).collect()]
+    overlap = len(set(ivf) & set(brute)) / 10
+    assert overlap >= 0.5, f"IVF@nprobe=2 overlap {overlap}"
+
+
+def test_multimodal_payload_and_decode(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"payload number {i}", lang="en",
+             source=f"src{i}", n_chars=10) for i in range(5)]
+    )
+    p = MM.with_payload(docs)
+    feats = MM.decode_image_features(p).collect()
+    assert len(feats) == 5
+    assert feats[0].__fields__ == ["doc_id", "width", "height",
+                                   "channels", "mean_byte"]
+    for r in feats:
+        assert 64 <= r.width < 128 and 1 <= r.channels <= 3
+    # determinism
+    again = MM.decode_image_features(p).collect()
+    assert sorted(feats) == sorted(again)
+
+
+def test_multimodal_strict_raises(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="x", lang="en",
+                                      source="s", n_chars=1)])
+    with pytest.raises(Exception):
+        MM.decode_image_features(MM.with_payload(docs), strict=True).collect()
+
+
+def test_frame_sampling_emits_n_rows_per_doc(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="frame data " * 10, lang="en", source="s",
+             n_chars=100) for i in range(3)]
+    )
+    out = MM.sample_frames(MM.with_payload(docs), n_frames=4).collect()
+    assert len(out) == 12
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, set()).add(r.frame_idx)
+    assert all(v == {0, 1, 2, 3} for v in per_doc.values())

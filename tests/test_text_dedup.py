@@ -1,0 +1,91 @@
+"""Tests for text analysis + dedup operators on hand-written corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from movie_rec_spark.operators import dedup as D
+from movie_rec_spark.operators import text as T
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+
+
+def test_text_stats(spark):
+    out = {r.doc_id: r for r in
+           T.q_text_stats(_docs(spark, ["the cat sat", "a b"])).collect()}
+    assert out[0].n_tokens == 3 and out[0].n_chars_calc == 11
+    assert out[0].n_stopwords == 1  # 'the'
+    assert abs(out[0].avg_token_len - 9 / 3) < 1e-12
+    assert out[1].n_stopwords == 1  # 'a'
+
+
+def test_lang_id_prefers_en_on_tie_rules(spark):
+    out = {r.doc_id: r.guessed_lang for r in T.q_lang_id(_docs(spark, [
+        "the data of things",      # en hits
+        "el la de le",             # romance hits only
+        "xyz qrs",                 # no hits
+    ])).collect()}
+    assert out == {0: "en", 1: "ro", 2: "other"}
+
+
+def test_dedup_exact_groups_identical_texts(spark):
+    out = D.q_dedup_exact(_docs(spark, ["aaa", "bbb", "aaa", "aaa"])).collect()
+    by_keep = {r.keep_id: r.n_copies for r in out}
+    assert by_keep == {0: 3, 1: 1}
+
+
+def test_jaccard_identical_and_disjoint(spark):
+    docs = _docs(spark, [
+        "w1 w2 w3 w4 w5 w6",
+        "w1 w2 w3 w4 w5 w6",          # identical -> jaccard 1.0
+        "z1 z2 z3 z4 z5 z6",          # disjoint -> no pair
+    ])
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in D.q_dedup_jaccard(docs, threshold=0.5).collect()}
+    assert pairs == {(0, 1): 1.0}
+
+
+def test_minhash_finds_exact_dup_and_agrees_with_jaccard(spark):
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta theta",   # dup of 0
+        "alpha beta gamma delta epsilon zeta eta iota",    # near-dup
+        "one two three four five six seven eight",         # unrelated
+    ]
+    out = {(r.doc_a, r.doc_b): r.est_jaccard
+           for r in D.q_dedup_minhash(_docs(spark, texts),
+                                      threshold=0.3).collect()}
+    assert out[(0, 1)] == 1.0
+    assert (0, 3) not in out and (1, 3) not in out
+    # near-dup estimated within +-0.35 of true jaccard (5/7 ~ 0.71)
+    if (0, 2) in out:
+        assert abs(out[(0, 2)] - 5 / 7) < 0.35
+
+
+def test_simhash_exact_dup_distance_zero(spark):
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "completely different words entirely unrelated corpus here now",
+    ]
+    out = {(r.doc_a, r.doc_b): r.hamming
+           for r in D.q_dedup_simhash(_docs(spark, texts)).collect()}
+    assert out.get((0, 1)) == 0
+    assert (0, 2) not in out or out[(0, 2)] > 0
+
+
+def test_minhash_recall_against_jaccard_oracle(spark, sf_docs):
+    """On the real sf0.001 corpus: every high-jaccard pair (>=0.7) must
+    be recalled by the banded minhash at threshold 0.5."""
+    truth = {(r.doc_a, r.doc_b)
+             for r in D.q_dedup_jaccard(sf_docs, threshold=0.7).collect()}
+    got = {(r.doc_a, r.doc_b)
+           for r in D.q_dedup_minhash(sf_docs, threshold=0.5).collect()}
+    assert truth, "fixture should contain near-dup docs"
+    missed = truth - got
+    assert len(missed) <= max(1, len(truth) // 10), f"missed {missed}"
