@@ -25,6 +25,7 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from movie_rec_spark import ml as ML  # noqa: E402
 from movie_rec_spark.operators import dedup as D  # noqa: E402
 from movie_rec_spark.operators import multimodal as MM  # noqa: E402
 from movie_rec_spark.operators import mutation as M  # noqa: E402
@@ -91,6 +92,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup": lambda s, d: S.q_embed_neardup(_t("embeddings")(s, d)),
         # --- multimodal plumbing ---
         "q_multimodal_meta": lambda s, d: MM.q_multimodal_meta(_t("documents")(s, d)),
+        # --- event/streaming batch analogues ---
+        "q_event_counters": lambda s, d: R.q_event_counters(_t("events")(s, d)),
+        "q_event_windowed": lambda s, d: R.q_event_windowed(_t("events")(s, d)),
+        # --- ML (rows-only: not SQL-expressible) ---
+        "q_als_recs": lambda s, d: ML.q_als_recs(
+            _t("lineitem")(s, d), _t("orders")(s, d)),
     }
 
 
@@ -318,5 +325,15 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS payload_md5,
                    source AS origin
             FROM documents
+        """,
+        "q_event_counters": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY user_id
+        """,
+        "q_event_windowed": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
         """,
     }

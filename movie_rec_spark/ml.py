@@ -1,0 +1,193 @@
+"""ML pipeline: latent-factor collaborative filtering with MLlib ALS.
+
+Reference parity (SURVEY.md §2.12): the reference trains a Funk-SVD
+(scikit-surprise SGD) model every 15 minutes, scores the anti-testset,
+and keeps per-user top-N (estimator.py:38-129, trainer.py:45-141). ALS is
+the same model family (explicit-feedback latent factors) trained
+distributed; parity is metric-band + structural invariants, never
+value-equality (§7.3 item 1). Seeded end-to-end for repo-internal
+determinism.
+
+The reference's scaling cliff — ``build_anti_testset()`` materializing
+|U|×|I|−|R| tuples in RAM (estimator.py:56) — disappears structurally:
+``recommendForAllUsers`` does blocked GEMM + distributed top-K without
+ever forming the cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movie_rec_spark.functions import clamp, round_half_up
+
+# Reference production hyperparameters (web/config.py:29-34): factors=50,
+# epochs=50, lr=0.008, reg=0.2. ALS has no learning rate; rank/reg map
+# directly, iterations are ALS sweeps (converges in far fewer than SGD
+# epochs). Defaults here are sized for the sf0.01 correctness gate;
+# production values go through train_als kwargs.
+RANK = 16
+MAX_ITER = 8
+REG_PARAM = 0.2
+SEED = 42
+TOP_N = 20                       # web/config.py:26
+RATING_MIN, RATING_MAX = 0.5, 5.0  # Reader(rating_scale=(0.5, 5.0))
+
+
+def build_ratings(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Derive an explicit-feedback ratings table from the star schema:
+    user = o_custkey, item = l_partkey, rating = per-(user,item) mean
+    quantity mapped onto the half-star [0.5, 5.0] domain (l_quantity is
+    1..50 → /10, rounded to half-stars like controller.py:329-331)."""
+    o = orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey")
+    return (
+        lineitem.select("l_orderkey", "l_partkey", "l_quantity")
+        .join(o, "l_orderkey", "inner")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .agg(
+            clamp(
+                round_half_up(F.avg("l_quantity") / 10.0),
+                RATING_MIN, RATING_MAX,
+            ).alias("rating")
+        )
+    )
+
+
+def train_als(ratings: DataFrame, rank: int = RANK, max_iter: int = MAX_ITER,
+              reg_param: float = REG_PARAM, seed: int = SEED):
+    """ML1: fit the latent-factor model (ALS ~ reference SVD family,
+    estimator.py:38-49). coldStartStrategy='drop' mirrors surprise
+    skipping unknown ids."""
+    from pyspark.ml.recommendation import ALS
+
+    als = ALS(
+        rank=rank,
+        maxIter=max_iter,
+        regParam=reg_param,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+        seed=seed,
+        nonnegative=False,
+    )
+    return als.fit(ratings)
+
+
+def recommend_top_n(model, n: int = TOP_N) -> DataFrame:
+    """ML4+K5: per-user top-N without the anti-testset cross join —
+    ``recommendForAllUsers`` is MLlib's distributed blocked top-K
+    (replaces estimator.py:56,63,118-129). Scores clamped into the
+    rating domain (ML5, trainer.py:37)."""
+    recs = model.recommendForAllUsers(n)
+    exploded = recs.select(
+        "user_id",
+        F.posexplode("recommendations").alias("rank0", "rec"),
+    )
+    return exploded.select(
+        "user_id",
+        F.col("rec.item_id").alias("item_id"),
+        clamp(F.col("rec.rating").cast("double"),
+              RATING_MIN, RATING_MAX).alias("score"),
+        (F.col("rank0") + 1).cast("int").alias("rank"),
+    )
+
+
+def evaluate_rmse_mae(model, test: DataFrame) -> tuple[float, float]:
+    """ML3: RMSE + MAE on a held-out split (trainer.py:57,63-66)."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    pred = model.transform(test)
+    rmse = RegressionEvaluator(metricName="rmse", labelCol="rating",
+                               predictionCol="prediction").evaluate(pred)
+    mae = RegressionEvaluator(metricName="mae", labelCol="rating",
+                              predictionCol="prediction").evaluate(pred)
+    return rmse, mae
+
+
+def grid_search(ratings: DataFrame,
+                ranks: tuple[int, ...] = (8, 16),
+                regs: tuple[float, ...] = (0.1, 0.2),
+                num_folds: int = 3,
+                parallelism: int = 4,
+                seed: int = SEED):
+    """ML2: hyperparameter grid + k-fold CV, best-RMSE selection
+    (trainer.py:45-66: 144 combos × 3 folds, n_jobs=4 →
+    CrossValidator(parallelism=4)). Grid kept small by default; the
+    reference's full grid is a kwargs change."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.recommendation import ALS
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    als = ALS(userCol="user_id", itemCol="item_id", ratingCol="rating",
+              coldStartStrategy="drop", maxIter=MAX_ITER, seed=seed)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(als.rank, list(ranks))
+        .addGrid(als.regParam, list(regs))
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=als,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(metricName="rmse", labelCol="rating",
+                                      predictionCol="prediction"),
+        numFolds=num_folds,
+        parallelism=parallelism,
+        seed=seed,
+    )
+    return cv.fit(ratings)
+
+
+def q_als_recs(lineitem: DataFrame, orders: DataFrame,
+               n: int = 5) -> DataFrame:
+    """Declared query (rows-only: ML is not SQL-expressible): full
+    train → recommend pipeline. Structural invariants tested in
+    tests/test_ml.py; the driver checks rows + schema stability."""
+    ratings = build_ratings(lineitem, orders)
+    model = train_als(ratings)
+    return recommend_top_n(model, n)
+
+
+def q_recommend(lineitem: DataFrame, orders: DataFrame,
+                custkey: int, n: int = 10) -> DataFrame:
+    """T4 serving semantics per README.md:42-44 intent (SURVEY.md §2.13
+    documents the reference bugs a-c this deliberately fixes): serve the
+    user's precomputed top-N, drop already-seen items, back-fill from
+    the popularity ranking excluding both seen and already-recommended.
+    """
+    from movie_rec_spark.operators.relational import (
+        part_popularity,
+        user_parts,
+    )
+
+    ratings = build_ratings(lineitem, orders)
+    model = train_als(ratings)
+    als_recs = (
+        recommend_top_n(model, n)
+        .filter(F.col("user_id") == custkey)
+        .select(F.col("item_id"), F.col("score"), F.lit("als").alias("rec_source"))
+    )
+    seen = user_parts(lineitem, orders, custkey).select(
+        F.col("l_partkey").alias("item_id"))
+    fresh = als_recs.join(seen, "item_id", "left_anti")
+    backfill = (
+        part_popularity(lineitem)
+        .select(F.col("l_partkey").alias("item_id"),
+                F.col("cnt_orders").cast("double").alias("score"),
+                F.lit("popular").alias("rec_source"))
+        .join(seen, "item_id", "left_anti")
+        .join(fresh.select("item_id"), "item_id", "left_anti")
+        .orderBy(F.desc("score"), F.asc("item_id"))
+        .limit(n)
+    )
+    w_all = fresh.unionByName(backfill)
+    return (
+        w_all.orderBy(
+            F.when(F.col("rec_source") == "als", 0).otherwise(1),
+            F.desc("score"), F.asc("item_id"))
+        .limit(n)
+    )

@@ -303,3 +303,31 @@ def q_set_ops(orders: DataFrame, events: DataFrame) -> DataFrame:
         .union(big_spenders.subtract(error_users))
         .distinct()
     )
+
+
+def q_event_counters(events: DataFrame) -> DataFrame:
+    """Batch analogue of the T3 live counters (streaming/counters.py
+    event_counters — identical agg, so batch output is the streaming
+    query's final state; tested equal in tests/test_streaming.py).
+    round(sum, 2) is safe: 2-decimal inputs sum to 2-decimal totals, so
+    no cross-engine rounding ties exist."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q_event_windowed(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window counts per event type — the batch form of
+    streaming/counters.py windowed_counters (same F.window operator
+    Structured Streaming uses; epoch-aligned, so window.start equals
+    date_trunc('hour') in the oracle)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -1,0 +1,8 @@
+from movie_rec_spark.streaming.counters import (  # noqa: F401
+    event_counters,
+    incremental_stats,
+    read_event_stream,
+    run_counters_batchwise,
+    run_with_foreach_batch,
+    windowed_counters,
+)

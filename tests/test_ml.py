@@ -1,0 +1,84 @@
+"""ML pipeline tests — metric-band + structural invariants, never
+value-equality (SURVEY.md §5, §7.3 item 1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_rec_spark import ml as ML
+from movie_rec_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ratings(spark):
+    return ML.build_ratings(
+        load_table(spark, SF, "lineitem"), load_table(spark, SF, "orders")
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def model(ratings):
+    return ML.train_als(ratings)
+
+
+def test_ratings_domain(ratings):
+    row = ratings.agg(
+        F.min("rating").alias("lo"), F.max("rating").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert row.n > 0 and 0.5 <= row.lo and row.hi <= 5.0
+    # half-star grid
+    bad = ratings.filter((F.col("rating") * 2) % 1 != 0).count()
+    assert bad == 0
+
+
+def test_topn_structure(model, ratings):
+    recs = ML.recommend_top_n(model, n=5).cache()
+    per_user = recs.groupBy("user_id").count()
+    assert per_user.filter("count != 5").count() == 0
+    # scores clamped into rating domain (ML5)
+    assert recs.filter((F.col("score") < 0.5) | (F.col("score") > 5.0)).count() == 0
+    # ranks are 1..5
+    assert recs.filter((F.col("rank") < 1) | (F.col("rank") > 5)).count() == 0
+    # every user with ratings got recs
+    n_users = ratings.select("user_id").distinct().count()
+    assert per_user.count() == n_users
+
+
+def test_rmse_band(ratings):
+    train, test = ratings.randomSplit([0.8, 0.2], seed=7)
+    model = ML.train_als(train)
+    rmse, mae = ML.evaluate_rmse_mae(model, test)
+    # constant-mean predictor RMSE on this data ~ stddev(rating) ~ 0.7;
+    # the model must not be catastrophically worse, and mae <= rmse.
+    std = ratings.agg(F.stddev("rating")).collect()[0][0]
+    assert rmse < 2 * std, f"rmse {rmse} vs std {std}"
+    assert mae <= rmse
+
+
+def test_determinism_same_seed(ratings):
+    r1 = ML.recommend_top_n(ML.train_als(ratings, rank=4, max_iter=3), 3)
+    r2 = ML.recommend_top_n(ML.train_als(ratings, rank=4, max_iter=3), 3)
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+
+
+def test_grid_search_small(ratings):
+    cv = ML.grid_search(ratings, ranks=(2, 4), regs=(0.2,), num_folds=2,
+                        parallelism=2)
+    assert cv.bestModel.rank in (2, 4)
+    assert len(cv.avgMetrics) == 2
+
+
+def test_q_recommend_excludes_seen(spark):
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    from movie_rec_spark.operators.relational import user_parts
+    seen = {r.l_partkey for r in user_parts(li, orders, 1).collect()}
+    out = ML.q_recommend(li, orders, custkey=1, n=10).collect()
+    assert 0 < len(out) <= 10
+    rec_items = {r.item_id for r in out}
+    assert not (rec_items & seen), "recommended an already-seen item"
+    assert {r.rec_source for r in out} <= {"als", "popular"}
