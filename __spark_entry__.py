@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup": lambda s, d: S.q_embed_neardup(_t("embeddings")(s, d)),
         # --- multimodal plumbing ---
         "q_multimodal_meta": lambda s, d: MM.q_multimodal_meta(_t("documents")(s, d)),
+        "q_json_encode": lambda s, d: R.q_json_encode(_t("part")(s, d)),
         # --- event/streaming batch analogues ---
         "q_event_counters": lambda s, d: R.q_event_counters(_t("events")(s, d)),
         "q_event_windowed": lambda s, d: R.q_event_windowed(_t("events")(s, d)),
@@ -133,7 +134,6 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_quantity), 2) AS avg_qty
             FROM lineitem WHERE l_returnflag <> 'R'
             GROUP BY l_partkey HAVING count(l_orderkey) > {R.STAT_LOWER_LIMIT}
-            ORDER BY cnt_users DESC, l_partkey
         """,
         "q_user_rated_movies": f"""
             SELECT p_partkey, p_name, p_brand FROM part
@@ -325,6 +325,13 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS payload_md5,
                    source AS origin
             FROM documents
+        """,
+        "q_json_encode": """
+            SELECT p_partkey,
+                   to_json(struct_pack(p_partkey := p_partkey,
+                                       p_name := p_name,
+                                       p_brand := p_brand))::VARCHAR AS js
+            FROM part
         """,
         "q_event_counters": """
             SELECT user_id, count(*) AS n_events,

@@ -113,6 +113,12 @@ def q_movie_stats(lineitem: DataFrame, lower_limit: int = STAT_LOWER_LIMIT) -> D
 
     Boolean predicate analogue: keep non-returned rows
     (l_returnflag <> 'R' ~ ``is_implicit IS FALSE``).
+
+    The reference sorts the stats for display (statistics.py:29, K4);
+    here the sort is deliberately OMITTED: an unbounded global sort is a
+    full range-partition shuffle that buys nothing for a materialized
+    stats table — ordering belongs to the consumer's top-k query. One
+    shuffle total (the agg), enforced by tests/test_plans.py.
     """
     return (
         lineitem.select("l_partkey", "l_orderkey", "l_quantity", "l_returnflag")
@@ -123,7 +129,6 @@ def q_movie_stats(lineitem: DataFrame, lower_limit: int = STAT_LOWER_LIMIT) -> D
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
         )
         .filter(F.col("cnt_users") > F.lit(lower_limit))
-        .orderBy(F.desc("cnt_users"), F.asc("l_partkey"))
     )
 
 
@@ -302,6 +307,17 @@ def q_set_ops(orders: DataFrame, events: DataFrame) -> DataFrame:
         order_users.intersect(event_users)
         .union(big_spenders.subtract(error_users))
         .distinct()
+    )
+
+
+def q_json_encode(part: DataFrame) -> DataFrame:
+    """S12 JSON serialization sink: row → JSON object string
+    (marshmallow schema dump, reference models.py:25-30 / used at
+    routes.py:28-135). ``to_json(struct(...))`` keyed by column name —
+    byte-identical to the DuckDB oracle's struct_pack→to_json."""
+    return part.select(
+        "p_partkey",
+        F.to_json(F.struct("p_partkey", "p_name", "p_brand")).alias("js"),
     )
 
 

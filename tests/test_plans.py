@@ -1,0 +1,80 @@
+"""Physical-plan regression tests — the scale-design invariants.
+
+Each assertion encodes a 100 TB promise: filters reach the parquet scan,
+scans read only the projected columns, dimension joins broadcast, top-K
+never globally sorts, the grouped top-N uses WindowGroupLimit, and the
+anti-testset query is the only sanctioned nested-loop join.
+"""
+
+from __future__ import annotations
+
+from movie_rec_spark import plans as P
+from movie_rec_spark.operators import mutation as M
+from movie_rec_spark.operators import relational as R
+from movie_rec_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _t(spark, name):
+    return load_table(spark, SF, name)
+
+
+def test_top_movies_plan(spark):
+    df = R.q_top_movies(_t(spark, "lineitem"), _t(spark, "part"))
+    assert P.has_pushed_filter(df, "GreaterThanOrEqual(l_quantity,25.0)")
+    assert P.has_broadcast_join(df)
+    assert P.has_top_k(df)
+    scans = P.scan_read_columns(df)
+    li_scan = next(s for s in scans if "l_partkey" in s)
+    assert li_scan == {"l_orderkey", "l_partkey", "l_quantity",
+                       "l_extendedprice"}, "column pruning regressed"
+    # one shuffle (the partial->final agg); dim join must add none
+    assert P.count_exchanges(df) == 1
+
+
+def test_user_queries_push_equality_predicate(spark):
+    df = R.q_user_latest_ratings(_t(spark, "orders"), _t(spark, "customer"))
+    assert P.has_pushed_filter(df, "EqualTo(o_custkey,1)")
+    assert P.has_top_k(df)
+    assert P.count_exchanges(df) == 0, "single-user query must not shuffle"
+
+
+def test_movie_stats_pushdown_and_single_shuffle(spark):
+    df = R.q_movie_stats(_t(spark, "lineitem"))
+    assert P.has_pushed_filter(df, "Not(EqualTo(l_returnflag,R))")
+    assert P.count_exchanges(df) == 1
+
+
+def test_user_topn_uses_window_group_limit(spark):
+    df = R.q_user_topn(_t(spark, "orders"))
+    assert P.has_window_group_limit(df)
+    assert P.count_exchanges(df) == 1
+
+
+def test_upsert_uses_window_group_limit(spark):
+    df = M.q_upsert_latest(_t(spark, "events"))
+    assert P.has_window_group_limit(df)
+
+
+def test_anti_join_broadcasts_user_side(spark):
+    df = R.q_avg_recommendations(_t(spark, "lineitem"), _t(spark, "orders"))
+    plan = P.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert not P.has_shuffle_join(df), \
+        "per-user anti-join must broadcast, not shuffle, the seen-set"
+
+
+def test_candidates_scalable_has_no_cartesian(spark):
+    df = R.candidate_counts_scalable(
+        _t(spark, "customer"), _t(spark, "part"),
+        _t(spark, "lineitem"), _t(spark, "orders"))
+    assert not P.has_cartesian(df)
+
+
+def test_candidates_literal_is_the_only_sanctioned_cross(spark):
+    df = R.q_candidates(
+        _t(spark, "customer"), _t(spark, "part"),
+        _t(spark, "lineitem"), _t(spark, "orders"))
+    plan = P.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
