@@ -31,6 +31,8 @@ from movie_rec_spark.operators import multimodal as MM  # noqa: E402
 from movie_rec_spark.operators import mutation as M  # noqa: E402
 from movie_rec_spark.operators import relational as R  # noqa: E402
 from movie_rec_spark.operators import similarity as S  # noqa: E402
+from movie_rec_spark.operators import skew as SK  # noqa: E402
+from movie_rec_spark.operators import temporal as TP  # noqa: E402
 from movie_rec_spark.operators import text as T  # noqa: E402
 from movie_rec_spark.sources.catalog import load_table  # noqa: E402
 
@@ -96,6 +98,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- event/streaming batch analogues ---
         "q_event_counters": lambda s, d: R.q_event_counters(_t("events")(s, d)),
         "q_event_windowed": lambda s, d: R.q_event_windowed(_t("events")(s, d)),
+        # --- beyond-reference relational (grouping sets, approx, asof, skew) ---
+        "q_rollup": lambda s, d: R.q_rollup(_t("lineitem")(s, d)),
+        "q_cube": lambda s, d: R.q_cube(_t("lineitem")(s, d)),
+        "q_approx_distinct": lambda s, d: R.q_approx_distinct(_t("orders")(s, d)),
+        "q_asof_join": lambda s, d: TP.q_asof_join(
+            _t("events")(s, d), _t("orders")(s, d)),
+        "q_salted_count": lambda s, d: SK.q_salted_count(_t("events")(s, d)),
         # --- ML (rows-only: not SQL-expressible) ---
         "q_als_recs": lambda s, d: ML.q_als_recs(
             _t("lineitem")(s, d), _t("orders")(s, d)),
@@ -342,5 +351,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        # q_approx_distinct intentionally has NO oracle entry: HLL
+        # sketches differ across engines by design (rows-only check;
+        # tests/test_relational.py asserts the 5% band).
+        "q_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   sum(l_quantity) AS sum_qty, avg(l_quantity) AS avg_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q_cube": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "q_asof_join": """
+            WITH snap AS (
+              SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey AS user_id, o_orderdate, o_orderkey,
+                       o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                           ORDER BY o_orderkey DESC, o_totalprice DESC) AS rn
+                FROM orders) WHERE rn = 1
+            )
+            SELECT e.event_id, e.user_id, e.ts, s.o_orderkey, s.o_totalprice
+            FROM events e ASOF LEFT JOIN snap s
+              ON e.user_id = s.user_id AND e.ts >= s.o_orderdate
+        """,
+        "q_salted_count": """
+            SELECT user_id, count(*) AS n FROM events GROUP BY user_id
         """,
     }

@@ -310,6 +310,39 @@ def q_set_ops(orders: DataFrame, events: DataFrame) -> DataFrame:
     )
 
 
+def q_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP aggregation (beyond reference — SURVEY.md §2.4 notes no
+    grouping sets exist there): hierarchical subtotals per
+    (returnflag, linestatus), per returnflag, and grand total.
+    sum(l_quantity) is exact (integral doubles), so no rounding needed
+    for cross-engine equality."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("l_quantity").alias("sum_qty"),
+             F.avg("l_quantity").alias("avg_qty"))
+    )
+
+
+def q_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE aggregation: all grouping-set combinations."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+def q_approx_distinct(orders: DataFrame) -> DataFrame:
+    """Approximate aggregates (rows-only: HLL sketches differ across
+    engines by design): approx_count_distinct + exact, side by side.
+    tests/test_relational.py asserts the approx lands within 5%."""
+    return orders.select(
+        F.approx_count_distinct("o_custkey").alias("approx_users"),
+        F.countDistinct("o_custkey").alias("exact_users"),
+    )
+
+
 def q_json_encode(part: DataFrame) -> DataFrame:
     """S12 JSON serialization sink: row → JSON object string
     (marshmallow schema dump, reference models.py:25-30 / used at

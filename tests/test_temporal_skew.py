@@ -1,0 +1,119 @@
+"""As-of join (temporal.py), salted joins/aggs (skew.py), and the
+grouping-set / approx queries added to relational.py.
+
+The as-of semantics cases (inclusive tie, no-prior-snapshot NULL,
+latest-of-several) use tiny hand-written frames; the salted operators
+are property-checked for equivalence with their unsalted counterparts.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_rec_spark.operators import relational as R
+from movie_rec_spark.operators import skew as SK
+from movie_rec_spark.operators.temporal import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def tiny_asof(spark):
+    events = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-05T00:00:00")),   # after snap@3 -> 100
+            (2, 10, _ts("2024-01-03T00:00:00")),   # == snap@3 (inclusive) -> 100
+            (3, 10, _ts("2024-01-02T00:00:00")),   # after snap@1 only -> 50
+            (4, 10, _ts("2023-12-31T00:00:00")),   # before all -> NULL
+            (5, 20, _ts("2024-01-09T00:00:00")),   # user 20, after snap@8 -> 70
+            (6, 30, _ts("2024-01-05T00:00:00")),   # user with no snapshots -> NULL
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    snaps = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T00:00:00"), 50, 50.0),
+            (10, _ts("2024-01-03T00:00:00"), 100, 100.0),
+            (10, _ts("2024-01-03T00:00:00"), 99, 99.0),   # same-ts dupe: max key wins
+            (20, _ts("2024-01-08T00:00:00"), 70, 70.0),
+        ],
+        "user_id long, snap_ts timestamp, o_orderkey long, o_totalprice double",
+    )
+    return events, snaps
+
+
+def test_asof_semantics(tiny_asof):
+    events, snaps = tiny_asof
+    out = asof_join(events, snaps, key="user_id", event_ts="ts",
+                    snap_ts="snap_ts", value_cols=["o_orderkey", "o_totalprice"])
+    got = {r["event_id"]: r["o_orderkey"] for r in out.collect()}
+    assert got == {1: 100, 2: 100, 3: 50, 4: None, 5: 70, 6: None}
+    assert out.columns == ["event_id", "user_id", "ts", "o_orderkey", "o_totalprice"]
+
+
+def test_asof_left_row_preserving(tiny_asof):
+    events, snaps = tiny_asof
+    out = asof_join(events, snaps, key="user_id", event_ts="ts",
+                    snap_ts="snap_ts", value_cols=["o_orderkey"])
+    assert out.count() == events.count()
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (90% of rows) + a tail — the shape salting exists for.
+    rows = [(1, i, float(i % 7)) for i in range(900)]
+    rows += [(k, 1000 + k, float(k)) for k in range(2, 30)]
+    df = spark.createDataFrame(rows, "k long, payload long, v double")
+    dim = spark.createDataFrame(
+        [(k, f"name_{k}") for k in range(1, 30)], "k long, k_name string")
+    return df, dim
+
+
+def test_salted_join_equals_plain_join(skewed):
+    df, dim = skewed
+    plain = df.join(dim, ["k"], "inner")
+    salted = SK.salted_join(df, dim, on=["k"], n_salts=4)
+    assert salted.columns == plain.columns
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_count_equals_groupby(skewed):
+    df, _ = skewed
+    plain = {r["k"]: r["n"] for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r["k"]: r["n"] for r in SK.salted_count(df, "k", 4).collect()}
+    assert salted == plain
+
+
+def test_salt_actually_spreads_hot_key(skewed):
+    df, _ = skewed
+    n_buckets = (SK.with_salt(df, 4).filter(F.col("k") == 1)
+                 .select("_salt").distinct().count())
+    assert n_buckets >= 2
+
+
+def test_rollup_and_cube_shapes(spark):
+    li = spark.createDataFrame(
+        [("A", "F", 1.0), ("A", "O", 2.0), ("B", "F", 3.0)],
+        "l_returnflag string, l_linestatus string, l_quantity double")
+    # rollup: 3 leaves + 2 per-flag subtotals + 1 grand total
+    assert R.q_rollup(li).count() == 6
+    # cube adds the 2 per-status subtotals
+    assert R.q_cube(li).count() == 8
+    total = (R.q_rollup(li)
+             .filter(F.col("l_returnflag").isNull()).collect())
+    assert len(total) == 1 and total[0]["sum_qty"] == 6.0 and total[0]["n_rows"] == 3
+
+
+def test_approx_distinct_within_band(spark):
+    orders = spark.range(0, 5000).select(
+        (F.col("id") % 637).alias("o_custkey"))
+    row = R.q_approx_distinct(orders).collect()[0]
+    assert row["exact_users"] == 637
+    assert abs(row["approx_users"] - row["exact_users"]) / row["exact_users"] < 0.05
