@@ -105,9 +105,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": lambda s, d: TP.q_asof_join(
             _t("events")(s, d), _t("orders")(s, d)),
         "q_salted_count": lambda s, d: SK.q_salted_count(_t("events")(s, d)),
+        "q_sessionize": lambda s, d: TP.q_sessionize(_t("events")(s, d)),
+        # --- similarity scale paths (rows-only: seeded-random LSH planes /
+        # KMeans centroids are engine-specific; recall vs the exact
+        # baselines is asserted in tests/test_similarity_multimodal.py) ---
+        "q_neardup_lsh": lambda s, d: S.lsh_neardup(
+            _t("embeddings")(s, d), dim=S.EMBED_DIM),
+        "q_knn_ivf": lambda s, d: S.q_knn_ivf(_t("embeddings")(s, d)),
         # --- ML (rows-only: not SQL-expressible) ---
         "q_als_recs": lambda s, d: ML.q_als_recs(
             _t("lineitem")(s, d), _t("orders")(s, d)),
+        "q_recommend": lambda s, d: ML.q_recommend(
+            _t("lineitem")(s, d), _t("orders")(s, d), R.FOCUS_CUSTKEY),
     }
 
 
@@ -380,5 +389,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_salted_count": """
             SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        """,
+        # Same sessions as Spark's native session_window, derived from
+        # first principles: lag -> gap-flag -> running sum -> group.
+        # A gap of exactly 30 min MERGES (session_window closes strictly
+        # after last_ts + gap), so the new-session test is strict >.
+        "q_sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+                FROM g
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 2) AS total_value
+            FROM s GROUP BY user_id, sess
         """,
     }

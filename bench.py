@@ -27,7 +27,10 @@ from movie_rec_spark.session import get_spark  # noqa: E402
 # q_candidates (literal cross-join) is deliberately absent: it is the
 # reference's documented scaling cliff (SURVEY.md §7.3 item 2), kept
 # correctness-only; q_candidates_scalable is the at-scale formulation.
-EXCLUDE = {"q_candidates"}
+# q_recommend re-trains the same ALS model q_als_recs already times —
+# benching it would double-count the fit; its serving overlay is
+# millisecond-scale joins.
+EXCLUDE = {"q_candidates", "q_recommend"}
 
 
 def main() -> None:

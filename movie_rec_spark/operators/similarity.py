@@ -28,6 +28,7 @@ from movie_rec_spark.functions import cosine, dot
 KNN_K = 10
 NEARDUP_THRESHOLD = 0.4
 QUERY_VEC_ID = 0
+EMBED_DIM = 64  # testdata embeddings.parquet: embedding FLOAT[64]
 
 
 def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
@@ -198,6 +199,21 @@ def ivf_index(embeddings: DataFrame, n_cells: int = 8,
     assigned = model.transform(e).drop("features")
     centers = [c.tolist() for c in model.clusterCenters()]
     return assigned, centers
+
+
+def q_knn_ivf(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
+              k: int = KNN_K, n_cells: int = 8,
+              nprobe: int = 2) -> DataFrame:
+    """Declared query (rows-only: KMeans centroids are engine-specific):
+    IVF top-k for the stored query vector. Scoring touches only
+    ``nprobe``/``n_cells`` of the corpus; recall vs q_knn_brute is
+    asserted in tests/test_similarity_multimodal.py."""
+    e = _as_double(embeddings)
+    qv = (e.filter(F.col("vec_id") == query_vec_id)
+          .select("embedding").first()[0])
+    assigned, centers = ivf_index(
+        e.filter(F.col("vec_id") != query_vec_id), n_cells)
+    return ivf_search(assigned, centers, list(qv), k, nprobe)
 
 
 def ivf_search(assigned: DataFrame, centers: list[list[float]],

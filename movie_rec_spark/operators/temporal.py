@@ -72,6 +72,33 @@ def asof_join(events: DataFrame, snapshots: DataFrame,
     )
 
 
+SESSION_GAP = "30 minutes"
+SESSION_GAP_SEC = 30 * 60
+
+
+def q_sessionize(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Gap-based sessionization with Spark's native ``session_window``
+    (beyond reference — it has no session concept, SURVEY.md §2.10):
+    events of one user belong to one session while consecutive gaps stay
+    under ``gap``. One shuffle on user_id; Spark merges overlapping
+    session intervals inside the aggregation — no self-join, no window
+    scan. The oracle expresses the same semantics as
+    lag → gap-flag → running-sum (see ``oracle_sql``), proving the
+    built-in operator against first principles.
+    """
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("user_id", "session_start", "session_end",
+                "n_events", "total_value")
+    )
+
+
 def q_asof_join(events: DataFrame, orders: DataFrame) -> DataFrame:
     """Declared query: each event joined to the user's most recent order
     at-or-before the event time (point-in-time account state)."""
