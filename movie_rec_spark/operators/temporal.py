@@ -27,48 +27,49 @@ def asof_join(events: DataFrame, snapshots: DataFrame,
     ``key`` with ``snap_ts <= event_ts`` (inclusive). Left semantics:
     events with no prior snapshot keep NULL values.
 
-    Snapshots are pre-deduped to one row per (key, snap_ts) —
-    deterministic winner (max of value_cols tuple) — because ties would
-    otherwise be engine-dependent.
+    Ties — several snapshot rows at one (key, snap_ts) — resolve to a
+    deterministic winner (max of the value_cols tuple), because they
+    would otherwise be engine-dependent.
+
+    Single shuffle total: snapshot values ride in ONE struct column
+    (atomic row semantics for ``last``), and the sort order
+    (_ts, _side, _snap ascending) makes the max tuple sort last, so tie
+    dedupe happens inside the SAME window as the backfill — no separate
+    (key, snap_ts) dedupe exchange.
     """
-    w_dedupe = Window.partitionBy(key, snap_ts).orderBy(
-        *[F.desc(c) for c in value_cols])
-    snap = (
-        snapshots.withColumn("_rn", F.row_number().over(w_dedupe))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    s = snap.select(
+    snap_t = dict(snapshots.dtypes)
+    struct_t = "struct<" + ",".join(
+        f"{c}:{snap_t[c]}" for c in value_cols) + ">"
+    s = snapshots.select(
         F.col(key).alias("_k"),
         F.col(snap_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast("long").alias("_event_id"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.struct(*value_cols).alias("_snap"),
     )
     e = events.select(
         F.col(key).alias("_k"),
         F.col(event_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.col("event_id").alias("_event_id"),
-        *[F.lit(None).cast(dict(snap.dtypes)[c]).alias(f"_v_{c}")
-          for c in value_cols],
+        F.lit(None).cast(struct_t).alias("_snap"),
     )
-    # snapshots sort before events at the same timestamp -> inclusive.
+    # snapshots sort before events at the same timestamp -> inclusive;
+    # among tied snapshots the max value tuple sorts last and wins.
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.asc("_ts"), F.asc("_side"))
+        .orderBy(F.asc("_ts"), F.asc("_side"), F.asc("_snap"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = e.unionByName(s).select(
-        "_k", "_ts", "_side", "_event_id",
-        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_v_{c}")
-          for c in value_cols],
+        "_side", "_event_id", "_k", "_ts",
+        F.last("_snap", ignorenulls=True).over(w).alias("_snap"),
     )
     return filled.filter(F.col("_side") == 1).select(
         F.col("_event_id").alias("event_id"),
         F.col("_k").alias(key),
         F.col("_ts").alias(event_ts),
-        *[F.col(f"_v_{c}").alias(c) for c in value_cols],
+        *[F.col(f"_snap.{c}").alias(c) for c in value_cols],
     )
 
 

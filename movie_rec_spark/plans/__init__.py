@@ -80,3 +80,19 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"\bExchange hashpartitioning", plan)) + \
         len(re.findall(r"\bExchange rangepartitioning", plan)) + \
         len(re.findall(r"\bExchange RoundRobinPartitioning", plan))
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters of each scan — non-empty means directory-level
+    pruning happened at planning time (partitioned layout honored)."""
+    plan = physical_plan(df)
+    return [m.group(1) for m in
+            re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan)
+            if m.group(1).strip()]
+
+
+def scanned_bucketed(df: DataFrame) -> bool:
+    """True if any scan reads a bucketed layout (SelectedBucketsCount
+    appears) — pre-shuffled storage feeding the join/agg directly."""
+    return "Bucketed: true" in physical_plan(df) or \
+        "SelectedBucketsCount" in physical_plan(df)
