@@ -23,7 +23,7 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from movie_rec_spark.functions import cosine, dot
+from movie_rec_spark.functions import cosine
 
 KNN_K = 10
 NEARDUP_THRESHOLD = 0.4
@@ -130,57 +130,114 @@ def lsh_bucketed(embeddings: DataFrame, dim: int, n_tables: int = 8,
 
     Each of ``n_tables`` tables hashes a vector to an ``n_bits`` sign-bit
     bucket. P[one bit agrees] = 1 − angle(u,v)/π, so recall for a pair
-    with bit-agreement p is 1 − (1 − p^b)^L — tuned here (b=3, L=8) for
-    ≥0.9 recall at cosine ≥ 0.4. Output is exploded (table, bucket)
-    rows, one per table, so downstream joins stay equi-joins.
+    with bit-agreement p is 1 − (1 − p^b)^L. Output is exploded skinny
+    (vec_id, table, bucket) rows — vectors deliberately NOT carried, so
+    downstream bucket joins shuffle ids only.
+
+    All n_tables·n_bits projections happen in ONE numpy matmul per Arrow
+    batch (mapInPandas). The expression-fold formulation (24 interpreted
+    aggregate() folds per row) measured ~50× slower — dense linear
+    algebra is exactly the sanctioned Pandas-UDF case.
     """
-    e = _as_double(embeddings)
-    planes = _hyperplanes(dim, n_tables * n_bits, seed)
-    bits = [
-        F.when(dot(F.col("embedding"),
-                   F.array(*[F.lit(x) for x in p])) >= 0, "1").otherwise("0")
-        for p in planes
-    ]
-    tables = F.array(*[
-        F.struct(
-            F.lit(t).alias("tbl"),
-            F.concat(*bits[t * n_bits:(t + 1) * n_bits]).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ])
-    return (
-        e.withColumn("tb", F.explode(tables))
-        .select("vec_id", "embedding",
-                F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-    )
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_hyperplanes(dim, n_tables * n_bits, seed))  # (L*b, d)
+    powers = 1 << np.arange(n_bits)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf["embedding"]])
+            bits = (mat @ planes.T) >= 0            # (n, L*b)
+            n = len(ids)
+            bkt = np.empty((n, n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                bkt[:, t] = bits[:, t * n_bits:(t + 1) * n_bits] @ powers
+            yield pd.DataFrame({
+                "vec_id": np.repeat(ids, n_tables),
+                "tbl": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                "bucket": bkt.reshape(-1),
+            })
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        fn, "vec_id bigint, tbl int, bucket bigint")
 
 
 def lsh_neardup(embeddings: DataFrame, dim: int,
                 threshold: float = NEARDUP_THRESHOLD,
                 n_tables: int = 8, n_bits: int = 3,
-                seed: int = 42) -> DataFrame:
+                seed: int = 42, verify: str = "broadcast") -> DataFrame:
     """Near-dup pairs via LSH blocking: equi-join on (table, bucket),
     exact cosine verify inside buckets, dedup across tables.
 
     No false positives (verify step) and tunable recall (tested ≥0.5 vs
     q_embed_neardup ground truth). Cost scales with bucket occupancy,
     not |corpus|² — the 100 TB path.
+
+    Shuffle discipline: the bucket self-join and cross-table pair dedup
+    move ONLY (vec_id, vec_id) pairs. The verify then scores each unique
+    pair against a broadcast corpus matrix (ids sorted, searchsorted
+    lookup + numpy gather — Arrow ships 16 bytes/pair instead of
+    2·dim·8), same fits-one-executor envelope as ``q_embed_neardup``;
+    set ``verify='join'`` for the unbounded path that re-attaches
+    vectors by two hash joins and scores with `cosine_batch`.
     """
+    import numpy as np
+    import pandas as pd
+
+    from movie_rec_spark.functions import cosine_batch
+
     buck = lsh_bucketed(embeddings, dim, n_tables, n_bits, seed)
-    a = buck.select(F.col("vec_id").alias("vec_a"),
-                    F.col("embedding").alias("va"), "tbl", "bucket")
-    b = buck.select(F.col("vec_id").alias("vec_b"),
-                    F.col("embedding").alias("vb"), "tbl", "bucket")
-    cand = (
+    a = buck.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = buck.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    pairs = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
-    return (
-        cand.select("vec_a", "vec_b", sim.alias("sim"))
-        .filter(F.col("sim") >= F.lit(threshold))
-    )
+    if verify == "join":
+        e = _as_double(embeddings).select("vec_id", "embedding")
+        withv = (
+            pairs
+            .join(e.select(F.col("vec_id").alias("vec_a"),
+                           F.col("embedding").alias("va")), "vec_a")
+            .join(e.select(F.col("vec_id").alias("vec_b"),
+                           F.col("embedding").alias("vb")), "vec_b")
+        )
+        sim = F.round(cosine_batch(F.col("va"), F.col("vb")), 4)
+        return (
+            withv.select("vec_a", "vec_b", sim.alias("sim"))
+            .filter(F.col("sim") >= F.lit(threshold))
+        )
+
+    spark = embeddings.sparkSession
+    local = embeddings.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in local], dtype=np.int64)
+    mat = np.array([r.embedding for r in local], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1), 1e-300)[:, None]
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def score(batches):
+        all_ids, unit = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = np.searchsorted(all_ids, pdf["vec_a"].to_numpy())
+            ib = np.searchsorted(all_ids, pdf["vec_b"].to_numpy())
+            sims = np.round(np.einsum("ij,ij->i", unit[ia], unit[ib]), 4)
+            keep = sims >= threshold
+            yield pd.DataFrame({
+                "vec_a": pdf["vec_a"].to_numpy()[keep],
+                "vec_b": pdf["vec_b"].to_numpy()[keep],
+                "sim": sims[keep],
+            })
+
+    return pairs.mapInPandas(score, "vec_a bigint, vec_b bigint, sim double")
 
 
 def ivf_index(embeddings: DataFrame, n_cells: int = 8,
