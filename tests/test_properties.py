@@ -1,0 +1,136 @@
+"""Property tests (hypothesis) for the semantically-tricky operators
+(SURVEY.md §5d): round-to-half HALF_UP, latest-wins upsert, as-of join,
+salted aggregation, sessionization — each checked against a pure-Python
+reference model on generated inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from movie_rec_spark.functions import round_half_up
+from movie_rec_spark.operators.mutation import upsert_latest
+from movie_rec_spark.operators.skew import salted_count
+from movie_rec_spark.operators.temporal import asof_join, q_sessionize
+
+SLOW = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _model_round_half(x: float) -> float:
+    """Reference model: HALF_UP on the shortest decimal repr of 2x —
+    exactly what Spark's round() (BigDecimal.valueOf) does."""
+    return float(Decimal(repr(x * 2)).quantize(Decimal("1"), ROUND_HALF_UP)) / 2
+
+
+@SLOW
+@given(st.lists(st.integers(min_value=0, max_value=101), min_size=1,
+                max_size=30))
+def test_round_half_up_matches_decimal_model(spark, twentieths):
+    # n/20 grid covers every .x25/.x75 tie plus plenty of non-ties.
+    vals = [n / 20 for n in twentieths]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.y for r in
+           df.select(round_half_up(F.col("x")).alias("y")).collect()]
+    assert got == [_model_round_half(v) for v in vals]
+
+
+@SLOW
+@given(st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 3),   # user, movie
+              st.integers(0, 5),                      # ts offset (collides)
+              st.integers(0, 10_000)),                # unique-ish tiebreak
+    min_size=1, max_size=40))
+def test_upsert_latest_keeps_max_ts_then_tiebreak(spark, rows):
+    # make tiebreak unique so the winner is fully deterministic
+    data = [(u, m, ts, i * 100_000 + tb)
+            for i, (u, m, ts, tb) in enumerate(rows)]
+    df = spark.createDataFrame(
+        [(u, m, EPOCH + dt.timedelta(hours=ts), tb) for u, m, ts, tb in data],
+        "user_id int, movie_id int, ts timestamp, event_id long")
+    got = {(r.user_id, r.movie_id): (r.ts, r.event_id)
+           for r in upsert_latest(
+               df, keys=("user_id", "movie_id"), ts_col="ts",
+               tiebreak_col="event_id").collect()}
+    model: dict[tuple, tuple] = {}
+    for u, m, ts, tb in data:
+        t = EPOCH + dt.timedelta(hours=ts)
+        if (u, m) not in model or (t, tb) > model[(u, m)]:
+            model[(u, m)] = (t, tb)
+    assert got == model
+
+
+@SLOW
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)),
+             min_size=1, max_size=25),          # events: (key, ts)
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20),
+                       st.integers(0, 100)),
+             min_size=0, max_size=25))          # snaps: (key, ts, val)
+def test_asof_join_matches_point_in_time_model(spark, events, snaps):
+    edf = spark.createDataFrame(
+        [(i, k, EPOCH + dt.timedelta(minutes=t))
+         for i, (k, t) in enumerate(events)],
+        "event_id long, user_id int, ts timestamp")
+    sdf = spark.createDataFrame(
+        [(k, EPOCH + dt.timedelta(minutes=t), v) for k, t, v in snaps],
+        "user_id int, snap_ts timestamp, val int")
+    got = {r.event_id: r.val for r in asof_join(
+        edf, sdf, key="user_id", event_ts="ts", snap_ts="snap_ts",
+        value_cols=["val"]).collect()}
+    for i, (k, t) in enumerate(events):
+        eligible = [(ts, v) for (sk, ts, v) in snaps if sk == k and ts <= t]
+        want = max(eligible)[1] if eligible else None
+        assert got[i] == want, (i, k, t, eligible)
+
+
+@SLOW
+@given(st.lists(st.integers(0, 4), min_size=1, max_size=60),
+       st.integers(1, 5))
+def test_salted_count_equals_plain_count(spark, keys, n_salts):
+    df = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "user_id int, event_id int")
+    got = {r.user_id: r.n
+           for r in salted_count(df, "user_id", n_salts).collect()}
+    want: dict[int, int] = {}
+    for k in keys:
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 300)),
+                min_size=1, max_size=40))
+def test_sessionize_matches_gap_model(spark, rows):
+    df = spark.createDataFrame(
+        [(i, EPOCH + dt.timedelta(minutes=t), k, "view", 1.0, "")
+         for i, (k, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    got = {(r.user_id, r.session_start.minute + 60 * r.session_start.hour,
+            r.session_end.minute + 60 * r.session_end.hour): r.n_events
+           for r in q_sessionize(df).collect()}
+    # model: sort each user's minutes; split where gap > 30
+    model: dict[tuple, int] = {}
+    by_user: dict[int, list[int]] = {}
+    for k, t in rows:
+        by_user.setdefault(k, []).append(t)
+    for k, ts in by_user.items():
+        ts.sort()
+        start, prev, n = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - prev > 30:
+                model[(k, start, prev)] = n
+                start, n = t, 0
+            prev = t
+            n += 1
+        model[(k, start, prev)] = n
+    assert got == model
