@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("events")(s, d), _t("orders")(s, d)),
         "q_salted_count": lambda s, d: SK.q_salted_count(_t("events")(s, d)),
         "q_sessionize": lambda s, d: TP.q_sessionize(_t("events")(s, d)),
+        "q_percentiles": lambda s, d: R.q_percentiles(_t("lineitem")(s, d)),
+        "q_tfidf_top_terms": lambda s, d: T.q_tfidf_top_terms(
+            _t("documents")(s, d)),
         # --- similarity scale paths (rows-only: seeded-random LSH planes /
         # KMeans centroids are engine-specific; recall vs the exact
         # baselines is asserted in tests/test_similarity_multimodal.py) ---
@@ -389,6 +392,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_salted_count": """
             SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        """,
+        "q_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
+                   round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+                   round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM toks GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0))
+                             + 1.0), 4) AS tfidf
+                FROM tf JOIN df USING (term) CROSS JOIN n)
+            SELECT doc_id, term, tf, tfidf, CAST(rn AS INTEGER) AS rn
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term) AS rn
+                  FROM scored)
+            WHERE rn <= 3
         """,
         # Same sessions as Spark's native session_window, derived from
         # first principles: lag -> gap-flag -> running sum -> group.

@@ -343,6 +343,26 @@ def q_approx_distinct(orders: DataFrame) -> DataFrame:
     )
 
 
+def q_percentiles(lineitem: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per group (beyond reference —
+    OLAP staple): median and p90 of price, median quantity. Spark's
+    ``percentile`` (exact, interpolated) matches DuckDB quantile_cont
+    bit-for-bit on doubles after rounding; at 100 TB switch to
+    ``percentile_approx`` (fixed-memory sketch, rows-only check)."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2)
+            .alias("p50_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2)
+            .alias("p90_price"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 2)
+            .alias("p50_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q_json_encode(part: DataFrame) -> DataFrame:
     """S12 JSON serialization sink: row → JSON object string
     (marshmallow schema dump, reference models.py:25-30 / used at

@@ -84,3 +84,47 @@ def q_doc_fingerprint(documents: DataFrame) -> DataFrame:
         F.md5(norm.cast("binary")).alias("fp_norm"),
         F.substring(F.md5(F.col("text").cast("binary")), 1, 8).alias("fp_prefix"),
     )
+
+
+def q_tfidf_top_terms(documents: DataFrame, top_k: int = 3) -> DataFrame:
+    """TF-IDF as pure relational algebra (no MLlib HashingTF — exact
+    terms, SQL-oracle-checkable): term frequency per (doc, term),
+    document frequency per term, smoothed idf = ln((N+1)/(df+1)) + 1,
+    top-k terms per doc by score with a deterministic (score, term)
+    tie-break.
+
+    Plan shape at scale: one shuffle for tf (doc, term), one tiny df
+    agg broadcast back, WindowGroupLimit for the per-doc top-k. The
+    score is rounded to 4 decimals BEFORE ranking so the cut is
+    reproducible across engines (ln differs in the last ulp).
+    """
+    from pyspark.sql.window import Window
+
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    n_docs = documents.select(
+        F.countDistinct("doc_id").alias("n_docs"))
+    df_ = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                "tfidf", F.col("rn").cast("int").alias("rn"))
+    )
