@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_count": lambda s, d: SK.q_salted_count(_t("events")(s, d)),
         "q_sessionize": lambda s, d: TP.q_sessionize(_t("events")(s, d)),
         "q_percentiles": lambda s, d: R.q_percentiles(_t("lineitem")(s, d)),
+        "q_window_analytics": lambda s, d: R.q_window_analytics(
+            _t("orders")(s, d)),
+        "q_range_join": lambda s, d: TP.q_range_join(_t("events")(s, d)),
         "q_tfidf_top_terms": lambda s, d: T.q_tfidf_top_terms(
             _t("documents")(s, d)),
         # --- similarity scale paths (rows-only: seeded-random LSH planes /
@@ -392,6 +395,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_salted_count": """
             SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        """,
+        "q_window_analytics": """
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   lag(o_totalprice) OVER w AS prev_price,
+                   round((o_totalprice
+                          + coalesce(lag(o_totalprice, 1) OVER w, 0.0)
+                          + coalesce(lag(o_totalprice, 2) OVER w, 0.0))
+                         / (1 + CAST(lag(o_totalprice, 1) OVER w IS NOT NULL
+                                     AS INTEGER)
+                              + CAST(lag(o_totalprice, 2) OVER w IS NOT NULL
+                                     AS INTEGER)), 4)
+                       AS ma3_price,
+                   round(sum(o_totalprice) OVER
+                       (w ROWS UNBOUNDED PRECEDING), 2) AS running_total
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
+        "q_range_join": """
+            SELECT v.event_id, v.user_id, v.ts,
+                   p.event_id AS purchase_id, p.ts AS win_start
+            FROM events v
+            JOIN events p
+              ON v.user_id = p.user_id
+             AND v.event_type = 'view'
+             AND p.event_type = 'purchase'
+             AND v.ts >= p.ts
+             AND v.ts < p.ts + INTERVAL 30 MINUTE
         """,
         "q_percentiles": """
             SELECT l_returnflag,

@@ -343,6 +343,36 @@ def q_approx_distinct(orders: DataFrame) -> DataFrame:
     )
 
 
+def q_window_analytics(orders: DataFrame) -> DataFrame:
+    """Analytic window functions (beyond reference — SURVEY.md §2.6
+    notes none exist there): per customer ordered by time, previous
+    order value (lag), 3-order moving average, and running total.
+    One shuffle on the partition key; all three functions share a single
+    Window sort."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        # ma3 from explicit lags, not a frame sum: windowed SUM
+        # association order is engine-internal (DuckDB segment tree vs
+        # Spark running add) and flips round() at half boundaries; the
+        # spelled-out ((p + l1) + l2) / n is left-to-right in any engine.
+        F.round(
+            (F.col("o_totalprice")
+             + F.coalesce(F.lag("o_totalprice", 1).over(w), F.lit(0.0))
+             + F.coalesce(F.lag("o_totalprice", 2).over(w), F.lit(0.0)))
+            / (F.lit(1)
+               + F.lag("o_totalprice", 1).over(w).isNotNull().cast("int")
+               + F.lag("o_totalprice", 2).over(w).isNotNull().cast("int")),
+            4,  # scale 4: thirds repeat in 3/6, never a .5 boundary
+        ).alias("ma3_price"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+    )
+
+
 def q_percentiles(lineitem: DataFrame) -> DataFrame:
     """Exact interpolated percentiles per group (beyond reference —
     OLAP staple): median and p90 of price, median quantity. Spark's

@@ -112,3 +112,55 @@ def q_asof_join(events: DataFrame, orders: DataFrame) -> DataFrame:
         key="user_id", event_ts="ts", snap_ts="o_orderdate",
         value_cols=["o_orderkey", "o_totalprice"],
     )
+
+
+def range_join_binned(left: DataFrame, right: DataFrame, key: str,
+                      left_ts: str, right_start: str, right_end: str,
+                      bin_seconds: int) -> DataFrame:
+    """Interval (range) join without the nested-loop trap.
+
+    Naive `l.ts BETWEEN r.start AND r.end` forces Spark into a
+    broadcast-nested-loop join (quadratic). Binning makes it an
+    equi-join: quantize the probe timestamp to fixed-width bins,
+    explode each interval into the bins it covers, join on (key, bin),
+    then apply the exact range predicate. Shuffle volume is
+    |left| + |right|·(interval/bin_width) — pick bin_seconds near the
+    typical interval length so intervals explode into ~1-2 bins.
+    Interval semantics: [start, end) — end exclusive.
+    """
+    lb = left.withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(left_ts)) / bin_seconds))
+    rb = right.withColumn(
+        "_bin",
+        F.explode(F.sequence(
+            F.floor(F.unix_timestamp(F.col(right_start)) / bin_seconds),
+            F.floor((F.unix_timestamp(F.col(right_end)) - 1) / bin_seconds),
+        )),
+    )
+    return (
+        lb.join(rb, [key, "_bin"])
+        .filter((F.col(left_ts) >= F.col(right_start))
+                & (F.col(left_ts) < F.col(right_end)))
+        .drop("_bin")
+    )
+
+
+def q_range_join(events: DataFrame) -> DataFrame:
+    """Declared query: view events attributed to the 30-minute window
+    after each purchase by the same user (post-purchase activity
+    attribution). Self-contained on the events table because the
+    testdata orders/events time domains are disjoint."""
+    intervals = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("win_end"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts")
+    return range_join_binned(
+        views, intervals,
+        key="user_id", left_ts="ts",
+        right_start="win_start", right_end="win_end",
+        bin_seconds=30 * 60,
+    ).select("event_id", "user_id", "ts", "purchase_id", "win_start")

@@ -117,3 +117,32 @@ def test_approx_distinct_within_band(spark):
     row = R.q_approx_distinct(orders).collect()[0]
     assert row["exact_users"] == 637
     assert abs(row["approx_users"] - row["exact_users"]) / row["exact_users"] < 0.05
+
+
+def test_range_join_binned_boundaries(spark):
+    import datetime as dt
+
+    from movie_rec_spark.operators.temporal import range_join_binned
+
+    E = dt.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return E + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(1, 1, m(0)), (2, 1, m(29)), (3, 1, m(30)), (4, 1, m(75)),
+         (5, 2, m(10))],
+        "event_id long, user_id int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, m(0), m(30), 100),   # [0, 30): catches ts 0, 29 — NOT 30
+         (1, m(60), m(90), 200),  # [60, 90): catches 75
+         (3, m(0), m(30), 300)],  # other key: no match
+        "user_id int, win_start timestamp, win_end timestamp, tag int")
+    got = sorted(
+        (r.event_id, r.tag)
+        for r in range_join_binned(
+            left, right, key="user_id", left_ts="ts",
+            right_start="win_start", right_end="win_end",
+            bin_seconds=600,  # bins deliberately smaller than intervals
+        ).collect())
+    assert got == [(1, 100), (2, 100), (4, 200)]
