@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": lambda s, d: TP.q_range_join(_t("events")(s, d)),
         "q_tfidf_top_terms": lambda s, d: T.q_tfidf_top_terms(
             _t("documents")(s, d)),
+        "q_quality_score": lambda s, d: T.q_quality_score(
+            _t("documents")(s, d)),
         # --- similarity scale paths (rows-only: seeded-random LSH planes /
         # KMeans centroids are engine-specific; recall vs the exact
         # baselines is asserted in tests/test_similarity_multimodal.py) ---
@@ -451,6 +453,37 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY tfidf DESC, term) AS rn
                   FROM scored)
             WHERE rn <= 3
+        """,
+        "q_quality_score": """
+            WITH b AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       len(list_filter(string_split(text, ' '),
+                           t -> t IN ('the','a','of','and'))) AS n_stop,
+                       length(text) - length(regexp_replace(
+                           text, '[.,;:!?]', '', 'g')) AS n_punct,
+                       length(replace(text, ' ', ''))
+                           / len(string_split(text, ' ')) AS avg_tok
+                FROM documents)
+            SELECT doc_id,
+                   CAST(n_tokens AS INTEGER) AS n_tokens,
+                   CAST(n_punct AS INTEGER) AS n_punct,
+                   CAST(n_tokens >= 5 AS INTEGER) AS pass_len,
+                   CAST(n_stop / n_tokens <= 0.5 AS INTEGER) AS pass_stop,
+                   CAST(n_punct / n_tokens < 0.5 AS INTEGER) AS pass_punct,
+                   CAST(avg_tok >= 2.0 AND avg_tok <= 12.0 AS INTEGER)
+                       AS pass_toklen,
+                   (CAST(n_tokens >= 5 AS INTEGER)
+                    + CAST(n_stop / n_tokens <= 0.5 AS INTEGER)
+                    + CAST(n_punct / n_tokens < 0.5 AS INTEGER)
+                    + CAST(avg_tok >= 2.0 AND avg_tok <= 12.0 AS INTEGER))
+                       / 4.0 AS quality_score,
+                   CAST((CAST(n_tokens >= 5 AS INTEGER)
+                    + CAST(n_stop / n_tokens <= 0.5 AS INTEGER)
+                    + CAST(n_punct / n_tokens < 0.5 AS INTEGER)
+                    + CAST(avg_tok >= 2.0 AND avg_tok <= 12.0 AS INTEGER))
+                       / 4.0 >= 0.75 AS INTEGER) AS keep
+            FROM b
         """,
         # Same sessions as Spark's native session_window, derived from
         # first principles: lag -> gap-flag -> running sum -> group.

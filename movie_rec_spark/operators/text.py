@@ -93,10 +93,12 @@ def q_tfidf_top_terms(documents: DataFrame, top_k: int = 3) -> DataFrame:
     top-k terms per doc by score with a deterministic (score, term)
     tie-break.
 
-    Plan shape at scale: one shuffle for tf (doc, term), one tiny df
-    agg broadcast back, WindowGroupLimit for the per-doc top-k. The
-    score is rounded to 4 decimals BEFORE ranking so the cut is
-    reproducible across engines (ln differs in the last ulp).
+    Plan shape at scale: ONE shuffle of exploded tokens builds tf;
+    df is derived from tf's output (tf rows are already distinct
+    (doc, term) — no second token scan, no countDistinct expand) and
+    broadcast back; per-doc top-k via WindowGroupLimit. The score is
+    rounded to 4 decimals BEFORE ranking so the cut is reproducible
+    across engines (ln differs in the last ulp).
     """
     from pyspark.sql.window import Window
 
@@ -105,9 +107,9 @@ def q_tfidf_top_terms(documents: DataFrame, top_k: int = 3) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"))
     n_docs = documents.select(
-        F.countDistinct("doc_id").alias("n_docs"))
-    df_ = toks.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df"))
+        F.count(F.lit(1)).alias("n_docs"))  # doc_id is the PK
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(n_docs))
@@ -127,4 +129,40 @@ def q_tfidf_top_terms(documents: DataFrame, top_k: int = 3) -> DataFrame:
         .filter(F.col("rn") <= top_k)
         .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
                 "tfidf", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def q_quality_score(documents: DataFrame,
+                    min_tokens: int = 5,
+                    max_stop_ratio: float = 0.5) -> DataFrame:
+    """Composite document quality gate — the keep/drop signal a
+    training-data filter pipeline thresholds on (Gopher/C4-style rules,
+    simplified): length band, punctuation density, stopword ratio,
+    mean token length band. Score = unweighted mean of the four rule
+    indicators; int/int and indicator arithmetic only, so the value is
+    bit-deterministic across engines (no rounding involved).
+    """
+    w = _tokens(F.col("text"))
+    n_tokens = F.size(w).cast("int")
+    n_stop = F.size(F.filter(w, lambda t: t.isin(*STOP_EN))).cast("int")
+    n_punct = (F.length("text")
+               - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+               ).cast("int")
+    avg_tok = (F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+               / n_tokens)
+    r_len = (n_tokens >= min_tokens).cast("int")
+    r_stop = ((n_stop / n_tokens) <= max_stop_ratio).cast("int")
+    r_punct = ((n_punct / n_tokens) < 0.5).cast("int")
+    r_tok = ((avg_tok >= 2.0) & (avg_tok <= 12.0)).cast("int")
+    score = (r_len + r_stop + r_punct + r_tok) / 4.0
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        r_len.alias("pass_len"),
+        r_stop.alias("pass_stop"),
+        r_punct.alias("pass_punct"),
+        r_tok.alias("pass_toklen"),
+        score.alias("quality_score"),
+        (score >= 0.75).cast("int").alias("keep"),
     )
