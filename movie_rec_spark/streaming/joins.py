@@ -1,0 +1,60 @@
+"""Stream-stream joins — watermark-bounded interval joins.
+
+Beyond the reference (it has no streaming joins): the streaming
+analogue of ``operators.temporal.q_range_join`` — attribute each view
+event to purchases of the same user within the preceding 30 minutes,
+with BOTH sides arriving as streams.
+
+State management at scale: a stream-stream inner join buffers rows
+until the watermark proves no more matches can arrive. The time-bound
+condition (`v.ts` within [p.ts, p.ts + 30 min)) plus the watermark lets
+Spark evict: purchase state is dropped once watermark > p.ts + 30 min,
+view state once watermark > v.ts. State is therefore
+O(events within the watermark horizon), not O(stream history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ATTRIBUTION_WINDOW = "30 minutes"
+WATERMARK = "1 hour"
+
+
+def split_typed_streams(stream: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One event stream → (views, purchases) — the two join sides."""
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    return views, purchases
+
+
+def attribution_join(views: DataFrame, purchases: DataFrame,
+                     window: str = ATTRIBUTION_WINDOW,
+                     watermark: str = WATERMARK) -> DataFrame:
+    """Views attributed to the same user's purchase within the window —
+    identical semantics to the batch ``q_range_join`` ([p.ts, p.ts +
+    window) half-open interval), joinable stream-to-stream because the
+    range condition bounds state eviction on both sides."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") >= F.col("p_ts"))
+        & (F.col("v_ts") < F.col("p_ts") + F.expr(f"INTERVAL {window}"))
+    )
+    return v.join(p, cond, "inner").select(
+        F.col("view_id").alias("event_id"),
+        F.col("v_user").alias("user_id"),
+        F.col("v_ts").alias("ts"),
+        "purchase_id",
+        F.col("p_ts").alias("win_start"),
+    )

@@ -71,3 +71,35 @@ def test_foreach_batch_applies(spark, tmp_path):
     run_with_foreach_batch(spark, src, str(tmp_path / "ckpt3"), apply_fn)
     gold = spark.read.parquet(out_dir)
     assert gold.count() == 5  # five event types
+
+
+def test_stream_stream_join_equals_batch_range_join(spark, tmp_path):
+    from movie_rec_spark.operators.temporal import q_range_join
+    from movie_rec_spark.streaming.joins import (
+        attribution_join,
+        split_typed_streams,
+    )
+
+    src = _stage_events(spark, tmp_path)
+    views, purchases = split_typed_streams(read_event_stream(spark, src))
+    q = (
+        attribution_join(views, purchases)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("t_attr")
+        .option("checkpointLocation", str(tmp_path / "ck_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM t_attr").collect()
+    }
+    want = {
+        (r.event_id, r.purchase_id)
+        for r in q_range_join(load_table(spark, SF, "events")).collect()
+    }
+    # inner stream-stream join emits every match (watermark only evicts
+    # state) -> exact equality with the batch interval join.
+    assert got == want
+    assert got, "no attributed views in test data"
