@@ -378,17 +378,25 @@ def q_percentiles(lineitem: DataFrame) -> DataFrame:
     OLAP staple): median and p90 of price, median quantity. Spark's
     ``percentile`` (exact, interpolated) matches DuckDB quantile_cont
     bit-for-bit on doubles after rounding; at 100 TB switch to
-    ``percentile_approx`` (fixed-memory sketch, rows-only check)."""
+    ``percentile_approx`` (fixed-memory sketch, rows-only check).
+
+    Both price percentiles come from ONE percentile(array(...)) call —
+    one sort buffer per group instead of two."""
     return (
         lineitem.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2)
-            .alias("p50_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2)
-            .alias("p90_price"),
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9))
+            ).alias("_pp"),
             F.round(F.percentile("l_quantity", F.lit(0.5)), 2)
             .alias("p50_qty"),
             F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_pp")[0], 2).alias("p50_price"),
+            F.round(F.col("_pp")[1], 2).alias("p90_price"),
+            "p50_qty", "n_rows",
         )
     )
 
