@@ -120,6 +120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_lsh": lambda s, d: S.lsh_neardup(
             _t("embeddings")(s, d), dim=S.EMBED_DIM),
         "q_knn_ivf": lambda s, d: S.q_knn_ivf(_t("embeddings")(s, d)),
+        # --- multimodal decode plumbing (rows-only: the stubbed codec
+        # is deterministic-fake; schema/batch contract is the product) ---
+        "q_image_features": lambda s, d: MM.decode_image_features(
+            MM.with_payload(_t("documents")(s, d))),
         # --- ML (rows-only: not SQL-expressible) ---
         "q_als_recs": lambda s, d: ML.q_als_recs(
             _t("lineitem")(s, d), _t("orders")(s, d)),

@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -131,3 +132,40 @@ def sample_frames(with_payload_df: DataFrame, n_frames: int = 4) -> DataFrame:
             })
 
     return with_payload_df.mapInPandas(fn, FRAME_SAMPLE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("resized", BinaryType()),
+])
+
+
+def resize_images(with_payload_df: DataFrame, target: int = 32) -> DataFrame:
+    """Image resize stub over mapInPandas: emits a transformed payload
+    of deterministic size target×target (here: a strided byte
+    subsample — the real body is one PIL/libvips call per batch).
+    Output batch shape (binary out column, 1→1 rows) is exactly the
+    production contract; only the codec call is fake.
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target * target
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                raw = bytes(b)
+                if not raw:
+                    out.append(b"\x00" * n_out)
+                    continue
+                step = max(len(raw) // n_out, 1)
+                sub = raw[::step][:n_out]
+                out.append(sub.ljust(n_out, b"\x00"))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": pd.Series([target] * len(pdf), dtype="int32"),
+                "height": pd.Series([target] * len(pdf), dtype="int32"),
+                "resized": out,
+            })
+
+    return with_payload_df.mapInPandas(fn, RESIZED_SCHEMA)

@@ -99,3 +99,19 @@ def test_frame_sampling_emits_n_rows_per_doc(spark):
     for r in out:
         per_doc.setdefault(r.doc_id, set()).add(r.frame_idx)
     assert all(v == {0, 1, 2, 3} for v in per_doc.values())
+
+
+def test_resize_emits_fixed_size_payloads(spark, sf_docs):
+    from movie_rec_spark.operators.multimodal import (
+        resize_images,
+        with_payload,
+    )
+
+    out = resize_images(with_payload(sf_docs), target=8).collect()
+    assert len(out) == sf_docs.count()
+    assert all(r.width == 8 and r.height == 8 for r in out)
+    assert all(len(r.resized) == 64 for r in out)
+    # deterministic: same input -> same bytes
+    again = resize_images(with_payload(sf_docs), target=8).collect()
+    assert {r.doc_id: bytes(r.resized) for r in out} == \
+        {r.doc_id: bytes(r.resized) for r in again}
