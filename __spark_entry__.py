@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- event/streaming batch analogues ---
         "q_event_counters": lambda s, d: R.q_event_counters(_t("events")(s, d)),
         "q_event_windowed": lambda s, d: R.q_event_windowed(_t("events")(s, d)),
+        "q_event_sliding": lambda s, d: R.q_event_sliding(_t("events")(s, d)),
         # --- beyond-reference relational (grouping sets, approx, asof, skew) ---
         "q_rollup": lambda s, d: R.q_rollup(_t("lineitem")(s, d)),
         "q_cube": lambda s, d: R.q_cube(_t("lineitem")(s, d)),
@@ -139,7 +140,10 @@ def oracle_sql() -> dict[str, str]:
         "q_top_movies": f"""
             SELECT p.p_partkey, p.p_name, a.cnt_orders, a.avg_price
             FROM (SELECT l_partkey, count(l_orderkey) AS cnt_orders,
-                         round(avg(l_extendedprice), 2) AS avg_price
+                         ((2 * sum(CAST(round(l_extendedprice * 100, 0)
+                                        AS BIGINT))
+                           + count(l_orderkey))
+                          // (2 * count(l_orderkey))) / 100.0 AS avg_price
                   FROM lineitem WHERE l_quantity >= {R.QTY_THRESHOLD}
                   GROUP BY l_partkey) a
             JOIN part p ON a.l_partkey = p.p_partkey
@@ -161,7 +165,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_movie_stats": f"""
             SELECT l_partkey, count(l_orderkey) AS cnt_users,
-                   round(avg(l_quantity), 2) AS avg_qty
+                   ((2 * sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                     + count(l_orderkey))
+                    // (2 * count(l_orderkey))) / 100.0 AS avg_qty
             FROM lineitem WHERE l_returnflag <> 'R'
             GROUP BY l_partkey HAVING count(l_orderkey) > {R.STAT_LOWER_LIMIT}
         """,
@@ -175,7 +181,10 @@ def oracle_sql() -> dict[str, str]:
         "q_avg_recommendations": f"""
             WITH top AS (
                 SELECT l_partkey, count(l_orderkey) AS cnt_orders,
-                       round(avg(l_extendedprice), 2) AS avg_price
+                       ((2 * sum(CAST(round(l_extendedprice * 100, 0)
+                                      AS BIGINT))
+                         + count(l_orderkey))
+                        // (2 * count(l_orderkey))) / 100.0 AS avg_price
                 FROM lineitem WHERE l_quantity >= {R.QTY_THRESHOLD}
                 GROUP BY l_partkey),
             seen AS (
@@ -259,9 +268,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id,
                    coalesce(s.avg_purchase, {M.DEFAULT_VALUE}) AS implied_value
             FROM events e
-            LEFT JOIN (SELECT user_id, round(avg(value), 2) AS avg_purchase
-                       FROM events WHERE event_type = 'purchase'
-                       GROUP BY user_id) s
+            LEFT JOIN (
+                SELECT user_id,
+                       ((2 * sum(CAST(round(value * 100, 0) AS BIGINT))
+                         + count(value)) // (2 * count(value))) / 100.0
+                           AS avg_purchase
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id) s
               ON e.user_id = s.user_id
             WHERE e.event_type = 'view'
         """,
@@ -457,6 +470,15 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY tfidf DESC, term) AS rn
                   FROM scored)
             WHERE rn <= 3
+        """,
+        "q_event_sliding": """
+            SELECT ws AS window_start, event_type, count(*) AS n_events
+            FROM (SELECT event_type,
+                         unnest([date_trunc('hour', ts),
+                                 date_trunc('hour', ts) - INTERVAL 1 HOUR])
+                             AS ws
+                  FROM events)
+            GROUP BY 1, 2
         """,
         "q_quality_score": """
             WITH b AS (

@@ -78,11 +78,27 @@ def q_implicit_fill(events: DataFrame) -> DataFrame:
 
     Left-outer join to the per-user stats (small agg → broadcast) then
     coalesce — exactly the reference's Redis-avg-else-default lookup (F8).
+
+    The average is computed in integer cents with explicit HALF_UP —
+    ``(2·S + n) DIV (2·n)`` — because ``round(avg(double), 2)`` is NOT
+    engine-deterministic: float summation order differs (Spark partial
+    sums vs sequential), and 2-decimal sums divided by n land exactly
+    on .xx5 boundaries where even decimal-typed division semantics
+    disagree across engines (observed: 79/19941 rows at sf0.1).
+    Integer arithmetic on identical inputs is bit-exact everywhere.
     """
     stats = (
         events.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.round(F.avg("value"), 2).alias("avg_purchase"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("_s"),
+            F.count("value").alias("_n"),
+        )
+        .select(
+            "user_id",
+            (F.expr("(2 * _s + _n) DIV (2 * _n)") / F.lit(100.0))
+            .alias("avg_purchase"),
+        )
     )
     return (
         events.filter(F.col("event_type") == "view")

@@ -51,7 +51,18 @@ def part_popularity(lineitem: DataFrame, qty_threshold: float = QTY_THRESHOLD) -
         .groupBy("l_partkey")
         .agg(
             F.count("l_orderkey").alias("cnt_orders"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            # integer-cents HALF_UP average — round(avg(double), 2) is
+            # not engine-deterministic at .xx5 boundaries (float
+            # summation order + division semantics differ); integer
+            # arithmetic is bit-exact everywhere. See mutation.py
+            # q_implicit_fill for the observed sf0.1 divergence.
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .alias("_s"),
+        )
+        .select(
+            "l_partkey", "cnt_orders",
+            (F.expr("(2 * _s + cnt_orders) DIV (2 * cnt_orders)")
+             / F.lit(100.0)).alias("avg_price"),
         )
     )
 
@@ -126,9 +137,16 @@ def q_movie_stats(lineitem: DataFrame, lower_limit: int = STAT_LOWER_LIMIT) -> D
         .groupBy("l_partkey")
         .agg(
             F.count("l_orderkey").alias("cnt_users"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            # integer-cents HALF_UP average (see part_popularity)
+            F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long"))
+            .alias("_s"),
         )
         .filter(F.col("cnt_users") > F.lit(lower_limit))
+        .select(
+            "l_partkey", "cnt_users",
+            (F.expr("(2 * _s + cnt_users) DIV (2 * cnt_users)")
+             / F.lit(100.0)).alias("avg_qty"),
+        )
     )
 
 
@@ -340,6 +358,24 @@ def q_approx_distinct(orders: DataFrame) -> DataFrame:
     return orders.select(
         F.approx_count_distinct("o_custkey").alias("approx_users"),
         F.countDistinct("o_custkey").alias("exact_users"),
+    )
+
+
+def q_event_sliding(events: DataFrame) -> DataFrame:
+    """Sliding-window counts: 2-hour windows sliding by 1 hour (each
+    event lands in exactly two windows). Same F.window operator the
+    streaming layer uses; epoch-aligned, so the oracle enumerates the
+    two covering window starts per event explicitly. Cost model: the
+    expand is window/slide rows per input — keep that ratio small at
+    scale (2 here)."""
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
     )
 
 

@@ -6,3 +6,11 @@ from movie_rec_spark.streaming.counters import (  # noqa: F401
     run_with_foreach_batch,
     windowed_counters,
 )
+from movie_rec_spark.streaming.joins import (  # noqa: F401
+    attribution_join,
+    split_typed_streams,
+)
+from movie_rec_spark.streaming.sessions import (  # noqa: F401
+    session_windows_stream,
+    stateful_sessions,
+)
