@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_counters": lambda s, d: R.q_event_counters(_t("events")(s, d)),
         "q_event_windowed": lambda s, d: R.q_event_windowed(_t("events")(s, d)),
         "q_event_sliding": lambda s, d: R.q_event_sliding(_t("events")(s, d)),
+        "q_pivot": lambda s, d: R.q_pivot(_t("events")(s, d)),
+        "q_unpivot": lambda s, d: R.q_unpivot(_t("lineitem")(s, d)),
         # --- beyond-reference relational (grouping sets, approx, asof, skew) ---
         "q_rollup": lambda s, d: R.q_rollup(_t("lineitem")(s, d)),
         "q_cube": lambda s, d: R.q_cube(_t("lineitem")(s, d)),
@@ -114,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_top_terms": lambda s, d: T.q_tfidf_top_terms(
             _t("documents")(s, d)),
         "q_quality_score": lambda s, d: T.q_quality_score(
+            _t("documents")(s, d)),
+        "q_sample_stable": lambda s, d: T.q_sample_stable(
             _t("documents")(s, d)),
         # --- similarity scale paths (rows-only: seeded-random LSH planes /
         # KMeans centroids are engine-specific; recall vs the exact
@@ -470,6 +474,37 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY tfidf DESC, term) AS rn
                   FROM scored)
             WHERE rn <= 3
+        """,
+        "q_sample_stable": """
+            SELECT doc_id, lang, bucket,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, lang,
+                         CAST(CAST('0x' || substring(
+                             md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 100 AS INTEGER) AS bucket
+                  FROM documents)
+        """,
+        "q_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'rate') AS n_rate,
+                   count(*) FILTER (event_type = 'error') AS n_error
+            FROM events GROUP BY user_id
+        """,
+        "q_unpivot": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                   l_quantity AS value
+            FROM lineitem WHERE l_orderkey <= 1000
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+            FROM lineitem WHERE l_orderkey <= 1000
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem WHERE l_orderkey <= 1000
         """,
         "q_event_sliding": """
             SELECT ws AS window_start, event_type, count(*) AS n_events

@@ -361,6 +361,45 @@ def q_approx_distinct(orders: DataFrame) -> DataFrame:
     )
 
 
+EVENT_TYPES = ["view", "click", "purchase", "rate", "error"]
+
+
+def q_pivot(events: DataFrame) -> DataFrame:
+    """PIVOT (beyond reference): per-user event counts reshaped into one
+    column per event type. The pivot value list is EXPLICIT — with it,
+    Spark skips the extra distinct-values job and the plan is a single
+    hash aggregation with one count per (user, type) pair, exactly like
+    the conditional-aggregation SQL the oracle spells out."""
+    p = (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+          for t in EVENT_TYPES],
+    )
+
+
+def q_unpivot(lineitem: DataFrame) -> DataFrame:
+    """UNPIVOT/melt (beyond reference): wide measure columns to long
+    (measure, value) rows — the inverse reshaping, one narrow scan and
+    NO shuffle (row-local expand). Capped to a deterministic key subset
+    so the oracle compare stays cheap."""
+    return (
+        lineitem.filter(F.col("l_orderkey") <= 1000)
+        .select("l_orderkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_extendedprice", "l_discount"],
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+    )
+
+
 def q_event_sliding(events: DataFrame) -> DataFrame:
     """Sliding-window counts: 2-hour windows sliding by 1 hour (each
     event lands in exactly two windows). Same F.window operator the

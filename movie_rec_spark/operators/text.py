@@ -166,3 +166,28 @@ def q_quality_score(documents: DataFrame,
         score.alias("quality_score"),
         (score >= 0.75).cast("int").alias("keep"),
     )
+
+
+def q_sample_stable(documents: DataFrame) -> DataFrame:
+    """Deterministic content-hash sampling / dataset splitting — the
+    production alternative to ``df.sample`` (whose RNG stream is
+    engine- and partitioning-specific, so resampling after a re-shard
+    changes membership). Bucket = first 8 md5 hex digits of the key
+    mod 100: stable under repartitioning, reproducible across engines,
+    and rows never migrate between train/val/test when data is added.
+    Row-local (no shuffle, no RNG state)."""
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16, 10)
+        .cast("long") % 100
+    ).cast("int")
+    split = (
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        documents.select("doc_id", "lang", bucket.alias("bucket"))
+        .withColumn("split", split)
+    )
