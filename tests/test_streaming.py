@@ -103,3 +103,28 @@ def test_stream_stream_join_equals_batch_range_join(spark, tmp_path):
     # state) -> exact equality with the batch interval join.
     assert got == want
     assert got, "no attributed views in test data"
+
+
+def test_streaming_dedup_drops_replayed_batch(spark, tmp_path):
+    import shutil as sh
+
+    from movie_rec_spark.streaming.counters import dedup_stream
+
+    # stage the same events TWICE (simulated at-least-once replay)
+    src = str(tmp_path / "dup_src")
+    ev = load_table(spark, SF, "events")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    for f in list(__import__("pathlib").Path(src).glob("part-*.parquet")):
+        sh.copy(f, f.with_name("replay-" + f.name))
+    q = (
+        dedup_stream(read_event_stream(spark, src))
+        .groupBy().count()
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("t_dedup")
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM t_dedup").collect()[0][0]
+    assert got == ev.count(), "replayed rows must be deduped"
