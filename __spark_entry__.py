@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_jaccard": lambda s, d: D.q_dedup_jaccard(_t("documents")(s, d)),
         "q_dedup_minhash": lambda s, d: D.q_dedup_minhash(_t("documents")(s, d)),
         "q_dedup_simhash": lambda s, d: D.q_dedup_simhash(_t("documents")(s, d)),
+        "q_dedup_groups": lambda s, d: D.q_dedup_groups(_t("documents")(s, d)),
         # --- similarity search ---
         "q_knn_brute": lambda s, d: S.q_knn_brute(_t("embeddings")(s, d)),
         "q_embed_neardup": lambda s, d: S.q_embed_neardup(_t("embeddings")(s, d)),
@@ -140,6 +141,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each queries() entry."""
     K = R.FOCUS_CUSTKEY
+    jaccard_pairs = f"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(list_slice(w, CAST(i AS INT),
+                              CAST(i AS INT) + 2), ' ') AS g
+                   FROM (SELECT doc_id, w,
+                                unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+                         FROM toks)),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             count(*) AS i
+                      FROM sh a JOIN sh b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   i * 1.0 / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sz sa ON doc_a = sa.doc_id
+            JOIN sz sb ON doc_b = sb.doc_id
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= {D.JACCARD_THRESHOLD}
+    """
     return {
         "q_top_movies": f"""
             SELECT p.p_partkey, p.p_name, a.cnt_orders, a.avg_price
@@ -329,27 +352,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY md5(text)
         """,
-        "q_dedup_jaccard": f"""
-            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
-                          FROM documents),
-            sh AS (SELECT DISTINCT doc_id,
-                          array_to_string(list_slice(w, CAST(i AS INT),
-                              CAST(i AS INT) + 2), ' ') AS g
-                   FROM (SELECT doc_id, w,
-                                unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
-                         FROM toks)),
-            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                             count(*) AS i
-                      FROM sh a JOIN sh b
-                        ON a.g = b.g AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2)
-            SELECT doc_a, doc_b,
-                   i * 1.0 / (sa.n + sb.n - i) AS jaccard
-            FROM inter
-            JOIN sz sa ON doc_a = sa.doc_id
-            JOIN sz sb ON doc_b = sb.doc_id
-            WHERE i * 1.0 / (sa.n + sb.n - i) >= {D.JACCARD_THRESHOLD}
+        "q_dedup_jaccard": jaccard_pairs,
+        # Components oracle: transitive closure by recursive CTE over the
+        # symmetric edge set, comp = min reachable id. The tiny sf0.01
+        # pair count keeps the closure cheap; Spark does min-label
+        # propagation instead (closure materialization never scales).
+        "q_dedup_groups": f"""
+            WITH RECURSIVE pairs AS ({jaccard_pairs}),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+            reach(a, b) AS (
+                SELECT a, a FROM (SELECT a FROM e UNION SELECT b FROM e)
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+            )
+            SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a
         """,
         "q_knn_brute": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

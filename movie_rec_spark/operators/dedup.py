@@ -197,3 +197,64 @@ def q_dedup_simhash(documents: DataFrame, hamming_max: int = 8) -> DataFrame:
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= F.lit(hamming_max))
     )
+
+
+def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs — the step that turns
+    pairwise matches into dedup GROUPS (keep one canonical doc per
+    component). Iterative min-label propagation: every node repeatedly
+    takes the min label among itself and its neighbors until a fixpoint.
+
+    Near-dup components are near-cliques, so diameter is tiny and this
+    converges in 2-3 rounds. Each round is one join + one min-agg
+    (shuffle on doc id); the driver only checks the converged flag.
+    At extreme scale swap in large-star/small-star (same primitive,
+    fewer rounds on high-diameter graphs).
+
+    Input: (doc_a, doc_b) edges. Output: (doc_id, comp) where comp is
+    the smallest doc_id reachable — the canonical representative.
+    """
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).distinct().cache()
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels.withColumnRenamed("doc_id", "doc_b")
+                     .withColumnRenamed("comp", "n_comp"), "doc_b")
+            .groupBy("doc_a").agg(F.min("n_comp").alias("min_neigh"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"),
+                        F.coalesce(F.col("min_neigh"), F.col("comp"))
+                        ).alias("comp"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "old"), "doc_id")
+            .filter(F.col("comp") != F.col("old")).limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def q_dedup_groups(documents: DataFrame) -> DataFrame:
+    """Declared query: near-dup components over the Jaccard pairs —
+    (doc_id, comp) with comp = canonical (minimum) member id."""
+    return dedup_components(q_dedup_jaccard(documents).select("doc_a", "doc_b"))

@@ -89,3 +89,17 @@ def test_minhash_recall_against_jaccard_oracle(spark, sf_docs):
     assert truth, "fixture should contain near-dup docs"
     missed = truth - got
     assert len(missed) <= max(1, len(truth) // 10), f"missed {missed}"
+
+
+def test_dedup_components_chain_and_islands(spark):
+    from movie_rec_spark.operators.dedup import dedup_components
+
+    # chain 1-2-3-4 (diameter 3, forces >1 propagation round),
+    # pair {10, 11}, and 20-21-22 triangle
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long")
+    got = {r.doc_id: r.comp for r in dedup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
