@@ -366,20 +366,15 @@ EVENT_TYPES = ["view", "click", "purchase", "rate", "error"]
 
 def q_pivot(events: DataFrame) -> DataFrame:
     """PIVOT (beyond reference): per-user event counts reshaped into one
-    column per event type. The pivot value list is EXPLICIT — with it,
-    Spark skips the extra distinct-values job and the plan is a single
-    hash aggregation with one count per (user, type) pair, exactly like
-    the conditional-aggregation SQL the oracle spells out."""
-    p = (
-        events.groupBy("user_id")
-        .pivot("event_type", EVENT_TYPES)
-        .count()
-    )
-    return p.select(
-        "user_id",
-        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
-          for t in EVENT_TYPES],
-    )
+    column per event type, as conditional aggregation — one groupBy,
+    ONE shuffle. (``DataFrame.pivot`` even with an explicit value list
+    plans a two-phase aggregate = 2 exchanges; with a known value list
+    the count-when formulation is what PIVOT lowers to anyway, and the
+    plan-budget test holds it to a single Exchange.)"""
+    return events.groupBy("user_id").agg(*[
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ])
 
 
 def q_unpivot(lineitem: DataFrame) -> DataFrame:

@@ -78,3 +78,31 @@ def test_candidates_literal_is_the_only_sanctioned_cross(spark):
         _t(spark, "lineitem"), _t(spark, "orders"))
     plan = P.physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+
+
+def test_new_operator_shuffle_budgets(spark):
+    """Exchange-count regression guard for the beyond-reference
+    operators: these numbers are the design (SCALE.md); a regression
+    that adds a shuffle fails here, not in production."""
+    import __spark_entry__ as E
+
+    from movie_rec_spark.plans import count_exchanges
+
+    budgets = {
+        "q_asof_join": 1,       # single fused window
+        "q_sessionize": 1,      # session_window agg
+        "q_salted_count": 2,    # partial + final by design
+        "q_window_analytics": 1,
+        "q_percentiles": 1,
+        "q_pivot": 1,
+        "q_unpivot": 0,         # row-local expand
+        "q_range_join": 0,      # broadcast at test scale; equi-join shape
+        "q_sample_stable": 0,   # row-local hashing
+        "q_quality_score": 0,
+        "q_tfidf_top_terms": 4,
+    }
+    qs = E.queries()
+    for name, budget in budgets.items():
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        got = count_exchanges(df)
+        assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
