@@ -134,3 +134,36 @@ def test_sessionize_matches_gap_model(spark, rows):
             n += 1
         model[(k, start, prev)] = n
     assert got == model
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Empty-input totality: core custom operators must return empty
+    results (correct schema), not raise, when a partition or whole
+    input is empty — at 100 TB empty partitions are routine."""
+    from movie_rec_spark.operators.skew import salted_count
+    from movie_rec_spark.operators.temporal import (
+        asof_join,
+        q_sessionize,
+        range_join_binned,
+    )
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string")
+    empty_snap = spark.createDataFrame(
+        [], "user_id long, snap_ts timestamp, val int")
+
+    assert q_sessionize(empty_ev).count() == 0
+    assert salted_count(empty_ev, "user_id").count() == 0
+    assert asof_join(
+        empty_ev.select("event_id", "user_id", "ts"), empty_snap,
+        key="user_id", event_ts="ts", snap_ts="snap_ts",
+        value_cols=["val"]).count() == 0
+    iv = empty_snap.select(
+        "user_id",
+        F.col("snap_ts").alias("win_start"),
+        F.col("snap_ts").alias("win_end"))
+    assert range_join_binned(
+        empty_ev.select("event_id", "user_id", "ts"), iv,
+        key="user_id", left_ts="ts", right_start="win_start",
+        right_end="win_end", bin_seconds=3600).count() == 0
