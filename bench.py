@@ -48,8 +48,12 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
 
-    # warm-up: JVM + codegen + parquet footer caches
+    # warm-up: JVM + codegen + parquet footer caches, plus one tiny
+    # Arrow round-trip so Python-UDF queries measure their plans, not
+    # the one-time Python worker pool spin-up.
     run(next(iter(qs.values())))
+    spark.range(32).mapInPandas(
+        lambda it: it, "id long").write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0
