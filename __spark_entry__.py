@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash": lambda s, d: D.q_dedup_minhash(_t("documents")(s, d)),
         "q_dedup_simhash": lambda s, d: D.q_dedup_simhash(_t("documents")(s, d)),
         "q_dedup_groups": lambda s, d: D.q_dedup_groups(_t("documents")(s, d)),
+        "q_dedup_char_jaccard": lambda s, d: D.q_dedup_char_jaccard(
+            _t("documents")(s, d)),
         # --- similarity search ---
         "q_knn_brute": lambda s, d: S.q_knn_brute(_t("embeddings")(s, d)),
         "q_embed_neardup": lambda s, d: S.q_embed_neardup(_t("embeddings")(s, d)),
@@ -353,6 +355,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "q_dedup_jaccard": jaccard_pairs,
+        # char_shingles truncates at the string end exactly like
+        # DuckDB's substring-over-range enumeration below.
+        "q_dedup_char_jaccard": f"""
+            WITH sh AS (
+                SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 8) AS g
+                FROM (SELECT doc_id, text,
+                             unnest(range(1, greatest(length(text) - 7, 1) + 1))
+                                 AS i
+                      FROM documents)),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             count(*) AS i
+                      FROM sh a JOIN sh b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   i * 1.0 / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sz sa ON doc_a = sa.doc_id
+            JOIN sz sb ON doc_b = sb.doc_id
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= {D.JACCARD_THRESHOLD}
+        """,
         # Components oracle: transitive closure by recursive CTE over the
         # symmetric edge set, comp = min reachable id. The tiny sf0.01
         # pair count keeps the closure cheap; Spark does min-label

@@ -83,6 +83,38 @@ def q_dedup_jaccard(documents: DataFrame,
     )
 
 
+def q_dedup_char_jaccard(documents: DataFrame,
+                         threshold: float = JACCARD_THRESHOLD,
+                         k: int = 8) -> DataFrame:
+    """Character-k-gram Jaccard near-dup pairs — the other standard
+    shingling granularity (robust to tokenization differences; the word
+    variant is robust to whitespace noise). Same inverted-index
+    self-join shape as q_dedup_jaccard; k=8 chars keeps shingle
+    selectivity useful on the synthetic corpus's tiny vocabulary."""
+    from movie_rec_spark.functions import char_shingles
+
+    sh = documents.select(
+        "doc_id", F.explode(char_shingles(F.col("text"), k)).alias("g"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
 def minhash_signatures(documents: DataFrame,
                        num_perms: int = MINHASH_PERMS) -> DataFrame:
     """Per-doc MinHash signature as array<bigint> of length num_perms.
