@@ -359,9 +359,9 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB's substring-over-range enumeration below.
         "q_dedup_char_jaccard": f"""
             WITH sh AS (
-                SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 8) AS g
+                SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 16) AS g
                 FROM (SELECT doc_id, text,
-                             unnest(range(1, greatest(length(text) - 7, 1) + 1))
+                             unnest(range(1, greatest(length(text) - 15, 1) + 1))
                                  AS i
                       FROM documents)),
             sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -30,7 +30,11 @@ from movie_rec_spark.session import get_spark  # noqa: E402
 # q_recommend re-trains the same ALS model q_als_recs already times —
 # benching it would double-count the fit; its serving overlay is
 # millisecond-scale joins.
-EXCLUDE = {"q_candidates", "q_recommend"}
+# q_dedup_char_jaccard is the second exact ground-truth Jaccard (char
+# granularity); q_dedup_jaccard already represents that cost class in
+# the headline set, and the scale paths (minhash/simhash/lsh) are all
+# benched.
+EXCLUDE = {"q_candidates", "q_recommend", "q_dedup_char_jaccard"}
 
 
 def main() -> None:

@@ -85,12 +85,17 @@ def q_dedup_jaccard(documents: DataFrame,
 
 def q_dedup_char_jaccard(documents: DataFrame,
                          threshold: float = JACCARD_THRESHOLD,
-                         k: int = 8) -> DataFrame:
+                         k: int = 16) -> DataFrame:
     """Character-k-gram Jaccard near-dup pairs — the other standard
     shingling granularity (robust to tokenization differences; the word
     variant is robust to whitespace noise). Same inverted-index
-    self-join shape as q_dedup_jaccard; k=8 chars keeps shingle
-    selectivity useful on the synthetic corpus's tiny vocabulary."""
+    self-join shape as q_dedup_jaccard.
+
+    k sets the cost curve, not just recall: the self-join work is
+    sum(df(g)^2) over shingles, so k must make shingles SELECTIVE.
+    On this corpus k=8 (~2 words of context) gives 561M candidate
+    comparisons at sf0.1 (174s); k=16 (~3 words) gives 12.5M (~4s).
+    Rule: size k so a shingle spans enough context to be rare."""
     from movie_rec_spark.functions import char_shingles
 
     sh = documents.select(
