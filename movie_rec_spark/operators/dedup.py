@@ -288,7 +288,16 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     sym.unpersist()
-    return labels
+    # Truncate lineage: each round's plan embeds every prior round, so the
+    # converged DataFrame otherwise carries O(rounds²) exchanges of plan —
+    # replanning cost downstream and full recompute risk on cache eviction.
+    # localCheckpoint materializes the converged labels and cuts the plan to
+    # a scan; on a production cluster prefer a reliable checkpoint dir
+    # (spark.sparkContext.setCheckpointDir + .checkpoint()) to survive
+    # executor loss.
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return final
 
 
 def q_dedup_groups(documents: DataFrame) -> DataFrame:
