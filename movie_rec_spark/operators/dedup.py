@@ -187,26 +187,22 @@ def q_dedup_minhash(documents: DataFrame,
     )
 
 
-def q_dedup_simhash(documents: DataFrame, hamming_max: int = 8) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature per doc; pairs within
-    ``hamming_max`` bits. Signature = sign-aggregated token-hash bits —
-    all built-in expressions (xxhash64 + bit ops inside transform).
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """Per-doc 64-bit SimHash signature as (doc_id, sig bigint).
 
-    Pair generation blocks on the signature's 16-bit quarters (any pair
-    within hamming 8 of 64 bits shares at least one identical quarter by
-    pigeonhole when differing bits spread; exact for ≤3 differing
-    quarters) — the standard simhash-rotation blocking, equi-join only.
+    Per bit position: +1 vote if the token-hash bit is set else -1;
+    positive vote total sets the signature bit. All built-in expressions
+    (xxhash64 + shifts inside a 64-way agg) — one shuffle on doc_id.
     """
     toks = documents.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
     )
     hashed = toks.select("doc_id", F.xxhash64("t").alias("h"))
-    # per bit position: +1 if bit set else -1; sum; sign -> bit
     bit_votes = [
         F.sum(F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)).alias(f"v{i}")
         for i in range(64)
     ]
-    sig = hashed.groupBy("doc_id").agg(*bit_votes).select(
+    return hashed.groupBy("doc_id").agg(*bit_votes).select(
         "doc_id",
         F.expr(" + ".join(
             f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
@@ -215,15 +211,40 @@ def q_dedup_simhash(documents: DataFrame, hamming_max: int = 8) -> DataFrame:
             for i in range(64)
         )).alias("sig"),
     )
-    quarters = sig.select(
+
+
+def q_dedup_simhash(documents: DataFrame, hamming_max: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature per doc; pairs within
+    ``hamming_max`` bits. Signature = sign-aggregated token-hash bits —
+    all built-in expressions (xxhash64 + bit ops inside transform).
+
+    Pair generation blocks on ``hamming_max + 1`` contiguous bit
+    segments: a pair differing in ≤ ``hamming_max`` bits cannot touch
+    every segment (pigeonhole), so it shares at least one identical
+    segment — the guarantee is EXACT for any ``hamming_max``, and the
+    candidate join stays an equi-join. Cost note: segments narrow as
+    ``hamming_max`` grows (64/(k+1) bits), so buckets get hotter —
+    k=3 (the standard 64-bit simhash near-dup radius) keeps 16-bit
+    segments; k=8 would mean 7-bit segments and ~2^9× the collisions.
+    """
+    sig = simhash_signatures(documents)
+    n_blocks = hamming_max + 1
+    base, rem = divmod(64, n_blocks)
+    widths = [base + 1 if q < rem else base for q in range(n_blocks)]
+    offsets = [sum(widths[:q]) for q in range(n_blocks)]
+    segments = sig.select(
         "doc_id", "sig",
         F.explode(F.array(*[
-            F.struct(F.lit(q).alias("q"),
-                     F.expr(f"(sig >> {q * 16}) & 65535").alias("qh"))
-            for q in range(4)
+            F.struct(
+                F.lit(q).alias("q"),
+                # mask after the arithmetic shift so sign extension from
+                # the top bit never leaks into a segment value
+                F.expr(f"(sig >> {offsets[q]}) & {(1 << widths[q]) - 1}")
+                .alias("qh"))
+            for q in range(n_blocks)
         ])).alias("qq"),
     ).select("doc_id", "sig", F.col("qq.q").alias("q"), F.col("qq.qh").alias("qh"))
-    a, b = quarters.alias("a"), quarters.alias("b")
+    a, b = segments.alias("a"), segments.alias("b")
     ham = F.expr("bit_count(asig ^ bsig)")
     return (
         a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.qh") == F.col("b.qh"))
@@ -262,6 +283,7 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("comp", F.col("doc_id"))
         .cache()
     )
+    changed = 0
     for _ in range(max_iter):
         neigh = (
             sym.join(labels.withColumnRenamed("doc_id", "doc_b")
@@ -288,6 +310,16 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # Never return silently-wrong labels: a chain of diameter >
+        # max_iter would exit here with non-minimal components.
+        import warnings
+        warnings.warn(
+            f"dedup_components did not converge within {max_iter} rounds; "
+            "labels may be non-minimal (raise max_iter, or use "
+            "large-star/small-star for high-diameter graphs)",
+            RuntimeWarning, stacklevel=2,
+        )
     # Truncate lineage: each round's plan embeds every prior round, so the
     # converged DataFrame otherwise carries O(rounds²) exchanges of plan —
     # replanning cost downstream and full recompute risk on cache eviction.

@@ -130,11 +130,18 @@ def range_join_binned(left: DataFrame, right: DataFrame, key: str,
     """
     lb = left.withColumn(
         "_bin", F.floor(F.unix_timestamp(F.col(left_ts)) / bin_seconds))
+    # Right-side bins run through floor(unix(end)/bin) INCLUSIVE:
+    # unix_timestamp truncates sub-second fractions, so an interval end
+    # like 12:30:00.4 still owns probes in the [12:30:00, 12:30:00.4)
+    # sliver of bin unix(end)/bin — ending the sequence at
+    # (unix(end)-1)/bin would drop them (testdata timestamps are
+    # ns-precision). The exact post-filter below removes the extra
+    # candidates this over-generation admits for exactly-aligned ends.
     rb = right.withColumn(
         "_bin",
         F.explode(F.sequence(
             F.floor(F.unix_timestamp(F.col(right_start)) / bin_seconds),
-            F.floor((F.unix_timestamp(F.col(right_end)) - 1) / bin_seconds),
+            F.floor(F.unix_timestamp(F.col(right_end)) / bin_seconds),
         )),
     )
     return (

@@ -146,3 +146,32 @@ def test_range_join_binned_boundaries(spark):
             bin_seconds=600,  # bins deliberately smaller than intervals
         ).collect())
     assert got == [(1, 100), (2, 100), (4, 200)]
+
+
+def test_range_join_binned_subsecond_sliver(spark):
+    """An interval end with a sub-second fraction whose truncated second
+    is bin-aligned must still match probes in the final sliver: end =
+    00:30:00.4 owns probe 00:30:00.2 (ts < end), which lives in a bin
+    past floor((unix(end)-1)/bin). Regression for the bin-range bug."""
+    import datetime as dt
+
+    from movie_rec_spark.operators.temporal import range_join_binned
+
+    E = dt.datetime(2024, 1, 1)
+    end = E + dt.timedelta(minutes=30, microseconds=400_000)
+    probe_in = E + dt.timedelta(minutes=30, microseconds=200_000)
+    probe_out = E + dt.timedelta(minutes=30, microseconds=600_000)
+    left = spark.createDataFrame(
+        [(1, 1, probe_in), (2, 1, probe_out)],
+        "event_id long, user_id int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, E, end, 7)],
+        "user_id int, win_start timestamp, win_end timestamp, tag int")
+    got = sorted(
+        (r.event_id, r.tag)
+        for r in range_join_binned(
+            left, right, key="user_id", left_ts="ts",
+            right_start="win_start", right_end="win_end",
+            bin_seconds=600,
+        ).collect())
+    assert got == [(1, 7)]

@@ -91,6 +91,40 @@ def test_minhash_recall_against_jaccard_oracle(spark, sf_docs):
     assert len(missed) <= max(1, len(truth) // 10), f"missed {missed}"
 
 
+def test_simhash_blocking_exact_vs_brute_force(spark, sf_docs):
+    """The k+1-segment pigeonhole blocking must find EVERY pair within
+    hamming_max bits — verified against brute-force hamming over the
+    collected signatures, at both the default radius and a wide one
+    (the wide case needs >4 blocks; 4 quarters only guarantee <=3)."""
+    sigs = {r.doc_id: r.sig
+            for r in D.simhash_signatures(sf_docs).collect()}
+    ids = sorted(sigs)
+    for hamming_max in (3, 8):
+        truth = {
+            (a, b): bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            <= hamming_max
+        }
+        got = {(r.doc_a, r.doc_b): r.hamming
+               for r in D.q_dedup_simhash(sf_docs, hamming_max).collect()}
+        assert got == truth
+
+
+def test_dedup_components_warns_when_not_converged(spark):
+    import warnings
+
+    from movie_rec_spark.operators.dedup import dedup_components
+
+    # chain of diameter 4 cannot converge in 1 round
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup_components(pairs, max_iter=1)
+    assert any("did not converge" in str(x.message) for x in w)
+
+
 def test_dedup_components_chain_and_islands(spark):
     from movie_rec_spark.operators.dedup import dedup_components
 
