@@ -60,57 +60,84 @@ def q_knn_brute(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
 
 
 def q_embed_neardup(embeddings: DataFrame,
-                    threshold: float = NEARDUP_THRESHOLD) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact all-pairs.
+                    threshold: float = NEARDUP_THRESHOLD,
+                    n_blocks: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs — distributed
+    block nested-loop, nothing collects to the driver.
 
-    Distributed block-matmul: the corpus matrix is broadcast (same build
-    side a broadcast join would ship); each Arrow batch of rows computes
-    its sims against the whole matrix in one BLAS gemm inside
-    mapInPandas. This is the one place a Pandas UDF beats codegen —
-    dense linear algebra — and it turned an 85 s expression-fold plan
-    into ~1 s at sf0.1.
+    Rows hash into ``n_blocks`` by vec_id; each unordered block pair
+    (i ≤ j) becomes one applyInPandas group whose two blocks are scored
+    in a single BLAS gemm (dense linear algebra — the sanctioned
+    Pandas-UDF case; the expression-fold plan measured 85 s vs ~1 s at
+    sf0.1). Every vector ships to exactly the (n_blocks+1)/2 groups its
+    block participates in, so shuffle volume is |corpus|·(n_blocks+1)/2
+    rows and per-task memory is two blocks ≈ 2·(n/n_blocks)·dim·8 B —
+    size n_blocks ≈ n·dim·8B / 1 GB on a cluster and the task memory
+    envelope holds at any corpus size; compute stays O(n²d) because the
+    semantics are exact all-pairs. `lsh_neardup` is the sub-quadratic
+    approximate path.
 
-    Exact ground truth / oracle path; valid while ONE side fits an
-    executor (~10M×64 f64 ≈ 5 GB). Past that, `lsh_neardup` is the scale
-    path (equi-join on LSH buckets, cost tracks near-dup density).
-    Threshold applies to the ROUNDED sim on both engines — the boundary
-    is deterministic.
+    Exact ground truth / oracle path. Threshold applies to the ROUNDED
+    sim on both engines — the boundary is deterministic.
     """
     import numpy as np
     import pandas as pd
 
     spark = embeddings.sparkSession
-    e = embeddings.select("vec_id", "embedding").orderBy("vec_id")
-    local = e.collect()
-    ids = np.array([r.vec_id for r in local], dtype=np.int64)
-    mat = np.array([r.embedding for r in local], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    pairs_df = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "ba int, bb int")
+    e = embeddings.select(
+        "vec_id", "embedding",
+        F.pmod(F.hash("vec_id"), F.lit(n_blocks)).alias("blk"))
+    side_a = e.join(F.broadcast(pairs_df), F.col("blk") == F.col("ba")) \
+        .select("ba", "bb", F.lit(0).alias("side"), "vec_id", "embedding")
+    side_b = e.join(F.broadcast(pairs_df),
+                    (F.col("blk") == F.col("bb")) & (F.col("ba") != F.col("bb"))) \
+        .select("ba", "bb", F.lit(1).alias("side"), "vec_id", "embedding")
 
-    def fn(batches):
-        all_ids, all_mat, all_norms = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            bid = pdf["vec_id"].to_numpy(dtype=np.int64)
-            bmat = np.array([np.asarray(v, dtype=np.float64)
-                             for v in pdf["embedding"]])
-            bnorm = np.linalg.norm(bmat, axis=1)
-            bnorm[bnorm == 0] = 1.0
-            sims = (bmat @ all_mat.T) / np.outer(bnorm, all_norms)
-            sims = np.round(sims, 4)
-            # upper triangle only: vec_a < vec_b
-            mask = (bid[:, None] < all_ids[None, :]) & (sims >= threshold)
-            ai, bj = np.nonzero(mask)
-            yield pd.DataFrame({
-                "vec_a": bid[ai],
-                "vec_b": all_ids[bj],
-                "sim": sims[ai, bj],
-            })
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                              "vec_b": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64")})
+        a = pdf[pdf["side"] == 0]
+        if not len(a):
+            return empty
+        diag = pdf["ba"].iat[0] == pdf["bb"].iat[0]
+        b = a if diag else pdf[pdf["side"] == 1]
+        if not len(b):
+            return empty
 
-    schema = "vec_a bigint, vec_b bigint, sim double"
-    return embeddings.select("vec_id", "embedding").mapInPandas(fn, schema)
+        def block(rows: pd.DataFrame):
+            m = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in rows["embedding"]])
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0] = 1.0
+            return rows["vec_id"].to_numpy(dtype=np.int64), m, nrm
+
+        # dot-then-divide, the same accumulation the oracle's
+        # list_cosine_similarity uses — pre-normalizing rows perturbs the
+        # last ulp and can flip a 4-decimal rounding boundary
+        ida, ma, na = block(a)
+        idb, mb, nb = block(b)
+        sims = np.round((ma @ mb.T) / np.outer(na, nb), 4)
+        if diag:
+            mask = (ida[:, None] < idb[None, :]) & (sims >= threshold)
+        else:
+            mask = sims >= threshold
+        ai, bj = np.nonzero(mask)
+        va, vb = ida[ai], idb[bj]
+        return pd.DataFrame({
+            "vec_a": np.minimum(va, vb),
+            "vec_b": np.maximum(va, vb),
+            "sim": sims[ai, bj],
+        })
+
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("ba", "bb")
+        .applyInPandas(gemm, "vec_a bigint, vec_b bigint, sim double")
+    )
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -170,7 +197,7 @@ def lsh_bucketed(embeddings: DataFrame, dim: int, n_tables: int = 8,
 def lsh_neardup(embeddings: DataFrame, dim: int,
                 threshold: float = NEARDUP_THRESHOLD,
                 n_tables: int = 8, n_bits: int = 3,
-                seed: int = 42, verify: str = "broadcast") -> DataFrame:
+                seed: int = 42, verify: str = "join") -> DataFrame:
     """Near-dup pairs via LSH blocking: equi-join on (table, bucket),
     exact cosine verify inside buckets, dedup across tables.
 
@@ -179,12 +206,13 @@ def lsh_neardup(embeddings: DataFrame, dim: int,
     not |corpus|² — the 100 TB path.
 
     Shuffle discipline: the bucket self-join and cross-table pair dedup
-    move ONLY (vec_id, vec_id) pairs. The verify then scores each unique
-    pair against a broadcast corpus matrix (ids sorted, searchsorted
-    lookup + numpy gather — Arrow ships 16 bytes/pair instead of
-    2·dim·8), same fits-one-executor envelope as ``q_embed_neardup``;
-    set ``verify='join'`` for the unbounded path that re-attaches
-    vectors by two hash joins and scores with `cosine_batch`.
+    move ONLY (vec_id, vec_id) pairs. The default ``verify='join'`` then
+    re-attaches vectors by two hash joins and scores with `cosine_batch`
+    — fully unbounded, nothing collects to the driver, which is why it
+    is the declared-query default. ``verify='broadcast'`` is an OPT-IN
+    fast path for corpora known to fit one executor (~5 GB at 10M×64):
+    it collects the corpus once and scores pairs by searchsorted gather,
+    shipping 16 bytes/pair instead of 2·dim·8 through the shuffle.
     """
     import numpy as np
     import pandas as pd
