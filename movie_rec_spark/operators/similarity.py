@@ -291,24 +291,59 @@ def ivf_index(embeddings: DataFrame, n_cells: int = 8,
     return assigned, centers
 
 
+_IVF_CACHE: dict[tuple, tuple] = {}
+_IVF_FIT_COUNT = 0  # test observability: cache hits must not re-fit
+
+
+def ivf_build(embeddings: DataFrame, n_cells: int = 8, seed: int = 42,
+              max_iter: int = 5, cache: bool = True):
+    """Build-once half of the IVF index: fit the coarse quantizer,
+    persist the cell assignments, memoize per (input files, params).
+
+    Searches are the hot path and the index is query-independent, so an
+    ANN service builds once and serves many — repeated ``q_knn_ivf``
+    calls on the same table must NOT re-run KMeans. The cache key is the
+    scan's file set (content identity for a lakehouse table); ad-hoc
+    in-memory frames fall back to object identity.
+    """
+    global _IVF_FIT_COUNT
+    files = tuple(sorted(embeddings.inputFiles()))
+    key = (files or ("obj", id(embeddings)), n_cells, seed, max_iter)
+    if cache and key in _IVF_CACHE:
+        return _IVF_CACHE[key][1:]
+    _IVF_FIT_COUNT += 1
+    assigned, centers = ivf_index(embeddings, n_cells, seed, max_iter)
+    assigned = assigned.persist()
+    if cache:
+        # the source df rides in the value to pin its lifetime — an
+        # id()-keyed entry must never outlive the object it keys
+        _IVF_CACHE[key] = (embeddings, assigned, centers)
+    return assigned, centers
+
+
 def q_knn_ivf(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
               k: int = KNN_K, n_cells: int = 8,
               nprobe: int = 2) -> DataFrame:
     """Declared query (rows-only: KMeans centroids are engine-specific):
     IVF top-k for the stored query vector. Scoring touches only
     ``nprobe``/``n_cells`` of the corpus; recall vs q_knn_brute is
-    asserted in tests/test_similarity_multimodal.py."""
+    asserted in tests/test_similarity_multimodal.py.
+
+    Search-only at steady state: the index covers the FULL corpus (so it
+    is query-independent and cacheable via ``ivf_build``) and the query
+    vector excludes itself at scoring time instead of at fit time.
+    """
     e = _as_double(embeddings)
     qv = (e.filter(F.col("vec_id") == query_vec_id)
           .select("embedding").first()[0])
-    assigned, centers = ivf_index(
-        e.filter(F.col("vec_id") != query_vec_id), n_cells)
-    return ivf_search(assigned, centers, list(qv), k, nprobe)
+    assigned, centers = ivf_build(e, n_cells)
+    return ivf_search(assigned, centers, list(qv), k, nprobe,
+                      exclude_id=query_vec_id)
 
 
 def ivf_search(assigned: DataFrame, centers: list[list[float]],
                query: list[float], k: int = KNN_K,
-               nprobe: int = 2) -> DataFrame:
+               nprobe: int = 2, exclude_id: int | None = None) -> DataFrame:
     """Probe the nprobe nearest cells only — scoring cost drops by
     ~n_cells/nprobe vs brute force; recall tested vs q_knn_brute."""
     def cos_py(u: list[float], v: list[float]) -> float:
@@ -320,9 +355,12 @@ def ivf_search(assigned: DataFrame, centers: list[list[float]],
     order = sorted(range(len(centers)),
                    key=lambda i: -cos_py(centers[i], query))
     probe = order[:nprobe]
+    scored = assigned.filter(F.col("cell").isin(probe))
+    if exclude_id is not None:
+        scored = scored.filter(F.col("vec_id") != exclude_id)
     qcol = F.array(*[F.lit(float(x)) for x in query])
     return (
-        assigned.filter(F.col("cell").isin(probe))
+        scored
         .select("vec_id",
                 F.round(cosine(F.col("embedding"), qcol), 4).alias("sim"))
         .orderBy(F.desc("sim"), F.asc("vec_id"))

@@ -64,6 +64,20 @@ def test_ivf_topk_overlaps_brute(spark, sf_emb):
     assert overlap >= 0.5, f"IVF@nprobe=2 overlap {overlap}"
 
 
+def test_ivf_build_is_cached_across_queries(spark, sf_emb):
+    """Second q_knn_ivf on the same table must be search-only: the
+    KMeans fit happens once and the cached index serves every query."""
+    S._IVF_CACHE.clear()
+    first = S.q_knn_ivf(sf_emb, query_vec_id=0).collect()
+    fits_after_first = S._IVF_FIT_COUNT
+    again = S.q_knn_ivf(sf_emb, query_vec_id=0).collect()
+    other_query = S.q_knn_ivf(sf_emb, query_vec_id=7).collect()
+    assert S._IVF_FIT_COUNT == fits_after_first, "cache hit must not re-fit"
+    assert [r.vec_id for r in first] == [r.vec_id for r in again]
+    assert len(other_query) == 10
+    assert all(r.vec_id != 7 for r in other_query)
+
+
 def test_multimodal_payload_and_decode(spark):
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=f"payload number {i}", lang="en",
