@@ -135,8 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- ML (rows-only: not SQL-expressible) ---
         "q_als_recs": lambda s, d: ML.q_als_recs(
             _t("lineitem")(s, d), _t("orders")(s, d)),
-        "q_recommend": lambda s, d: ML.q_recommend(
-            _t("lineitem")(s, d), _t("orders")(s, d), R.FOCUS_CUSTKEY),
+        "q_recommend": lambda s, d: R.q_recommend(
+            _t("lineitem")(s, d), _t("orders")(s, d)),
     }
 
 
@@ -227,6 +227,46 @@ def oracle_sql() -> dict[str, str]:
             LIMIT {R.REC_LIMIT}
         """,
         "q_distinct_users": "SELECT DISTINCT o_custkey FROM orders",
+        # T4 serving overlay over a FIXED precomputed-recs input (the
+        # popularity top-N cold-start fallback): seen-filter, double
+        # anti-join back-fill, precomputed-before-popular ordering.
+        "q_recommend": f"""
+            WITH pop AS (
+                SELECT l_partkey AS item_id,
+                       CAST(count(l_orderkey) AS DOUBLE) AS score,
+                       ((2 * sum(CAST(round(l_extendedprice * 100, 0)
+                                      AS BIGINT))
+                         + count(l_orderkey))
+                        // (2 * count(l_orderkey))) / 100.0 AS avg_price
+                FROM lineitem WHERE l_quantity >= {R.QTY_THRESHOLD}
+                GROUP BY l_partkey),
+            prerecs AS (
+                SELECT item_id, score, 'precomputed' AS rec_source
+                FROM pop
+                ORDER BY score DESC, avg_price DESC, item_id
+                LIMIT {R.REC_LIMIT}),
+            seen AS (
+                SELECT DISTINCT l.l_partkey AS item_id FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_custkey = {K}),
+            fresh AS (
+                SELECT * FROM prerecs
+                WHERE item_id NOT IN (SELECT item_id FROM seen)),
+            backfill AS (
+                SELECT p.item_id, p.score, 'popular' AS rec_source
+                FROM pop p
+                WHERE p.item_id NOT IN (SELECT item_id FROM seen)
+                  AND p.item_id NOT IN (SELECT item_id FROM fresh)
+                ORDER BY p.score DESC, p.item_id
+                LIMIT {R.REC_LIMIT})
+            SELECT item_id, score, rec_source
+            FROM (SELECT *, CASE WHEN rec_source = 'precomputed'
+                                 THEN 0 ELSE 1 END AS prio
+                  FROM (SELECT * FROM fresh
+                        UNION ALL SELECT * FROM backfill))
+            ORDER BY prio, score DESC, item_id
+            LIMIT {R.REC_LIMIT}
+        """,
         "q_candidates": """
             WITH pairs AS (
                 SELECT DISTINCT o.o_custkey, l.l_partkey FROM lineitem l

@@ -161,42 +161,7 @@ def q_als_recs(lineitem: DataFrame, orders: DataFrame,
     return recommend_top_n(model, n)
 
 
-def q_recommend(lineitem: DataFrame, orders: DataFrame,
-                custkey: int, n: int = 10) -> DataFrame:
-    """T4 serving semantics per README.md:42-44 intent (SURVEY.md §2.13
-    documents the reference bugs a-c this deliberately fixes): serve the
-    user's precomputed top-N, drop already-seen items, back-fill from
-    the popularity ranking excluding both seen and already-recommended.
-    """
-    from movie_rec_spark.operators.relational import (
-        part_popularity,
-        user_parts,
-    )
-
-    ratings = build_ratings(lineitem, orders)
-    model = train_als(ratings)
-    als_recs = (
-        recommend_top_n(model, n)
-        .filter(F.col("user_id") == custkey)
-        .select(F.col("item_id"), F.col("score"), F.lit("als").alias("rec_source"))
-    )
-    seen = user_parts(lineitem, orders, custkey).select(
-        F.col("l_partkey").alias("item_id"))
-    fresh = als_recs.join(seen, "item_id", "left_anti")
-    backfill = (
-        part_popularity(lineitem)
-        .select(F.col("l_partkey").alias("item_id"),
-                F.col("cnt_orders").cast("double").alias("score"),
-                F.lit("popular").alias("rec_source"))
-        .join(seen, "item_id", "left_anti")
-        .join(fresh.select("item_id"), "item_id", "left_anti")
-        .orderBy(F.desc("score"), F.asc("item_id"))
-        .limit(n)
-    )
-    w_all = fresh.unionByName(backfill)
-    return (
-        w_all.orderBy(
-            F.when(F.col("rec_source") == "als", 0).otherwise(1),
-            F.desc("score"), F.asc("item_id"))
-        .limit(n)
-    )
+# The T4 serving-semantics query lives in operators/relational.py
+# (q_recommend / serve_overlay): serving must not fit a model in-query —
+# pipeline.serve_recommendations applies the same overlay to this
+# module's PRECOMPUTED ALS recs (run_pipeline's gold table).

@@ -200,6 +200,66 @@ def q_avg_recommendations(lineitem: DataFrame, orders: DataFrame,
     )
 
 
+def serve_overlay(recs: DataFrame, seen: DataFrame, popularity: DataFrame,
+                  n: int = REC_LIMIT) -> DataFrame:
+    """T4 serving overlay (controller.py:180-314, README.md:42-44): keep
+    the user's precomputed recs that are still unseen, back-fill from
+    the popularity ranking excluding both seen and already-recommended,
+    serve precomputed-before-popular. Pure relational over a FIXED
+    ``recs`` input so both callers compose it: the ALS path
+    (pipeline.serve_recommendations) and the oracle-checked declared
+    query (q_recommend).
+
+    Inputs: recs(item_id, score, rec_source), seen(item_id),
+    popularity(item_id, score). recs/seen are one user's rows → tiny →
+    broadcast into the anti-joins; popularity is the only shuffled side.
+    """
+    fresh = recs.join(F.broadcast(seen), "item_id", "left_anti")
+    backfill = (
+        popularity
+        .join(F.broadcast(seen), "item_id", "left_anti")
+        .join(F.broadcast(fresh.select("item_id")), "item_id", "left_anti")
+        .orderBy(F.desc("score"), F.asc("item_id"))
+        .limit(n)
+        .withColumn("rec_source", F.lit("popular"))
+    )
+    ranked = fresh.withColumn("_prio", F.lit(0)).unionByName(
+        backfill.withColumn("_prio", F.lit(1)))
+    return (
+        ranked.orderBy(F.asc("_prio"), F.desc("score"), F.asc("item_id"))
+        .limit(n)
+        .drop("_prio")
+    )
+
+
+def q_recommend(lineitem: DataFrame, orders: DataFrame,
+                custkey: int = FOCUS_CUSTKEY, n: int = REC_LIMIT) -> DataFrame:
+    """Declared T4 query, oracle-checkable: the serving overlay over a
+    FIXED deterministic precomputed-recs input.
+
+    The model path swaps ALS output into the same overlay
+    (pipeline.serve_recommendations over the pipeline's precomputed recs
+    table); here "last cycle's precomputed table" is stood in by the
+    popularity top-N — the reference's own cold-start fallback
+    (controller.py:262-310) — which makes every overlay step
+    (seen-filter, double-anti-join back-fill, priority order)
+    SQL-expressible and hash-checked by the driver at sf0.01.
+    """
+    pop = part_popularity(lineitem).select(
+        F.col("l_partkey").alias("item_id"),
+        F.col("cnt_orders").cast("double").alias("score"),
+        "avg_price",
+    )
+    prerecs = (
+        pop.orderBy(F.desc("score"), F.desc("avg_price"), F.asc("item_id"))
+        .limit(n)
+        .select("item_id", "score", F.lit("precomputed").alias("rec_source"))
+    )
+    seen = user_parts(lineitem, orders, custkey).select(
+        F.col("l_partkey").alias("item_id"))
+    return serve_overlay(prerecs, seen, pop.select("item_id", "score"), n)
+
+
 def q_distinct_users(orders: DataFrame) -> DataFrame:
     """A5 DISTINCT: unique customer keys (prepare_dataset.py:86-87).
     Plans as partial HashAggregate → shuffle → final HashAggregate."""

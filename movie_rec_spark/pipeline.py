@@ -88,31 +88,23 @@ def run_pipeline(spark: SparkSession, raw_ratings: DataFrame,
 
 def serve_recommendations(result: PipelineResult, user_id: int,
                           n: int = 10) -> DataFrame:
-    """T4 read path: precomputed recs minus CURRENT ratings (freshness
+    """T4 read path: PRECOMPUTED recs (the pipeline's gold table — no
+    model fit at serve time) minus CURRENT ratings (freshness
     reconciliation, controller.py:227-233 intent), back-filled from the
-    popularity ranking (README.md:42-44)."""
+    popularity ranking (README.md:42-44). The overlay itself is the
+    shared oracle-checked operator (relational.serve_overlay)."""
+    from movie_rec_spark.operators.relational import serve_overlay
+
     seen = (
         result.ratings.filter(F.col("user_id") == user_id)
         .select(F.col("movie_id").alias("item_id"))
     )
-    fresh = (
+    recs = (
         result.recommendations.filter(F.col("user_id") == user_id)
-        .join(F.broadcast(seen), "item_id", "left_anti")
         .select("item_id", "score", F.lit("als").alias("rec_source"))
     )
-    backfill = (
-        result.movie_stats
-        .select(F.col("movie_id").alias("item_id"),
-                F.col("count_users").cast("double").alias("score"),
-                F.lit("popular").alias("rec_source"))
-        .join(F.broadcast(seen), "item_id", "left_anti")
-        .join(fresh.select("item_id"), "item_id", "left_anti")
-        .orderBy(F.desc("score"), F.asc("item_id"))
-        .limit(n)
+    popularity = result.movie_stats.select(
+        F.col("movie_id").alias("item_id"),
+        F.col("count_users").cast("double").alias("score"),
     )
-    return (
-        fresh.unionByName(backfill)
-        .orderBy(F.when(F.col("rec_source") == "als", 0).otherwise(1),
-                 F.desc("score"), F.asc("item_id"))
-        .limit(n)
-    )
+    return serve_overlay(recs, seen, popularity, n)

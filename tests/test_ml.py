@@ -73,12 +73,36 @@ def test_grid_search_small(ratings):
 
 
 def test_q_recommend_excludes_seen(spark):
+    from movie_rec_spark.operators.relational import q_recommend, user_parts
     li = load_table(spark, SF, "lineitem")
     orders = load_table(spark, SF, "orders")
-    from movie_rec_spark.operators.relational import user_parts
     seen = {r.l_partkey for r in user_parts(li, orders, 1).collect()}
-    out = ML.q_recommend(li, orders, custkey=1, n=10).collect()
+    out = q_recommend(li, orders, custkey=1, n=10).collect()
     assert 0 < len(out) <= 10
     rec_items = {r.item_id for r in out}
     assert not (rec_items & seen), "recommended an already-seen item"
-    assert {r.rec_source for r in out} <= {"als", "popular"}
+    assert {r.rec_source for r in out} <= {"precomputed", "popular"}
+
+
+def test_serve_overlay_both_branches(spark):
+    """Crafted fixture where BOTH overlay branches contribute: seen
+    knocks items out of the precomputed recs AND the back-fill must skip
+    seen and already-recommended items before topping up to n."""
+    from movie_rec_spark.operators.relational import serve_overlay
+
+    recs = spark.createDataFrame(
+        [(10, 5.0, "als"), (11, 4.0, "als"), (12, 3.0, "als")],
+        "item_id long, score double, rec_source string")
+    seen = spark.createDataFrame([(11,), (20,)], "item_id long")
+    popularity = spark.createDataFrame(
+        [(10, 99.0),   # already recommended -> skipped by back-fill
+         (20, 98.0),   # seen -> skipped
+         (21, 97.0), (22, 96.0), (23, 95.0)],
+        "item_id long, score double")
+    out = serve_overlay(recs, seen, popularity, n=4).collect()
+    assert [(r.item_id, r.rec_source) for r in out] == [
+        (10, "als"), (12, "als"),          # 11 dropped as seen
+        (21, "popular"), (22, "popular"),  # back-fill skips 10 and 20
+    ]
+    # precomputed rows rank before popular even at lower score
+    assert out[1].score < out[2].score
