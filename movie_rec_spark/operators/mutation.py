@@ -111,6 +111,27 @@ def q_implicit_fill(events: DataFrame) -> DataFrame:
     )
 
 
+def append_events(existing: DataFrame, new_rows: DataFrame,
+                  id_col: str = "event_id",
+                  ts_col: str = "ingested_at",
+                  clock: F.Column | None = None) -> DataFrame:
+    """M1+F7 event-append write path: stamp each incoming row with the
+    server-side ingestion timestamp and a dense sequence id, ready to
+    union/append to the event log.
+
+    F7: the default ``clock`` is ``F.current_timestamp()`` — the batch
+    analogue of the reference stamping ``datetime.utcnow()`` on insert
+    (controller.py:121,168, models.py:13-15). Spark evaluates
+    current_timestamp once per QUERY, so every row of one append batch
+    gets the identical stamp — the same property a transactional insert
+    gives the reference. Tests inject a literal clock for determinism;
+    production takes the default.
+    """
+    stamp = F.current_timestamp() if clock is None else clock
+    stamped = new_rows.withColumn(ts_col, stamp.cast("timestamp"))
+    return assign_dense_ids(stamped, existing, id_col)
+
+
 def assign_dense_ids(new_rows: DataFrame, existing: DataFrame,
                      id_col: str) -> DataFrame:
     """M1 serial-id assignment: ids continue from max(existing)+1

@@ -1,6 +1,8 @@
 from movie_rec_spark.streaming.counters import (  # noqa: F401
     event_counters,
+    event_counters_cdc,
     incremental_stats,
+    read_cdc_stream,
     read_event_stream,
     run_counters_batchwise,
     run_with_foreach_batch,

@@ -43,6 +43,10 @@ EVENT_SCHEMA = StructType([
 
 WATERMARK = "1 hour"
 
+# CDC stream schema: events plus op = +1 (insert) / -1 (delete tombstone)
+CDC_SCHEMA = StructType(
+    EVENT_SCHEMA.fields + [StructField("op", LongType())])
+
 
 def read_event_stream(spark: SparkSession, src_dir: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
@@ -65,6 +69,34 @@ def event_counters(stream: DataFrame) -> DataFrame:
     return stream.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("total_value"),
+    )
+
+
+def read_cdc_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of CDC rows (events + ``op``). Production is a
+    Kafka topic carrying inserts and delete tombstones; the file source
+    has the same append-only replayable semantics for tests."""
+    return spark.readStream.schema(CDC_SCHEMA).format("parquet").load(src_dir)
+
+
+def event_counters_cdc(stream: DataFrame, op_col: str = "op") -> DataFrame:
+    """M4 INCR **and DECR** parity: live counters over a CDC stream whose
+    rows carry op = +1 (insert) or -1 (delete tombstone).
+
+    The reference decrements its Redis counters when a rating is deleted
+    (controller.py:146,174); the streaming-native equivalent is a SIGNED
+    aggregation — sum(op) / sum(op·value) — so a tombstone retracts its
+    row's contribution and counter state always equals the batch recount
+    of surviving events (pinned by test). Update output mode, one state
+    row per user; a fully-deleted user converges to n_events = 0, the
+    same observable state as a Redis key DECRed back to zero. The
+    production sink is foreachBatch → kv.write_kv merging each
+    micro-batch's changed rows.
+    """
+    sign = F.col(op_col).cast("long")
+    return stream.groupBy("user_id").agg(
+        F.sum(sign).alias("n_events"),
+        F.sum(sign * F.col("value")).alias("total_value"),
     )
 
 

@@ -59,6 +59,37 @@ def test_implicit_fill_default_and_avg(spark):
     assert out == {3: 15.0, 4: 3.5}
 
 
+def test_append_events_injected_clock_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    existing = _events(spark, [(5, 1, "click", 1.0, 1, 0)])
+    new = spark.createDataFrame(
+        [Row(ts=dt.datetime(2024, 2, 1), user_id=9, event_type="view",
+             value=0.0, props="{}")])
+    fixed = dt.datetime(2024, 3, 1, 12, 0, 0)
+    out = M.append_events(existing, new, clock=F.lit(fixed)).collect()
+    assert len(out) == 1
+    assert out[0].event_id == 6          # max(existing)+1
+    assert out[0].ingested_at == fixed   # injected clock, bit-exact
+
+
+def test_append_events_default_clock_is_current(spark):
+    """F7: the default stamp is server-side current_timestamp — bounded
+    by driver wall-clock before/after (generous skew allowance)."""
+    existing = _events(spark, [(1, 1, "click", 1.0, 1, 0)])
+    new = spark.createDataFrame(
+        [Row(ts=dt.datetime(2024, 2, 1), user_id=9, event_type="view",
+             value=0.0, props="{}"),
+         Row(ts=dt.datetime(2024, 2, 2), user_id=8, event_type="view",
+             value=0.0, props="{}")])
+    lo = dt.datetime.now() - dt.timedelta(minutes=5)
+    out = M.append_events(existing, new).collect()
+    hi = dt.datetime.now() + dt.timedelta(minutes=5)
+    stamps = {r.ingested_at for r in out}
+    assert len(stamps) == 1, "one query -> one batch stamp for all rows"
+    assert lo <= stamps.pop() <= hi
+
+
 def test_assign_dense_ids(spark):
     existing = spark.createDataFrame([Row(user_id=7, name="a")])
     new = spark.createDataFrame([Row(name="b"), Row(name="c"), Row(name="d")])

@@ -105,6 +105,46 @@ def test_stream_stream_join_equals_batch_range_join(spark, tmp_path):
     assert got, "no attributed views in test data"
 
 
+def test_cdc_counters_retract_deletes_to_batch_recount(spark, tmp_path):
+    """M4 DECR path: adds then delete-tombstones; final counter state
+    must equal a batch recount over the surviving events."""
+    from pyspark.sql import functions as F
+
+    from movie_rec_spark.streaming import event_counters_cdc, read_cdc_stream
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "cdc_src")
+    # batch 1: every event as an insert
+    ev.withColumn("op", F.lit(1).cast("long")) \
+        .repartition(2).write.mode("overwrite").parquet(src)
+    # batch 2: tombstones retracting every 'error' event
+    ev.filter(F.col("event_type") == "error") \
+        .withColumn("op", F.lit(-1).cast("long")) \
+        .repartition(1).write.mode("append").parquet(src)
+    q = (
+        event_counters_cdc(read_cdc_stream(spark, src))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("t_cdc")
+        .option("checkpointLocation", str(tmp_path / "ck_cdc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_events, round(r.total_value or 0.0, 2))
+        for r in spark.sql("SELECT * FROM t_cdc").collect()
+        if r.n_events != 0  # fully-deleted user == absent from recount
+    }
+    survivors = ev.filter(F.col("event_type") != "error")
+    want = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in q_event_counters(survivors).collect()
+    }
+    assert got == want
+    # sanity: the tombstones actually changed somebody's counter
+    assert ev.filter(F.col("event_type") == "error").count() > 0
+
+
 def test_streaming_dedup_drops_replayed_batch(spark, tmp_path):
     import shutil as sh
 
