@@ -59,6 +59,28 @@ def test_rmse_band(ratings):
     assert mae <= rmse
 
 
+def test_rmse_gate_sf01(spark):
+    """ALS quality gate (reference regime: hold-out RMSE selection,
+    trainer.py:57,63-66): pinned ABSOLUTE band on a deterministic
+    hash-split fold at sf0.1, so a training regression — bad hyperparam
+    edit, broken ratings derivation, seed drift — fails CI rather than
+    just shifting a structural invariant.
+
+    Measured baseline 1.6282 (rank=16, iter=8, reg=0.2, seed=42, 80/20
+    xxhash64 split); band adds ~7% slack for BLAS/partitioning jitter.
+    The synthetic ratings carry little latent structure, so the gate
+    pins regression, not model skill."""
+    SF01 = "/root/testdata/sf0.1"
+    ratings = ML.build_ratings(
+        load_table(spark, SF01, "lineitem"), load_table(spark, SF01, "orders"))
+    bucket = F.pmod(F.xxhash64(F.col("user_id"), F.col("item_id")), F.lit(100))
+    train, test = ratings.filter(bucket < 80), ratings.filter(bucket >= 80)
+    model = ML.train_als(train)
+    rmse, mae = ML.evaluate_rmse_mae(model, test)
+    assert rmse <= 1.75, f"RMSE regression: {rmse:.4f} > band 1.75"
+    assert mae <= rmse
+
+
 def test_determinism_same_seed(ratings):
     r1 = ML.recommend_top_n(ML.train_als(ratings, rank=4, max_iter=3), 3)
     r2 = ML.recommend_top_n(ML.train_als(ratings, rank=4, max_iter=3), 3)
