@@ -21,6 +21,8 @@ stays inside codegen and is reproducible across engines.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -144,6 +146,28 @@ def minhash_signatures(documents: DataFrame,
     )
 
 
+def minhash_banded(documents: DataFrame,
+                   num_perms: int = MINHASH_PERMS,
+                   bands: int = MINHASH_BANDS) -> DataFrame:
+    """Banded MinHash signatures: (doc_id, sig, band, bh) rows — the
+    blocked intermediate of q_dedup_minhash, exposed so its bucket
+    occupancy is observable via ``blocking_stats``."""
+    rows_per_band = num_perms // bands
+    sig = minhash_signatures(documents, num_perms)
+    return sig.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                             for r in range(rows_per_band)]).alias("bh"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"),
+             F.col("bb.bh").alias("bh"))
+
+
 def q_dedup_minhash(documents: DataFrame,
                     threshold: float = JACCARD_THRESHOLD,
                     num_perms: int = MINHASH_PERMS,
@@ -156,19 +180,7 @@ def q_dedup_minhash(documents: DataFrame,
     100 TB it's a plain shuffle-hash join whose cost tracks true
     near-dup density instead of |docs|².
     """
-    rows_per_band = num_perms // bands
-    sig = minhash_signatures(documents, num_perms)
-    banded = sig.select(
-        "doc_id", "sig",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                             for r in range(rows_per_band)]).alias("bh"),
-            )
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = minhash_banded(documents, num_perms, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -213,6 +225,30 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     )
 
 
+def simhash_segments(documents: DataFrame, hamming_max: int = 3) -> DataFrame:
+    """Segmented SimHash signatures: (doc_id, sig, q, qh) rows over
+    ``hamming_max + 1`` contiguous bit segments — the blocked
+    intermediate of q_dedup_simhash, exposed for ``blocking_stats``."""
+    sig = simhash_signatures(documents)
+    n_blocks = hamming_max + 1
+    base, rem = divmod(64, n_blocks)
+    widths = [base + 1 if q < rem else base for q in range(n_blocks)]
+    offsets = [sum(widths[:q]) for q in range(n_blocks)]
+    return sig.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(q).alias("q"),
+                # mask after the arithmetic shift so sign extension from
+                # the top bit never leaks into a segment value
+                F.expr(f"(sig >> {offsets[q]}) & {(1 << widths[q]) - 1}")
+                .alias("qh"))
+            for q in range(n_blocks)
+        ])).alias("qq"),
+    ).select("doc_id", "sig", F.col("qq.q").alias("q"),
+             F.col("qq.qh").alias("qh"))
+
+
 def q_dedup_simhash(documents: DataFrame, hamming_max: int = 3) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature per doc; pairs within
     ``hamming_max`` bits. Signature = sign-aggregated token-hash bits —
@@ -227,23 +263,7 @@ def q_dedup_simhash(documents: DataFrame, hamming_max: int = 3) -> DataFrame:
     k=3 (the standard 64-bit simhash near-dup radius) keeps 16-bit
     segments; k=8 would mean 7-bit segments and ~2^9× the collisions.
     """
-    sig = simhash_signatures(documents)
-    n_blocks = hamming_max + 1
-    base, rem = divmod(64, n_blocks)
-    widths = [base + 1 if q < rem else base for q in range(n_blocks)]
-    offsets = [sum(widths[:q]) for q in range(n_blocks)]
-    segments = sig.select(
-        "doc_id", "sig",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(q).alias("q"),
-                # mask after the arithmetic shift so sign extension from
-                # the top bit never leaks into a segment value
-                F.expr(f"(sig >> {offsets[q]}) & {(1 << widths[q]) - 1}")
-                .alias("qh"))
-            for q in range(n_blocks)
-        ])).alias("qq"),
-    ).select("doc_id", "sig", F.col("qq.q").alias("q"), F.col("qq.qh").alias("qh"))
+    segments = simhash_segments(documents, hamming_max)
     a, b = segments.alias("a"), segments.alias("b")
     ham = F.expr("bit_count(asig ^ bsig)")
     return (
@@ -330,6 +350,35 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     final = labels.localCheckpoint(eager=True)
     labels.unpersist()
     return final
+
+
+def blocking_stats(blocked: DataFrame, block_cols: Sequence[str]) -> DataFrame:
+    """Observability for every LSH/blocking path — the 'no silent caps'
+    rule made measurable. Input: any blocked intermediate (one row per
+    (item, block)); output: ONE row of occupancy telemetry:
+
+      n_blocks, n_rows, max_occ, avg_occ, p99_occ,
+      candidate_pairs = Σ occ·(occ−1)/2  — the exact number of pair
+      comparisons the downstream bucket self-join will perform.
+
+    This is the quantity to alert on at scale: recall regressions and
+    hot-bucket skew BOTH show up here (recall loss → candidate_pairs
+    collapses; a degenerate band → max_occ explodes and the self-join
+    goes quadratic) long before either shows up as a wrong answer or a
+    straggler task. Works for minhash_banded (band, bh),
+    simhash_segments (q, qh), and similarity.lsh_bucketed (tbl, bucket).
+    """
+    occ = blocked.groupBy(*[F.col(c) for c in block_cols]).agg(
+        F.count(F.lit(1)).alias("occ"))
+    return occ.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("occ").alias("n_rows"),
+        F.max("occ").alias("max_occ"),
+        F.round(F.avg("occ"), 2).alias("avg_occ"),
+        F.expr("percentile_approx(occ, 0.99)").alias("p99_occ"),
+        F.sum(F.expr("occ * (occ - 1) / 2")).cast("long")
+        .alias("candidate_pairs"),
+    )
 
 
 def q_dedup_groups(documents: DataFrame) -> DataFrame:
