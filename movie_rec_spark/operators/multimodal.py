@@ -91,12 +91,15 @@ def decode_image_features(with_payload_df: DataFrame,
     NotImplementedError (no codec libs in this container) — the
     production hook point.
     """
+    decode = _fake_decode  # bind into the closure: pickle the stub BY
+    # VALUE with fn, so workers never need this module importable
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if strict:
             raise NotImplementedError(
                 "real image decode requires PIL/libvips; not in container")
         for pdf in batches:
-            decoded = [_fake_decode(bytes(b)) for b in pdf["payload"]]
+            decoded = [decode(bytes(b)) for b in pdf["payload"]]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "width": [d[0] for d in decoded],

@@ -47,6 +47,40 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``movie_rec_spark`` importable on executor Python workers.
+
+    Cloudpickle serializes module-level functions BY REFERENCE, so any
+    UDF closure that touches one makes the worker import this package.
+    The driver controls its own sys.path; workers inherit only cwd —
+    fine when the driver runs from the repo, broken anywhere else. Zip
+    the package once per SparkContext and addPyFile it: workers unpack
+    onto their sys.path and every by-reference pickle resolves,
+    regardless of where the consuming driver was launched.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_movie_rec_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    import movie_rec_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(movie_rec_spark.__file__))
+    zpath = os.path.join(tempfile.mkdtemp(prefix="mrs_pkg_"),
+                         "movie_rec_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "movie_rec_spark", os.path.relpath(full, pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._movie_rec_spark_shipped = True
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Column pruning / predicate pushdown happen at the
     caller's ``select``/``filter`` — never pre-collect or cache here.
@@ -60,6 +94,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ship_package(spark)
     path = f"{sf_dir}/{name}.parquet"
     ts_cols = _nanos_ts_columns(path)
     if ts_cols:
