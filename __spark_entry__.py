@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "q_knn_brute": lambda s, d: S.q_knn_brute(_t("embeddings")(s, d)),
         "q_embed_neardup": lambda s, d: S.q_embed_neardup(_t("embeddings")(s, d)),
+        "q_embed_dedup_groups": lambda s, d: S.q_embed_dedup_groups(
+            _t("embeddings")(s, d)),
         # --- multimodal plumbing ---
         "q_multimodal_meta": lambda s, d: MM.q_multimodal_meta(_t("documents")(s, d)),
         "q_json_encode": lambda s, d: R.q_json_encode(_t("part")(s, d)),
@@ -446,6 +448,27 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.v, b.v), 4)
                   >= {S.NEARDUP_THRESHOLD}
+        """,
+        # Transitive closure over the embedding near-dup edges, comp =
+        # min reachable vec_id (same oracle shape as q_dedup_groups).
+        "q_embed_dedup_groups": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+                      FROM embeddings) a
+                JOIN (SELECT vec_id, embedding::DOUBLE[] AS v
+                      FROM embeddings) b
+                  ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.v, b.v), 4)
+                      >= {S.NEARDUP_THRESHOLD}),
+            e AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+                  UNION SELECT vec_b, vec_a FROM pairs),
+            reach(a, b) AS (
+                SELECT a, a FROM (SELECT a FROM e UNION SELECT b FROM e)
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+            )
+            SELECT a AS vec_id, min(b) AS comp FROM reach GROUP BY a
         """,
         "q_multimodal_meta": """
             SELECT doc_id,

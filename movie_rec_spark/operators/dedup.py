@@ -352,6 +352,71 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return final
 
 
+def dedup_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round alternative to ``dedup_components``' min-label
+    propagation, whose round count is the graph DIAMETER.
+
+    Near-dup graphs are near-cliques (diameter 2-3), so min-label wins
+    there; chain-shaped graphs — entity-resolution style id chains,
+    temporal near-dup sequences — have diameter O(n) and need this
+    form. Each round is two join+agg passes over the edge set; the edge
+    set monotonically contracts toward a star forest whose centers are
+    component minima.
+
+    Same contract as dedup_components: (doc_a, doc_b) edges in,
+    (doc_id, comp = min reachable id) out.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    nodes = (edges.select(F.col("u").alias("doc_id"))
+             .unionByName(edges.select(F.col("v").alias("doc_id")))
+             .distinct().localCheckpoint(eager=True))
+
+    def star_round(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (sym.groupBy("u")
+             .agg(F.min("v").alias("_mn"))
+             .select("u", F.least(F.col("u"), F.col("_mn")).alias("m")))
+        joined = sym.join(m, "u")
+        # large-star: rewire strictly-larger neighbors to the local min;
+        # small-star: rewire smaller-or-equal neighbors (and u itself)
+        keep = (F.col("v") > F.col("u")) if large else (F.col("v") <= F.col("u"))
+        out = (
+            joined.filter(keep)
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        if not large:
+            out = out.unionByName(m.select("u", F.col("m").alias("v")))
+        return (out.filter(F.col("u") != F.col("v"))
+                .distinct())
+
+    for i in range(max_iter):
+        after = star_round(star_round(edges, large=True), large=False)
+        # localCheckpoint each round: the plan would otherwise nest
+        # O(rounds) joins deep (same lineage blow-up as min-label)
+        after = after.localCheckpoint(eager=True)
+        stable = (after.count() == edges.count()
+                  and after.exceptAll(edges).limit(1).count() == 0)
+        edges = after
+        if stable:
+            break
+    else:
+        import warnings
+        warnings.warn(
+            f"dedup_components_star did not stabilize within {max_iter} "
+            "rounds", RuntimeWarning, stacklevel=2)
+    labels = (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("comp")))
+    return (
+        nodes.join(labels, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce(F.col("comp"), F.col("doc_id")).alias("comp"))
+    )
+
+
 def blocking_stats(blocked: DataFrame, block_cols: Sequence[str]) -> DataFrame:
     """Observability for every LSH/blocking path — the 'no silent caps'
     rule made measurable. Input: any blocked intermediate (one row per

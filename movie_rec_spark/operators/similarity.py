@@ -140,6 +140,23 @@ def q_embed_neardup(embeddings: DataFrame,
     )
 
 
+def q_embed_dedup_groups(embeddings: DataFrame,
+                         threshold: float = NEARDUP_THRESHOLD) -> DataFrame:
+    """Declared query: embedding near-dup PAIRS → canonical dedup
+    GROUPS — connected components over the q_embed_neardup edge set,
+    (vec_id, comp = min reachable id). This is the keep-one-per-group
+    step of an embedding-dedup pipeline (pairs alone under-delete:
+    transitive near-dups A~B~C must collapse to ONE survivor).
+    Components via dedup_components (min-label, near-clique graphs);
+    oracle is the recursive-CTE transitive closure."""
+    from movie_rec_spark.operators.dedup import dedup_components
+
+    pairs = q_embed_neardup(embeddings, threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    return dedup_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "comp")
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (driver-side tiny)."""
     rng = random.Random(seed)

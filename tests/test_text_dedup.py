@@ -140,6 +140,39 @@ def test_dedup_components_warns_when_not_converged(spark):
     assert any("did not converge" in str(x.message) for x in w)
 
 
+def test_star_components_agree_with_min_label(spark):
+    """large-star/small-star must produce the identical labeling as
+    min-label propagation on mixed shapes: chain, pair, triangle."""
+    from movie_rec_spark.operators.dedup import (
+        dedup_components,
+        dedup_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long")
+    want = {r.doc_id: r.comp for r in dedup_components(pairs).collect()}
+    got = {r.doc_id: r.comp for r in dedup_components_star(pairs).collect()}
+    assert got == want
+
+
+def test_star_components_converge_on_deep_chain(spark):
+    """A diameter-60 chain needs >20 min-label rounds but only O(log n)
+    star rounds — the scale case this variant exists for."""
+    import warnings
+
+    from movie_rec_spark.operators.dedup import dedup_components_star
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any non-convergence warning fails
+        got = {r.doc_id: r.comp
+               for r in dedup_components_star(pairs, max_iter=10).collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
 def test_dedup_components_chain_and_islands(spark):
     from movie_rec_spark.operators.dedup import dedup_components
 
