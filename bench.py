@@ -27,14 +27,12 @@ from movie_rec_spark.session import get_spark  # noqa: E402
 # q_candidates (literal cross-join) is deliberately absent: it is the
 # reference's documented scaling cliff (SURVEY.md §7.3 item 2), kept
 # correctness-only; q_candidates_scalable is the at-scale formulation.
-# q_recommend re-trains the same ALS model q_als_recs already times —
-# benching it would double-count the fit; its serving overlay is
-# millisecond-scale joins.
 # q_dedup_char_jaccard is the second exact ground-truth Jaccard (char
 # granularity); q_dedup_jaccard already represents that cost class in
 # the headline set, and the scale paths (minhash/simhash/lsh) are all
-# benched.
-EXCLUDE = {"q_candidates", "q_recommend", "q_dedup_char_jaccard"}
+# benched. (q_recommend is back in the set since r2: it serves from the
+# overlay without refitting ALS.)
+EXCLUDE = {"q_candidates", "q_dedup_char_jaccard"}
 
 
 def main() -> None:
@@ -62,9 +60,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
+        print(f"RUN {name}", file=sys.stderr, flush=True)
         t0 = time.time()
         run(fn)
         dt = round(time.time() - t0, 3)
+        print(f"  {name} {dt}s", file=sys.stderr, flush=True)
         timings[name] = dt
         total += dt
 

@@ -293,15 +293,23 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     the smallest doc_id reachable — the canonical representative.
     """
     edges = pairs.select("doc_a", "doc_b")
+    # localCheckpoint BEFORE iterating, not just after: the edge set may
+    # be the output of an arbitrarily deep plan (e.g. the block-matmul
+    # near-dup pipeline), and every round's join would otherwise embed
+    # that full plan — twice via the symmetric union — so the analyzed
+    # tree doubles per round and the driver OOMs on plan serialization
+    # long before the data is large (observed at sf0.1 in a long-lived
+    # bench session). After this line each round plans against a
+    # materialized scan of bare id pairs.
     sym = edges.unionByName(
         edges.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
-    ).distinct().cache()
+    ).distinct().localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("comp", F.col("doc_id"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     changed = 0
     for _ in range(max_iter):
@@ -311,6 +319,14 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("doc_a").agg(F.min("n_comp").alias("min_neigh"))
             .withColumnRenamed("doc_a", "doc_id")
         )
+        # Checkpoint EVERY round, not cache: new_labels references
+        # `labels` twice (the neigh join and the carry-forward join), so
+        # without truncation the logical plan DOUBLES per round — 2^k
+        # copies of the base plan by round k; at ~18 rounds the plan
+        # stringification alone OOMed an 8 GB driver heap. cache() does
+        # not truncate the analyzed plan; localCheckpoint does. Each
+        # round then plans against a bare (doc_id, comp) scan — O(1)
+        # plan depth regardless of graph diameter.
         new_labels = (
             labels.join(neigh, "doc_id", "left")
             .select(
@@ -319,17 +335,15 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                         F.coalesce(F.col("min_neigh"), F.col("comp"))
                         ).alias("comp"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("comp", "old"), "doc_id")
             .filter(F.col("comp") != F.col("old")).limit(1).count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     if changed != 0:
         # Never return silently-wrong labels: a chain of diameter >
         # max_iter would exit here with non-minimal components.
@@ -340,16 +354,12 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             "large-star/small-star for high-diameter graphs)",
             RuntimeWarning, stacklevel=2,
         )
-    # Truncate lineage: each round's plan embeds every prior round, so the
-    # converged DataFrame otherwise carries O(rounds²) exchanges of plan —
-    # replanning cost downstream and full recompute risk on cache eviction.
-    # localCheckpoint materializes the converged labels and cuts the plan to
-    # a scan; on a production cluster prefer a reliable checkpoint dir
+    # labels is already checkpointed (per-round), so the returned plan is a
+    # bare scan of the converged (doc_id, comp) table; on a production
+    # cluster prefer a reliable checkpoint dir
     # (spark.sparkContext.setCheckpointDir + .checkpoint()) to survive
     # executor loss.
-    final = labels.localCheckpoint(eager=True)
-    labels.unpersist()
-    return final
+    return labels
 
 
 def dedup_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
@@ -368,8 +378,11 @@ def dedup_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     Same contract as dedup_components: (doc_a, doc_b) edges in,
     (doc_id, comp = min reachable id) out.
     """
+    # checkpoint the input edge set before iterating (same plan-lineage
+    # rationale as dedup_components: the producer plan may be deep)
     edges = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")) \
+        .localCheckpoint(eager=True)
     nodes = (edges.select(F.col("u").alias("doc_id"))
              .unionByName(edges.select(F.col("v").alias("doc_id")))
              .distinct().localCheckpoint(eager=True))

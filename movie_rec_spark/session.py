@@ -52,6 +52,11 @@ def get_spark(
         # the small test files.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[*] is a SINGLE JVM acting as driver + all executors +
+        # block manager: checkpoint/broadcast/shuffle blocks all live in
+        # this one heap. 8g measurably GC-throttled a full bench pass
+        # (105 s -> 77 s at 24g, sf0.1); on a real cluster this setting
+        # is irrelevant (executors get their own spark.executor.memory).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
     return builder.getOrCreate()
