@@ -311,7 +311,18 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("comp", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    changed = 0
+    # Convergence check via a monotone invariant, not a join: each round
+    # sets comp := least(comp, min over neighbors), so per-node labels
+    # never increase and SUM(comp) strictly decreases iff any label
+    # changed. One global agg over the checkpointed labels (partial agg,
+    # no shuffle of substance) replaces a join+count per round. decimal
+    # sum so billions of 64-bit ids cannot overflow the accumulator.
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         neigh = (
             sym.join(labels.withColumnRenamed("doc_id", "doc_b")
@@ -337,14 +348,13 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "old"), "doc_id")
-            .filter(F.col("comp") != F.col("old")).limit(1).count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
+            converged = True
             break
-    if changed != 0:
+        prev_sum = new_sum
+    if not converged:
         # Never return silently-wrong labels: a chain of diameter >
         # max_iter would exit here with non-minimal components.
         import warnings
