@@ -355,6 +355,9 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # heap. cache() does not truncate the analyzed plan;
         # localCheckpoint does. Each round then plans against a bare
         # (doc_id, comp) scan — O(1) plan depth regardless of diameter.
+        # eager=False: the convergence-check sum is the round's ONLY
+        # action — it materializes the checkpoint as a side effect, so
+        # each round runs one Spark job, not two.
         jumped = (
             new_labels.join(
                 new_labels.select(F.col("doc_id").alias("comp"),
@@ -362,7 +365,7 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 "comp", "left")
             .select("doc_id",
                     F.coalesce(F.col("comp2"), F.col("comp")).alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = _label_sum(jumped)
         labels = jumped
