@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_sample_stable": lambda s, d: T.q_sample_stable(
             _t("documents")(s, d)),
+        "q_corpus_clean": lambda s, d: T.q_corpus_clean(
+            _t("documents")(s, d)),
         # --- similarity scale paths (rows-only: seeded-random LSH planes /
         # KMeans centroids are engine-specific; recall vs the exact
         # baselines is asserted in tests/test_similarity_multimodal.py) ---
@@ -618,6 +620,54 @@ def oracle_sql() -> dict[str, str]:
                              AS ws
                   FROM events)
             GROUP BY 1, 2
+        """,
+        # The cleaning pipeline composed end-to-end: quality gate +
+        # detected-language filter + exact dedup (keep min doc_id per
+        # digest) + md5-bucket split. Rule arithmetic identical to the
+        # q_quality_score / q_lang_id / q_sample_stable oracles.
+        "q_corpus_clean": """
+            WITH b AS (
+                SELECT doc_id, text, source,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       len(list_filter(string_split(text, ' '),
+                           t -> t IN ('the','a','of','and'))) AS n_stop,
+                       len(list_filter(string_split(text, ' '),
+                           t -> t IN ('el','la','de','le','et'))) AS hits_ro,
+                       length(text) - length(regexp_replace(
+                           text, '[.,;:!?]', '', 'g')) AS n_punct,
+                       length(replace(text, ' ', ''))
+                           / len(string_split(text, ' ')) AS avg_tok
+                FROM documents),
+            scored AS (
+                SELECT doc_id, source, text, n_tokens,
+                       (CAST(n_tokens >= 5 AS INTEGER)
+                        + CAST(n_stop / n_tokens <= 0.5 AS INTEGER)
+                        + CAST(n_punct / n_tokens < 0.5 AS INTEGER)
+                        + CAST(avg_tok >= 2.0 AND avg_tok <= 12.0
+                               AS INTEGER)) / 4.0 AS quality_score,
+                       CASE WHEN n_stop >= hits_ro AND n_stop > 0 THEN 'en'
+                            WHEN hits_ro > 0 THEN 'ro'
+                            ELSE 'other' END AS guessed
+                FROM b),
+            gated AS (
+                SELECT doc_id, source, n_tokens, quality_score,
+                       md5(text) AS fp
+                FROM scored
+                WHERE quality_score >= 0.75 AND guessed = 'en'),
+            kept AS (
+                SELECT *, min(doc_id) OVER (PARTITION BY fp) AS min_id
+                FROM gated)
+            SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+                   quality_score,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT *,
+                         CAST(CAST('0x' || substring(
+                             md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 100 AS INTEGER) AS bucket
+                  FROM kept
+                  WHERE doc_id = min_id)
         """,
         "q_quality_score": """
             WITH b AS (

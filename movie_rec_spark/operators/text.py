@@ -53,18 +53,24 @@ def q_token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
-def q_lang_id(documents: DataFrame) -> DataFrame:
-    """Language-ID heuristic: stopword-set hit counts → argmax with a
-    deterministic tie order. (The synthetic corpus shares one vocabulary,
-    so the point is the operator shape, not detector quality.)"""
-    w = _tokens(F.col("text"))
+def _guessed_lang(text: Column) -> Column:
+    """Stopword-hit argmax language guess with a deterministic tie
+    order — shared by q_lang_id and the q_corpus_clean gate."""
+    w = _tokens(text)
     hits_en = F.size(F.filter(w, lambda t: t.isin(*STOP_EN)))
     hits_ro = F.size(F.filter(w, lambda t: t.isin(*STOP_ROMANCE)))
-    guessed = (
+    return (
         F.when((hits_en >= hits_ro) & (hits_en > 0), F.lit("en"))
         .when(hits_ro > 0, F.lit("ro"))
         .otherwise(F.lit("other"))
     )
+
+
+def q_lang_id(documents: DataFrame) -> DataFrame:
+    """Language-ID heuristic: stopword-set hit counts → argmax with a
+    deterministic tie order. (The synthetic corpus shares one vocabulary,
+    so the point is the operator shape, not detector quality.)"""
+    guessed = _guessed_lang(F.col("text"))
     return documents.select(
         "doc_id",
         "lang",
@@ -132,6 +138,25 @@ def q_tfidf_top_terms(documents: DataFrame, top_k: int = 3) -> DataFrame:
     )
 
 
+def _quality_score(text: Column, min_tokens: int = 5,
+                   max_stop_ratio: float = 0.5) -> Column:
+    """The composite quality score alone, as one Column — shared by
+    q_quality_score (which also exposes the per-rule indicators) and
+    the q_corpus_clean gate."""
+    w = _tokens(text)
+    n_tokens = F.size(w).cast("int")
+    n_stop = F.size(F.filter(w, lambda t: t.isin(*STOP_EN))).cast("int")
+    n_punct = (F.length(text)
+               - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+               ).cast("int")
+    avg_tok = (F.length(F.replace(text, F.lit(" "), F.lit(""))) / n_tokens)
+    r_len = (n_tokens >= min_tokens).cast("int")
+    r_stop = ((n_stop / n_tokens) <= max_stop_ratio).cast("int")
+    r_punct = ((n_punct / n_tokens) < 0.5).cast("int")
+    r_tok = ((avg_tok >= 2.0) & (avg_tok <= 12.0)).cast("int")
+    return (r_len + r_stop + r_punct + r_tok) / 4.0
+
+
 def q_quality_score(documents: DataFrame,
                     min_tokens: int = 5,
                     max_stop_ratio: float = 0.5) -> DataFrame:
@@ -154,7 +179,7 @@ def q_quality_score(documents: DataFrame,
     r_stop = ((n_stop / n_tokens) <= max_stop_ratio).cast("int")
     r_punct = ((n_punct / n_tokens) < 0.5).cast("int")
     r_tok = ((avg_tok >= 2.0) & (avg_tok <= 12.0)).cast("int")
-    score = (r_len + r_stop + r_punct + r_tok) / 4.0
+    score = _quality_score(F.col("text"), min_tokens, max_stop_ratio)
     return documents.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -191,3 +216,53 @@ def q_sample_stable(documents: DataFrame) -> DataFrame:
         documents.select("doc_id", "lang", bucket.alias("bucket"))
         .withColumn("split", split)
     )
+
+
+def q_corpus_clean(documents: DataFrame) -> DataFrame:
+    """End-to-end training-data cleaning — the composition a corpus
+    pipeline actually runs, declared as ONE plan so Catalyst fuses it:
+
+        quality gate (>= 0.75, q_quality_score rules)
+        → detected-language filter (q_lang_id heuristic == 'en')
+        → exact dedup, keep the smallest doc_id per content digest
+        → deterministic md5-bucket train/val/test split
+
+    Shuffle discipline at 100 TB: every gate and the split are
+    row-local codegen fused into the parquet scan (column pruning to
+    doc_id/text/source), and rows DROPPED by the gates never reach the
+    shuffle — the plan's only exchange is the digest window for
+    keep-first dedup, sized by the CLEANED corpus. Output is the
+    training manifest: (doc_id, source, n_tokens, quality_score,
+    split).
+    """
+    from pyspark.sql import Window
+
+    score = _quality_score(F.col("text"))
+    gated = (
+        documents
+        .select(
+            "doc_id", "source",
+            F.size(_tokens(F.col("text"))).cast("int").alias("n_tokens"),
+            score.alias("quality_score"),
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+        )
+        .filter((score >= 0.75) & (_guessed_lang(F.col("text")) == "en"))
+    )
+    kept = (
+        gated
+        .withColumn("min_id", F.min("doc_id").over(Window.partitionBy("fp")))
+        .filter(F.col("doc_id") == F.col("min_id"))
+    )
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16, 10)
+        .cast("long") % 100
+    ).cast("int")
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+    )
+    return kept.select("doc_id", "source", "n_tokens", "quality_score",
+                       split.alias("split"))

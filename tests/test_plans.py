@@ -99,6 +99,7 @@ def test_new_operator_shuffle_budgets(spark):
         "q_range_join": 0,      # broadcast at test scale; equi-join shape
         "q_sample_stable": 0,   # row-local hashing
         "q_quality_score": 0,
+        "q_corpus_clean": 1,    # gates/split row-local; dedup window only
         "q_tfidf_top_terms": 4,
     }
     qs = E.queries()

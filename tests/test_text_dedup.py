@@ -15,6 +15,30 @@ def _docs(spark, texts):
     )
 
 
+def test_corpus_clean_gates_dedups_and_splits(spark):
+    """The composition must drop low-quality and non-en docs, keep one
+    doc per identical text (smallest id), and assign a valid split."""
+    good = "the cat and the dog sat of the mat and talked"
+    docs = _docs(spark, [
+        good,                       # 0: kept
+        good,                       # 1: exact dup of 0 -> dropped
+        "el la de le et el la de",  # 2: romance-stopword doc -> dropped
+        "x! y! z!",                 # 3: low quality (short, punct) -> dropped
+        good + " again",            # 4: distinct text -> kept
+    ])
+    out = {r.doc_id: r for r in T.q_corpus_clean(docs).collect()}
+    assert set(out) == {0, 4}
+    assert all(r.split in ("train", "val", "test") for r in out.values())
+    assert all(r.quality_score >= 0.75 for r in out.values())
+
+
+def test_corpus_clean_empty_input(spark):
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint")
+    assert T.q_corpus_clean(empty).count() == 0
+
+
 def test_text_stats(spark):
     out = {r.doc_id: r for r in
            T.q_text_stats(_docs(spark, ["the cat sat", "a b"])).collect()}
