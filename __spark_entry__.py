@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_corpus_clean": lambda s, d: T.q_corpus_clean(
             _t("documents")(s, d)),
+        "q_embed_quantize": lambda s, d: S.q_embed_quantize(
+            _t("embeddings")(s, d)),
         # --- similarity scale paths (rows-only: seeded-random LSH planes /
         # KMeans centroids are engine-specific; recall vs the exact
         # baselines is asserted in tests/test_similarity_multimodal.py) ---
@@ -435,6 +437,29 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
             )
             SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a
+        """,
+        # Same scale/clamp/round arithmetic as the Spark HOF expressions;
+        # cosine accumulation matches list_cosine_similarity (see cosine()).
+        "q_embed_quantize": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            s AS (SELECT vec_id, v,
+                         greatest(list_max(list_transform(v, x -> abs(x))),
+                                  1e-30) / 127.0 AS scale
+                  FROM e),
+            q AS (SELECT vec_id, v, scale,
+                         list_transform(v, x -> least(greatest(
+                             CAST(round(x / scale) AS INTEGER), -127), 127))
+                             AS qv
+                  FROM s)
+            SELECT vec_id, round(scale, 6) AS scale,
+                   CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INTEGER)
+                       AS n_sat,
+                   CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                        THEN round(list_cosine_similarity(
+                            v, list_transform(qv, x -> x * scale)), 4)
+                        ELSE 1.0 END AS cos_recon
+            FROM q
         """,
         "q_knn_brute": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -157,6 +157,46 @@ def q_embed_dedup_groups(embeddings: DataFrame,
         F.col("doc_id").alias("vec_id"), "comp")
 
 
+def q_embed_quantize(embeddings: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the at-rest compression
+    step of an embedding store (4× smaller than float32, 8× than the
+    float64 compute form; recall cost observable via cos_recon).
+
+    scale = absmax/127; q_i = clamp(round(x_i/scale)); recon = q·scale.
+    Entirely row-local Catalyst HOF expressions (transform/array_max/
+    aggregate) fused into the scan — no shuffle, no Python — so at
+    100 TB this is a map-only rewrite job. Output per vector: the
+    quantization scale, how many components saturated at ±127, and the
+    cosine between the original and the dequantized vector (rounded
+    4dp) — the quality audit a pipeline gates on before swapping the
+    serving index to the quantized copy.
+    """
+    e = _as_double(embeddings)
+    absmax = F.array_max(F.transform(F.col("embedding"),
+                                     lambda x: F.abs(x)))
+    scale = F.greatest(absmax, F.lit(1e-30)) / F.lit(127.0)
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.least(F.greatest(F.round(x / scale).cast("int"),
+                                     F.lit(-127)), F.lit(127)))
+    recon = F.transform(quant, lambda q: q.cast("double") * scale)
+    return (
+        e.select("vec_id", "embedding", scale.alias("scale"),
+                 quant.alias("qv"))
+        .select(
+            "vec_id",
+            F.round(F.col("scale"), 6).alias("scale"),
+            F.size(F.filter(F.col("qv"),
+                            lambda q: F.abs(q) == 127)).alias("n_sat"),
+            # a zero vector reconstructs to zero — define its round-trip
+            # cosine as 1.0 (and keep ANSI mode's divide-by-zero out)
+            F.when(absmax > 0,
+                   F.round(cosine(F.col("embedding"), recon), 4))
+            .otherwise(F.lit(1.0)).alias("cos_recon"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (driver-side tiny)."""
     rng = random.Random(seed)

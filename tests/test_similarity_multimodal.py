@@ -33,6 +33,27 @@ def test_knn_brute_orders_by_cosine(spark):
     assert out[3].sim == -1.0
 
 
+def test_embed_quantize_invariants(spark, sf_emb):
+    """int8 round-trip: positive scale, the absmax component always
+    saturates (round(absmax/scale) = 127), and reconstruction cosine
+    stays near 1 for real embeddings (<0.4% quantization loss)."""
+    out = S.q_embed_quantize(sf_emb).collect()
+    assert len(out) == sf_emb.count()
+    for r in out:
+        assert r.scale > 0
+        assert r.n_sat >= 1
+        assert r.cos_recon >= 0.996, (r.vec_id, r.cos_recon)
+
+
+def test_embed_quantize_zero_vector(spark):
+    """A zero vector must not divide by zero; its round-trip cosine is
+    defined as 1.0 (zero reconstructs to zero)."""
+    e = _emb(spark, [[0.0, 0.0, 0.0], [3.0, -4.0, 0.0]])
+    out = {r.vec_id: r for r in S.q_embed_quantize(e).collect()}
+    assert out[0].n_sat == 0 and out[0].cos_recon == 1.0
+    assert out[1].n_sat >= 1 and out[1].cos_recon > 0.999
+
+
 def test_neardup_threshold(spark):
     e = _emb(spark, [[1, 0], [1, 0.05], [0, 1]])
     pairs = {(r.vec_a, r.vec_b) for r in
