@@ -422,6 +422,35 @@ def ivf_build(embeddings: DataFrame, n_cells: int = 8, seed: int = 42,
     return assigned, centers
 
 
+def ivf_write(embeddings: DataFrame, path: str, n_cells: int = 8,
+              seed: int = 42, max_iter: int = 5) -> None:
+    """Persist the IVF index AT REST: the corpus cell-partitioned on
+    disk (``path/cell=i/``) plus a tiny sibling centers table. A probe
+    filter ``cell IN (...)`` then becomes PARTITION PRUNING at the scan
+    — a search over nprobe/n_cells of the corpus reads only those
+    directories, which is how an ANN index over 100 TB of embeddings
+    serves without touching the other cells' files at all (verified by
+    inputFiles in tests). Rebuild cadence is an offline concern, same
+    as any secondary index."""
+    assigned, centers = ivf_index(embeddings, n_cells, seed, max_iter)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "cell int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_centers")
+
+
+def ivf_read(spark, path: str):
+    """Load a persisted IVF index: (cell-partitioned assigned frame,
+    centers list). Centers are driver-tiny by construction (n_cells
+    rows)."""
+    assigned = spark.read.parquet(path)
+    rows = spark.read.parquet(path + "_centers").collect()
+    centers = [r.center for r in sorted(rows, key=lambda r: r.cell)]
+    return assigned, centers
+
+
 def q_knn_ivf(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
               k: int = KNN_K, n_cells: int = 8,
               nprobe: int = 2) -> DataFrame:

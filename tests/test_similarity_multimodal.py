@@ -85,6 +85,31 @@ def test_ivf_topk_overlaps_brute(spark, sf_emb):
     assert overlap >= 0.5, f"IVF@nprobe=2 overlap {overlap}"
 
 
+def test_ivf_at_rest_prunes_partitions(spark, sf_emb, tmp_path):
+    """A persisted IVF index must serve a probe by READING ONLY the
+    probed cells' files (partition pruning), and return the same top-k
+    as the in-memory index."""
+    path = str(tmp_path / "ivf")
+    S.ivf_write(sf_emb, path, n_cells=4)
+    assigned, centers = S.ivf_read(spark, path)
+    query = [float(x) for x in
+             sf_emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+
+    at_rest = S.ivf_search(assigned, centers, query, k=10, nprobe=2,
+                           exclude_id=0)
+    # pruning: the probe predicate must land in PartitionFilters (whole
+    # cell directories skipped), not a post-scan Filter
+    from movie_rec_spark.plans import partition_filters
+    pf = partition_filters(at_rest)
+    assert any("cell" in f and f for f in pf), pf
+
+    mem_assigned, mem_centers = S.ivf_index(sf_emb, n_cells=4)
+    in_mem = S.ivf_search(mem_assigned, mem_centers, query, k=10,
+                          nprobe=2, exclude_id=0)
+    assert [r.vec_id for r in at_rest.collect()] == \
+           [r.vec_id for r in in_mem.collect()]
+
+
 def test_ivf_build_is_cached_across_queries(spark, sf_emb):
     """Second q_knn_ivf on the same table must be search-only: the
     KMeans fit happens once and the cached index serves every query."""
