@@ -128,6 +128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_embed_quantize": lambda s, d: S.q_embed_quantize(
             _t("embeddings")(s, d)),
+        "q_repetition": lambda s, d: T.q_repetition(
+            _t("documents")(s, d)),
+        "q_decontaminate": lambda s, d: D.q_decontaminate(
+            _t("documents")(s, d)),
         # --- similarity scale paths (rows-only: seeded-random LSH planes /
         # KMeans centroids are engine-specific; recall vs the exact
         # baselines is asserted in tests/test_similarity_multimodal.py) ---
@@ -645,6 +649,60 @@ def oracle_sql() -> dict[str, str]:
                              AS ws
                   FROM events)
             GROUP BY 1, 2
+        """,
+        # Same shingle machinery as jaccard; containment divides by the
+        # EVAL doc's shingle count (asymmetric). Split membership uses
+        # the identical md5-bucket arithmetic as q_sample_stable.
+        "q_decontaminate": """
+            WITH bkt AS (
+                SELECT doc_id, text,
+                       CAST(CAST('0x' || substring(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 100 AS INTEGER) AS bucket
+                FROM documents),
+            toks AS (SELECT doc_id, bucket, string_split(text, ' ') AS w
+                     FROM bkt),
+            sh AS (SELECT DISTINCT doc_id, bucket,
+                          array_to_string(list_slice(w, CAST(i AS INT),
+                              CAST(i AS INT) + 2), ' ') AS g
+                   FROM (SELECT doc_id, bucket, w,
+                                unnest(range(1, greatest(len(w) - 2, 1) + 1))
+                                    AS i
+                         FROM toks)),
+            ev AS (SELECT doc_id AS eval_doc, g FROM sh WHERE bucket >= 90),
+            tr AS (SELECT doc_id AS train_doc, g FROM sh WHERE bucket < 80),
+            ev_sz AS (SELECT eval_doc, count(*) AS n_ev FROM ev
+                      GROUP BY eval_doc),
+            inter AS (SELECT eval_doc, train_doc, count(*) AS n_common
+                      FROM ev JOIN tr USING (g)
+                      GROUP BY 1, 2)
+            SELECT eval_doc, train_doc,
+                   n_common * 1.0 / n_ev AS containment
+            FROM inter JOIN ev_sz USING (eval_doc)
+            WHERE n_common * 1.0 / n_ev >= 0.5
+        """,
+        # Same shingle enumeration as the jaccard oracle (list_slice
+        # truncates at the end exactly like word_shingles); ratios are
+        # int/int with no rounding.
+        "q_repetition": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                          FROM documents),
+            sh AS (SELECT doc_id, count(DISTINCT g) AS n_distinct_grams
+                   FROM (SELECT doc_id,
+                                array_to_string(list_slice(w, CAST(i AS INT),
+                                    CAST(i AS INT) + 2), ' ') AS g
+                         FROM (SELECT doc_id, w,
+                                      unnest(range(1, greatest(len(w) - 2, 1)
+                                             + 1)) AS i
+                               FROM toks))
+                   GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(w) AS INTEGER) AS n_tokens,
+                   1.0 - len(list_distinct(w)) * 1.0 / len(w)
+                       AS dup_token_ratio,
+                   1.0 - n_distinct_grams * 1.0 / greatest(len(w) - 2, 1)
+                       AS dup_3gram_ratio
+            FROM toks t JOIN sh USING (doc_id)
         """,
         # The cleaning pipeline composed end-to-end: quality gate +
         # detected-language filter + exact dedup (keep min doc_id per

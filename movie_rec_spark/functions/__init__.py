@@ -26,6 +26,19 @@ def clamp(col: Column, lo: float, hi: float) -> Column:
     return F.least(F.greatest(col, F.lit(lo)), F.lit(hi))
 
 
+def stable_bucket(key: Column, n: int = 100) -> Column:
+    """Deterministic content-hash bucket in [0, n): first 8 md5 hex
+    digits of the key string, mod n. Stable under repartitioning and
+    identical across engines — the primitive behind q_sample_stable's
+    split assignment, q_corpus_clean, and decontamination's
+    split-aware sides."""
+    return (
+        F.conv(F.substring(
+            F.md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % n
+    ).cast("int")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<double> columns — pure JVM expression
     (zip_with + aggregate), no UDF, vectorizes inside codegen."""

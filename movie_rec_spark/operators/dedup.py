@@ -41,6 +41,50 @@ def _shingle_rows(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def q_decontaminate(documents: DataFrame,
+                    threshold: float = 0.5) -> DataFrame:
+    """Train/eval decontamination — the audit an LLM data pipeline runs
+    so benchmark text does not leak into the training set (GPT-3 /
+    PaLM style exact n-gram overlap, here word 3-grams to match the
+    corpus's shingle machinery): for every eval-split document, find
+    train-split documents containing >= ``threshold`` of its distinct
+    shingles. containment = |sh(eval) ∩ sh(train)| / |sh(eval)| —
+    asymmetric by design: a tiny eval doc fully quoted inside a long
+    train doc is 100% contaminated even though Jaccard would be tiny.
+
+    Split membership is the SAME stable md5 bucketing the split
+    assignment uses (functions.stable_bucket), so the audit is
+    consistent with q_sample_stable / q_corpus_clean manifests.
+
+    Scale shape: one shuffle keyed on the shingle (the eval side is
+    ~10% of the corpus and only distinct (doc_id, shingle) rows move),
+    then a pair-count agg — same cost class as the exact Jaccard
+    ground truth and equally oracle-checkable. At extreme duplicate
+    density the minhash/simhash blocking paths bound the candidate set
+    the same way they do for dedup.
+    """
+    from movie_rec_spark.functions import stable_bucket
+
+    sh = _shingle_rows(documents, 3).withColumn(
+        "bucket", stable_bucket(F.col("doc_id")))
+    ev = (sh.filter(F.col("bucket") >= 90)
+          .select(F.col("doc_id").alias("eval_doc"), "g"))
+    tr = (sh.filter(F.col("bucket") < 80)
+          .select(F.col("doc_id").alias("train_doc"), "g"))
+    ev_sz = ev.groupBy("eval_doc").agg(F.count(F.lit(1)).alias("n_ev"))
+    inter = (
+        ev.join(tr, "g")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(ev_sz), "eval_doc")
+        .select("eval_doc", "train_doc",
+                (F.col("n_common") / F.col("n_ev")).alias("containment"))
+        .filter(F.col("containment") >= F.lit(threshold))
+    )
+
+
 def q_dedup_exact(documents: DataFrame) -> DataFrame:
     """Exact dedup: group by content digest, keep the smallest doc_id.
     One shuffle keyed on the digest — at 100 TB the digest is computed

@@ -201,12 +201,9 @@ def q_sample_stable(documents: DataFrame) -> DataFrame:
     mod 100: stable under repartitioning, reproducible across engines,
     and rows never migrate between train/val/test when data is added.
     Row-local (no shuffle, no RNG state)."""
-    bucket = (
-        F.conv(F.substring(
-            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
-            16, 10)
-        .cast("long") % 100
-    ).cast("int")
+    from movie_rec_spark.functions import stable_bucket
+
+    bucket = stable_bucket(F.col("doc_id"))
     split = (
         F.when(F.col("bucket") < 80, "train")
         .when(F.col("bucket") < 90, "val")
@@ -215,6 +212,29 @@ def q_sample_stable(documents: DataFrame) -> DataFrame:
     return (
         documents.select("doc_id", "lang", bucket.alias("bucket"))
         .withColumn("split", split)
+    )
+
+
+def q_repetition(documents: DataFrame) -> DataFrame:
+    """Intra-document repetition scoring (C4/Gopher-style "repetitious
+    text" rule): the fraction of duplicated tokens and duplicated word
+    3-grams within each document. Generated/boilerplate text scores
+    high and gets gated out before training. Row-local HOF expressions
+    only (split/array_distinct/transform) — fused into the scan, no
+    shuffle, exact int/int arithmetic so the ratios hash-match the
+    oracle without rounding."""
+    from movie_rec_spark.functions import word_shingles
+
+    w = _tokens(F.col("text"))
+    n_tok = F.size(w)
+    n_grams = F.greatest(n_tok - F.lit(2), F.lit(1))  # word_shingles card.
+    return documents.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct(w)) / n_tok)
+        .alias("dup_token_ratio"),
+        (F.lit(1.0) - F.size(word_shingles(w, 3)) / n_grams)
+        .alias("dup_3gram_ratio"),
     )
 
 
@@ -248,17 +268,14 @@ def q_corpus_clean(documents: DataFrame) -> DataFrame:
         )
         .filter((score >= 0.75) & (_guessed_lang(F.col("text")) == "en"))
     )
+    from movie_rec_spark.functions import stable_bucket
+
     kept = (
         gated
         .withColumn("min_id", F.min("doc_id").over(Window.partitionBy("fp")))
         .filter(F.col("doc_id") == F.col("min_id"))
     )
-    bucket = (
-        F.conv(F.substring(
-            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
-            16, 10)
-        .cast("long") % 100
-    ).cast("int")
+    bucket = stable_bucket(F.col("doc_id"))
     split = (
         F.when(bucket < 80, "train")
         .when(bucket < 90, "val")

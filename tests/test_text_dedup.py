@@ -15,6 +15,24 @@ def _docs(spark, texts):
     )
 
 
+def test_decontaminate_flags_quoted_eval_doc(spark):
+    """An eval-split doc fully quoted inside a train-split doc must be
+    flagged at containment 1.0; unrelated docs must not pair. doc_id 8
+    md5-buckets to eval (>=90), ids 0/1 to train (<80)."""
+    from pyspark.sql import Row
+    quoted = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="prefix words here " + quoted + " suffix words",
+            lang="en", source="s", n_chars=1),
+        Row(doc_id=1, text="totally different content nothing shared",
+            lang="en", source="s", n_chars=1),
+        Row(doc_id=8, text=quoted, lang="en", source="s", n_chars=1),
+    ])
+    out = {(r.eval_doc, r.train_doc): r.containment
+           for r in D.q_decontaminate(docs).collect()}
+    assert out == {(8, 0): 1.0}
+
+
 def test_corpus_clean_gates_dedups_and_splits(spark):
     """The composition must drop low-quality and non-en docs, keep one
     doc per identical text (smallest id), and assign a valid split."""
