@@ -652,8 +652,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Same shingle machinery as jaccard; containment divides by the
         # EVAL doc's shingle count (asymmetric). Split membership uses
-        # the identical md5-bucket arithmetic as q_sample_stable.
-        "q_decontaminate": """
+        # the identical md5-bucket arithmetic as q_sample_stable; the
+        # threshold and split boundaries interpolate the SAME constants
+        # the Spark operator uses (ADVICE r2: no silent hardcoding).
+        "q_decontaminate": f"""
             WITH bkt AS (
                 SELECT doc_id, text,
                        CAST(CAST('0x' || substring(
@@ -669,8 +671,10 @@ def oracle_sql() -> dict[str, str]:
                                 unnest(range(1, greatest(len(w) - 2, 1) + 1))
                                     AS i
                          FROM toks)),
-            ev AS (SELECT doc_id AS eval_doc, g FROM sh WHERE bucket >= 90),
-            tr AS (SELECT doc_id AS train_doc, g FROM sh WHERE bucket < 80),
+            ev AS (SELECT doc_id AS eval_doc, g FROM sh
+                   WHERE bucket >= {D.EVAL_MIN_BUCKET}),
+            tr AS (SELECT doc_id AS train_doc, g FROM sh
+                   WHERE bucket < {D.TRAIN_MAX_BUCKET}),
             ev_sz AS (SELECT eval_doc, count(*) AS n_ev FROM ev
                       GROUP BY eval_doc),
             inter AS (SELECT eval_doc, train_doc, count(*) AS n_common
@@ -679,7 +683,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT eval_doc, train_doc,
                    n_common * 1.0 / n_ev AS containment
             FROM inter JOIN ev_sz USING (eval_doc)
-            WHERE n_common * 1.0 / n_ev >= 0.5
+            WHERE n_common * 1.0 / n_ev >= {D.DECON_THRESHOLD}
         """,
         # Same shingle enumeration as the jaccard oracle (list_slice
         # truncates at the end exactly like word_shingles); ratios are

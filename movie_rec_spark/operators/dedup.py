@@ -31,6 +31,13 @@ from movie_rec_spark.functions import word_shingles
 JACCARD_THRESHOLD = 0.5
 MINHASH_PERMS = 32
 MINHASH_BANDS = 8  # rows per band = 32/8 = 4
+# Decontamination: containment cut and the split boundary. EVAL_MIN_BUCKET
+# = 80 puts BOTH held-out splits (val 80-89 and test 90-99, matching
+# q_sample_stable's assignment) on the audited side — val leakage biases
+# model selection exactly like test leakage biases the headline metric.
+DECON_THRESHOLD = 0.5
+EVAL_MIN_BUCKET = 80
+TRAIN_MAX_BUCKET = 80  # train side is bucket < 80
 
 
 def _shingle_rows(documents: DataFrame, k: int = 3) -> DataFrame:
@@ -42,34 +49,42 @@ def _shingle_rows(documents: DataFrame, k: int = 3) -> DataFrame:
 
 
 def q_decontaminate(documents: DataFrame,
-                    threshold: float = 0.5) -> DataFrame:
+                    threshold: float = DECON_THRESHOLD) -> DataFrame:
     """Train/eval decontamination — the audit an LLM data pipeline runs
     so benchmark text does not leak into the training set (GPT-3 /
     PaLM style exact n-gram overlap, here word 3-grams to match the
-    corpus's shingle machinery): for every eval-split document, find
-    train-split documents containing >= ``threshold`` of its distinct
-    shingles. containment = |sh(eval) ∩ sh(train)| / |sh(eval)| —
-    asymmetric by design: a tiny eval doc fully quoted inside a long
-    train doc is 100% contaminated even though Jaccard would be tiny.
+    corpus's shingle machinery): for every held-out document (val AND
+    test splits, bucket >= EVAL_MIN_BUCKET — val leakage biases model
+    selection exactly like test leakage biases the headline metric),
+    find train-split documents containing >= ``threshold`` of its
+    distinct shingles. containment = |sh(eval) ∩ sh(train)| /
+    |sh(eval)| — asymmetric by design: a tiny eval doc fully quoted
+    inside a long train doc is 100% contaminated even though Jaccard
+    would be tiny.
 
     Split membership is the SAME stable md5 bucketing the split
     assignment uses (functions.stable_bucket), so the audit is
     consistent with q_sample_stable / q_corpus_clean manifests.
 
     Scale shape: one shuffle keyed on the shingle (the eval side is
-    ~10% of the corpus and only distinct (doc_id, shingle) rows move),
+    ~20% of the corpus and only distinct (doc_id, shingle) rows move),
     then a pair-count agg — same cost class as the exact Jaccard
-    ground truth and equally oracle-checkable. At extreme duplicate
-    density the minhash/simhash blocking paths bound the candidate set
-    the same way they do for dedup.
+    ground truth and equally oracle-checkable. The eval-size join is a
+    plain shuffle join: ev_sz has one row per held-out doc, i.e. it is
+    PROPORTIONAL TO THE CORPUS, so broadcasting it would OOM at scale
+    (it rides the same shuffle key as the pair aggregate, so the join
+    is cheap anyway). At extreme duplicate density the minhash/simhash
+    blocking paths bound the candidate set the same way they do for
+    dedup. The oracle SQL is generated from the same DECON_THRESHOLD /
+    bucket constants, so non-default calls stay oracle-consistent.
     """
     from movie_rec_spark.functions import stable_bucket
 
     sh = _shingle_rows(documents, 3).withColumn(
         "bucket", stable_bucket(F.col("doc_id")))
-    ev = (sh.filter(F.col("bucket") >= 90)
+    ev = (sh.filter(F.col("bucket") >= EVAL_MIN_BUCKET)
           .select(F.col("doc_id").alias("eval_doc"), "g"))
-    tr = (sh.filter(F.col("bucket") < 80)
+    tr = (sh.filter(F.col("bucket") < TRAIN_MAX_BUCKET)
           .select(F.col("doc_id").alias("train_doc"), "g"))
     ev_sz = ev.groupBy("eval_doc").agg(F.count(F.lit(1)).alias("n_ev"))
     inter = (
@@ -78,7 +93,7 @@ def q_decontaminate(documents: DataFrame,
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        inter.join(F.broadcast(ev_sz), "eval_doc")
+        inter.join(ev_sz, "eval_doc")
         .select("eval_doc", "train_doc",
                 (F.col("n_common") / F.col("n_ev")).alias("containment"))
         .filter(F.col("containment") >= F.lit(threshold))
@@ -106,6 +121,11 @@ def q_dedup_jaccard(documents: DataFrame,
     inverted-index self-join: only pairs sharing ≥1 shingle are ever
     formed (no cross join). Still worst-case quadratic on hot shingles —
     the LSH variant below is the at-scale path; this is ground truth.
+
+    Oracle note: the DuckDB oracle interpolates JACCARD_THRESHOLD and
+    fixes the shingle size at 3 — a call with a non-default
+    ``threshold`` or a different ``_shingle_rows`` k is NOT
+    oracle-checked (covered by pytest property tests instead).
     """
     sh = _shingle_rows(documents)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

@@ -83,37 +83,52 @@ def q_embed_neardup(embeddings: DataFrame,
     import numpy as np
     import pandas as pd
 
-    spark = embeddings.sparkSession
-    pairs_df = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "ba int, bb int")
+    n = n_blocks
     e = embeddings.select(
         "vec_id", "embedding",
-        F.pmod(F.hash("vec_id"), F.lit(n_blocks)).alias("blk"))
-    side_a = e.join(F.broadcast(pairs_df), F.col("blk") == F.col("ba")) \
-        .select("ba", "bb", F.lit(0).alias("side"), "vec_id", "embedding")
-    side_b = e.join(F.broadcast(pairs_df),
-                    (F.col("blk") == F.col("bb")) & (F.col("ba") != F.col("bb"))) \
-        .select("ba", "bb", F.lit(1).alias("side"), "vec_id", "embedding")
+        F.pmod(F.hash("vec_id"), F.lit(n)).alias("blk"))
+    # Replicate each row to its block pairs with ONE row-local explode —
+    # no broadcast join, no union, no second scan (the former
+    # two-join+union formulation planned 3 extra operators and cost
+    # ~2.5× in first-run plan/codegen overhead). pid = ba*n + bb
+    # (ba <= bb) encodes the unordered pair; side 0 = my block is ba,
+    # side 1 = my block is bb.
+    a_side = F.transform(
+        F.sequence(F.col("blk"), F.lit(n - 1)),
+        lambda j: F.struct((F.col("blk") * n + j).alias("pid"),
+                           F.lit(0).alias("side")))
+    b_side = F.when(
+        F.col("blk") > 0,
+        F.transform(F.sequence(F.lit(0), F.col("blk") - 1),
+                    lambda i: F.struct((i * n + F.col("blk")).alias("pid"),
+                                       F.lit(1).alias("side")))
+    ).otherwise(F.array().cast("array<struct<pid:int,side:int>>"))
+    rows = e.select(
+        "vec_id", "embedding",
+        F.explode(F.concat(a_side, b_side)).alias("ps")
+    ).select("vec_id", "embedding",
+             F.col("ps.pid").alias("pid"), F.col("ps.side").alias("side"))
 
-    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = key[0]
+        ba, bb = pid // n, pid % n
         empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                               "vec_b": pd.Series(dtype="int64"),
                               "sim": pd.Series(dtype="float64")})
         a = pdf[pdf["side"] == 0]
         if not len(a):
             return empty
-        diag = pdf["ba"].iat[0] == pdf["bb"].iat[0]
+        diag = ba == bb
         b = a if diag else pdf[pdf["side"] == 1]
         if not len(b):
             return empty
 
-        def block(rows: pd.DataFrame):
+        def block(rows_: pd.DataFrame):
             m = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in rows["embedding"]])
+                          for v in rows_["embedding"]])
             nrm = np.linalg.norm(m, axis=1)
             nrm[nrm == 0] = 1.0
-            return rows["vec_id"].to_numpy(dtype=np.int64), m, nrm
+            return rows_["vec_id"].to_numpy(dtype=np.int64), m, nrm
 
         # dot-then-divide, the same accumulation the oracle's
         # list_cosine_similarity uses — pre-normalizing rows perturbs the
@@ -133,11 +148,8 @@ def q_embed_neardup(embeddings: DataFrame,
             "sim": sims[ai, bj],
         })
 
-    return (
-        side_a.unionByName(side_b)
-        .groupBy("ba", "bb")
-        .applyInPandas(gemm, "vec_a bigint, vec_b bigint, sim double")
-    )
+    return rows.groupBy("pid").applyInPandas(
+        gemm, "vec_a bigint, vec_b bigint, sim double")
 
 
 def q_embed_dedup_groups(embeddings: DataFrame,
@@ -162,39 +174,60 @@ def q_embed_quantize(embeddings: DataFrame) -> DataFrame:
     step of an embedding store (4× smaller than float32, 8× than the
     float64 compute form; recall cost observable via cos_recon).
 
-    scale = absmax/127; q_i = clamp(round(x_i/scale)); recon = q·scale.
-    Entirely row-local Catalyst HOF expressions (transform/array_max/
-    aggregate) fused into the scan — no shuffle, no Python — so at
-    100 TB this is a map-only rewrite job. Output per vector: the
-    quantization scale, how many components saturated at ±127, and the
-    cosine between the original and the dequantized vector (rounded
-    4dp) — the quality audit a pipeline gates on before swapping the
-    serving index to the quantized copy.
+    scale = absmax/127; q_i = clamp(round_half_away(x_i/scale));
+    recon = q·scale. One Arrow-batched mapInPandas pass (dense
+    per-vector linear algebra — the sanctioned Pandas-UDF case): no
+    shuffle, no driver traffic, so at 100 TB this is a map-only rewrite
+    job that scales with scan bandwidth. The previous all-expression
+    formulation nested HOF lambdas (transform/aggregate), which Catalyst
+    evaluates INTERPRETED and re-inlines on every reference — the
+    `scale` subtree re-evaluated per element per use, ~12k interpreted
+    expression evals per row — measured 10.5 s warm vs 0.3 s for this
+    form at sf0.1. Rounding is explicitly HALF-AWAY-FROM-ZERO
+    (trunc(x + copysign(0.5, x))) to match Spark's round() and DuckDB's
+    round() exactly; numpy's native np.round is half-to-even and would
+    diverge on .5 boundaries.
+
+    Output per vector: the quantization scale, how many components
+    saturated at ±127, and the cosine between the original and the
+    dequantized vector (rounded 4dp) — the quality audit a pipeline
+    gates on before swapping the serving index to the quantized copy.
+    A zero vector reconstructs to zero; its round-trip cosine is
+    defined as 1.0.
     """
-    e = _as_double(embeddings)
-    absmax = F.array_max(F.transform(F.col("embedding"),
-                                     lambda x: F.abs(x)))
-    scale = F.greatest(absmax, F.lit(1e-30)) / F.lit(127.0)
-    quant = F.transform(
-        F.col("embedding"),
-        lambda x: F.least(F.greatest(F.round(x / scale).cast("int"),
-                                     F.lit(-127)), F.lit(127)))
-    recon = F.transform(quant, lambda q: q.cast("double") * scale)
-    return (
-        e.select("vec_id", "embedding", scale.alias("scale"),
-                 quant.alias("qv"))
-        .select(
-            "vec_id",
-            F.round(F.col("scale"), 6).alias("scale"),
-            F.size(F.filter(F.col("qv"),
-                            lambda q: F.abs(q) == 127)).alias("n_sat"),
-            # a zero vector reconstructs to zero — define its round-trip
-            # cosine as 1.0 (and keep ANSI mode's divide-by-zero out)
-            F.when(absmax > 0,
-                   F.round(cosine(F.col("embedding"), recon), 4))
-            .otherwise(F.lit(1.0)).alias("cos_recon"),
-        )
-    )
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"]])
+            absmax = np.abs(m).max(axis=1)
+            scale = np.maximum(absmax, 1e-30) / 127.0
+            ratio = m / scale[:, None]
+            q = np.clip(np.trunc(ratio + np.copysign(0.5, ratio)),
+                        -127, 127)
+            n_sat = (np.abs(q) == 127).sum(axis=1).astype("int32")
+            recon = q * scale[:, None]
+            num = np.einsum("ij,ij->i", m, recon)
+            den = np.linalg.norm(m, axis=1) * np.linalg.norm(recon, axis=1)
+            den[den == 0] = 1.0
+            r = num / den
+            cos = np.where(absmax > 0,
+                           np.trunc(r * 1e4 + np.copysign(0.5, r)) / 1e4,
+                           1.0)
+            s6 = np.trunc(scale * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "scale": s6,
+                "n_sat": n_sat,
+                "cos_recon": cos,
+            })
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        fn, "vec_id bigint, scale double, n_sat int, cos_recon double")
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

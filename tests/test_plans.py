@@ -100,7 +100,7 @@ def test_new_operator_shuffle_budgets(spark):
         "q_sample_stable": 0,   # row-local hashing
         "q_quality_score": 0,
         "q_corpus_clean": 1,    # gates/split row-local; dedup window only
-        "q_embed_quantize": 0,  # row-local HOF rewrite, map-only
+        "q_embed_quantize": 0,  # Arrow-batched map-only pass, no shuffle
         "q_tfidf_top_terms": 4,
     }
     qs = E.queries()
