@@ -132,6 +132,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_decontaminate": lambda s, d: D.q_decontaminate(
             _t("documents")(s, d)),
+        "q_ngram_counts": lambda s, d: T.q_ngram_counts(
+            _t("documents")(s, d)),
+        "q_domain_stats": lambda s, d: T.q_domain_stats(
+            _t("documents")(s, d)),
+        "q_dedup_incremental": lambda s, d: D.q_dedup_incremental(
+            _t("documents")(s, d)),
+        "q_knn_int8": lambda s, d: S.q_knn_int8(_t("embeddings")(s, d)),
         # --- similarity scale paths (rows-only: seeded-random LSH planes /
         # KMeans centroids are engine-specific; recall vs the exact
         # baselines is asserted in tests/test_similarity_multimodal.py) ---
@@ -684,6 +691,92 @@ def oracle_sql() -> dict[str, str]:
                    n_common * 1.0 / n_ev AS containment
             FROM inter JOIN ev_sz USING (eval_doc)
             WHERE n_common * 1.0 / n_ev >= {D.DECON_THRESHOLD}
+        """,
+        # OCCURRENCE-counted bigrams (no per-doc distinct) — same
+        # slice-truncation-at-end semantics as the Spark transform.
+        "q_ngram_counts": """
+            WITH toks AS (SELECT string_split(text, ' ') AS w
+                          FROM documents),
+            grams AS (SELECT array_to_string(list_slice(w, CAST(i AS INT),
+                                 CAST(i AS INT) + 1), ' ') AS gram
+                      FROM (SELECT w,
+                                   unnest(range(1, greatest(len(w) - 1, 1)
+                                          + 1)) AS i
+                            FROM toks))
+            SELECT gram, count(*) AS n_occurrences
+            FROM grams GROUP BY gram
+            ORDER BY n_occurrences DESC, gram LIMIT 50
+        """,
+        # Quality arithmetic identical to the q_quality_score oracle;
+        # dup_ratio multiplies by 1.0 so both engines divide as double.
+        "q_domain_stats": """
+            WITH b AS (
+                SELECT source, md5(text) AS fp,
+                       (CAST(len(string_split(text, ' ')) >= 5 AS INTEGER)
+                        + CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('the','a','of','and')))
+                              / len(string_split(text, ' ')) <= 0.5
+                              AS INTEGER)
+                        + CAST((length(text) - length(regexp_replace(
+                              text, '[.,;:!?]', '', 'g')))
+                              / len(string_split(text, ' ')) < 0.5
+                              AS INTEGER)
+                        + CAST(length(replace(text, ' ', ''))
+                              / len(string_split(text, ' ')) >= 2.0
+                              AND length(replace(text, ' ', ''))
+                              / len(string_split(text, ' ')) <= 12.0
+                              AS INTEGER)) / 4.0 AS q
+                FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT fp) AS n_unique_texts,
+                   1.0 - count(DISTINCT fp) * 1.0 / count(*) AS dup_ratio,
+                   avg(q) AS avg_quality
+            FROM b GROUP BY source
+        """,
+        # Batch membership = the same stable md5 bucket arithmetic as
+        # q_sample_stable; first-match-wins status rules as in the
+        # operator docstring.
+        "q_dedup_incremental": f"""
+            WITH f AS (
+                SELECT doc_id, md5(text) AS fp,
+                       CAST(CAST('0x' || substring(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 100 AS INTEGER) AS bucket
+                FROM documents),
+            inc AS (SELECT doc_id, fp FROM f
+                    WHERE bucket >= {D.INCREMENTAL_BATCH_MIN_BUCKET}),
+            corp AS (SELECT DISTINCT fp, 1 AS in_corpus FROM f
+                     WHERE bucket < {D.INCREMENTAL_BATCH_MIN_BUCKET}),
+            w AS (SELECT i.doc_id, i.fp, c.in_corpus,
+                         min(i.doc_id) OVER (PARTITION BY i.fp)
+                             AS min_batch_id
+                  FROM inc i LEFT JOIN corp c USING (fp))
+            SELECT doc_id, fp,
+                   CASE WHEN in_corpus IS NOT NULL THEN 'dup_of_corpus'
+                        WHEN doc_id <> min_batch_id THEN 'dup_in_batch'
+                        ELSE 'new' END AS status
+            FROM w
+        """,
+        # Same quantization arithmetic as the q_embed_quantize oracle;
+        # int8 codes are exact in float64, so the cosine is bit-stable
+        # across engines before the 4dp round.
+        "q_knn_int8": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            s AS (SELECT vec_id, v,
+                         greatest(list_max(list_transform(v, x -> abs(x))),
+                                  1e-30) / 127.0 AS scale
+                  FROM e),
+            q AS (SELECT vec_id,
+                         list_transform(v, x -> least(greatest(
+                             round(x / scale), -127), 127)) AS qv
+                  FROM s)
+            SELECT c.vec_id,
+                   round(list_cosine_similarity(c.qv, qq.qv), 4) AS sim
+            FROM q c, (SELECT qv FROM q
+                       WHERE vec_id = {S.QUERY_VEC_ID}) qq
+            WHERE c.vec_id <> {S.QUERY_VEC_ID}
+            ORDER BY sim DESC, c.vec_id LIMIT {S.KNN_K}
         """,
         # Same shingle enumeration as the jaccard oracle (list_slice
         # truncates at the end exactly like word_shingles); ratios are

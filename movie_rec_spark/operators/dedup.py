@@ -100,6 +100,60 @@ def q_decontaminate(documents: DataFrame,
     )
 
 
+INCREMENTAL_BATCH_MIN_BUCKET = 95  # bucket >= 95 plays the incoming batch
+
+
+def q_dedup_incremental(documents: DataFrame) -> DataFrame:
+    """Incremental ingestion dedup — the steady-state shape of corpus
+    deduplication: a NEW batch arrives and must be deduped against the
+    already-ingested corpus (and within itself) WITHOUT rescanning or
+    re-pairing the whole corpus. Batch membership here is simulated by
+    the stable md5 bucket (>= INCREMENTAL_BATCH_MIN_BUCKET ≈ 5% of the
+    table) so the query is self-contained and oracle-checkable.
+
+    Verdict per incoming doc, first match wins:
+      dup_of_corpus — content digest already exists in the corpus
+      dup_in_batch  — digest is new to the corpus but a smaller doc_id
+                      in the SAME batch has it
+      new           — first occurrence anywhere
+
+    Scale shape: the corpus side reduces to DISTINCT digests before the
+    join (one shuffle keyed on fp, combiner-collapsed), the batch side
+    is ~5% of the table, and the join + the within-batch min-window are
+    BOTH keyed on fp — at 100 TB with the corpus digest table persisted
+    (bucketed by fp) this touches the batch plus one digest-keyed probe,
+    never corpus×batch pairs. The left join is a plain shuffle join on
+    purpose: the corpus digest set is proportional to the corpus, so
+    broadcasting it would OOM (same discipline as q_decontaminate).
+    """
+    from pyspark.sql import Window
+
+    from movie_rec_spark.functions import stable_bucket
+
+    bucket = stable_bucket(F.col("doc_id"))
+    with_fp = documents.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp"),
+        bucket.alias("bucket"))
+    inc = with_fp.filter(
+        F.col("bucket") >= INCREMENTAL_BATCH_MIN_BUCKET).drop("bucket")
+    corpus_fps = (
+        with_fp.filter(F.col("bucket") < INCREMENTAL_BATCH_MIN_BUCKET)
+        .select("fp").distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    min_id = F.min("doc_id").over(Window.partitionBy("fp"))
+    return (
+        inc.join(corpus_fps, "fp", "left")
+        .withColumn("min_batch_id", min_id)
+        .select(
+            "doc_id", "fp",
+            F.when(F.col("in_corpus").isNotNull(), "dup_of_corpus")
+            .when(F.col("doc_id") != F.col("min_batch_id"), "dup_in_batch")
+            .otherwise("new").alias("status"),
+        )
+    )
+
+
 def q_dedup_exact(documents: DataFrame) -> DataFrame:
     """Exact dedup: group by content digest, keep the smallest doc_id.
     One shuffle keyed on the digest — at 100 TB the digest is computed

@@ -230,6 +230,74 @@ def q_embed_quantize(embeddings: DataFrame) -> DataFrame:
         fn, "vec_id bigint, scale double, n_sat int, cos_recon double")
 
 
+def q_knn_int8(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
+               k: int = KNN_K) -> DataFrame:
+    """Exact cosine top-k computed ENTIRELY on the int8-quantized
+    corpus — the serving-side counterpart of q_embed_quantize: once the
+    audit passes, searches run against the 4-8× smaller compressed
+    index, and this query is that search path (cosine is
+    scale-invariant, so the per-vector quantization scales cancel and
+    scoring works on the raw int8 codes — integers are exact in
+    float64, which also makes the result bit-stable across engines).
+
+    Plan shape: the query row is ONE bounded point lookup (first());
+    the corpus pass is a single mapInPandas scan that quantizes each
+    Arrow batch and keeps only its LOCAL top-k (ordered by the same
+    (sim desc, vec_id) criterion as the global cut, so per-batch
+    pruning is lossless) — shuffle volume is k rows per batch, and the
+    global TakeOrderedAndProject finishes it. No shuffle of the
+    corpus, no driver traffic beyond k·n_batches candidate rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrow = (embeddings.filter(F.col("vec_id") == query_vec_id)
+            .select("embedding").first())
+    if qrow is None:
+        raise KeyError(f"query vec_id {query_vec_id} not found")
+    qv = np.asarray(qrow[0], dtype=np.float64)
+
+    def quantize(m: np.ndarray) -> np.ndarray:
+        absmax = np.abs(m).max(axis=1)
+        scale = np.maximum(absmax, 1e-30) / 127.0
+        ratio = m / scale[:, None]
+        return np.clip(np.trunc(ratio + np.copysign(0.5, ratio)),
+                       -127, 127)
+
+    q8 = quantize(qv[None, :])[0]
+    q8n = np.linalg.norm(q8) or 1.0
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            keep = ids != query_vec_id
+            if not keep.any():
+                continue
+            ids = ids[keep]
+            m = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"].to_numpy()[keep]])
+            c8 = quantize(m)
+            nrm = np.linalg.norm(c8, axis=1)
+            nrm[nrm == 0] = 1.0
+            # int8 dot products are exact in float64, so r is
+            # bit-identical across engines; round half-away to match
+            # DuckDB/Spark round() (np.round is half-to-even)
+            r = (c8 @ q8) / (nrm * q8n)
+            sims = np.trunc(r * 1e4 + np.copysign(0.5, r)) / 1e4
+            # local top-k on the exact global criterion (sim desc, id asc)
+            order = np.lexsort((ids, -sims))[:k]
+            yield pd.DataFrame({"vec_id": ids[order], "sim": sims[order]})
+
+    return (
+        embeddings.select("vec_id", "embedding")
+        .mapInPandas(score, "vec_id bigint, sim double")
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (driver-side tiny)."""
     rng = random.Random(seed)

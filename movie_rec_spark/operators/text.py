@@ -238,6 +238,68 @@ def q_repetition(documents: DataFrame) -> DataFrame:
     )
 
 
+def q_ngram_counts(documents: DataFrame, top_k: int = 50) -> DataFrame:
+    """Corpus-level bigram frequency — the vocabulary/phrase statistics
+    a tokenizer-training or LM-data job computes over the whole corpus
+    (BPE merge candidates start exactly like this: count adjacent-pair
+    occurrences, take the most frequent).
+
+    OCCURRENCE counts, not per-doc presence — so the shingle enumeration
+    here is deliberately NOT deduplicated per document (unlike
+    word_shingles, which array_distincts for set-semantics Jaccard).
+
+    Plan shape at 100 TB: the explode is row-local and fused into the
+    scan; the count is ONE shuffle with map-side partial aggregation
+    (the combiner collapses each partition to its distinct grams before
+    anything moves); the top-k is TakeOrderedAndProject — no global
+    sort. Ordering ties break on the gram string so the cut is
+    deterministic across engines.
+    """
+    w = _tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 2)))
+    return (
+        documents.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(top_k)
+    )
+
+
+def q_domain_stats(documents: DataFrame) -> DataFrame:
+    """Per-source corpus report — the governance dashboard a corpus
+    owner reads before training: document volume, exact-duplicate rate,
+    mean quality score, and held-out share per source, so a bad feed
+    (scraper stuck in a loop, boilerplate farm) is visible as a source
+    with collapsed unique-text ratio or cratered quality.
+
+    One grouped aggregation; the distinct-digest count uses the
+    count(DISTINCT md5) path (Catalyst plans partial distinct-expand +
+    final agg — two exchanges, both keyed by source, no skew risk since
+    sources are coarse). avg quality is a mean of exact binary quarters
+    (k/4), so the double sum is order-independent and engine-exact —
+    no rounding needed.
+    """
+    score = _quality_score(F.col("text"))
+    return (
+        documents.select(
+            "source",
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+            score.alias("q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique_texts"),
+            (F.lit(1.0) - F.countDistinct("fp") / F.count(F.lit(1)))
+            .alias("dup_ratio"),
+            F.avg("q").alias("avg_quality"),
+        )
+    )
+
+
 def q_corpus_clean(documents: DataFrame) -> DataFrame:
     """End-to-end training-data cleaning — the composition a corpus
     pipeline actually runs, declared as ONE plan so Catalyst fuses it:

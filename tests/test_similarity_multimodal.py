@@ -175,3 +175,22 @@ def test_resize_emits_fixed_size_payloads(spark, sf_docs):
     again = resize_images(with_payload(sf_docs), target=8).collect()
     assert {r.doc_id: bytes(r.resized) for r in out} == \
         {r.doc_id: bytes(r.resized) for r in again}
+
+
+def test_knn_int8_matches_float_knn(spark, sf_emb):
+    """int8-quantized search must agree with the float brute-force
+    top-k on nearly all of the k set (quantization moves sims by
+    <1e-3 at 64 dims, far below typical neighbor gaps)."""
+    brute = {r.vec_id for r in S.q_knn_brute(sf_emb).collect()}
+    int8 = [r for r in S.q_knn_int8(sf_emb).collect()]
+    assert len(int8) == S.KNN_K
+    assert len(brute & {r.vec_id for r in int8}) >= S.KNN_K - 2
+    sims = [r.sim for r in int8]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+
+def test_knn_int8_missing_query_raises(spark, sf_emb):
+    import pytest
+    with pytest.raises(KeyError):
+        S.q_knn_int8(sf_emb, query_vec_id=10**9)

@@ -227,3 +227,62 @@ def test_dedup_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_ngram_counts_occurrence_semantics(spark):
+    """Bigram counts are OCCURRENCES, not per-doc presence: 'a b' twice
+    in one doc counts 2; ties at the limit break on the gram string."""
+    docs = _docs(spark, ["a b a b", "a b c"])
+    out = {r.gram: r.n_occurrences
+           for r in T.q_ngram_counts(docs, top_k=10).collect()}
+    assert out["a b"] == 3       # 2 in doc0 + 1 in doc1
+    assert out["b a"] == 1
+    assert out["b c"] == 1
+
+
+def test_ngram_counts_single_token_doc(spark):
+    """A one-token doc yields its token as the (degenerate) gram —
+    matching the oracle's list_slice truncation."""
+    docs = _docs(spark, ["solo"])
+    out = T.q_ngram_counts(docs).collect()
+    assert [(r.gram, r.n_occurrences) for r in out] == [("solo", 1)]
+
+
+def test_domain_stats_dup_ratio(spark):
+    from pyspark.sql import Row
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="the cat and the dog of it", lang="en",
+            source="a", n_chars=1),
+        Row(doc_id=1, text="the cat and the dog of it", lang="en",
+            source="a", n_chars=1),
+        Row(doc_id=2, text="unique text entirely here now", lang="en",
+            source="b", n_chars=1),
+    ])
+    out = {r.source: r for r in T.q_domain_stats(docs).collect()}
+    assert out["a"].n_docs == 2 and out["a"].n_unique_texts == 1
+    assert abs(out["a"].dup_ratio - 0.5) < 1e-12
+    assert out["b"].dup_ratio == 0.0
+    assert 0.0 <= out["a"].avg_quality <= 1.0
+
+
+def test_dedup_incremental_statuses(spark):
+    """ids 20/30/37 md5-bucket into the incoming batch (>=95); the rest
+    play the corpus. 20 duplicates corpus text -> dup_of_corpus;
+    30/37 share a batch-only text -> min id 30 is new, 37 dup_in_batch."""
+    from pyspark.sql import Row
+    corpus_text = "already ingested content right here"
+    batch_text = "fresh batch content never seen"
+    rows = [Row(doc_id=0, text=corpus_text, lang="en", source="s",
+                n_chars=1),
+            Row(doc_id=1, text="other corpus doc", lang="en", source="s",
+                n_chars=1),
+            Row(doc_id=20, text=corpus_text, lang="en", source="s",
+                n_chars=1),
+            Row(doc_id=30, text=batch_text, lang="en", source="s",
+                n_chars=1),
+            Row(doc_id=37, text=batch_text, lang="en", source="s",
+                n_chars=1)]
+    out = {r.doc_id: r.status
+           for r in D.q_dedup_incremental(spark.createDataFrame(rows))
+           .collect()}
+    assert out == {20: "dup_of_corpus", 30: "new", 37: "dup_in_batch"}
