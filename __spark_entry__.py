@@ -142,6 +142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity scale paths (rows-only: seeded-random LSH planes /
         # KMeans centroids are engine-specific; recall vs the exact
         # baselines is asserted in tests/test_similarity_multimodal.py) ---
+        # rows-only: minhash signatures are xxhash64-seeded, not
+        # reproducible in DuckDB; agreement with the exact-Jaccard
+        # groups is pytest-asserted (test_text_dedup.py)
+        "q_minhash_groups": lambda s, d: D.q_minhash_groups(
+            _t("documents")(s, d)),
         "q_neardup_lsh": lambda s, d: S.lsh_neardup(
             _t("embeddings")(s, d), dim=S.EMBED_DIM),
         "q_knn_ivf": lambda s, d: S.q_knn_ivf(_t("embeddings")(s, d)),

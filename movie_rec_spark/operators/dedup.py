@@ -122,9 +122,12 @@ def q_dedup_incremental(documents: DataFrame) -> DataFrame:
     is ~5% of the table, and the join + the within-batch min-window are
     BOTH keyed on fp — at 100 TB with the corpus digest table persisted
     (bucketed by fp) this touches the batch plus one digest-keyed probe,
-    never corpus×batch pairs. The left join is a plain shuffle join on
-    purpose: the corpus digest set is proportional to the corpus, so
-    broadcasting it would OOM (same discipline as q_decontaminate).
+    never corpus×batch pairs. The corpus digest side is deliberately
+    NOT force-broadcast — it is proportional to the corpus, so a
+    forced broadcast would OOM at scale (same discipline as
+    q_decontaminate); Catalyst may still broadcast it adaptively while
+    its size estimate fits, which is the correct behavior at every
+    scale.
     """
     from pyspark.sql import Window
 
@@ -618,3 +621,19 @@ def q_dedup_groups(documents: DataFrame) -> DataFrame:
     """Declared query: near-dup components over the Jaccard pairs —
     (doc_id, comp) with comp = canonical (minimum) member id."""
     return dedup_components(q_dedup_jaccard(documents).select("doc_a", "doc_b"))
+
+
+def q_minhash_groups(documents: DataFrame) -> DataFrame:
+    """Declared query (rows-only: minhash signatures are xxhash64-seeded
+    and not reproducible in the SQL oracle): the FULL approximate dedup
+    pipeline composed end-to-end — MinHash banding candidates →
+    signature-verified pairs → connected components → (doc_id, comp).
+
+    This is the pipeline that actually runs at 100 TB, where the exact
+    Jaccard ground truth (q_dedup_groups' input) is unaffordable: every
+    stage is an equi-join/group on band or id keys, so total cost
+    tracks duplicate density. Candidate recall (banding misses) and
+    precision (signature-estimate false positives) both shift the
+    components; agreement with the exact-Jaccard groups on the test
+    corpus is asserted in tests/test_text_dedup.py."""
+    return dedup_components(q_dedup_minhash(documents).select("doc_a", "doc_b"))

@@ -168,3 +168,48 @@ def test_streaming_dedup_drops_replayed_batch(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("SELECT * FROM t_dedup").collect()[0][0]
     assert got == ev.count(), "replayed rows must be deduped"
+
+
+def test_incremental_ingest_dedups_across_batches(spark, tmp_path):
+    """A doc whose text arrived in an earlier micro-batch must be
+    flagged dup_of_corpus when it reappears later; in-batch dups get
+    dup_in_batch on all but the smallest id; state survives batches."""
+    import os
+
+    from pyspark.sql import Row
+
+    from movie_rec_spark.streaming.ingest import run_incremental_ingest
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+
+    def doc(i, t):
+        return Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+
+    b1 = [doc(1, "first text"), doc(2, "second text"), doc(3, "first text")]
+    b2 = [doc(10, "first text"), doc(11, "brand new text")]
+    # one parquet file per producer batch; maxFilesPerTrigger=1 makes
+    # each file its own micro-batch, and file-source ordering follows
+    # modification time — stamp b2 strictly later.
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+    import glob
+    import time
+    first_files = set(glob.glob(src + "/*.parquet"))
+    time.sleep(1.1)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+    for f in set(glob.glob(src + "/*.parquet")) - first_files:
+        os.utime(f)
+
+    run_incremental_ingest(
+        spark, src, str(tmp_path / "ingest_ckpt"),
+        str(tmp_path / "digest_state"), str(tmp_path / "ingest_log"))
+
+    log = spark.read.parquet(str(tmp_path / "ingest_log") + "/*/")
+    got = {r.doc_id: r.status for r in log.collect()}
+    assert got[1] == "new" and got[3] == "dup_in_batch"
+    assert got[2] == "new"
+    assert got[10] == "dup_of_corpus"
+    assert got[11] == "new"
+    # digest state holds exactly the distinct ingested texts
+    fps = spark.read.parquet(str(tmp_path / "digest_state") + "/*/")
+    assert fps.distinct().count() == 3

@@ -286,3 +286,13 @@ def test_dedup_incremental_statuses(spark):
            for r in D.q_dedup_incremental(spark.createDataFrame(rows))
            .collect()}
     assert out == {20: "dup_of_corpus", 30: "new", 37: "dup_in_batch"}
+
+
+def test_minhash_groups_agree_with_exact_groups(spark, sf_docs):
+    """The end-to-end approximate pipeline (minhash candidates →
+    components) must reproduce the exact-Jaccard dedup groups on the
+    test corpus (same partition of the same node set)."""
+    exact = {(r.doc_id, r.comp) for r in D.q_dedup_groups(sf_docs).collect()}
+    approx = {(r.doc_id, r.comp)
+              for r in D.q_minhash_groups(sf_docs).collect()}
+    assert approx == exact
