@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is deterministic-fake; schema/batch contract is the product) ---
         "q_image_features": lambda s, d: MM.decode_image_features(
             MM.with_payload(_t("documents")(s, d))),
+        "q_audio_features": lambda s, d: MM.decode_audio_features(
+            MM.with_payload(_t("documents")(s, d))),
         # --- ML (rows-only: not SQL-expressible) ---
         "q_als_recs": lambda s, d: ML.q_als_recs(
             _t("lineitem")(s, d), _t("orders")(s, d)),

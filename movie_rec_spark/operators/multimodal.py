@@ -111,6 +111,61 @@ def decode_image_features(with_payload_df: DataFrame,
     return with_payload_df.mapInPandas(fn, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_sec", DoubleType()),
+    StructField("rms", DoubleType()),
+])
+
+
+def decode_audio_features(with_payload_df: DataFrame,
+                          strict: bool = False) -> DataFrame:
+    """Audio decode + feature extraction over mapInPandas — the audio
+    twin of decode_image_features: sample rate / length from the
+    container header, RMS level from the samples. The codec call is a
+    deterministic fake (header fields derived from the content digest,
+    RMS from payload bytes recentred to [-1, 1]); with strict=True it
+    raises NotImplementedError (no libsndfile/ffmpeg in this
+    container) — the production hook point. Schema, Arrow batch shape,
+    and 1→1 row contract are the real product.
+    """
+    def fake_decode(payload: bytes) -> tuple[int, int, float, float]:
+        h = hashlib.md5(payload).digest()
+        rate = (8000, 16000, 22050, 44100)[h[0] % 4]
+        n_samples = max(len(payload), 1) * 16
+        duration = round(n_samples / rate, 4)
+        if payload:
+            acc = 0.0
+            for b in payload:
+                v = (b - 128.0) / 128.0
+                acc += v * v
+            rms = round((acc / len(payload)) ** 0.5, 4)
+        else:
+            rms = 0.0
+        return rate, n_samples, duration, rms
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real audio decode requires libsndfile/ffmpeg; "
+                "not in container")
+        for pdf in batches:
+            decoded = [fake_decode(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sample_rate": pd.Series(
+                    [d[0] for d in decoded], dtype="int32"),
+                "n_samples": pd.Series(
+                    [d[1] for d in decoded], dtype="int64"),
+                "duration_sec": [d[2] for d in decoded],
+                "rms": [d[3] for d in decoded],
+            })
+
+    return with_payload_df.mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(with_payload_df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video frame sampling stub: emits n_frames rows per payload with a
     deterministic per-frame digest — a 1→N mapInPandas (the real codec

@@ -194,3 +194,22 @@ def test_knn_int8_missing_query_raises(spark, sf_emb):
     import pytest
     with pytest.raises(KeyError):
         S.q_knn_int8(sf_emb, query_vec_id=10**9)
+
+
+def test_audio_decode_contract(spark, sf_docs):
+    from movie_rec_spark.operators import multimodal as MM
+    out = MM.decode_audio_features(MM.with_payload(sf_docs)).collect()
+    assert len(out) == sf_docs.count()
+    for r in out[:20]:
+        assert r.sample_rate in (8000, 16000, 22050, 44100)
+        assert r.n_samples > 0
+        assert abs(r.duration_sec - round(r.n_samples / r.sample_rate, 4)) < 1e-9
+        assert 0.0 <= r.rms <= 1.0
+
+
+def test_audio_decode_strict_raises(spark, sf_docs):
+    import pytest
+    from movie_rec_spark.operators import multimodal as MM
+    with pytest.raises(Exception):
+        MM.decode_audio_features(
+            MM.with_payload(sf_docs), strict=True).collect()
