@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_dedup_incremental": lambda s, d: D.q_dedup_incremental(
             _t("documents")(s, d)),
+        "q_pack_sequences": lambda s, d: T.q_pack_sequences(
+            _t("documents")(s, d)),
         "q_knn_int8": lambda s, d: S.q_knn_int8(_t("embeddings")(s, d)),
         # --- similarity scale paths (rows-only: seeded-random LSH planes /
         # KMeans centroids are engine-specific; recall vs the exact
@@ -763,6 +765,33 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id <> min_batch_id THEN 'dup_in_batch'
                         ELSE 'new' END AS status
             FROM w
+        """,
+        # Same md5-bucket shard arithmetic as q_sample_stable (mod 16);
+        # the running sum windows per shard ordered by doc_id — pure
+        # integer arithmetic, engine-exact.
+        "q_pack_sequences": """
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(CAST(CAST('0x' || substring(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 100 % 16 AS INTEGER) AS INTEGER)
+                           AS shard,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, shard, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY shard
+                           ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM d)
+            SELECT doc_id, shard, n_tokens,
+                   cum - n_tokens AS start_offset,
+                   CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
+                       AS chunk_id,
+                   ((cum - n_tokens) % 512 + n_tokens) > 512
+                       AS crosses_boundary
+            FROM c
         """,
         # Same quantization arithmetic as the q_embed_quantize oracle;
         # int8 codes are exact in float64, so the cosine is bit-stable

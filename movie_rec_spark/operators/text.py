@@ -300,6 +300,48 @@ def q_domain_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def q_pack_sequences(documents: DataFrame, budget: int = 512,
+                     n_shards: int = 16) -> DataFrame:
+    """Sequence-packing manifest — the concat-and-chunk step of LLM
+    pretraining data prep: documents are concatenated in a
+    deterministic order and sliced into fixed ``budget``-token training
+    sequences; this query assigns every document its shard, its token
+    offset within the shard's concatenated stream, the chunk (training
+    sequence) its first token lands in, and whether it straddles a
+    chunk boundary (the fraction a packing-efficiency report tracks).
+
+    Scale shape: ONE shuffle on the shard key. Packing is sequential
+    by nature (each offset depends on every predecessor), so the
+    global stream is sharded first — stable md5 bucket mod n_shards,
+    the same determinism discipline as q_sample_stable — and the
+    running sum is a window per shard: n_shards-way parallel, exactly
+    how production packers shard the corpus. All-integer arithmetic,
+    so the manifest is engine-exact (oracle-checked).
+    """
+    from pyspark.sql import Window
+
+    from movie_rec_spark.functions import stable_bucket
+
+    shard = (stable_bucket(F.col("doc_id")) % n_shards).cast("int")
+    n_tok = F.size(_tokens(F.col("text"))).cast("long")
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    return (
+        documents.select("doc_id", shard.alias("shard"),
+                         n_tok.alias("n_tokens"))
+        .select(
+            "doc_id", "shard", "n_tokens",
+            start,
+            F.floor((cum - F.col("n_tokens")) / budget)
+            .cast("long").alias("chunk_id"),
+            (((cum - F.col("n_tokens")) % budget + F.col("n_tokens"))
+             > budget).alias("crosses_boundary"),
+        )
+    )
+
+
 def q_corpus_clean(documents: DataFrame) -> DataFrame:
     """End-to-end training-data cleaning — the composition a corpus
     pipeline actually runs, declared as ONE plan so Catalyst fuses it:

@@ -296,3 +296,23 @@ def test_minhash_groups_agree_with_exact_groups(spark, sf_docs):
     approx = {(r.doc_id, r.comp)
               for r in D.q_minhash_groups(sf_docs).collect()}
     assert approx == exact
+
+
+def test_pack_sequences_manifest(spark, sf_docs):
+    """Offsets are gapless per shard (each doc starts where the
+    previous ended), chunk ids follow floor(start/budget), and the
+    boundary flag matches the arithmetic."""
+    out = T.q_pack_sequences(sf_docs, budget=512).collect()
+    assert len(out) == sf_docs.count()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in rows:
+            assert r.start_offset == expect
+            assert r.chunk_id == r.start_offset // 512
+            assert r.crosses_boundary == (
+                (r.start_offset % 512 + r.n_tokens) > 512)
+            expect += r.n_tokens
