@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_pack_sequences": lambda s, d: T.q_pack_sequences(
             _t("documents")(s, d)),
+        "q_source_balance": lambda s, d: T.q_source_balance(
+            _t("documents")(s, d)),
         "q_knn_int8": lambda s, d: S.q_knn_int8(_t("embeddings")(s, d)),
         # --- similarity scale paths (rows-only: seeded-random LSH planes /
         # KMeans centroids are engine-specific; recall vs the exact
@@ -765,6 +767,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id <> min_batch_id THEN 'dup_in_batch'
                         ELSE 'new' END AS status
             FROM w
+        """,
+        # Keep-decision by integer cross-multiplication against the
+        # same md5 bucket (mod 10000) the Spark operator uses — exact,
+        # no float keep-prob.
+        "q_source_balance": """
+            WITH c AS (SELECT source, count(*) AS n_source_docs
+                       FROM documents GROUP BY source),
+            b AS (SELECT doc_id, source,
+                         CAST(CAST('0x' || substring(
+                             md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 10000 AS BIGINT) AS bucket
+                  FROM documents)
+            SELECT b.doc_id, b.source, c.n_source_docs
+            FROM b JOIN c USING (source)
+            WHERE b.bucket * c.n_source_docs < 20 * 10000
         """,
         # Same md5-bucket shard arithmetic as q_sample_stable (mod 16);
         # the running sum windows per shard ordered by doc_id — pure

@@ -300,6 +300,35 @@ def q_domain_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def q_source_balance(documents: DataFrame, cap: int = 20) -> DataFrame:
+    """Source-balanced downsampling — the mixture-rebalancing step of
+    corpus prep: every source is capped at ~``cap`` documents' worth of
+    probability mass (keep probability min(1, cap/n_source)), so one
+    giant crawl can't dominate the training mixture (the same goal as
+    temperature-based source sampling, as a hard cap).
+
+    Membership is the stable md5 bucket IN [0, 10000) compared by
+    integer cross-multiplication — ``bucket·n_source < cap·10000`` —
+    so the decision is EXACT (no float keep-prob rounding), per-doc
+    deterministic, stable under resharding and corpus growth within a
+    source-count snapshot, and identical across engines
+    (oracle-checked). Scale shape: one grouped count (rows = number of
+    sources, coarse by construction) broadcast back, then a row-local
+    filter fused into the scan — no shuffle of the corpus itself.
+    """
+    from movie_rec_spark.functions import stable_bucket
+
+    counts = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_source_docs"))
+    bucket = stable_bucket(F.col("doc_id"), 10000).cast("long")
+    return (
+        documents.select("doc_id", "source")
+        .join(F.broadcast(counts), "source")
+        .filter(bucket * F.col("n_source_docs") < F.lit(cap * 10000))
+        .select("doc_id", "source", "n_source_docs")
+    )
+
+
 def q_pack_sequences(documents: DataFrame, budget: int = 512,
                      n_shards: int = 16) -> DataFrame:
     """Sequence-packing manifest — the concat-and-chunk step of LLM

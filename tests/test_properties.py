@@ -167,3 +167,29 @@ def test_operators_handle_empty_inputs(spark):
         empty_ev.select("event_id", "user_id", "ts"), iv,
         key="user_id", left_ts="ts", right_start="win_start",
         right_end="win_end", bin_seconds=3600).count() == 0
+
+
+def test_new_text_dedup_ops_handle_empty_inputs(spark):
+    """Empty-input totality for the round-3 operators."""
+    from movie_rec_spark.operators.dedup import q_dedup_incremental
+    from movie_rec_spark.operators.text import (
+        q_domain_stats,
+        q_ngram_counts,
+        q_pack_sequences,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint")
+    assert q_ngram_counts(empty_docs).count() == 0
+    assert q_domain_stats(empty_docs).count() == 0
+    assert q_dedup_incremental(empty_docs).count() == 0
+    assert q_pack_sequences(empty_docs).count() == 0
+
+
+def test_quantize_and_int8_knn_empty_corpus(spark):
+    from movie_rec_spark.operators.similarity import q_embed_quantize
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>, label int")
+    assert q_embed_quantize(empty_emb).count() == 0

@@ -316,3 +316,24 @@ def test_pack_sequences_manifest(spark, sf_docs):
             assert r.crosses_boundary == (
                 (r.start_offset % 512 + r.n_tokens) > 512)
             expect += r.n_tokens
+
+
+def test_source_balance_caps_heavy_sources(spark):
+    """A source above the cap is downsampled to ~cap expected docs;
+    a source at/below the cap keeps everything; membership is
+    deterministic (same result twice)."""
+    from pyspark.sql import Row
+    rows = ([Row(doc_id=i, text=f"t {i}", lang="en", source="big",
+                 n_chars=1) for i in range(200)]
+            + [Row(doc_id=1000 + i, text=f"u {i}", lang="en",
+                   source="small", n_chars=1) for i in range(10)])
+    docs = spark.createDataFrame(rows)
+    out1 = {(r.doc_id, r.source)
+            for r in T.q_source_balance(docs, cap=20).collect()}
+    out2 = {(r.doc_id, r.source)
+            for r in T.q_source_balance(docs, cap=20).collect()}
+    assert out1 == out2
+    small = {d for d, s in out1 if s == "small"}
+    big = {d for d, s in out1 if s == "big"}
+    assert len(small) == 10          # under cap: keep all
+    assert 5 <= len(big) <= 45       # ~cap expected, binomial spread
