@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_balance": lambda s, d: T.q_source_balance(
             _t("documents")(s, d)),
         "q_knn_int8": lambda s, d: S.q_knn_int8(_t("embeddings")(s, d)),
+        "q_embed_centroids": lambda s, d: S.q_embed_centroids(
+            _t("embeddings")(s, d)),
         # --- similarity scale paths (rows-only: seeded-random LSH planes /
         # KMeans centroids are engine-specific; recall vs the exact
         # baselines is asserted in tests/test_similarity_multimodal.py) ---
@@ -809,6 +811,23 @@ def oracle_sql() -> dict[str, str]:
                    ((cum - n_tokens) % 512 + n_tokens) > 512
                        AS crosses_boundary
             FROM c
+        """,
+        # Flat (label, pos) rows; 1-based list indexing over a range
+        # enumeration mirrors Spark's 0-based posexplode.
+        "q_embed_centroids": """
+            WITH e AS (SELECT label, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            p AS (SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+                         v[CAST(i AS INT)] AS x
+                  FROM (SELECT label, v,
+                               unnest(range(1, len(v) + 1)) AS i
+                        FROM e)),
+            n AS (SELECT label, count(*) AS n_vectors FROM e
+                  GROUP BY label)
+            SELECT p.label, p.pos, round(avg(p.x), 6) AS centroid_val,
+                   n.n_vectors
+            FROM p JOIN n USING (label)
+            GROUP BY p.label, p.pos, n.n_vectors
         """,
         # Same quantization arithmetic as the q_embed_quantize oracle;
         # int8 codes are exact in float64, so the cosine is bit-stable

@@ -298,6 +298,37 @@ def q_knn_int8(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
     )
 
 
+def q_embed_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid of the embedding column — the class-prototype
+    / cluster-statistics aggregation (nearest-centroid classifiers,
+    drift monitoring, IVF seeding all start here). Output is FLAT —
+    one row per (label, dimension position) with the centroid
+    component and the label's vector count — so the result is plain
+    scalars end-to-end (array columns stringify differently across
+    engines and would poison the value hash).
+
+    Plan shape: posexplode is row-local (fused into the scan); the
+    component mean is ONE shuffle keyed on (label, pos) with map-side
+    partial aggregation — shuffle volume is |corpus|·dim scalar rows
+    collapsed by the combiner to |labels|·dim per partition; the tiny
+    per-label count table is broadcast back. Component means are
+    rounded to 6dp on both engines (sum order differs in the last
+    ulp).
+    """
+    e = _as_double(embeddings)
+    n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    per = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("centroid_val"))
+    )
+    return (
+        per.join(F.broadcast(n), "label")
+        .select("label", F.col("pos").cast("int").alias("pos"),
+                "centroid_val", "n_vectors")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (driver-side tiny)."""
     rng = random.Random(seed)

@@ -109,6 +109,7 @@ def test_new_operator_shuffle_budgets(spark):
         "q_pack_sequences": 1,  # one shuffle on the shard key
         "q_audio_features": 0,  # map-only decode
         "q_source_balance": 1,  # source-count agg; corpus side unshuffled
+        "q_embed_centroids": 2,  # (label,pos) mean + per-label count
     }
     qs = E.queries()
     for name, budget in budgets.items():

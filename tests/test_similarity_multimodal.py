@@ -213,3 +213,21 @@ def test_audio_decode_strict_raises(spark, sf_docs):
     with pytest.raises(Exception):
         MM.decode_audio_features(
             MM.with_payload(sf_docs), strict=True).collect()
+
+
+def test_embed_centroids_match_numpy(spark, sf_emb):
+    import numpy as np
+    rows = sf_emb.select("vec_id", "embedding", "label").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(
+            np.asarray(r.embedding, dtype=np.float64))
+    out = S.q_embed_centroids(sf_emb).collect()
+    got = {(r.label, r.pos): (r.centroid_val, r.n_vectors) for r in out}
+    assert len(got) == len(by_label) * 64
+    for label, vecs in by_label.items():
+        mean = np.stack(vecs).mean(axis=0)
+        for pos in (0, 13, 63):
+            val, n = got[(label, pos)]
+            assert n == len(vecs)
+            assert abs(val - mean[pos]) < 1e-6
