@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_dedup_incremental": lambda s, d: D.q_dedup_incremental(
             _t("documents")(s, d)),
+        "q_source_overlap": lambda s, d: D.q_source_overlap(
+            _t("documents")(s, d)),
         "q_pack_sequences": lambda s, d: T.q_pack_sequences(
             _t("documents")(s, d)),
         "q_source_balance": lambda s, d: T.q_source_balance(
@@ -769,6 +771,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id <> min_batch_id THEN 'dup_in_batch'
                         ELSE 'new' END AS status
             FROM w
+        """,
+        # Digest-keyed inverted-index self-join; unrounded int/int
+        # division (same determinism note as the jaccard oracle).
+        "q_source_overlap": """
+            WITH sf AS (SELECT DISTINCT source, md5(text) AS fp
+                        FROM documents),
+            sz AS (SELECT source, count(*) AS n FROM sf GROUP BY source),
+            common AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       count(*) AS n_common
+                FROM sf a JOIN sf b
+                  ON a.fp = b.fp AND a.source < b.source
+                GROUP BY 1, 2)
+            SELECT source_a, source_b, n_common,
+                   n_common * 1.0 / (sa.n + sb.n - n_common)
+                       AS overlap_jaccard
+            FROM common
+            JOIN sz sa ON source_a = sa.source
+            JOIN sz sb ON source_b = sb.source
         """,
         # Keep-decision by integer cross-multiplication against the
         # same md5 bucket (mod 10000) the Spark operator uses — exact,

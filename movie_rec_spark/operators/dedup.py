@@ -157,6 +157,52 @@ def q_dedup_incremental(documents: DataFrame) -> DataFrame:
     )
 
 
+def q_source_overlap(documents: DataFrame) -> DataFrame:
+    """Cross-source content overlap — the mirror/rehost detector a
+    corpus owner runs before trusting per-source dedup ratios: for
+    every source pair that shares at least one exact content digest,
+    the number of shared distinct texts and the Jaccard overlap of the
+    two digest sets. A scraped mirror shows up as a pair with overlap
+    near 1; syndicated boilerplate as a dense low-overlap clique.
+
+    Scale shape: the corpus collapses to DISTINCT (source, fp) rows in
+    one combiner-collapsed shuffle; the self-join is keyed on fp (an
+    inverted index over digests — only pairs that actually share
+    content are ever formed, same discipline as q_dedup_jaccard); the
+    per-pair count aggregates on source pairs, whose cardinality is
+    bounded by sources², not documents. Per-source digest counts are
+    a sources-sized table, broadcast back. Integer counts + one float
+    division, engine-exact unrounded (same int/int determinism note
+    as q_dedup_jaccard).
+    """
+    sf = (documents.select(
+        "source", F.md5(F.col("text").cast("binary")).alias("fp"))
+        .distinct())
+    sizes = sf.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sf.alias("a"), sf.alias("b")
+    common = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("n").alias("nb"))
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "n_common",
+            (F.col("n_common")
+             / (F.col("na") + F.col("nb") - F.col("n_common")))
+            .alias("overlap_jaccard"),
+        )
+    )
+
+
 def q_dedup_exact(documents: DataFrame) -> DataFrame:
     """Exact dedup: group by content digest, keep the smallest doc_id.
     One shuffle keyed on the digest — at 100 TB the digest is computed

@@ -337,3 +337,25 @@ def test_source_balance_caps_heavy_sources(spark):
     big = {d for d, s in out1 if s == "big"}
     assert len(small) == 10          # under cap: keep all
     assert 5 <= len(big) <= 45       # ~cap expected, binomial spread
+
+
+def test_source_overlap_detects_mirror(spark):
+    """A full mirror pairs at overlap 1.0; sources sharing nothing
+    produce no row; partial overlap computes the digest-set Jaccard."""
+    from pyspark.sql import Row
+
+    def doc(i, t, s):
+        return Row(doc_id=i, text=t, lang="en", source=s, n_chars=1)
+
+    docs = spark.createDataFrame([
+        doc(0, "alpha", "orig"), doc(1, "beta", "orig"),
+        doc(2, "alpha", "mirror"), doc(3, "beta", "mirror"),
+        doc(4, "alpha", "partial"), doc(5, "gamma", "partial"),
+        doc(6, "delta", "island"),
+    ])
+    out = {(r.source_a, r.source_b): (r.n_common, r.overlap_jaccard)
+           for r in D.q_source_overlap(docs).collect()}
+    assert out[("mirror", "orig")] == (2, 1.0)
+    assert out[("orig", "partial")] == (1, 1 / 3)
+    assert out[("mirror", "partial")] == (1, 1 / 3)
+    assert not any("island" in k for pair in out for k in pair)
