@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_decontaminate": lambda s, d: D.q_decontaminate(
             _t("documents")(s, d)),
+        "q_split_repair": lambda s, d: D.q_split_repair(
+            _t("documents")(s, d)),
         "q_ngram_counts": lambda s, d: T.q_ngram_counts(
             _t("documents")(s, d)),
         "q_domain_stats": lambda s, d: T.q_domain_stats(
@@ -771,6 +773,47 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id <> min_batch_id THEN 'dup_in_batch'
                         ELSE 'new' END AS status
             FROM w
+        """,
+        # The decontamination CTEs composed with the split arithmetic;
+        # contaminated held-out docs reassigned to train.
+        "q_split_repair": f"""
+            WITH bkt AS (
+                SELECT doc_id, text,
+                       CAST(CAST('0x' || substring(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 100 AS INTEGER) AS bucket
+                FROM documents),
+            toks AS (SELECT doc_id, bucket, string_split(text, ' ') AS w
+                     FROM bkt),
+            sh AS (SELECT DISTINCT doc_id, bucket,
+                          array_to_string(list_slice(w, CAST(i AS INT),
+                              CAST(i AS INT) + 2), ' ') AS g
+                   FROM (SELECT doc_id, bucket, w,
+                                unnest(range(1, greatest(len(w) - 2, 1) + 1))
+                                    AS i
+                         FROM toks)),
+            ev AS (SELECT doc_id AS eval_doc, g FROM sh
+                   WHERE bucket >= {D.EVAL_MIN_BUCKET}),
+            tr AS (SELECT doc_id AS train_doc, g FROM sh
+                   WHERE bucket < {D.TRAIN_MAX_BUCKET}),
+            ev_sz AS (SELECT eval_doc, count(*) AS n_ev FROM ev
+                      GROUP BY eval_doc),
+            inter AS (SELECT eval_doc, train_doc, count(*) AS n_common
+                      FROM ev JOIN tr USING (g)
+                      GROUP BY 1, 2),
+            cont AS (SELECT DISTINCT eval_doc AS doc_id
+                     FROM inter JOIN ev_sz USING (eval_doc)
+                     WHERE n_common * 1.0 / n_ev >= {D.DECON_THRESHOLD})
+            SELECT b.doc_id,
+                   CASE WHEN b.bucket < 80 THEN 'train'
+                        WHEN b.bucket < 90 THEN 'val'
+                        ELSE 'test' END AS orig_split,
+                   CASE WHEN c.doc_id IS NOT NULL THEN 'train'
+                        WHEN b.bucket < 80 THEN 'train'
+                        WHEN b.bucket < 90 THEN 'val'
+                        ELSE 'test' END AS final_split,
+                   c.doc_id IS NOT NULL AS was_contaminated
+            FROM bkt b LEFT JOIN cont c USING (doc_id)
         """,
         # Digest-keyed inverted-index self-join; unrounded int/int
         # division (same determinism note as the jaccard oracle).

@@ -100,6 +100,51 @@ def q_decontaminate(documents: DataFrame,
     )
 
 
+def q_split_repair(documents: DataFrame,
+                   threshold: float = DECON_THRESHOLD) -> DataFrame:
+    """Contamination-repaired split manifest — the action taken on
+    q_decontaminate's findings, closing the audit loop: every held-out
+    document whose shingles are contained in a train document is
+    REASSIGNED to the train split (its content already leaks there, so
+    it must not score the model; train placement keeps the text usable
+    instead of discarding it — the standard alternative, dropping it
+    from eval entirely, is this manifest minus those rows).
+
+    Output: (doc_id, orig_split, final_split, was_contaminated) for the
+    WHOLE corpus — the manifest a training job consumes directly.
+
+    Scale shape: q_decontaminate's cost (one shingle-keyed shuffle)
+    dominates; the repair itself is one doc_id-keyed left join of the
+    corpus against the distinct contaminated-id set (which
+    is eval-proportional, so it is NOT broadcast — same discipline as
+    the audit) plus row-local split arithmetic.
+    """
+    from movie_rec_spark.functions import stable_bucket
+
+    contaminated = (
+        q_decontaminate(documents, threshold)
+        .select(F.col("eval_doc").alias("doc_id")).distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    bucket = stable_bucket(F.col("doc_id"))
+    split = (
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        documents.select("doc_id", bucket.alias("bucket"))
+        .withColumn("orig_split", split)
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id", "orig_split",
+            F.when(F.col("hit").isNotNull(), "train")
+            .otherwise(F.col("orig_split")).alias("final_split"),
+            F.col("hit").isNotNull().alias("was_contaminated"),
+        )
+    )
+
+
 INCREMENTAL_BATCH_MIN_BUCKET = 95  # bucket >= 95 plays the incoming batch
 
 
@@ -166,8 +211,13 @@ def q_source_overlap(documents: DataFrame) -> DataFrame:
     near 1; syndicated boilerplate as a dense low-overlap clique.
 
     Scale shape: the corpus collapses to DISTINCT (source, fp) rows in
-    one combiner-collapsed shuffle; the self-join is keyed on fp (an
-    inverted index over digests — only pairs that actually share
+    one combiner-collapsed shuffle, and that table is MATERIALIZED
+    once (lazy localCheckpoint): it feeds four plan positions (both
+    self-join sides + both size lookups), and without materialization
+    Spark re-derives it per position — four full corpus text scans
+    instead of one scan plus three rescans of a digest table ~1% its
+    size (observed: 7 exchanges vs 3). The self-join is keyed on fp
+    (an inverted index over digests — only pairs that actually share
     content are ever formed, same discipline as q_dedup_jaccard); the
     per-pair count aggregates on source pairs, whose cardinality is
     bounded by sources², not documents. Per-source digest counts are
@@ -177,7 +227,7 @@ def q_source_overlap(documents: DataFrame) -> DataFrame:
     """
     sf = (documents.select(
         "source", F.md5(F.col("text").cast("binary")).alias("fp"))
-        .distinct())
+        .distinct().localCheckpoint(eager=False))
     sizes = sf.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a, b = sf.alias("a"), sf.alias("b")
     common = (

@@ -359,3 +359,25 @@ def test_source_overlap_detects_mirror(spark):
     assert out[("orig", "partial")] == (1, 1 / 3)
     assert out[("mirror", "partial")] == (1, 1 / 3)
     assert not any("island" in k for pair in out for k in pair)
+
+
+def test_split_repair_moves_contaminated_eval_to_train(spark):
+    """The doc flagged by decontamination (id 8, quoted inside train
+    doc 0) must be reassigned to train; everything else keeps its
+    original split; the manifest covers the whole corpus."""
+    from pyspark.sql import Row
+    quoted = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="prefix words here " + quoted + " suffix words",
+            lang="en", source="s", n_chars=1),
+        Row(doc_id=1, text="totally different content nothing shared",
+            lang="en", source="s", n_chars=1),
+        Row(doc_id=8, text=quoted, lang="en", source="s", n_chars=1),
+    ])
+    out = {r.doc_id: r for r in D.q_split_repair(docs).collect()}
+    assert len(out) == 3
+    assert out[8].orig_split == "test" and out[8].final_split == "train"
+    assert out[8].was_contaminated
+    for i in (0, 1):
+        assert out[i].final_split == out[i].orig_split
+        assert not out[i].was_contaminated
