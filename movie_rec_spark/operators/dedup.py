@@ -483,14 +483,20 @@ def q_dedup_simhash(documents: DataFrame, hamming_max: int = 3) -> DataFrame:
     segments = simhash_segments(documents, hamming_max)
     a, b = segments.alias("a"), segments.alias("b")
     ham = F.expr("bit_count(asig ^ bsig)")
+    # Filter BEFORE the cross-segment dedup: the hamming test is a
+    # row-local expression over the joined row, so applying it first
+    # means the dropDuplicates exchange carries only true near-dup
+    # pairs (~10³ rows at sf0.1) instead of every segment collision
+    # (~1.5×10⁶ on this degenerate-vocabulary corpus) — same final
+    # set, the dedup shuffle shrinks by the candidate:match ratio.
     return (
         a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.qh") == F.col("b.qh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
                 F.col("a.sig").alias("asig"), F.col("b.sig").alias("bsig"))
-        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= F.lit(hamming_max))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
