@@ -78,6 +78,84 @@ def dedup_batch_against_state(batch: DataFrame,
     )
 
 
+def neardup_batch_against_state(batch_banded: DataFrame,
+                                state_banded: DataFrame,
+                                num_perms: int = 32,
+                                threshold: float = 0.5) -> DataFrame:
+    """Cross-batch near-dup pairs: the incoming batch's banded MinHash
+    rows equi-join the PERSISTENT band state on (band, band-hash), and
+    candidates verify by signature agreement — identical semantics to
+    the batch q_dedup_minhash, restricted to (new doc, old doc) pairs.
+    Shuffle is keyed on the band hash on both sides; nothing rescans
+    old text (the state carries signatures, not documents)."""
+    a = batch_banded.select(
+        F.col("doc_id").alias("new_doc"), F.col("sig").alias("sig_a"),
+        "band", "bh")
+    b = state_banded.select(
+        F.col("doc_id").alias("old_doc"), F.col("sig").alias("sig_b"),
+        "band", "bh")
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq)) / F.lit(num_perms), 4)
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("new_doc") != F.col("old_doc"))
+        .select("new_doc", "old_doc", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= F.lit(threshold))
+        .dropDuplicates(["new_doc", "old_doc"])
+    )
+
+
+def run_incremental_neardup(spark: SparkSession, src_dir: str,
+                            checkpoint_dir: str, state_dir: str,
+                            log_dir: str, threshold: float = 0.5,
+                            max_files_per_trigger: int | None = 1) -> None:
+    """Streaming NEAR-dup detection — the MinHash twin of
+    ``run_incremental_ingest``: each micro-batch's banded signatures
+    join the persistent band state for cross-batch near-dups, the
+    batch dedups against itself with the ordinary q_dedup_minhash, and
+    the batch's own banded rows merge into the state. Same
+    idempotent-by-batch_id exactly-once recipe; state size is
+    bands·|corpus| signature rows — linear, no text retained.
+    """
+    from movie_rec_spark.operators.dedup import (
+        MINHASH_PERMS,
+        minhash_banded,
+        q_dedup_minhash,
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        banded = minhash_banded(batch).localCheckpoint(eager=False)
+        try:
+            state = s.read.parquet(state_dir + "/*/")
+        except Exception:
+            state = None
+        cross = (neardup_batch_against_state(
+            banded, state, MINHASH_PERMS, threshold)
+            if state is not None else
+            s.createDataFrame(
+                [], "new_doc bigint, old_doc bigint, est_jaccard double"))
+        within = q_dedup_minhash(batch, threshold).select(
+            F.col("doc_a").alias("new_doc"),
+            F.col("doc_b").alias("old_doc"),
+            "est_jaccard")
+        verdicts = cross.unionByName(within)
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"batch_{batch_id}"))
+        banded.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_{batch_id}"))
+
+    q = (
+        read_doc_stream(spark, src_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_incremental_ingest(spark: SparkSession, src_dir: str,
                            checkpoint_dir: str, state_dir: str,
                            log_dir: str,

@@ -213,3 +213,49 @@ def test_incremental_ingest_dedups_across_batches(spark, tmp_path):
     # digest state holds exactly the distinct ingested texts
     fps = spark.read.parquet(str(tmp_path / "digest_state") + "/*/")
     assert fps.distinct().count() == 3
+
+
+def test_incremental_neardup_finds_cross_batch_pair(spark, tmp_path):
+    """A near-identical doc arriving in a later micro-batch must pair
+    with the earlier original via the persistent band state; unrelated
+    docs must not pair; within-batch dups are also reported."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import Row
+
+    from movie_rec_spark.streaming.ingest import run_incremental_neardup
+
+    src = str(tmp_path / "nd_src")
+    os.makedirs(src)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+
+    def doc(i, t):
+        return Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+
+    b1 = [doc(1, base), doc(2, "completely unrelated words about spark "
+                               "query engines and shuffles")]
+    # one appended word: 10 of 11 shingles shared (J≈0.91) — high
+    # enough that at least one of 8 bands collides with certainty
+    # instead of the coin flip a mid-string one-word swap gives (J≈0.5)
+    b2 = [doc(10, base + " tail"),               # near-dup of 1
+          doc(11, "fresh content with nothing in common here at all"),
+          doc(12, base + " tail")]               # exact dup of 10, in-batch
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+    first = set(glob.glob(src + "/*.parquet"))
+    time.sleep(1.1)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+    for f in set(glob.glob(src + "/*.parquet")) - first:
+        os.utime(f)
+
+    run_incremental_neardup(
+        spark, src, str(tmp_path / "nd_ckpt"),
+        str(tmp_path / "nd_state"), str(tmp_path / "nd_log"))
+
+    log = spark.read.parquet(str(tmp_path / "nd_log") + "/*/")
+    pairs = {(r.new_doc, r.old_doc) for r in log.collect()}
+    assert (10, 1) in pairs or (12, 1) in pairs   # cross-batch near-dup
+    assert (10, 12) in pairs or (12, 10) in pairs  # within-batch dup
+    flat = {d for p in pairs for d in p}
+    assert 2 not in flat and 11 not in flat
