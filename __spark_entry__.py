@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_source_balance": lambda s, d: T.q_source_balance(
             _t("documents")(s, d)),
+        "q_epoch_mix": lambda s, d: T.q_epoch_mix(
+            _t("documents")(s, d)),
         "q_knn_int8": lambda s, d: S.q_knn_int8(_t("embeddings")(s, d)),
         "q_embed_centroids": lambda s, d: S.q_embed_centroids(
             _t("embeddings")(s, d)),
@@ -833,6 +835,46 @@ def oracle_sql() -> dict[str, str]:
             FROM common
             JOIN sz sa ON source_a = sa.source
             JOIN sz sb ON source_b = sb.source
+        """,
+        # Per-source mean quality (exact quarters, order-independent
+        # sum) -> 1.5x weight; the half-copy realized via the stable
+        # md5 bucket, same arithmetic as q_sample_stable.
+        "q_epoch_mix": """
+            WITH b AS (
+                SELECT doc_id, source,
+                       (CAST(len(string_split(text, ' ')) >= 5 AS INTEGER)
+                        + CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('the','a','of','and')))
+                              / len(string_split(text, ' ')) <= 0.5
+                              AS INTEGER)
+                        + CAST((length(text) - length(regexp_replace(
+                              text, '[.,;:!?]', '', 'g')))
+                              / len(string_split(text, ' ')) < 0.5
+                              AS INTEGER)
+                        + CAST(length(replace(text, ' ', ''))
+                              / len(string_split(text, ' ')) >= 2.0
+                              AND length(replace(text, ' ', ''))
+                              / len(string_split(text, ' ')) <= 12.0
+                              AS INTEGER)) / 4.0 AS q
+                FROM documents),
+            srcq AS (
+                SELECT source,
+                       CASE WHEN avg(q) >= 0.8 THEN 1.5 ELSE 1.0 END
+                           AS src_weight
+                FROM b GROUP BY source),
+            d AS (
+                SELECT doc_id, b.source, src_weight,
+                       CAST(CAST('0x' || substring(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 100 AS INTEGER) AS bucket
+                FROM b JOIN srcq ON b.source = srcq.source)
+            SELECT doc_id, source,
+                   CAST(i AS INTEGER) AS copy_idx, src_weight
+            FROM (SELECT *,
+                         unnest(range(1,
+                             CASE WHEN src_weight = 1.5 AND bucket < 50
+                                  THEN 2 ELSE 1 END + 1)) AS i
+                  FROM d)
         """,
         # Keep-decision by integer cross-multiplication against the
         # same md5 bucket (mod 10000) the Spark operator uses — exact,

@@ -371,6 +371,52 @@ def q_pack_sequences(documents: DataFrame, budget: int = 512,
     )
 
 
+def q_epoch_mix(documents: DataFrame,
+                quality_bar: float = 0.8,
+                upweight_pct: int = 50) -> DataFrame:
+    """Epoch mixture manifest — the upsampling step of training-data
+    mixing: documents from HIGH-QUALITY sources (mean quality score >=
+    ``quality_bar``) get a 1.5× sampling weight for the epoch; all
+    others appear once. The fractional half-copy is realized
+    deterministically — copy 2 exists iff the doc's stable md5 bucket
+    < ``upweight_pct`` — so the epoch is reproducible, reshard-stable,
+    and exactly auditable (no RNG stream), the same discipline as
+    q_sample_stable / q_source_balance.
+
+    Output: one row per (doc, copy): (doc_id, source, copy_idx,
+    src_weight) — the manifest a data loader consumes to build the
+    epoch. Scale shape: the per-source quality means are a
+    sources-sized table broadcast back; the copy expansion is a
+    row-local explode fused into the scan; one grouped agg is the only
+    shuffle.
+    """
+    from movie_rec_spark.functions import stable_bucket
+
+    srcq = (
+        documents.select("source",
+                         _quality_score(F.col("text")).alias("q"))
+        .groupBy("source")
+        .agg(F.avg("q").alias("src_quality"))
+        .select("source",
+                F.when(F.col("src_quality") >= quality_bar, 1.5)
+                .otherwise(1.0).alias("src_weight"))
+    )
+    bucket = stable_bucket(F.col("doc_id"))
+    n_copies = F.when(
+        (F.col("src_weight") == 1.5) & (bucket < upweight_pct), 2
+    ).otherwise(1)
+    return (
+        documents.select("doc_id", "source")
+        .join(F.broadcast(srcq), "source")
+        .select("doc_id", "source", "src_weight",
+                F.explode(F.sequence(F.lit(1), n_copies))
+                .alias("copy_idx"))
+        .select("doc_id", "source",
+                F.col("copy_idx").cast("int").alias("copy_idx"),
+                "src_weight")
+    )
+
+
 def q_corpus_clean(documents: DataFrame) -> DataFrame:
     """End-to-end training-data cleaning — the composition a corpus
     pipeline actually runs, declared as ONE plan so Catalyst fuses it:

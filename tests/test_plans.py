@@ -112,6 +112,7 @@ def test_new_operator_shuffle_budgets(spark):
         "q_embed_centroids": 2,  # (label,pos) mean + per-label count
         "q_source_overlap": 4,   # distinct, fp self-join, pair agg, sizes
         "q_split_repair": 4,     # decontaminate shuffles + repair join
+        "q_epoch_mix": 1,        # source-quality agg; copy explode row-local
     }
     qs = E.queries()
     for name, budget in budgets.items():

@@ -381,3 +381,27 @@ def test_split_repair_moves_contaminated_eval_to_train(spark):
     for i in (0, 1):
         assert out[i].final_split == out[i].orig_split
         assert not out[i].was_contaminated
+
+
+def test_epoch_mix_upsamples_high_quality_sources(spark):
+    """Docs from a high-quality source get a deterministic half-extra
+    copy (bucket < 50); low-quality sources appear exactly once; the
+    manifest is reproducible."""
+    from pyspark.sql import Row
+    good = "the cat and the dog sat of the mat and talked quite well"
+    rows = ([Row(doc_id=i, text=good, lang="en", source="hq", n_chars=1)
+             for i in range(20)]
+            + [Row(doc_id=100 + i, text="x! y! z!", lang="en",
+                   source="lq", n_chars=1) for i in range(5)])
+    docs = spark.createDataFrame(rows)
+    out = T.q_epoch_mix(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i in range(100, 105):           # lq: exactly one copy, weight 1.0
+        assert len(by_doc[i]) == 1 and by_doc[i][0].src_weight == 1.0
+    hq_copies = [len(by_doc[i]) for i in range(20)]
+    assert set(hq_copies) <= {1, 2}     # weight 1.5: one or two copies
+    assert 1 in hq_copies and 2 in hq_copies
+    again = T.q_epoch_mix(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
