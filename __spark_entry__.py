@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_epoch_mix": lambda s, d: T.q_epoch_mix(
             _t("documents")(s, d)),
+        "q_unigram_logprob": lambda s, d: T.q_unigram_logprob(
+            _t("documents")(s, d)),
         "q_knn_int8": lambda s, d: S.q_knn_int8(_t("embeddings")(s, d)),
         "q_embed_centroids": lambda s, d: S.q_embed_centroids(
             _t("embeddings")(s, d)),
@@ -835,6 +837,19 @@ def oracle_sql() -> dict[str, str]:
             FROM common
             JOIN sz sa ON source_a = sa.source
             JOIN sz sb ON source_b = sb.source
+        """,
+        # Self-scored unigram LM; ln/sum differ in the last ulp so the
+        # mean rounds to 4dp on both engines (same note as tfidf).
+        "q_unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+            freqs AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+            total AS (SELECT count(*) AS n_total FROM toks)
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+                   round(avg(ln(tf * 1.0 / n_total)), 4) AS avg_logprob
+            FROM toks JOIN freqs USING (term) CROSS JOIN total
+            GROUP BY doc_id
         """,
         # Per-source mean quality (exact quarters, order-independent
         # sum) -> 1.5x weight; the half-copy realized via the stable

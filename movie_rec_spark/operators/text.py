@@ -371,6 +371,40 @@ def q_pack_sequences(documents: DataFrame, budget: int = 512,
     )
 
 
+def q_unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Statistical language-model quality proxy (CCNet-style): score
+    every document by the mean log-probability of its tokens under the
+    corpus's own unigram distribution — boilerplate and natural text
+    score high (common tokens), garbled/noise text scores low (rare
+    tokens). The production form scores against an external reference
+    LM; self-scoring exercises the identical plan with no model input.
+
+    Plan shape: one exploded-token shuffle builds the unigram counts;
+    the corpus total rides along as a broadcast scalar; scoring joins
+    tokens to the vocabulary-keyed frequency table (vocabulary-sized —
+    Catalyst broadcasts it while it fits, shuffles otherwise) and one
+    per-doc aggregation finishes. Scores are rounded to 4dp on both
+    engines (ln and sum order differ in the last ulp).
+    """
+    toks = documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    freqs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = toks.select(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        toks.join(freqs, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id",
+                F.log(F.col("tf") / F.col("n_total")).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )
+
+
 def q_epoch_mix(documents: DataFrame,
                 quality_bar: float = 0.8,
                 upweight_pct: int = 50) -> DataFrame:

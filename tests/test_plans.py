@@ -113,6 +113,7 @@ def test_new_operator_shuffle_budgets(spark):
         "q_source_overlap": 4,   # distinct, fp self-join, pair agg, sizes
         "q_split_repair": 4,     # decontaminate shuffles + repair join
         "q_epoch_mix": 1,        # source-quality agg; copy explode row-local
+        "q_unigram_logprob": 3,  # unigram counts, vocab join, per-doc agg
     }
     qs = E.queries()
     for name, budget in budgets.items():

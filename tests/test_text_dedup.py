@@ -405,3 +405,18 @@ def test_epoch_mix_upsamples_high_quality_sources(spark):
     assert 1 in hq_copies and 2 in hq_copies
     again = T.q_epoch_mix(docs).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_unigram_logprob_orders_common_above_rare(spark):
+    """A doc of corpus-common tokens must outscore a doc of rare
+    tokens; probabilities are a proper distribution (avg_logprob < 0)."""
+    from pyspark.sql import Row
+    rows = ([Row(doc_id=i, text="common words common words", lang="en",
+                 source="s", n_chars=1) for i in range(9)]
+            + [Row(doc_id=100, text="zxqv wkjh pqrs mnbv", lang="en",
+                   source="s", n_chars=1)])
+    out = {r.doc_id: r for r in
+           T.q_unigram_logprob(spark.createDataFrame(rows)).collect()}
+    assert out[0].avg_logprob > out[100].avg_logprob
+    assert all(r.avg_logprob < 0 for r in out.values())
+    assert out[100].n_tokens == 4
