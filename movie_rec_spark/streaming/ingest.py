@@ -14,12 +14,33 @@ Streaming's unit of exactly-once batch side effects (checkpoint +
 idempotent-by-batch_id writes = the same replay safety the DB commit
 gave the reference).
 
+Replay safety (exactly-once): every state/log write is keyed by
+batch_id into its own subdirectory with mode=overwrite, AND every state
+READ inside the batch lists only subdirectories ``batch_i`` with
+``i < batch_id``.  The second half matters: if the driver crashes after
+batch N's state write but before its checkpoint commit, the replayed
+batch N must NOT see its own half-committed delta (it would classify
+its docs as corpus duplicates and then overwrite its delta with an
+empty one, silently losing those digests).  Reading strictly-prior
+batches makes the foreachBatch body a pure function of (input batch,
+pre-batch state), so replays are idempotent.
+
 Scale shape: per micro-batch, the work is |batch| digest computations,
 one fp-keyed join of the batch against the digest table scan, and an
 append of new digests partitioned the same way — never a rescan of the
 corpus text. At 100 TB the digest table is itself fp-bucketed parquet
 (sources/layout.py), so the probe join co-locates without a shuffle of
 the big side.
+
+State-store posture: this module keeps its corpus state in explicit
+parquet tables (a lakehouse pattern — the state IS the product: the
+digest/band tables double as the serving index). For operators that
+use Spark's internal state store instead (windowed aggregations in
+``streaming/counters.py``, the applyInPandasWithState sessionizer in
+``streaming/sessions.py``), ``rocksdb_state_conf()`` below returns the
+RocksDB provider configuration that keeps multi-TB state off the
+executor heap; per-batch state telemetry for THIS module's band state
+is written by ``run_incremental_neardup`` (see ``read_state_metrics``).
 """
 
 from __future__ import annotations
@@ -42,6 +63,67 @@ DOC_SCHEMA = StructType([
     StructField("source", StringType()),
     StructField("n_chars", LongType()),
 ])
+
+
+def rocksdb_state_conf(changelog: bool = True) -> dict[str, str]:
+    """Spark conf for RocksDB-backed streaming state.
+
+    The default HDFSBackedStateStoreProvider keeps every key in executor
+    heap; stateful streams whose state grows with the corpus (windowed
+    counters, sessionization, dropDuplicates watermark state) need the
+    RocksDB provider so state spills to local SSD and snapshots to the
+    checkpoint dir.  ``changelog`` enables changelog checkpointing:
+    per-batch uploads ship only the delta, with periodic full snapshots
+    (``minDeltasForSnapshot``) bounding replay — the compaction cadence.
+    Apply at session build time (conf is read when the query starts):
+
+        for k, v in rocksdb_state_conf().items():
+            builder = builder.config(k, v)
+    """
+    conf = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        # compaction cadence: snapshot every 10 deltas, keep 2 versions
+        "spark.sql.streaming.stateStore.minDeltasForSnapshot": "10",
+        "spark.sql.streaming.minBatchesToRetain": "2",
+        # bound RocksDB memory: shared block cache + write buffers
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+        "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB": "512",
+    }
+    if changelog:
+        conf["spark.sql.streaming.stateStore.rocksdb."
+             "changelogCheckpointing.enabled"] = "true"
+    return conf
+
+
+def _list_prior_batches(spark: SparkSession, root: str,
+                        batch_id: int) -> list[str]:
+    """Subdirectories ``root/batch_i`` with ``i < batch_id`` — the state
+    as of the previous COMMITTED batch.
+
+    Listed through the Hadoop FileSystem API so the same code works on
+    HDFS/S3, not just local disk.  Excluding ``i >= batch_id`` is the
+    replay-safety half of exactly-once (module docstring): a replayed
+    batch must not read the half-committed delta its crashed first run
+    may have left behind.
+    """
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_"):
+            try:
+                i = int(name[len("batch_"):])
+            except ValueError:
+                continue
+            if i < batch_id:
+                out.append(str(st.getPath()))
+    return sorted(out)
 
 
 def read_doc_stream(spark: SparkSession, src_dir: str,
@@ -79,31 +161,70 @@ def dedup_batch_against_state(batch: DataFrame,
 
 
 def neardup_batch_against_state(batch_banded: DataFrame,
-                                state_banded: DataFrame,
+                                state_bands: DataFrame,
+                                state_sigs: DataFrame,
                                 num_perms: int = 32,
                                 threshold: float = 0.5) -> DataFrame:
     """Cross-batch near-dup pairs: the incoming batch's banded MinHash
     rows equi-join the PERSISTENT band state on (band, band-hash), and
     candidates verify by signature agreement — identical semantics to
     the batch q_dedup_minhash, restricted to (new doc, old doc) pairs.
-    Shuffle is keyed on the band hash on both sides; nothing rescans
-    old text (the state carries signatures, not documents)."""
+
+    The band state carries only (doc_id, band, bh); each old doc's
+    signature lives ONCE in a separate (doc_id, sig) table and is
+    joined in per CANDIDATE (post-banding, so the sig join is sized to
+    collision count, not bands·|corpus|).  Shuffles: one keyed on the
+    band hash, one doc-keyed for the candidate signatures.  Nothing
+    rescans old text.
+    """
     a = batch_banded.select(
         F.col("doc_id").alias("new_doc"), F.col("sig").alias("sig_a"),
         "band", "bh")
-    b = state_banded.select(
-        F.col("doc_id").alias("old_doc"), F.col("sig").alias("sig_b"),
-        "band", "bh")
+    b = state_bands.select(F.col("doc_id").alias("old_doc"), "band", "bh")
+    sigs = state_sigs.select(
+        F.col("doc_id").alias("old_doc"), F.col("sig").alias("sig_b"))
     est = F.round(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                         lambda eq: eq)) / F.lit(num_perms), 4)
     return (
         a.join(b, ["band", "bh"])
         .filter(F.col("new_doc") != F.col("old_doc"))
+        .select("new_doc", "old_doc", "sig_a")
+        .dropDuplicates(["new_doc", "old_doc"])
+        .join(sigs, "old_doc")
         .select("new_doc", "old_doc", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= F.lit(threshold))
-        .dropDuplicates(["new_doc", "old_doc"])
     )
+
+
+def read_state_metrics(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The per-micro-batch state telemetry emitted by
+    ``run_incremental_neardup`` — one row per committed batch:
+    (batch_id, band_rows_added, sig_rows_added, state_files,
+    state_bytes).  state_bytes/state_files cover the WHOLE band+sig
+    state as of that batch (Hadoop-FS file lengths — no data scan), so
+    growth rate and compaction needs are observable per batch."""
+    return (spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(state_dir, "metrics")))
+
+
+def _dir_stats(spark: SparkSession, roots: list[str]) -> tuple[int, int]:
+    """(file_count, total_bytes) across roots via Hadoop FS listing —
+    metadata only, never reads data files."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    files, total = 0, 0
+    for root in roots:
+        path = jvm.org.apache.hadoop.fs.Path(root)
+        fs = path.getFileSystem(conf)
+        if not fs.exists(path):
+            continue
+        it = fs.listFiles(path, True)
+        while it.hasNext():
+            st = it.next()
+            files += 1
+            total += st.getLen()
+    return files, total
 
 
 def run_incremental_neardup(spark: SparkSession, src_dir: str,
@@ -114,9 +235,14 @@ def run_incremental_neardup(spark: SparkSession, src_dir: str,
     ``run_incremental_ingest``: each micro-batch's banded signatures
     join the persistent band state for cross-batch near-dups, the
     batch dedups against itself with the ordinary q_dedup_minhash, and
-    the batch's own banded rows merge into the state. Same
-    idempotent-by-batch_id exactly-once recipe; state size is
-    bands·|corpus| signature rows — linear, no text retained.
+    the batch's own banded rows merge into the state.  Same
+    replay-safe exactly-once recipe (module docstring): state reads see
+    only batches ``< batch_id``; writes are idempotent-by-batch_id.
+
+    State layout (each signature stored ONCE, not once per band):
+      state_dir/bands/batch_N   (doc_id, band, bh)      bands·|batch| rows
+      state_dir/sigs/batch_N    (doc_id, sig)           |batch| rows
+      state_dir/metrics/batch_N one telemetry row (see read_state_metrics)
     """
     from movie_rec_spark.operators.dedup import (
         MINHASH_PERMS,
@@ -124,18 +250,22 @@ def run_incremental_neardup(spark: SparkSession, src_dir: str,
         q_dedup_minhash,
     )
 
+    bands_dir = os.path.join(state_dir, "bands")
+    sigs_dir = os.path.join(state_dir, "sigs")
+    metrics_dir = os.path.join(state_dir, "metrics")
+
     def apply(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
         banded = minhash_banded(batch).localCheckpoint(eager=False)
-        try:
-            state = s.read.parquet(state_dir + "/*/")
-        except Exception:
-            state = None
-        cross = (neardup_batch_against_state(
-            banded, state, MINHASH_PERMS, threshold)
-            if state is not None else
-            s.createDataFrame(
-                [], "new_doc bigint, old_doc bigint, est_jaccard double"))
+        prior_bands = _list_prior_batches(s, bands_dir, batch_id)
+        prior_sigs = _list_prior_batches(s, sigs_dir, batch_id)
+        if prior_bands and prior_sigs:
+            cross = neardup_batch_against_state(
+                banded, s.read.parquet(*prior_bands),
+                s.read.parquet(*prior_sigs), MINHASH_PERMS, threshold)
+        else:
+            cross = s.createDataFrame(
+                [], "new_doc bigint, old_doc bigint, est_jaccard double")
         within = q_dedup_minhash(batch, threshold).select(
             F.col("doc_a").alias("new_doc"),
             F.col("doc_b").alias("old_doc"),
@@ -143,8 +273,21 @@ def run_incremental_neardup(spark: SparkSession, src_dir: str,
         verdicts = cross.unionByName(within)
         verdicts.write.mode("overwrite").parquet(
             os.path.join(log_dir, f"batch_{batch_id}"))
-        banded.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"batch_{batch_id}"))
+        band_delta = banded.select("doc_id", "band", "bh")
+        sig_delta = banded.select("doc_id", "sig").dropDuplicates(["doc_id"])
+        band_delta.write.mode("overwrite").parquet(
+            os.path.join(bands_dir, f"batch_{batch_id}"))
+        sig_delta.write.mode("overwrite").parquet(
+            os.path.join(sigs_dir, f"batch_{batch_id}"))
+        # state telemetry: metadata-only FS stats over the full state
+        n_files, n_bytes = _dir_stats(s, [bands_dir, sigs_dir])
+        s.createDataFrame(
+            [(batch_id, band_delta.count(), sig_delta.count(),
+              n_files, n_bytes)],
+            "batch_id bigint, band_rows_added bigint, sig_rows_added "
+            "bigint, state_files bigint, state_bytes bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(metrics_dir, f"batch_{batch_id}"))
 
     q = (
         read_doc_stream(spark, src_dir, max_files_per_trigger)
@@ -154,6 +297,33 @@ def run_incremental_neardup(spark: SparkSession, src_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def _ingest_apply(batch: DataFrame, batch_id: int,
+                  state_dir: str, log_dir: str) -> None:
+    """One micro-batch of the exact-dedup ingest — a pure function of
+    (batch, pre-batch state), exposed at module level so replay
+    idempotency is directly testable.  Reads only state batches
+    ``< batch_id`` (replay safety), writes verdicts + new-digest delta
+    idempotently into batch_id-keyed subdirectories."""
+    s = batch.sparkSession
+    fp_schema = StructType([StructField("fp", StringType())])
+    prior = _list_prior_batches(s, state_dir, batch_id)
+    if prior:
+        known = s.read.schema(fp_schema).parquet(*prior).select("fp")
+    else:
+        known = s.createDataFrame([], fp_schema)
+    verdicts = dedup_batch_against_state(batch, known)
+    verdicts.persist()
+    try:
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"batch_{batch_id}"))
+        (verdicts.filter(F.col("status") == "new")
+         .select("fp").distinct()
+         .write.mode("overwrite")
+         .parquet(os.path.join(state_dir, f"batch_{batch_id}")))
+    finally:
+        verdicts.unpersist()
 
 
 def run_incremental_ingest(spark: SparkSession, src_dir: str,
@@ -166,33 +336,12 @@ def run_incremental_ingest(spark: SparkSession, src_dir: str,
     parquet/Delta ingest log), and its previously-unseen digests
     written to ``state_dir``.
 
-    Both writes are keyed by batch_id into their own subdirectory with
-    mode=overwrite, making the foreachBatch side effects IDEMPOTENT
-    under micro-batch replay (a re-run of batch N overwrites batch N's
-    own delta instead of double-inserting it) — checkpoint +
-    idempotent-by-batch_id writes is the exactly-once recipe for
-    foreachBatch sinks. Nothing is collected to the driver.
+    Exactly-once: checkpoint + idempotent-by-batch_id writes + state
+    reads restricted to strictly-prior batches (module docstring).
+    Nothing is collected to the driver.
     """
-    fp_schema = StructType([StructField("fp", StringType())])
-
     def apply(batch: DataFrame, batch_id: int) -> None:
-        s = batch.sparkSession
-        try:
-            known = s.read.schema(fp_schema).parquet(
-                state_dir + "/*/").select("fp")
-        except Exception:
-            known = s.createDataFrame([], fp_schema)
-        verdicts = dedup_batch_against_state(batch, known)
-        verdicts.persist()
-        try:
-            verdicts.write.mode("overwrite").parquet(
-                os.path.join(log_dir, f"batch_{batch_id}"))
-            (verdicts.filter(F.col("status") == "new")
-             .select("fp").distinct()
-             .write.mode("overwrite")
-             .parquet(os.path.join(state_dir, f"batch_{batch_id}")))
-        finally:
-            verdicts.unpersist()
+        _ingest_apply(batch, batch_id, state_dir, log_dir)
 
     q = (
         read_doc_stream(spark, src_dir, max_files_per_trigger)

@@ -259,3 +259,106 @@ def test_incremental_neardup_finds_cross_batch_pair(spark, tmp_path):
     assert (10, 12) in pairs or (12, 10) in pairs  # within-batch dup
     flat = {d for p in pairs for d in p}
     assert 2 not in flat and 11 not in flat
+
+
+def test_ingest_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r3 (medium): a replayed micro-batch must see exactly the
+    PRE-batch state — not its own half-committed delta.  Simulate the
+    crash-after-state-write-before-checkpoint-commit window by applying
+    batch 1 twice: verdicts and the digest state must be identical, and
+    batch 1's genuinely-new digest must NOT be reclassified as
+    dup_of_corpus (which would overwrite the delta with an empty one
+    and permanently lose it)."""
+    from pyspark.sql import Row
+
+    from movie_rec_spark.streaming.ingest import _ingest_apply
+
+    def doc(i, t):
+        return Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+
+    state, log = str(tmp_path / "state"), str(tmp_path / "log")
+    b0 = spark.createDataFrame([doc(1, "first text"), doc(2, "second text")])
+    b1 = spark.createDataFrame([doc(10, "first text"), doc(11, "brand new")])
+    _ingest_apply(b0, 0, state, log)
+    _ingest_apply(b1, 1, state, log)
+
+    def snapshot():
+        v = {r.doc_id: r.status
+             for r in spark.read.parquet(log + "/*/").collect()}
+        fps = sorted(r.fp for r in spark.read.parquet(state + "/*/").collect())
+        return v, fps
+
+    first = snapshot()
+    assert first[0][11] == "new" and first[0][10] == "dup_of_corpus"
+    _ingest_apply(b1, 1, state, log)          # replay batch 1
+    assert snapshot() == first, "replay must be byte-idempotent"
+    assert len(first[1]) == 3                 # doc 11's digest survived
+
+
+def test_neardup_state_metrics_and_single_sig_storage(spark, tmp_path):
+    """ADVICE r3 (low): each signature is persisted once in the sigs
+    table (not once per band), and per-batch state telemetry is
+    emitted with monotonically growing state_bytes."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import Row
+
+    from movie_rec_spark.operators.dedup import MINHASH_BANDS
+    from movie_rec_spark.streaming.ingest import (
+        read_state_metrics,
+        run_incremental_neardup,
+    )
+
+    src = str(tmp_path / "m_src")
+    os.makedirs(src)
+
+    def doc(i, t):
+        return Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    b1 = [doc(1, base), doc(2, "completely unrelated words about spark")]
+    b2 = [doc(10, base + " tail")]
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+    first = set(glob.glob(src + "/*.parquet"))
+    time.sleep(1.1)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+    for f in set(glob.glob(src + "/*.parquet")) - first:
+        os.utime(f)
+
+    state = str(tmp_path / "m_state")
+    run_incremental_neardup(
+        spark, src, str(tmp_path / "m_ckpt"), state,
+        str(tmp_path / "m_log"))
+
+    # cross-batch pair still found with the split band/sig state
+    pairs = {(r.new_doc, r.old_doc)
+             for r in spark.read.parquet(str(tmp_path / "m_log") + "/*/").collect()}
+    assert (10, 1) in pairs
+
+    sigs = spark.read.parquet(state + "/sigs/*/")
+    bands = spark.read.parquet(state + "/bands/*/")
+    assert sigs.count() == 3                       # one row per doc
+    assert bands.count() == 3 * MINHASH_BANDS
+    assert "sig" not in bands.columns              # no 8x sig duplication
+
+    m = {r.batch_id: r for r in read_state_metrics(spark, state).collect()}
+    assert set(m) == {0, 1}
+    assert m[0].sig_rows_added == 2 and m[1].sig_rows_added == 1
+    assert m[1].state_bytes > m[0].state_bytes > 0
+    assert m[1].state_files > 0
+
+
+def test_rocksdb_state_conf_shape():
+    """The RocksDB posture helper pins the provider class and a
+    bounded compaction cadence (snapshot every N deltas)."""
+    from movie_rec_spark.streaming.ingest import rocksdb_state_conf
+
+    conf = rocksdb_state_conf()
+    assert conf["spark.sql.streaming.stateStore.providerClass"].endswith(
+        "RocksDBStateStoreProvider")
+    assert int(conf["spark.sql.streaming.stateStore.minDeltasForSnapshot"]) > 0
+    assert conf["spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled"] == "true"
+    assert "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" in conf
