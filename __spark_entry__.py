@@ -746,12 +746,17 @@ def oracle_sql() -> dict[str, str]:
                               / len(string_split(text, ' ')) >= 2.0
                               AND length(replace(text, ' ', ''))
                               / len(string_split(text, ' ')) <= 12.0
-                              AS INTEGER)) / 4.0 AS q
+                              AS INTEGER)) / 4.0 AS q,
+                       CAST(CAST(CAST('0x' || substring(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 100 >= 80 AS INTEGER)
+                           AS DOUBLE) AS held
                 FROM documents)
             SELECT source, count(*) AS n_docs,
                    count(DISTINCT fp) AS n_unique_texts,
                    1.0 - count(DISTINCT fp) * 1.0 / count(*) AS dup_ratio,
-                   avg(q) AS avg_quality
+                   avg(q) AS avg_quality,
+                   avg(held) AS held_out_ratio
             FROM b GROUP BY source
         """,
         # Batch membership = the same stable md5 bucket arithmetic as

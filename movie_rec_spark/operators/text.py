@@ -280,14 +280,22 @@ def q_domain_stats(documents: DataFrame) -> DataFrame:
     final agg — two exchanges, both keyed by source, no skew risk since
     sources are coarse). avg quality is a mean of exact binary quarters
     (k/4), so the double sum is order-independent and engine-exact —
-    no rounding needed.
+    no rounding needed. held_out_ratio is the share of docs whose
+    stable md5 bucket lands in the val+test range (>= 80) — the same
+    split arithmetic as q_sample_stable, so the dashboard shows each
+    source's actual held-out fraction (expected ~0.20; a source whose
+    ids were assigned adversarially would drift).
     """
+    from movie_rec_spark.functions import stable_bucket
+
     score = _quality_score(F.col("text"))
+    held = (stable_bucket(F.col("doc_id")) >= 80).cast("int")
     return (
         documents.select(
             "source",
             F.md5(F.col("text").cast("binary")).alias("fp"),
             score.alias("q"),
+            held.alias("held"),
         )
         .groupBy("source")
         .agg(
@@ -296,6 +304,7 @@ def q_domain_stats(documents: DataFrame) -> DataFrame:
             (F.lit(1.0) - F.countDistinct("fp") / F.count(F.lit(1)))
             .alias("dup_ratio"),
             F.avg("q").alias("avg_quality"),
+            F.avg("held").alias("held_out_ratio"),
         )
     )
 

@@ -6,13 +6,27 @@ and order-insensitive value equality (sorted rows, exact for
 ints/strings, 1e-9 relative for floats — stricter than a hash in that it
 pinpoints the first differing cell).
 
-Usage: python tools/selfcheck.py [sf_dir] [query ...]
+Usage: python tools/selfcheck.py [--emit OUT.json] [sf_dir] [query ...]
+
+With ``--emit``, writes a driver-shaped correctness artifact (one row
+per query: rows/schema/values match + row counts) so every declared
+query — including those added after the driver's recorded gate was
+frozen — has a committed hard signal (`CORRECTNESS_local.json`).
+Queries listed in ``NONVACUOUS_AT`` get an extra row at a larger sf
+where their check is known to be non-vacuous (e.g. q_source_overlap
+finds 0 cross-source duplicates at sf0.01 — 0=0 proves nothing — but
+real rows at sf0.1).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
+
+# Queries whose sf0.01 oracle comparison is vacuous (both sides empty):
+# re-checked additionally at the given sf and recorded as name@sf.
+NONVACUOUS_AT = {"q_source_overlap": "/root/testdata/sf0.1"}
 
 import duckdb
 import numpy as np
@@ -69,48 +83,107 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     return errs
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("selfcheck")
+def _connect(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def check_one(spark, con, sf_dir: str, name: str, fn, oracle: str | None,
+              label: str | None = None) -> tuple[dict, bool]:
+    """Run one query (and its oracle, if any); print the verdict line
+    and return (artifact_row, ok)."""
+    label = label or name
+    t0 = time.time()
+    try:
+        got = fn(spark, sf_dir).toPandas()
+    except Exception as exc:  # noqa: BLE001
+        print(f"FAIL {label}: spark error: {exc}")
+        return {"mode": "oracle" if oracle else "rows_only",
+                "rows_match": False, "schema_match": False,
+                "values_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark error: {exc}"}, False
+    t1 = time.time()
+    if oracle is None:
+        print(f"ok   {label}: rows-only ({len(got)} rows, {t1-t0:.1f}s)")
+        return {"mode": "rows_only", "spark_rows": len(got),
+                "err": None}, True
+    try:
+        want = con.execute(oracle).df()
+    except Exception as exc:  # noqa: BLE001
+        print(f"FAIL {label}: duckdb error: {exc}")
+        return {"mode": "oracle", "rows_match": False,
+                "schema_match": False, "values_match": False,
+                "spark_rows": len(got), "oracle_rows": None,
+                "err": f"duckdb error: {exc}"}, False
+    errs = compare(name, got, want)
+    hard = [e for e in errs if not e.startswith("col") or "WARN" not in e]
+    row = {
+        "mode": "oracle",
+        "rows_match": len(got) == len(want),
+        "schema_match": sorted(got.columns) == sorted(want.columns),
+        "values_match": not hard,
+        "spark_rows": len(got),
+        "oracle_rows": len(want),
+        "err": "; ".join(hard) if hard else None,
+    }
+    if hard:
+        print(f"FAIL {label} ({len(got)} rows, {t1-t0:.1f}s)")
+        for e in errs:
+            print(f"     {e}")
+        return row, False
+    tag = " (float-inexact warn)" if errs else ""
+    print(f"ok   {label}: {len(got)} rows, {t1-t0:.1f}s{tag}")
+    for e in errs:
+        print(f"     {e}")
+    return row, True
+
+
+def main() -> int:
+    args = list(sys.argv[1:])
+    emit = None
+    if "--emit" in args:
+        i = args.index("--emit")
+        emit = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    spark = get_spark("selfcheck")
+    con = _connect(sf_dir)
     qs, oracles = E.queries(), E.oracle_sql()
+    results: dict[str, dict] = {}
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        t0 = time.time()
-        try:
-            got = fn(spark, sf_dir).toPandas()
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {exc}")
-            n_fail += 1
-            continue
-        t1 = time.time()
-        if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(got)} rows, {t1-t0:.1f}s)")
-            continue
-        try:
-            want = con.execute(oracles[name]).df()
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {exc}")
-            n_fail += 1
-            continue
-        errs = compare(name, got, want)
-        hard = [e for e in errs if not e.startswith("col") or "WARN" not in e]
-        if hard:
-            n_fail += 1
-            print(f"FAIL {name} ({len(got)} rows, {t1-t0:.1f}s)")
-            for e in errs:
-                print(f"     {e}")
-        else:
-            tag = " (float-inexact warn)" if errs else ""
-            print(f"ok   {name}: {len(got)} rows, {t1-t0:.1f}s{tag}")
-            for e in errs:
-                print(f"     {e}")
-    print(f"\n{n_fail} failures / {len(only) if only else len(qs)} checked")
+        row, ok = check_one(spark, con, sf_dir, name, fn, oracles.get(name))
+        results[name] = row
+        n_fail += 0 if ok else 1
+    if not only:
+        # vacuity escapes: re-check at a sf where the query produces rows
+        for name, big_sf in NONVACUOUS_AT.items():
+            big_con = _connect(big_sf)
+            row, ok = check_one(spark, big_con, big_sf, name, qs[name],
+                                oracles.get(name),
+                                label=f"{name}@{big_sf.rsplit('/', 1)[-1]}")
+            results[f"{name}@{big_sf.rsplit('/', 1)[-1]}"] = row
+            n_fail += 0 if ok else 1
+            if ok and row.get("spark_rows", 0) == 0:
+                print(f"WARN {name}: still vacuous at {big_sf}")
+    if emit:
+        artifact = {"_meta": {
+            "sf_dir": sf_dir,
+            "generated_by": "tools/selfcheck.py --emit",
+            "n_checked": len(results),
+            "n_fail": n_fail,
+        }}
+        artifact.update(results)
+        with open(emit, "w") as fh:
+            json.dump(artifact, fh, indent=1, sort_keys=False)
+            fh.write("\n")
+        print(f"wrote {emit} ({len(results)} rows)")
+    print(f"\n{n_fail} failures / {len(results)} checked")
     return 1 if n_fail else 0
 
 
