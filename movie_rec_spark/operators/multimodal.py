@@ -4,16 +4,24 @@ Image/audio/video are treated as opaque ``binary`` columns with a typed
 metadata struct, exactly as a 100 TB lakehouse stores them. The
 decode / feature-extract / resize / frame-sample stages run as
 Arrow-batched ``mapInPandas`` — the one place Python belongs, because
-codec libraries are Python/native. The image/audio libs are NOT in this
-container, so the codec call is stubbed (deterministic fake derived from
-the payload bytes, or NotImplementedError when strict=True); the
-Spark-side plumbing — schema, batch shape, partition behavior — is real
-and tested.
+codec libraries are Python/native.
+
+Codec resolution is FEATURE-DETECTED per operator (``codec='auto'``):
+when PIL (images) / soundfile (audio) is importable the real decoder
+runs; otherwise a deterministic fake derived from the payload bytes
+keeps the full Spark plumbing — schema, Arrow batch shape, 1→1/1→N row
+contract, partition behavior — testable in codec-less environments.
+``strict=True`` refuses the fallback (NotImplementedError), which is
+the production posture: fail loudly rather than emit fake features.
+Detection happens ON THE DRIVER and the decision is pickled into the
+closure, so a heterogeneous cluster can't silently mix real and fake
+features within one query.
 """
 
 from __future__ import annotations
 
 import hashlib
+import importlib.util
 from collections.abc import Iterator
 
 import pandas as pd
@@ -27,6 +35,31 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+def _has(mod: str) -> bool:
+    return importlib.util.find_spec(mod) is not None
+
+
+HAS_PIL = _has("PIL")
+HAS_SOUNDFILE = _has("soundfile")
+
+
+def _resolve_codec(codec: str, available: bool, strict: bool,
+                   what: str, libs: str) -> bool:
+    """Pick real vs stub decode on the DRIVER. Returns True for real."""
+    if codec not in ("auto", "real", "stub"):
+        raise ValueError(f"codec must be auto|real|stub, got {codec!r}")
+    if codec == "real" or (codec == "auto" and available):
+        if not available:
+            raise NotImplementedError(
+                f"real {what} decode requires {libs}; not importable here")
+        return True
+    if strict:
+        raise NotImplementedError(
+            f"strict=True: real {what} decode requires {libs}; "
+            "not importable here and the stub fallback is refused")
+    return False
+
 
 IMAGE_FEATURES_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -82,22 +115,39 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     return width, height, channels, round(mean_byte, 4)
 
 
+def _pil_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Real image decode via PIL: dimensions/bands from the header,
+    mean over the raw pixel bytes. One import per worker process
+    (cached by sys.modules), one decode per row inside a batch loop."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        im.load()
+        width, height = im.size
+        channels = len(im.getbands())
+        raw = im.tobytes()
+    mean_byte = (sum(raw) / len(raw)) if raw else 0.0
+    return width, height, channels, round(mean_byte, 4)
+
+
 def decode_image_features(with_payload_df: DataFrame,
-                          strict: bool = False) -> DataFrame:
+                          strict: bool = False,
+                          codec: str = "auto") -> DataFrame:
     """Image decode + feature extraction over mapInPandas.
 
     Arrow-batched: each partition arrives as pandas batches; one Python
-    call per BATCH, not per row. With strict=True raises
-    NotImplementedError (no codec libs in this container) — the
-    production hook point.
+    call per BATCH, not per row. codec='auto' feature-detects PIL on
+    the driver and pickles the chosen decoder into the closure;
+    strict=True refuses the stub fallback (NotImplementedError) — the
+    production posture.
     """
-    decode = _fake_decode  # bind into the closure: pickle the stub BY
-    # VALUE with fn, so workers never need this module importable
+    real = _resolve_codec(codec, HAS_PIL, strict, "image", "PIL")
+    decode = _pil_decode if real else _fake_decode  # picked on the
+    # driver, pickled BY VALUE with fn — workers never re-detect
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "real image decode requires PIL/libvips; not in container")
         for pdf in batches:
             decoded = [decode(bytes(b)) for b in pdf["payload"]]
             yield pd.DataFrame({
@@ -120,17 +170,38 @@ AUDIO_FEATURES_SCHEMA = StructType([
 ])
 
 
+def _soundfile_decode(payload: bytes) -> tuple[int, int, float, float]:
+    """Real audio decode via soundfile/libsndfile: header fields from
+    the container, RMS over the decoded float samples."""
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    data, rate = sf.read(io.BytesIO(payload), dtype="float64",
+                         always_2d=True)
+    n_samples = int(data.shape[0])
+    duration = round(n_samples / rate, 4) if rate else 0.0
+    rms = round(float(np.sqrt(np.mean(np.square(data)))), 4) \
+        if n_samples else 0.0
+    return int(rate), n_samples, duration, rms
+
+
 def decode_audio_features(with_payload_df: DataFrame,
-                          strict: bool = False) -> DataFrame:
+                          strict: bool = False,
+                          codec: str = "auto") -> DataFrame:
     """Audio decode + feature extraction over mapInPandas — the audio
     twin of decode_image_features: sample rate / length from the
-    container header, RMS level from the samples. The codec call is a
-    deterministic fake (header fields derived from the content digest,
-    RMS from payload bytes recentred to [-1, 1]); with strict=True it
-    raises NotImplementedError (no libsndfile/ffmpeg in this
-    container) — the production hook point. Schema, Arrow batch shape,
-    and 1→1 row contract are the real product.
+    container header, RMS level from the samples. codec='auto'
+    feature-detects soundfile (libsndfile) on the driver; the fallback
+    is a deterministic fake (header fields derived from the content
+    digest, RMS from payload bytes recentred to [-1, 1]); strict=True
+    refuses the fallback. Schema, Arrow batch shape, and 1→1 row
+    contract are identical on both paths.
     """
+    real = _resolve_codec(codec, HAS_SOUNDFILE, strict, "audio",
+                          "soundfile/libsndfile")
+
     def fake_decode(payload: bytes) -> tuple[int, int, float, float]:
         h = hashlib.md5(payload).digest()
         rate = (8000, 16000, 22050, 44100)[h[0] % 4]
@@ -146,13 +217,11 @@ def decode_audio_features(with_payload_df: DataFrame,
             rms = 0.0
         return rate, n_samples, duration, rms
 
+    decode = _soundfile_decode if real else fake_decode
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "real audio decode requires libsndfile/ffmpeg; "
-                "not in container")
         for pdf in batches:
-            decoded = [fake_decode(bytes(b)) for b in pdf["payload"]]
+            decoded = [decode(bytes(b)) for b in pdf["payload"]]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "sample_rate": pd.Series(
@@ -200,19 +269,40 @@ RESIZED_SCHEMA = StructType([
 ])
 
 
-def resize_images(with_payload_df: DataFrame, target: int = 32) -> DataFrame:
-    """Image resize stub over mapInPandas: emits a transformed payload
-    of deterministic size target×target (here: a strided byte
-    subsample — the real body is one PIL/libvips call per batch).
-    Output batch shape (binary out column, 1→1 rows) is exactly the
-    production contract; only the codec call is fake.
+def _pil_resize(payload: bytes, target: int) -> bytes:
+    """Real resize via PIL: decode, force single-channel, bilinear
+    resample to target×target, return the raw pixel bytes (length is
+    exactly target² — same output contract as the stub)."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        out = im.convert("L").resize((target, target), Image.BILINEAR)
+        return out.tobytes()
+
+
+def resize_images(with_payload_df: DataFrame, target: int = 32,
+                  strict: bool = False, codec: str = "auto") -> DataFrame:
+    """Image resize over mapInPandas: emits a transformed payload of
+    deterministic size target×target. codec='auto' feature-detects PIL
+    (real decode + bilinear resample); the fallback is a strided byte
+    subsample with the SAME output contract (binary out column of
+    exactly target² bytes, 1→1 rows), so downstream stages are
+    oblivious to which codec ran.
     """
+    real = _resolve_codec(codec, HAS_PIL, strict, "image", "PIL")
+    pil_resize = _pil_resize
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_out = target * target
         for pdf in batches:
             out = []
             for b in pdf["payload"]:
                 raw = bytes(b)
+                if real:
+                    out.append(pil_resize(raw, target))
+                    continue
                 if not raw:
                     out.append(b"\x00" * n_out)
                     continue

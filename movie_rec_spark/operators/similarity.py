@@ -35,20 +35,33 @@ def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.withColumn(col, F.col(col).cast("array<double>"))
 
 
-def q_knn_brute(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
-                k: int = KNN_K) -> DataFrame:
+def q_knn_brute(embeddings: DataFrame, query_vec_id: int | None = QUERY_VEC_ID,
+                k: int = KNN_K,
+                query_vec: list[float] | None = None) -> DataFrame:
     """Exact cosine top-k against one stored query vector.
 
     The query row is broadcast; scoring is a single projection over the
     corpus (no shuffle); top-k is TakeOrderedAndProject. Ordering is on
     the ROUNDED similarity + vec_id so the k-boundary is deterministic
     across engines.
+
+    Serving path: pass ``query_vec`` to score an EXTERNAL request
+    vector — no corpus lookup happens at all; ``query_vec_id`` then only
+    names the corpus row to exclude (None keeps every row). The entry
+    binding pins both to the stored-vector form so the oracle stays
+    byte-stable.
     """
     e = _as_double(embeddings)
-    q = e.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qv"))
+    if query_vec is not None:
+        q = e.sparkSession.range(1).select(
+            F.array(*[F.lit(float(x)) for x in query_vec]).alias("qv"))
+    else:
+        q = e.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("embedding").alias("qv"))
+    corpus = e if query_vec_id is None else e.filter(
+        F.col("vec_id") != query_vec_id)
     return (
-        e.filter(F.col("vec_id") != query_vec_id)
+        corpus
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -230,8 +243,9 @@ def q_embed_quantize(embeddings: DataFrame) -> DataFrame:
         fn, "vec_id bigint, scale double, n_sat int, cos_recon double")
 
 
-def q_knn_int8(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
-               k: int = KNN_K) -> DataFrame:
+def q_knn_int8(embeddings: DataFrame, query_vec_id: int | None = QUERY_VEC_ID,
+               k: int = KNN_K,
+               query_vec: list[float] | None = None) -> DataFrame:
     """Exact cosine top-k computed ENTIRELY on the int8-quantized
     corpus — the serving-side counterpart of q_embed_quantize: once the
     audit passes, searches run against the 4-8× smaller compressed
@@ -247,15 +261,22 @@ def q_knn_int8(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
     pruning is lossless) — shuffle volume is k rows per batch, and the
     global TakeOrderedAndProject finishes it. No shuffle of the
     corpus, no driver traffic beyond k·n_batches candidate rows.
+
+    Serving path: pass ``query_vec`` to search for an EXTERNAL request
+    vector (no corpus point-lookup); ``query_vec_id`` then only names
+    the corpus row to exclude (None keeps every row).
     """
     import numpy as np
     import pandas as pd
 
-    qrow = (embeddings.filter(F.col("vec_id") == query_vec_id)
-            .select("embedding").first())
-    if qrow is None:
-        raise KeyError(f"query vec_id {query_vec_id} not found")
-    qv = np.asarray(qrow[0], dtype=np.float64)
+    if query_vec is not None:
+        qv = np.asarray(query_vec, dtype=np.float64)
+    else:
+        qrow = (embeddings.filter(F.col("vec_id") == query_vec_id)
+                .select("embedding").first())
+        if qrow is None:
+            raise KeyError(f"query vec_id {query_vec_id} not found")
+        qv = np.asarray(qrow[0], dtype=np.float64)
 
     def quantize(m: np.ndarray) -> np.ndarray:
         absmax = np.abs(m).max(axis=1)
@@ -272,7 +293,8 @@ def q_knn_int8(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
             if not len(pdf):
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            keep = ids != query_vec_id
+            keep = (ids == ids) if query_vec_id is None else (
+                ids != query_vec_id)
             if not keep.any():
                 continue
             ids = ids[keep]
@@ -583,9 +605,10 @@ def ivf_read(spark, path: str):
     return assigned, centers
 
 
-def q_knn_ivf(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
+def q_knn_ivf(embeddings: DataFrame, query_vec_id: int | None = QUERY_VEC_ID,
               k: int = KNN_K, n_cells: int = 8,
-              nprobe: int = 3) -> DataFrame:
+              nprobe: int = 3,
+              query_vec: list[float] | None = None) -> DataFrame:
     """Declared query (rows-only: KMeans centroids are engine-specific):
     IVF top-k for the stored query vector. Scoring touches only
     ``nprobe``/``n_cells`` of the corpus; recall vs q_knn_brute is
@@ -598,12 +621,19 @@ def q_knn_ivf(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
     Search-only at steady state: the index covers the FULL corpus (so it
     is query-independent and cacheable via ``ivf_build``) and the query
     vector excludes itself at scoring time instead of at fit time.
+
+    Serving path: pass ``query_vec`` to search for an EXTERNAL request
+    vector (no corpus point-lookup); ``query_vec_id`` then only names
+    the corpus row to exclude (None keeps every row).
     """
     e = _as_double(embeddings)
-    qv = (e.filter(F.col("vec_id") == query_vec_id)
-          .select("embedding").first()[0])
+    if query_vec is not None:
+        qv = [float(x) for x in query_vec]
+    else:
+        qv = list(e.filter(F.col("vec_id") == query_vec_id)
+                  .select("embedding").first()[0])
     assigned, centers = ivf_build(e, n_cells)
-    return ivf_search(assigned, centers, list(qv), k, nprobe,
+    return ivf_search(assigned, centers, qv, k, nprobe,
                       exclude_id=query_vec_id)
 
 

@@ -1,0 +1,98 @@
+"""Feature-detected codec resolution (VERDICT r3 item 5).
+
+The multimodal decode operators pick real vs stub codecs on the driver
+(`_resolve_codec`): PIL/soundfile when importable, deterministic stub
+otherwise, NotImplementedError when the caller demands real
+(codec='real' or strict=True) and no lib is present. The real-decode
+tests below run whenever the lib IS importable (they synthesize a tiny
+PNG/WAV with the same lib) and skip otherwise — so this file is green
+in both codec-less CI and a full production image, exercising whichever
+path that environment will actually serve.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from movie_rec_spark.operators import multimodal as MM
+
+
+def test_resolve_codec_matrix():
+    # available → auto/real pick real; stub always stub
+    assert MM._resolve_codec("auto", True, False, "x", "l") is True
+    assert MM._resolve_codec("real", True, True, "x", "l") is True
+    assert MM._resolve_codec("stub", True, False, "x", "l") is False
+    # unavailable → auto falls back unless strict; real always raises
+    assert MM._resolve_codec("auto", False, False, "x", "l") is False
+    with pytest.raises(NotImplementedError):
+        MM._resolve_codec("auto", False, True, "x", "l")
+    with pytest.raises(NotImplementedError):
+        MM._resolve_codec("real", False, False, "x", "l")
+    with pytest.raises(ValueError):
+        MM._resolve_codec("fast", True, False, "x", "l")
+
+
+def _payload_df(spark, blobs):
+    rows = [Row(doc_id=i, payload=b,
+                meta=Row(n_bytes=len(b), mime="x", origin="t"))
+            for i, b in enumerate(blobs)]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, payload binary, "
+              "meta struct<n_bytes:bigint,mime:string,origin:string>")
+
+
+def test_stub_decode_forced_even_if_real_available(spark):
+    # codec='stub' must stay deterministic regardless of environment
+    df = _payload_df(spark, [b"hello world"])
+    out = MM.decode_image_features(df, codec="stub").collect()
+    assert out[0].width == 64 + __import__("hashlib").md5(
+        b"hello world").digest()[0] % 64
+
+
+@pytest.mark.skipif(not MM.HAS_PIL, reason="PIL not importable")
+def test_real_image_decode_roundtrip(spark):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 3), color=(10, 20, 30)).save(buf, format="PNG")
+    df = _payload_df(spark, [buf.getvalue()])
+    row = MM.decode_image_features(df, codec="real").collect()[0]
+    assert (row.width, row.height, row.channels) == (5, 3, 3)
+    assert row.mean_byte == pytest.approx(20.0)
+    resized = MM.resize_images(df, target=4, codec="real").collect()[0]
+    assert len(resized.resized) == 16
+
+
+@pytest.mark.skipif(not MM.HAS_SOUNDFILE, reason="soundfile not importable")
+def test_real_audio_decode_roundtrip(spark):
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    buf = io.BytesIO()
+    tone = np.sin(np.linspace(0, 440 * 2 * np.pi, 8000)) * 0.5
+    sf.write(buf, tone, 8000, format="WAV", subtype="FLOAT")
+    df = _payload_df(spark, [buf.getvalue()])
+    row = MM.decode_audio_features(df, codec="real").collect()[0]
+    assert row.sample_rate == 8000
+    assert row.n_samples == 8000
+    assert row.duration_sec == pytest.approx(1.0)
+    assert row.rms == pytest.approx(0.3536, abs=2e-3)  # 0.5/sqrt(2)
+
+
+def test_auto_matches_environment(spark):
+    """codec='auto' must resolve to exactly what the environment has —
+    asserted through observable output, not just the flag."""
+    df = _payload_df(spark, [b"not an image"])
+    if MM.HAS_PIL:
+        # auto == real ⇒ an undecodable payload must error
+        with pytest.raises(Exception):
+            MM.decode_image_features(df).collect()
+    else:
+        out = MM.decode_image_features(df).collect()
+        assert len(out) == 1  # stub decodes anything deterministically
