@@ -92,6 +92,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_groups": lambda s, d: D.q_dedup_groups(_t("documents")(s, d)),
         "q_dedup_char_jaccard": lambda s, d: D.q_dedup_char_jaccard(
             _t("documents")(s, d)),
+        "q_cc_chain_star": lambda s, d: D.q_cc_chain_star(
+            _t("documents")(s, d)),
+        "q_cc_chain_minlabel": lambda s, d: D.q_cc_chain_minlabel(
+            _t("documents")(s, d)),
         # --- similarity search ---
         "q_knn_brute": lambda s, d: S.q_knn_brute(_t("embeddings")(s, d)),
         "q_embed_neardup": lambda s, d: S.q_embed_neardup(_t("embeddings")(s, d)),
@@ -469,6 +473,29 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
             )
             SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a
+        """,
+        # Chain graph = maximal runs of consecutive ids inside an
+        # id-block, so CC reduces to gaps-and-islands SQL — no recursion
+        # needed; comp = min id of the run. Both CC variants share it.
+        "q_cc_chain_star": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       doc_id // {D.CC_CHAIN_LEN} AS blk,
+                       doc_id - row_number() OVER (ORDER BY doc_id) AS runid
+                FROM documents)
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY blk, runid) AS comp
+            FROM d
+        """,
+        "q_cc_chain_minlabel": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       doc_id // {D.CC_CHAIN_LEN} AS blk,
+                       doc_id - row_number() OVER (ORDER BY doc_id) AS runid
+                FROM documents)
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY blk, runid) AS comp
+            FROM d
         """,
         # Same scale/clamp/round arithmetic as the Spark HOF expressions;
         # cosine accumulation matches list_cosine_similarity (see cosine()).

@@ -500,6 +500,12 @@ def q_dedup_simhash(documents: DataFrame, hamming_max: int = 3) -> DataFrame:
     )
 
 
+#: Rounds executed by the most recent call of each CC variant — the
+#: observable for round-count budgets (tests) and the SCALE.md chain
+#: benchmark. Driver-local telemetry, not part of any query result.
+CC_ROUNDS: dict[str, int] = {}
+
+
 def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs — the step that turns
     pairwise matches into dedup GROUPS (keep one canonical doc per
@@ -549,7 +555,7 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     prev_sum = _label_sum(labels)
     converged = False
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         neigh = (
             sym.join(labels.withColumnRenamed("doc_id", "doc_b")
                      .withColumnRenamed("comp", "n_comp"), "doc_b")
@@ -600,6 +606,7 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         new_sum = _label_sum(jumped)
         labels = jumped
+        CC_ROUNDS["minlabel"] = _round + 1
         if new_sum == prev_sum:
             converged = True
             break
@@ -669,11 +676,16 @@ def dedup_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     for i in range(max_iter):
         after = star_round(star_round(edges, large=True), large=False)
         # localCheckpoint each round: the plan would otherwise nest
-        # O(rounds) joins deep (same lineage blow-up as min-label)
-        after = after.localCheckpoint(eager=True)
+        # O(rounds) joins deep (same lineage blow-up as min-label).
+        # eager=False: the count() below is the round's first action and
+        # materializes the checkpoint — one job per round, not two.
+        after = after.localCheckpoint(eager=False)
+        # cheap count-equality gate first; the exceptAll set-equality
+        # pass only runs on the (rare) rounds where counts match
         stable = (after.count() == edges.count()
                   and after.exceptAll(edges).limit(1).count() == 0)
         edges = after
+        CC_ROUNDS["star"] = i + 1
         if stable:
             break
     else:
@@ -739,3 +751,66 @@ def q_minhash_groups(documents: DataFrame) -> DataFrame:
     components; agreement with the exact-Jaccard groups on the test
     corpus is asserted in tests/test_text_dedup.py."""
     return dedup_components(q_dedup_minhash(documents).select("doc_a", "doc_b"))
+
+
+CC_CHAIN_LEN = 1000  # id-block width of the synthetic chain graph
+
+
+def chain_edges(documents: DataFrame,
+                chain_len: int = CC_CHAIN_LEN) -> DataFrame:
+    """Deterministic chain-shaped edge set over the corpus ids: edge
+    (i, i+1) whenever both ids exist and share an id-block of
+    ``chain_len`` (blk = doc_id div chain_len). Contiguous ids yield
+    chains of length chain_len — diameter chain_len−1, the WORST case
+    for propagation-style connected components and the shape min-label
+    was flagged on (entity-resolution id chains, temporal near-dup
+    sequences). Pure projection + one equi-join on doc_id; no window,
+    no global sort — scales like any id-keyed join.
+    """
+    d = documents.select("doc_id")
+    succ = d.select((F.col("doc_id") - F.lit(1)).alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"))
+    return (
+        d.select(F.col("doc_id").alias("doc_a"))
+        .join(succ, "doc_a")
+        .filter(F.floor(F.col("doc_a") / chain_len)
+                == F.floor(F.col("doc_b") / chain_len))
+    )
+
+
+def _cc_chain(documents: DataFrame, cc, chain_len: int) -> DataFrame:
+    labels = cc(chain_edges(documents, chain_len))
+    # isolated ids (an id-block containing a single doc) never appear in
+    # the edge set; restore them with comp = self
+    return (
+        documents.select("doc_id")
+        .join(labels.withColumnRenamed("comp", "_comp"), "doc_id", "left")
+        .select("doc_id",
+                F.coalesce(F.col("_comp"), F.col("doc_id")).alias("comp"))
+    )
+
+
+def q_cc_chain_star(documents: DataFrame,
+                    chain_len: int = CC_CHAIN_LEN) -> DataFrame:
+    """Declared query: connected components of the chain graph via
+    alternating large-star/small-star — the O(log n)-round contraction
+    that is DIAMETER-INDEPENDENT. On the sf0.1 chain set (5 chains of
+    1000, diameter 999) it stabilizes in ~6 rounds where one-hop label
+    propagation would need 999; round counts for both variants are
+    recorded in CC_ROUNDS and budget-tested. Oracle: gaps-and-islands
+    SQL (comp = min id of the maximal consecutive run inside the
+    id-block), so the result is hash-checked, not rows-only."""
+    return _cc_chain(documents, dedup_components_star, chain_len)
+
+
+def q_cc_chain_minlabel(documents: DataFrame,
+                        chain_len: int = CC_CHAIN_LEN) -> DataFrame:
+    """Declared query: the same chain graph through min-label
+    propagation WITH pointer jumping — the horizon doubles per round,
+    so the worst case is O(log diameter) (~11 rounds at diameter 999),
+    not O(diameter). Benched side-by-side with q_cc_chain_star so the
+    crossover between the two CC forms is measured, not asserted; same
+    gaps-and-islands oracle."""
+    return _cc_chain(
+        documents,
+        lambda e: dedup_components(e, max_iter=30), chain_len)

@@ -39,7 +39,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 @lru_cache(maxsize=256)
 def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't map those
-    natively, so they're read as int64 (nanosAsLong) and converted."""
+    natively, so they're read as int64 (nanosAsLong) and converted.
+
+    ``path`` may be a single file (the driver fixtures) or a
+    directory-shaped table (anything Spark wrote — the normal lakehouse
+    layout); for a directory the schema comes from its first part file
+    (parquet tables are schema-uniform by contract)."""
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_")))
+        if not parts:
+            return ()
+        path = os.path.join(path, parts[0])
     schema = pq.read_schema(path)
     return tuple(
         f.name for f in schema

@@ -420,3 +420,44 @@ def test_unigram_logprob_orders_common_above_rare(spark):
     assert out[0].avg_logprob > out[100].avg_logprob
     assert all(r.avg_logprob < 0 for r in out.values())
     assert out[100].n_tokens == 4
+
+
+def test_cc_chain_round_budgets(spark, sf_docs):
+    """Both CC variants on the declared chain graph (VERDICT r3 item 4):
+    round counts must stay logarithmic — star in O(log n), min-label in
+    O(log diameter) thanks to pointer jumping — and the labelings must
+    agree. Budgets are ceil(log2(chain)) + 3 slack rounds (convergence
+    detection costs one extra identical round on each variant)."""
+    import math
+
+    from movie_rec_spark.operators import dedup as D
+
+    n_docs = sf_docs.count()
+    chain = min(n_docs, D.CC_CHAIN_LEN)
+    budget = math.ceil(math.log2(chain)) + 3
+
+    star = {r.doc_id: r.comp
+            for r in D.q_cc_chain_star(sf_docs).collect()}
+    star_rounds = D.CC_ROUNDS["star"]
+    ml = {r.doc_id: r.comp
+          for r in D.q_cc_chain_minlabel(sf_docs).collect()}
+    ml_rounds = D.CC_ROUNDS["minlabel"]
+
+    assert star == ml
+    assert star_rounds <= budget, (star_rounds, budget)
+    assert ml_rounds <= budget, (ml_rounds, budget)
+
+
+def test_chain_edges_split_on_gaps_and_blocks(spark):
+    """chain_edges connects consecutive ids only: an id gap or an
+    id-block boundary breaks the chain, and the CC labels reflect the
+    maximal consecutive runs (the gaps-and-islands oracle shape)."""
+    from pyspark.sql import Row
+
+    from movie_rec_spark.operators import dedup as D
+
+    ids = [0, 1, 2, 4, 5, 9, 10, 11]  # gap at 3 and 6-8; block cut at 10
+    docs = spark.createDataFrame([Row(doc_id=i) for i in ids])
+    got = {r.doc_id: r.comp
+           for r in D.q_cc_chain_star(docs, chain_len=10).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 4: 4, 5: 4, 9: 9, 10: 10, 11: 10}

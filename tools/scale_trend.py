@@ -1,0 +1,175 @@
+"""Measured scale-trend for the dedup/ANN family (VERDICT r3 item 3).
+
+Synthesizes an N× corpus from a base sf dir with STRUCTURE-PRESERVING,
+collision-free transforms, then times the scale-path queries at 1× and
+N× and reports the growth ratios of wall time and blocking
+candidate_pairs. ~Linear growth is the claim the plan shapes make
+(banding/bucketing equi-joins, never all-pairs); this harness turns it
+into a measured number.
+
+Corpus construction (copy k of N, copy 0 = identity):
+- documents: every word w becomes ``w#k`` — a BIJECTION of the shingle
+  space per copy, so within-copy Jaccard/minhash/simhash structure is
+  EXACTLY preserved while cross-copy similarity is zero (no spurious
+  near-dup pairs across copies). Duplicate DENSITY is therefore
+  constant as the corpus grows — the regime "corpus 10× larger, same
+  data distribution".
+- embeddings: per-copy diagonal ±1 sign flip (an orthogonal transform):
+  within-copy cosines are exactly preserved, cross-copy cosines are
+  sign-scrambled toward zero. Ids stride by 1 000 000 per copy.
+
+Usage: python tools/scale_trend.py [N] [base_sf_dir]   # default 10, sf0.1
+Writes the N× corpus under /tmp/scale_trend_{N}x (reused if present)
+and prints the markdown rows recorded in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from movie_rec_spark.operators import dedup as D  # noqa: E402
+from movie_rec_spark.operators import similarity as S  # noqa: E402
+from movie_rec_spark.session import get_spark  # noqa: E402
+from movie_rec_spark.sources.catalog import load_table  # noqa: E402
+
+STRIDE = 1_000_000
+LSH_TARGET_OCC = 64  # per-bucket occupancy target for sized n_bits
+
+
+def _sized_bits(n_vecs: int) -> int:
+    """The LSH sizing rule made executable: chance collisions put
+    ~n/2^b vectors in every bucket, so candidate pairs grow as
+    L·n²/2^(b+1) — quadratic at FIXED b. Growing b with log2(n/occ)
+    pins per-bucket occupancy (and per-task memory) to a constant;
+    recall per table falls as p^b, so production also grows n_tables
+    (L ≈ ln(1/miss)/p^b) — here we measure the candidate-volume side
+    only, with L fixed, to isolate the occupancy effect."""
+    import math
+    return max(3, math.ceil(math.log2(max(n_vecs, 1) / LSH_TARGET_OCC)))
+
+
+def build_corpus(spark, base_dir: str, out_dir: str, mult: int) -> None:
+    docs = load_table(spark, base_dir, "documents")
+    emb = load_table(spark, base_dir, "embeddings")
+    doc_parts = []
+    emb_parts = []
+    for k in range(mult):
+        if k == 0:
+            doc_parts.append(docs)
+            emb_parts.append(emb)
+            continue
+        salted = F.array_join(
+            F.transform(F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, F.lit(f"#{k}"))), " ")
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * STRIDE)).alias("doc_id"),
+                salted.alias("text"), "lang", "source",
+                F.length(salted).alias("n_chars")))
+        flipped = F.transform(
+            F.col("embedding"),
+            lambda x, i: x * F.when(
+                F.pmod(F.xxhash64(F.concat(F.lit(f"{k}:"),
+                                           i.cast("string"))), 2) == 0,
+                F.lit(1.0).cast("float")).otherwise(
+                F.lit(-1.0).cast("float")))
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * STRIDE)).alias("vec_id"),
+                flipped.alias("embedding"), "label"))
+    all_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        all_docs = all_docs.unionByName(p)
+    all_emb = emb_parts[0]
+    for p in emb_parts[1:]:
+        all_emb = all_emb.unionByName(p)
+    all_docs.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet")
+    all_emb.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet")
+
+
+def _time(fn) -> float:
+    """Wall time of plan construction AND execution: the iterative CC
+    queries materialize (localCheckpoint) while the plan is BUILT, so
+    timing only the final write would miss all their work."""
+    t0 = time.time()
+    fn().write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def measure(spark, sf_dir: str) -> dict:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_docs, n_vecs = docs.count(), emb.count()
+    out = {"n_docs": n_docs, "n_vecs": n_vecs, "wall": {}, "cand": {}}
+    queries = {
+        "q_dedup_minhash": lambda: D.q_dedup_minhash(docs),
+        "q_dedup_simhash": lambda: D.q_dedup_simhash(docs),
+        "q_minhash_groups": lambda: D.q_minhash_groups(docs),
+        "q_neardup_lsh": lambda: S.lsh_neardup(emb, S.EMBED_DIM),
+        "q_neardup_lsh_sized": lambda: S.lsh_neardup(
+            emb, S.EMBED_DIM, n_bits=_sized_bits(n_vecs)),
+        "q_knn_ivf": lambda: S.q_knn_ivf(emb),
+    }
+    for name, fn in queries.items():
+        out["wall"][name] = round(_time(fn), 1)
+    blocked = {
+        "minhash_bands": (D.minhash_banded(docs), ["band", "bh"]),
+        "simhash_segments": (D.simhash_segments(docs, 3), ["q", "qh"]),
+        "lsh_buckets": (S.lsh_bucketed(emb, S.EMBED_DIM),
+                        ["tbl", "bucket"]),
+        "lsh_buckets_sized": (
+            S.lsh_bucketed(emb, S.EMBED_DIM,
+                           n_bits=_sized_bits(n_vecs)),
+            ["tbl", "bucket"]),
+    }
+    for name, (b, cols) in blocked.items():
+        r = D.blocking_stats(b, cols).collect()[0]
+        out["cand"][name] = (int(r.candidate_pairs), int(r.max_occ))
+    return out
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_dir = f"/tmp/scale_trend_{mult}x"
+    spark = get_spark("scale_trend")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{out_dir}/embeddings.parquet"):
+        print(f"building {mult}x corpus under {out_dir} ...", flush=True)
+        build_corpus(spark, base, out_dir, mult)
+    base_m = measure(spark, base)
+    big_m = measure(spark, out_dir)
+    print(f"\nbase: {base_m['n_docs']} docs / {base_m['n_vecs']} vecs; "
+          f"{mult}x: {big_m['n_docs']} docs / {big_m['n_vecs']} vecs\n")
+    print("| query | wall 1x | wall {m}x | ratio | cand 1x | cand {m}x "
+          "| cand ratio | max_occ {m}x |".format(m=mult))
+    print("|---|---|---|---|---|---|---|---|")
+    cand_for = {"q_dedup_minhash": "minhash_bands",
+                "q_minhash_groups": "minhash_bands",
+                "q_dedup_simhash": "simhash_segments",
+                "q_neardup_lsh": "lsh_buckets",
+                "q_neardup_lsh_sized": "lsh_buckets_sized"}
+    for q in base_m["wall"]:
+        w1, wn = base_m["wall"][q], big_m["wall"][q]
+        ck = cand_for.get(q)
+        if ck:
+            c1, cn = base_m["cand"][ck][0], big_m["cand"][ck][0]
+            occ = big_m["cand"][ck][1]
+            cr = f"{cn / max(c1, 1):.1f}x"
+        else:
+            c1 = cn = occ = "-"
+            cr = "-"
+        print(f"| {q} | {w1} s | {wn} s | {wn / max(w1, 0.1):.1f}x "
+              f"| {c1} | {cn} | {cr} | {occ} |")
+
+
+if __name__ == "__main__":
+    main()
