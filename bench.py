@@ -45,7 +45,12 @@ from movie_rec_spark.session import get_spark  # noqa: E402
 # the headline set, and the scale paths (minhash/simhash/lsh) are all
 # benched. (q_recommend is back in the set since r2: it serves from the
 # overlay without refitting ALS.)
-EXCLUDE = {"q_candidates", "q_dedup_char_jaccard"}
+EXCLUDE = {"q_candidates", "q_dedup_char_jaccard",
+           # diameter-999 CC diagnostics: deliberately worst-case
+           # iterative queries (~20 s of driver round latency, not plan
+           # cost); their measured wall/round numbers live in SCALE.md's
+           # chain-graph section instead of the headline total.
+           "q_cc_chain_star", "q_cc_chain_minlabel"}
 
 
 def main() -> None:

@@ -125,23 +125,33 @@ def grid_search(ratings: DataFrame,
                 regs: tuple[float, ...] = (0.1, 0.2),
                 num_folds: int = 3,
                 parallelism: int = 4,
-                seed: int = SEED):
+                seed: int = SEED,
+                iters: tuple[int, ...] | None = None,
+                num_blocks: int = 8):
     """ML2: hyperparameter grid + k-fold CV, best-RMSE selection
     (trainer.py:45-66: 144 combos × 3 folds, n_jobs=4 →
     CrossValidator(parallelism=4)). Grid kept small by default; the
-    reference's full grid is a kwargs change."""
+    reference's full grid shape is a kwargs change (``iters`` grids
+    maxIter — the ALS analogue of n_epochs; the reference's lr_all axis
+    has no ALS counterpart because ALS solves each block exactly
+    instead of gradient-stepping, so the 144-combo SGD grid maps to 36
+    ALS combos). tools/grid_full.py runs that full shape offline and
+    commits the table to GRID_SEARCH.md."""
     from pyspark.ml.evaluation import RegressionEvaluator
     from pyspark.ml.recommendation import ALS
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 
     als = ALS(userCol="user_id", itemCol="item_id", ratingCol="rating",
-              coldStartStrategy="drop", maxIter=MAX_ITER, seed=seed)
-    grid = (
+              coldStartStrategy="drop", maxIter=MAX_ITER, seed=seed,
+              numUserBlocks=num_blocks, numItemBlocks=num_blocks)
+    gb = (
         ParamGridBuilder()
         .addGrid(als.rank, list(ranks))
         .addGrid(als.regParam, list(regs))
-        .build()
     )
+    if iters:
+        gb = gb.addGrid(als.maxIter, list(iters))
+    grid = gb.build()
     cv = CrossValidator(
         estimator=als,
         estimatorParamMaps=grid,

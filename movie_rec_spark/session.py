@@ -59,4 +59,16 @@ def get_spark(
         # is irrelevant (executors get their own spark.executor.memory).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Reliable checkpoint dir for iterative algorithms: MLlib ALS (and
+    # any long-lineage loop) checkpoints every checkpointInterval
+    # iterations ONLY when a dir is set; without one, a 50-iteration fit
+    # builds a lineage deep enough to StackOverflow task serialization.
+    # On a cluster point this at durable shared storage (HDFS/S3) so
+    # checkpoints also survive executor loss.
+    if not spark.sparkContext.getCheckpointDir():
+        import tempfile
+        spark.sparkContext.setCheckpointDir(
+            os.environ.get("SPARK_CHECKPOINT_DIR",
+                           tempfile.mkdtemp(prefix="mrs_ckpt_")))
+    return spark

@@ -1,0 +1,133 @@
+"""MERGE INTO over a partitioned parquet lakehouse table — the ACID-
+table-format mapping of M2/M3 (SURVEY.md §1.4 names Delta ``MERGE
+INTO`` as the alternative to batch latest-wins; Delta/Iceberg are not
+in this container, so this is the same copy-on-write kernel those
+formats run per file, implemented partition-scoped in plain Spark).
+
+Semantics (one statement, Delta-style):
+  WHEN MATCHED AND updates._deleted THEN DELETE
+  WHEN MATCHED THEN UPDATE SET *          (update row wins)
+  WHEN NOT MATCHED AND NOT _deleted THEN INSERT *
+
+Scale shape — the whole point of the partition scoping:
+- Only partitions PRESENT IN THE UPDATE BATCH are read or written.
+  The target scan carries a partition-value IN-filter (partition
+  PRUNING — directories outside the batch are never opened), and the
+  write uses dynamic partition overwrite so untouched directories are
+  not rewritten (asserted byte-for-byte in tests). A 10-row merge into
+  a 100 TB table touches exactly the partitions those 10 rows live in.
+- The matched/unmatched split is ONE full-outer equi-join on the key,
+  shuffled only over the affected partitions' rows.
+- Affected partition values are collected to the driver: that is
+  partition METADATA (bounded by the partition count of the batch, not
+  by row count) — the same listing any table format's planner holds.
+
+Not provided (honest caveat, also documented in SURVEY §1.4): atomicity
+and snapshot isolation. Plain parquet dynamic overwrite replaces
+partition directories non-transactionally; a concurrent reader can see
+a partial merge. The operator is the COMPUTE kernel — pointing the same
+DataFrame at a Delta/Iceberg sink upgrades the commit protocol without
+touching this logic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DELETED_COL = "_deleted"
+
+
+def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
+               keys: Sequence[str], partition_col: str) -> dict:
+    """Merge ``updates`` into the partitioned parquet table at
+    ``target_path``. ``updates`` has the target schema plus an optional
+    boolean ``_deleted`` column (absent → pure upsert). The update
+    batch must be key-unique (pre-collapse with
+    ``mutation.upsert_latest`` for latest-wins batches); violations
+    raise rather than write nondeterministic survivors.
+
+    Returns counts {"partitions", "updated", "deleted", "inserted"} —
+    the merge summary a table format would put in its commit log.
+    """
+    keys = list(keys)
+    if partition_col not in keys:
+        # a key row must not move between partitions on update,
+        # otherwise its old copy survives in an untouched directory
+        raise ValueError(
+            f"partition_col {partition_col!r} must be part of the merge "
+            f"key {keys} so matched rows stay in their partition")
+    has_deleted = DELETED_COL in updates.columns
+    if not has_deleted:
+        updates = updates.withColumn(DELETED_COL, F.lit(False))
+    updates = updates.withColumn(
+        DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False)))
+
+    dup = (updates.groupBy(*keys).count().filter(F.col("count") > 1)
+           .limit(1).count())
+    if dup:
+        raise ValueError(
+            "update batch is not key-unique; collapse it first "
+            "(e.g. mutation.upsert_latest) so the merge is deterministic")
+
+    # partition metadata: the batch's touched partition values
+    parts = [r[0] for r in
+             updates.select(partition_col).distinct().collect()]
+    target = spark.read.parquet(target_path)
+    data_cols = [c for c in target.columns]
+    affected = target.filter(F.col(partition_col).isin(parts))
+
+    u = updates.select(
+        *[F.col(c).alias(f"_u_{c}") for c in data_cols],
+        F.col(DELETED_COL).alias("_u_del"))
+    cond = [affected[k] == u[f"_u_{k}"] for k in keys]
+    joined = affected.join(u, cond, "full_outer")
+
+    in_t = F.col(keys[0]).isNotNull()
+    in_u = F.col(f"_u_{keys[0]}").isNotNull()
+    merged = (
+        joined
+        # WHEN MATCHED AND _deleted THEN DELETE
+        .filter(~in_u | ~F.col("_u_del"))
+        # update/insert rows take the update side, keeps take the target
+        .select(*[
+            F.when(in_u, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
+            for c in data_cols])
+        # break lineage BEFORE writing: the output plan reads the same
+        # directories the write replaces — without materializing first,
+        # the overwrite would race its own input scan
+        .localCheckpoint(eager=False)
+    )
+    # one aggregate pass over the join for the whole commit summary
+    # (materializes the checkpoint at the same time)
+    stats = joined.agg(
+        F.sum((in_t & in_u & ~F.col("_u_del")).cast("long")).alias("upd"),
+        F.sum((in_t & in_u & F.col("_u_del")).cast("long")).alias("del"),
+        F.sum((~in_t & ~F.col("_u_del")).cast("long")).alias("ins"),
+    ).collect()[0]
+    merged.count()  # force the checkpoint before touching the files
+    (merged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(partition_col)
+     .parquet(target_path))
+    # dynamic overwrite only replaces partitions PRESENT in the output:
+    # a partition whose every row was deleted produces no output rows,
+    # so its stale directory must be dropped explicitly (the part of
+    # the commit a table format would record as removed files)
+    survivors = {r[0] for r in
+                 merged.select(partition_col).distinct().collect()}
+    emptied = [p for p in parts if p not in survivors]
+    if emptied:
+        jvm = spark._jvm
+        jsc = spark._jsc
+        conf = jsc.hadoopConfiguration()
+        for p in emptied:
+            hp = jvm.org.apache.hadoop.fs.Path(
+                f"{target_path}/{partition_col}={p}")
+            fs = hp.getFileSystem(conf)
+            fs.delete(hp, True)
+    return {"partitions": len(parts), "updated": int(stats.upd or 0),
+            "deleted": int(stats["del"] or 0),
+            "inserted": int(stats.ins or 0)}

@@ -1,0 +1,98 @@
+"""MERGE INTO over a partitioned parquet table (SURVEY §1.4's ACID
+MERGE mapping, minus the commit protocol — see sources/merge.py).
+
+The load-bearing assertion is the partition-scoping one: a merge batch
+touching days 2/3/4 must leave day 1's files BYTE-IDENTICAL on disk
+(same names, sizes, mtimes) — that's what makes a 10-row merge into a
+100 TB table affordable."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import Row
+
+from movie_rec_spark.sources.merge import merge_into
+
+
+def _snapshot(path):
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            full = os.path.join(root, f)
+            st = os.stat(full)
+            out[full] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+@pytest.fixture()
+def target(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    rows = [Row(id=i, day=d, val=f"v{i}")
+            for d in (1, 2, 3) for i in range(d * 10, d * 10 + 3)]
+    (spark.createDataFrame(rows)
+     .write.partitionBy("day").parquet(path))
+    return path
+
+
+def test_merge_upsert_delete_insert(spark, target):
+    updates = spark.createDataFrame([
+        Row(id=20, day=2, val="UPDATED", _deleted=False),   # update
+        Row(id=21, day=2, val=None, _deleted=True),         # delete
+        Row(id=99, day=2, val="NEW", _deleted=False),       # insert
+        Row(id=400, day=4, val="NEWPART", _deleted=False),  # new partition
+    ])
+    before = {f for f in _snapshot(target) if "/day=1/" in f}
+    summary = merge_into(spark, target, updates,
+                         keys=["id", "day"], partition_col="day")
+    assert summary == {"partitions": 2, "updated": 1,
+                       "deleted": 1, "inserted": 2}
+    got = {(r.id, r.day): r.val
+           for r in spark.read.parquet(target).collect()}
+    assert got[(20, 2)] == "UPDATED"
+    assert (21, 2) not in got
+    assert got[(99, 2)] == "NEW"
+    assert got[(400, 4)] == "NEWPART"
+    assert got[(10, 1)] == "v10"  # untouched partition intact
+    assert len(got) == 9 - 1 + 2
+
+
+def test_merge_leaves_untouched_partitions_bit_identical(spark, target):
+    before = {k: v for k, v in _snapshot(target).items()
+              if "/day=1/" in k or "/day=3/" in k}
+    merge_into(
+        spark, target,
+        spark.createDataFrame([Row(id=20, day=2, val="x")]),
+        keys=["id", "day"], partition_col="day")
+    after = {k: v for k, v in _snapshot(target).items()
+             if "/day=1/" in k or "/day=3/" in k}
+    assert after == before  # same files, sizes, mtimes — never rewritten
+
+
+def test_merge_drops_fully_deleted_partition(spark, target):
+    updates = spark.createDataFrame(
+        [(i, 3, None, True) for i in (30, 31, 32)],
+        "id bigint, day bigint, val string, _deleted boolean")
+    summary = merge_into(spark, target, updates,
+                         keys=["id", "day"], partition_col="day")
+    assert summary["deleted"] == 3
+    left = spark.read.parquet(target)
+    assert left.filter("day = 3").count() == 0
+    assert not os.path.exists(os.path.join(target, "day=3"))
+    assert left.count() == 6
+
+
+def test_merge_rejects_bad_batches(spark, target):
+    dup = spark.createDataFrame(
+        [Row(id=20, day=2, val="a"), Row(id=20, day=2, val="b")])
+    with pytest.raises(ValueError, match="key-unique"):
+        merge_into(spark, target, dup, keys=["id", "day"],
+                   partition_col="day")
+    with pytest.raises(ValueError, match="partition_col"):
+        merge_into(spark, target,
+                   spark.createDataFrame([Row(id=20, day=2, val="a")]),
+                   keys=["id"], partition_col="day")
