@@ -41,7 +41,8 @@ DELETED_COL = "_deleted"
 
 
 def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
-               keys: Sequence[str], partition_col: str) -> dict:
+               keys: Sequence[str], partition_col: str,
+               ts_col: str | None = None) -> dict:
     """Merge ``updates`` into the partitioned parquet table at
     ``target_path``. ``updates`` has the target schema plus an optional
     boolean ``_deleted`` column (absent → pure upsert). The update
@@ -49,8 +50,15 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
     ``mutation.upsert_latest`` for latest-wins batches); violations
     raise rather than write nondeterministic survivors.
 
-    Returns counts {"partitions", "updated", "deleted", "inserted"} —
-    the merge summary a table format would put in its commit log.
+    With ``ts_col``, a matched update only wins when its timestamp is
+    >= the target row's (``WHEN MATCHED AND s.ts >= t.ts``) — the
+    out-of-order guard a CDC stream needs: a replayed or late batch
+    carrying older versions cannot regress rows the table already
+    advanced past. Stale updates are counted as "ignored".
+
+    Returns counts {"partitions", "updated", "deleted", "inserted",
+    "ignored"} — the merge summary a table format would put in its
+    commit log.
     """
     keys = list(keys)
     if partition_col not in keys:
@@ -87,13 +95,19 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
 
     in_t = F.col(keys[0]).isNotNull()
     in_u = F.col(f"_u_{keys[0]}").isNotNull()
+    if ts_col:
+        # matched updates win only when not older than the target row
+        u_wins = in_u & (~in_t | (F.col(f"_u_{ts_col}") >= F.col(ts_col)))
+    else:
+        u_wins = in_u
     merged = (
         joined
-        # WHEN MATCHED AND _deleted THEN DELETE
-        .filter(~in_u | ~F.col("_u_del"))
-        # update/insert rows take the update side, keeps take the target
+        # WHEN MATCHED AND _deleted (and winning) THEN DELETE
+        .filter(~(u_wins & F.col("_u_del")))
+        # winning update/insert rows take the update side, keeps and
+        # stale-update targets keep the target side
         .select(*[
-            F.when(in_u, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
+            F.when(u_wins, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
             for c in data_cols])
         # break lineage BEFORE writing: the output plan reads the same
         # directories the write replaces — without materializing first,
@@ -103,9 +117,10 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
     # one aggregate pass over the join for the whole commit summary
     # (materializes the checkpoint at the same time)
     stats = joined.agg(
-        F.sum((in_t & in_u & ~F.col("_u_del")).cast("long")).alias("upd"),
-        F.sum((in_t & in_u & F.col("_u_del")).cast("long")).alias("del"),
+        F.sum((in_t & u_wins & ~F.col("_u_del")).cast("long")).alias("upd"),
+        F.sum((in_t & u_wins & F.col("_u_del")).cast("long")).alias("del"),
         F.sum((~in_t & ~F.col("_u_del")).cast("long")).alias("ins"),
+        F.sum((in_u & ~u_wins).cast("long")).alias("ign"),
     ).collect()[0]
     merged.count()  # force the checkpoint before touching the files
     (merged.write.mode("overwrite")
@@ -130,4 +145,5 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
             fs.delete(hp, True)
     return {"partitions": len(parts), "updated": int(stats.upd or 0),
             "deleted": int(stats["del"] or 0),
-            "inserted": int(stats.ins or 0)}
+            "inserted": int(stats.ins or 0),
+            "ignored": int(stats.ign or 0)}

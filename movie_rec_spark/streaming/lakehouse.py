@@ -1,0 +1,86 @@
+"""CDC stream → lakehouse table: Structured Streaming foreachBatch
+driving ``sources.merge.merge_into``.
+
+This is the T-family composition the reference runs as row-at-a-time
+ORM writes (controller.py:124,142-146,170: session.merge / delete per
+request): a change stream lands as micro-batches, each batch is
+collapsed latest-wins per key and MERGEd into the partitioned parquet
+table — update/delete/insert in one statement, touching only the
+partitions present in the batch.
+
+Correctness under streaming's failure model:
+- WITHIN a batch: ``upsert_latest`` collapse (newest ts wins, unique
+  tiebreak) makes the merge input key-unique and deterministic.
+- ACROSS batches / on REPLAY: the merge runs with ``ts_col``, so a
+  replayed batch or late-arriving older version can never regress a row
+  the table already advanced past (WHEN MATCHED AND s.ts >= t.ts).
+  Re-merging identical rows is a no-op — idempotent by construction,
+  which is exactly what foreachBatch's at-least-once contract requires.
+- Deletes are CDC tombstones (``_deleted = true``); a tombstone is the
+  newest version of its key, so the same ts guard orders it correctly.
+
+The commit summaries go to a driver-side log list (observability hook;
+production would emit them to the metrics sink): merge summaries are
+O(1) per batch, never row data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_rec_spark.operators.mutation import upsert_latest
+from movie_rec_spark.sources.merge import DELETED_COL, merge_into
+
+
+def merge_batch(batch: DataFrame, target_path: str, keys: Sequence[str],
+                partition_col: str, ts_col: str,
+                tiebreak_col: str) -> dict:
+    """One micro-batch of the CDC merge — module-level pure function of
+    (batch, current table) so replay idempotency is directly testable
+    (same pattern as ingest._ingest_apply)."""
+    if batch.isEmpty():
+        return {"partitions": 0, "updated": 0, "deleted": 0,
+                "inserted": 0, "ignored": 0}
+    collapsed = upsert_latest(batch, keys=keys, ts_col=ts_col,
+                              tiebreak_col=tiebreak_col)
+    return merge_into(batch.sparkSession, target_path, collapsed,
+                      keys=keys, partition_col=partition_col,
+                      ts_col=ts_col)
+
+
+def merge_stream(spark: SparkSession, stream: DataFrame, target_path: str,
+                 checkpoint_dir: str, keys: Sequence[str],
+                 partition_col: str, ts_col: str = "ts",
+                 tiebreak_col: str = "event_id") -> list[dict]:
+    """Drive the CDC stream into the table with availableNow; returns
+    the per-batch commit summaries. ``stream`` rows carry the target
+    schema plus optional ``_deleted`` tombstone flags."""
+    log: list[dict] = []
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        summary = merge_batch(batch, target_path, keys, partition_col,
+                              ts_col, tiebreak_col)
+        log.append({"batch_id": batch_id, **summary})
+
+    q = (stream.writeStream.foreachBatch(apply)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return log
+
+
+def read_change_stream(spark: SparkSession, src_dir: str, schema,
+                       max_files_per_trigger: int | None = 1) -> DataFrame:
+    """File-source change stream: one parquet file per CDC batch. The
+    ``_deleted`` column is optional in the files; absent → all upserts."""
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = r.parquet(src_dir)
+    if DELETED_COL not in df.columns:
+        df = df.withColumn(DELETED_COL, F.lit(False))
+    return df

@@ -50,7 +50,7 @@ def test_merge_upsert_delete_insert(spark, target):
     summary = merge_into(spark, target, updates,
                          keys=["id", "day"], partition_col="day")
     assert summary == {"partitions": 2, "updated": 1,
-                       "deleted": 1, "inserted": 2}
+                       "deleted": 1, "inserted": 2, "ignored": 0}
     got = {(r.id, r.day): r.val
            for r in spark.read.parquet(target).collect()}
     assert got[(20, 2)] == "UPDATED"
@@ -96,3 +96,74 @@ def test_merge_rejects_bad_batches(spark, target):
         merge_into(spark, target,
                    spark.createDataFrame([Row(id=20, day=2, val="a")]),
                    keys=["id"], partition_col="day")
+
+
+def test_merge_ts_guard_ignores_stale_updates(spark, tmp_path):
+    path = str(tmp_path / "tbl2")
+    (spark.createDataFrame(
+        [Row(id=1, day=1, val="a", ts=100)])
+     .write.partitionBy("day").parquet(path))
+    summary = merge_into(
+        spark, path,
+        spark.createDataFrame([Row(id=1, day=1, val="OLD", ts=50)]),
+        keys=["id", "day"], partition_col="day", ts_col="ts")
+    assert summary["ignored"] == 1 and summary["updated"] == 0
+    assert spark.read.parquet(path).collect()[0].val == "a"
+    # equal ts wins (>= guard), newer ts wins
+    merge_into(
+        spark, path,
+        spark.createDataFrame([Row(id=1, day=1, val="NEW", ts=100)]),
+        keys=["id", "day"], partition_col="day", ts_col="ts")
+    assert spark.read.parquet(path).collect()[0].val == "NEW"
+
+
+def test_cdc_merge_stream_end_to_end(spark, tmp_path):
+    """CDC stream -> lakehouse merge: two micro-batches, tombstones,
+    a stale late update, and a replayed batch — final table state must
+    be the ts-ordered truth regardless, and the replay a no-op."""
+    from movie_rec_spark.streaming.lakehouse import (
+        merge_batch,
+        merge_stream,
+        read_change_stream,
+    )
+
+    target = str(tmp_path / "cdc_tbl")
+    src = str(tmp_path / "cdc_src")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = ("id bigint, day bigint, val string, ts bigint, "
+              "event_id bigint, _deleted boolean")
+    (spark.createDataFrame(
+        [(1, 1, "a", 100, 0, False), (2, 1, "b", 100, 1, False),
+         (3, 2, "c", 100, 2, False)], schema)
+     .drop("_deleted").write.partitionBy("day").parquet(target))
+
+    b1 = [(1, 1, "a2", 200, 10, False),   # update
+          (2, 1, None, 250, 11, True),    # tombstone
+          (4, 2, "d", 200, 12, False)]    # insert
+    b2 = [(1, 1, "STALE", 150, 20, False),  # older than b1's 200 → ignored
+          (3, 2, "c2", 300, 21, False)]     # update
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    log = merge_stream(
+        spark, read_change_stream(spark, src, schema), target, ckpt,
+        keys=["id", "day"], partition_col="day")
+    assert sum(s["deleted"] for s in log) == 1
+    assert sum(s["ignored"] for s in log) == 1
+
+    def state():
+        return {(r.id, r.day): (r.val, r.ts)
+                for r in spark.read.parquet(target).collect()}
+
+    want = {(1, 1): ("a2", 200), (3, 2): ("c2", 300),
+            (4, 2): ("d", 200)}
+    assert state() == want
+    # replay of batch 2 (at-least-once delivery) is a no-op
+    replay = merge_batch(
+        spark.createDataFrame(b2, schema), target,
+        keys=["id", "day"], partition_col="day",
+        ts_col="ts", tiebreak_col="event_id")
+    assert state() == want
+    assert replay["ignored"] == 1  # the stale row stays stale
