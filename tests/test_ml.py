@@ -66,9 +66,11 @@ def test_rmse_gate_sf01(spark):
     edit, broken ratings derivation, seed drift — fails CI rather than
     just shifting a structural invariant.
 
-    Measured baseline 1.6302 (rank=16, iter=6, reg=0.2, seed=42, 80/20
-    xxhash64 split; 1.6282 at iter=8 — the knee analysis lives on
-    ml.MAX_ITER); band adds ~7% slack for BLAS/partitioning jitter.
+    Measured baseline 1.6302 with the pre-sweep defaults (rank=16,
+    iter=6, reg=0.2, seed=42, 80/20 xxhash64 split; 1.6282 at iter=8 —
+    the knee analysis lives on ml.MAX_ITER); the GRID_SEARCH.md sweep
+    moved reg to 0.4 (3-fold CV avg 1.5641), so the 1.75 band now
+    carries extra headroom and pins regressions harder.
     The synthetic ratings carry little latent structure, so the gate
     pins regression, not model skill."""
     SF01 = "/root/testdata/sf0.1"
@@ -129,3 +131,32 @@ def test_serve_overlay_both_branches(spark):
     ]
     # precomputed rows rank before popular even at lower score
     assert out[1].score < out[2].score
+
+
+def test_grid_artifact_defaults_within_gate():
+    """The committed full-grid sweep (GRID_SEARCH.md, reference regime:
+    trainer.py:45-66) must stay consistent with the production
+    defaults: the artifact's recorded default combo IS ml.py's current
+    constants (staleness guard — regenerate with tools/grid_full.py
+    after any default change), and its CV RMSE sits within 0.05 of the
+    recorded grid best (the 'defaults are near-optimal' claim)."""
+    import re
+
+    with open("/root/repo/GRID_SEARCH.md") as f:
+        text = f.read()
+    best = re.search(
+        r"best combo: rank=(\d+) maxIter=(\d+) regParam=([\d.]+) "
+        r"-> avg RMSE ([\d.]+)", text)
+    assert best, "GRID_SEARCH.md missing best-combo line"
+    defaults = re.search(
+        r"rank=(\d+)\s+maxIter=(\d+) regParam=([\d.]+) -> avg RMSE "
+        r"([\d.]+) \(gap", text)
+    assert defaults, "GRID_SEARCH.md missing production-defaults line"
+    d_rank, d_iter, d_reg, d_rmse = defaults.groups()
+    assert (int(d_rank), int(d_iter), float(d_reg)) == (
+        ML.RANK, ML.MAX_ITER, ML.REG_PARAM), (
+        "GRID_SEARCH.md records different defaults than ml.py — "
+        "re-run tools/grid_full.py")
+    best_rmse = float(best.group(4))
+    assert float(d_rmse) <= best_rmse + 0.05
+    assert float(d_rmse) <= 1.75  # same absolute band as the sf0.1 gate
