@@ -97,33 +97,91 @@ def rocksdb_state_conf(changelog: bool = True) -> dict[str, str]:
     return conf
 
 
-def _list_prior_batches(spark: SparkSession, root: str,
-                        batch_id: int) -> list[str]:
-    """Subdirectories ``root/batch_i`` with ``i < batch_id`` — the state
-    as of the previous COMMITTED batch.
-
-    Listed through the Hadoop FileSystem API so the same code works on
-    HDFS/S3, not just local disk.  Excluding ``i >= batch_id`` is the
-    replay-safety half of exactly-once (module docstring): a replayed
-    batch must not read the half-committed delta its crashed first run
-    may have left behind.
-    """
+def _list_state_dirs(spark: SparkSession, root: str):
+    """(batch dirs {i: path}, snapshot dirs {N: path}) under root, via
+    the Hadoop FileSystem API so the same code works on HDFS/S3."""
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(root)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    batches, snaps = {}, {}
     if not fs.exists(path):
-        return []
-    out = []
+        return batches, snaps
     for st in fs.listStatus(path):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("batch_"):
-            try:
-                i = int(name[len("batch_"):])
-            except ValueError:
-                continue
-            if i < batch_id:
-                out.append(str(st.getPath()))
-    return sorted(out)
+        if not st.isDirectory():
+            continue
+        for prefix, bucket in (("batch_", batches), ("snapshot_", snaps)):
+            if name.startswith(prefix):
+                try:
+                    bucket[int(name[len(prefix):])] = str(st.getPath())
+                except ValueError:
+                    pass
+    return batches, snaps
+
+
+def _list_prior_batches(spark: SparkSession, root: str,
+                        batch_id: int) -> list[str]:
+    """State paths covering exactly batches ``< batch_id``: the newest
+    ``snapshot_N`` with ``N <= batch_id`` (a compacted stand-in for all
+    batches < N, see ``compact_state``) plus the ``batch_i`` dirs with
+    ``N <= i < batch_id``.
+
+    Excluding ``i >= batch_id`` — and any snapshot covering them — is
+    the replay-safety half of exactly-once (module docstring): a
+    replayed batch must not read the half-committed delta its crashed
+    first run may have left behind.
+    """
+    batches, snaps = _list_state_dirs(spark, root)
+    floor = max((n for n in snaps if n <= batch_id), default=None)
+    out = [] if floor is None else [snaps[floor]]
+    lo = floor if floor is not None else 0
+    out += [p for i, p in sorted(batches.items()) if lo <= i < batch_id]
+    return out
+
+
+def compact_state(spark: SparkSession, root: str,
+                  upto: int | None = None) -> dict:
+    """Compact the per-batch state deltas under ``root`` into one
+    ``snapshot_N`` dir (N = first batch NOT covered) and remove the
+    merged deltas — bounding the O(batches) listing/scan cost that the
+    delta layout otherwise accretes (the lakehouse analogue of the
+    RocksDB ``minDeltasForSnapshot`` cadence in ``rocksdb_state_conf``).
+
+    MUST run against COMMITTED state only: between runs of the
+    availableNow harness, or with ``upto`` <= last checkpointed
+    batch_id + 1 while live. Compacting an uncommitted batch's delta
+    would bake it into a snapshot its own replay then reads. The
+    default (``upto=None``) covers every delta present, which is safe
+    exactly when the stream is stopped.
+
+    Crash-safe: the snapshot is written BEFORE the deltas are removed,
+    and readers prefer the newest applicable snapshot — a crash between
+    the two steps leaves redundant deltas that the next compaction
+    sweeps, never a gap.
+    """
+    batches, snaps = _list_state_dirs(spark, root)
+    if not batches:
+        return {"snapshot": None, "merged": 0, "rows": 0}
+    hw = max(batches) + 1
+    if upto is not None:
+        hw = min(hw, upto)
+    sources = _list_prior_batches(spark, root, hw)
+    snap_path = os.path.join(root, f"snapshot_{hw}")
+    if not sources or sources == [snaps.get(hw)]:
+        # nothing new to fold in (or snapshot_hw already current)
+        return {"snapshot": None, "merged": 0, "rows": 0}
+    merged = spark.read.parquet(*sources).distinct()
+    merged.write.mode("overwrite").parquet(snap_path)
+    n_rows = spark.read.parquet(snap_path).count()
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    removed = 0
+    for p in ([path for i, path in batches.items() if i < hw]
+              + [path for n, path in snaps.items() if n < hw]):
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).delete(hp, True)
+        removed += 1
+    return {"snapshot": hw, "merged": removed, "rows": n_rows}
 
 
 def read_doc_stream(spark: SparkSession, src_dir: str,

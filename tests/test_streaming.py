@@ -362,3 +362,72 @@ def test_rocksdb_state_conf_shape():
     assert conf["spark.sql.streaming.stateStore.rocksdb."
                 "changelogCheckpointing.enabled"] == "true"
     assert "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" in conf
+
+
+def test_state_compaction_snapshot_and_replay_floor(spark, tmp_path):
+    """compact_state folds the per-batch digest deltas into one
+    snapshot, readers see identical pre-batch state afterwards, the
+    stream keeps deduping correctly against the compacted state, and a
+    reader positioned BEFORE the snapshot boundary (an uncommitted
+    batch replay) never sees data the snapshot baked in."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import Row
+
+    from movie_rec_spark.streaming.ingest import (
+        _list_prior_batches,
+        compact_state,
+        run_incremental_ingest,
+    )
+
+    src = str(tmp_path / "c_src")
+    state = str(tmp_path / "c_state")
+    log = str(tmp_path / "c_log")
+    ckpt = str(tmp_path / "c_ckpt")
+    os.makedirs(src)
+
+    def doc(i, t):
+        return Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+
+    def add_batch(rows):
+        before = set(glob.glob(src + "/*.parquet"))
+        time.sleep(1.05)
+        spark.createDataFrame(rows).coalesce(1).write.mode(
+            "append").parquet(src)
+        for f in set(glob.glob(src + "/*.parquet")) - before:
+            os.utime(f)
+
+    add_batch([doc(1, "alpha"), doc(2, "beta")])
+    add_batch([doc(3, "gamma")])
+    run_incremental_ingest(spark, src, ckpt, state, log)
+
+    before_rows = {r.fp for r in
+                   spark.read.parquet(*_list_prior_batches(
+                       spark, state, 99)).collect()}
+    summary = compact_state(spark, state)
+    assert summary["snapshot"] == 2 and summary["rows"] == 3
+    dirs = sorted(os.path.basename(p)
+                  for p in glob.glob(state + "/*") if os.path.isdir(p))
+    assert dirs == ["snapshot_2"]
+    after_rows = {r.fp for r in
+                  spark.read.parquet(*_list_prior_batches(
+                      spark, state, 99)).collect()}
+    assert after_rows == before_rows
+    # a replay positioned BEFORE the snapshot boundary must not read it
+    assert _list_prior_batches(spark, state, 1) == []
+
+    # the stream continues against the compacted state: 'alpha' from
+    # batch 0 is still recognized as a corpus duplicate
+    add_batch([doc(10, "alpha"), doc(11, "delta")])
+    run_incremental_ingest(spark, src, ckpt, state, log)
+    verdicts = {r.doc_id: r.status
+                for r in spark.read.option("recursiveFileLookup", "true")
+                .parquet(log).collect()}
+    assert verdicts[10] == "dup_of_corpus"
+    assert verdicts[11] == "new"
+    # idempotent: nothing new to fold -> no-op... until new deltas exist
+    again = compact_state(spark, state)
+    assert again["snapshot"] == 3 and again["rows"] == 4
+    assert compact_state(spark, state)["snapshot"] is None
