@@ -662,3 +662,67 @@ def ivf_search(assigned: DataFrame, centers: list[list[float]],
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivf_assign(embeddings: DataFrame,
+               centers: list[list[float]]) -> DataFrame:
+    """Assign each vector to its nearest center (squared Euclidean —
+    the same objective KMeans minimizes, so assignments agree with a
+    ``transform`` by the fitted model). Pure codegen expressions: the
+    centers ride as an array-of-structs literal (n_cells·dim doubles —
+    driver-tiny), distance per center is a fused zip_with/aggregate,
+    and argmin is array_min over (dist, cell) structs (lexicographic
+    struct order = min distance, ties to the lower cell id). Map-only:
+    no shuffle, no Python."""
+    centers_lit = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, x: a + x).alias("sqdist"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centers)])
+    best = F.array_min(centers_lit)
+    return (_as_double(embeddings)
+            .withColumn("_best", best)
+            .withColumn("cell", F.col("_best.cell"))
+            .withColumn("_sqdist", F.col("_best.sqdist"))
+            .drop("_best"))
+
+
+def ivf_append(spark, path: str, new_embeddings: DataFrame) -> dict:
+    """Incremental maintenance of a persisted IVF index (``ivf_write``
+    layout): assign NEW vectors to the EXISTING centers and append them
+    cell-partitioned — no refit, no touch of resident cells' files;
+    searches see the new vectors immediately via the same partition
+    pruning.
+
+    The returned ``mean_sqdist`` is the drift signal: appended batches
+    drawn from the build-time distribution score ≈ the index-wide
+    ``ivf_drift``; a rising trend means the centers no longer describe
+    the data and an offline rebuild (``ivf_write``) is due — the
+    standard freshness contract of every ANN index (build once, append
+    cheaply, refit on drift)."""
+    rows = spark.read.parquet(path + "_centers").collect()
+    centers = [r.center for r in sorted(rows, key=lambda r: r.cell)]
+    assigned = ivf_assign(new_embeddings, centers)
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("_sqdist"), 6).alias("d")).collect()[0]
+    (assigned.drop("_sqdist")
+     .write.mode("append").partitionBy("cell").parquet(path))
+    return {"appended": int(stats.n), "mean_sqdist": float(stats.d)}
+
+
+def ivf_drift(spark, path: str) -> float:
+    """Index-wide mean squared distance to the assigned centers — the
+    baseline ``ivf_append``'s per-batch drift signal compares against.
+    One map-only scan of the index."""
+    rows = spark.read.parquet(path + "_centers").collect()
+    centers = [r.center for r in sorted(rows, key=lambda r: r.cell)]
+    idx = spark.read.parquet(path).drop("cell")
+    return float(ivf_assign(idx, centers)
+                 .agg(F.round(F.avg("_sqdist"), 6)).collect()[0][0])

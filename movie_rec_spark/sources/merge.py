@@ -147,3 +147,37 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
             "deleted": int(stats["del"] or 0),
             "inserted": int(stats.ins or 0),
             "ignored": int(stats.ign or 0)}
+
+
+def expire_partitions(spark: SparkSession, target_path: str,
+                      partition_col: str, keep) -> dict:
+    """Retention / TTL for a partitioned table: drop every partition
+    directory whose VALUE fails the ``keep`` predicate — pure partition
+    METADATA work (directory listing + deletes through the Hadoop FS
+    API, the same calls that run against HDFS/S3); no data file is ever
+    opened, so expiring a year of a 100 TB table costs seconds. The
+    retention twin of ``merge_into``: MERGE mutates rows inside
+    partitions, this removes whole partitions at the boundary a
+    time/category layout was chosen for.
+
+    ``keep`` receives the partition value as a STRING (the directory
+    name's encoding — cast inside the predicate as needed) and returns
+    truthy to retain. Returns {"examined", "dropped", "values"}.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = root.getFileSystem(conf)
+    prefix = f"{partition_col}="
+    examined, dropped = 0, []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(prefix)):
+            continue
+        examined += 1
+        value = name[len(prefix):]
+        if not keep(value):
+            fs.delete(st.getPath(), True)
+            dropped.append(value)
+    return {"examined": examined, "dropped": len(dropped),
+            "values": sorted(dropped)}

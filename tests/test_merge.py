@@ -167,3 +167,20 @@ def test_cdc_merge_stream_end_to_end(spark, tmp_path):
         ts_col="ts", tiebreak_col="event_id")
     assert state() == want
     assert replay["ignored"] == 1  # the stale row stays stale
+
+
+def test_expire_partitions_metadata_only(spark, target):
+    from movie_rec_spark.sources.merge import expire_partitions
+
+    before = {k: v for k, v in _snapshot(target).items()
+              if "/day=3/" in k}
+    summary = expire_partitions(spark, target, "day",
+                                keep=lambda v: int(v) >= 2)
+    assert summary == {"examined": 3, "dropped": 1, "values": ["1"]}
+    left = spark.read.parquet(target)
+    assert sorted(r.day for r in left.select("day").distinct()
+                  .collect()) == [2, 3]
+    # retained partitions untouched on disk
+    after = {k: v for k, v in _snapshot(target).items()
+             if "/day=3/" in k}
+    assert after == before

@@ -231,3 +231,56 @@ def test_embed_centroids_match_numpy(spark, sf_emb):
             val, n = got[(label, pos)]
             assert n == len(vecs)
             assert abs(val - mean[pos]) < 1e-6
+
+
+def test_ivf_append_and_drift(spark, sf_emb, tmp_path):
+    """Incremental IVF maintenance: build at rest on half the corpus,
+    append the other half — appended vectors land in their NEAREST
+    cell (numpy-verified), resident cell files are not rewritten,
+    searches immediately see appended ids, and the drift signal reacts
+    to out-of-distribution batches."""
+    import glob
+    import os
+
+    import numpy as np
+
+    path = str(tmp_path / "ivf_inc")
+    old = sf_emb.filter(F.col("vec_id") % 2 == 0)
+    new = sf_emb.filter(F.col("vec_id") % 2 == 1)
+    S.ivf_write(old, path, n_cells=4)
+    before = {f: os.stat(f).st_mtime_ns
+              for f in glob.glob(path + "/cell=*/*.parquet")}
+
+    summary = S.ivf_append(spark, path, new)
+    assert summary["appended"] == new.count()
+    # resident files untouched (append adds files, never rewrites)
+    after = {f: os.stat(f).st_mtime_ns
+             for f in glob.glob(path + "/cell=*/*.parquet")}
+    for f, m in before.items():
+        assert after[f] == m
+
+    assigned, centers = S.ivf_read(spark, path)
+    assert assigned.count() == sf_emb.count()
+    # spot-check: appended rows sit in their numpy-nearest cell
+    ctr = np.asarray(centers, dtype=np.float64)
+    sample = (assigned.filter(F.col("vec_id") % 2 == 1)
+              .select("vec_id", "embedding", "cell").limit(20).collect())
+    for r in sample:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        want = int(np.argmin(((ctr - v) ** 2).sum(axis=1)))
+        assert r.cell == want, (r.vec_id, r.cell, want)
+    # search over the maintained index can return appended ids
+    q = list(new.select("embedding").first()[0])
+    hits = [r.vec_id for r in
+            S.ivf_search(assigned, centers, [float(x) for x in q],
+                         k=5, nprobe=4).collect()]
+    assert any(v % 2 == 1 for v in hits)
+
+    # drift: an out-of-distribution batch scores far above baseline
+    base = S.ivf_drift(spark, path)
+    shifted = new.limit(50).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(25.0))
+        .alias("embedding"), "label")
+    far = S.ivf_append(spark, path, shifted)
+    assert far["mean_sqdist"] > 10 * max(base, 1e-9)
