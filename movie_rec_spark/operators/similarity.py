@@ -595,11 +595,20 @@ def ivf_write(embeddings: DataFrame, path: str, n_cells: int = 8,
     ).coalesce(1).write.mode("overwrite").parquet(path + "_centers")
 
 
-def ivf_read(spark, path: str):
+def ivf_read(spark, path: str, with_deltas: bool = False):
     """Load a persisted IVF index: (cell-partitioned assigned frame,
     centers list). Centers are driver-tiny by construction (n_cells
-    rows)."""
+    rows). ``with_deltas=True`` unions the streaming append deltas
+    (``ivf_append_stream``) so searches see not-yet-compacted vectors;
+    every part keeps its own cell partitioning, so a probe's
+    ``cell IN (...)`` filter prunes directories in the base AND in each
+    delta alike."""
     assigned = spark.read.parquet(path)
+    if with_deltas:
+        import glob as _glob
+        for d in sorted(_glob.glob(f"{ivf_delta_dir(path)}/batch_*")):
+            assigned = assigned.unionByName(
+                spark.read.option("basePath", d).parquet(d))
     rows = spark.read.parquet(path + "_centers").collect()
     centers = [r.center for r in sorted(rows, key=lambda r: r.cell)]
     return assigned, centers
@@ -726,3 +735,78 @@ def ivf_drift(spark, path: str) -> float:
     idx = spark.read.parquet(path).drop("cell")
     return float(ivf_assign(idx, centers)
                  .agg(F.round(F.avg("_sqdist"), 6)).collect()[0][0])
+
+
+def ivf_delta_dir(path: str) -> str:
+    return path + "__delta"
+
+
+def ivf_append_batch(spark, path: str, batch: DataFrame,
+                     batch_id: int) -> dict:
+    """Replay-safe streaming form of ``ivf_append``: the batch's
+    assigned rows land in their OWN ``__delta/batch_N`` dir with
+    mode=overwrite, so a replayed micro-batch overwrites its previous
+    (possibly partial) attempt instead of double-appending — the same
+    idempotent-by-batch_id recipe as streaming/ingest. Cell
+    partitioning inside the delta keeps probe-side partition pruning."""
+    rows = spark.read.parquet(path + "_centers").collect()
+    centers = [r.center for r in sorted(rows, key=lambda r: r.cell)]
+    assigned = ivf_assign(batch, centers)
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("_sqdist"), 6).alias("d")).collect()[0]
+    (assigned.drop("_sqdist")
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{ivf_delta_dir(path)}/batch_{batch_id}"))
+    return {"batch_id": batch_id, "appended": int(stats.n),
+            "mean_sqdist": float(stats.d)}
+
+
+def ivf_append_stream(spark, stream: DataFrame, path: str,
+                      checkpoint_dir: str) -> list[dict]:
+    """Stream embeddings into the persisted IVF index via foreachBatch;
+    returns per-batch append/drift summaries (the drift trend is the
+    rebuild scheduler's input). Use ``ivf_read(…, with_deltas=True)``
+    to search base + deltas; fold deltas into the base offline with
+    ``ivf_compact_deltas`` (stream stopped — same committed-only rule
+    as ``streaming.ingest.compact_state``)."""
+    log: list[dict] = []
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.isEmpty():
+            log.append(ivf_append_batch(
+                batch.sparkSession, path, batch, batch_id))
+
+    q = (stream.writeStream.foreachBatch(apply)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return log
+
+
+def ivf_compact_deltas(spark, path: str) -> dict:
+    """Fold the streaming delta dirs into the base index (plain
+    cell-partitioned append — cells are disjoint files, so resident
+    base files are untouched) and remove them. Offline only: run with
+    the append stream stopped, otherwise an uncommitted batch's delta
+    could be folded in and then replayed."""
+    import glob as _glob
+    import os as _os
+
+    deltas = sorted(_glob.glob(f"{ivf_delta_dir(path)}/batch_*"))
+    if not deltas:
+        return {"folded": 0, "rows": 0}
+    df = spark.read.option("basePath", deltas[0]).parquet(deltas[0])
+    for d in deltas[1:]:
+        df = df.unionByName(
+            spark.read.option("basePath", d).parquet(d))
+    df = df.localCheckpoint(eager=True)
+    n = df.count()
+    df.write.mode("append").partitionBy("cell").parquet(path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for d in deltas:
+        hp = jvm.org.apache.hadoop.fs.Path(d)
+        hp.getFileSystem(conf).delete(hp, True)
+    return {"folded": len(deltas), "rows": int(n)}

@@ -284,3 +284,58 @@ def test_ivf_append_and_drift(spark, sf_emb, tmp_path):
         .alias("embedding"), "label")
     far = S.ivf_append(spark, path, shifted)
     assert far["mean_sqdist"] > 10 * max(base, 1e-9)
+
+
+def test_ivf_streaming_append_exactly_once(spark, sf_emb, tmp_path):
+    """Streaming embedding ingestion into the IVF index: batches land
+    in batch-keyed delta dirs (replayed batch = overwrite, not
+    double-append), searches see deltas immediately, and offline
+    compaction folds them into the base with no duplicates."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StructField,
+        StructType,
+    )
+
+    path = str(tmp_path / "ivf_s")
+    src = str(tmp_path / "emb_src")
+    base = sf_emb.filter(F.col("vec_id") % 2 == 0)
+    newer = sf_emb.filter(F.col("vec_id") % 2 == 1)
+    S.ivf_write(base, path, n_cells=4)
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    newer.coalesce(2).write.parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    log = S.ivf_append_stream(spark, stream, path,
+                              str(tmp_path / "ivf_ckpt"))
+    assert sum(s["appended"] for s in log) == newer.count()
+
+    full, centers = S.ivf_read(spark, path, with_deltas=True)
+    assert full.count() == sf_emb.count()
+    assert full.select("vec_id").distinct().count() == sf_emb.count()
+
+    # replay of an already-committed batch overwrites, never duplicates
+    b0 = spark.read.option(
+        "basePath", S.ivf_delta_dir(path) + f"/batch_{log[0]['batch_id']}"
+    ).parquet(S.ivf_delta_dir(path) + f"/batch_{log[0]['batch_id']}")
+    S.ivf_append_batch(spark, path,
+                       b0.drop("cell").localCheckpoint(eager=True),
+                       log[0]["batch_id"])
+    full2, _ = S.ivf_read(spark, path, with_deltas=True)
+    assert full2.count() == sf_emb.count()
+
+    folded = S.ivf_compact_deltas(spark, path)
+    assert folded["rows"] == newer.count()
+    import glob
+    assert glob.glob(S.ivf_delta_dir(path) + "/batch_*") == []
+    final, centers = S.ivf_read(spark, path)
+    assert final.count() == sf_emb.count()
+    q = list(newer.select("embedding").first()[0])
+    hits = [r.vec_id for r in
+            S.ivf_search(final, centers, [float(x) for x in q],
+                         k=5, nprobe=4).collect()]
+    assert any(v % 2 == 1 for v in hits)
