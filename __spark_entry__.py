@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_sample_stable": lambda s, d: T.q_sample_stable(
             _t("documents")(s, d)),
+        "q_text_embed": lambda s, d: T.q_text_embed(
+            _t("documents")(s, d)),
         "q_corpus_clean": lambda s, d: T.q_corpus_clean(
             _t("documents")(s, d)),
         "q_embed_quantize": lambda s, d: S.q_embed_quantize(
@@ -675,6 +677,25 @@ def oracle_sql() -> dict[str, str]:
                              md5(CAST(doc_id AS VARCHAR)), 1, 8)
                              AS BIGINT) % 100 AS INTEGER) AS bucket
                   FROM documents)
+        """,
+        # hashing-trick featurizer: same md5-hex-mod recipe as
+        # q_sample_stable's bucket, applied per word; L2 norm over the
+        # exact integer counts, 6dp rounding on both engines.
+        "q_text_embed": f"""
+            WITH w AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            d AS (SELECT doc_id,
+                         CAST(CAST('0x' || substring(md5(w), 1, 8)
+                             AS BIGINT) % {T.EMBED_HASH_DIM} AS INTEGER)
+                             AS pos
+                  FROM w),
+            c AS (SELECT doc_id, pos, count(*) AS cnt
+                  FROM d GROUP BY doc_id, pos),
+            n AS (SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm
+                  FROM c GROUP BY doc_id)
+            SELECT c.doc_id, c.pos, round(c.cnt / n.nrm, 6) AS val
+            FROM c JOIN n ON c.doc_id = n.doc_id
         """,
         "q_pivot": """
             SELECT user_id,

@@ -505,3 +505,57 @@ def q_corpus_clean(documents: DataFrame) -> DataFrame:
     )
     return kept.select("doc_id", "source", "n_tokens", "quality_score",
                        split.alias("split"))
+
+
+EMBED_HASH_DIM = 64  # matches the embeddings table's FLOAT[64]
+
+
+def q_text_embed(documents: DataFrame,
+                 dim: int = EMBED_HASH_DIM) -> DataFrame:
+    """Hashed bag-of-words text featurizer — the documents→embeddings
+    bridge: every word hashes to one of ``dim`` positions (the same
+    cross-engine-stable md5 recipe as functions.stable_bucket), counts
+    accumulate per position, and the vector L2-normalizes. Output is
+    FLAT (doc_id, pos, val) so the driver hash-checks real float
+    values; ``text_embedding`` assembles the array form the similarity
+    family (kNN / IVF / LSH / near-dup) consumes directly.
+
+    This is the classic hashing-trick featurizer (feature hashing /
+    HashingTF): no vocabulary state, no fit step, fully deterministic —
+    the only text-to-vector encoder that needs zero driver state at
+    100 TB. Plan shape: explode + row-local hash, ONE (doc_id, pos)
+    shuffle with map-side combine, then a doc-keyed norm agg whose join
+    rides the same key. All codegen, no Python.
+    """
+    from movie_rec_spark.functions import stable_bucket
+
+    words = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w"))
+    c = (words
+         .select("doc_id", stable_bucket(F.col("w"), dim).alias("pos"))
+         .groupBy("doc_id", "pos")
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    n = c.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("nrm"))
+    return (c.join(n, "doc_id")
+            .select("doc_id", "pos",
+                    F.round(F.col("cnt") / F.col("nrm"), 6).alias("val")))
+
+
+def text_embedding(documents: DataFrame,
+                   dim: int = EMBED_HASH_DIM) -> DataFrame:
+    """Array form of q_text_embed: (doc_id AS vec_id, embedding
+    array<double>) — drop-in input for q_knn_brute / ivf_* / lsh_* so
+    text corpora get the whole ANN toolbox without an external encoder.
+    One extra doc-keyed agg over the flat rows (map_from_entries →
+    dense fill); zeros for unused positions."""
+    flat = q_text_embed(documents, dim)
+    m = (flat.groupBy("doc_id")
+         .agg(F.map_from_entries(
+             F.collect_list(F.struct("pos", "val"))).alias("m")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")),
+                             F.lit(0.0)))
+    return m.select(F.col("doc_id").alias("vec_id"),
+                    dense.alias("embedding"))

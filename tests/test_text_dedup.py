@@ -461,3 +461,33 @@ def test_chain_edges_split_on_gaps_and_blocks(spark):
     got = {r.doc_id: r.comp
            for r in D.q_cc_chain_star(docs, chain_len=10).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 4: 4, 5: 4, 9: 9, 10: 10, 11: 10}
+
+
+def test_text_embedding_feeds_ann_family(spark, sf_docs):
+    """text_embedding assembles q_text_embed's flat rows into unit
+    vectors the similarity operators consume directly: identical texts
+    embed identically (cosine 1), near-identical texts score above
+    unrelated ones, and brute kNN runs unchanged on the output."""
+    from movie_rec_spark.operators import similarity as S
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="spark shuffles partition data by key"),
+        Row(doc_id=2, text="spark shuffles partition data by key"),
+        Row(doc_id=3, text="spark shuffles partition data by key fast"),
+        Row(doc_id=4, text="violets are blue and roses are red"),
+    ])
+    emb = S._as_double(T.text_embedding(docs)).cache()
+    # unit norm
+    import math
+
+    for r in emb.collect():
+        assert math.isclose(sum(x * x for x in r.embedding), 1.0,
+                            rel_tol=1e-4)
+    top = {r.vec_id: r.sim
+           for r in S.q_knn_brute(emb, query_vec_id=1, k=3).collect()}
+    assert top[2] == 1.0           # exact duplicate text
+    assert top[3] > top[4]         # near-dup above unrelated
+    # corpus-scale smoke: every doc embeds, dims stay in range
+    flat = T.q_text_embed(sf_docs)
+    assert flat.filter("pos < 0 or pos >= 64").count() == 0
+    assert flat.select("doc_id").distinct().count() == sf_docs.count()
