@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_text_embed": lambda s, d: T.q_text_embed(
             _t("documents")(s, d)),
+        "q_knn_text": lambda s, d: T.q_knn_text(
+            _t("documents")(s, d)),
         "q_corpus_clean": lambda s, d: T.q_corpus_clean(
             _t("documents")(s, d)),
         "q_embed_quantize": lambda s, d: S.q_embed_quantize(
@@ -696,6 +698,37 @@ def oracle_sql() -> dict[str, str]:
                   FROM c GROUP BY doc_id)
             SELECT c.doc_id, c.pos, round(c.cnt / n.nrm, 6) AS val
             FROM c JOIN n ON c.doc_id = n.doc_id
+        """,
+        # sparse recomputation of the dense Spark path: unit-ish vectors
+        # (6dp-rounded), cosine = Σ val_a·val_b / (na·nb) over matching
+        # positions only (zeros contribute nothing to the dense dot).
+        "q_knn_text": f"""
+            WITH w AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            d AS (SELECT doc_id,
+                         CAST(CAST('0x' || substring(md5(w), 1, 8)
+                             AS BIGINT) % {T.EMBED_HASH_DIM} AS INTEGER)
+                             AS pos
+                  FROM w),
+            c AS (SELECT doc_id, pos, count(*) AS cnt
+                  FROM d GROUP BY doc_id, pos),
+            nn AS (SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm
+                   FROM c GROUP BY doc_id),
+            e AS (SELECT c.doc_id, c.pos, round(c.cnt / nn.nrm, 6) AS val
+                  FROM c JOIN nn ON c.doc_id = nn.doc_id),
+            nm AS (SELECT doc_id, sqrt(sum(val * val)) AS n2 FROM e
+                   GROUP BY doc_id),
+            q AS (SELECT pos, val FROM e WHERE doc_id = 0)
+            SELECT e.doc_id,
+                   round(sum(e.val * q.val)
+                         / (max(nm.n2) * (SELECT max(n2) FROM nm
+                                          WHERE doc_id = 0)), 4) AS sim
+            FROM e JOIN q ON e.pos = q.pos
+            JOIN nm ON nm.doc_id = e.doc_id
+            WHERE e.doc_id <> 0
+            GROUP BY e.doc_id
+            ORDER BY sim DESC, e.doc_id LIMIT 10
         """,
         "q_pivot": """
             SELECT user_id,

@@ -559,3 +559,19 @@ def text_embedding(documents: DataFrame,
                              F.lit(0.0)))
     return m.select(F.col("doc_id").alias("vec_id"),
                     dense.alias("embedding"))
+
+
+def q_knn_text(documents: DataFrame, query_doc_id: int = 0,
+               k: int = 10, dim: int = EMBED_HASH_DIM) -> DataFrame:
+    """End-to-end semantic search over RAW TEXT: hash-featurize the
+    corpus (``text_embedding``) and run exact cosine top-k against one
+    document's vector — no external encoder, no fitted state, one
+    declared query from documents table to ranked neighbors. The
+    oracle recomputes it sparsely (sum of matching-position value
+    products over the flat form, normalized), so the whole
+    text→vector→search path is hash-checked cross-engine."""
+    from movie_rec_spark.operators.similarity import q_knn_brute
+
+    emb = text_embedding(documents, dim)
+    return (q_knn_brute(emb, query_vec_id=query_doc_id, k=k)
+            .select(F.col("vec_id").alias("doc_id"), "sim"))
