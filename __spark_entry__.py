@@ -172,12 +172,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_lsh": lambda s, d: S.lsh_neardup(
             _t("embeddings")(s, d), dim=S.EMBED_DIM),
         "q_knn_ivf": lambda s, d: S.q_knn_ivf(_t("embeddings")(s, d)),
-        # --- multimodal decode plumbing (rows-only: the stubbed codec
-        # is deterministic-fake; schema/batch contract is the product) ---
+        # --- multimodal decode plumbing. codec='stub' pinned: the
+        # deterministic fake decode is itself oracle-checked (md5-derived
+        # header fields + byte statistics are SQL-expressible); the
+        # feature-detected real-codec paths are pytest-verified ---
         "q_image_features": lambda s, d: MM.decode_image_features(
-            MM.with_payload(_t("documents")(s, d))),
+            MM.with_payload(_t("documents")(s, d)), codec="stub"),
         "q_audio_features": lambda s, d: MM.decode_audio_features(
-            MM.with_payload(_t("documents")(s, d))),
+            MM.with_payload(_t("documents")(s, d)), codec="stub"),
         # --- ML (rows-only: not SQL-expressible) ---
         "q_als_recs": lambda s, d: ML.q_als_recs(
             _t("lineitem")(s, d), _t("orders")(s, d)),
@@ -477,6 +479,56 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
             )
             SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a
+        """,
+        # The multimodal stub decodes are deterministic functions of the
+        # payload bytes (md5-derived header fields + byte statistics),
+        # and the fixture text is pure ASCII (ord == byte) — so the
+        # whole mapInPandas plumbing is value-checkable in SQL. These
+        # oracles cover the STUB path; with PIL/soundfile present the
+        # queries still bind codec='stub' via the entry to stay
+        # deterministic (real-codec paths are pytest-verified).
+        "q_image_features": """
+            WITH p AS (SELECT doc_id, text, md5(text) AS h,
+                              length(text) AS n FROM documents)
+            SELECT doc_id,
+                   CAST(64 + CAST(CAST('0x' || substring(h, 1, 2) AS
+                       BIGINT) % 64 AS INTEGER) AS INTEGER) AS width,
+                   CAST(64 + CAST(CAST('0x' || substring(h, 3, 2) AS
+                       BIGINT) % 64 AS INTEGER) AS INTEGER) AS height,
+                   CAST(1 + CAST(CAST('0x' || substring(h, 5, 2) AS
+                       BIGINT) % 3 AS INTEGER) AS INTEGER) AS channels,
+                   CASE WHEN n = 0 THEN 0.0 ELSE round(
+                       list_aggregate(list_transform(
+                           generate_series(1, n),
+                           i -> ord(substring(text,
+                                CAST(i AS INTEGER), 1))),
+                           'sum') * 1.0 / n, 4) END AS mean_byte
+            FROM p
+        """,
+        "q_audio_features": """
+            WITH p AS (SELECT doc_id, text, md5(text) AS h,
+                              length(text) AS n FROM documents)
+            SELECT doc_id,
+                   CAST(CASE CAST(CAST('0x' || substring(h, 1, 2) AS
+                            BIGINT) % 4 AS INTEGER)
+                        WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER)
+                       AS sample_rate,
+                   CAST(greatest(n, 1) * 16 AS BIGINT) AS n_samples,
+                   round(greatest(n, 1) * 16.0 /
+                         (CASE CAST(CAST('0x' || substring(h, 1, 2) AS
+                              BIGINT) % 4 AS INTEGER)
+                          WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          WHEN 2 THEN 22050 ELSE 44100 END), 4)
+                       AS duration_sec,
+                   CASE WHEN n = 0 THEN 0.0 ELSE round(sqrt(
+                       list_aggregate(list_transform(
+                           generate_series(1, n),
+                           i -> pow((ord(substring(text,
+                                CAST(i AS INTEGER), 1)) - 128.0)
+                                / 128.0, 2)), 'sum') / n), 4)
+                       END AS rms
+            FROM p
         """,
         # Chain graph = maximal runs of consecutive ids inside an
         # id-block, so CC reduces to gaps-and-islands SQL — no recursion

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import importlib.util
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -103,6 +104,13 @@ def q_multimodal_meta(documents: DataFrame) -> DataFrame:
     )
 
 
+def _round4(x: float) -> float:
+    """Half-AWAY-from-zero to 4dp — matches Spark/DuckDB round();
+    Python's built-in round is half-to-even and flips .00005
+    boundaries (observed: 93.90625 → 93.9062 vs SQL 93.9063)."""
+    return math.trunc(x * 1e4 + math.copysign(0.5, x)) / 1e4
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     """Deterministic fake image decode: dimensions from the content
     digest, mean byte from the payload. STUB — replace the body with
@@ -112,7 +120,7 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     height = 64 + h[1] % 64
     channels = 1 + h[2] % 3
     mean_byte = (sum(payload) / len(payload)) if payload else 0.0
-    return width, height, channels, round(mean_byte, 4)
+    return width, height, channels, _round4(mean_byte)
 
 
 def _pil_decode(payload: bytes) -> tuple[int, int, int, float]:
@@ -206,13 +214,13 @@ def decode_audio_features(with_payload_df: DataFrame,
         h = hashlib.md5(payload).digest()
         rate = (8000, 16000, 22050, 44100)[h[0] % 4]
         n_samples = max(len(payload), 1) * 16
-        duration = round(n_samples / rate, 4)
+        duration = _round4(n_samples / rate)
         if payload:
             acc = 0.0
             for b in payload:
                 v = (b - 128.0) / 128.0
                 acc += v * v
-            rms = round((acc / len(payload)) ** 0.5, 4)
+            rms = _round4((acc / len(payload)) ** 0.5)
         else:
             rms = 0.0
         return rate, n_samples, duration, rms

@@ -572,6 +572,11 @@ def q_knn_text(documents: DataFrame, query_doc_id: int = 0,
     text→vector→search path is hash-checked cross-engine."""
     from movie_rec_spark.operators.similarity import q_knn_brute
 
-    emb = text_embedding(documents, dim)
+    # materialize the featurized corpus ONCE: q_knn_brute scans it for
+    # the query row and again for scoring, and without the checkpoint
+    # both scans re-run the full explode+agg pipeline (plan measured 8
+    # exchanges vs 3). In a service this table is the persisted
+    # embedding index (ivf_write consumes it as-is).
+    emb = text_embedding(documents, dim).localCheckpoint(eager=False)
     return (q_knn_brute(emb, query_vec_id=query_doc_id, k=k)
             .select(F.col("vec_id").alias("doc_id"), "sim"))
