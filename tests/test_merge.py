@@ -184,3 +184,51 @@ def test_expire_partitions_metadata_only(spark, target):
     after = {k: v for k, v in _snapshot(target).items()
              if "/day=3/" in k}
     assert after == before
+
+
+def test_merge_matches_reference_model(spark, tmp_path):
+    """Property-style sweep: merge_into must match a pure-Python
+    reference model of the MERGE semantics (ts guard, tombstones,
+    inserts, ignored stale rows) across seeded random scenarios —
+    including all-deleted partitions and new-partition inserts."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"prop_{seed}")
+        target = {}
+        for _ in range(rng.randint(1, 12)):
+            k = (rng.randint(1, 5), rng.randint(1, 3))
+            target[k] = (f"t{rng.randint(0, 9)}", rng.randint(0, 5))
+        batch = {}
+        for _ in range(rng.randint(1, 8)):
+            k = (rng.randint(1, 6), rng.randint(1, 4))
+            batch[k] = (f"u{rng.randint(0, 9)}", rng.randint(0, 5),
+                        rng.random() < 0.3)
+        (spark.createDataFrame(
+            [(i, d, v, t) for (i, d), (v, t) in target.items()],
+            "id bigint, day bigint, val string, ts bigint")
+         .write.partitionBy("day").parquet(path))
+
+        expect = dict(target)
+        for (i, d), (v, t, dele) in batch.items():
+            if (i, d) in expect:
+                if t >= expect[(i, d)][1]:
+                    if dele:
+                        del expect[(i, d)]
+                    else:
+                        expect[(i, d)] = (v, t)
+            elif not dele:
+                expect[(i, d)] = (v, t)
+
+        merge_into(
+            spark, path,
+            spark.createDataFrame(
+                [(i, d, v, t, dele)
+                 for (i, d), (v, t, dele) in batch.items()],
+                "id bigint, day bigint, val string, ts bigint, "
+                "_deleted boolean"),
+            keys=["id", "day"], partition_col="day", ts_col="ts")
+        got = {(r.id, r.day): (r.val, r.ts)
+               for r in spark.read.parquet(path).collect()}
+        assert got == expect, f"seed {seed}"
