@@ -605,8 +605,7 @@ def ivf_read(spark, path: str, with_deltas: bool = False):
     delta alike."""
     assigned = spark.read.parquet(path)
     if with_deltas:
-        import glob as _glob
-        for d in sorted(_glob.glob(f"{ivf_delta_dir(path)}/batch_*")):
+        for d in _list_delta_dirs(spark, path):
             assigned = assigned.unionByName(
                 spark.read.option("basePath", d).parquet(d))
     rows = spark.read.parquet(path + "_centers").collect()
@@ -741,6 +740,22 @@ def ivf_delta_dir(path: str) -> str:
     return path + "__delta"
 
 
+def _list_delta_dirs(spark, path: str) -> list[str]:
+    """batch_* delta dirs under the index's delta root, via the Hadoop
+    FileSystem API (works on HDFS/S3, not just local disk)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(ivf_delta_dir(path))
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_"):
+            out.append(str(st.getPath()))
+    return sorted(out)
+
+
 def ivf_append_batch(spark, path: str, batch: DataFrame,
                      batch_id: int) -> dict:
     """Replay-safe streaming form of ``ivf_append``: the batch's
@@ -791,10 +806,7 @@ def ivf_compact_deltas(spark, path: str) -> dict:
     base files are untouched) and remove them. Offline only: run with
     the append stream stopped, otherwise an uncommitted batch's delta
     could be folded in and then replayed."""
-    import glob as _glob
-    import os as _os
-
-    deltas = sorted(_glob.glob(f"{ivf_delta_dir(path)}/batch_*"))
+    deltas = _list_delta_dirs(spark, path)
     if not deltas:
         return {"folded": 0, "rows": 0}
     df = spark.read.option("basePath", deltas[0]).parquet(deltas[0])
