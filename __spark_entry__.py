@@ -536,7 +536,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cc_chain_star": f"""
             WITH d AS (
                 SELECT doc_id,
-                       doc_id // {D.CC_CHAIN_LEN} AS blk,
+                       CAST(floor(doc_id / {D.CC_CHAIN_LEN}.0) AS BIGINT) AS blk,
                        doc_id - row_number() OVER (ORDER BY doc_id) AS runid
                 FROM documents)
             SELECT doc_id,
@@ -546,7 +546,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cc_chain_minlabel": f"""
             WITH d AS (
                 SELECT doc_id,
-                       doc_id // {D.CC_CHAIN_LEN} AS blk,
+                       CAST(floor(doc_id / {D.CC_CHAIN_LEN}.0) AS BIGINT) AS blk,
                        doc_id - row_number() OVER (ORDER BY doc_id) AS runid
                 FROM documents)
             SELECT doc_id,

@@ -25,6 +25,8 @@ SF = "/root/testdata/sf0.001"
 PORTABLE = sorted([
     "q_candidates",
     "q_candidates_scalable",
+    "q_cc_chain_minlabel",
+    "q_cc_chain_star",
     "q_dedup_exact",
     "q_delete_antijoin",
     "q_distinct_users",
