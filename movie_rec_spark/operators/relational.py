@@ -245,11 +245,18 @@ def q_recommend(lineitem: DataFrame, orders: DataFrame,
     (seen-filter, double-anti-join back-fill, priority order)
     SQL-expressible and hash-checked by the driver at sf0.01.
     """
+    # the popularity aggregate feeds THREE overlay branches (precomputed
+    # slate, back-fill source, seen-filter); without a checkpoint the
+    # lazy plan re-runs the lineitem scan+aggregation per branch (6
+    # exchanges → 3). Wall-time at sf0.1 is driver-latency-bound either
+    # way (~1.6 s), but at 100 TB each duplicated branch is a full
+    # fact-table scan — dedup the work, not the milliseconds. The
+    # table is |parts| rows, executor-memory-tiny at any scale.
     pop = part_popularity(lineitem).select(
         F.col("l_partkey").alias("item_id"),
         F.col("cnt_orders").cast("double").alias("score"),
         "avg_price",
-    )
+    ).localCheckpoint(eager=False)
     prerecs = (
         pop.orderBy(F.desc("score"), F.desc("avg_price"), F.asc("item_id"))
         .limit(n)
