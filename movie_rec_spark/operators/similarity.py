@@ -720,6 +720,8 @@ def ivf_append(spark, path: str, new_embeddings: DataFrame) -> dict:
     stats = assigned.agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("_sqdist"), 6).alias("d")).collect()[0]
+    if not stats.n:  # empty batch: nothing to write, no drift sample
+        return {"appended": 0, "mean_sqdist": 0.0}
     (assigned.drop("_sqdist")
      .write.mode("append").partitionBy("cell").parquet(path))
     return {"appended": int(stats.n), "mean_sqdist": float(stats.d)}

@@ -83,6 +83,13 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
     # partition metadata: the batch's touched partition values
     parts = [r[0] for r in
              updates.select(partition_col).distinct().collect()]
+    if any(p is None for p in parts):
+        # a null partition value would silently miss the
+        # __HIVE_DEFAULT_PARTITION__ directory in both the isin() scan
+        # filter and the overwrite — refuse instead of corrupting
+        raise ValueError(
+            f"update batch contains NULL {partition_col!r} values; "
+            "partition keys must be non-null")
     target = spark.read.parquet(target_path)
     data_cols = [c for c in target.columns]
     affected = target.filter(F.col(partition_col).isin(parts))
