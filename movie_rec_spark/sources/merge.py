@@ -188,3 +188,54 @@ def expire_partitions(spark: SparkSession, target_path: str,
             dropped.append(value)
     return {"examined": examined, "dropped": len(dropped),
             "values": sorted(dropped)}
+
+
+def compact_partitions(spark: SparkSession, target_path: str,
+                       partition_col: str, max_files: int = 4,
+                       sort_col: str | None = None) -> dict:
+    """OPTIMIZE for the merge/CDC table: steady micro-batch merges
+    accrete small files per partition (every dynamic overwrite and
+    append writes its own parts), and scan cost at 100 TB is driven by
+    file count as much as bytes. This rewrites ONLY partitions whose
+    file count exceeds ``max_files`` — offender detection is pure
+    Hadoop-FS metadata, the rewrite is a per-partition coalesce(1)
+    read-write, and compliant partitions stay byte-identical.
+
+    ``sort_col`` additionally clusters each rewritten partition by that
+    column (OPTIMIZE ... ZORDER-lite for one dimension): parquet
+    row-group min/max stats then prune point/range predicates on it
+    inside the partition.
+
+    Same committed-only rule as every maintenance op here: run with
+    writers stopped (plain parquet has no commit protocol to fence
+    concurrent writers).
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = root.getFileSystem(conf)
+    prefix = f"{partition_col}="
+    offenders = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(prefix)):
+            continue
+        n_files = sum(
+            1 for f in fs.listStatus(st.getPath())
+            if f.isFile() and f.getPath().getName().endswith(".parquet"))
+        if n_files > max_files:
+            offenders.append((name[len(prefix):], str(st.getPath()),
+                              n_files))
+    rewritten = 0
+    for value, p, _n in offenders:
+        part = (spark.read.parquet(p)
+                .localCheckpoint(eager=True))  # materialize BEFORE the
+        # overwrite replaces the directory being read
+        out = part.coalesce(1)
+        if sort_col:
+            out = out.sortWithinPartitions(sort_col)
+        out.write.mode("overwrite").parquet(p)
+        rewritten += 1
+    return {"examined_over_limit": len(offenders),
+            "rewritten": rewritten,
+            "values": sorted(v for v, _p, _n in offenders)}
