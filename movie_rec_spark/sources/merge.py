@@ -42,7 +42,8 @@ DELETED_COL = "_deleted"
 
 def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
                keys: Sequence[str], partition_col: str,
-               ts_col: str | None = None) -> dict:
+               ts_col: str | None = None,
+               schema_evolution: bool = False) -> dict:
     """Merge ``updates`` into the partitioned parquet table at
     ``target_path``. ``updates`` has the target schema plus an optional
     boolean ``_deleted`` column (absent → pure upsert). The update
@@ -55,6 +56,14 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
     out-of-order guard a CDC stream needs: a replayed or late batch
     carrying older versions cannot regress rows the table already
     advanced past. Stale updates are counted as "ignored".
+
+    Schema discipline: by default an update column the target does not
+    have is an ERROR (silently dropping data a producer sent is the
+    worst failure mode of a sink). ``schema_evolution=True`` instead
+    widens the table — new columns append to the schema, pre-existing
+    rows read them as null (parquet by-name resolution), exactly
+    Delta's mergeSchema semantics. Columns the target has but the
+    update lacks ride along as null for inserted rows either way.
 
     Returns counts {"partitions", "updated", "deleted", "inserted",
     "ignored"} — the merge summary a table format would put in its
@@ -73,6 +82,12 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
     updates = updates.withColumn(
         DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False)))
 
+    missing_req = [c for c in ([ts_col] if ts_col else []) + keys
+                   if c not in updates.columns]
+    if missing_req:
+        raise ValueError(
+            f"update batch lacks required columns {missing_req}")
+
     dup = (updates.groupBy(*keys).count().filter(F.col("count") > 1)
            .limit(1).count())
     if dup:
@@ -90,12 +105,28 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
         raise ValueError(
             f"update batch contains NULL {partition_col!r} values; "
             "partition keys must be non-null")
-    target = spark.read.parquet(target_path)
-    data_cols = [c for c in target.columns]
+    # mergeSchema: a previously-evolved table stores different footers
+    # per partition until compact_partitions rewrites them — always
+    # resolve the union schema
+    target = spark.read.option("mergeSchema", "true").parquet(target_path)
+    tgt_types = dict(target.dtypes)
+    upd_types = dict(updates.dtypes)
+    extra = sorted(set(updates.columns)
+                   - set(target.columns) - {DELETED_COL})
+    if extra and not schema_evolution:
+        raise ValueError(
+            f"update batch carries columns the table lacks: {extra}; "
+            "pass schema_evolution=True to widen the table, or drop "
+            "them — silently discarding producer data is refused")
+    data_cols = list(target.columns) + extra
     affected = target.filter(F.col(partition_col).isin(parts))
+    for c in extra:  # widen resident rows: new columns read as null
+        affected = affected.withColumn(c, F.lit(None).cast(upd_types[c]))
 
     u = updates.select(
-        *[F.col(c).alias(f"_u_{c}") for c in data_cols],
+        *[(F.col(c) if c in updates.columns
+           else F.lit(None).cast(tgt_types[c])).alias(f"_u_{c}")
+          for c in data_cols],
         F.col(DELETED_COL).alias("_u_del"))
     cond = [affected[k] == u[f"_u_{k}"] for k in keys]
     joined = affected.join(u, cond, "full_outer")
@@ -112,9 +143,13 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
         # WHEN MATCHED AND _deleted (and winning) THEN DELETE
         .filter(~(u_wins & F.col("_u_del")))
         # winning update/insert rows take the update side, keeps and
-        # stale-update targets keep the target side
+        # stale-update targets keep the target side; a column the batch
+        # does not carry keeps its target value on matched rows (UPDATE
+        # SET * over the carried columns only — null is on the target
+        # side already for inserts)
         .select(*[
-            F.when(u_wins, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
+            (F.when(u_wins, F.col(f"_u_{c}")).otherwise(F.col(c))
+             if c in updates.columns else F.col(c)).alias(c)
             for c in data_cols])
         # break lineage BEFORE writing: the output plan reads the same
         # directories the write replaces — without materializing first,
@@ -228,9 +263,11 @@ def compact_partitions(spark: SparkSession, target_path: str,
                               n_files))
     rewritten = 0
     for value, p, _n in offenders:
-        part = (spark.read.parquet(p)
-                .localCheckpoint(eager=True))  # materialize BEFORE the
-        # overwrite replaces the directory being read
+        # mergeSchema: normalize files written before a schema
+        # evolution; materialize BEFORE the overwrite replaces the
+        # directory being read
+        part = (spark.read.option("mergeSchema", "true").parquet(p)
+                .localCheckpoint(eager=True))
         out = part.coalesce(1)
         if sort_col:
             out = out.sortWithinPartitions(sort_col)

@@ -265,3 +265,44 @@ def test_compact_partitions_rewrites_only_offenders(spark, tmp_path):
     got = sorted((r.id, r.day, r.val)
                  for r in spark.read.parquet(path).collect())
     assert got == want
+
+
+def test_merge_schema_discipline_and_evolution(spark, tmp_path):
+    """An update column the table lacks is refused by default (silent
+    drop is the worst sink failure); with schema_evolution=True the
+    table widens, resident rows read the new column as null, and a
+    batch missing an existing column leaves matched rows' values
+    untouched."""
+    path = str(tmp_path / "evo")
+    (spark.createDataFrame([Row(id=1, day=1, val="a"),
+                            Row(id=2, day=2, val="b")])
+     .write.partitionBy("day").parquet(path))
+
+    widened = spark.createDataFrame(
+        [Row(id=1, day=1, val="a2", lang="en")])
+    with pytest.raises(ValueError, match="schema_evolution"):
+        merge_into(spark, path, widened, keys=["id", "day"],
+                   partition_col="day")
+    summary = merge_into(spark, path, widened, keys=["id", "day"],
+                         partition_col="day", schema_evolution=True)
+    assert summary["updated"] == 1
+    got = {r.id: (r.val, r.lang)
+           for r in spark.read.option("mergeSchema", "true")
+           .parquet(path).collect()}
+    assert got[1] == ("a2", "en")
+    assert got[2] == ("b", None)  # resident row widened with null
+
+    # a batch NOT carrying an existing column must not null it out
+    merge_into(spark, path,
+               spark.createDataFrame([Row(id=1, day=1, lang="de")]),
+               keys=["id", "day"], partition_col="day")
+    got = {r.id: (r.val, r.lang)
+           for r in spark.read.option("mergeSchema", "true")
+           .parquet(path).collect()}
+    assert got[1] == ("a2", "de")  # val untouched, lang updated
+
+    # required key/ts columns must be present
+    with pytest.raises(ValueError, match="required"):
+        merge_into(spark, path,
+                   spark.createDataFrame([Row(id=3, val="x")]),
+                   keys=["id", "day"], partition_col="day")
