@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_upsert_latest": lambda s, d: M.q_upsert_latest(_t("events")(s, d)),
         "q_delete_antijoin": lambda s, d: M.q_delete_antijoin(_t("events")(s, d)),
         "q_implicit_fill": lambda s, d: M.q_implicit_fill(_t("events")(s, d)),
+        "q_merge_events": lambda s, d: M.q_merge_events(_t("events")(s, d)),
         # --- text analysis (training-data pipeline ops) ---
         "q_text_stats": lambda s, d: T.q_text_stats(_t("documents")(s, d)),
         "q_token_counts": lambda s, d: T.q_token_counts(_t("documents")(s, d)),
@@ -371,6 +372,48 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY ts DESC, event_id DESC) AS rn
                   FROM events e)
             WHERE rn = 1
+        """,
+        # MERGE kernel: even half = resident table, odd half = CDC
+        # batch (event_id % 5 = 0 survivors are tombstones); winner =
+        # update side iff present and not older (ts >= target's).
+        "q_merge_events": """
+            WITH t AS (
+                SELECT event_id, user_id, event_type, value, ts
+                FROM (SELECT e.*, row_number() OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM events e WHERE event_id % 2 = 0)
+                WHERE rn = 1),
+            u AS (
+                SELECT event_id, user_id, event_type, value, ts,
+                       (event_id % 5 = 0) AS del
+                FROM (SELECT e.*, row_number() OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM events e WHERE event_id % 2 = 1)
+                WHERE rn = 1)
+            SELECT CASE WHEN uw THEN u_event_id ELSE t_event_id END
+                       AS event_id,
+                   CASE WHEN uw THEN u_user_id ELSE t_user_id END
+                       AS user_id,
+                   CASE WHEN uw THEN u_event_type ELSE t_event_type END
+                       AS event_type,
+                   CASE WHEN uw THEN u_value ELSE t_value END AS value,
+                   CASE WHEN uw THEN u_ts ELSE t_ts END AS ts
+            FROM (SELECT t.event_id AS t_event_id,
+                         t.user_id AS t_user_id,
+                         t.event_type AS t_event_type,
+                         t.value AS t_value, t.ts AS t_ts,
+                         u.event_id AS u_event_id,
+                         u.user_id AS u_user_id,
+                         u.event_type AS u_event_type,
+                         u.value AS u_value, u.ts AS u_ts, u.del,
+                         (u.user_id IS NOT NULL AND
+                          (t.user_id IS NULL OR u.ts >= t.ts)) AS uw
+                  FROM t FULL OUTER JOIN u
+                  ON t.user_id = u.user_id
+                  AND t.event_type = u.event_type) j
+            WHERE NOT (uw AND coalesce(del, FALSE))
         """,
         "q_delete_antijoin": """
             SELECT event_id, user_id, event_type, value, ts

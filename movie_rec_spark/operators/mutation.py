@@ -150,3 +150,28 @@ def assign_dense_ids(new_rows: DataFrame, existing: DataFrame,
         .withColumn(id_col, (F.col("m") + F.col("_rn")).cast("bigint"))
         .drop("_rn", "m")
     )
+
+
+def q_merge_events(events: DataFrame) -> DataFrame:
+    """Declared MERGE query (SURVEY §2.9 M2/M3 in statement form,
+    reference analogue ``session.merge`` + delete,
+    controller.py:124,142-146): the even-event_id half of the events
+    table plays the resident table (latest-wins collapsed per
+    (user_id, event_type)), the odd half plays the CDC batch — rows
+    whose surviving event_id is divisible by 5 arrive as tombstones —
+    and ``sources.merge.merge_frames`` applies
+    delete / ts-guarded-update / insert in one statement. Fully
+    SQL-expressible (two windowed CTEs + full outer join + CASE), so
+    the driver hash-checks the whole MERGE kernel; the IO form
+    (merge_into) adds only partition scoping on top of this exact
+    plan and is pytest-verified byte-for-byte on disk."""
+    from movie_rec_spark.sources.merge import merge_frames
+
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    t = upsert_latest(
+        events.filter(F.col("event_id") % 2 == 0)).select(*cols)
+    u = (upsert_latest(events.filter(F.col("event_id") % 2 == 1))
+         .select(*cols)
+         .withColumn("_deleted", F.col("event_id") % 5 == 0))
+    return merge_frames(t, u, keys=["user_id", "event_type"],
+                        ts_col="ts")

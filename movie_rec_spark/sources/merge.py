@@ -276,3 +276,41 @@ def compact_partitions(spark: SparkSession, target_path: str,
     return {"examined_over_limit": len(offenders),
             "rewritten": rewritten,
             "values": sorted(v for v, _p, _n in offenders)}
+
+
+def merge_frames(target: DataFrame, updates: DataFrame,
+                 keys: Sequence[str],
+                 ts_col: str | None = None) -> DataFrame:
+    """The MERGE statement as a PURE relational transform — the
+    compute kernel of ``merge_into`` without the partition/IO
+    machinery, usable wherever both sides are DataFrames (and the
+    basis of the oracle-checked declared query ``q_merge_events``).
+    Same semantics: tombstones delete, winning updates replace,
+    unmatched non-deleted updates insert, and with ``ts_col`` a
+    matched update only wins when not older than the target row. Both
+    inputs must be key-unique; columns must match (plus the optional
+    ``_deleted`` flag on the update side). One full-outer equi-join on
+    the key — nothing else.
+    """
+    keys = list(keys)
+    cols = [c for c in target.columns]
+    if DELETED_COL not in updates.columns:
+        updates = updates.withColumn(DELETED_COL, F.lit(False))
+    u = updates.select(
+        *[F.col(c).alias(f"_u_{c}") for c in cols],
+        F.coalesce(F.col(DELETED_COL), F.lit(False)).alias("_u_del"))
+    cond = [target[k] == u[f"_u_{k}"] for k in keys]
+    joined = target.join(u, cond, "full_outer")
+    in_t = F.col(keys[0]).isNotNull()
+    in_u = F.col(f"_u_{keys[0]}").isNotNull()
+    if ts_col:
+        u_wins = in_u & (~in_t | (F.col(f"_u_{ts_col}") >= F.col(ts_col)))
+    else:
+        u_wins = in_u
+    return (
+        joined
+        .filter(~(u_wins & F.col("_u_del")))
+        .select(*[
+            F.when(u_wins, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
+            for c in cols])
+    )

@@ -32,6 +32,7 @@ PORTABLE = sorted([
     "q_distinct_users",
     "q_event_counters",
     "q_event_windowed",
+    "q_merge_events",
     "q_range_join",
     "q_salted_count",
     "q_set_ops",
