@@ -99,3 +99,28 @@ def test_assign_dense_ids(spark):
     out2 = M.assign_dense_ids(
         new, existing.filter("user_id < 0"), "user_id").collect()
     assert sorted(r.user_id for r in out2) == [1, 2, 3]
+
+
+def test_merge_frames_semantics(spark):
+    """MERGE kernel unit check on crafted rows: winning update
+    replaces, stale update is ignored, tombstone deletes, stale
+    tombstone does not, unmatched tombstone never inserts."""
+    from pyspark.sql import Row
+
+    from movie_rec_spark.sources.merge import merge_frames
+
+    t = spark.createDataFrame([
+        Row(k=1, v="a", ts=10),   # updated by newer row
+        Row(k=2, v="b", ts=10),   # stale update -> kept
+        Row(k=3, v="c", ts=10),   # tombstone -> deleted
+        Row(k=4, v="d", ts=10),   # stale tombstone -> kept
+        Row(k=5, v="e", ts=10),   # untouched
+    ])
+    u = spark.createDataFrame(
+        [(1, "A", 11, False), (2, "B", 9, False), (3, None, 11, True),
+         (4, None, 9, True), (6, "F", 11, False), (7, None, 11, True)],
+        "k bigint, v string, ts bigint, _deleted boolean")
+    got = {r.k: (r.v, r.ts)
+           for r in merge_frames(t, u, keys=["k"], ts_col="ts").collect()}
+    assert got == {1: ("A", 11), 2: ("b", 10), 4: ("d", 10),
+                   5: ("e", 10), 6: ("F", 11)}
