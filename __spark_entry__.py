@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_counts": lambda s, d: T.q_token_counts(_t("documents")(s, d)),
         "q_lang_id": lambda s, d: T.q_lang_id(_t("documents")(s, d)),
         "q_doc_fingerprint": lambda s, d: T.q_doc_fingerprint(_t("documents")(s, d)),
+        "q_pii_redact": lambda s, d: T.q_pii_redact(_t("documents")(s, d)),
         # --- deduplication ---
         "q_dedup_exact": lambda s, d: D.q_dedup_exact(_t("documents")(s, d)),
         "q_dedup_jaccard": lambda s, d: D.q_dedup_jaccard(_t("documents")(s, d)),
@@ -97,6 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_cc_chain_minlabel": lambda s, d: D.q_cc_chain_minlabel(
             _t("documents")(s, d)),
+        "q_chunk_dedup": lambda s, d: D.q_chunk_dedup(_t("documents")(s, d)),
+        "q_chunk_prune": lambda s, d: D.q_chunk_prune(_t("documents")(s, d)),
         # --- similarity search ---
         "q_knn_brute": lambda s, d: S.q_knn_brute(_t("embeddings")(s, d)),
         "q_embed_neardup": lambda s, d: S.q_embed_neardup(_t("embeddings")(s, d)),
@@ -480,6 +483,31 @@ def oracle_sql() -> dict[str, str]:
                    substring(md5(text), 1, 8) AS fp_prefix
             FROM documents
         """,
+        # Same RE2-compatible patterns as T.PII_PATTERNS; DuckDB needs
+        # the explicit 'g' flag where Spark's regexp_replace is global.
+        "q_pii_redact": f"""
+            WITH c AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com from 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7 call 555-'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-0199' AS contact
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(contact,
+                       '{T.PII_PATTERNS[0][1]}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(contact,
+                       '{T.PII_PATTERNS[1][1]}')) AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(contact,
+                       '{T.PII_PATTERNS[2][1]}')) AS INT) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(contact,
+                       '{T.PII_PATTERNS[0][1]}', '<EMAIL>', 'g'),
+                       '{T.PII_PATTERNS[1][1]}', '<IP>', 'g'),
+                       '{T.PII_PATTERNS[2][1]}', '<PHONE>', 'g') AS redacted
+            FROM c
+        """,
         "q_dedup_exact": """
             SELECT md5(text) AS fp, min(doc_id) AS keep_id,
                    count(*) AS n_copies
@@ -522,6 +550,52 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
             )
             SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a
+        """,
+        # Chunk-level (paragraph-proxy) exact dedup: stride-K token
+        # windows, digest-keyed. DuckDB rebuilds the same chunks via
+        # generate_subscripts; md5 agrees with Spark's md5-over-binary.
+        "q_chunk_dedup": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents),
+            chunks AS (
+                SELECT doc_id, CAST((i - 1) // {D.CHUNK_TOKENS} AS INT)
+                           AS chunk_idx,
+                       string_agg(tok, ' ' ORDER BY i) AS chunk
+                FROM toks GROUP BY doc_id, (i - 1) // {D.CHUNK_TOKENS}),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+                FROM chunks),
+            agg AS (
+                SELECT chunk, count(DISTINCT doc_id) AS n_docs,
+                       count(*) AS n_occ
+                FROM chunks GROUP BY chunk
+                HAVING count(DISTINCT doc_id) > 1)
+            SELECT md5(a.chunk) AS fp, a.chunk, a.n_docs, a.n_occ,
+                   r.doc_id AS first_doc, r.chunk_idx AS first_idx
+            FROM agg a JOIN ranked r ON r.chunk = a.chunk AND r.rn = 1
+        """,
+        "q_chunk_prune": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents),
+            chunks AS (
+                SELECT doc_id, CAST((i - 1) // {D.CHUNK_TOKENS} AS INT)
+                           AS chunk_idx,
+                       string_agg(tok, ' ' ORDER BY i) AS chunk
+                FROM toks GROUP BY doc_id, (i - 1) // {D.CHUNK_TOKENS}),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+                FROM chunks)
+            SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+                   CAST(count(*) FILTER (WHERE rn = 1) AS INT) AS n_kept,
+                   coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                                FILTER (WHERE rn = 1), '') AS cleaned_text
+            FROM ranked GROUP BY doc_id
         """,
         # The multimodal stub decodes are deterministic functions of the
         # payload bytes (md5-derived header fields + byte statistics),

@@ -814,3 +814,107 @@ def q_cc_chain_minlabel(documents: DataFrame,
     return _cc_chain(
         documents,
         lambda e: dedup_components(e, max_iter=30), chain_len)
+
+
+CHUNK_TOKENS = 10  # tokens per paragraph-proxy chunk (stride == width)
+
+
+def chunk_rows(documents: DataFrame, k: int = CHUNK_TOKENS) -> DataFrame:
+    """(doc_id, chunk_idx, chunk) stride-``k`` token windows — the
+    paragraph proxy for corpora whose documents carry no newline
+    structure (real pipelines split on blank lines first and fall back
+    to fixed token windows for wall-of-text documents).
+
+    Built entirely map-side: split once, then ``sequence`` +
+    ``slice`` + ``concat_ws`` inside codegen — NO explode-then-groupBy
+    round trip, so chunking itself costs zero shuffles and the chunk
+    count per row is |tokens|/k, linear scan bandwidth at 100 TB.
+    """
+    w = F.split("text", " ")
+    n_chunks = F.ceil(F.size(w) / F.lit(k)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(w, c * k + 1, k)).alias("chunk")),
+    )
+    return (
+        documents
+        .select("doc_id", F.explode(chunks).alias("ch"))
+        .select("doc_id", F.col("ch.chunk_idx").alias("chunk_idx"),
+                F.col("ch.chunk").alias("chunk"))
+    )
+
+
+def q_chunk_dedup(documents: DataFrame,
+                  k: int = CHUNK_TOKENS) -> DataFrame:
+    """Cross-document repeated-paragraph audit (ExactSubstr-lite, after
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): token-window chunks appearing in MORE THAN ONE document,
+    with occurrence counts and the canonical first occurrence.
+    Boilerplate headers, license blocks, and mirrored passages show up
+    here even when whole-document dedup (q_dedup_exact) finds nothing —
+    document-level Jaccard stays low while the shared paragraph repeats
+    verbatim.
+
+    Reference analogue: none (the reference dedups nothing); this is
+    the corpus-hygiene extension of the digest machinery in
+    q_dedup_exact (`web/app/controller.py` has no equivalent).
+
+    Scale shape: map-side chunking (chunk_rows) then ONE shuffle keyed
+    on the chunk digest — cost tracks corpus token count, never pairs.
+    Output is one row per duplicated chunk: (fp, chunk, n_docs, n_occ,
+    first_doc, first_idx), first occurrence = lexicographic min
+    (doc_id, chunk_idx) so the canonical copy is deterministic.
+    """
+    ch = chunk_rows(documents, k).withColumn(
+        "fp", F.md5(F.col("chunk").cast("binary")))
+    return (
+        ch.groupBy("fp", "chunk")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("_first"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "fp", "chunk", "n_docs", "n_occ",
+            F.col("_first.doc_id").alias("first_doc"),
+            F.col("_first.chunk_idx").alias("first_idx"),
+        )
+    )
+
+
+def q_chunk_prune(documents: DataFrame,
+                  k: int = CHUNK_TOKENS) -> DataFrame:
+    """The action on q_chunk_dedup's findings: rebuild every document
+    with non-first occurrences of globally duplicated chunks REMOVED
+    (first occurrence in (doc_id, chunk_idx) order survives, so exactly
+    one copy of each repeated paragraph remains corpus-wide) — the
+    standard repeated-passage scrub before LLM training.
+
+    Scale shape: two shuffles — one keyed on the chunk digest for the
+    first-occurrence rank (row_number over fp; duplicate groups are
+    small so the per-key window is bounded), one keyed on doc_id to
+    reassemble. The conditional collect_list drops pruned chunks
+    map-side, and array_sort on (chunk_idx, chunk) structs restores
+    document order without a sort exchange.
+    """
+    from pyspark.sql.window import Window
+
+    ch = chunk_rows(documents, k).withColumn(
+        "fp", F.md5(F.col("chunk").cast("binary")))
+    w = Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")
+    ranked = ch.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.count(kept).cast("int").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(F.array_sort(F.collect_list(kept)),
+                            lambda s: s["chunk"])).alias("cleaned_text"),
+        )
+    )

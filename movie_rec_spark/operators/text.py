@@ -580,3 +580,67 @@ def q_knn_text(documents: DataFrame, query_doc_id: int = 0,
     emb = text_embedding(documents, dim).localCheckpoint(eager=False)
     return (q_knn_brute(emb, query_vec_id=query_doc_id, k=k)
             .select(F.col("vec_id").alias("doc_id"), "sim"))
+
+
+# PII patterns: RE2-compatible subset (no lookaround/backrefs) so the
+# SAME pattern string runs in Spark (Java regex) and the DuckDB oracle.
+PII_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact(col: Column) -> tuple[Column, dict[str, Column]]:
+    """The reusable redaction kernel: (redacted text, {kind: count}).
+    Counts are measured on the INPUT text per pattern independently
+    (so they are order-free); replacement applies the patterns in
+    PII_PATTERNS order (email before ipv4 before phone — an email that
+    embeds digits must not be half-eaten by the numeric patterns).
+    Pure regexp expressions → whole-stage codegen, no Python."""
+    counts = {
+        kind: F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        .cast("int").alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    }
+    red = col
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return red, counts
+
+
+def q_pii_redact(documents: DataFrame) -> DataFrame:
+    """PII scrubbing — the redaction pass every LLM training pipeline
+    runs before text leaves quarantine (emails, IPv4 addresses, phone
+    numbers → typed placeholder tokens), with per-document counts for
+    the removal-rate report.
+
+    The fixture corpus is synthetic word-salad with NO PII, so a
+    straight application would be a vacuous 0=0 oracle check; instead
+    the query grafts a deterministic contact fragment (derived from
+    doc_id) onto each document and redacts THAT — the kernel
+    (pii_redact) is exercised non-vacuously on every row, and real
+    corpora call pii_redact(col('text')) directly.
+
+    Reference analogue: none (the reference stores raw user text); this
+    extends the F4/F5 string-function family (SURVEY §2.8).
+
+    Scale shape: map-only — three regexp_extract_all + three
+    regexp_replace per row inside one codegen stage over the scan; no
+    shuffle, no Python.
+    """
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-0199"),
+    )
+    red, counts = pii_redact(contact)
+    return documents.select(
+        "doc_id",
+        counts["email"], counts["ipv4"], counts["phone"],
+        red.alias("redacted"),
+    )

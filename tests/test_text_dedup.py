@@ -491,3 +491,61 @@ def test_text_embedding_feeds_ann_family(spark, sf_docs):
     flat = T.q_text_embed(sf_docs)
     assert flat.filter("pos < 0 or pos >= 64").count() == 0
     assert flat.select("doc_id").distinct().count() == sf_docs.count()
+
+
+def test_chunk_rows_stride_and_tail(spark):
+    """Stride-k windows: a 7-token doc at k=3 yields chunks of 3/3/1
+    tokens in order, rebuilt purely map-side."""
+    docs = _docs(spark, ["a b c d e f g"])
+    rows = sorted((r.chunk_idx, r.chunk)
+                  for r in D.chunk_rows(docs, k=3).collect())
+    assert rows == [(0, "a b c"), (1, "d e f"), (2, "g")]
+
+
+def test_chunk_dedup_finds_cross_doc_paragraph(spark):
+    """A chunk repeated in two docs (and twice in one of them) is
+    reported once with n_docs=2, n_occ=3, and the lexicographically
+    first (doc_id, chunk_idx) occurrence; unique chunks are absent."""
+    para = "one two three four five six seven eight nine ten"
+    docs = _docs(spark, [
+        "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 " + para,
+        para + " " + para,
+        "totally different words in this document body here now ok fine",
+    ])
+    out = D.q_chunk_dedup(docs, k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.chunk, r.n_docs, r.n_occ, r.first_doc, r.first_idx) == (
+        para, 2, 3, 0, 1)
+
+
+def test_chunk_prune_keeps_first_occurrence_only(spark):
+    """Pruning removes the repeated paragraph everywhere except its
+    first (doc_id, chunk_idx) occurrence and reassembles the remaining
+    chunks in document order."""
+    para = "one two three four five six seven eight nine ten"
+    head = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    docs = _docs(spark, [head + " " + para, para + " " + para])
+    out = {r.doc_id: r for r in D.q_chunk_prune(docs, k=10).collect()}
+    assert (out[0].n_chunks, out[0].n_kept) == (2, 2)
+    assert out[0].cleaned_text == head + " " + para
+    assert (out[1].n_chunks, out[1].n_kept) == (2, 0)
+    assert out[1].cleaned_text == ""
+
+
+def test_pii_redact_kernel_on_real_pii(spark):
+    """The kernel redacts emails/IPs/phones in free text and counts
+    each kind on the input; clean text passes through untouched."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(0, "mail a.b+c@mail.example.org and 192.168.1.77 then 555-867-5309"),
+         (1, "no pii in this sentence at all")],
+        "doc_id int, text string")
+    red, counts = T.pii_redact(F.col("text"))
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", red.alias("redacted"),
+        counts["email"], counts["ipv4"], counts["phone"]).collect()}
+    assert out[0].redacted == "mail <EMAIL> and <IP> then <PHONE>"
+    assert (out[0].n_email, out[0].n_ipv4, out[0].n_phone) == (1, 1, 1)
+    assert out[1].redacted == out[1]["redacted"] == "no pii in this sentence at all"
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (0, 0, 0)
