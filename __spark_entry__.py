@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": lambda s, d: T.q_lang_id(_t("documents")(s, d)),
         "q_doc_fingerprint": lambda s, d: T.q_doc_fingerprint(_t("documents")(s, d)),
         "q_pii_redact": lambda s, d: T.q_pii_redact(_t("documents")(s, d)),
+        "q_bm25": lambda s, d: T.q_bm25(_t("documents")(s, d)),
         # --- deduplication ---
         "q_dedup_exact": lambda s, d: D.q_dedup_exact(_t("documents")(s, d)),
         "q_dedup_jaccard": lambda s, d: D.q_dedup_jaccard(_t("documents")(s, d)),
@@ -118,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup": lambda s, d: R.q_rollup(_t("lineitem")(s, d)),
         "q_cube": lambda s, d: R.q_cube(_t("lineitem")(s, d)),
         "q_approx_distinct": lambda s, d: R.q_approx_distinct(_t("orders")(s, d)),
+        "q_profile": lambda s, d: R.q_profile(_t("lineitem")(s, d)),
         "q_asof_join": lambda s, d: TP.q_asof_join(
             _t("events")(s, d), _t("orders")(s, d)),
         "q_salted_count": lambda s, d: SK.q_salted_count(_t("events")(s, d)),
@@ -217,6 +219,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON doc_b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= {D.JACCARD_THRESHOLD}
     """
+    # q_profile oracle: one UNION ALL branch per lineitem column, same
+    # metrics as the stack() unpivot on the Spark side.
+    _li_cols = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate")
+    profile_sql = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+                   count({c}) AS n_nonnull,
+                   count(DISTINCT {c}) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_str,
+                   CAST(max({c}) AS VARCHAR) AS max_str FROM lineitem"""
+        for c in _li_cols)
     return {
         "q_top_movies": f"""
             SELECT p.p_partkey, p.p_name, a.cnt_orders, a.avg_price
@@ -482,6 +496,41 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp_norm,
                    substring(md5(text), 1, 8) AS fp_prefix
             FROM documents
+        """,
+        "q_profile": profile_sql,
+        # BM25: expression order mirrors text.q_bm25 exactly (left-assoc
+        # b*dl/avgdl, exact-integer avgdl build) so doubles agree
+        # bit-for-bit; ln-carrying per-term scores round to 4 before sum.
+        "q_bm25": f"""
+            WITH dl AS (
+                SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS dl
+                FROM documents),
+            stats AS (
+                SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                WHERE term IN ('{T.BM25_QUERY[0]}', '{T.BM25_QUERY[1]}',
+                               '{T.BM25_QUERY[2]}')
+                GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            SELECT tf.doc_id,
+                   round(sum(round(
+                       ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * (tf.tf * ({T.BM25_K1} + 1.0)
+                          / (tf.tf + {T.BM25_K1}
+                             * (1.0 - {T.BM25_B} + {T.BM25_B} * dl.dl
+                                / (sum_dl * 1.0 / n_docs)))), 4)), 4)
+                       AS bm25
+            FROM tf
+            JOIN df ON tf.term = df.term
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+            ORDER BY bm25 DESC, tf.doc_id ASC
+            LIMIT {T.BM25_TOP_K}
         """,
         # Same RE2-compatible patterns as T.PII_PATTERNS; DuckDB needs
         # the explicit 'g' flag where Spark's regexp_replace is global.

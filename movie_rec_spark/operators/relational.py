@@ -575,3 +575,42 @@ def q_event_windowed(events: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+def q_profile(table: DataFrame) -> DataFrame:
+    """Data profiling — the schema-drift / data-quality audit run on
+    every ingested partition before it joins the lakehouse: one row per
+    column with non-null count, exact distinct count, and min/max
+    rendered as strings (type-agnostic so one output schema covers
+    numeric, string, and timestamp columns alike).
+
+    Reference analogue: none (the reference trusts its DDL;
+    `prepare_dataset.py:82` hard-asserts dtypes at load) — this is the
+    operational replacement for that assert at pipeline scale.
+
+    Scale shape: ONE pass over the scan into a single aggregate row
+    (Catalyst plans the multi-countDistinct via Expand — the scan is
+    read once, rows are replicated per distinct-column in the map
+    stage), then a zero-shuffle stack() unpivot of that one row. Exact
+    distinct counts are the point of an audit; the streaming/telemetry
+    variant would swap countDistinct for approx_count_distinct and
+    drop the Expand entirely.
+    """
+    cols = table.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = table.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS "
+        "(column_name, n_nonnull, n_distinct, min_str, max_str)",
+        "__n AS n_rows",
+    ).select("column_name", "n_rows", "n_nonnull", "n_distinct",
+             "min_str", "max_str")

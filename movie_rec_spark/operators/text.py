@@ -644,3 +644,63 @@ def q_pii_redact(documents: DataFrame) -> DataFrame:
         counts["email"], counts["ipv4"], counts["phone"],
         red.alias("redacted"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("table", "scan", "merge")
+BM25_TOP_K = 20
+
+
+def q_bm25(documents: DataFrame,
+           query_terms: tuple[str, ...] = BM25_QUERY,
+           top_k: int = BM25_TOP_K) -> DataFrame:
+    """BM25 lexical retrieval — the classic sparse ranking function and
+    the standard partner to the dense path (q_knn_text): top-k
+    documents for a bag-of-words query, scored
+    sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+    idf = ln(1 + (N-df+0.5)/(df+0.5)) (Robertson/Sparck Jones).
+
+    Reference analogue: none (the reference has no text search); this
+    is the lexical member of the retrieval family alongside
+    q_tfidf_top_terms (document keywords) and q_knn_text (dense ANN).
+
+    Determinism across engines: per-term scores are rounded to 4
+    decimals BEFORE summing and the doc total again after (same ulp
+    discipline as q_tfidf_top_terms — ln differs in the last ulp);
+    avgdl is built as exact-integer sum(dl)/N, and the top-k cut
+    orders by (score, doc_id) so the limit is reproducible.
+
+    Scale shape: tokens are filtered to the query's terms BEFORE the
+    tf aggregation, so the exploded shuffle carries only matching
+    rows (|query| << vocabulary); df and the corpus stats are
+    broadcast scalars; the final top-k is TakeOrderedAndProject —
+    no global sort, no window.
+    """
+    terms = list(query_terms)
+    dl = documents.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"))
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (toks.filter(F.col("term").isin(terms))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tfn = (F.col("tf") * (BM25_K1 + 1.0)
+           / (F.col("tf") + BM25_K1
+              * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)))
+    per_term = F.round(idf * tfn, 4)
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(per_term), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(top_k)
+    )

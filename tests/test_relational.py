@@ -107,3 +107,20 @@ def test_candidates_scalable_matches_literal(spark):
             for r in R.candidate_counts_scalable(cust, part, li, orders).collect()}
     assert lit == {(1, 1), (2, 2)}
     assert scal == lit
+
+
+def test_profile_counts_nulls_distincts_minmax(spark):
+    """One row per column; nulls excluded from n_nonnull/n_distinct;
+    min/max rendered as strings of the native-type extremes."""
+    from movie_rec_spark.operators.relational import q_profile
+    df = spark.createDataFrame(
+        [(1, 10.5, "b"), (2, None, "a"), (2, 2.0, None)],
+        "k int, v double, s string")
+    out = {r.column_name: r for r in q_profile(df).collect()}
+    assert set(out) == {"k", "v", "s"}
+    assert all(r.n_rows == 3 for r in out.values())
+    assert (out["k"].n_nonnull, out["k"].n_distinct) == (3, 2)
+    assert (out["v"].n_nonnull, out["v"].n_distinct) == (2, 2)
+    assert (out["s"].n_nonnull, out["s"].n_distinct) == (2, 2)
+    assert (out["v"].min_str, out["v"].max_str) == ("2.0", "10.5")
+    assert (out["s"].min_str, out["s"].max_str) == ("a", "b")

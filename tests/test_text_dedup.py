@@ -549,3 +549,29 @@ def test_pii_redact_kernel_on_real_pii(spark):
     assert (out[0].n_email, out[0].n_ipv4, out[0].n_phone) == (1, 1, 1)
     assert out[1].redacted == out[1]["redacted"] == "no pii in this sentence at all"
     assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (0, 0, 0)
+
+
+def test_bm25_ranks_by_formula(spark):
+    """Scores follow the BM25 formula (hand-computed on a 3-doc corpus);
+    docs with no query term are absent; higher-tf docs rank higher."""
+    import math
+    docs = _docs(spark, [
+        "table table scan pad pad",          # tf: table=2, scan=1, dl=5
+        "table pad pad pad pad pad pad pad", # tf: table=1, dl=8
+        "pad pad pad",                       # no hit, dl=3
+    ])
+    out = {r.doc_id: r.bm25 for r in T.q_bm25(docs).collect()}
+    assert set(out) == {0, 1}
+    n, avgdl, k1, b = 3, 16 / 3, T.BM25_K1, T.BM25_B
+
+    def score(pairs, dl):
+        tot = 0.0
+        for tf, df in pairs:
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tot += round(idf * tf * (k1 + 1) /
+                         (tf + k1 * (1 - b + b * dl / avgdl)), 4)
+        return round(tot, 4)
+
+    assert out[0] == score([(2, 2), (1, 1)], 5)   # table df=2, scan df=1
+    assert out[1] == score([(1, 2)], 8)
+    assert out[0] > out[1]
