@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_lsh": lambda s, d: S.lsh_neardup(
             _t("embeddings")(s, d), dim=S.EMBED_DIM),
         "q_knn_ivf": lambda s, d: S.q_knn_ivf(_t("embeddings")(s, d)),
+        "q_semdedup": lambda s, d: S.q_semdedup(_t("embeddings")(s, d)),
         # --- multimodal decode plumbing. codec='stub' pinned: the
         # deterministic fake decode is itself oracle-checked (md5-derived
         # header fields + byte statistics are SQL-expressible); the

@@ -824,3 +824,71 @@ def ivf_compact_deltas(spark, path: str) -> dict:
         hp = jvm.org.apache.hadoop.fs.Path(d)
         hp.getFileSystem(conf).delete(hp, True)
     return {"folded": len(deltas), "rows": int(n)}
+
+
+SEMDEDUP_THRESHOLD = 0.4  # cosine cut matching the corpus's near-dup band
+
+
+def q_semdedup(embeddings: DataFrame, n_cells: int = 8,
+               threshold: float = SEMDEDUP_THRESHOLD,
+               seed: int = 42) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication that never
+    compares across the whole corpus — cluster embeddings with a seeded
+    KMeans, then prune near-duplicates ONLY within each cluster. A
+    vector is dropped when a lower-id vector in its cluster is within
+    ``threshold`` cosine; output is (vec_id, cell, keep, dup_of) with
+    dup_of = the smallest such neighbor id (the paper keeps one
+    representative per semantic clump; min-id is this repo's standard
+    deterministic keep rule, cf. dedup.q_dedup_exact).
+
+    Rows-only check (MLlib KMeans is not SQL-reproducible); the
+    semantics are pytest-pinned instead: within-cell pairs are a subset
+    of the exact q_embed_neardup ground truth (no false positives) and
+    every co-clustered exact pair is acted on (recall 1.0 inside
+    cells — the deliberate misses are exactly the cross-cluster pairs,
+    which is the accuracy/cost dial of the method).
+
+    Scale shape: the O(n²) GEMM of q_embed_neardup becomes
+    sum_c |cell_c|² — with n_cells sized so cells hold ~10-50k vectors,
+    per-task memory is one cell and total compute drops by ~n_cells×.
+    One shuffle keys vectors by cell (applyInPandas group), the KMeans
+    fit reuses the ivf_build machinery's cost profile, and nothing
+    returns to the driver but the tiny centroid list.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned, _ = ivf_index(embeddings, n_cells=n_cells, seed=seed)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["embedding"].iloc[order]])
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        sims = np.round((m @ m.T) / np.outer(nrm, nrm), 4)
+        # lower-id neighbor within threshold → drop, remember the min
+        close = sims >= threshold
+        np.fill_diagonal(close, False)
+        lower = np.tril(close, -1)  # [i, j] true ⇒ ids[j] < ids[i] close
+        has = lower.any(axis=1)
+        first = lower.argmax(axis=1)  # min-id neighbor (ids sorted asc)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cell": pdf["cell"].iloc[order].to_numpy(dtype=np.int32),
+            "keep": ~has,
+            "dup_of": np.where(has, ids[first], -1),
+        })
+
+    out = (
+        assigned.select("vec_id", "cell",
+                        F.col("embedding").cast("array<double>")
+                        .alias("embedding"))
+        .groupBy("cell")
+        .applyInPandas(prune,
+                       "vec_id bigint, cell int, keep boolean, dup_of bigint")
+    )
+    return out.withColumn(
+        "dup_of", F.when(F.col("dup_of") >= 0, F.col("dup_of")))

@@ -339,3 +339,39 @@ def test_ivf_streaming_append_exactly_once(spark, sf_emb, tmp_path):
             S.ivf_search(final, centers, [float(x) for x in q],
                          k=5, nprobe=4).collect()]
     assert any(v % 2 == 1 for v in hits)
+
+
+def test_semdedup_drops_only_true_neardups_in_cell(spark, sf_emb):
+    """SemDeDup precision/recall contract on the fixture corpus:
+    (a) every (dup, dup_of) decision corresponds to an exact
+    ground-truth near-dup pair (no false positives), and (b) every
+    exact pair that lands in the SAME cell is acted on — the dropped
+    member is the higher id (recall 1.0 within cells; cross-cluster
+    misses are the method's documented dial)."""
+    out = S.q_semdedup(sf_emb).collect()
+    cell = {r.vec_id: r.cell for r in out}
+    dropped = {r.vec_id: r.dup_of for r in out if not r.keep}
+    exact = {tuple(sorted((r.vec_a, r.vec_b)))
+             for r in S.q_embed_neardup(
+                 sf_emb, threshold=S.SEMDEDUP_THRESHOLD).collect()}
+    assert dropped, "fixture must exercise the prune path"
+    for v, d in dropped.items():
+        assert d < v and cell[d] == cell[v]
+        assert (d, v) in exact
+    co_clustered = {(a, b) for a, b in exact if cell[a] == cell[b]}
+    for a, b in co_clustered:
+        assert b in dropped
+    assert len(out) == sf_emb.count()
+
+
+def test_semdedup_keep_rule_min_id(spark):
+    """Hand corpus: two identical vectors and one orthogonal — the
+    lower id of the identical pair survives, the orthogonal vector is
+    untouched, dup_of names the kept twin."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (9, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>")
+    out = {r.vec_id: r for r in
+           S.q_semdedup(df, n_cells=2, threshold=0.9).collect()}
+    assert out[1].keep and out[9].keep and not out[2].keep
+    assert out[2].dup_of == 1 and out[1].dup_of is None
