@@ -114,6 +114,12 @@ def test_new_operator_shuffle_budgets(spark):
         "q_split_repair": 4,     # decontaminate shuffles + repair join
         "q_epoch_mix": 1,        # source-quality agg; copy explode row-local
         "q_unigram_logprob": 3,  # unigram counts, vocab join, per-doc agg
+        "q_chunk_dedup": 2,      # two-phase distinct-doc agg on the digest
+        "q_chunk_prune": 2,      # fp-keyed rank + doc-keyed reassembly
+        "q_pii_redact": 0,       # pure codegen regexes, map-only
+        "q_profile": 1,          # single Expand-backed multi-agg pass
+        "q_bm25": 4,             # tf agg, df agg, dl join, doc-sum agg
+        "q_semdedup": 1,         # one cell-keyed applyInPandas group
     }
     qs = E.queries()
     for name, budget in budgets.items():
