@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("events")(s, d), _t("orders")(s, d)),
         "q_salted_count": lambda s, d: SK.q_salted_count(_t("events")(s, d)),
         "q_sessionize": lambda s, d: TP.q_sessionize(_t("events")(s, d)),
+        "q_funnel": lambda s, d: TP.q_funnel(_t("events")(s, d)),
+        "q_cohort": lambda s, d: TP.q_cohort(_t("events")(s, d)),
         "q_percentiles": lambda s, d: R.q_percentiles(_t("lineitem")(s, d)),
         "q_window_analytics": lambda s, d: R.q_window_analytics(
             _t("orders")(s, d)),
@@ -1400,5 +1402,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events, round(sum(value), 2) AS total_value
             FROM s GROUP BY user_id, sess
+        """,
+        # Funnel: first-touch ordered steps; each CTE is keyed on
+        # user_id exactly like the Spark chain.
+        "q_funnel": f"""
+            WITH s0 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = '{TP.FUNNEL_STEPS[0]}' GROUP BY user_id),
+            s1 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s0 ON e.user_id = s0.user_id
+                 AND e.ts >= s0.t
+                WHERE e.event_type = '{TP.FUNNEL_STEPS[1]}'
+                GROUP BY e.user_id),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                 AND e.ts >= s1.t
+                WHERE e.event_type = '{TP.FUNNEL_STEPS[2]}'
+                GROUP BY e.user_id)
+            SELECT CAST(0 AS INT) AS step_idx,
+                   '{TP.FUNNEL_STEPS[0]}' AS step, count(*) AS n_users
+            FROM s0
+            UNION ALL SELECT 1, '{TP.FUNNEL_STEPS[1]}', count(*) FROM s1
+            UNION ALL SELECT 2, '{TP.FUNNEL_STEPS[2]}', count(*) FROM s2
+        """,
+        "q_cohort": """
+            WITH ev AS (
+                SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+            fs AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY user_id),
+            x AS (
+                SELECT DISTINCT ev.user_id,
+                       CAST(date_trunc('week', fs.d0) AS DATE)
+                           AS cohort_week,
+                       CAST((ev.d - fs.d0) // 7 AS INT) AS offset_weeks
+                FROM ev JOIN fs ON ev.user_id = fs.user_id)
+            SELECT cohort_week, offset_weeks, count(*) AS n_users
+            FROM x GROUP BY cohort_week, offset_weeks
         """,
     }

@@ -171,3 +171,82 @@ def q_range_join(events: DataFrame) -> DataFrame:
         right_start="win_start", right_end="win_end",
         bin_seconds=30 * 60,
     ).select("event_id", "user_id", "ts", "purchase_id", "win_start")
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel(events: DataFrame,
+             steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """Ordered conversion funnel — how many users complete each step of
+    ``steps`` IN ORDER (each step's event at-or-after the user's first
+    qualifying time of the previous step; first-touch semantics). The
+    standard product-analytics query every event warehouse serves.
+
+    Reference analogue: none (the reference has no event analytics);
+    extends the T-family event surface (SURVEY §2.10).
+
+    Scale shape: one user-keyed aggregate per step, each joined back to
+    the events table on user_id — every shuffle in the chain is keyed
+    on user_id, so once AQE/co-partitioning has hashed events by user
+    the per-step joins reuse the layout rather than re-exchanging the
+    big side. Step count is a small constant; nothing is quadratic and
+    no window over the full event stream is needed. Output is one row
+    per step: (step_idx, step, n_users), monotone non-increasing.
+    """
+    spark = events.sparkSession
+    ev = events.select("user_id", "event_type", "ts")
+    reached = None  # (user_id, t_k): first time user completed step k
+    counts = []
+    for i, step in enumerate(steps):
+        e = ev.filter(F.col("event_type") == step)
+        if reached is None:
+            cur = e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                e.join(reached, "user_id")
+                .filter(F.col("ts") >= F.col("t"))
+                .groupBy("user_id").agg(F.min("ts").alias("t"))
+            )
+        reached = cur
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users"))
+            .select(F.lit(i).cast("int").alias("step_idx"),
+                    F.lit(step).alias("step"), "n_users"))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def q_cohort(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention — users bucketed by their first-activity
+    date's week, counted per whole weeks elapsed at each later
+    activity: (cohort_week, offset_weeks, n_users). The classic
+    retention triangle behind every growth dashboard.
+
+    Week anchoring: cohort_week = the user's first activity date
+    truncated to Monday; offset = floor(days-since-first / 7) so
+    offset 0 is the first seven days REGARDLESS of weekday — per-user
+    anchoring (not calendar-week diffs) keeps cohorts comparable.
+
+    Scale shape: first-seen agg (one user-keyed shuffle), joined back
+    on user_id (same key, layout reuse as q_funnel), a distinct
+    (user, cohort, offset) collapse, then the small
+    (cohort_week, offset) count — cost is one pass over events plus
+    user-keyed exchanges; the retention matrix itself is tiny.
+    """
+    ev = events.select("user_id", F.to_date("ts").alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", "d0").cast("date").alias("cohort_week"),
+            F.floor(F.datediff(F.col("d"), F.col("d0")) / 7)
+            .cast("int").alias("offset_weeks"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -120,6 +120,8 @@ def test_new_operator_shuffle_budgets(spark):
         "q_profile": 1,          # single Expand-backed multi-agg pass
         "q_bm25": 4,             # tf agg, df agg, dl join, doc-sum agg
         "q_semdedup": 1,         # one cell-keyed applyInPandas group
+        "q_funnel": 5,           # per-step user-keyed agg/join chain
+        "q_cohort": 3,           # first-seen agg, join-back, matrix agg
     }
     qs = E.queries()
     for name, budget in budgets.items():

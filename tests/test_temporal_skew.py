@@ -175,3 +175,49 @@ def test_range_join_binned_subsecond_sliver(spark):
             bin_seconds=600,
         ).collect())
     assert got == [(1, 7)]
+
+
+def _events(spark, rows):
+    """rows: (user_id, event_type, day, value)."""
+    return spark.createDataFrame(
+        [(u, t, dt.datetime(2024, 1, d, 12, 0, 0), v)
+         for u, t, d, v in rows],
+        "user_id bigint, event_type string, ts timestamp, value double")
+
+
+def test_funnel_enforces_step_order(spark):
+    """A click BEFORE the user's first view must not convert step 2;
+    a full ordered path counts all three steps."""
+    from movie_rec_spark.operators.temporal import q_funnel
+    ev = _events(spark, [
+        (1, "view", 1, 0.0), (1, "click", 2, 0.0), (1, "purchase", 3, 0.0),
+        (2, "click", 1, 0.0), (2, "view", 2, 0.0),      # click too early
+        (3, "view", 1, 0.0), (3, "purchase", 2, 0.0),   # skipped click
+    ])
+    out = {r.step: r.n_users for r in q_funnel(ev).collect()}
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_funnel_same_timestamp_counts(spark):
+    """Inclusive semantics: a click at exactly the first-view instant
+    converts (ts >= t)."""
+    from movie_rec_spark.operators.temporal import q_funnel
+    ev = _events(spark, [(1, "view", 5, 0.0), (1, "click", 5, 0.0)])
+    out = {r.step: r.n_users for r in q_funnel(ev).collect()}
+    assert out == {"view": 1, "click": 1, "purchase": 0}
+
+
+def test_cohort_offsets_anchor_per_user(spark):
+    """offset_weeks floors days-since-first/7 per user (day 8 -> 1);
+    repeat activity in the same week collapses to one row per user."""
+    from movie_rec_spark.operators.temporal import q_cohort
+    ev = _events(spark, [
+        (1, "view", 1, 0.0), (1, "view", 2, 0.0),   # offset 0 twice
+        (1, "view", 9, 0.0),                         # offset 1
+        (2, "view", 3, 0.0), (2, "view", 17, 0.0),  # offsets 0 and 2
+    ])
+    out = {(str(r.cohort_week), r.offset_weeks): r.n_users
+           for r in q_cohort(ev).collect()}
+    # 2024-01-01 is a Monday; both users' first dates truncate to it
+    assert out == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+                   ("2024-01-01", 2): 1}
