@@ -231,8 +231,8 @@ def oracle_sql() -> dict[str, str]:
         f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
                    count({c}) AS n_nonnull,
                    count(DISTINCT {c}) AS n_distinct,
-                   CAST(min({c}) AS VARCHAR) AS min_str,
-                   CAST(max({c}) AS VARCHAR) AS max_str FROM lineitem"""
+                   CAST(min({c}) AS STRING) AS min_str,
+                   CAST(max({c}) AS STRING) AS max_str FROM lineitem"""
         for c in _li_cols)
     return {
         "q_top_movies": f"""

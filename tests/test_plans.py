@@ -117,7 +117,9 @@ def test_new_operator_shuffle_budgets(spark):
         "q_chunk_dedup": 2,      # two-phase distinct-doc agg on the digest
         "q_chunk_prune": 2,      # fp-keyed rank + doc-keyed reassembly
         "q_pii_redact": 0,       # pure codegen regexes, map-only
-        "q_profile": 1,          # single Expand-backed multi-agg pass
+        "q_profile": 22,         # 2-phase agg per column branch (11×2),
+                                 # deliberately NOT the 1-exchange Expand
+                                 # form (row-replication blowup; docstring)
         "q_bm25": 4,             # tf agg, df agg, dl join, doc-sum agg
         "q_semdedup": 1,         # one cell-keyed applyInPandas group
         "q_funnel": 5,           # per-step user-keyed agg/join chain

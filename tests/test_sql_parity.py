@@ -32,7 +32,9 @@ PORTABLE = sorted([
     "q_distinct_users",
     "q_event_counters",
     "q_event_windowed",
+    "q_funnel",
     "q_merge_events",
+    "q_profile",
     "q_range_join",
     "q_salted_count",
     "q_set_ops",
