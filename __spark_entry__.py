@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_chunk_dedup": lambda s, d: D.q_chunk_dedup(_t("documents")(s, d)),
         "q_chunk_prune": lambda s, d: D.q_chunk_prune(_t("documents")(s, d)),
+        "q_pagerank_chain": lambda s, d: D.q_pagerank_chain(
+            _t("documents")(s, d)),
         # --- similarity search ---
         "q_knn_brute": lambda s, d: S.q_knn_brute(_t("embeddings")(s, d)),
         "q_embed_neardup": lambda s, d: S.q_embed_neardup(_t("embeddings")(s, d)),
@@ -234,6 +236,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min({c}) AS STRING) AS min_str,
                    CAST(max({c}) AS STRING) AS max_str FROM lineitem"""
         for c in _li_cols)
+    # q_pagerank_chain oracle: the five rounds unrolled as plain CTEs.
+    # (1.0 - d) is computed, never a 0.15 literal — the subtraction and
+    # the literal are DIFFERENT doubles, and the Spark side computes.
+    _d = D.PAGERANK_DAMPING
+    _pr_steps = "".join(
+        f""",
+            pr{i} AS (
+                SELECT n.node,
+                       (1.0 - {_d}) / (SELECT cnt FROM nn)
+                       + {_d} * coalesce(sum(p.rank / dg.outdeg), 0.0)
+                           AS rank
+                FROM n
+                LEFT JOIN e ON e.t = n.node
+                LEFT JOIN pr{i - 1} p ON p.node = e.s
+                LEFT JOIN dg ON dg.s = e.s
+                GROUP BY n.node)"""
+        for i in range(1, D.PAGERANK_ITERS + 1))
+    pagerank_sql = f"""
+            WITH e AS (
+                SELECT a.doc_id AS s, b.doc_id AS t
+                FROM documents a JOIN documents b
+                  ON b.doc_id = a.doc_id + 1
+                WHERE floor(a.doc_id / {D.CC_CHAIN_LEN}.0)
+                      = floor(b.doc_id / {D.CC_CHAIN_LEN}.0)),
+            n AS (SELECT s AS node FROM e UNION SELECT t FROM e),
+            nn AS (SELECT count(*) AS cnt FROM n),
+            dg AS (SELECT s, count(*) AS outdeg FROM e GROUP BY s),
+            pr0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS rank
+                    FROM n){_pr_steps}
+            SELECT node AS doc_id, round(rank, 6) AS pr
+            FROM pr{D.PAGERANK_ITERS}
+    """
     return {
         "q_top_movies": f"""
             SELECT p.p_partkey, p.p_name, a.cnt_orders, a.avg_price
@@ -603,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a
         """,
+        "q_pagerank_chain": pagerank_sql,
         # Chunk-level (paragraph-proxy) exact dedup: stride-K token
         # windows, digest-keyed. DuckDB rebuilds the same chunks via
         # generate_subscripts; md5 agrees with Spark's md5-over-binary.

@@ -50,7 +50,10 @@ EXCLUDE = {"q_candidates", "q_dedup_char_jaccard",
            # iterative queries (~20 s of driver round latency, not plan
            # cost); their measured wall/round numbers live in SCALE.md's
            # chain-graph section instead of the headline total.
-           "q_cc_chain_star", "q_cc_chain_minlabel"}
+           "q_cc_chain_star", "q_cc_chain_minlabel",
+           # same chain-graph diagnostic family: 5 fixed rounds of
+           # join+agg whose cost is driver round latency at test scale
+           "q_pagerank_chain"}
 
 
 def main() -> None:

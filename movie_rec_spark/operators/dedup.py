@@ -918,3 +918,68 @@ def q_chunk_prune(documents: DataFrame,
                             lambda s: s["chunk"])).alias("cleaned_text"),
         )
     )
+
+
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def pagerank(edges: DataFrame, n_iter: int = PAGERANK_ITERS,
+             damping: float = PAGERANK_DAMPING) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge set (doc_a →
+    doc_b) — the link-quality signal web-corpus pipelines feed into
+    document weighting (Common Crawl-style harmonic/PageRank quality
+    priors). Simple form: uniform init 1/N over the edge-touched node
+    universe, rank = (1-d)/N + d·Σ_in rank/outdeg per round, no
+    dangling-mass redistribution (a dangling node's mass decays — the
+    variant is documented rather than hidden, and the fixed iteration
+    count makes the result a deterministic function of the edges).
+
+    Scale shape per round: one join of edges to the current ranks on
+    the source id and one aggregate keyed on the destination id — the
+    same id-keyed equi-join/agg cost class as dedup_components, O(|E|)
+    rows moved per round, with a lazy localCheckpoint each round so
+    the plan does not accrete across iterations. N arrives via one
+    scalar count() (same bounded driver sync as the CC convergence
+    check, dedup.py:548 note).
+    """
+    nodes = (edges.select(F.col("doc_a").alias("node"))
+             .union(edges.select(F.col("doc_b"))).distinct()
+             .localCheckpoint(eager=False))
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    outdeg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks, edges["doc_a"] == ranks["node"])
+            .join(outdeg, "doc_a")
+            .select(F.col("doc_b").alias("node"),
+                    (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select("node",
+                    (F.lit(base) + F.lit(damping)
+                     * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"))
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def q_pagerank_chain(documents: DataFrame,
+                     chain_len: int = CC_CHAIN_LEN) -> DataFrame:
+    """Declared query: PageRank on the deterministic chain graph
+    (chain_edges — the same synthetic edge set the CC variants use).
+    Chains have in-degree ≤ 1, so every per-round sum has one term and
+    the ranks are BIT-identical across engines — the oracle unrolls
+    the same five rounds as plain SQL CTEs and the driver hash-checks
+    the 6-decimal rounding of identical doubles. General graphs
+    (in-degree > 1) reorder the float sum; there the check weakens to
+    tolerance, which is why the declared form pins the chain shape."""
+    return (
+        pagerank(chain_edges(documents, chain_len))
+        .select(F.col("node").alias("doc_id"),
+                F.round("rank", 6).alias("pr"))
+    )

@@ -575,3 +575,29 @@ def test_bm25_ranks_by_formula(spark):
     assert out[0] == score([(2, 2), (1, 1)], 5)   # table df=2, scan df=1
     assert out[1] == score([(1, 2)], 8)
     assert out[0] > out[1]
+
+
+def test_pagerank_matches_reference_loop(spark):
+    """Ranks after 5 fixed rounds equal a pure-Python reference on a
+    graph with a fan-in node (in-degree 2) and a dangling sink; mass
+    decays (sum < 1) because dangling mass is deliberately dropped."""
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], "doc_a bigint, doc_b bigint")
+    got = {r.node: r.rank for r in D.pagerank(edges).collect()}
+
+    nodes, d = [1, 2, 3, 4], D.PAGERANK_DAMPING
+    n = len(nodes)
+    base = (1.0 - d) / n
+    out = {1: [3], 2: [3], 3: [4], 4: []}
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(D.PAGERANK_ITERS):
+        nxt = {}
+        for v in nodes:
+            s = sum(rank[u] / len(out[u]) for u in nodes if v in out[u])
+            nxt[v] = base + d * s
+        rank = nxt
+    assert got.keys() == rank.keys()
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-12
+    assert sum(got.values()) < 1.0
+    assert got[3] > got[1] == got[2]

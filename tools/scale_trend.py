@@ -35,6 +35,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from movie_rec_spark.operators import dedup as D  # noqa: E402
 from movie_rec_spark.operators import similarity as S  # noqa: E402
+from movie_rec_spark.operators import text as T  # noqa: E402
 from movie_rec_spark.session import get_spark  # noqa: E402
 from movie_rec_spark.sources.catalog import load_table  # noqa: E402
 
@@ -117,6 +118,15 @@ def measure(spark, sf_dir: str) -> dict:
         "q_neardup_lsh_sized": lambda: S.lsh_neardup(
             emb, S.EMBED_DIM, n_bits=_sized_bits(n_vecs)),
         "q_knn_ivf": lambda: S.q_knn_ivf(emb),
+        # round-4 additions: word-salting bijects the chunk space per
+        # copy (constant duplicate-chunk density); the sign flip
+        # preserves within-copy cosines for the SemDeDup cells; BM25's
+        # matched set stays constant while the scan grows (the point:
+        # cost must track the scan, not explode with corpus size).
+        "q_chunk_dedup": lambda: D.q_chunk_dedup(docs),
+        "q_chunk_prune": lambda: D.q_chunk_prune(docs),
+        "q_semdedup": lambda: S.q_semdedup(emb),
+        "q_bm25": lambda: T.q_bm25(docs),
     }
     for name, fn in queries.items():
         out["wall"][name] = round(_time(fn), 1)
