@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": lambda s, d: TP.q_sessionize(_t("events")(s, d)),
         "q_funnel": lambda s, d: TP.q_funnel(_t("events")(s, d)),
         "q_cohort": lambda s, d: TP.q_cohort(_t("events")(s, d)),
+        "q_rolling_window": lambda s, d: TP.q_rolling_window(
+            _t("events")(s, d)),
         "q_percentiles": lambda s, d: R.q_percentiles(_t("lineitem")(s, d)),
         "q_window_analytics": lambda s, d: R.q_window_analytics(
             _t("orders")(s, d)),
@@ -1461,6 +1463,19 @@ def oracle_sql() -> dict[str, str]:
             FROM s0
             UNION ALL SELECT 1, '{TP.FUNNEL_STEPS[1]}', count(*) FROM s1
             UNION ALL SELECT 2, '{TP.FUNNEL_STEPS[2]}', count(*) FROM s2
+        """,
+        # RANGE frame keyed on floor-truncated epoch seconds: Spark's
+        # cast(ts as long) floors, DuckDB's epoch() keeps the fraction —
+        # floor() aligns the frame boundaries bit-for-bit.
+        "q_rolling_window": f"""
+            SELECT event_id, user_id, ts,
+                   count(*) OVER w AS n_7d,
+                   round(sum(value) OVER w, 2) AS value_7d
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN {TP.ROLLING_WINDOW_SEC} PRECEDING
+                               AND CURRENT ROW)
         """,
         "q_cohort": """
             WITH ev AS (

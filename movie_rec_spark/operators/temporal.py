@@ -250,3 +250,36 @@ def q_cohort(events: DataFrame) -> DataFrame:
         .groupBy("cohort_week", "offset_weeks")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+ROLLING_WINDOW_SEC = 7 * 24 * 3600  # 7-day trailing frame
+
+
+def q_rolling_window(events: DataFrame,
+                     window_sec: int = ROLLING_WINDOW_SEC) -> DataFrame:
+    """Trailing time-RANGE window — per user, each event row carries
+    the count and value-sum of that user's events in the preceding
+    ``window_sec`` seconds (inclusive of now): the rolling-exposure /
+    velocity feature every fraud, abuse, and engagement model consumes
+    at training AND serving time.
+
+    This is the frame-spec member of the window family the engine was
+    still missing: q_window_analytics covers ROWS frames (lag, ma3,
+    running totals); a RANGE frame bounds by event-TIME distance, so
+    irregular event spacing changes how many rows each frame holds.
+
+    Scale shape: ONE shuffle keyed on user_id, then a per-partition
+    sort and a two-pointer frame scan inside the window operator — the
+    same cost class as any analytic window; no self-join range
+    explosion (the naive events×events ts-range join it replaces).
+    Ties on ts collapse into the same RANGE frame on both engines, so
+    the output is deterministic even with duplicate timestamps.
+    """
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_timestamp("ts"))  # NTZ-safe floor to seconds
+         .rangeBetween(-window_sec, 0))
+    return events.select(
+        "event_id", "user_id", "ts",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.round(F.sum("value").over(w), 2).alias("value_7d"),
+    )

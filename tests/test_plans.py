@@ -124,6 +124,7 @@ def test_new_operator_shuffle_budgets(spark):
         "q_semdedup": 1,         # one cell-keyed applyInPandas group
         "q_funnel": 5,           # per-step user-keyed agg/join chain
         "q_cohort": 3,           # first-seen agg, join-back, matrix agg
+        "q_rolling_window": 1,   # one user-keyed window, two-pointer frame
     }
     qs = E.queries()
     for name, budget in budgets.items():

@@ -221,3 +221,20 @@ def test_cohort_offsets_anchor_per_user(spark):
     # 2024-01-01 is a Monday; both users' first dates truncate to it
     assert out == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
                    ("2024-01-01", 2): 1}
+
+
+def test_rolling_window_time_range_frame(spark):
+    """RANGE frame counts by time distance, not row count: events 1, 5,
+    and 10 days apart — the 7-day trailing frame holds {a}, {a,b},
+    {b,c} respectively (day-10 drops the day-1 event, keeps day-5)."""
+    from movie_rec_spark.operators.temporal import q_rolling_window
+    ev = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), "view", 1.0),
+         (2, 1, dt.datetime(2024, 1, 5), "view", 2.0),
+         (3, 1, dt.datetime(2024, 1, 10), "view", 4.0),
+         (9, 2, dt.datetime(2024, 1, 10), "view", 8.0)],
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double")
+    out = {r.event_id: (r.n_7d, r.value_7d)
+           for r in q_rolling_window(ev).collect()}
+    assert out == {1: (1, 1.0), 2: (2, 3.0), 3: (2, 6.0), 9: (1, 8.0)}
