@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_features": lambda s, d: MM.decode_audio_features(
             MM.with_payload(_t("documents")(s, d)), codec="stub"),
         # --- ML (rows-only: not SQL-expressible) ---
+        "q_als_implicit": lambda s, d: ML.q_als_implicit(_t("events")(s, d)),
         "q_als_recs": lambda s, d: ML.q_als_recs(
             _t("lineitem")(s, d), _t("orders")(s, d)),
         "q_recommend": lambda s, d: R.q_recommend(

@@ -183,3 +183,64 @@ def q_als_recs(lineitem: DataFrame, orders: DataFrame,
 # (q_recommend / serve_overlay): serving must not fit a model in-query —
 # pipeline.serve_recommendations applies the same overlay to this
 # module's PRECOMPUTED ALS recs (run_pipeline's gold table).
+
+def build_implicit_events(events: DataFrame) -> DataFrame:
+    """Implicit-feedback interaction strengths from the event stream:
+    confidence = weighted interaction count per (user, item-proxy).
+    The reference's implicit path (M5, controller.py:156-171) invents a
+    pseudo-rating; the principled formulation (Hu/Koren/Volinsky 2008)
+    keeps the raw strength and lets ALS weight by confidence. Item id
+    comes out of the event's JSON props payload (``{"k": <id>}`` —
+    JVM-side get_json_object, the S12 JSON surface), weighted by event
+    kind: purchase 5, click 2, anything else 1."""
+    weights = F.when(F.col("event_type") == "purchase", 5.0) \
+        .when(F.col("event_type") == "click", 2.0) \
+        .otherwise(1.0)
+    return (
+        events.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item_id"),
+            weights.alias("w"))
+        .filter(F.col("item_id").isNotNull())
+        .groupBy("user_id", "item_id")
+        .agg(F.sum("w").alias("strength"))
+    )
+
+
+def train_als_implicit(interactions: DataFrame, rank: int = RANK,
+                       max_iter: int = MAX_ITER, reg_param: float = REG_PARAM,
+                       alpha: float = 10.0, seed: int = SEED,
+                       num_blocks: int = 8):
+    """ML1 implicit twin: ALS with implicitPrefs — factorizes the
+    preference indicator weighted by confidence 1 + alpha*strength
+    instead of reconstructing ratings. This is the at-scale form of the
+    reference's implicit-rating rule (M5): no pseudo-rating injection,
+    the signal stays an interaction strength."""
+    from pyspark.ml.recommendation import ALS
+
+    als = ALS(
+        rank=rank, maxIter=max_iter, regParam=reg_param,
+        implicitPrefs=True, alpha=alpha,
+        userCol="user_id", itemCol="item_id", ratingCol="strength",
+        coldStartStrategy="drop", seed=seed,
+        numUserBlocks=num_blocks, numItemBlocks=num_blocks,
+    )
+    return als.fit(interactions)
+
+
+def q_als_implicit(events: DataFrame, n: int = 3) -> DataFrame:
+    """Declared query (rows-only): implicit-feedback ALS end-to-end —
+    event stream → confidence-weighted interactions → implicit ALS →
+    per-user top-n. Structural invariants (scores in (0, 1]-ish
+    preference range, n rows per user, determinism under the fixed
+    seed) are pytest-pinned in tests/test_ml.py."""
+    model = train_als_implicit(build_implicit_events(events))
+    recs = model.recommendForAllUsers(n)
+    return (
+        recs.select("user_id",
+                    F.posexplode("recommendations").alias("rank0", "rec"))
+        .select("user_id",
+                F.col("rec.item_id").alias("item_id"),
+                F.round(F.col("rec.rating").cast("double"), 4).alias("pref"),
+                (F.col("rank0") + 1).cast("int").alias("rank"))
+    )

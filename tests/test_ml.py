@@ -160,3 +160,34 @@ def test_grid_artifact_defaults_within_gate():
     best_rmse = float(best.group(4))
     assert float(d_rmse) <= best_rmse + 0.05
     assert float(d_rmse) <= 1.75  # same absolute band as the sf0.1 gate
+
+
+def test_als_implicit_prefers_interacted_item(spark):
+    """Implicit ALS on a clean block-diagonal interaction matrix: each
+    user's top-ranked item is the one they interacted with, output is
+    deterministic under the fixed seed, and rows per user == n."""
+    import datetime as dt
+    from movie_rec_spark.ml import q_als_implicit
+    rows = []
+    eid = 0
+    for u in range(1, 5):
+        for _ in range(6):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1), u, "purchase",
+                         1.0, '{"k": %d}' % u))
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    out = q_als_implicit(ev, n=2)
+    rows1 = sorted(map(tuple, out.collect()))
+    rows2 = sorted(map(tuple, q_als_implicit(ev, n=2).collect()))
+    assert rows1 == rows2, "seeded pipeline must be deterministic"
+    per_user = {}
+    for u, item, pref, rank in rows1:
+        per_user.setdefault(u, []).append((rank, item, pref))
+    assert set(per_user) == {1, 2, 3, 4}
+    for u, recs in per_user.items():
+        assert len(recs) == 2
+        assert min(r[0] for r in recs) == 1
+        top = min(recs)[1]
+        assert top == u, f"user {u} should rank own item first, got {top}"
