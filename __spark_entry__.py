@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube": lambda s, d: R.q_cube(_t("lineitem")(s, d)),
         "q_approx_distinct": lambda s, d: R.q_approx_distinct(_t("orders")(s, d)),
         "q_profile": lambda s, d: R.q_profile(_t("lineitem")(s, d)),
+        "q_outer_join": lambda s, d: R.q_outer_join(
+            _t("orders")(s, d), _t("events")(s, d)),
         "q_asof_join": lambda s, d: TP.q_asof_join(
             _t("events")(s, d), _t("orders")(s, d)),
         "q_salted_count": lambda s, d: SK.q_salted_count(_t("events")(s, d)),
@@ -538,6 +540,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_profile": profile_sql,
+        "q_outer_join": """
+            WITH o AS (SELECT o_custkey AS user_id, count(*) AS n_orders
+                       FROM orders GROUP BY o_custkey),
+            e AS (SELECT user_id, count(*) AS n_events
+                  FROM events GROUP BY user_id)
+            SELECT coalesce(o.user_id, e.user_id) AS user_id,
+                   coalesce(n_orders, 0) AS n_orders,
+                   coalesce(n_events, 0) AS n_events,
+                   CASE WHEN n_orders IS NOT NULL AND n_events IS NOT NULL
+                            THEN 'both'
+                        WHEN n_orders IS NOT NULL THEN 'orders_only'
+                        ELSE 'events_only' END AS presence
+            FROM o FULL OUTER JOIN e ON o.user_id = e.user_id
+        """,
         # BM25: expression order mirrors text.q_bm25 exactly (left-assoc
         # b*dl/avgdl, exact-integer avgdl build) so doubles agree
         # bit-for-bit; ln-carrying per-term scores round to 4 before sum.

@@ -618,3 +618,33 @@ def q_profile(table: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def q_outer_join(orders: DataFrame, events: DataFrame) -> DataFrame:
+    """FULL OUTER reconciliation — which customers appear in the order
+    system, the event stream, or both (the entity-reconciliation audit
+    run when two ingest paths are supposed to cover one population).
+    Completes the declared join surface: inner (J1), anti (J2), semi
+    (J3), cross⊳anti (J4), as-of, range — and now full outer.
+
+    Scale shape: both sides pre-aggregate to one row per key BEFORE the
+    join (agg-before-join, same discipline as J1), so the full-outer
+    exchange moves |keys| rows, not |rows|; the presence flags come
+    from null-side detection, costing nothing extra.
+    """
+    o = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_orders"))
+    e = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"))
+    return (
+        o.join(e, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.when(F.col("n_orders").isNotNull()
+                   & F.col("n_events").isNotNull(), "both")
+            .when(F.col("n_orders").isNotNull(), "orders_only")
+            .otherwise("events_only").alias("presence"),
+        )
+    )

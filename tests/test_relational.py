@@ -124,3 +124,17 @@ def test_profile_counts_nulls_distincts_minmax(spark):
     assert (out["s"].n_nonnull, out["s"].n_distinct) == (2, 2)
     assert (out["v"].min_str, out["v"].max_str) == ("2.0", "10.5")
     assert (out["s"].min_str, out["s"].max_str) == ("a", "b")
+
+
+def test_outer_join_presence_classes(spark):
+    """Full-outer reconciliation covers both-only-left-only-right with
+    zero-filled counts."""
+    from movie_rec_spark.operators.relational import q_outer_join
+    orders = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12)], "o_custkey bigint, o_orderkey bigint")
+    events = spark.createDataFrame(
+        [(2,), (3,), (3,)], "user_id bigint")
+    out = {r.user_id: (r.n_orders, r.n_events, r.presence)
+           for r in q_outer_join(orders, events).collect()}
+    assert out == {1: (2, 0, "orders_only"), 2: (1, 1, "both"),
+                   3: (0, 2, "events_only")}
