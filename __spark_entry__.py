@@ -242,14 +242,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max({c}) AS STRING) AS max_str FROM lineitem"""
         for c in _li_cols)
     # q_pagerank_chain oracle: the five rounds unrolled as plain CTEs.
-    # (1.0 - d) is computed, never a 0.15 literal — the subtraction and
-    # the literal are DIFFERENT doubles, and the Spark side computes.
+    # The damping base ships as the repr of Python's (1.0 - d) double,
+    # CAST to DOUBLE: DuckDB would type a literal `1.0 - 0.85` as
+    # DECIMAL(4,2) (exactly 0.15), which is a DIFFERENT double from the
+    # IEEE subtraction the Spark side computes — the repr round-trips
+    # to the identical bits.
     _d = D.PAGERANK_DAMPING
     _pr_steps = "".join(
         f""",
             pr{i} AS (
                 SELECT n.node,
-                       (1.0 - {_d}) / (SELECT cnt FROM nn)
+                       CAST({(1.0 - _d)!r} AS DOUBLE)
+                           / (SELECT cnt FROM nn)
                        + {_d} * coalesce(sum(p.rank / dg.outdeg), 0.0)
                            AS rank
                 FROM n
@@ -568,8 +572,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, term, count(*) AS tf
                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                       FROM documents)
-                WHERE term IN ('{T.BM25_QUERY[0]}', '{T.BM25_QUERY[1]}',
-                               '{T.BM25_QUERY[2]}')
+                WHERE term IN ({", ".join(f"'{t}'" for t in T.BM25_QUERY)})
                 GROUP BY doc_id, term),
             df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
             SELECT tf.doc_id,

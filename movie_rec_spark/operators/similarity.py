@@ -856,11 +856,13 @@ def q_semdedup(embeddings: DataFrame, n_cells: int | None = None,
     bounded quantity: by default n_cells scales as
     ceil(n / SEMDEDUP_CELL_TARGET) (one scalar count() to size it, the
     same bounded driver sync as the CC convergence check). A FIXED cell
-    count would re-grow the quadratic with the corpus — measured 12.5 s
-    (n_cells=8) vs 3.8 s (auto → 79 cells) on the 10× trend corpus.
-    Per-task memory is one cell; one shuffle keys vectors by cell
-    (applyInPandas group); nothing returns to the driver but the tiny
-    centroid list.
+    count would re-grow the quadratic with the corpus — SCALE.md's
+    exclusive-run trend table: 3.1 s at 10× with sized cells (8→79) vs
+    12.5 s fixed at 8. Per-task memory is one cell; one shuffle keys
+    vectors by cell (applyInPandas group); nothing returns to the
+    driver but the tiny centroid list, and the KMeans fit memoizes
+    through ivf_build's (input files, params) cache so repeated calls
+    on the same table pay only the column-pruned count().
     """
     import math
 
@@ -870,7 +872,7 @@ def q_semdedup(embeddings: DataFrame, n_cells: int | None = None,
     if n_cells is None:
         n_cells = max(2, math.ceil(
             embeddings.count() / SEMDEDUP_CELL_TARGET))
-    assigned, _ = ivf_index(embeddings, n_cells=n_cells, seed=seed)
+    assigned, _ = ivf_build(embeddings, n_cells=n_cells, seed=seed)
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
@@ -895,9 +897,8 @@ def q_semdedup(embeddings: DataFrame, n_cells: int | None = None,
         })
 
     out = (
-        assigned.select("vec_id", "cell",
-                        F.col("embedding").cast("array<double>")
-                        .alias("embedding"))
+        # embedding is already array<double>: ivf_build -> _as_double
+        assigned.select("vec_id", "cell", "embedding")
         .groupBy("cell")
         .applyInPandas(prune,
                        "vec_id bigint, cell int, keep boolean, dup_of bigint")

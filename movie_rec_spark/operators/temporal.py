@@ -194,7 +194,6 @@ def q_funnel(events: DataFrame,
     no window over the full event stream is needed. Output is one row
     per step: (step_idx, step, n_users), monotone non-increasing.
     """
-    spark = events.sparkSession
     ev = events.select("user_id", "event_type", "ts")
     reached = None  # (user_id, t_k): first time user completed step k
     counts = []
