@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile": lambda s, d: R.q_profile(_t("lineitem")(s, d)),
         "q_outer_join": lambda s, d: R.q_outer_join(
             _t("orders")(s, d), _t("events")(s, d)),
+        "q_hll_union": lambda s, d: R.q_hll_union(_t("events")(s, d)),
         "q_asof_join": lambda s, d: TP.q_asof_join(
             _t("events")(s, d), _t("orders")(s, d)),
         "q_salted_count": lambda s, d: SK.q_salted_count(_t("events")(s, d)),

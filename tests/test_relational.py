@@ -138,3 +138,26 @@ def test_outer_join_presence_classes(spark):
            for r in q_outer_join(orders, events).collect()}
     assert out == {1: (2, 0, "orders_only"), 2: (1, 1, "both"),
                    3: (0, 2, "events_only")}
+
+
+def test_hll_union_equals_direct_sketch_and_bounds_error(spark):
+    """Merge correctness: unioning per-day sketches lands within HLL
+    error of the exact distinct count and agrees with sketching the
+    raw stream directly to within the same error (the union path
+    promotes sketch representations, so estimates are close, not
+    bit-equal)."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from movie_rec_spark.operators.relational import q_hll_union
+    rows = [(i, dt.datetime(2024, 1, 1 + (i % 7)), i % 400)
+            for i in range(4000)]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint")
+    got = q_hll_union(ev).collect()[0]
+    exact = 400
+    assert got.n_days == 7
+    assert abs(got.est_distinct_users - exact) / exact < 0.05
+    direct = ev.agg(F.hll_sketch_estimate(
+        F.hll_sketch_agg("user_id")).alias("e")).collect()[0].e
+    assert abs(got.est_distinct_users - direct) / exact < 0.05
+    assert got.sum_daily_exact >= exact  # daily sum double-counts
