@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_text_embed": lambda s, d: T.q_text_embed(
             _t("documents")(s, d)),
+        "q_chunk_knn": lambda s, d: T.q_chunk_knn(_t("documents")(s, d)),
         "q_knn_text": lambda s, d: T.q_knn_text(
             _t("documents")(s, d)),
         "q_corpus_clean": lambda s, d: T.q_corpus_clean(
@@ -1000,6 +1001,50 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY doc_id),
             q AS (SELECT pos, val FROM e WHERE doc_id = 0)
             SELECT e.doc_id,
+                   round(sum(e.val * q.val)
+                         / (max(nm.n2) * (SELECT max(n2) FROM nm
+                                          WHERE doc_id = 0)), 4) AS sim
+            FROM e JOIN q ON e.pos = q.pos
+            JOIN nm ON nm.doc_id = e.doc_id
+            WHERE e.doc_id <> 0
+            GROUP BY e.doc_id
+            ORDER BY sim DESC, e.doc_id LIMIT 10
+        """,
+        # chunk-granularity retrieval: the q_knn_text oracle with the
+        # chunk CTE substituted for documents and invertible chunk ids.
+        "q_chunk_knn": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents),
+            chunks AS (
+                SELECT doc_id, CAST((i - 1) // {D.CHUNK_TOKENS} AS INT)
+                           AS chunk_idx,
+                       string_agg(tok, ' ' ORDER BY i) AS chunk
+                FROM toks GROUP BY doc_id, (i - 1) // {D.CHUNK_TOKENS}),
+            cd AS (SELECT doc_id * {T.CHUNK_ID_STRIDE} + chunk_idx
+                              AS doc_id,
+                          chunk AS text
+                   FROM chunks),
+            w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM cd),
+            d AS (SELECT doc_id,
+                         CAST(CAST('0x' || substring(md5(w), 1, 8)
+                             AS BIGINT) % {T.EMBED_HASH_DIM} AS INTEGER)
+                             AS pos
+                  FROM w),
+            c AS (SELECT doc_id, pos, count(*) AS cnt
+                  FROM d GROUP BY doc_id, pos),
+            nn AS (SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm
+                   FROM c GROUP BY doc_id),
+            e AS (SELECT c.doc_id, c.pos, round(c.cnt / nn.nrm, 6) AS val
+                  FROM c JOIN nn ON c.doc_id = nn.doc_id),
+            nm AS (SELECT doc_id, sqrt(sum(val * val)) AS n2 FROM e
+                   GROUP BY doc_id),
+            q AS (SELECT pos, val FROM e WHERE doc_id = 0)
+            SELECT e.doc_id AS chunk_id,
+                   e.doc_id // {T.CHUNK_ID_STRIDE} AS doc_id,
+                   CAST(e.doc_id % {T.CHUNK_ID_STRIDE} AS INT) AS chunk_idx,
                    round(sum(e.val * q.val)
                          / (max(nm.n2) * (SELECT max(n2) FROM nm
                                           WHERE doc_id = 0)), 4) AS sim

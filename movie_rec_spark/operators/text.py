@@ -704,3 +704,42 @@ def q_bm25(documents: DataFrame,
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(top_k)
     )
+
+
+CHUNK_ID_STRIDE = 1000  # chunk_id = doc_id * stride + chunk_idx
+
+
+def q_chunk_knn(documents: DataFrame, query_chunk_id: int = 0,
+                k: int = 10, dim: int = EMBED_HASH_DIM) -> DataFrame:
+    """RAG-granularity retrieval: semantic search over PARAGRAPH CHUNKS
+    instead of whole documents — the retrieval unit every
+    grounded-generation pipeline actually indexes. Composes three
+    already-oracle-checked kernels end-to-end: chunk_rows (stride-K
+    windows) → text_embedding (hashing-trick featurizer) →
+    q_knn_brute (exact cosine top-k), so the full documents→chunks→
+    vectors→neighbors path is itself hash-checked cross-engine.
+
+    chunk_id = doc_id·CHUNK_ID_STRIDE + chunk_idx keeps ids unique and
+    invertible (chunk_idx < stride holds for any document under
+    stride·CHUNK_TOKENS tokens; violated input would need a wider
+    stride, asserted nowhere because ids are LongType with headroom).
+
+    Scale shape: the chunking is map-side, the featurizer is one
+    (chunk, pos) shuffle, and the scoring is the same
+    broadcast-query exact-kNN baseline as q_knn_text — at corpus scale
+    the persisted-index path is ivf_write over these chunk vectors.
+    """
+    from movie_rec_spark.operators.dedup import chunk_rows
+    from movie_rec_spark.operators.similarity import q_knn_brute
+
+    ch = chunk_rows(documents).select(
+        (F.col("doc_id") * CHUNK_ID_STRIDE + F.col("chunk_idx"))
+        .alias("doc_id"),
+        F.col("chunk").alias("text"))
+    emb = text_embedding(ch, dim).localCheckpoint(eager=False)
+    out = q_knn_brute(emb, query_vec_id=query_chunk_id, k=k)
+    return out.select(
+        F.col("vec_id").alias("chunk_id"),
+        (F.col("vec_id") / CHUNK_ID_STRIDE).cast("long").alias("doc_id"),
+        (F.col("vec_id") % CHUNK_ID_STRIDE).cast("int").alias("chunk_idx"),
+        "sim")

@@ -601,3 +601,17 @@ def test_pagerank_matches_reference_loop(spark):
         assert abs(got[v] - rank[v]) < 1e-12
     assert sum(got.values()) < 1.0
     assert got[3] > got[1] == got[2]
+
+
+def test_chunk_knn_finds_identical_paragraph(spark):
+    """The query chunk (doc 0, chunk 0) scores 1.0 against the doc that
+    quotes it verbatim, ids invert to (doc_id, chunk_idx), and the
+    query chunk itself is excluded."""
+    para = "one two three four five six seven eight nine ten"
+    other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(spark, [para, other + " " + para])
+    out = {r.chunk_id: r for r in T.q_chunk_knn(docs).collect()}
+    assert 0 not in out                      # query excluded
+    assert out[1001].sim == 1.0              # doc 1, chunk 1 == para
+    assert (out[1001].doc_id, out[1001].chunk_idx) == (1, 1)
+    assert out[1000].sim < 1.0               # unrelated chunk scores lower
