@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort": lambda s, d: TP.q_cohort(_t("events")(s, d)),
         "q_rolling_window": lambda s, d: TP.q_rolling_window(
             _t("events")(s, d)),
+        "q_scd2": lambda s, d: TP.q_scd2(_t("events")(s, d)),
         "q_percentiles": lambda s, d: R.q_percentiles(_t("lineitem")(s, d)),
         "q_window_analytics": lambda s, d: R.q_window_analytics(
             _t("orders")(s, d)),
@@ -1542,6 +1543,32 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                          RANGE BETWEEN {TP.ROLLING_WINDOW_SEC} PRECEDING
                                AND CURRENT ROW)
+        """,
+        # SCD2: consecutive-repeat islands via lag-flag + running sum;
+        # every island row shares event_type, so min() stands in for
+        # Spark's first() deterministically.
+        "q_scd2": """
+            WITH f AS (
+                SELECT user_id, event_id, ts, event_type,
+                       CASE WHEN lag(event_type) OVER w IS NULL
+                                 OR lag(event_type) OVER w <> event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            i AS (
+                SELECT *, sum(chg) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS island
+                FROM f),
+            h AS (
+                SELECT user_id, island, min(event_type) AS attr,
+                       min(ts) AS valid_from, count(*) AS n_events
+                FROM i GROUP BY user_id, island)
+            SELECT user_id, CAST(island AS INT) AS version, attr,
+                   valid_from, n_events,
+                   lead(valid_from) OVER (
+                       PARTITION BY user_id ORDER BY island) AS valid_to
+            FROM h
         """,
         "q_cohort": """
             WITH ev AS (

@@ -282,3 +282,43 @@ def q_rolling_window(events: DataFrame,
         F.count(F.lit(1)).over(w).alias("n_7d"),
         F.round(F.sum("value").over(w), 2).alias("value_7d"),
     )
+
+
+def q_scd2(events: DataFrame) -> DataFrame:
+    """SCD Type-2 history build — turn a change log into a validity-
+    interval dimension: each user's attribute stream (event_type here
+    stands in for the tracked attribute) collapses consecutive repeats
+    into islands, and each island becomes one row with
+    [valid_from, valid_to) — valid_to NULL marks the current version.
+    This is the lakehouse dimension-history pattern that pairs with
+    sources/merge.py's type-1 MERGE (latest-wins overwrites vs
+    full-history retention); an AS-OF read of the dimension at time T
+    is then a plain filter valid_from <= T < coalesce(valid_to, inf),
+    the same point-in-time shape asof_join serves row-by-row.
+
+    Scale shape: ONE shuffle on user_id drives all three window
+    passes (change-flag lag, running island sum, island lead) — the
+    per-user sort is shared; the island aggregate rides the same key.
+    Tie order inside a user is (ts, event_id) so islands are
+    deterministic under same-timestamp changes.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.when(F.lag("event_type").over(w).isNull()
+               | (F.lag("event_type").over(w) != F.col("event_type")), 1)
+        .otherwise(0).alias("chg"))
+    islands = flagged.withColumn(
+        "island", F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    hist = islands.groupBy("user_id", "island").agg(
+        F.first("event_type").alias("attr"),
+        F.min(F.struct("ts", "event_id")).alias("_s"),
+        F.count(F.lit(1)).alias("n_events"))
+    wi = Window.partitionBy("user_id").orderBy("island")
+    return (
+        hist.select(
+            "user_id", F.col("island").cast("int").alias("version"),
+            "attr", F.col("_s.ts").alias("valid_from"), "n_events",
+            F.lead(F.col("_s.ts")).over(wi).alias("valid_to"))
+    )

@@ -125,6 +125,10 @@ def test_new_operator_shuffle_budgets(spark):
         "q_funnel": 5,           # per-step user-keyed agg/join chain
         "q_cohort": 3,           # first-seen agg, join-back, matrix agg
         "q_rolling_window": 1,   # one user-keyed window, two-pointer frame
+        "q_outer_join": 2,       # agg-before-join on both sides, then join
+        "q_hll_union": 2,        # daily sketch agg + tiny union agg
+        "q_chunk_knn": 0,        # checkpointed index; map-only scoring
+        "q_scd2": 1,             # one user-keyed sort drives all windows
     }
     qs = E.queries()
     for name, budget in budgets.items():

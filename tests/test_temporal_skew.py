@@ -238,3 +238,24 @@ def test_rolling_window_time_range_frame(spark):
     out = {r.event_id: (r.n_7d, r.value_7d)
            for r in q_rolling_window(ev).collect()}
     assert out == {1: (1, 1.0), 2: (2, 3.0), 3: (2, 6.0), 9: (1, 8.0)}
+
+
+def test_scd2_islands_and_validity(spark):
+    """Consecutive repeats collapse into one version; validity chains
+    [valid_from, valid_to) with NULL marking the current version; an
+    A->B->A flip produces three versions, not two."""
+    from movie_rec_spark.operators.temporal import q_scd2
+    ev = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), "A", 0.0),
+         (2, 1, dt.datetime(2024, 1, 2), "A", 0.0),
+         (3, 1, dt.datetime(2024, 1, 3), "B", 0.0),
+         (4, 1, dt.datetime(2024, 1, 4), "A", 0.0)],
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double")
+    ev = ev.select("event_id", "ts", "user_id", "event_type", "value")
+    out = sorted(q_scd2(ev).collect(), key=lambda r: r.version)
+    assert [(r.version, r.attr, r.n_events) for r in out] == [
+        (1, "A", 2), (2, "B", 1), (3, "A", 1)]
+    assert out[0].valid_to == out[1].valid_from == dt.datetime(2024, 1, 3)
+    assert out[1].valid_to == out[2].valid_from == dt.datetime(2024, 1, 4)
+    assert out[2].valid_to is None
