@@ -34,7 +34,9 @@ PORTABLE = sorted([
     "q_event_windowed",
     "q_funnel",
     "q_merge_events",
+    "q_outer_join",
     "q_profile",
+    "q_scd2",
     "q_range_join",
     "q_salted_count",
     "q_set_ops",
