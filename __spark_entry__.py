@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delete_antijoin": lambda s, d: M.q_delete_antijoin(_t("events")(s, d)),
         "q_implicit_fill": lambda s, d: M.q_implicit_fill(_t("events")(s, d)),
         "q_merge_events": lambda s, d: M.q_merge_events(_t("events")(s, d)),
+        "q_snapshot_diff": lambda s, d: M.q_snapshot_diff(_t("events")(s, d)),
         # --- text analysis (training-data pipeline ops) ---
         "q_text_stats": lambda s, d: T.q_text_stats(_t("documents")(s, d)),
         "q_token_counts": lambda s, d: T.q_token_counts(_t("documents")(s, d)),
@@ -442,6 +443,33 @@ def oracle_sql() -> dict[str, str]:
         # MERGE kernel: even half = resident table, odd half = CDC
         # batch (event_id % 5 = 0 survivors are tombstones); winner =
         # update side iff present and not older (ts >= target's).
+        # CDF between two snapshots: integer counts make the struct
+        # comparison engine-exact; unchanged rows never ship.
+        "q_snapshot_diff": """
+            WITH old AS (
+                SELECT user_id, count(*) AS n_events,
+                       count(DISTINCT event_type) AS n_types
+                FROM events
+                WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+                GROUP BY user_id),
+            new AS (
+                SELECT user_id, count(*) AS n_events,
+                       count(DISTINCT event_type) AS n_types
+                FROM events GROUP BY user_id),
+            d AS (
+                SELECT coalesce(old.user_id, new.user_id) AS user_id,
+                       CASE WHEN new.user_id IS NULL THEN 'removed'
+                            WHEN old.user_id IS NULL THEN 'added'
+                            WHEN old.n_events <> new.n_events
+                                 OR old.n_types <> new.n_types
+                                THEN 'changed'
+                            ELSE 'unchanged' END AS status,
+                       old.n_events AS old_n_events,
+                       new.n_events AS new_n_events,
+                       new.n_types AS new_n_types
+                FROM old FULL OUTER JOIN new ON old.user_id = new.user_id)
+            SELECT * FROM d WHERE status <> 'unchanged'
+        """,
         "q_merge_events": """
             WITH t AS (
                 SELECT event_id, user_id, event_type, value, ts

@@ -175,3 +175,56 @@ def q_merge_events(events: DataFrame) -> DataFrame:
          .withColumn("_deleted", F.col("event_id") % 5 == 0))
     return merge_frames(t, u, keys=["user_id", "event_type"],
                         ts_col="ts")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  keys: Sequence[str]) -> DataFrame:
+    """Change-data-feed between two table versions: full outer join on
+    the key, value columns compared as one struct — rows classify as
+    added / removed / changed / unchanged. The generic diff every
+    lakehouse uses to publish incremental downstream feeds when the
+    table itself is rewritten by batch jobs (the poor-format cousin of
+    a transaction log's CDF, but format-agnostic and exact).
+
+    Scale shape: one key-partitioned full-outer exchange per side —
+    the same cost class as q_outer_join's reconciliation — and the
+    struct equality is a row-local codegen comparison. Null-safe (<=>)
+    so value columns containing NULLs compare deterministically.
+    """
+    keys = list(keys)
+    vals_old = [c for c in old.columns if c not in keys]
+    o = old.select(*keys, F.struct(*vals_old).alias("_old"))
+    n = new.select(*keys, F.struct(*vals_old).alias("_new"))
+    joined = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("_new").isNull(), "removed")
+        .when(F.col("_old").isNull(), "added")
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(*keys, status.alias("status"), "_old", "_new")
+
+
+def q_snapshot_diff(events: DataFrame) -> DataFrame:
+    """Declared query: CDF between two deterministic snapshots of the
+    per-user activity state — 'old' aggregates the first half of the
+    window (events before the midpoint date), 'new' the whole window —
+    so the diff publishes exactly which users appeared or changed in
+    the second half. Unchanged rows are filtered (a change feed ships
+    changes); counts are integers so the comparison is engine-exact.
+    """
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    def snap(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"))
+    old = snap(events.filter(F.col("ts") < cut))
+    new = snap(events)
+    d = snapshot_diff(old, new, ["user_id"])
+    return (
+        d.filter(F.col("status") != "unchanged")
+        .select("user_id", "status",
+                F.col("_old.n_events").alias("old_n_events"),
+                F.col("_new.n_events").alias("new_n_events"),
+                F.col("_new.n_types").alias("new_n_types"))
+    )

@@ -124,3 +124,19 @@ def test_merge_frames_semantics(spark):
            for r in merge_frames(t, u, keys=["k"], ts_col="ts").collect()}
     assert got == {1: ("A", 11), 2: ("b", 10), 4: ("d", 10),
                    5: ("e", 10), 6: ("F", 11)}
+
+
+def test_snapshot_diff_classifies_all_four_states(spark):
+    """added/removed/changed/unchanged classification with null-safe
+    value comparison (NULL == NULL is unchanged, NULL vs value is
+    changed)."""
+    from movie_rec_spark.operators.mutation import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, 10, None), (2, 20, "x"), (3, 30, None), (4, 40, "y")],
+        "k bigint, v int, s string")
+    new = spark.createDataFrame(
+        [(1, 10, None), (2, 21, "x"), (4, 40, None), (5, 50, "z")],
+        "k bigint, v int, s string")
+    out = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "changed", 5: "added"}
