@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_prune": lambda s, d: D.q_chunk_prune(_t("documents")(s, d)),
         "q_pagerank_chain": lambda s, d: D.q_pagerank_chain(
             _t("documents")(s, d)),
+        "q_dedup_canonical": lambda s, d: D.q_dedup_canonical(
+            _t("documents")(s, d)),
         # --- similarity search ---
         "q_knn_brute": lambda s, d: S.q_knn_brute(_t("embeddings")(s, d)),
         "q_embed_neardup": lambda s, d: S.q_embed_neardup(_t("embeddings")(s, d)),
@@ -691,6 +693,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a
         """,
         "q_pagerank_chain": pagerank_sql,
+        # canonical = argmax(quality, tie -> min doc_id) inside each
+        # recursive-CTE component; quality expression matches
+        # q_quality_score's indicator arithmetic (bit-deterministic).
+        "q_dedup_canonical": f"""
+            WITH RECURSIVE pairs AS ({jaccard_pairs}),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+            reach(a, b) AS (
+                SELECT a, a FROM (SELECT a FROM e UNION SELECT b FROM e)
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+            ),
+            comp AS (SELECT a AS doc_id, min(b) AS comp
+                     FROM reach GROUP BY a),
+            qb AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       len(list_filter(string_split(text, ' '),
+                           t -> t IN ('the','a','of','and'))) AS n_stop,
+                       length(text) - length(regexp_replace(
+                           text, '[.,;:!?]', '', 'g')) AS n_punct,
+                       length(replace(text, ' ', ''))
+                           / len(string_split(text, ' ')) AS avg_tok
+                FROM documents),
+            qs AS (
+                SELECT doc_id,
+                       (CAST(n_tokens >= 5 AS INTEGER)
+                        + CAST(n_stop / n_tokens <= 0.5 AS INTEGER)
+                        + CAST(n_punct / n_tokens < 0.5 AS INTEGER)
+                        + CAST(avg_tok >= 2.0 AND avg_tok <= 12.0
+                               AS INTEGER)) / 4.0 AS quality_score
+                FROM qb),
+            m AS (SELECT c.doc_id, c.comp, qs.quality_score
+                  FROM comp c JOIN qs ON c.doc_id = qs.doc_id)
+            SELECT doc_id, comp, quality_score,
+                   first_value(doc_id) OVER (
+                       PARTITION BY comp
+                       ORDER BY quality_score DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS canonical_doc,
+                   (row_number() OVER (
+                       PARTITION BY comp
+                       ORDER BY quality_score DESC, doc_id ASC) = 1)
+                       AS is_canonical
+            FROM m
+        """,
         # Chunk-level (paragraph-proxy) exact dedup: stride-K token
         # windows, digest-keyed. DuckDB rebuilds the same chunks via
         # generate_subscripts; md5 agrees with Spark's md5-over-binary.

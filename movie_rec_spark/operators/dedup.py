@@ -983,3 +983,36 @@ def q_pagerank_chain(documents: DataFrame,
         .select(F.col("node").alias("doc_id"),
                 F.round("rank", 6).alias("pr"))
     )
+
+
+def q_dedup_canonical(documents: DataFrame) -> DataFrame:
+    """Quality-aware canonical selection — the 'keep BEST, not first'
+    refinement of near-dup grouping: within each q_dedup_groups
+    component, the canonical document is the one with the highest
+    composite quality score (text.q_quality_score; ties break to the
+    smallest doc_id). Real pipelines keep the cleanest copy of a
+    near-dup clump, not the one that happened to arrive first — this
+    query is that selection as a manifest: every member row carries
+    its component, its quality, the winning doc, and a keep flag.
+
+    Scale shape: components ride the existing CC machinery; the
+    quality score is a row-local codegen expression joined on doc_id;
+    the per-component argmax is one comp-keyed window over groups that
+    are near-dup-clump sized (bounded by duplicate density, not by
+    the corpus).
+    """
+    from pyspark.sql.window import Window
+
+    from movie_rec_spark.operators.text import q_quality_score
+
+    comps = q_dedup_groups(documents)
+    q = q_quality_score(documents).select("doc_id", "quality_score")
+    m = comps.join(q, "doc_id")
+    w = Window.partitionBy("comp").orderBy(
+        F.desc("quality_score"), F.asc("doc_id"))
+    wfull = w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    return m.select(
+        "doc_id", "comp", "quality_score",
+        F.first("doc_id").over(wfull).alias("canonical_doc"),
+        (F.row_number().over(w) == 1).alias("is_canonical"))

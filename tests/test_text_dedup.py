@@ -615,3 +615,20 @@ def test_chunk_knn_finds_identical_paragraph(spark):
     assert out[1001].sim == 1.0              # doc 1, chunk 1 == para
     assert (out[1001].doc_id, out[1001].chunk_idx) == (1, 1)
     assert out[1000].sim < 1.0               # unrelated chunk scores lower
+
+
+def test_dedup_canonical_keeps_best_quality(spark):
+    """In a near-dup clump the canonical member is the highest-quality
+    doc, NOT the lowest id: doc 0 is degraded (heavy punctuation),
+    doc 1 is its clean near-dup — 1 must win; each row names the
+    winner and exactly one member per comp is canonical."""
+    clean = ("the cat and the dog of the house sat on the mat and "
+             "talked of the weather for a while today")
+    dirty = clean.replace("talked", "!!!;;;...!!!;;;...!!!;;;...")
+    docs = _docs(spark, [dirty, clean])
+    out = {r.doc_id: r for r in D.q_dedup_canonical(docs).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].comp == out[1].comp == 0
+    assert out[1].is_canonical and not out[0].is_canonical
+    assert out[0].canonical_doc == out[1].canonical_doc == 1
+    assert out[1].quality_score > out[0].quality_score
