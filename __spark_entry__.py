@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_quality_score": lambda s, d: T.q_quality_score(
             _t("documents")(s, d)),
+        "q_weighted_sample": lambda s, d: T.q_weighted_sample(
+            _t("documents")(s, d)),
         "q_sample_stable": lambda s, d: T.q_sample_stable(
             _t("documents")(s, d)),
         "q_text_embed": lambda s, d: T.q_text_embed(
@@ -1130,6 +1132,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.doc_id <> 0
             GROUP BY e.doc_id
             ORDER BY sim DESC, e.doc_id LIMIT 10
+        """,
+        # Efraimidis-Spirakis weighted sample: same md5-grid uniform and
+        # quality arithmetic as the Spark side; key rounds to 6 before
+        # ranking (ln ulp discipline), doc_id breaks ties.
+        "q_weighted_sample": f"""
+            WITH qb AS (
+                SELECT doc_id, source,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       len(list_filter(string_split(text, ' '),
+                           t -> t IN ('the','a','of','and'))) AS n_stop,
+                       length(text) - length(regexp_replace(
+                           text, '[.,;:!?]', '', 'g')) AS n_punct,
+                       length(replace(text, ' ', ''))
+                           / len(string_split(text, ' ')) AS avg_tok
+                FROM documents),
+            k AS (
+                SELECT doc_id, source,
+                       round(ln((CAST(CAST('0x' || substring(
+                                 md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                 AS BIGINT) % {T.WSAMPLE_M} AS DOUBLE)
+                             + 1.0) / {float(T.WSAMPLE_M + 1)!r})
+                             / ((CAST(n_tokens >= 5 AS INTEGER)
+                                 + CAST(n_stop / n_tokens <= 0.5
+                                        AS INTEGER)
+                                 + CAST(n_punct / n_tokens < 0.5
+                                        AS INTEGER)
+                                 + CAST(avg_tok >= 2.0 AND avg_tok <= 12.0
+                                        AS INTEGER)) / 4.0 + 0.25),
+                             6) AS es_key
+                FROM qb)
+            SELECT doc_id, source, es_key, CAST(rn AS INT) AS rn
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY source
+                      ORDER BY es_key DESC, doc_id ASC) AS rn
+                  FROM k)
+            WHERE rn <= {T.WSAMPLE_PER_SOURCE}
         """,
         "q_pivot": """
             SELECT user_id,

@@ -743,3 +743,43 @@ def q_chunk_knn(documents: DataFrame, query_chunk_id: int = 0,
         (F.col("vec_id") / CHUNK_ID_STRIDE).cast("long").alias("doc_id"),
         (F.col("vec_id") % CHUNK_ID_STRIDE).cast("int").alias("chunk_idx"),
         "sim")
+
+
+WSAMPLE_PER_SOURCE = 3
+WSAMPLE_M = 1 << 20  # uniform-grid resolution for the hash-derived u
+
+
+def q_weighted_sample(documents: DataFrame,
+                      per_source: int = WSAMPLE_PER_SOURCE) -> DataFrame:
+    """Quality-weighted sampling without replacement, deterministic
+    (Efraimidis-Spirakis A-ES): each doc draws a pseudo-uniform
+    u ∈ (0,1) from its content-stable md5 hash and ranks by
+    key = ln(u)/w with weight w = quality_score + 0.25 — the top
+    ``per_source`` keys per source are the sample. Higher-quality docs
+    win proportionally more often, yet membership is a pure function
+    of (doc_id, corpus), so the sample is reproducible across runs,
+    reshards, and engines — the property RNG df.sample() cannot give
+    (cf. q_sample_stable for the unweighted split version).
+
+    Scale shape: weight and key are row-local codegen; the per-source
+    top-k is one source-keyed window (WindowGroupLimit) — a single
+    shuffle. The ln ulp discipline: keys round to 6 decimals BEFORE
+    ranking, doc_id breaks ties.
+    """
+    from pyspark.sql.window import Window
+
+    from movie_rec_spark.functions import stable_bucket
+
+    w_ = _quality_score(F.col("text")) + F.lit(0.25)
+    u = (stable_bucket(F.col("doc_id"), WSAMPLE_M).cast("double")
+         + F.lit(1.0)) / F.lit(float(WSAMPLE_M + 1))
+    key = F.round(F.log(u) / w_, 6)
+    win = Window.partitionBy("source").orderBy(
+        F.desc("es_key"), F.asc("doc_id"))
+    return (
+        documents.select("doc_id", "source", key.alias("es_key"))
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= per_source)
+        .select("doc_id", "source", "es_key",
+                F.col("rn").cast("int").alias("rn"))
+    )

@@ -632,3 +632,38 @@ def test_dedup_canonical_keeps_best_quality(spark):
     assert out[1].is_canonical and not out[0].is_canonical
     assert out[0].canonical_doc == out[1].canonical_doc == 1
     assert out[1].quality_score > out[0].quality_score
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """es_key equals the hand-computed Efraimidis-Spirakis key
+    (md5-grid uniform, quality weight), membership is the top-k per
+    source, and the result is reshard-stable."""
+    import hashlib
+    import math
+
+    good = "the cat and the dog of the house sat on the mat and talked"
+    docs = spark.createDataFrame(
+        [(i, good, "en", "s%d" % (i % 2), len(good)) for i in range(10)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    out = {r.doc_id: r for r in T.q_weighted_sample(docs).collect()}
+    M = T.WSAMPLE_M
+
+    def key(doc_id, w):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % M
+        return round(math.log((b + 1.0) / (M + 1.0)) / w, 6)
+
+    # all docs share the same text => same quality 1.0 => w = 1.25
+    expect = {i: key(i, 1.25) for i in range(10)}
+    for i, r in out.items():
+        assert abs(r.es_key - expect[i]) < 1e-9
+    per_src = {}
+    for i, r in out.items():
+        per_src.setdefault(r.source, []).append(expect[i])
+    for src, keys in per_src.items():
+        assert len(keys) == T.WSAMPLE_PER_SOURCE
+        losers = [expect[i] for i in range(10)
+                  if ("s%d" % (i % 2)) == src and i not in out]
+        assert not losers or min(keys) >= max(losers)
+    again = {r.doc_id for r in
+             T.q_weighted_sample(docs.repartition(7)).collect()}
+    assert again == set(out)
