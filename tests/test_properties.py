@@ -193,3 +193,68 @@ def test_quantize_and_int8_knn_empty_corpus(spark):
     empty_emb = spark.createDataFrame(
         [], "vec_id bigint, embedding array<double>, label int")
     assert q_embed_quantize(empty_emb).count() == 0
+
+
+@SLOW
+@given(st.lists(st.lists(st.integers(0, 5), min_size=1, max_size=12),
+                min_size=1, max_size=6))
+def test_chunk_prune_matches_reference_model(spark, token_lists):
+    """q_chunk_prune against a pure-Python model: chunk each doc into
+    stride-3 windows, keep a chunk only at its first (doc, idx)
+    occurrence, reassemble in order."""
+    from movie_rec_spark.operators.dedup import q_chunk_prune
+    texts = [" ".join(f"w{t}" for t in toks) for toks in token_lists]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    got = {r.doc_id: r for r in q_chunk_prune(df, k=3).collect()}
+
+    seen, model = set(), {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        chunks = [" ".join(w[j:j + 3]) for j in range(0, len(w), 3)]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        model[i] = (len(chunks), len(kept), " ".join(kept))
+    for i, (nc, nk, txt) in model.items():
+        assert (got[i].n_chunks, got[i].n_kept, got[i].cleaned_text) \
+            == (nc, nk, txt)
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 3)),
+                min_size=0, max_size=15),
+       st.lists(st.tuples(st.integers(0, 6), st.integers(0, 3)),
+                min_size=0, max_size=15))
+def test_snapshot_diff_matches_set_model(spark, old_rows, new_rows):
+    """snapshot_diff against dict-model semantics: keys classify by
+    presence/equality; latest value per key wins via max (the model
+    dedupes the generated rows the same way)."""
+    from movie_rec_spark.operators.mutation import snapshot_diff
+    old_m = {}
+    for k, v in old_rows:
+        old_m[k] = max(old_m.get(k, v), v)
+    new_m = {}
+    for k, v in new_rows:
+        new_m[k] = max(new_m.get(k, v), v)
+    old = spark.createDataFrame(
+        [(k, v) for k, v in old_m.items()] or [(None, None)],
+        "k bigint, v bigint").filter("k is not null")
+    new = spark.createDataFrame(
+        [(k, v) for k, v in new_m.items()] or [(None, None)],
+        "k bigint, v bigint").filter("k is not null")
+    got = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
+    for k in set(old_m) | set(new_m):
+        if k not in new_m:
+            assert got[k] == "removed"
+        elif k not in old_m:
+            assert got[k] == "added"
+        elif old_m[k] != new_m[k]:
+            assert got[k] == "changed"
+        else:
+            assert got[k] == "unchanged"
+    assert set(got) == set(old_m) | set(new_m)
