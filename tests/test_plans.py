@@ -129,6 +129,9 @@ def test_new_operator_shuffle_budgets(spark):
         "q_hll_union": 2,        # daily sketch agg + tiny union agg
         "q_chunk_knn": 0,        # checkpointed index; map-only scoring
         "q_scd2": 1,             # one user-keyed sort drives all windows
+        "q_snapshot_diff": 4,    # two distinct-aggs + full-outer join
+        "q_dedup_canonical": 1,  # CC checkpointed; comp-keyed window only
+        "q_weighted_sample": 1,  # row-local key, source-keyed top-k
     }
     qs = E.queries()
     for name, budget in budgets.items():
