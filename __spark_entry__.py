@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_dedup_canonical": lambda s, d: D.q_dedup_canonical(
             _t("documents")(s, d)),
+        "q_fuzzy_match": lambda s, d: D.q_fuzzy_match(_t("part")(s, d)),
         # --- similarity search ---
         "q_knn_brute": lambda s, d: S.q_knn_brute(_t("embeddings")(s, d)),
         "q_embed_neardup": lambda s, d: S.q_embed_neardup(_t("embeddings")(s, d)),
@@ -740,6 +741,24 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY quality_score DESC, doc_id ASC) = 1)
                        AS is_canonical
             FROM m
+        """,
+        # Blocked record linkage: identical noun-block + Levenshtein
+        # verify; both engines use unit-cost edit distance.
+        "q_fuzzy_match": f"""
+            WITH ents AS (
+                SELECT p_name, min(p_partkey) AS any_key,
+                       count(*) AS n_parts
+                FROM part GROUP BY p_name),
+            blocked AS (
+                SELECT p_name, n_parts,
+                       string_split(p_name, ' ')[-1] AS block
+                FROM ents)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+                   a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+            FROM blocked a JOIN blocked b
+              ON a.block = b.block AND a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= {D.FUZZY_MAX_DIST}
         """,
         # Chunk-level (paragraph-proxy) exact dedup: stride-K token
         # windows, digest-keyed. DuckDB rebuilds the same chunks via

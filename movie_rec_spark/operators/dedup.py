@@ -1016,3 +1016,50 @@ def q_dedup_canonical(documents: DataFrame) -> DataFrame:
         "doc_id", "comp", "quality_score",
         F.first("doc_id").over(wfull).alias("canonical_doc"),
         (F.row_number().over(w) == 1).alias("is_canonical"))
+
+
+FUZZY_MAX_DIST = 3
+
+
+def q_fuzzy_match(part: DataFrame,
+                  max_dist: int = FUZZY_MAX_DIST) -> DataFrame:
+    """Record linkage with blocking — the entity-resolution operator:
+    distinct part names collapse to entities (representative key +
+    cardinality), entities block on their final token (the noun), and
+    within-block candidates verify by Levenshtein distance
+    <= ``max_dist``. 'cold ring' ~ 'old ring' surfaces; names sharing
+    no noun never meet. This is the string-similarity sibling of the
+    MinHash family: same block-then-verify shape, edit distance
+    instead of Jaccard, for the short-name regime (catalog/vendor
+    dedup) where shingles are too coarse.
+
+    Blocking recall is a DIAL, not a bug: cross-block typos (a typo in
+    the noun itself) are deliberately missed, exactly like LSH misses
+    cross-bucket pairs; widen with a second block key (e.g. first
+    token) unioned in when recall matters more than cost.
+
+    Scale shape: the groupBy collapses duplicates BEFORE pairing (the
+    fixture has 2 000 parts but 64 entities — pairing raw rows would
+    square the duplicate count for nothing), one shuffle keys entities
+    by block, and candidate volume is sum_b occ_b² — observable with
+    blocking_stats like every other blocked path. Levenshtein is a
+    JVM codegen expression on both engines with identical unit-cost
+    semantics.
+    """
+    ents = part.groupBy("p_name").agg(
+        F.min("p_partkey").alias("any_key"),
+        F.count(F.lit(1)).alias("n_parts"))
+    blocked = ents.withColumn(
+        "block", F.element_at(F.split("p_name", " "), -1))
+    a = blocked.select(F.col("p_name").alias("name_a"),
+                       F.col("n_parts").alias("n_parts_a"), "block")
+    b = blocked.select(F.col("p_name").alias("name_b"),
+                       F.col("n_parts").alias("n_parts_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= F.lit(max_dist))
+        .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"),
+                "n_parts_a", "n_parts_b")
+    )

@@ -667,3 +667,19 @@ def test_weighted_sample_matches_python_reference(spark):
     again = {r.doc_id for r in
              T.q_weighted_sample(docs.repartition(7)).collect()}
     assert again == set(out)
+
+
+def test_fuzzy_match_blocks_and_verifies(spark):
+    """Same-noun near-names pair with their edit distance; cross-noun
+    typos never meet (blocking recall dial); duplicates collapse to
+    entities before pairing (n_parts carries cardinality)."""
+    part = spark.createDataFrame(
+        [(1, "cold ring"), (2, "old ring"), (3, "cold ring"),
+         (4, "cold rng"), (5, "blue bolt")],
+        "p_partkey bigint, p_name string")
+    out = {(r.name_a, r.name_b): r for r in D.q_fuzzy_match(part).collect()}
+    assert ("cold ring", "old ring") in out
+    assert out[("cold ring", "old ring")].dist == 1
+    assert out[("cold ring", "old ring")].n_parts_a == 2
+    assert all("blue bolt" not in k for pair in out for k in pair)
+    assert ("cold rng", "old ring") not in out  # different noun block
