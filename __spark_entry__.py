@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("events")(s, d)),
         "q_scd2": lambda s, d: TP.q_scd2(_t("events")(s, d)),
         "q_percentiles": lambda s, d: R.q_percentiles(_t("lineitem")(s, d)),
+        "q_outliers": lambda s, d: R.q_outliers(_t("events")(s, d)),
         "q_window_analytics": lambda s, d: R.q_window_analytics(
             _t("orders")(s, d)),
         "q_range_join": lambda s, d: TP.q_range_join(_t("events")(s, d)),
@@ -1018,6 +1019,24 @@ def oracle_sql() -> dict[str, str]:
              AND p.event_type = 'purchase'
              AND v.ts >= p.ts
              AND v.ts < p.ts + INTERVAL 30 MINUTE
+        """,
+        # IQR fences from exact interpolated quantiles, rounded to 2
+        # before the boundary comparison on both engines; k=1.5 Tukey.
+        "q_outliers": """
+            WITH f AS (
+                SELECT event_type,
+                       round(quantile_cont(value, 0.25)
+                             - 1.5 * (quantile_cont(value, 0.75)
+                                      - quantile_cont(value, 0.25)),
+                             2) AS lo,
+                       round(quantile_cont(value, 0.75)
+                             + 1.5 * (quantile_cont(value, 0.75)
+                                      - quantile_cont(value, 0.25)),
+                             2) AS hi
+                FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type, e.value, f.lo, f.hi
+            FROM events e JOIN f ON e.event_type = f.event_type
+            WHERE e.value < f.lo OR e.value > f.hi
         """,
         "q_percentiles": """
             SELECT l_returnflag,

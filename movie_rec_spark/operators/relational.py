@@ -685,3 +685,42 @@ def q_hll_union(events: DataFrame) -> DataFrame:
             F.hll_union_agg("sketch")).alias("est_distinct_users"),
         F.sum("exact_day").alias("sum_daily_exact"),
     )
+
+
+def q_outliers(events: DataFrame, k: float = 1.5) -> DataFrame:
+    """IQR (Tukey-fence) outlier detection per group — the numeric
+    data-quality twin of q_profile: events whose value falls outside
+    [q1 - k·IQR, q3 + k·IQR] within their event-type group (the
+    fixture's value column is heavy-tailed, so the standard k=1.5
+    fence fires non-vacuously). IQR fences are the robust choice at
+    pipeline scale: z-scores need a mean/stddev pass that outliers
+    themselves corrupt, and float stddev accumulation order is not
+    engine-deterministic — exact interpolated percentiles are, which
+    is what makes this query hash-checkable at all.
+
+    Scale shape: one grouped percentile pass (same operator as
+    q_percentiles, tiny group count), fences broadcast back onto the
+    scan, row-local comparison — the second pass is a pure map with
+    the filter pushed onto the parquet scan columns. Fences are
+    rounded to 2 decimals BEFORE comparison on both engines so the
+    boundary cut is identical.
+    """
+    fences = (
+        events.groupBy("event_type")
+        .agg(F.percentile("value",
+                          F.array(F.lit(0.25), F.lit(0.75))).alias("_q"))
+        .select(
+            "event_type",
+            F.round(F.col("_q")[0] - k * (F.col("_q")[1] - F.col("_q")[0]),
+                    2).alias("lo"),
+            F.round(F.col("_q")[1] + k * (F.col("_q")[1] - F.col("_q")[0]),
+                    2).alias("hi"),
+        )
+    )
+    return (
+        events.select("event_id", "event_type", "value")
+        .join(F.broadcast(fences), "event_type")
+        .filter((F.col("value") < F.col("lo"))
+                | (F.col("value") > F.col("hi")))
+        .select("event_id", "event_type", "value", "lo", "hi")
+    )

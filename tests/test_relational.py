@@ -161,3 +161,21 @@ def test_hll_union_equals_direct_sketch_and_bounds_error(spark):
         F.hll_sketch_agg("user_id")).alias("e")).collect()[0].e
     assert abs(got.est_distinct_users - direct) / exact < 0.05
     assert got.sum_daily_exact >= exact  # daily sum double-counts
+
+
+def test_outliers_tukey_fences_per_group(spark):
+    """Fences are per-group: a value extreme for type A but normal for
+    type B flags only in A; in-fence rows never appear."""
+    import datetime as dt
+    from movie_rec_spark.operators.relational import q_outliers
+    rows = [(i, dt.datetime(2024, 1, 1), 1, "a", float(v), "{}")
+            for i, v in enumerate([10, 11, 12, 13, 14, 500])]
+    rows += [(100 + i, dt.datetime(2024, 1, 1), 1, "b", float(v), "{}")
+             for i, v in enumerate([400, 450, 500, 550, 600])]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    out = {(r.event_type, r.event_id): r.value
+           for r in q_outliers(ev).collect()}
+    assert ("a", 5) in out and out[("a", 5)] == 500.0
+    assert not any(t == "b" for t, _ in out)
