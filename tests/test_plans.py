@@ -132,6 +132,8 @@ def test_new_operator_shuffle_budgets(spark):
         "q_snapshot_diff": 4,    # two distinct-aggs + full-outer join
         "q_dedup_canonical": 1,  # CC checkpointed; comp-keyed window only
         "q_weighted_sample": 1,  # row-local key, source-keyed top-k
+        "q_fuzzy_match": 2,      # entity collapse + block-keyed self-join
+        "q_outliers": 1,         # grouped quantiles; fences broadcast back
     }
     qs = E.queries()
     for name, budget in budgets.items():
