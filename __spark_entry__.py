@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_window": lambda s, d: TP.q_rolling_window(
             _t("events")(s, d)),
         "q_scd2": lambda s, d: TP.q_scd2(_t("events")(s, d)),
+        "q_resample": lambda s, d: TP.q_resample(_t("events")(s, d)),
         "q_percentiles": lambda s, d: R.q_percentiles(_t("lineitem")(s, d)),
         "q_outliers": lambda s, d: R.q_outliers(_t("events")(s, d)),
         "q_window_analytics": lambda s, d: R.q_window_analytics(
@@ -1721,6 +1722,30 @@ def oracle_sql() -> dict[str, str]:
                    lead(valid_from) OVER (
                        PARTITION BY user_id ORDER BY island) AS valid_to
             FROM h
+        """,
+        # hourly spine: generate_series/sequence are both
+        # inclusive-of-endpoints, so grids agree row-for-row.
+        "q_resample": """
+            WITH hrs AS (
+                SELECT user_id, date_trunc('hour', ts) AS h, value
+                FROM events),
+            counts AS (
+                SELECT user_id, h, count(*) AS n_events,
+                       round(sum(value), 2) AS total_value
+                FROM hrs GROUP BY user_id, h),
+            span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                     FROM hrs GROUP BY user_id),
+            spine AS (
+                SELECT user_id,
+                       unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                           AS hour
+                FROM span)
+            SELECT s.user_id, s.hour,
+                   coalesce(c.n_events, 0) AS n_events,
+                   coalesce(c.total_value, 0.0) AS total_value,
+                   c.n_events IS NULL AS gap
+            FROM spine s LEFT JOIN counts c
+              ON s.user_id = c.user_id AND s.hour = c.h
         """,
         "q_cohort": """
             WITH ev AS (

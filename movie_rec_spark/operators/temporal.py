@@ -322,3 +322,42 @@ def q_scd2(events: DataFrame) -> DataFrame:
             "attr", F.col("_s.ts").alias("valid_from"), "n_events",
             F.lead(F.col("_s.ts")).over(wi).alias("valid_to"))
     )
+
+
+def q_resample(events: DataFrame) -> DataFrame:
+    """Hourly resampling with gap fill (the 'date spine'): each user's
+    event stream becomes a dense hourly grid from their first to their
+    last active hour, with explicit zero rows for silent hours — the
+    shape every downstream time-series model (forecasting, anomaly
+    detection) requires, and the step ad-hoc SQL gets wrong by
+    silently omitting empty buckets.
+
+    Scale shape: the per-user [min, max] hour span aggregates in the
+    same user-keyed shuffle as the hourly counts; the spine explodes
+    from a ``sequence`` per user (rows = active-span hours, not
+    calendar hours, so a user active for a day costs 24 rows no matter
+    how old the corpus is) and the grid left-joins the counts on the
+    SAME user key — layout reuse end to end. Span explosion is the
+    knob to watch: a years-long span at hour grain is ~10k rows/user;
+    coarsen the grain (day/week) as the span grows.
+    """
+    hours = events.select(
+        "user_id", F.date_trunc("hour", "ts").alias("h"), "value")
+    counts = hours.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"))
+    span = hours.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1",
+                             F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    return (
+        spine.join(counts, ["user_id", "h"], "left")
+        .select(
+            "user_id", F.col("h").alias("hour"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+            F.col("n_events").isNull().alias("gap"),
+        )
+    )

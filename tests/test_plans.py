@@ -134,6 +134,7 @@ def test_new_operator_shuffle_budgets(spark):
         "q_weighted_sample": 1,  # row-local key, source-keyed top-k
         "q_fuzzy_match": 2,      # entity collapse + block-keyed self-join
         "q_outliers": 1,         # grouped quantiles; fences broadcast back
+        "q_resample": 2,         # counts agg + span agg, both user-keyed
     }
     qs = E.queries()
     for name, budget in budgets.items():

@@ -259,3 +259,25 @@ def test_scd2_islands_and_validity(spark):
     assert out[0].valid_to == out[1].valid_from == dt.datetime(2024, 1, 3)
     assert out[1].valid_to == out[2].valid_from == dt.datetime(2024, 1, 4)
     assert out[2].valid_to is None
+
+
+def test_resample_fills_gaps_per_user_span(spark):
+    """The spine runs the user's own [first, last] hours inclusive;
+    silent hours appear as explicit zero rows flagged gap=True; no
+    rows outside the span."""
+    from movie_rec_spark.operators.temporal import q_resample
+    ev = _events(spark, [
+        (1, "view", 1, 1.0),        # jan 1 12:00
+        (1, "view", 1, 2.0),        # same hour
+    ])
+    ev2 = spark.createDataFrame(
+        [(9, 1, dt.datetime(2024, 1, 1, 15, 30), "view", 4.0)],
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double")
+    ev = ev.unionByName(ev2.select(*ev.columns))
+    out = {r.hour.hour: r for r in q_resample(ev).collect()}
+    assert sorted(out) == [12, 13, 14, 15]
+    assert (out[12].n_events, out[12].total_value, out[12].gap) == (2, 3.0, False)
+    assert (out[13].n_events, out[13].gap) == (0, True)
+    assert (out[14].n_events, out[14].gap) == (0, True)
+    assert (out[15].n_events, out[15].total_value) == (1, 4.0)
