@@ -252,6 +252,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min({c}) AS STRING) AS min_str,
                    CAST(max({c}) AS STRING) AS max_str FROM lineitem"""
         for c in _li_cols)
+    # Shared quality-rule fragments (q_dedup_canonical and
+    # q_weighted_sample both re-derive text.q_quality_score's
+    # indicator arithmetic — one definition so the oracles cannot
+    # silently desynchronize).
+    quality_base_cte = """
+                SELECT doc_id, source,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       len(list_filter(string_split(text, ' '),
+                           t -> t IN ('the','a','of','and'))) AS n_stop,
+                       length(text) - length(regexp_replace(
+                           text, '[.,;:!?]', '', 'g')) AS n_punct,
+                       length(replace(text, ' ', ''))
+                           / len(string_split(text, ' ')) AS avg_tok
+                FROM documents"""
+    quality_score_expr = """(CAST(n_tokens >= 5 AS INTEGER)
+                        + CAST(n_stop / n_tokens <= 0.5 AS INTEGER)
+                        + CAST(n_punct / n_tokens < 0.5 AS INTEGER)
+                        + CAST(avg_tok >= 2.0 AND avg_tok <= 12.0
+                               AS INTEGER)) / 4.0"""
     # q_pagerank_chain oracle: the five rounds unrolled as plain CTEs.
     # The damping base ships as the repr of Python's (1.0 - d) double,
     # CAST to DOUBLE: DuckDB would type a literal `1.0 - 0.85` as
@@ -712,23 +731,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             comp AS (SELECT a AS doc_id, min(b) AS comp
                      FROM reach GROUP BY a),
-            qb AS (
-                SELECT doc_id,
-                       len(string_split(text, ' ')) AS n_tokens,
-                       len(list_filter(string_split(text, ' '),
-                           t -> t IN ('the','a','of','and'))) AS n_stop,
-                       length(text) - length(regexp_replace(
-                           text, '[.,;:!?]', '', 'g')) AS n_punct,
-                       length(replace(text, ' ', ''))
-                           / len(string_split(text, ' ')) AS avg_tok
-                FROM documents),
+            qb AS ({quality_base_cte}),
             qs AS (
                 SELECT doc_id,
-                       (CAST(n_tokens >= 5 AS INTEGER)
-                        + CAST(n_stop / n_tokens <= 0.5 AS INTEGER)
-                        + CAST(n_punct / n_tokens < 0.5 AS INTEGER)
-                        + CAST(avg_tok >= 2.0 AND avg_tok <= 12.0
-                               AS INTEGER)) / 4.0 AS quality_score
+                       {quality_score_expr} AS quality_score
                 FROM qb),
             m AS (SELECT c.doc_id, c.comp, qs.quality_score
                   FROM comp c JOIN qs ON c.doc_id = qs.doc_id)
@@ -752,11 +758,12 @@ def oracle_sql() -> dict[str, str]:
                        count(*) AS n_parts
                 FROM part GROUP BY p_name),
             blocked AS (
-                SELECT p_name, n_parts,
+                SELECT p_name, any_key, n_parts,
                        string_split(p_name, ' ')[-1] AS block
                 FROM ents)
             SELECT a.p_name AS name_a, b.p_name AS name_b,
                    CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+                   a.any_key AS key_a, b.any_key AS key_b,
                    a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
             FROM blocked a JOIN blocked b
               ON a.block = b.block AND a.p_name < b.p_name
@@ -1176,29 +1183,14 @@ def oracle_sql() -> dict[str, str]:
         # quality arithmetic as the Spark side; key rounds to 6 before
         # ranking (ln ulp discipline), doc_id breaks ties.
         "q_weighted_sample": f"""
-            WITH qb AS (
-                SELECT doc_id, source,
-                       len(string_split(text, ' ')) AS n_tokens,
-                       len(list_filter(string_split(text, ' '),
-                           t -> t IN ('the','a','of','and'))) AS n_stop,
-                       length(text) - length(regexp_replace(
-                           text, '[.,;:!?]', '', 'g')) AS n_punct,
-                       length(replace(text, ' ', ''))
-                           / len(string_split(text, ' ')) AS avg_tok
-                FROM documents),
+            WITH qb AS ({quality_base_cte}),
             k AS (
                 SELECT doc_id, source,
                        round(ln((CAST(CAST('0x' || substring(
                                  md5(CAST(doc_id AS VARCHAR)), 1, 8)
                                  AS BIGINT) % {T.WSAMPLE_M} AS DOUBLE)
                              + 1.0) / {float(T.WSAMPLE_M + 1)!r})
-                             / ((CAST(n_tokens >= 5 AS INTEGER)
-                                 + CAST(n_stop / n_tokens <= 0.5
-                                        AS INTEGER)
-                                 + CAST(n_punct / n_tokens < 0.5
-                                        AS INTEGER)
-                                 + CAST(avg_tok >= 2.0 AND avg_tok <= 12.0
-                                        AS INTEGER)) / 4.0 + 0.25),
+                             / ({quality_score_expr} + 0.25),
                              6) AS es_key
                 FROM qb)
             SELECT doc_id, source, es_key, CAST(rn AS INT) AS rn

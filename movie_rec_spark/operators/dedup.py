@@ -1052,8 +1052,10 @@ def q_fuzzy_match(part: DataFrame,
     blocked = ents.withColumn(
         "block", F.element_at(F.split("p_name", " "), -1))
     a = blocked.select(F.col("p_name").alias("name_a"),
+                       F.col("any_key").alias("key_a"),
                        F.col("n_parts").alias("n_parts_a"), "block")
     b = blocked.select(F.col("p_name").alias("name_b"),
+                       F.col("any_key").alias("key_b"),
                        F.col("n_parts").alias("n_parts_b"), "block")
     return (
         a.join(b, "block")
@@ -1061,5 +1063,5 @@ def q_fuzzy_match(part: DataFrame,
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= F.lit(max_dist))
         .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"),
-                "n_parts_a", "n_parts_b")
+                "key_a", "key_b", "n_parts_a", "n_parts_b")
     )

@@ -190,8 +190,20 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
     the same cost class as q_outer_join's reconciliation — and the
     struct equality is a row-local codegen comparison. Null-safe (<=>)
     so value columns containing NULLs compare deterministically.
+
+    Schema discipline (same stance as sources/merge.py): both sides
+    must carry the SAME columns — a column present on one side only
+    would make its changes invisible to the struct comparison, so the
+    kernel refuses instead of silently under-reporting the feed.
     """
     keys = list(keys)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            "snapshot_diff: column sets differ "
+            f"(old-only={sorted(set(old.columns) - set(new.columns))}, "
+            f"new-only={sorted(set(new.columns) - set(old.columns))}); "
+            "align schemas first — a one-sided column would silently "
+            "drop its changes from the feed")
     vals_old = [c for c in old.columns if c not in keys]
     o = old.select(*keys, F.struct(*vals_old).alias("_old"))
     n = new.select(*keys, F.struct(*vals_old).alias("_new"))

@@ -740,7 +740,8 @@ def q_chunk_knn(documents: DataFrame, query_chunk_id: int = 0,
     out = q_knn_brute(emb, query_vec_id=query_chunk_id, k=k)
     return out.select(
         F.col("vec_id").alias("chunk_id"),
-        (F.col("vec_id") / CHUNK_ID_STRIDE).cast("long").alias("doc_id"),
+        # exact integer division — float '/' loses id inversion > 2^53
+        F.expr(f"vec_id div {CHUNK_ID_STRIDE}").alias("doc_id"),
         (F.col("vec_id") % CHUNK_ID_STRIDE).cast("int").alias("chunk_idx"),
         "sim")
 

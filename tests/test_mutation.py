@@ -140,3 +140,14 @@ def test_snapshot_diff_classifies_all_four_states(spark):
     out = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "changed", 5: "added"}
+
+
+def test_snapshot_diff_refuses_schema_drift(spark):
+    """A column present on one side only would silently hide its
+    changes — the kernel must refuse, like merge_into does."""
+    import pytest
+    from movie_rec_spark.operators.mutation import snapshot_diff
+    old = spark.createDataFrame([(1, 10)], "k bigint, v int")
+    new = spark.createDataFrame([(1, 10, 5)], "k bigint, v int, w int")
+    with pytest.raises(ValueError, match="column sets differ"):
+        snapshot_diff(old, new, ["k"])
