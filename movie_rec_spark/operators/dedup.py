@@ -524,15 +524,20 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Input: (doc_a, doc_b) edges. Output: (doc_id, comp) where comp is
     the smallest doc_id reachable — the canonical representative.
     """
-    edges = pairs.select("doc_a", "doc_b")
-    # localCheckpoint BEFORE iterating, not just after: the edge set may
-    # be the output of an arbitrarily deep plan (e.g. the block-matmul
-    # near-dup pipeline), and every round's join would otherwise embed
-    # that full plan — twice via the symmetric union — so the analyzed
-    # tree doubles per round and the driver OOMs on plan serialization
-    # long before the data is large (observed at sf0.1 in a long-lived
-    # bench session). After this line each round plans against a
-    # materialized scan of bare id pairs.
+    # Lazy-checkpoint the INPUT first: the symmetric union below
+    # references it twice, so an unmaterialized pair pipeline (Jaccard
+    # self-join, minhash banding, the embedding gemm) would execute
+    # twice — measured 18.4 s -> 9.3 s for the minhash composition on
+    # the 30x trend corpus. Fixed here, at the double reference, so
+    # every caller gets it.
+    edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
+    # Eager checkpoint of sym BEFORE iterating, not just after: the
+    # edge set may be the output of an arbitrarily deep plan, and every
+    # round's join would otherwise embed that full plan — so the
+    # analyzed tree doubles per round and the driver OOMs on plan
+    # serialization long before the data is large (observed at sf0.1
+    # in a long-lived bench session). After this line each round plans
+    # against a materialized scan of bare id pairs.
     sym = edges.unionByName(
         edges.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
@@ -734,15 +739,9 @@ def blocking_stats(blocked: DataFrame, block_cols: Sequence[str]) -> DataFrame:
 def q_dedup_groups(documents: DataFrame) -> DataFrame:
     """Declared query: near-dup components over the Jaccard pairs —
     (doc_id, comp) with comp = canonical (minimum) member id.
-
-    The pairs feed is lazily checkpointed BEFORE CC: dedup_components'
-    symmetric union references its input twice, so an unmaterialized
-    pair pipeline would run twice (and the Jaccard/minhash pipelines
-    are the expensive half — measured 18.4 s -> 9.3 s for the minhash
-    composition on the 30x trend corpus)."""
-    return dedup_components(
-        q_dedup_jaccard(documents).select("doc_a", "doc_b")
-        .localCheckpoint(eager=False))
+    dedup_components checkpoints the pair feed internally, so the
+    Jaccard pipeline runs once despite CC's double edge reference."""
+    return dedup_components(q_dedup_jaccard(documents).select("doc_a", "doc_b"))
 
 
 def q_minhash_groups(documents: DataFrame) -> DataFrame:
@@ -758,10 +757,7 @@ def q_minhash_groups(documents: DataFrame) -> DataFrame:
     precision (signature-estimate false positives) both shift the
     components; agreement with the exact-Jaccard groups on the test
     corpus is asserted in tests/test_text_dedup.py."""
-    return dedup_components(
-        q_dedup_minhash(documents).select("doc_a", "doc_b")
-        .localCheckpoint(eager=False))  # pairs materialize once (see
-                                        # q_dedup_groups docstring)
+    return dedup_components(q_dedup_minhash(documents).select("doc_a", "doc_b"))
 
 
 CC_CHAIN_LEN = 1000  # id-block width of the synthetic chain graph

@@ -181,9 +181,9 @@ def q_embed_dedup_groups(embeddings: DataFrame,
     from movie_rec_spark.operators.dedup import dedup_components_star
 
     pairs = q_embed_neardup(embeddings, threshold).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    ).localCheckpoint(eager=False)  # CC's symmetric union references
-    # the pairs twice; materialize the gemm pipeline once
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    # no extra checkpoint needed: dedup_components_star references its
+    # input once and eagerly checkpoints it immediately
     return dedup_components_star(pairs).select(
         F.col("doc_id").alias("vec_id"), "comp")
 
