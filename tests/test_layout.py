@@ -80,3 +80,51 @@ def test_partitioned_write_prunes(spark, tmp_path):
     want = (load_table(spark, SF, "events")
             .filter(F.col("event_type") == "purchase").count())
     assert got == want
+
+
+def test_zvalue_interleaves_bits(spark):
+    """Morton interleave of known values: z(a=0b11, b=0b01) =
+    0b0111 = 7; z(1,1)=3; z(2,0)=4; dimension order (a even bits)."""
+    from pyspark.sql import functions as F
+    from movie_rec_spark.sources.layout import zvalue
+    df = spark.createDataFrame(
+        [(3, 1), (1, 1), (2, 0), (0, 0)], "a int, b int")
+    out = {(r.a, r.b): r.z for r in
+           df.select("a", "b", zvalue(F.col("a"), F.col("b"))
+                     .alias("z")).collect()}
+    assert out == {(3, 1): 7, (1, 1): 3, (2, 0): 4, (0, 0): 0}
+
+
+def test_zorder_write_tightens_both_dimensions(spark, tmp_path):
+    """Files of a z-ordered write cover tight rectangles: the summed
+    per-file custkey span is far below files x full-span (which is
+    what a date-sorted layout would give), while date spans stay
+    bounded — both dimensions cluster at once."""
+    from pyspark.sql import functions as F
+    from movie_rec_spark.sources.catalog import load_table
+    from movie_rec_spark.sources.layout import write_zordered
+    import glob
+    import pyarrow.parquet as pq
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders") \
+        .withColumn("_day", F.datediff(
+            F.to_date("o_orderdate"),
+            F.lit("1970-01-01").cast("date")).cast("long"))
+    path = str(tmp_path / "z")
+    write_zordered(orders, path, "o_custkey", "_day", n_files=8)
+    spans_c, full_c = [], [0, 0]
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        st = md.row_group(0).column(idx["o_custkey"]).statistics
+        lo, hi = st.min, st.max
+        for rg in range(1, md.num_row_groups):
+            s2 = md.row_group(rg).column(idx["o_custkey"]).statistics
+            lo, hi = min(lo, s2.min), max(hi, s2.max)
+        spans_c.append(hi - lo)
+        full_c = [min(full_c[0], lo) if spans_c[1:] else lo,
+                  max(full_c[1], hi)]
+    full = full_c[1] - full_c[0]
+    assert len(spans_c) >= 4
+    assert sum(spans_c) < len(spans_c) * full * 0.7, \
+        "z-order must tighten per-file custkey ranges vs the full span"
