@@ -209,6 +209,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("embeddings")(s, d), dim=S.EMBED_DIM),
         "q_knn_ivf": lambda s, d: S.q_knn_ivf(_t("embeddings")(s, d)),
         "q_semdedup": lambda s, d: S.q_semdedup(_t("embeddings")(s, d)),
+        # rows-only: in-degree > 1 reorders float sums so no bit-exact
+        # SQL oracle exists; tolerance-checked vs a pure-Python
+        # reference in tests/test_text_dedup.py (chain variant keeps
+        # the hash-checked oracle)
+        "q_pagerank_general": lambda s, d: D.q_pagerank_general(
+            _t("documents")(s, d)),
         # --- multimodal decode plumbing. codec='stub' pinned: the
         # deterministic fake decode is itself oracle-checked (md5-derived
         # header fields + byte statistics are SQL-expressible); the

@@ -932,15 +932,25 @@ PAGERANK_DAMPING = 0.85
 
 
 def pagerank(edges: DataFrame, n_iter: int = PAGERANK_ITERS,
-             damping: float = PAGERANK_DAMPING) -> DataFrame:
+             damping: float = PAGERANK_DAMPING,
+             dangling: str = "decay") -> DataFrame:
     """Fixed-iteration PageRank over a directed edge set (doc_a →
     doc_b) — the link-quality signal web-corpus pipelines feed into
     document weighting (Common Crawl-style harmonic/PageRank quality
-    priors). Simple form: uniform init 1/N over the edge-touched node
-    universe, rank = (1-d)/N + d·Σ_in rank/outdeg per round, no
-    dangling-mass redistribution (a dangling node's mass decays — the
-    variant is documented rather than hidden, and the fixed iteration
-    count makes the result a deterministic function of the edges).
+    priors). Uniform init 1/N over the edge-touched node universe,
+    rank = (1-d)/N + d·Σ_in rank/outdeg per round.
+
+    ``dangling`` picks the sink treatment:
+
+    - ``'decay'`` (default): a dangling node's mass decays each round.
+      The result is then a deterministic per-node product of scalars on
+      in-degree ≤ 1 graphs, which is what keeps q_pagerank_chain
+      BIT-identical to its unrolled-CTE SQL oracle.
+    - ``'redistribute'``: the textbook/NetworkX form — each round the
+      total mass parked on out-degree-0 nodes is redistributed
+      uniformly, so Σ rank stays 1. Implemented with a 1-row aggregate
+      cross-joined (broadcast) into the update — no driver-side scalar
+      per round, the dangling mass never leaves the cluster.
 
     Scale shape per round: one join of edges to the current ranks on
     the source id and one aggregate keyed on the destination id — the
@@ -948,8 +958,13 @@ def pagerank(edges: DataFrame, n_iter: int = PAGERANK_ITERS,
     rows moved per round, with a lazy localCheckpoint each round so
     the plan does not accrete across iterations. N arrives via one
     scalar count() (same bounded driver sync as the CC convergence
-    check, dedup.py:548 note).
+    check, dedup.py:548 note). The edges input itself is lazily
+    checkpointed up front — it feeds nodes, outdeg, AND every round's
+    join, so a caller passing a deep unmaterialized pair pipeline
+    would otherwise re-execute it ~2× per round (the same
+    plan-recompute hazard dedup_components was fixed for).
     """
+    edges = edges.select("doc_a", "doc_b").localCheckpoint(eager=False)
     nodes = (edges.select(F.col("doc_a").alias("node"))
              .union(edges.select(F.col("doc_b"))).distinct()
              .localCheckpoint(eager=False))
@@ -965,13 +980,30 @@ def pagerank(edges: DataFrame, n_iter: int = PAGERANK_ITERS,
                     (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("node").agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select("node",
-                    (F.lit(base) + F.lit(damping)
-                     * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"))
-            .localCheckpoint(eager=False)
-        )
+        incoming = F.coalesce(F.col("s"), F.lit(0.0))
+        if dangling == "redistribute":
+            dang = (
+                ranks.join(outdeg, ranks["node"] == outdeg["doc_a"],
+                           "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            )
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dang))
+                .select("node",
+                        (F.lit(base) + F.lit(damping)
+                         * (incoming + F.col("_dm") / F.lit(float(n))))
+                        .alias("rank"))
+                .localCheckpoint(eager=False)
+            )
+        else:
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .select("node",
+                        (F.lit(base) + F.lit(damping) * incoming)
+                        .alias("rank"))
+                .localCheckpoint(eager=False)
+            )
     return ranks
 
 
@@ -989,6 +1021,47 @@ def q_pagerank_chain(documents: DataFrame,
         pagerank(chain_edges(documents, chain_len))
         .select(F.col("node").alias("doc_id"),
                 F.round("rank", 6).alias("pr"))
+    )
+
+
+def general_edges(documents: DataFrame, fan: int = 3) -> DataFrame:
+    """Deterministic GENERAL directed graph over the corpus ids — the
+    shape q_pagerank_chain deliberately avoids: in-degree > 1 (float
+    sums reorder) and genuine dangling sinks. Each doc x links to
+    x+1, x+4, x+9 (j² offsets, j = 1..fan) where the target id exists,
+    EXCEPT ids ≡ 0 (mod 10), which emit no out-edges — they still
+    receive links, so they are true dangling nodes whose mass the
+    redistribute variant must recycle. Construction is one explode +
+    one id-keyed equi-join; no window, no collect — scales like any
+    id-keyed join.
+    """
+    d = documents.select("doc_id")
+    offsets = F.array(*[F.lit(j * j) for j in range(1, fan + 1)])
+    return (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select(F.col("doc_id").alias("doc_a"),
+                F.explode(offsets).alias("_off"))
+        .select("doc_a", (F.col("doc_a") + F.col("_off")).alias("doc_b"))
+        .join(d.select(F.col("doc_id").alias("doc_b")), "doc_b")
+        .select("doc_a", "doc_b")
+    )
+
+
+def q_pagerank_general(documents: DataFrame) -> DataFrame:
+    """Declared query: PageRank with dangling-mass redistribution on
+    the deterministic general graph (general_edges: in-degree up to 3,
+    ~10% dangling sinks). Rows-only BY DESIGN: in-degree > 1 makes the
+    per-round float sum order engine-dependent, so no bit-exact SQL
+    oracle exists — the correctness gate is the pytest tolerance check
+    against an independent pure-Python reference implementation plus
+    the Σ rank ≈ 1 mass-conservation invariant
+    (tests/test_text_dedup.py). The chain variant (q_pagerank_chain)
+    keeps the hash-checked oracle for the engine-exact path."""
+    return (
+        pagerank(general_edges(documents), dangling="redistribute")
+        .select(F.col("node").alias("doc_id"),
+                F.round("rank", 6).alias("pr"))
+        .orderBy("doc_id")
     )
 
 

@@ -422,9 +422,36 @@ def lsh_bucketed(embeddings: DataFrame, dim: int, n_tables: int = 8,
     ).mapInPandas(fn, schema)
 
 
+LSH_OCC_TARGET = 64     # per-bucket occupancy the auto-sizer pins
+LSH_TARGET_RECALL = 0.9  # expected recall the auto-sizer budgets n_tables for
+
+
+def lsh_sized_params(n_vecs: int, threshold: float,
+                     occ_target: int = LSH_OCC_TARGET,
+                     target_recall: float = LSH_TARGET_RECALL
+                     ) -> tuple[int, int]:
+    """The measured SCALE.md sizing rule as the operator default.
+
+    Chance collisions put ~n/2^b vectors in every bucket, so candidate
+    pairs grow as L·n²/2^(b+1) — quadratic at FIXED b (measured 904× at
+    a 30× corpus, 171.6 s vs 4.3 s sized; SCALE.md).  Growing
+    ``b = log2(n/occ_target)`` pins per-bucket occupancy (and per-task
+    memory) to a constant.  Recall per table then falls as p^b where
+    p = 1 − arccos(threshold)/π is the per-bit agreement probability of
+    a pair AT the threshold, so n_tables grows with the OR-amplification
+    budget L ≈ ln(1/(1−recall))/p^b.  Returns (n_tables, n_bits).
+    """
+    import math
+
+    b = max(3, math.ceil(math.log2(max(n_vecs, 1) / occ_target)))
+    p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    L = math.ceil(math.log(1.0 / (1.0 - target_recall)) / max(p ** b, 1e-12))
+    return max(8, min(L, 48)), b
+
+
 def lsh_neardup(embeddings: DataFrame, dim: int,
                 threshold: float = NEARDUP_THRESHOLD,
-                n_tables: int = 8, n_bits: int = 3,
+                n_tables: int | None = None, n_bits: int | None = None,
                 seed: int = 42, verify: str = "bucket") -> DataFrame:
     """Near-dup pairs via LSH blocking: group on (table, bucket), exact
     cosine verify inside buckets, dedup across tables.
@@ -432,6 +459,16 @@ def lsh_neardup(embeddings: DataFrame, dim: int,
     No false positives (verify step) and tunable recall (tested ≥0.5 vs
     q_embed_neardup ground truth). Cost scales with bucket occupancy,
     not |corpus|² — the 100 TB path.
+
+    By default (``n_bits=None``) the operator AUTO-SIZES itself with
+    ``lsh_sized_params``: one O(1)-bytes ``count()`` driver sync (same
+    sanctioned pattern as dedup_components' convergence probe) fetches
+    the corpus size, then n_bits pins bucket occupancy and n_tables is
+    grown to hold expected recall — so the DECLARED query stays linear
+    at 30× without manual configuration (SCALE.md measured the fixed
+    b=3 default at 904× candidate blowup).  Passing explicit
+    ``n_bits``/``n_tables`` (as the scale_trend isolation runs do)
+    bypasses the count entirely.
 
     Shuffle discipline, default ``verify='bucket'``: each bucket group
     scores ALL its within-bucket pairs in one numpy gemm (same
@@ -453,6 +490,13 @@ def lsh_neardup(embeddings: DataFrame, dim: int,
     import pandas as pd
 
     from movie_rec_spark.functions import cosine_batch
+
+    if n_bits is None:
+        sized_tables, n_bits = lsh_sized_params(embeddings.count(), threshold)
+        if n_tables is None:
+            n_tables = sized_tables
+    elif n_tables is None:
+        n_tables = 8
 
     if verify == "bucket":
         buck = lsh_bucketed(embeddings, dim, n_tables, n_bits, seed,

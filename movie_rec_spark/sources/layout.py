@@ -68,7 +68,8 @@ def zvalue(col_a, col_b, bits: int = 16):
 
 
 def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
-                   n_files: int = 8, rows_per_group: int = 2048) -> None:
+                   n_files: int = 8,
+                   row_group_bytes: int = 512 * 1024) -> None:
     """OPTIMIZE ZORDER BY (a, b), the plain-parquet way: sort by the
     Morton interleave of the two columns and write with small row
     groups, so every row group's (min, max) on BOTH columns covers a
@@ -89,6 +90,19 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
     orders (tools/zorder_demo.py): a customer x date box predicate
     touches 33.8x fewer candidate row groups than insertion order
     (4/137 vs 135/135 at identical 64 KB row groups).
+
+    ``row_group_bytes`` sets the parquet block size DIRECTLY (it is
+    the skipping granularity: rows-per-group = row_group_bytes /
+    encoded-row-width, so a byte knob is the honest one — a
+    rows-based knob silently shrinks for wide rows). Smaller groups
+    skip tighter but cost more footer metadata; 128 KB-1 MB is the
+    useful range for stat-pruning workloads vs parquet's 128 MB
+    scan-throughput default.
+
+    Both cluster columns must be numeric (or date/timestamp cast
+    upstream to a numeric — the demo's epoch-day conversion is the
+    intended pattern); empty input raises rather than writing an
+    unreadable layout.
     """
     from pyspark.sql import functions as F
 
@@ -96,7 +110,17 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
     grid = (1 << bits) - 1
     mm = df.agg(F.min(col_a), F.max(col_a),
                 F.min(col_b), F.max(col_b)).collect()[0]
-    a_lo, a_hi, b_lo, b_hi = [float(x) for x in mm]
+    if mm[0] is None or mm[2] is None:
+        raise ValueError(
+            "write_zordered: empty input (or all-null cluster column) — "
+            f"no ({col_a}, {col_b}) value range to grid")
+    try:
+        a_lo, a_hi, b_lo, b_hi = [float(x) for x in mm]
+    except (TypeError, ValueError) as exc:
+        raise ValueError(
+            f"write_zordered: cluster columns ({col_a}, {col_b}) must be "
+            "numeric; convert dates/timestamps to epoch days/seconds "
+            "first (see tools/zorder_demo.py::_day)") from exc
 
     def scaled(c, lo, hi):
         span = (hi - lo) or 1.0
@@ -109,5 +133,5 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
      .sortWithinPartitions("_z")
      .drop("_z")
      .write.mode("overwrite")
-     .option("parquet.block.size", rows_per_group * 256)
+     .option("parquet.block.size", row_group_bytes)
      .parquet(path))

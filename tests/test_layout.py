@@ -15,6 +15,7 @@ from movie_rec_spark.sources.catalog import load_table
 from movie_rec_spark.sources.layout import (
     write_bucketed,
     write_partitioned,
+    write_zordered,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -128,3 +129,17 @@ def test_zorder_write_tightens_both_dimensions(spark, tmp_path):
     assert len(spans_c) >= 4
     assert sum(spans_c) < len(spans_c) * full * 0.7, \
         "z-order must tighten per-file custkey ranges vs the full span"
+
+
+def test_zorder_rejects_empty_and_non_numeric(spark, tmp_path):
+    """Edge-input guards: empty input and non-numeric cluster columns
+    fail with a clear ValueError instead of a TypeError deep in the
+    min/max float cast."""
+    empty = spark.createDataFrame([], "a long, b long")
+    with pytest.raises(ValueError, match="empty input"):
+        write_zordered(empty, str(tmp_path / "e"), "a", "b")
+    dated = spark.createDataFrame(
+        [(1, "2024-01-01")], "a long, d string"
+    ).withColumn("d", F.to_date("d"))
+    with pytest.raises(ValueError, match="must be numeric"):
+        write_zordered(dated, str(tmp_path / "d"), "a", "d")

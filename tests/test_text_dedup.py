@@ -603,6 +603,67 @@ def test_pagerank_matches_reference_loop(spark):
     assert got[3] > got[1] == got[2]
 
 
+def _pagerank_py(out: dict, n_iter: int, d: float) -> dict:
+    """Independent pure-Python PageRank WITH dangling-mass
+    redistribution (textbook/NetworkX semantics, no NetworkX import):
+    the reference the Spark redistribute variant is held to within
+    float-reorder tolerance."""
+    nodes = sorted(out)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        dm = sum(rank[u] for u in nodes if not out[u])
+        nxt = {}
+        for v in nodes:
+            s = sum(rank[u] / len(out[u]) for u in nodes if v in out[u])
+            nxt[v] = (1.0 - d) / n + d * (s + dm / n)
+        rank = nxt
+    return rank
+
+
+def test_pagerank_redistribute_matches_reference(spark):
+    """The dangling='redistribute' variant equals the pure-Python
+    reference within 1e-9 on a graph with fan-in AND two dangling
+    sinks, and conserves total mass (Σ rank = 1 every round — the
+    invariant decay mode deliberately gives up)."""
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4), (3, 5), (4, 1)],
+        "doc_a bigint, doc_b bigint")
+    got = {r.node: r.rank
+           for r in D.pagerank(edges, dangling="redistribute").collect()}
+    out = {1: [3], 2: [3], 3: [4, 5], 4: [1], 5: []}
+    ref = _pagerank_py(out, D.PAGERANK_ITERS, D.PAGERANK_DAMPING)
+    assert got.keys() == ref.keys()
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-9, (v, got[v], ref[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_general_query(spark, sf_docs):
+    """q_pagerank_general on the real corpus: every edge-touched doc
+    gets a rank, mass is conserved to 1 within rounding, the graph is
+    genuinely general (in-degree > 1 and ≥1 dangling node exist), and
+    the Spark ranks match the pure-Python reference on the SAME edge
+    set within float-reorder tolerance."""
+    edges = [(r.doc_a, r.doc_b)
+             for r in D.general_edges(sf_docs).collect()]
+    assert edges, "general_edges produced no edges on the sf corpus"
+    indeg: dict = {}
+    out: dict = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+        out.setdefault(b, [])
+        indeg[b] = indeg.get(b, 0) + 1
+    assert max(indeg.values()) > 1            # float sums genuinely reorder
+    assert any(not v for v in out.values())   # real dangling sinks
+    ref = _pagerank_py(out, D.PAGERANK_ITERS, D.PAGERANK_DAMPING)
+    got = {r.doc_id: r.pr for r in D.q_pagerank_general(sf_docs).collect()}
+    assert got.keys() == ref.keys()
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-6, (v, got[v], ref[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-3  # 6-decimal rounding slack
+
+
 def test_chunk_knn_finds_identical_paragraph(spark):
     """The query chunk (doc 0, chunk 0) scores 1.0 against the doc that
     quotes it verbatim, ids invert to (doc_id, chunk_idx), and the

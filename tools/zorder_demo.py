@@ -63,8 +63,8 @@ def main() -> None:
     wr.parquet(natural)
     zpath = "/tmp/zorder_demo/zorder"
     write_zordered(orders, zpath, "o_custkey", "_day", n_files=8,
-                   rows_per_group=256)  # 256*256B = same 64 KB groups
-                                        # as the natural-order control
+                   row_group_bytes=64 * 1024)  # same 64 KB groups as the
+                                               # natural-order control
     cn, tn = candidate_row_groups(natural)
     cz, tz = candidate_row_groups(zpath)
     print(f"natural order : {cn}/{tn} row groups match the box")
