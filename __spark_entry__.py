@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_count": lambda s, d: SK.q_salted_count(_t("events")(s, d)),
         "q_sessionize": lambda s, d: TP.q_sessionize(_t("events")(s, d)),
         "q_funnel": lambda s, d: TP.q_funnel(_t("events")(s, d)),
+        "q_funnel_window": lambda s, d: TP.q_funnel_window(
+            _t("events")(s, d)),
         "q_cohort": lambda s, d: TP.q_cohort(_t("events")(s, d)),
         "q_rolling_window": lambda s, d: TP.q_rolling_window(
             _t("events")(s, d)),
@@ -176,6 +178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_decontaminate": lambda s, d: D.q_decontaminate(
             _t("documents")(s, d)),
+        "q_decontaminate_k8": lambda s, d: D.q_decontaminate(
+            _t("documents")(s, d), k=8),
         "q_split_repair": lambda s, d: D.q_split_repair(
             _t("documents")(s, d)),
         "q_ngram_counts": lambda s, d: T.q_ngram_counts(
@@ -235,6 +239,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys = list(q)
     cut = keys.index("q_profile") + 1
     return {k: q[k] for k in keys[cut:] + keys[:cut]}
+
+
+def _decon_sql(k: int) -> str:
+    """Decontamination oracle, parametric in the n-gram width ``k`` —
+    generated so the k=3 (corpus-shingle) and k=8 (benchmark-audit)
+    declared variants cannot desynchronize."""
+    return f"""
+        WITH bkt AS (
+            SELECT doc_id, text,
+                   CAST(CAST('0x' || substring(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 100 AS INTEGER) AS bucket
+            FROM documents),
+        toks AS (SELECT doc_id, bucket, string_split(text, ' ') AS w
+                 FROM bkt),
+        sh AS (SELECT DISTINCT doc_id, bucket,
+                      array_to_string(list_slice(w, CAST(i AS INT),
+                          CAST(i AS INT) + {k - 1}), ' ') AS g
+               FROM (SELECT doc_id, bucket, w,
+                            unnest(range(1, greatest(len(w) - {k - 1}, 1)
+                                   + 1)) AS i
+                     FROM toks)),
+        ev AS (SELECT doc_id AS eval_doc, g FROM sh
+               WHERE bucket >= {D.EVAL_MIN_BUCKET}),
+        tr AS (SELECT doc_id AS train_doc, g FROM sh
+               WHERE bucket < {D.TRAIN_MAX_BUCKET}),
+        ev_sz AS (SELECT eval_doc, count(*) AS n_ev FROM ev
+                  GROUP BY eval_doc),
+        inter AS (SELECT eval_doc, train_doc, count(*) AS n_common
+                  FROM ev JOIN tr USING (g)
+                  GROUP BY 1, 2)
+        SELECT eval_doc, train_doc,
+               n_common * 1.0 / n_ev AS containment
+        FROM inter JOIN ev_sz USING (eval_doc)
+        WHERE n_common * 1.0 / n_ev >= {D.DECON_THRESHOLD}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1254,38 +1294,11 @@ def oracle_sql() -> dict[str, str]:
         # Same shingle machinery as jaccard; containment divides by the
         # EVAL doc's shingle count (asymmetric). Split membership uses
         # the identical md5-bucket arithmetic as q_sample_stable; the
-        # threshold and split boundaries interpolate the SAME constants
-        # the Spark operator uses (ADVICE r2: no silent hardcoding).
-        "q_decontaminate": f"""
-            WITH bkt AS (
-                SELECT doc_id, text,
-                       CAST(CAST('0x' || substring(
-                           md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                           AS BIGINT) % 100 AS INTEGER) AS bucket
-                FROM documents),
-            toks AS (SELECT doc_id, bucket, string_split(text, ' ') AS w
-                     FROM bkt),
-            sh AS (SELECT DISTINCT doc_id, bucket,
-                          array_to_string(list_slice(w, CAST(i AS INT),
-                              CAST(i AS INT) + 2), ' ') AS g
-                   FROM (SELECT doc_id, bucket, w,
-                                unnest(range(1, greatest(len(w) - 2, 1) + 1))
-                                    AS i
-                         FROM toks)),
-            ev AS (SELECT doc_id AS eval_doc, g FROM sh
-                   WHERE bucket >= {D.EVAL_MIN_BUCKET}),
-            tr AS (SELECT doc_id AS train_doc, g FROM sh
-                   WHERE bucket < {D.TRAIN_MAX_BUCKET}),
-            ev_sz AS (SELECT eval_doc, count(*) AS n_ev FROM ev
-                      GROUP BY eval_doc),
-            inter AS (SELECT eval_doc, train_doc, count(*) AS n_common
-                      FROM ev JOIN tr USING (g)
-                      GROUP BY 1, 2)
-            SELECT eval_doc, train_doc,
-                   n_common * 1.0 / n_ev AS containment
-            FROM inter JOIN ev_sz USING (eval_doc)
-            WHERE n_common * 1.0 / n_ev >= {D.DECON_THRESHOLD}
-        """,
+        # threshold, split boundaries AND n-gram width interpolate the
+        # SAME constants the Spark operator uses (ADVICE r2: no silent
+        # hardcoding) — one template serves both declared widths.
+        "q_decontaminate": _decon_sql(3),
+        "q_decontaminate_k8": _decon_sql(8),
         # OCCURRENCE-counted bigrams (no per-doc distinct) — same
         # slice-truncation-at-end semantics as the Spark transform.
         "q_ngram_counts": """
@@ -1690,6 +1703,33 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.user_id, min(e.ts) AS t
                 FROM events e JOIN s1 ON e.user_id = s1.user_id
                  AND e.ts >= s1.t
+                WHERE e.event_type = '{TP.FUNNEL_STEPS[2]}'
+                GROUP BY e.user_id)
+            SELECT CAST(0 AS INT) AS step_idx,
+                   '{TP.FUNNEL_STEPS[0]}' AS step, count(*) AS n_users
+            FROM s0
+            UNION ALL SELECT 1, '{TP.FUNNEL_STEPS[1]}', count(*) FROM s1
+            UNION ALL SELECT 2, '{TP.FUNNEL_STEPS[2]}', count(*) FROM s2
+        """,
+        # Same per-step chain with the max-delay predicate in each join
+        # — the INTERVAL arithmetic interpolates the SAME constant as
+        # the Spark operator.
+        "q_funnel_window": f"""
+            WITH s0 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = '{TP.FUNNEL_STEPS[0]}' GROUP BY user_id),
+            s1 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s0 ON e.user_id = s0.user_id
+                 AND e.ts >= s0.t
+                 AND e.ts <= s0.t + INTERVAL {TP.FUNNEL_MAX_DELAY_DAYS} DAY
+                WHERE e.event_type = '{TP.FUNNEL_STEPS[1]}'
+                GROUP BY e.user_id),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                 AND e.ts >= s1.t
+                 AND e.ts <= s1.t + INTERVAL {TP.FUNNEL_MAX_DELAY_DAYS} DAY
                 WHERE e.event_type = '{TP.FUNNEL_STEPS[2]}'
                 GROUP BY e.user_id)
             SELECT CAST(0 AS INT) AS step_idx,

@@ -49,7 +49,8 @@ def _shingle_rows(documents: DataFrame, k: int = 3) -> DataFrame:
 
 
 def q_decontaminate(documents: DataFrame,
-                    threshold: float = DECON_THRESHOLD) -> DataFrame:
+                    threshold: float = DECON_THRESHOLD,
+                    k: int = 3) -> DataFrame:
     """Train/eval decontamination — the audit an LLM data pipeline runs
     so benchmark text does not leak into the training set (GPT-3 /
     PaLM style exact n-gram overlap, here word 3-grams to match the
@@ -77,10 +78,17 @@ def q_decontaminate(documents: DataFrame,
     blocking paths bound the candidate set the same way they do for
     dedup. The oracle SQL is generated from the same DECON_THRESHOLD /
     bucket constants, so non-default calls stay oracle-consistent.
+
+    ``k`` is the n-gram window width. The k=3 default matches the
+    corpus's shingle machinery (cheap, high recall, but aggressive —
+    common 3-word phrases cross-match); production benchmark audits
+    (GPT-3 appendix C used 13-grams, most recent reports 8-13) widen
+    the window so only genuinely quoted spans count. q_decontaminate_k8
+    declares the 8-gram form with its own generated oracle.
     """
     from movie_rec_spark.functions import stable_bucket
 
-    sh = _shingle_rows(documents, 3).withColumn(
+    sh = _shingle_rows(documents, k).withColumn(
         "bucket", stable_bucket(F.col("doc_id")))
     ev = (sh.filter(F.col("bucket") >= EVAL_MIN_BUCKET)
           .select(F.col("doc_id").alias("eval_doc"), "g"))

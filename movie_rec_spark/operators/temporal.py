@@ -194,6 +194,35 @@ def q_funnel(events: DataFrame,
     no window over the full event stream is needed. Output is one row
     per step: (step_idx, step, n_users), monotone non-increasing.
     """
+    return _funnel(events, steps, max_delay_days=None)
+
+
+FUNNEL_MAX_DELAY_DAYS = 3
+
+
+def q_funnel_window(events: DataFrame,
+                    steps: tuple[str, ...] = FUNNEL_STEPS,
+                    max_delay_days: int = FUNNEL_MAX_DELAY_DAYS) -> DataFrame:
+    """Conversion funnel with a MAX-DELAY constraint between steps —
+    the form product analytics actually ships ("converted within N
+    days"): step k counts only if its event lands in
+    [t_{k-1}, t_{k-1} + N days]. Without the bound, a purchase a year
+    after the click still 'converts', which overstates every funnel;
+    the windowed count is monotone ≤ the unbounded q_funnel per step.
+    First-touch semantics within the window: t_k is the user's
+    EARLIEST qualifying step-k time (matching q_funnel), so a user who
+    converts late at step k may fail step k+1 even though a later
+    qualifying k-event existed — the standard strict-first-touch
+    trade-off, identical in the oracle.
+
+    Scale shape: identical to q_funnel — every shuffle keyed on
+    user_id, the window predicate rides the existing per-step join.
+    """
+    return _funnel(events, steps, max_delay_days)
+
+
+def _funnel(events: DataFrame, steps: tuple[str, ...],
+            max_delay_days: int | None) -> DataFrame:
     ev = events.select("user_id", "event_type", "ts")
     reached = None  # (user_id, t_k): first time user completed step k
     counts = []
@@ -202,9 +231,14 @@ def q_funnel(events: DataFrame,
         if reached is None:
             cur = e.groupBy("user_id").agg(F.min("ts").alias("t"))
         else:
+            within = F.col("ts") >= F.col("t")
+            if max_delay_days is not None:
+                within = within & (
+                    F.col("ts") <= F.col("t")
+                    + F.expr(f"INTERVAL {max_delay_days} DAYS"))
             cur = (
                 e.join(reached, "user_id")
-                .filter(F.col("ts") >= F.col("t"))
+                .filter(within)
                 .groupBy("user_id").agg(F.min("ts").alias("t"))
             )
         reached = cur

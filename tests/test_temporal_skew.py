@@ -207,6 +207,25 @@ def test_funnel_same_timestamp_counts(spark):
     assert out == {"view": 1, "click": 1, "purchase": 0}
 
 
+def test_funnel_window_bounds_step_delay(spark):
+    """max_delay_days=3: a click 5 days after the first view does NOT
+    convert, a click within 3 days does (inclusive boundary), and
+    first-touch still holds — user 3's purchase measures from the
+    EARLIEST in-window click even though a later click also qualified."""
+    from movie_rec_spark.operators.temporal import q_funnel, q_funnel_window
+    ev = _events(spark, [
+        (1, "view", 1, 0.0), (1, "click", 6, 0.0),   # delay 5d: out
+        (2, "view", 1, 0.0), (2, "click", 4, 0.0),   # delay 3d: in
+        (3, "view", 1, 0.0), (3, "click", 2, 0.0), (3, "click", 8, 0.0),
+        (3, "purchase", 7, 0.0),                     # 5d after first click
+    ])
+    out = {r.step: r.n_users for r in q_funnel_window(ev).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 0}
+    # unbounded funnel converts user 1's late click and user 3's purchase
+    unb = {r.step: r.n_users for r in q_funnel(ev).collect()}
+    assert unb == {"view": 3, "click": 3, "purchase": 1}
+
+
 def test_cohort_offsets_anchor_per_user(spark):
     """offset_weeks floors days-since-first/7 per user (day 8 -> 1);
     repeat activity in the same week collapses to one row per user."""
