@@ -34,6 +34,7 @@ from movie_rec_spark.operators import similarity as S  # noqa: E402
 from movie_rec_spark.operators import skew as SK  # noqa: E402
 from movie_rec_spark.operators import temporal as TP  # noqa: E402
 from movie_rec_spark.operators import text as T  # noqa: E402
+from movie_rec_spark.sources import layout as L  # noqa: E402
 from movie_rec_spark.sources.catalog import load_table  # noqa: E402
 
 
@@ -219,6 +220,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the hash-checked oracle)
         "q_pagerank_general": lambda s, d: D.q_pagerank_general(
             _t("documents")(s, d)),
+        # Same logical query as q_top_movies, served from the MAINTAINED
+        # bucketed lineitem copy (bucketed on the grouping key, so the
+        # aggregation Exchange disappears — tests/test_layout.py asserts
+        # the plan delta). Oracle: identical SQL; the layout must never
+        # change the answer.
+        "q_top_movies_bucketed": lambda s, d: R.q_top_movies(
+            L.bucketed_table(s, d, "lineitem", "l_partkey", 16),
+            _t("part")(s, d)),
         # --- multimodal decode plumbing. codec='stub' pinned: the
         # deterministic fake decode is itself oracle-checked (md5-derived
         # header fields + byte statistics are SQL-expressible); the
@@ -239,6 +248,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys = list(q)
     cut = keys.index("q_profile") + 1
     return {k: q[k] for k in keys[cut:] + keys[:cut]}
+
+
+_TOP_MOVIES_SQL = f"""
+    SELECT p.p_partkey, p.p_name, a.cnt_orders, a.avg_price
+    FROM (SELECT l_partkey, count(l_orderkey) AS cnt_orders,
+                 ((2 * sum(CAST(round(l_extendedprice * 100, 0)
+                                AS BIGINT))
+                   + count(l_orderkey))
+                  // (2 * count(l_orderkey))) / 100.0 AS avg_price
+          FROM lineitem WHERE l_quantity >= {R.QTY_THRESHOLD}
+          GROUP BY l_partkey) a
+    JOIN part p ON a.l_partkey = p.p_partkey
+    ORDER BY cnt_orders DESC, avg_price DESC, p.p_partkey
+    LIMIT {R.TOP_LIMIT}
+"""
 
 
 def _decon_sql(k: int) -> str:
@@ -370,19 +394,9 @@ def oracle_sql() -> dict[str, str]:
             FROM pr{D.PAGERANK_ITERS}
     """
     return {
-        "q_top_movies": f"""
-            SELECT p.p_partkey, p.p_name, a.cnt_orders, a.avg_price
-            FROM (SELECT l_partkey, count(l_orderkey) AS cnt_orders,
-                         ((2 * sum(CAST(round(l_extendedprice * 100, 0)
-                                        AS BIGINT))
-                           + count(l_orderkey))
-                          // (2 * count(l_orderkey))) / 100.0 AS avg_price
-                  FROM lineitem WHERE l_quantity >= {R.QTY_THRESHOLD}
-                  GROUP BY l_partkey) a
-            JOIN part p ON a.l_partkey = p.p_partkey
-            ORDER BY cnt_orders DESC, avg_price DESC, p.p_partkey
-            LIMIT {R.TOP_LIMIT}
-        """,
+        "q_top_movies": _TOP_MOVIES_SQL,
+        # physical-layout variant: same logical query, same oracle
+        "q_top_movies_bucketed": _TOP_MOVIES_SQL,
         "q_user_latest_ratings": f"""
             SELECT o.o_orderkey, c.c_name, o.o_totalprice, o.o_orderdate
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

@@ -53,7 +53,7 @@ EXCLUDE = {"q_candidates", "q_dedup_char_jaccard",
            "q_cc_chain_star", "q_cc_chain_minlabel",
            # same chain-graph diagnostic family: 5 fixed rounds of
            # join+agg whose cost is driver round latency at test scale
-           "q_pagerank_chain"}
+           "q_pagerank_chain", "q_pagerank_general"}
 
 
 def main() -> None:

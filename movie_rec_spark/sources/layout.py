@@ -41,6 +41,57 @@ def bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def bucketed_table(spark: SparkSession, sf_dir: str, table: str,
+                   bucket_col: str, n_buckets: int = 16,
+                   sort_col: str | None = None) -> DataFrame:
+    """MAINTAINED bucketed copy of a catalog table — the index-like
+    layer the reference gets from its PK b-tree indexes
+    (movierama_ddl.sql:3,18-19): pay one write, then every downstream
+    join/groupBy on ``bucket_col`` skips its Exchange forever.
+
+    The data lives at a deterministic external location keyed by
+    (sf_dir, table, bucket_col, n_buckets), so it is built AT MOST ONCE
+    per corpus: a fresh session finds the finished files (_SUCCESS) and
+    only re-registers the metadata via ``CREATE TABLE ... CLUSTERED
+    BY ... LOCATION`` — bucketing info lives in the session catalog,
+    not the parquet footers, so the DDL is what tells Spark the layout
+    is trustworthy. This is exactly the amortization contract of a
+    database index, and why the first bench pass of a *_bucketed query
+    pays the build while the min-of-2 reports steady state (same
+    declared serving model as q_knn_ivf's built index).
+    """
+    import hashlib
+    import os
+
+    digest = hashlib.md5(
+        os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    name = f"mrs_b_{table}_{bucket_col}_{n_buckets}_{digest}"
+    if spark.catalog.tableExists(name):
+        return spark.table(name)
+
+    from movie_rec_spark.sources.catalog import load_table
+
+    src = load_table(spark, sf_dir, table)
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    path = os.path.join(warehouse, name)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                         for f in src.schema.fields)
+        sort = f"SORTED BY ({sort_col})" if sort_col else ""
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING parquet "
+            f"CLUSTERED BY ({bucket_col}) {sort} "
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'")
+    else:
+        w = (src.write.mode("overwrite").format("parquet")
+             .bucketBy(n_buckets, bucket_col).option("path", path))
+        if sort_col:
+            w = w.sortBy(sort_col)
+        w.saveAsTable(name)
+    return spark.table(name)
+
+
 def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
     """Directory-per-value layout; filters on ``partition_col`` prune at
     planning time (never touch excluded directories)."""

@@ -143,3 +143,53 @@ def test_zorder_rejects_empty_and_non_numeric(spark, tmp_path):
     ).withColumn("d", F.to_date("d"))
     with pytest.raises(ValueError, match="must be numeric"):
         write_zordered(dated, str(tmp_path / "d"), "a", "d")
+
+
+def test_bucketed_catalog_drops_agg_exchange(spark):
+    """q_top_movies over the maintained bucketed lineitem (bucketed on
+    the grouping key l_partkey) loses the aggregation Exchange the
+    parquet path needs, and the rows are identical — layout must never
+    change the answer."""
+    from movie_rec_spark.operators.relational import q_top_movies
+    from movie_rec_spark.plans import count_exchanges, scanned_bucketed
+    from movie_rec_spark.sources.layout import bucketed_table
+
+    part = load_table(spark, SF, "part")
+    plain = q_top_movies(load_table(spark, SF, "lineitem"), part)
+    li_b = bucketed_table(spark, SF, "lineitem", "l_partkey", 8)
+    buck = q_top_movies(li_b, part)
+    assert scanned_bucketed(buck)
+    assert count_exchanges(buck) < count_exchanges(plain), (
+        f"bucketed plan must drop the groupBy Exchange: "
+        f"{count_exchanges(buck)} vs {count_exchanges(plain)}")
+    assert [tuple(r) for r in buck.collect()] == \
+        [tuple(r) for r in plain.collect()]
+
+
+def test_bucketed_catalog_reregisters_without_rewrite(spark):
+    """A fresh session (no table metadata) finds the finished files and
+    re-registers via DDL instead of rewriting: the parquet part files
+    must be byte-identical (same inodes untouched) after re-entry."""
+    import glob
+    import os
+
+    from movie_rec_spark.sources.layout import bucketed_table
+
+    bucketed_table(spark, SF, "lineitem", "l_partkey", 8)
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir").removeprefix("file:")
+    loc = glob.glob(os.path.join(warehouse, "mrs_b_lineitem_l_partkey_8_*"))
+    assert loc, "bucketed table location missing"
+    before = {f: os.path.getmtime(f)
+              for f in glob.glob(os.path.join(loc[0], "*.parquet"))}
+    assert before
+    # simulate the fresh-session path: drop ONLY the metadata
+    name = os.path.basename(loc[0])
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # DROP TABLE on an external table keeps files; re-entry must
+    # re-register, not rewrite
+    df = bucketed_table(spark, SF, "lineitem", "l_partkey", 8)
+    assert df.count() > 0
+    after = {f: os.path.getmtime(f)
+             for f in glob.glob(os.path.join(loc[0], "*.parquet"))}
+    assert after == before, "re-registration must not rewrite data files"
