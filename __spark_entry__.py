@@ -228,6 +228,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_movies_bucketed": lambda s, d: R.q_top_movies(
             L.bucketed_table(s, d, "lineitem", "l_partkey", 16),
             _t("part")(s, d)),
+        # Same MERGE as q_merge_events, routed through the
+        # manifest-committed snapshot table (atomic commit + snapshot
+        # isolation, sources/snapshot.py); shares its oracle.
+        "q_merge_snapshot": lambda s, d: M.q_merge_snapshot(
+            _t("events")(s, d)),
         # --- multimodal decode plumbing. codec='stub' pinned: the
         # deterministic fake decode is itself oracle-checked (md5-derived
         # header fields + byte statistics are SQL-expressible); the
@@ -248,6 +253,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys = list(q)
     cut = keys.index("q_profile") + 1
     return {k: q[k] for k in keys[cut:] + keys[:cut]}
+
+
+_MERGE_EVENTS_SQL = """
+    WITH t AS (
+        SELECT event_id, user_id, event_type, value, ts
+        FROM (SELECT e.*, row_number() OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events e WHERE event_id % 2 = 0)
+        WHERE rn = 1),
+    u AS (
+        SELECT event_id, user_id, event_type, value, ts,
+               (event_id % 5 = 0) AS del
+        FROM (SELECT e.*, row_number() OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events e WHERE event_id % 2 = 1)
+        WHERE rn = 1)
+    SELECT CASE WHEN uw THEN u_event_id ELSE t_event_id END
+               AS event_id,
+           CASE WHEN uw THEN u_user_id ELSE t_user_id END
+               AS user_id,
+           CASE WHEN uw THEN u_event_type ELSE t_event_type END
+               AS event_type,
+           CASE WHEN uw THEN u_value ELSE t_value END AS value,
+           CASE WHEN uw THEN u_ts ELSE t_ts END AS ts
+    FROM (SELECT t.event_id AS t_event_id,
+                 t.user_id AS t_user_id,
+                 t.event_type AS t_event_type,
+                 t.value AS t_value, t.ts AS t_ts,
+                 u.event_id AS u_event_id,
+                 u.user_id AS u_user_id,
+                 u.event_type AS u_event_type,
+                 u.value AS u_value, u.ts AS u_ts, u.del,
+                 (u.user_id IS NOT NULL AND
+                  (t.user_id IS NULL OR u.ts >= t.ts)) AS uw
+          FROM t FULL OUTER JOIN u
+          ON t.user_id = u.user_id
+          AND t.event_type = u.event_type) j
+    WHERE NOT (uw AND coalesce(del, FALSE))
+"""
 
 
 _TOP_MOVIES_SQL = f"""
@@ -572,45 +618,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM old FULL OUTER JOIN new ON old.user_id = new.user_id)
             SELECT * FROM d WHERE status <> 'unchanged'
         """,
-        "q_merge_events": """
-            WITH t AS (
-                SELECT event_id, user_id, event_type, value, ts
-                FROM (SELECT e.*, row_number() OVER (
-                          PARTITION BY user_id, event_type
-                          ORDER BY ts DESC, event_id DESC) AS rn
-                      FROM events e WHERE event_id % 2 = 0)
-                WHERE rn = 1),
-            u AS (
-                SELECT event_id, user_id, event_type, value, ts,
-                       (event_id % 5 = 0) AS del
-                FROM (SELECT e.*, row_number() OVER (
-                          PARTITION BY user_id, event_type
-                          ORDER BY ts DESC, event_id DESC) AS rn
-                      FROM events e WHERE event_id % 2 = 1)
-                WHERE rn = 1)
-            SELECT CASE WHEN uw THEN u_event_id ELSE t_event_id END
-                       AS event_id,
-                   CASE WHEN uw THEN u_user_id ELSE t_user_id END
-                       AS user_id,
-                   CASE WHEN uw THEN u_event_type ELSE t_event_type END
-                       AS event_type,
-                   CASE WHEN uw THEN u_value ELSE t_value END AS value,
-                   CASE WHEN uw THEN u_ts ELSE t_ts END AS ts
-            FROM (SELECT t.event_id AS t_event_id,
-                         t.user_id AS t_user_id,
-                         t.event_type AS t_event_type,
-                         t.value AS t_value, t.ts AS t_ts,
-                         u.event_id AS u_event_id,
-                         u.user_id AS u_user_id,
-                         u.event_type AS u_event_type,
-                         u.value AS u_value, u.ts AS u_ts, u.del,
-                         (u.user_id IS NOT NULL AND
-                          (t.user_id IS NULL OR u.ts >= t.ts)) AS uw
-                  FROM t FULL OUTER JOIN u
-                  ON t.user_id = u.user_id
-                  AND t.event_type = u.event_type) j
-            WHERE NOT (uw AND coalesce(del, FALSE))
-        """,
+        "q_merge_events": _MERGE_EVENTS_SQL,
+        # snapshot-committed form: the protocol must not change the answer
+        "q_merge_snapshot": _MERGE_EVENTS_SQL,
         "q_delete_antijoin": """
             SELECT event_id, user_id, event_type, value, ts
             FROM events e

@@ -177,6 +177,37 @@ def q_merge_events(events: DataFrame) -> DataFrame:
                         ts_col="ts")
 
 
+def q_merge_snapshot(events: DataFrame) -> DataFrame:
+    """The SAME merge as q_merge_events, but routed END-TO-END through
+    the manifest-committed snapshot table (sources/snapshot.py): the
+    resident half is written as snapshot v1 partitioned by event_type,
+    the CDC half commits atomically as v2 (snapshot_merge), and the
+    result is read back THROUGH the published manifest. Shares
+    q_merge_events' oracle — the commit protocol must change the
+    durability story, never the answer — so the driver hash-checks the
+    full write-commit-read path, not just the kernel."""
+    import tempfile
+
+    from movie_rec_spark.sources.snapshot import (
+        snapshot_create,
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    spark = events.sparkSession
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    t = upsert_latest(
+        events.filter(F.col("event_id") % 2 == 0)).select(*cols)
+    u = (upsert_latest(events.filter(F.col("event_id") % 2 == 1))
+         .select(*cols)
+         .withColumn("_deleted", F.col("event_id") % 5 == 0))
+    path = tempfile.mkdtemp(prefix="mrs_snap_") + "/tbl"
+    snapshot_create(spark, path, t, "event_type")
+    snapshot_merge(spark, path, u, keys=["user_id", "event_type"],
+                   ts_col="ts")
+    return snapshot_read(spark, path).select(*cols)
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame,
                   keys: Sequence[str]) -> DataFrame:
     """Change-data-feed between two table versions: full outer join on

@@ -22,12 +22,17 @@ Scale shape — the whole point of the partition scoping:
   partition METADATA (bounded by the partition count of the batch, not
   by row count) — the same listing any table format's planner holds.
 
-Not provided (honest caveat, also documented in SURVEY §1.4): atomicity
-and snapshot isolation. Plain parquet dynamic overwrite replaces
-partition directories non-transactionally; a concurrent reader can see
-a partial merge. The operator is the COMPUTE kernel — pointing the same
-DataFrame at a Delta/Iceberg sink upgrades the commit protocol without
-touching this logic.
+Commit protocol: THIS module's ``merge_into`` writes plain hive-layout
+parquet (readable by any engine pointed at the directory) and is
+therefore non-transactional — dynamic overwrite replaces partition
+directories one at a time, so a concurrent reader can see a partial
+merge. ``sources/snapshot.py`` provides the manifest-committed form
+(``snapshot_merge``: atomic version claim, snapshot isolation,
+optimistic concurrency, time travel) built on the same
+``merge_frames`` kernel — use it whenever readers and writers overlap;
+use this module when plain-directory compatibility matters and writes
+are fenced. The concurrent-reader guarantee is tested in
+tests/test_snapshot.py.
 """
 
 from __future__ import annotations

@@ -1,0 +1,335 @@
+"""Manifest-committed snapshot tables — atomic commits + snapshot
+isolation for the lakehouse write paths, in plain Spark + parquet.
+
+This closes the caveat ``merge.py`` documents: plain dynamic partition
+overwrite replaces directories non-transactionally, so a concurrent
+reader can observe a half-merged table. The fix is the standard
+log-structured table-format protocol (Delta's ``_delta_log``, Iceberg's
+metadata tree, public designs both):
+
+- **Data files are immutable and uniquely named.** A commit writes NEW
+  files under ``data/c-<uuid>/``; it never modifies or deletes a file a
+  published snapshot references.
+- **A manifest lists the snapshot.** ``_manifests/v<N>.json`` holds the
+  file list (with each file's partition value — manifest-level partition
+  pruning, Iceberg-style: a pruned read never even stats the excluded
+  files, which beats directory pruning).
+- **Publishing is one atomic filesystem op.** The manifest is written to
+  a temp name and CLAIMED as ``v<N>.json`` via an atomic
+  link-without-overwrite; the highest ``N`` present IS the current
+  table. A reader therefore sees either the old complete snapshot or
+  the new complete snapshot — never a partial mix (the test holds a
+  reader loop against a merge loop and asserts exactly this).
+- **Optimistic concurrency.** Two writers racing to claim the same
+  ``v<N>`` — one wins, the loser gets ``SnapshotConflict`` and must
+  rebase (re-read, recompute, retry). Same contract as Delta on a
+  filesystem with atomic rename/link (HDFS rename-no-overwrite; on S3
+  the claim op becomes a conditional PUT / DynamoDB lock — the protocol
+  is unchanged).
+- **Old snapshots stay readable** until ``snapshot_vacuum`` removes
+  files no retained manifest references — time travel for free, and the
+  reason concurrent readers are safe without any locking.
+
+Partition values are carried as STRINGS (the hive directory encoding,
+same contract as ``merge.expire_partitions``). Data files keep ALL
+columns including the partition column (the hive layout under
+``data/c-*/`` uses a ``_p=`` duplicate for its directory names), so a
+manifest's file list reads back complete with one ``spark.read.parquet``.
+
+Reference analogue: the reference's Postgres tables get atomicity from
+the database itself (``prototype/movierama_ddl.sql``); at lakehouse
+scale this protocol is what stands in for it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_rec_spark.sources.merge import DELETED_COL, merge_frames
+
+_PART_DIR = "_p"
+
+
+class SnapshotConflict(RuntimeError):
+    """Another writer claimed the target version first — rebase and
+    retry (re-read the table, recompute the commit)."""
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def snapshot_version(path: str) -> int:
+    """Current (highest published) version; 0 = no table."""
+    mdir = _manifest_dir(path)
+    if not os.path.isdir(mdir):
+        return 0
+    best = 0
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                best = max(best, int(f[1:-5]))
+            except ValueError:
+                continue
+    return best
+
+
+def _load_manifest(path: str, version: int | None = None) -> dict:
+    v = snapshot_version(path) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    with open(os.path.join(_manifest_dir(path), f"v{v}.json")) as fh:
+        return json.load(fh)
+
+
+def _publish(path: str, entries: list[dict], op: str,
+             summary: dict, base_version: int) -> dict:
+    """Atomically claim version base_version+1. The tmp manifest is
+    fully written and fsynced BEFORE the link claims the version name,
+    so no reader can observe a partial manifest; os.link fails with
+    EEXIST if another writer won the race (→ SnapshotConflict)."""
+    mdir = _manifest_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    new_version = base_version + 1
+    man = {"version": new_version, "op": op, "entries": entries,
+           "summary": summary, "parent": base_version}
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    final = os.path.join(mdir, f"v{new_version}.json")
+    try:
+        os.link(tmp, final)  # atomic claim: fails if the version exists
+    except FileExistsError as exc:
+        raise SnapshotConflict(
+            f"version {new_version} of {path} was committed concurrently; "
+            "re-read and retry") from exc
+    finally:
+        os.unlink(tmp)
+    return man
+
+
+def _write_data_files(df: DataFrame, path: str,
+                      partition_col: str) -> list[dict]:
+    """Write ``df`` as immutable data files under a fresh commit dir and
+    return manifest entries. The ``_p`` duplicate drives the hive
+    directory names while the real partition column stays IN the files,
+    so manifest reads need no partition-value reattachment."""
+    cdir = os.path.join(path, "data", f"c-{uuid.uuid4().hex}")
+    (df.withColumn(_PART_DIR, F.col(partition_col).cast("string"))
+     .write.mode("error").partitionBy(_PART_DIR).parquet(cdir))
+    entries = []
+    for pdir in sorted(os.listdir(cdir)):
+        if not pdir.startswith(f"{_PART_DIR}="):
+            continue
+        value = pdir[len(_PART_DIR) + 1:]
+        full = os.path.join(cdir, pdir)
+        for f in sorted(os.listdir(full)):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                entries.append({"path": os.path.join(full, f),
+                                "partition": value})
+    return entries
+
+
+def snapshot_create(spark: SparkSession, path: str, df: DataFrame,
+                    partition_col: str) -> dict:
+    """Create a snapshot table (version 1) from ``df``."""
+    if snapshot_version(path) != 0:
+        raise ValueError(f"snapshot table already exists at {path}")
+    entries = _write_data_files(df, path, partition_col)
+    man = _publish(path, entries, "create",
+                   {"partition_col": partition_col,
+                    "files": len(entries)}, 0)
+    return man["summary"] | {"version": man["version"]}
+
+
+def snapshot_read(spark: SparkSession, path: str,
+                  partitions: Sequence[str] | None = None,
+                  version: int | None = None) -> DataFrame:
+    """Read a snapshot (default: current). ``partitions`` prunes at the
+    MANIFEST level — excluded files are never opened or even listed;
+    ``version`` time-travels to an un-vacuumed older snapshot."""
+    man = _load_manifest(path, version)
+    entries = man["entries"]
+    if partitions is not None:
+        want = {str(p) for p in partitions}
+        entries = [e for e in entries if e["partition"] in want]
+    if not entries:
+        raise ValueError(
+            f"snapshot v{man['version']} at {path} has no files"
+            + (f" for partitions {sorted(want)}" if partitions is not None
+               else ""))
+    return spark.read.parquet(*[e["path"] for e in entries]).drop(_PART_DIR)
+
+
+def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame,
+                   keys: Sequence[str], ts_col: str | None = None) -> dict:
+    """MERGE INTO with an atomic snapshot commit — the manifest-routed
+    form of ``merge.merge_into`` (same Delta-style semantics: tombstone
+    deletes, winning updates replace, unmatched non-deleted rows
+    insert, ``ts_col`` guards out-of-order CDC batches; same batch
+    guards: key-unique, partition key in merge key, non-null partition
+    values).
+
+    Scale shape mirrors merge_into: only the batch's partitions are
+    read (manifest pruning) and rewritten; untouched partitions' FILES
+    carry over into the new manifest by reference — zero IO. A
+    partition whose every row was deleted simply has no files in the
+    new manifest (no directory-delete fix-up needed — removing state is
+    a metadata operation here). The commit is one atomic version claim;
+    a concurrent reader sees the old or the new snapshot, never a mix,
+    and a concurrent writer loses with ``SnapshotConflict`` instead of
+    corrupting the table.
+    """
+    keys = list(keys)
+    base = snapshot_version(path)
+    man = _load_manifest(path, base)
+    partition_col = man["summary"].get("partition_col") \
+        or _load_manifest(path, 1)["summary"]["partition_col"]
+    if partition_col not in keys:
+        raise ValueError(
+            f"partition_col {partition_col!r} must be part of the merge "
+            f"key {keys} so matched rows stay in their partition")
+    missing = [c for c in ([ts_col] if ts_col else []) + keys
+               if c not in updates.columns]
+    if missing:
+        raise ValueError(f"update batch lacks required columns {missing}")
+    dup = (updates.groupBy(*keys).count().filter(F.col("count") > 1)
+           .limit(1).count())
+    if dup:
+        raise ValueError(
+            "update batch is not key-unique; collapse it first "
+            "(e.g. mutation.upsert_latest) so the merge is deterministic")
+    parts = [r[0] for r in
+             updates.select(partition_col).distinct().collect()]
+    if any(p is None for p in parts):
+        raise ValueError(
+            f"update batch contains NULL {partition_col!r} values; "
+            "partition keys must be non-null")
+    parts_str = {str(p) for p in parts}
+
+    affected = [e for e in man["entries"] if e["partition"] in parts_str]
+    kept = [e for e in man["entries"] if e["partition"] not in parts_str]
+    if affected:
+        target = (spark.read.parquet(*[e["path"] for e in affected])
+                  .drop(_PART_DIR))
+    else:  # all-new partitions: empty target with the update schema
+        target = (updates.drop(DELETED_COL)
+                  .filter(F.lit(False)))
+    upd = updates
+    if DELETED_COL not in upd.columns:
+        upd = upd.withColumn(DELETED_COL, F.lit(False))
+    merged = merge_frames(target, upd, keys, ts_col).localCheckpoint(
+        eager=True)  # materialize before any files are written
+    new_entries = _write_data_files(merged, path, partition_col)
+    try:
+        pub = _publish(path, kept + new_entries, "merge",
+                       {"partition_col": partition_col,
+                        "partitions": len(parts_str),
+                        "files_added": len(new_entries),
+                        "files_removed": len(affected)}, base)
+    except SnapshotConflict:
+        # the commit lost the race: its orphaned data files are
+        # unreferenced by ANY manifest and vacuum reclaims them
+        raise
+    return pub["summary"] | {"version": pub["version"]}
+
+
+def snapshot_append(spark: SparkSession, path: str,
+                    rows: DataFrame) -> dict:
+    """Append-only commit: new files join the manifest, resident files
+    untouched (the IVF delta-fold / ingest case)."""
+    base = snapshot_version(path)
+    man = _load_manifest(path, base)
+    partition_col = man["summary"]["partition_col"]
+    entries = _write_data_files(rows, path, partition_col)
+    pub = _publish(path, man["entries"] + entries, "append",
+                   {"partition_col": partition_col,
+                    "files_added": len(entries)}, base)
+    return pub["summary"] | {"version": pub["version"]}
+
+
+def snapshot_compact(spark: SparkSession, path: str,
+                     max_files: int = 4,
+                     sort_col: str | None = None) -> dict:
+    """OPTIMIZE: rewrite partitions whose file count exceeds
+    ``max_files`` into one file each and commit atomically — readers on
+    the old snapshot keep their old files (they are not deleted), so
+    compaction is safe under concurrent reads, unlike the in-place
+    ``merge.compact_partitions`` (which requires writers-stopped)."""
+    base = snapshot_version(path)
+    man = _load_manifest(path, base)
+    partition_col = man["summary"]["partition_col"]
+    by_part: dict[str, list[dict]] = {}
+    for e in man["entries"]:
+        by_part.setdefault(e["partition"], []).append(e)
+    offenders = {p: es for p, es in by_part.items() if len(es) > max_files}
+    if not offenders:
+        return {"rewritten": 0, "version": base}
+    files = [e["path"] for es in offenders.values() for e in es]
+    df = spark.read.parquet(*files).drop(_PART_DIR)
+    out = df.repartition(len(offenders), partition_col)
+    if sort_col:
+        out = out.sortWithinPartitions(sort_col)
+    out = out.localCheckpoint(eager=True)
+    new_entries = _write_data_files(out, path, partition_col)
+    kept = [e for p, es in by_part.items() if p not in offenders
+            for e in es]
+    pub = _publish(path, kept + new_entries, "compact",
+                   {"partition_col": partition_col,
+                    "rewritten": len(offenders),
+                    "files_added": len(new_entries),
+                    "files_removed": len(files)}, base)
+    return {"rewritten": len(offenders), "version": pub["version"]}
+
+
+def snapshot_vacuum(spark: SparkSession, path: str,
+                    keep_versions: int = 2) -> dict:
+    """Delete data files referenced by NO retained manifest (the last
+    ``keep_versions`` snapshots survive for time travel / in-flight
+    readers; older manifests are dropped). The only destructive op in
+    the protocol, and the retention window is the reader grace period —
+    same contract as Delta VACUUM."""
+    current = snapshot_version(path)
+    if current == 0:
+        return {"removed_files": 0, "removed_manifests": 0}
+    keep = set(range(max(1, current - keep_versions + 1), current + 1))
+    live: set[str] = set()
+    for v in keep:
+        try:
+            live.update(e["path"] for e in _load_manifest(path, v)["entries"])
+        except FileNotFoundError:
+            continue
+    removed = 0
+    droot = os.path.join(path, "data")
+    for cdir in sorted(os.listdir(droot)) if os.path.isdir(droot) else []:
+        cfull = os.path.join(droot, cdir)
+        for pdir, _dirs, fs in os.walk(cfull):
+            for f in fs:
+                full = os.path.join(pdir, f)
+                if f.endswith(".parquet") and full not in live:
+                    os.unlink(full)
+                    removed += 1
+        if not any(fs for _p, _d, fs in os.walk(cfull)):
+            import shutil
+            shutil.rmtree(cfull)
+    removed_manifests = 0
+    mdir = _manifest_dir(path)
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                v = int(f[1:-5])
+            except ValueError:
+                continue
+            if v not in keep:
+                os.unlink(os.path.join(mdir, f))
+                removed_manifests += 1
+    return {"removed_files": removed,
+            "removed_manifests": removed_manifests}
