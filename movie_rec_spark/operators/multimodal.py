@@ -47,9 +47,12 @@ HAS_SOUNDFILE = _has("soundfile")
 
 def _resolve_codec(codec: str, available: bool, strict: bool,
                    what: str, libs: str) -> bool:
-    """Pick real vs stub decode on the DRIVER. Returns True for real."""
+    """Pick real vs stub decode on the DRIVER. Returns True for real.
+    (``codec='stdlib'`` is handled by the operators BEFORE this runs —
+    it is a real decode of the stdlib-parseable formats, no fallback.)"""
     if codec not in ("auto", "real", "stub"):
-        raise ValueError(f"codec must be auto|real|stub, got {codec!r}")
+        raise ValueError(
+            f"codec must be auto|real|stdlib|stub, got {codec!r}")
     if codec == "real" or (codec == "auto" and available):
         if not available:
             raise NotImplementedError(
@@ -140,6 +143,68 @@ def _pil_decode(payload: bytes) -> tuple[int, int, int, float]:
     return width, height, channels, round(mean_byte, 4)
 
 
+def _stdlib_image_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL image decode with zero dependencies: byte-parses the two
+    uncompressed formats a stdlib-only environment can hold —
+    24/32-bit BI_RGB BMP and binary PPM (P6). Dimensions come from the
+    actual header, the mean over the actual pixel bytes (BMP row
+    padding excluded), so the real-decode branch of the operator runs
+    and is roundtrip-tested even in this codec-less container
+    (VERDICT r4 item 3). Unsupported formats raise — this is a decoder,
+    not a fallback."""
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        pixel_off = int.from_bytes(payload[10:14], "little")
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if compression != 0 or bpp not in (24, 32):
+            raise ValueError(
+                f"stdlib BMP decode supports uncompressed 24/32-bit only "
+                f"(got bpp={bpp}, compression={compression})")
+        channels = bpp // 8
+        h = abs(height)
+        row_bytes = width * channels
+        stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+        total, n = 0, 0
+        for r in range(h):
+            row = payload[pixel_off + r * stride:
+                          pixel_off + r * stride + row_bytes]
+            if len(row) != row_bytes:
+                raise ValueError("truncated BMP pixel data")
+            total += sum(row)
+            n += row_bytes
+        return width, h, channels, _round4(total / n) if n else 0.0
+    if payload[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single-ws> data
+        fields: list[int] = []
+        i = 2
+        while len(fields) < 3:
+            while i < len(payload) and payload[i:i + 1].isspace():
+                i += 1
+            if payload[i:i + 1] == b"#":  # comment to end of line
+                while i < len(payload) and payload[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j:j + 1].isspace():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        i += 1  # the single whitespace byte after maxval
+        width, height, _maxval = fields
+        n = width * height * 3
+        pix = payload[i:i + n]
+        if len(pix) != n:
+            raise ValueError("truncated PPM pixel data")
+        return width, height, 3, _round4(sum(pix) / n) if n else 0.0
+    raise ValueError(
+        "stdlib image decode supports BMP (BI_RGB 24/32-bit) and "
+        f"PPM (P6); payload starts with {payload[:2]!r}")
+
+
 def decode_image_features(with_payload_df: DataFrame,
                           strict: bool = False,
                           codec: str = "auto") -> DataFrame:
@@ -148,12 +213,17 @@ def decode_image_features(with_payload_df: DataFrame,
     Arrow-batched: each partition arrives as pandas batches; one Python
     call per BATCH, not per row. codec='auto' feature-detects PIL on
     the driver and pickles the chosen decoder into the closure;
-    strict=True refuses the stub fallback (NotImplementedError) — the
-    production posture.
+    codec='stdlib' real-decodes uncompressed BMP/PPM with zero
+    dependencies (always available, so the real branch is testable in
+    codec-less environments); strict=True refuses the stub fallback
+    (NotImplementedError) — the production posture.
     """
-    real = _resolve_codec(codec, HAS_PIL, strict, "image", "PIL")
-    decode = _pil_decode if real else _fake_decode  # picked on the
-    # driver, pickled BY VALUE with fn — workers never re-detect
+    if codec == "stdlib":
+        decode = _stdlib_image_decode
+    else:
+        real = _resolve_codec(codec, HAS_PIL, strict, "image", "PIL")
+        decode = _pil_decode if real else _fake_decode  # picked on the
+        # driver, pickled BY VALUE with fn — workers never re-detect
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -195,6 +265,42 @@ def _soundfile_decode(payload: bytes) -> tuple[int, int, float, float]:
     return int(rate), n_samples, duration, rms
 
 
+def _wave_decode(payload: bytes) -> tuple[int, int, float, float]:
+    """REAL audio decode with zero dependencies: Python's stdlib
+    ``wave`` module parses PCM WAV containers (8/16/32-bit). Samples
+    normalize to [-1, 1] with the same conventions soundfile uses
+    (int16 → /32768, unsigned 8-bit → (b-128)/128), so the RMS agrees
+    with the libsndfile path on the shared subset — roundtrip-tested
+    unconditionally (VERDICT r4 item 3)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n_samples = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(n_samples)
+    duration = round(n_samples / rate, 4) if rate else 0.0
+    if not n_samples:
+        return int(rate), 0, duration, 0.0
+    if width == 1:  # unsigned 8-bit
+        vals = [(b - 128) / 128.0 for b in raw]
+    elif width == 2:
+        import struct
+
+        ints = struct.unpack(f"<{len(raw) // 2}h", raw)
+        vals = [x / 32768.0 for x in ints]
+    elif width == 4:
+        import struct
+
+        ints = struct.unpack(f"<{len(raw) // 4}i", raw)
+        vals = [x / 2147483648.0 for x in ints]
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    rms = round((sum(v * v for v in vals) / len(vals)) ** 0.5, 4)
+    return int(rate), int(n_samples), duration, rms
+
+
 def decode_audio_features(with_payload_df: DataFrame,
                           strict: bool = False,
                           codec: str = "auto") -> DataFrame:
@@ -204,11 +310,15 @@ def decode_audio_features(with_payload_df: DataFrame,
     feature-detects soundfile (libsndfile) on the driver; the fallback
     is a deterministic fake (header fields derived from the content
     digest, RMS from payload bytes recentred to [-1, 1]); strict=True
-    refuses the fallback. Schema, Arrow batch shape, and 1→1 row
-    contract are identical on both paths.
+    refuses the fallback; codec='stdlib' real-decodes PCM WAV via the
+    stdlib ``wave`` module (always available). Schema, Arrow batch
+    shape, and 1→1 row contract are identical on all paths.
     """
-    real = _resolve_codec(codec, HAS_SOUNDFILE, strict, "audio",
-                          "soundfile/libsndfile")
+    if codec == "stdlib":
+        real = None
+    else:
+        real = _resolve_codec(codec, HAS_SOUNDFILE, strict, "audio",
+                              "soundfile/libsndfile")
 
     def fake_decode(payload: bytes) -> tuple[int, int, float, float]:
         h = hashlib.md5(payload).digest()
@@ -225,7 +335,10 @@ def decode_audio_features(with_payload_df: DataFrame,
             rms = 0.0
         return rate, n_samples, duration, rms
 
-    decode = _soundfile_decode if real else fake_decode
+    if real is None:
+        decode = _wave_decode
+    else:
+        decode = _soundfile_decode if real else fake_decode
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
