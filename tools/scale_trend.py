@@ -114,9 +114,18 @@ def measure(spark, sf_dir: str) -> dict:
         "q_dedup_minhash": lambda: D.q_dedup_minhash(docs),
         "q_dedup_simhash": lambda: D.q_dedup_simhash(docs),
         "q_minhash_groups": lambda: D.q_minhash_groups(docs),
+        # the DECLARED default — auto-sizes (n_tables, n_bits) from the
+        # corpus count since round 5 (lsh_sized_params), so this row IS
+        # the no-manual-config linearity evidence the sizing rule owes
         "q_neardup_lsh": lambda: S.lsh_neardup(emb, S.EMBED_DIM),
+        # the pre-r5 fixed default, kept as the measured anti-pattern
+        # (L·n²/2^(b+1) chance collisions — quadratic by construction)
+        "q_neardup_lsh_fixed": lambda: S.lsh_neardup(
+            emb, S.EMBED_DIM, n_tables=8, n_bits=3),
+        # occupancy-sized bits at the r4 fixed L=8 (isolates the
+        # candidate-volume effect from the recall-driven table growth)
         "q_neardup_lsh_sized": lambda: S.lsh_neardup(
-            emb, S.EMBED_DIM, n_bits=_sized_bits(n_vecs)),
+            emb, S.EMBED_DIM, n_tables=8, n_bits=_sized_bits(n_vecs)),
         "q_knn_ivf": lambda: S.q_knn_ivf(emb),
         # round-4 additions: word-salting bijects the chunk space per
         # copy (constant duplicate-chunk density); the sign flip
@@ -133,6 +142,11 @@ def measure(spark, sf_dir: str) -> dict:
     blocked = {
         "minhash_bands": (D.minhash_banded(docs), ["band", "bh"]),
         "simhash_segments": (D.simhash_segments(docs, 3), ["q", "qh"]),
+        "lsh_buckets_auto": (
+            S.lsh_bucketed(emb, S.EMBED_DIM,
+                           *S.lsh_sized_params(n_vecs,
+                                               S.NEARDUP_THRESHOLD)),
+            ["tbl", "bucket"]),
         "lsh_buckets": (S.lsh_bucketed(emb, S.EMBED_DIM),
                         ["tbl", "bucket"]),
         "lsh_buckets_sized": (
@@ -165,7 +179,8 @@ def main() -> None:
     cand_for = {"q_dedup_minhash": "minhash_bands",
                 "q_minhash_groups": "minhash_bands",
                 "q_dedup_simhash": "simhash_segments",
-                "q_neardup_lsh": "lsh_buckets",
+                "q_neardup_lsh": "lsh_buckets_auto",
+                "q_neardup_lsh_fixed": "lsh_buckets",
                 "q_neardup_lsh_sized": "lsh_buckets_sized"}
     for q in base_m["wall"]:
         w1, wn = base_m["wall"][q], big_m["wall"][q]
