@@ -422,8 +422,15 @@ def lsh_bucketed(embeddings: DataFrame, dim: int, n_tables: int = 8,
     ).mapInPandas(fn, schema)
 
 
-LSH_OCC_TARGET = 64     # per-bucket occupancy the auto-sizer pins
+LSH_OCC_TARGET = 64     # occupancy pin when recall forces the table clamp
 LSH_TARGET_RECALL = 0.9  # expected recall the auto-sizer budgets n_tables for
+LSH_MAX_TABLES = 48      # OR-amplification budget (shuffle = L·n vector rows)
+LSH_MAX_OCC = 4096       # per-task memory bound: occ·dim·8 B ≈ 2 MB at dim 64
+# Measured per-row cost ratio of moving one vector through the bucket
+# shuffle vs one numpy dot inside the gemm (sf0.1, 30x probes): the
+# shuffle/scheduling constant dominates until occupancy is a few
+# hundred, which is why small corpora prefer FEWER, FATTER buckets.
+LSH_SHUFFLE_COST = 128
 
 
 def lsh_sized_params(n_vecs: int, threshold: float,
@@ -434,19 +441,51 @@ def lsh_sized_params(n_vecs: int, threshold: float,
 
     Chance collisions put ~n/2^b vectors in every bucket, so candidate
     pairs grow as L·n²/2^(b+1) — quadratic at FIXED b (measured 904× at
-    a 30× corpus, 171.6 s vs 4.3 s sized; SCALE.md).  Growing
-    ``b = log2(n/occ_target)`` pins per-bucket occupancy (and per-task
-    memory) to a constant.  Recall per table then falls as p^b where
-    p = 1 − arccos(threshold)/π is the per-bit agreement probability of
-    a pair AT the threshold, so n_tables grows with the OR-amplification
-    budget L ≈ ln(1/(1−recall))/p^b.  Returns (n_tables, n_bits).
+    a 30× corpus, 171.6 s vs 4.3 s sized; SCALE.md).  Recall per table
+    falls as p^b where p = 1 − arccos(threshold)/π is the per-bit
+    agreement probability of a pair AT the threshold, so holding recall
+    needs L ≈ ln(1/(1−recall))/p^b tables (OR-amplification).
+
+    The anchor is the occupancy-pinned config: b_occ = log2(n/occ_target)
+    keeps per-table candidate volume LINEAR in n (the whole point; the
+    recall-strict alternative costs n^{1+ρ} with ρ = −log2 p — at this
+    corpus's threshold 0.4, ρ ≈ 0.66, which re-grows toward the
+    quadratic cliff), with L = min(tables needed for the recall budget,
+    LSH_MAX_TABLES) — so the recall target holds exactly while n is
+    small enough and degrades gracefully for BORDERLINE pairs beyond
+    the table budget (pairs well above the threshold have higher p and
+    survive the clamp; measured 69.8× candidates at a 30× corpus vs
+    904× fixed-b, SCALE.md).  Around that anchor the sizer then admits
+    any cheaper coarser config whose candidate volume stays within 2×
+    of the anchor's, minimizing cost(b) ∝ L·(C_shuffle + occ/2) — at
+    small n the shuffle constant dominates and few fat buckets win
+    (restores the sub-2 s bench point), at large n the anchor itself
+    wins.  Returns (n_tables, n_bits).
     """
     import math
 
-    b = max(3, math.ceil(math.log2(max(n_vecs, 1) / occ_target)))
+    n = max(n_vecs, 1)
     p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
-    L = math.ceil(math.log(1.0 / (1.0 - target_recall)) / max(p ** b, 1e-12))
-    return max(8, min(L, 48)), b
+    need = math.log(1.0 / (1.0 - target_recall))
+
+    def tables(b: int) -> int:
+        return min(math.ceil(need / max(p ** b, 1e-12)), LSH_MAX_TABLES)
+
+    b_occ = max(3, math.ceil(math.log2(n / occ_target)))
+    v_anchor = tables(b_occ) * n * (n / (1 << b_occ)) / 2.0
+    best: tuple[float, int, int] | None = None
+    for b in range(3, b_occ + 1):
+        occ = n / (1 << b)
+        L = tables(b)
+        if occ > LSH_MAX_OCC and b != b_occ:
+            continue
+        if tables(b) * n * occ / 2.0 > 2.0 * v_anchor and b != b_occ:
+            continue
+        cost = L * (LSH_SHUFFLE_COST + occ / 2.0)
+        if best is None or cost < best[0]:
+            best = (cost, L, b)
+    _, L, b = best  # b_occ is always admitted, so best is never None
+    return max(8, L), b
 
 
 def lsh_neardup(embeddings: DataFrame, dim: int,
