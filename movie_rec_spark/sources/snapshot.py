@@ -89,11 +89,24 @@ def _load_manifest(path: str, version: int | None = None) -> dict:
 
 
 def _publish(path: str, entries: list[dict], op: str,
-             summary: dict, base_version: int) -> dict:
+             summary: dict, base_version: int,
+             stream_batch_id: int | None = None) -> dict:
     """Atomically claim version base_version+1. The tmp manifest is
     fully written and fsynced BEFORE the link claims the version name,
     so no reader can observe a partial manifest; os.link fails with
-    EEXIST if another writer won the race (→ SnapshotConflict)."""
+    EEXIST if another writer won the race (→ SnapshotConflict).
+
+    The streaming exactly-once floor (``last_stream_batch_id``) is
+    carried forward through EVERY commit — the current manifest alone
+    answers "was micro-batch N already committed?", surviving
+    compaction/vacuum of older manifests."""
+    floor = -1
+    if base_version > 0:
+        floor = _load_manifest(path, base_version)["summary"].get(
+            "last_stream_batch_id", -1)
+    if stream_batch_id is not None:
+        floor = max(floor, stream_batch_id)
+    summary = dict(summary, last_stream_batch_id=floor)
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
     new_version = base_version + 1
@@ -169,8 +182,17 @@ def snapshot_read(spark: SparkSession, path: str,
     return spark.read.parquet(*[e["path"] for e in entries]).drop(_PART_DIR)
 
 
+def snapshot_stream_floor(path: str) -> int:
+    """Highest stream micro-batch id ever committed to this table
+    (−1 if none): the exactly-once gate for foreachBatch sinks —
+    a replayed batch with id ≤ floor must be SKIPPED, not re-applied.
+    Carried forward through every commit, so it survives vacuum."""
+    return _load_manifest(path)["summary"].get("last_stream_batch_id", -1)
+
+
 def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame,
-                   keys: Sequence[str], ts_col: str | None = None) -> dict:
+                   keys: Sequence[str], ts_col: str | None = None,
+                   stream_batch_id: int | None = None) -> dict:
     """MERGE INTO with an atomic snapshot commit — the manifest-routed
     form of ``merge.merge_into`` (same Delta-style semantics: tombstone
     deletes, winning updates replace, unmatched non-deleted rows
@@ -234,7 +256,8 @@ def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame,
                        {"partition_col": partition_col,
                         "partitions": len(parts_str),
                         "files_added": len(new_entries),
-                        "files_removed": len(affected)}, base)
+                        "files_removed": len(affected)}, base,
+                       stream_batch_id=stream_batch_id)
     except SnapshotConflict:
         # the commit lost the race: its orphaned data files are
         # unreferenced by ANY manifest and vacuum reclaims them
@@ -243,7 +266,8 @@ def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame,
 
 
 def snapshot_append(spark: SparkSession, path: str,
-                    rows: DataFrame) -> dict:
+                    rows: DataFrame,
+                    stream_batch_id: int | None = None) -> dict:
     """Append-only commit: new files join the manifest, resident files
     untouched (the IVF delta-fold / ingest case)."""
     base = snapshot_version(path)
@@ -252,7 +276,8 @@ def snapshot_append(spark: SparkSession, path: str,
     entries = _write_data_files(rows, path, partition_col)
     pub = _publish(path, man["entries"] + entries, "append",
                    {"partition_col": partition_col,
-                    "files_added": len(entries)}, base)
+                    "files_added": len(entries)}, base,
+                   stream_batch_id=stream_batch_id)
     return pub["summary"] | {"version": pub["version"]}
 
 

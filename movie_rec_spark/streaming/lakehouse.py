@@ -73,6 +73,60 @@ def merge_stream(spark: SparkSession, stream: DataFrame, target_path: str,
     return log
 
 
+def merge_batch_snapshot(batch: DataFrame, table_path: str,
+                         keys: Sequence[str], ts_col: str,
+                         tiebreak_col: str, batch_id: int) -> dict:
+    """One micro-batch committed to the MANIFEST table with TRUE
+    exactly-once semantics: the snapshot's ``last_stream_batch_id``
+    floor (carried through every commit, vacuum-proof) identifies a
+    replayed batch, which is SKIPPED rather than re-applied. That
+    upgrades ``merge_batch``'s at-least-once-plus-ts-idempotence to
+    exactly-once COMMITS — correct even for payload semantics that are
+    not naturally idempotent, and the whole batch is one atomic version
+    claim (a crash mid-commit publishes nothing; the replay then
+    commits cleanly). Assumes one writer stream per table: the floor is
+    keyed to the checkpoint's batch-id lineage, so pointing a FRESH
+    checkpoint (ids restarting at 0) at an existing table requires a
+    new table (same single-writer contract as the plain path)."""
+    from movie_rec_spark.sources.snapshot import (
+        snapshot_merge,
+        snapshot_stream_floor,
+    )
+
+    if batch_id <= snapshot_stream_floor(table_path):
+        return {"batch_id": batch_id, "skipped_replay": True}
+    if batch.isEmpty():
+        return {"batch_id": batch_id, "partitions": 0, "updated": 0,
+                "deleted": 0, "inserted": 0, "ignored": 0}
+    collapsed = upsert_latest(batch, keys=keys, ts_col=ts_col,
+                              tiebreak_col=tiebreak_col)
+    summary = snapshot_merge(batch.sparkSession, table_path, collapsed,
+                             keys=keys, ts_col=ts_col,
+                             stream_batch_id=batch_id)
+    return {"batch_id": batch_id, **summary}
+
+
+def merge_stream_snapshot(spark: SparkSession, stream: DataFrame,
+                          table_path: str, checkpoint_dir: str,
+                          keys: Sequence[str], ts_col: str = "ts",
+                          tiebreak_col: str = "event_id") -> list[dict]:
+    """Drive the CDC stream into a snapshot table with exactly-once
+    commits (``merge_batch_snapshot``); returns per-batch summaries
+    including replay skips."""
+    log: list[dict] = []
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        log.append(merge_batch_snapshot(
+            batch, table_path, keys, ts_col, tiebreak_col, batch_id))
+
+    q = (stream.writeStream.foreachBatch(apply)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return log
+
+
 def read_change_stream(spark: SparkSession, src_dir: str, schema,
                        max_files_per_trigger: int | None = 1) -> DataFrame:
     """File-source change stream: one parquet file per CDC batch. The

@@ -209,3 +209,71 @@ def test_snapshot_append_and_compact(spark, table):
     assert got.count() == 14
     # pre-compaction snapshot readable until vacuumed (reader safety)
     assert snapshot_read(spark, table, version=pre).count() == 14
+
+
+def test_snapshot_stream_exactly_once_commits(spark, tmp_path):
+    """CDC stream -> snapshot table: every micro-batch is one atomic
+    version claim, and a REPLAYED batch (fresh checkpoint over the same
+    source — ids restart at 0) is skipped entirely via the
+    last_stream_batch_id floor: zero new versions, zero re-application.
+    The floor survives compaction commits in between."""
+    from movie_rec_spark.sources.snapshot import snapshot_compact
+    from movie_rec_spark.streaming.lakehouse import (
+        merge_batch_snapshot,
+        merge_stream_snapshot,
+        read_change_stream,
+    )
+
+    table = str(tmp_path / "snap_tbl")
+    src = str(tmp_path / "snap_src")
+    schema = ("id bigint, day bigint, val string, ts bigint, "
+              "event_id bigint, _deleted boolean")
+    snapshot_create(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(1, 1, "a", 100, 0, False), (3, 2, "c", 100, 2, False)],
+            schema).drop("_deleted"),
+        "day")
+
+    b1 = [(1, 1, "a2", 200, 10, False),    # update
+          (4, 2, "d", 200, 12, False)]     # insert
+    b2 = [(3, 2, None, 300, 21, True)]     # tombstone
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    log = merge_stream_snapshot(
+        spark, read_change_stream(spark, src, schema), table,
+        str(tmp_path / "ckpt1"), keys=["id", "day"])
+    assert len(log) == 2 and not any(
+        s.get("skipped_replay") for s in log)
+
+    def state():
+        return {(r.id, r.day): (r.val, r.ts)
+                for r in snapshot_read(spark, table).collect()}
+
+    want = {(1, 1): ("a2", 200), (4, 2): ("d", 200)}
+    assert state() == want
+    v_after = snapshot_version(table)
+
+    # a maintenance commit must CARRY the stream floor forward
+    snapshot_compact(spark, table, max_files=0)
+
+    # full replay: fresh checkpoint, same source, ids restart at 0
+    replay_log = merge_stream_snapshot(
+        spark, read_change_stream(spark, src, schema), table,
+        str(tmp_path / "ckpt2"), keys=["id", "day"])
+    assert all(s["skipped_replay"] for s in replay_log), replay_log
+    assert state() == want
+    assert snapshot_version(table) == v_after + 1  # only the compact
+
+    # a genuinely NEW batch id above the floor still commits
+    out = merge_batch_snapshot(
+        spark.createDataFrame([(5, 1, "e", 400, 30, False)], schema),
+        table, keys=["id", "day"], ts_col="ts",
+        tiebreak_col="event_id", batch_id=2)
+    assert not out.get("skipped_replay")
+    assert out["last_stream_batch_id"] == 2
+    assert state() == {**want, (5, 1): ("e", 400)}
