@@ -101,12 +101,18 @@ def _publish(path: str, entries: list[dict], op: str,
     answers "was micro-batch N already committed?", surviving
     compaction/vacuum of older manifests."""
     floor = -1
+    summary = dict(summary)
     if base_version > 0:
-        floor = _load_manifest(path, base_version)["summary"].get(
-            "last_stream_batch_id", -1)
+        prev = _load_manifest(path, base_version)["summary"]
+        floor = prev.get("last_stream_batch_id", -1)
+        # table-level config rides every manifest so the CURRENT one
+        # always answers alone (vacuum may drop the older ones)
+        for k in ("partition_col", "stats_cols"):
+            if summary.get(k) is None and prev.get(k) is not None:
+                summary[k] = prev[k]
     if stream_batch_id is not None:
         floor = max(floor, stream_batch_id)
-    summary = dict(summary, last_stream_batch_id=floor)
+    summary["last_stream_batch_id"] = floor
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
     new_version = base_version + 1
@@ -129,12 +135,22 @@ def _publish(path: str, entries: list[dict], op: str,
     return man
 
 
-def _write_data_files(df: DataFrame, path: str,
-                      partition_col: str) -> list[dict]:
+def _write_data_files(df: DataFrame, path: str, partition_col: str,
+                      stats_cols: Sequence[str] | None = None
+                      ) -> list[dict]:
     """Write ``df`` as immutable data files under a fresh commit dir and
     return manifest entries. The ``_p`` duplicate drives the hive
     directory names while the real partition column stays IN the files,
-    so manifest reads need no partition-value reattachment."""
+    so manifest reads need no partition-value reattachment.
+
+    ``stats_cols`` records each file's (min, max) for those columns in
+    its manifest entry — read from the just-written parquet footers
+    (pure metadata, no data pages touched). This is Iceberg-style
+    FILE-LEVEL skipping: a range predicate then prunes at the manifest
+    before any file is opened, one level above parquet's own row-group
+    stats (which still apply inside the files that survive)."""
+    import pyarrow.parquet as pq
+
     cdir = os.path.join(path, "data", f"c-{uuid.uuid4().hex}")
     (df.withColumn(_PART_DIR, F.col(partition_col).cast("string"))
      .write.mode("error").partitionBy(_PART_DIR).parquet(cdir))
@@ -145,41 +161,110 @@ def _write_data_files(df: DataFrame, path: str,
         value = pdir[len(_PART_DIR) + 1:]
         full = os.path.join(cdir, pdir)
         for f in sorted(os.listdir(full)):
-            if f.endswith(".parquet") and not f.startswith((".", "_")):
-                entries.append({"path": os.path.join(full, f),
-                                "partition": value})
+            if not (f.endswith(".parquet") and not f.startswith((".", "_"))):
+                continue
+            entry: dict = {"path": os.path.join(full, f),
+                           "partition": value}
+            if stats_cols:
+                md = pq.ParquetFile(entry["path"]).metadata
+                idx = {md.schema.column(i).name: i
+                       for i in range(md.num_columns)}
+                stats = {}
+                for c in stats_cols:
+                    if c not in idx:
+                        continue
+                    lo = hi = None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx[c]).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    if lo is not None:
+                        stats[c] = [_json_safe(lo), _json_safe(hi)]
+                if stats:
+                    entry["stats"] = stats
+            entries.append(entry)
     return entries
 
 
+def _json_safe(v):
+    """Footer stats can be date/datetime/Decimal/bytes — store a JSON
+    value that compares consistently with what the reader passes."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
 def snapshot_create(spark: SparkSession, path: str, df: DataFrame,
-                    partition_col: str) -> dict:
-    """Create a snapshot table (version 1) from ``df``."""
+                    partition_col: str,
+                    stats_cols: Sequence[str] | None = None) -> dict:
+    """Create a snapshot table (version 1) from ``df``.
+
+    ``stats_cols`` opts the table into manifest-level file stats:
+    every commit records per-file (min, max) for those columns, and
+    ``snapshot_read(ranges=...)`` prunes files from the manifest alone."""
     if snapshot_version(path) != 0:
         raise ValueError(f"snapshot table already exists at {path}")
-    entries = _write_data_files(df, path, partition_col)
+    entries = _write_data_files(df, path, partition_col, stats_cols)
     man = _publish(path, entries, "create",
                    {"partition_col": partition_col,
+                    "stats_cols": list(stats_cols) if stats_cols else None,
                     "files": len(entries)}, 0)
     return man["summary"] | {"version": man["version"]}
 
 
 def snapshot_read(spark: SparkSession, path: str,
                   partitions: Sequence[str] | None = None,
-                  version: int | None = None) -> DataFrame:
+                  version: int | None = None,
+                  ranges: dict | None = None) -> DataFrame:
     """Read a snapshot (default: current). ``partitions`` prunes at the
     MANIFEST level — excluded files are never opened or even listed;
-    ``version`` time-travels to an un-vacuumed older snapshot."""
+    ``version`` time-travels to an un-vacuumed older snapshot.
+
+    ``ranges`` = {col: (lo, hi)} prunes on the per-file (min, max)
+    stats recorded at write time (``stats_cols``): a file is kept only
+    if [file_min, file_max] intersects [lo, hi] (None = open end).
+    SKIPPING ONLY — the caller still applies the exact row predicate;
+    a file with no recorded stats for the column is conservatively
+    kept. Combined with a sorted/z-ordered layout this is the Iceberg
+    file-skipping story one level above parquet row-group pruning."""
     man = _load_manifest(path, version)
     entries = man["entries"]
     if partitions is not None:
         want = {str(p) for p in partitions}
         entries = [e for e in entries if e["partition"] in want]
+    if ranges:
+        def keep(e: dict) -> bool:
+            st = e.get("stats") or {}
+            for c, (lo, hi) in ranges.items():
+                if c not in st:
+                    continue
+                fmin, fmax = st[c]
+                if lo is not None and fmax < lo:
+                    return False
+                if hi is not None and fmin > hi:
+                    return False
+            return True
+        entries = [e for e in entries if keep(e)]
     if not entries:
         raise ValueError(
             f"snapshot v{man['version']} at {path} has no files"
             + (f" for partitions {sorted(want)}" if partitions is not None
                else ""))
-    return spark.read.parquet(*[e["path"] for e in entries]).drop(_PART_DIR)
+    # mergeSchema: file generations may differ after schema evolution;
+    # the union schema resolves older files' missing columns to null
+    # (footer-only work, no data pages)
+    return (spark.read.option("mergeSchema", "true")
+            .parquet(*[e["path"] for e in entries]).drop(_PART_DIR))
 
 
 def snapshot_stream_floor(path: str) -> int:
@@ -192,7 +277,8 @@ def snapshot_stream_floor(path: str) -> int:
 
 def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame,
                    keys: Sequence[str], ts_col: str | None = None,
-                   stream_batch_id: int | None = None) -> dict:
+                   stream_batch_id: int | None = None,
+                   schema_evolution: bool = False) -> dict:
     """MERGE INTO with an atomic snapshot commit — the manifest-routed
     form of ``merge.merge_into`` (same Delta-style semantics: tombstone
     deletes, winning updates replace, unmatched non-deleted rows
@@ -209,6 +295,14 @@ def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame,
     a concurrent reader sees the old or the new snapshot, never a mix,
     and a concurrent writer loses with ``SnapshotConflict`` instead of
     corrupting the table.
+
+    Schema discipline (same stance as merge_into): an update column the
+    table lacks is an ERROR unless ``schema_evolution=True``, which
+    widens the table — resident rows read the new columns as null via
+    parquet by-name resolution (``snapshot_read`` resolves the union
+    schema across file generations). Unlike merge_into, the batch must
+    CARRY every table column (partial-column batches are refused with a
+    clear error rather than silently keeping or nulling).
     """
     keys = list(keys)
     base = snapshot_version(path)
@@ -240,7 +334,8 @@ def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame,
     affected = [e for e in man["entries"] if e["partition"] in parts_str]
     kept = [e for e in man["entries"] if e["partition"] not in parts_str]
     if affected:
-        target = (spark.read.parquet(*[e["path"] for e in affected])
+        target = (spark.read.option("mergeSchema", "true")
+                  .parquet(*[e["path"] for e in affected])
                   .drop(_PART_DIR))
     else:  # all-new partitions: empty target with the update schema
         target = (updates.drop(DELETED_COL)
@@ -248,9 +343,25 @@ def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame,
     upd = updates
     if DELETED_COL not in upd.columns:
         upd = upd.withColumn(DELETED_COL, F.lit(False))
+    upd_types = dict(upd.dtypes)
+    extra = sorted(set(upd.columns) - set(target.columns) - {DELETED_COL})
+    lacking = sorted(set(target.columns) - set(upd.columns))
+    if lacking:
+        raise ValueError(
+            f"update batch lacks table columns {lacking}; snapshot_merge "
+            "batches must carry the full table schema")
+    if extra:
+        if not schema_evolution:
+            raise ValueError(
+                f"update batch carries columns the table lacks: {extra}; "
+                "pass schema_evolution=True to widen the table, or drop "
+                "them — silently discarding producer data is refused")
+        for c in extra:  # widen resident rows: new columns read as null
+            target = target.withColumn(c, F.lit(None).cast(upd_types[c]))
     merged = merge_frames(target, upd, keys, ts_col).localCheckpoint(
         eager=True)  # materialize before any files are written
-    new_entries = _write_data_files(merged, path, partition_col)
+    new_entries = _write_data_files(merged, path, partition_col,
+                                    man["summary"].get("stats_cols"))
     try:
         pub = _publish(path, kept + new_entries, "merge",
                        {"partition_col": partition_col,
@@ -265,6 +376,29 @@ def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame,
     return pub["summary"] | {"version": pub["version"]}
 
 
+def snapshot_merge_retry(spark: SparkSession, path: str,
+                         updates: DataFrame, keys: Sequence[str],
+                         ts_col: str | None = None,
+                         max_attempts: int = 5, **kwargs) -> dict:
+    """Optimistic-concurrency loop around ``snapshot_merge``: on
+    ``SnapshotConflict`` the merge REBASES — re-reads the table at its
+    new current version and recomputes the commit from scratch (the
+    update batch is a pure input, so replaying it against the newer
+    base is exactly Delta's conflict-retry semantics for
+    non-overlapping-writer workloads; the loser's orphaned data files
+    are reclaimed by vacuum). Raises after ``max_attempts`` genuine
+    races — at that contention level the table needs a coordinator,
+    not a longer loop."""
+    last: SnapshotConflict | None = None
+    for _ in range(max_attempts):
+        try:
+            return snapshot_merge(spark, path, updates, keys,
+                                  ts_col=ts_col, **kwargs)
+        except SnapshotConflict as exc:
+            last = exc
+    raise last
+
+
 def snapshot_append(spark: SparkSession, path: str,
                     rows: DataFrame,
                     stream_batch_id: int | None = None) -> dict:
@@ -273,7 +407,8 @@ def snapshot_append(spark: SparkSession, path: str,
     base = snapshot_version(path)
     man = _load_manifest(path, base)
     partition_col = man["summary"]["partition_col"]
-    entries = _write_data_files(rows, path, partition_col)
+    entries = _write_data_files(rows, path, partition_col,
+                                man["summary"].get("stats_cols"))
     pub = _publish(path, man["entries"] + entries, "append",
                    {"partition_col": partition_col,
                     "files_added": len(entries)}, base,
@@ -299,12 +434,14 @@ def snapshot_compact(spark: SparkSession, path: str,
     if not offenders:
         return {"rewritten": 0, "version": base}
     files = [e["path"] for es in offenders.values() for e in es]
-    df = spark.read.parquet(*files).drop(_PART_DIR)
+    df = (spark.read.option("mergeSchema", "true").parquet(*files)
+          .drop(_PART_DIR))
     out = df.repartition(len(offenders), partition_col)
     if sort_col:
         out = out.sortWithinPartitions(sort_col)
     out = out.localCheckpoint(eager=True)
-    new_entries = _write_data_files(out, path, partition_col)
+    new_entries = _write_data_files(out, path, partition_col,
+                                    man["summary"].get("stats_cols"))
     kept = [e for p, es in by_part.items() if p not in offenders
             for e in es]
     pub = _publish(path, kept + new_entries, "compact",

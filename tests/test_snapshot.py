@@ -277,3 +277,92 @@ def test_snapshot_stream_exactly_once_commits(spark, tmp_path):
     assert not out.get("skipped_replay")
     assert out["last_stream_batch_id"] == 2
     assert state() == {**want, (5, 1): ("e", 400)}
+
+
+def test_snapshot_schema_evolution(spark, table):
+    """Extra update columns are refused by default, widen the table
+    with schema_evolution=True, and resident rows read the new column
+    as null across file generations (mergeSchema union)."""
+    widened = spark.createDataFrame(
+        [Row(id=20, day=2, val="W", score=0.9)])
+    with pytest.raises(ValueError, match="schema_evolution"):
+        snapshot_merge(spark, table, widened, keys=["id", "day"])
+    snapshot_merge(spark, table, widened, keys=["id", "day"],
+                   schema_evolution=True)
+    got = {r.id: r for r in snapshot_read(spark, table).collect()}
+    assert got[20].score == 0.9
+    assert got[10].score is None          # untouched old-generation file
+    assert len(got) == 9
+    # partial-column batches are refused with a clear error
+    with pytest.raises(ValueError, match="lacks table columns"):
+        snapshot_merge(spark, table,
+                       spark.createDataFrame([Row(id=20, day=2, val="x")]),
+                       keys=["id", "day"])
+
+
+def test_snapshot_manifest_file_stats_skipping(spark, tmp_path):
+    """stats_cols records per-file (min, max) in the manifest; a range
+    read opens ONLY intersecting files (file-level skipping above
+    parquet row groups) and stats survive merge commits. Layout: one
+    partition, many files each covering a disjoint ts range."""
+    path = str(tmp_path / "stats")
+    snapshot_create(
+        spark, path,
+        spark.createDataFrame([Row(id=0, day=1, ts=0, val="seed")]),
+        "day", stats_cols=["ts"])
+    for base in (100, 200, 300, 400):
+        snapshot_append(
+            spark, path,
+            spark.createDataFrame(
+                [Row(id=base + i, day=1, ts=base + i, val="x")
+                 for i in range(10)]).coalesce(1))
+    man = _load_manifest(path)
+    assert all("stats" in e for e in man["entries"]), man["entries"]
+    pruned = snapshot_read(spark, path, ranges={"ts": (205, 215)})
+    assert len(pruned.inputFiles()) == 1   # only the 200-file intersects
+    rows = pruned.filter("ts BETWEEN 205 AND 215").collect()
+    assert sorted(r.ts for r in rows) == list(range(205, 210))
+    # a merge rewrite keeps recording stats (carried via the manifest)
+    snapshot_merge(
+        spark, path,
+        spark.createDataFrame([Row(id=205, day=1, ts=205, val="EDIT")]),
+        keys=["id", "day"])
+    man2 = _load_manifest(path)
+    assert all("stats" in e for e in man2["entries"])
+    # open-ended range: everything >= 400
+    hi = snapshot_read(spark, path, ranges={"ts": (400, None)})
+    assert len(hi.inputFiles()) == 1
+
+
+def test_snapshot_concurrent_writers_retry_rebase(spark, tmp_path):
+    """Two writer threads race 5 disjoint-key merges each through
+    snapshot_merge_retry: every commit lands exactly once (10 + create
+    versions), all 10 rows present — optimistic concurrency resolves
+    the races without a coordinator."""
+    from movie_rec_spark.sources.snapshot import snapshot_merge_retry
+
+    path = str(tmp_path / "race")
+    snapshot_create(
+        spark, path,
+        spark.createDataFrame([Row(id=0, day=1, val="seed")]), "day")
+    errors: list[Exception] = []
+
+    def writer(offset: int) -> None:
+        try:
+            for i in range(5):
+                snapshot_merge_retry(
+                    spark, path,
+                    spark.createDataFrame(
+                        [Row(id=offset + i, day=1, val=f"w{offset + i}")]),
+                    keys=["id", "day"], max_attempts=20)
+        except Exception as exc:  # noqa: BLE001 — surfaced below
+            errors.append(exc)
+
+    t1 = threading.Thread(target=writer, args=(100,))
+    t2 = threading.Thread(target=writer, args=(200,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    got = {r.id for r in snapshot_read(spark, path).collect()}
+    assert got == {0} | {100 + i for i in range(5)} \
+        | {200 + i for i in range(5)}
+    assert snapshot_version(path) == 11  # create + 10 merges
