@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_unigram_logprob": lambda s, d: T.q_unigram_logprob(
             _t("documents")(s, d)),
+        "q_bigram_logprob": lambda s, d: T.q_bigram_logprob(
+            _t("documents")(s, d)),
         "q_knn_int8": lambda s, d: S.q_knn_int8(_t("embeddings")(s, d)),
         "q_embed_centroids": lambda s, d: S.q_embed_centroids(
             _t("embeddings")(s, d)),
@@ -1464,6 +1466,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
                    round(avg(ln(tf * 1.0 / n_total)), 4) AS avg_logprob
             FROM toks JOIN freqs USING (term) CROSS JOIN total
+            GROUP BY doc_id
+        """,
+        # Interpolation arithmetic mirrors the Spark expression term by
+        # term (lam*(bf/pf) + (1-lam)*(uf/N), explicit 1.0 promotions)
+        # so the double rounds identically; range(1, len(w)) is
+        # stop-exclusive = positions 1..len-1, matching the Spark
+        # sequence over the same index space.
+        "q_bigram_logprob": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+            warr AS (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents),
+            big AS (SELECT doc_id,
+                           w[CAST(i AS INT)] AS prev,
+                           w[CAST(i AS INT) + 1] AS cur
+                    FROM (SELECT doc_id, w,
+                                 unnest(range(1, len(w))) AS i
+                          FROM warr WHERE len(w) >= 2)),
+            uni AS (SELECT term, count(*) AS uf FROM toks GROUP BY term),
+            total AS (SELECT count(*) AS n_total FROM toks),
+            bgc AS (SELECT prev, cur, count(*) AS bf FROM big
+                    GROUP BY 1, 2),
+            pre AS (SELECT prev, count(*) AS pf FROM big GROUP BY 1)
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+                   round(avg(ln({T.BIGRAM_LAMBDA} * (bf * 1.0 / pf)
+                              + {1.0 - T.BIGRAM_LAMBDA}
+                                * (uf * 1.0 / n_total))), 4) AS avg_logprob
+            FROM big
+            JOIN bgc USING (prev, cur)
+            JOIN pre USING (prev)
+            JOIN uni ON big.cur = uni.term
+            CROSS JOIN total
             GROUP BY doc_id
         """,
         # Per-source mean quality (exact quarters, order-independent

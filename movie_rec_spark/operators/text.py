@@ -414,6 +414,60 @@ def q_unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram term
+
+
+def q_bigram_logprob(documents: DataFrame,
+                     lam: float = BIGRAM_LAMBDA) -> DataFrame:
+    """Interpolated bigram LM quality score — the order-2 upgrade of
+    q_unigram_logprob (KenLM-style filtering uses n-gram models for
+    exactly this): every document scores the mean log of
+    P(w_i | w_{i-1}) = λ·c(prev,cur)/c_prefix(prev) + (1−λ)·c(cur)/N,
+    where c_prefix counts occurrences AS A BIGRAM PREFIX (so the
+    conditional is a true MLE over the bigram event space) and the
+    unigram back-off term keeps unseen-ish continuations finite.
+    Repetitive boilerplate scores high, garbled text low, and unlike
+    the unigram proxy, scrambled word ORDER now scores low too.
+
+    Plan shape: bigrams form ROW-LOCALLY from the token array (a
+    transform over indices fused into the scan — no positional
+    self-join); three count aggregations (bigram, prefix, unigram —
+    each one hash shuffle with map-side partials), vocabulary-sized
+    join-backs that Catalyst broadcasts while they fit, and one
+    per-doc aggregation. Docs with fewer than 2 tokens have no bigram
+    events and are absent, same convention in the oracle.
+    """
+    w = _tokens(F.col("text"))
+    toks = documents.select(
+        "doc_id", F.explode(w).alias("term"))
+    big = (
+        documents.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("w"), i).alias("prev"),
+                F.element_at(F.col("w"), i + F.lit(1)).alias("cur")),
+        )).alias("bg"))
+        .select("doc_id", "bg.prev", "bg.cur")
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("uf"))
+    total = toks.select(F.count(F.lit(1)).alias("n_total"))
+    bgc = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bf"))
+    pre = big.groupBy("prev").agg(F.count(F.lit(1)).alias("pf"))
+    prob = (F.lit(lam) * (F.col("bf") / F.col("pf"))
+            + F.lit(1.0 - lam) * (F.col("uf") / F.col("n_total")))
+    return (
+        big.join(bgc, ["prev", "cur"])
+        .join(pre, "prev")
+        .join(uni.withColumnRenamed("term", "cur"), "cur")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+             F.round(F.avg(F.log(prob)), 4).alias("avg_logprob"))
+    )
+
+
 def q_epoch_mix(documents: DataFrame,
                 quality_bar: float = 0.8,
                 upweight_pct: int = 50) -> DataFrame:

@@ -135,6 +135,12 @@ def test_new_operator_shuffle_budgets(spark):
         "q_fuzzy_match": 2,      # entity collapse + block-keyed self-join
         "q_outliers": 1,         # grouped quantiles; fences broadcast back
         "q_resample": 2,         # counts agg + span agg, both user-keyed
+        # round-5 additions
+        "q_funnel_window": 5,    # same chain as q_funnel, predicate rides
+        "q_decontaminate_k8": 2,  # same shape as k=3: shingle join + agg
+        "q_pagerank_general": 1,  # final ordered select; rounds checkpointed
+        "q_top_movies_bucketed": 0,  # bucketed layout removes the agg Exch
+        "q_merge_snapshot": 0,   # checkpointed merge; read is scan-only
     }
     qs = E.queries()
     for name, budget in budgets.items():

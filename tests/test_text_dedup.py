@@ -744,3 +744,37 @@ def test_fuzzy_match_blocks_and_verifies(spark):
     assert out[("cold ring", "old ring")].n_parts_a == 2
     assert all("blue bolt" not in k for pair in out for k in pair)
     assert ("cold rng", "old ring") not in out  # different noun block
+
+
+def test_bigram_logprob_orders_and_interpolates(spark):
+    """The bigram score is ORDER-sensitive where the unigram proxy is
+    blind: a natural phrase repeated verbatim outscores the same
+    multiset of words scrambled (identical unigram stats), single-token
+    docs are absent, and a hand-computed doc matches to 4dp."""
+    natural = "the cat sat the cat sat the cat sat"
+    scrambled = "sat the cat cat sat the the sat cat"
+    docs = _docs(spark, [natural, scrambled, "solo"])
+    out = {r.doc_id: r for r in T.q_bigram_logprob(docs).collect()}
+    assert set(out) == {0, 1}           # "solo" has no bigram events
+    assert out[0].n_bigrams == out[1].n_bigrams == 8
+    assert out[0].avg_logprob > out[1].avg_logprob
+
+    # hand computation for doc 0 under the corpus counts
+    import math
+    toks = (natural + " " + scrambled + " solo").split()
+    n_total = len(toks)
+    uni = {t: toks.count(t) for t in set(toks)}
+    bigs = []
+    for text in (natural, scrambled):
+        ws = text.split()
+        bigs += list(zip(ws, ws[1:]))
+    bgc = {b: bigs.count(b) for b in set(bigs)}
+    pre = {}
+    for p, _c in bigs:
+        pre[p] = pre.get(p, 0) + 1
+    lam = T.BIGRAM_LAMBDA
+    ws = natural.split()
+    lps = [math.log(lam * (bgc[(p, c)] / pre[p])
+                    + (1 - lam) * (uni[c] / n_total))
+           for p, c in zip(ws, ws[1:])]
+    assert abs(out[0].avg_logprob - sum(lps) / len(lps)) < 1e-4
