@@ -223,33 +223,45 @@ def q_funnel_window(events: DataFrame,
 
 def _funnel(events: DataFrame, steps: tuple[str, ...],
             max_delay_days: int | None) -> DataFrame:
+    """Single-shuffle funnel kernel: one window PER STEP, all over the
+    SAME user_id partitioning, so Catalyst plans ONE Exchange + one
+    Sort reused by every Window operator (plan-asserted ≤2 exchanges
+    incl. the O(steps)-row global count; the naive per-step
+    agg-and-join-back chain costs ``2·steps − 1`` user-keyed shuffles
+    of the full event table — the r4 shape, 5 Exchanges at 3 steps).
+    Step k's first-touch time t_k = min ts of step-k events with
+    ts ≥ t_{k-1} (and ≤ t_{k-1} + max_delay when bounded) — t_{k-1} is
+    a previously-computed window column, constant within the user
+    partition, so the dependency never leaves the executor."""
+    w = Window.partitionBy("user_id")
     ev = events.select("user_id", "event_type", "ts")
-    reached = None  # (user_id, t_k): first time user completed step k
-    counts = []
+    prev: F.Column | None = None
+    tcols = []
     for i, step in enumerate(steps):
-        e = ev.filter(F.col("event_type") == step)
-        if reached is None:
-            cur = e.groupBy("user_id").agg(F.min("ts").alias("t"))
-        else:
-            within = F.col("ts") >= F.col("t")
+        qual = F.col("event_type") == step
+        if prev is not None:
+            qual = qual & (F.col("ts") >= prev)
             if max_delay_days is not None:
-                within = within & (
-                    F.col("ts") <= F.col("t")
+                qual = qual & (
+                    F.col("ts") <= prev
                     + F.expr(f"INTERVAL {max_delay_days} DAYS"))
-            cur = (
-                e.join(reached, "user_id")
-                .filter(within)
-                .groupBy("user_id").agg(F.min("ts").alias("t"))
-            )
-        reached = cur
-        counts.append(
-            cur.agg(F.count(F.lit(1)).alias("n_users"))
-            .select(F.lit(i).cast("int").alias("step_idx"),
-                    F.lit(step).alias("step"), "n_users"))
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out
+        ev = ev.withColumn(
+            f"_t{i}", F.min(F.when(qual, F.col("ts"))).over(w))
+        prev = F.col(f"_t{i}")
+        tcols.append(f"_t{i}")
+    # one row per user (groupBy on the window key reuses the layout),
+    # then an O(steps)-row conditional count finishes on the driver side
+    per_user = ev.groupBy("user_id").agg(
+        *[F.first(c).alias(c) for c in tcols])
+    counts = per_user.agg(*[
+        F.count(F.col(c)).alias(f"_n{i}") for i, c in enumerate(tcols)])
+    # one stack() generate over the single counts row — a per-step
+    # union would replicate the whole agg subtree once per step
+    cells = ", ".join(
+        f"CAST({i} AS INT), '{step}', _n{i}"
+        for i, step in enumerate(steps))
+    return counts.select(F.expr(
+        f"stack({len(steps)}, {cells}) AS (step_idx, step, n_users)"))
 
 
 def q_cohort(events: DataFrame) -> DataFrame:

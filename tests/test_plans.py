@@ -122,7 +122,7 @@ def test_new_operator_shuffle_budgets(spark):
                                  # form (row-replication blowup; docstring)
         "q_bm25": 4,             # tf agg, df agg, dl join, doc-sum agg
         "q_semdedup": 1,         # one cell-keyed applyInPandas group
-        "q_funnel": 5,           # per-step user-keyed agg/join chain
+        "q_funnel": 1,           # stacked windows share ONE user Exchange
         "q_cohort": 3,           # first-seen agg, join-back, matrix agg
         "q_rolling_window": 1,   # one user-keyed window, two-pointer frame
         "q_outer_join": 2,       # agg-before-join on both sides, then join
@@ -136,7 +136,7 @@ def test_new_operator_shuffle_budgets(spark):
         "q_outliers": 1,         # grouped quantiles; fences broadcast back
         "q_resample": 2,         # counts agg + span agg, both user-keyed
         # round-5 additions
-        "q_funnel_window": 5,    # same chain as q_funnel, predicate rides
+        "q_funnel_window": 1,    # same single-window shape as q_funnel
         "q_decontaminate_k8": 2,  # same shape as k=3: shingle join + agg
         "q_pagerank_general": 1,  # final ordered select; rounds checkpointed
         "q_top_movies_bucketed": 0,  # bucketed layout removes the agg Exch
