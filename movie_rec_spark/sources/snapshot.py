@@ -452,6 +452,23 @@ def snapshot_compact(spark: SparkSession, path: str,
     return {"rewritten": len(offenders), "version": pub["version"]}
 
 
+def snapshot_changes(spark: SparkSession, path: str, keys: Sequence[str],
+                     from_version: int, to_version: int | None = None
+                     ) -> DataFrame:
+    """Change-data-feed between two snapshot versions — time travel
+    composed with the generic diff kernel (`mutation.snapshot_diff`):
+    rows classify added / removed / changed between ``from_version``
+    and ``to_version`` (default current). Both versions must still be
+    retained (vacuum window); cost is one full-outer key-partitioned
+    exchange over the two file lists, same class as q_snapshot_diff —
+    the format-agnostic answer to Delta's table_changes()."""
+    from movie_rec_spark.operators.mutation import snapshot_diff
+
+    old = snapshot_read(spark, path, version=from_version)
+    new = snapshot_read(spark, path, version=to_version)
+    return snapshot_diff(old, new, keys)
+
+
 def snapshot_vacuum(spark: SparkSession, path: str,
                     keep_versions: int = 2) -> dict:
     """Delete data files referenced by NO retained manifest (the last

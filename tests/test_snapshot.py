@@ -366,3 +366,21 @@ def test_snapshot_concurrent_writers_retry_rebase(spark, tmp_path):
     assert got == {0} | {100 + i for i in range(5)} \
         | {200 + i for i in range(5)}
     assert snapshot_version(path) == 11  # create + 10 merges
+
+
+def test_snapshot_changes_between_versions(spark, table):
+    """CDF across versions: a merge that updates, deletes and inserts
+    shows exactly those rows as changed/removed/added between v1 and
+    current, and nothing else."""
+    from movie_rec_spark.sources.snapshot import snapshot_changes
+
+    snapshot_merge(spark, table, spark.createDataFrame([
+        Row(id=20, day=2, val="EDIT", _deleted=False),
+        Row(id=21, day=2, val=None, _deleted=True),
+        Row(id=99, day=4, val="NEW", _deleted=False),
+    ]), keys=["id", "day"])
+    ch = {(r.id, r.day): r.status
+          for r in snapshot_changes(spark, table, ["id", "day"], 1)
+          .filter(F.col("status") != "unchanged").collect()}
+    assert ch == {(20, 2): "changed", (21, 2): "removed",
+                  (99, 4): "added"}
