@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort": lambda s, d: TP.q_cohort(_t("events")(s, d)),
         "q_rolling_window": lambda s, d: TP.q_rolling_window(
             _t("events")(s, d)),
+        "q_anomaly": lambda s, d: TP.q_anomaly(_t("events")(s, d)),
         "q_scd2": lambda s, d: TP.q_scd2(_t("events")(s, d)),
         "q_resample": lambda s, d: TP.q_resample(_t("events")(s, d)),
         "q_percentiles": lambda s, d: R.q_percentiles(_t("lineitem")(s, d)),
@@ -1815,6 +1816,27 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                          RANGE BETWEEN {TP.ROLLING_WINDOW_SEC} PRECEDING
                                AND CURRENT ROW)
+        """,
+        # Same RANGE frame as q_rolling_window; z rounds to 2dp BEFORE
+        # the threshold compare on BOTH engines so the flag is stable
+        # against float accumulation order inside the frame.
+        "q_anomaly": f"""
+            SELECT event_id, user_id, ts, value, n_win, zscore,
+                   coalesce(abs(zscore), 0) >= {TP.ANOMALY_Z_CUT}
+                       AS is_anomaly
+            FROM (
+                SELECT event_id, user_id, ts, value,
+                       count(*) OVER w AS n_win,
+                       CASE WHEN count(*) OVER w >= {TP.ANOMALY_MIN_N}
+                             AND stddev_pop(value) OVER w > 0
+                            THEN round((value - avg(value) OVER w)
+                                       / stddev_pop(value) OVER w, 2)
+                       END AS zscore
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                             RANGE BETWEEN {TP.ROLLING_WINDOW_SEC} PRECEDING
+                                   AND 1 PRECEDING))
         """,
         # SCD2: consecutive-repeat islands via lag-flag + running sum;
         # every island row shares event_type, so min() stands in for

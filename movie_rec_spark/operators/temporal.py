@@ -330,6 +330,56 @@ def q_rolling_window(events: DataFrame,
     )
 
 
+ANOMALY_MIN_N = 5    # frame must hold this many points to score
+ANOMALY_Z_CUT = 3.0  # |z| at-or-above flags the event
+
+
+def q_anomaly(events: DataFrame,
+              window_sec: int = ROLLING_WINDOW_SEC,
+              min_n: int = ANOMALY_MIN_N,
+              z_cut: float = ANOMALY_Z_CUT) -> DataFrame:
+    """Rolling z-score anomaly detection — the alerting twin of
+    q_rolling_window and the streaming-monitoring form of q_outliers'
+    batch IQR fences: each event's ``value`` scores against the mean
+    and population-σ of that user's OWN trailing ``window_sec`` frame,
+    and |z| ≥ ``z_cut`` flags it. Per-entity baselines (not global
+    ones) are what fraud/abuse/SLO monitors actually run, because a
+    heavy user's normal is another user's anomaly.
+
+    The baseline frame EXCLUDES the scored event (RANGE … PRECEDING
+    AND 1 PRECEDING): an inclusive frame dilutes its own spike into
+    the mean/σ it is judged against — a 100× outlier after 5 steady
+    points only reaches z ≈ 2.2 self-diluted, vs z ≈ 700 against the
+    prior-only baseline (the unit test pins exactly this case).
+
+    Guards: a baseline with fewer than ``min_n`` points or zero
+    variance yields a NULL z (never a flag) — cold-start and constant
+    streams must not alert. z is rounded to 2dp BEFORE the threshold
+    compare in both engines, so the flag itself is hash-stable despite
+    float accumulation-order differences inside the window aggregates.
+
+    Scale shape: identical to q_rolling_window — ONE user-keyed
+    shuffle, per-partition sort, two-pointer RANGE frame; the three
+    window aggregates (count, avg, stddev_pop) share the same frame
+    and sort.
+    """
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_timestamp("ts"))
+         .rangeBetween(-window_sec, -1))
+    n = F.count(F.lit(1)).over(w)
+    mu = F.avg("value").over(w)
+    sd = F.stddev_pop("value").over(w)
+    z = F.when((n >= min_n) & (sd > 0),
+               F.round((F.col("value") - mu) / sd, 2))
+    return events.select(
+        "event_id", "user_id", "ts", "value",
+        n.alias("n_win"),
+        z.alias("zscore"),
+        (F.coalesce(F.abs(z), F.lit(0.0)) >= F.lit(z_cut))
+        .alias("is_anomaly"),
+    )
+
+
 def q_scd2(events: DataFrame) -> DataFrame:
     """SCD Type-2 history build — turn a change log into a validity-
     interval dimension: each user's attribute stream (event_type here

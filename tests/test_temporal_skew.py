@@ -226,6 +226,32 @@ def test_funnel_window_bounds_step_delay(spark):
     assert unb == {"view": 3, "click": 3, "purchase": 1}
 
 
+def test_anomaly_flags_spike_against_own_baseline(spark):
+    """A 100x spike after a steady per-user baseline flags; the same
+    absolute value is NORMAL for a user whose baseline is high
+    (per-entity baselines); cold frames (< min_n) and zero-variance
+    frames never score."""
+    from movie_rec_spark.operators.temporal import q_anomaly
+    ev = _events(spark, [
+        # user 1: steady 1.0 ± small, then a spike
+        (1, "view", 1, 1.0), (1, "view", 2, 1.2), (1, "view", 3, 0.8),
+        (1, "view", 4, 1.1), (1, "view", 5, 0.9), (1, "view", 6, 100.0),
+        # user 2: 100.0 IS the baseline (with variance), never flags
+        (2, "view", 1, 100.0), (2, "view", 2, 101.0), (2, "view", 3, 99.0),
+        (2, "view", 4, 100.5), (2, "view", 5, 99.5), (2, "view", 6, 100.0),
+        # user 3: constant stream -> zero variance -> no score
+        (3, "view", 1, 5.0), (3, "view", 2, 5.0), (3, "view", 3, 5.0),
+        (3, "view", 4, 5.0), (3, "view", 5, 5.0), (3, "view", 6, 5.0),
+    ]).withColumn("event_id", F.expr("monotonically_increasing_id()"))
+    out = [(r.user_id, r.ts.day, r.zscore, r.is_anomaly)
+           for r in q_anomaly(ev).collect()]
+    flagged = {(u, d) for u, d, _z, a in out if a}
+    assert flagged == {(1, 6)}
+    # cold start: user 1 days 1-4 have < 5 points in frame -> unscored
+    assert all(z is None for u, d, z, _a in out if u == 1 and d <= 4)
+    assert all(z is None for u, d, z, _a in out if u == 3)
+
+
 def test_cohort_offsets_anchor_per_user(spark):
     """offset_weeks floors days-since-first/7 per user (day 8 -> 1);
     repeat activity in the same week collapses to one row per user."""
