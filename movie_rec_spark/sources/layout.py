@@ -105,26 +105,45 @@ def zvalue(col_a, col_b, bits: int = 16):
     BOTH dimensions are locally coherent, which is what makes
     row-group min/max statistics selective for 2-D predicates.
     """
+    return zvalue_n([col_a, col_b], bits)
+
+
+def zvalue_n(cols, bits: int = 16):
+    """N-dimensional Morton interleave — ``zvalue`` for any number of
+    cluster columns (Delta's OPTIMIZE ZORDER BY accepts a column LIST
+    for the same reason: a 3-D workload filters on three dimensions).
+    Dimension d contributes its bit i at output position i·n + d, so
+    the total z-width is n·bits — keep n·bits ≤ 62 to stay inside a
+    signed long (3 dims × 16 bits = 48 default). Still pure unrolled
+    codegen: shift amounts are literals, no UDF, no shuffle."""
     from pyspark.sql import functions as F
 
-    a = col_a.cast("long")
-    b = col_b.cast("long")
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zvalue_n needs at least 2 cluster columns")
+    if n * bits > 62:
+        raise ValueError(
+            f"{n} dims x {bits} bits = {n * bits} z-bits overflows a "
+            "signed long; lower bits")
+    longs = [c.cast("long") for c in cols]
     z = F.lit(0).cast("long")
     for i in range(bits):  # unrolled: shift amounts must be literals
-        z = (z
-             + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
-             + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)),
-                           2 * i + 1))
+        for d, c in enumerate(longs):
+            z = z + F.shiftleft(
+                F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + d)
     return z
 
 
 def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
-                   n_files: int = 8,
+                   *more_cols: str, n_files: int = 8,
                    row_group_bytes: int = 512 * 1024) -> None:
-    """OPTIMIZE ZORDER BY (a, b), the plain-parquet way: sort by the
-    Morton interleave of the two columns and write with small row
-    groups, so every row group's (min, max) on BOTH columns covers a
-    tight rectangle of the value space. A 2-D predicate then skips
+    """OPTIMIZE ZORDER BY (a, b, ...), the plain-parquet way: sort by
+    the Morton interleave of the cluster columns (2 by signature, more
+    via ``*more_cols`` — ``zvalue_n`` handles any count with 62
+    z-bits, bits shrinking as dimensions grow) and write with small
+    row groups, so every row group's (min, max) on EVERY cluster
+    column covers a tight box of the value space. A multi-column
+    predicate then skips
     most row groups on parquet statistics alone — the data-skipping
     answer when a query filters on two columns and directory
     partitioning can only serve one. repartitionByRange on the z-value
@@ -157,19 +176,21 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
     """
     from pyspark.sql import functions as F
 
-    bits = 16
+    cols = [col_a, col_b, *more_cols]
+    bits = min(16, 62 // len(cols))
     grid = (1 << bits) - 1
-    mm = df.agg(F.min(col_a), F.max(col_a),
-                F.min(col_b), F.max(col_b)).collect()[0]
-    if mm[0] is None or mm[2] is None:
+    mm = df.agg(*[f for c in cols
+                  for f in (F.min(c), F.max(c))]).collect()[0]
+    if any(mm[2 * i] is None for i in range(len(cols))):
         raise ValueError(
             "write_zordered: empty input (or all-null cluster column) — "
-            f"no ({col_a}, {col_b}) value range to grid")
+            f"no {tuple(cols)} value range to grid")
     try:
-        a_lo, a_hi, b_lo, b_hi = [float(x) for x in mm]
+        bounds = [(float(mm[2 * i]), float(mm[2 * i + 1]))
+                  for i in range(len(cols))]
     except (TypeError, ValueError) as exc:
         raise ValueError(
-            f"write_zordered: cluster columns ({col_a}, {col_b}) must be "
+            f"write_zordered: cluster columns {tuple(cols)} must be "
             "numeric; convert dates/timestamps to epoch days/seconds "
             "first (see tools/zorder_demo.py::_day)") from exc
 
@@ -177,9 +198,9 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
         span = (hi - lo) or 1.0
         return F.floor((c.cast("double") - lo) / span * grid).cast("long")
 
-    z = df.withColumn("_z", zvalue(scaled(F.col(col_a), a_lo, a_hi),
-                                   scaled(F.col(col_b), b_lo, b_hi),
-                                   bits))
+    z = df.withColumn("_z", zvalue_n(
+        [scaled(F.col(c), lo, hi) for c, (lo, hi) in zip(cols, bounds)],
+        bits))
     (z.repartitionByRange(n_files, "_z")
      .sortWithinPartitions("_z")
      .drop("_z")

@@ -193,3 +193,60 @@ def test_bucketed_catalog_reregisters_without_rewrite(spark):
     after = {f: os.path.getmtime(f)
              for f in glob.glob(os.path.join(loc[0], "*.parquet"))}
     assert after == before, "re-registration must not rewrite data files"
+
+
+def test_zvalue_n_three_dims_and_overflow_guard(spark):
+    """3-D Morton: dim d's bit i lands at position 3i+d —
+    z(1,0,0)=1, z(0,1,0)=2, z(0,0,1)=4, z(1,1,1)=7, z(2,0,0)=8;
+    2-col zvalue stays bit-identical to zvalue_n([a,b]); >62 z-bits
+    raises."""
+    from movie_rec_spark.sources.layout import zvalue, zvalue_n
+    df = spark.createDataFrame(
+        [(1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 1), (2, 0, 0)],
+        "a int, b int, c int")
+    out = {(r.a, r.b, r.c): r.z for r in df.select(
+        "a", "b", "c",
+        zvalue_n([F.col("a"), F.col("b"), F.col("c")], bits=8)
+        .alias("z")).collect()}
+    assert out == {(1, 0, 0): 1, (0, 1, 0): 2, (0, 0, 1): 4,
+                   (1, 1, 1): 7, (2, 0, 0): 8}
+    two = df.select(
+        (zvalue(F.col("a"), F.col("b"))
+         == zvalue_n([F.col("a"), F.col("b")])).alias("same")).collect()
+    assert all(r.same for r in two)
+    with pytest.raises(ValueError, match="overflows"):
+        zvalue_n([F.col("a")] * 4, bits=16)
+
+
+def test_zorder_write_three_dims(spark, tmp_path):
+    """write_zordered with a third cluster column produces per-file
+    stats tighter than the full span on ALL THREE dimensions."""
+    import glob
+    import pyarrow.parquet as pq
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders") \
+        .withColumn("_day", F.datediff(
+            F.to_date("o_orderdate"),
+            F.lit("1970-01-01").cast("date")).cast("long")) \
+        .withColumn("_price", F.col("o_totalprice").cast("long"))
+    path = str(tmp_path / "z3")
+    write_zordered(orders, path, "o_custkey", "_day", "_price",
+                   n_files=8)
+    for col in ("o_custkey", "_day", "_price"):
+        spans, lo_all, hi_all = [], None, None
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            spans.append(hi - lo)
+            lo_all = lo if lo_all is None else min(lo_all, lo)
+            hi_all = hi if hi_all is None else max(hi_all, hi)
+        full = hi_all - lo_all
+        assert len(spans) >= 4
+        assert sum(spans) < len(spans) * full * 0.85, \
+            f"{col}: z-order must tighten per-file ranges"
