@@ -16,3 +16,6 @@ from movie_rec_spark.streaming.sessions import (  # noqa: F401
     session_windows_stream,
     stateful_sessions,
 )
+from movie_rec_spark.streaming.anomaly import (  # noqa: F401
+    anomaly_stream,
+)

@@ -1,0 +1,149 @@
+"""Streaming rolling z-score anomaly detection — the custom-stateful
+twin of ``operators.temporal.q_anomaly``.
+
+Batch q_anomaly scores each event against its user's trailing
+prior-only RANGE frame; serving that same alert online means carrying
+each user's trailing window as STATE and scoring events as they
+arrive. No built-in streaming window does prior-only per-event scoring
+(stream aggregations emit per-window rows, not per-event flags), so
+this is exactly the sanctioned ``applyInPandasWithState`` case — same
+operator family as streaming/sessions.stateful_sessions.
+
+Semantics parity with the batch kernel, tested (test_streaming):
+- baseline = the user's events in ``[t − window, t − 1]`` unix seconds
+  — PRIOR-ONLY, same-second ties excluded from each other's baselines
+  (events in a micro-batch process in ascending second groups, each
+  group scoring against state before the group inserts);
+- guards identical: fewer than ``min_n`` baseline points or zero
+  variance → NULL z, never a flag; z rounds to 2dp BEFORE the
+  threshold compare.
+
+Ordering caveat (inherent to online scoring, documented not hidden):
+an event arriving LATE — after a younger event of the same user was
+already scored — scores against a baseline that already contains its
+future, where the batch kernel would not. In-order delivery per key
+(the Kafka-partition-per-user norm) gives bit-equal flags to the batch
+kernel; the parity test drives exactly that.
+
+State is one row per user: (ts_secs array<long>, vals array<double>),
+evicted below ``max_seen − window`` each batch, so state size is
+bounded by each user's event rate × window — observable via the usual
+state-store metrics, same posture as streaming/ingest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from movie_rec_spark.operators.temporal import (
+    ANOMALY_MIN_N,
+    ANOMALY_Z_CUT,
+    ROLLING_WINDOW_SEC,
+)
+
+ANOMALY_OUTPUT = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("value", DoubleType()),
+    StructField("n_win", IntegerType()),
+    StructField("zscore", DoubleType()),
+    StructField("is_anomaly", BooleanType()),
+])
+
+ANOMALY_STATE = StructType([
+    StructField("ts_secs", ArrayType(LongType())),
+    StructField("vals", ArrayType(DoubleType())),
+])
+
+
+def _score_group(key: tuple, pdfs: Iterable[pd.DataFrame],
+                 state: Any) -> Iterator[pd.DataFrame]:
+    import math
+
+    (user_id,) = key
+    if state.hasTimedOut:  # no timeout configured; defensive only
+        return
+    events = pd.concat(list(pdfs), ignore_index=True)
+    events = events.sort_values(["ts", "event_id"], kind="mergesort")
+    secs = (events["ts"].astype("int64") // 1_000_000_000).to_numpy()
+
+    if state.exists:
+        ts_secs, vals = state.get
+        ts_secs, vals = list(ts_secs), list(vals)
+    else:
+        ts_secs, vals = [], []
+
+    out: dict[str, list] = {f.name: [] for f in ANOMALY_OUTPUT.fields}
+    i = 0
+    rows = events.to_dict("records")
+    while i < len(rows):
+        sec = int(secs[i])
+        j = i
+        while j < len(rows) and int(secs[j]) == sec:
+            j += 1
+        # score ALL events at this second against state BEFORE any of
+        # them inserts — same-second ties never see each other (RANGE
+        # ... AND 1 PRECEDING parity)
+        base = [v for t, v in zip(ts_secs, vals)
+                if sec - ROLLING_WINDOW_SEC <= t <= sec - 1]
+        n = len(base)
+        z_ok, mu, sd = False, 0.0, 0.0
+        if n >= ANOMALY_MIN_N:
+            mu = sum(base) / n
+            sd = math.sqrt(sum((x - mu) ** 2 for x in base) / n)
+            z_ok = sd > 0
+        for k in range(i, j):
+            r = rows[k]
+            zk = round((float(r["value"]) - mu) / sd, 2) if z_ok else None
+            out["event_id"].append(int(r["event_id"]))
+            out["user_id"].append(int(user_id))
+            out["ts"].append(r["ts"])
+            out["value"].append(float(r["value"]))
+            out["n_win"].append(n)
+            out["zscore"].append(zk)
+            out["is_anomaly"].append(
+                zk is not None and abs(zk) >= ANOMALY_Z_CUT)
+        for k in range(i, j):
+            ts_secs.append(sec)
+            vals.append(float(rows[k]["value"]))
+        i = j
+
+    # evict beyond the window behind the newest second seen
+    if ts_secs:
+        floor = max(ts_secs) - ROLLING_WINDOW_SEC
+        kept = [(t, v) for t, v in zip(ts_secs, vals) if t >= floor]
+        ts_secs = [t for t, _ in kept]
+        vals = [v for _, v in kept]
+    state.update((ts_secs, vals))
+    yield pd.DataFrame(out)
+
+
+def anomaly_stream(stream: DataFrame) -> DataFrame:
+    """Score a (event_id, user_id, ts, value) stream online; one
+    output row PER EVENT with the same columns as batch q_anomaly."""
+    return (
+        stream.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _score_group,
+            outputStructType=ANOMALY_OUTPUT,
+            stateStructType=ANOMALY_STATE,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

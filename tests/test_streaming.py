@@ -431,3 +431,59 @@ def test_state_compaction_snapshot_and_replay_floor(spark, tmp_path):
     again = compact_state(spark, state)
     assert again["snapshot"] == 3 and again["rows"] == 4
     assert compact_state(spark, state)["snapshot"] is None
+
+
+def test_streaming_anomaly_matches_batch_kernel(spark, tmp_path):
+    """Batch/stream parity for the anomaly detector: the stateful
+    online scorer over in-order micro-batches produces the SAME
+    per-event (n_win, zscore, is_anomaly) as batch q_anomaly on the
+    union of the batches — including the spike flag, cold-start NULLs,
+    and zero-variance NULLs — with the window state carried ACROSS the
+    batch boundary."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from movie_rec_spark.operators.temporal import q_anomaly
+    from movie_rec_spark.streaming.anomaly import anomaly_stream
+
+    def rows(recs):
+        return [(eid, u, dt.datetime(2024, 1, d, 12, 0, 0), v)
+                for eid, u, d, v in recs]
+
+    schema = "event_id bigint, user_id bigint, ts timestamp, value double"
+    batch1 = rows([
+        (0, 1, 1, 1.0), (1, 1, 2, 1.2), (2, 1, 3, 0.8), (3, 1, 4, 1.1),
+        (10, 3, 1, 5.0), (11, 3, 2, 5.0), (12, 3, 3, 5.0),
+    ])
+    batch2 = rows([
+        (4, 1, 5, 0.9), (5, 1, 6, 100.0),        # spike in batch 2:
+        # its 5-point baseline spans BOTH batches (state carry-over)
+        (13, 3, 4, 5.0), (14, 3, 5, 5.0), (15, 3, 6, 5.0),
+    ])
+    src = str(tmp_path / "an_src")
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (anomaly_stream(stream)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("t_anom")
+         .option("checkpointLocation", str(tmp_path / "an_ck"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    got = {r.event_id: (r.n_win, r.zscore, r.is_anomaly)
+           for r in spark.sql("SELECT * FROM t_anom").collect()}
+
+    batch_df = spark.createDataFrame(batch1 + batch2, schema)
+    want = {r.event_id: (r.n_win, r.zscore, r.is_anomaly)
+            for r in q_anomaly(batch_df).collect()}
+    assert got == want, {k: (got.get(k), want.get(k))
+                         for k in set(got) | set(want)
+                         if got.get(k) != want.get(k)}
+    assert got[5][2] is True            # the spike flags
+    assert all(got[e][1] is None for e in (10, 11, 12, 13, 14, 15))
