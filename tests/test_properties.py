@@ -258,3 +258,93 @@ def test_snapshot_diff_matches_set_model(spark, old_rows, new_rows):
         else:
             assert got[k] == "unchanged"
     assert set(got) == set(old_m) | set(new_m)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.tuples(st.integers(0, 6),        # id
+                       st.integers(1, 3),        # day (partition)
+                       st.integers(0, 50),       # ts
+                       st.booleans()),           # tombstone
+             min_size=1, max_size=5),
+    min_size=1, max_size=4))
+def test_snapshot_merge_matches_dict_model(spark, tmp_path_factory, batches):
+    """Model-based: a random sequence of merge batches against the
+    snapshot table equals a python dict applying the same Delta
+    semantics (latest-wins collapse inside a batch, ts-guarded update,
+    tombstone delete, insert) — table state AND version count agree
+    after every commit."""
+    from movie_rec_spark.sources.snapshot import (
+        snapshot_create,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_version,
+    )
+
+    path = str(tmp_path_factory.mktemp("snapmodel") / "tbl")
+    seed = [(i, 1 + i % 3, -1, f"seed{i}") for i in range(3)]
+    schema = "id bigint, day bigint, ts bigint, val string"
+    snapshot_create(
+        spark, path, spark.createDataFrame(seed, schema), "day")
+    model = {(i, d): (ts, v) for i, d, ts, v in seed}
+
+    for bi, batch in enumerate(batches):
+        # latest-wins collapse to key-unique (max ts, later row wins tie)
+        collapsed: dict = {}
+        for j, (i, d, ts, dead) in enumerate(batch):
+            k = (i, d)
+            if k not in collapsed or (ts, j) >= collapsed[k][:2]:
+                collapsed[k] = (ts, j, dead)
+        rows = [(i, d, ts, f"b{bi}", dead)
+                for (i, d), (ts, _j, dead) in collapsed.items()]
+        snapshot_merge(
+            spark, path,
+            spark.createDataFrame(
+                rows, schema + ", _deleted boolean"),
+            keys=["id", "day"], ts_col="ts")
+        for (i, d), (ts, _j, dead) in collapsed.items():
+            k = (i, d)
+            in_t = k in model
+            wins = (not in_t) or ts >= model[k][0]
+            if wins and dead:
+                model.pop(k, None)
+            elif wins:
+                model[k] = (ts, f"b{bi}")
+            # stale updates (incl. stale tombstones) are ignored
+        got = {(r.id, r.day): (r.ts, r.val)
+               for r in snapshot_read(spark, path).collect()}
+        assert got == model, f"after batch {bi}"
+    assert snapshot_version(path) == 1 + len(batches)
+
+
+def test_snapshot_orphans_from_failed_commit_are_vacuumed(spark, tmp_path):
+    """Crash-safety: data files written but never published (a writer
+    dying before its version claim, or losing the race) are invisible
+    to readers and reclaimed by vacuum; the table is untouched."""
+    from pyspark.sql import Row
+
+    from movie_rec_spark.sources.snapshot import (
+        _write_data_files,
+        snapshot_create,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_version,
+    )
+
+    path = str(tmp_path / "orph")
+    snapshot_create(
+        spark, path,
+        spark.createDataFrame([Row(id=1, day=1, val="a")]), "day")
+    # simulate the crash: files land, no manifest is ever claimed
+    orphans = _write_data_files(
+        spark.createDataFrame([Row(id=9, day=1, val="ghost")]),
+        path, "day")
+    assert orphans
+    assert {r.id for r in snapshot_read(spark, path).collect()} == {1}
+    res = snapshot_vacuum(spark, path, keep_versions=2)
+    assert res["removed_files"] >= len(orphans)
+    import os
+    assert all(not os.path.exists(e["path"]) for e in orphans)
+    assert snapshot_version(path) == 1
+    assert {r.id for r in snapshot_read(spark, path).collect()} == {1}
