@@ -88,13 +88,23 @@ def _load_manifest(path: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
-def _publish(path: str, entries: list[dict], op: str,
+def _publish(path: str, partitions: dict, op: str,
              summary: dict, base_version: int,
              stream_batch_id: int | None = None) -> dict:
     """Atomically claim version base_version+1. The tmp manifest is
     fully written and fsynced BEFORE the link claims the version name,
     so no reader can observe a partial manifest; os.link fails with
     EEXIST if another writer won the race (→ SnapshotConflict).
+
+    ``partitions`` is the MANIFEST-LIST layering (the Iceberg answer to
+    single-manifest growth, measured and documented in SCALE.md):
+    {partition value → [{"seg": segment-file, "n": file-count}, ...]}.
+    The version manifest holds only segment REFERENCES — its size
+    scales with partitions and commits, never with total file count —
+    and each ``seg-*.json`` is an immutable per-(commit, partition)
+    entry list written once by ``_write_segments``. A commit therefore
+    rewrites one small version file plus segments for the partitions it
+    actually touched; everything else carries by reference.
 
     The streaming exactly-once floor (``last_stream_batch_id``) is
     carried forward through EVERY commit — the current manifest alone
@@ -110,13 +120,16 @@ def _publish(path: str, entries: list[dict], op: str,
         for k in ("partition_col", "stats_cols"):
             if summary.get(k) is None and prev.get(k) is not None:
                 summary[k] = prev[k]
+    if base_version > 0:
+        if summary.get("columns") is None and prev.get("columns"):
+            summary["columns"] = prev["columns"]
     if stream_batch_id is not None:
         floor = max(floor, stream_batch_id)
     summary["last_stream_batch_id"] = floor
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
     new_version = base_version + 1
-    man = {"version": new_version, "op": op, "entries": entries,
+    man = {"version": new_version, "op": op, "partitions": partitions,
            "summary": summary, "parent": base_version}
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
@@ -133,6 +146,51 @@ def _publish(path: str, entries: list[dict], op: str,
     finally:
         os.unlink(tmp)
     return man
+
+
+def _write_segments(path: str, entries: list[dict]) -> dict:
+    """Group fresh entries by partition and persist one immutable
+    ``seg-<uuid>.json`` per (commit, partition); returns the
+    {partition → [segment ref]} map fragment for ``_publish``. Segment
+    files are fully written + fsynced before the version claim can
+    reference them, so a reader never sees a partial segment."""
+    mdir = _manifest_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    by_part: dict[str, list[dict]] = {}
+    for e in entries:
+        by_part.setdefault(e["partition"], []).append(e)
+    out: dict[str, list[dict]] = {}
+    for p, es in by_part.items():
+        name = f"seg-{uuid.uuid4().hex}.json"
+        with open(os.path.join(mdir, name), "w") as fh:
+            json.dump({"partition": p, "entries": es}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        out[p] = [{"seg": name, "n": len(es)}]
+    return out
+
+
+def _segment_entries(path: str, refs: list[dict]) -> list[dict]:
+    out: list[dict] = []
+    for ref in refs:
+        with open(os.path.join(_manifest_dir(path), ref["seg"])) as fh:
+            out.extend(json.load(fh)["entries"])
+    return out
+
+
+def manifest_entries(path: str, version: int | None = None,
+                     partitions: Sequence[str] | None = None
+                     ) -> list[dict]:
+    """Materialize a snapshot's file entries (optionally only for some
+    partitions) by loading exactly those partitions' segments."""
+    man = _load_manifest(path, version)
+    want = None if partitions is None else {str(p) for p in partitions}
+    out: list[dict] = []
+    for p, refs in man["partitions"].items():
+        if want is not None and p not in want:
+            continue
+        out.extend(_segment_entries(path, refs))
+    return out
 
 
 def _write_data_files(df: DataFrame, path: str, partition_col: str,
@@ -215,11 +273,31 @@ def snapshot_create(spark: SparkSession, path: str, df: DataFrame,
     if snapshot_version(path) != 0:
         raise ValueError(f"snapshot table already exists at {path}")
     entries = _write_data_files(df, path, partition_col, stats_cols)
-    man = _publish(path, entries, "create",
+    man = _publish(path, _write_segments(path, entries), "create",
                    {"partition_col": partition_col,
                     "stats_cols": list(stats_cols) if stats_cols else None,
+                    "columns": dict(df.dtypes),
                     "files": len(entries)}, 0)
     return man["summary"] | {"version": man["version"]}
+
+
+def _check_types(table_cols: dict | None, batch: DataFrame,
+                 what: str) -> None:
+    """Refuse type drift BEFORE files land: a batch column whose type
+    differs from the table's poisons every later mergeSchema read
+    (CANNOT_MERGE_SCHEMAS deep inside a future query — found by the
+    manifest probe appending day:int to a day:bigint table). Cast
+    upstream; silent coercion inside a commit path is worse than an
+    error."""
+    if not table_cols:
+        return
+    bad = {c: (table_cols[c], t) for c, t in batch.dtypes
+           if c in table_cols and table_cols[c] != t}
+    if bad:
+        raise ValueError(
+            f"{what}: column types differ from the table "
+            f"{{col: (table, batch)}} = {bad}; cast the batch before "
+            "committing — type drift would poison later reads")
 
 
 def snapshot_read(spark: SparkSession, path: str,
@@ -236,12 +314,14 @@ def snapshot_read(spark: SparkSession, path: str,
     SKIPPING ONLY — the caller still applies the exact row predicate;
     a file with no recorded stats for the column is conservatively
     kept. Combined with a sorted/z-ordered layout this is the Iceberg
-    file-skipping story one level above parquet row-group pruning."""
+    file-skipping story one level above parquet row-group pruning.
+
+    Partition pruning here never even LOADS excluded partitions'
+    segment files — planning IO is proportional to the partitions
+    probed, not the table."""
     man = _load_manifest(path, version)
-    entries = man["entries"]
-    if partitions is not None:
-        want = {str(p) for p in partitions}
-        entries = [e for e in entries if e["partition"] in want]
+    want = None if partitions is None else {str(p) for p in partitions}
+    entries = manifest_entries(path, man["version"], want)
     if ranges:
         def keep(e: dict) -> bool:
             st = e.get("stats") or {}
@@ -287,8 +367,9 @@ def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame,
     values).
 
     Scale shape mirrors merge_into: only the batch's partitions are
-    read (manifest pruning) and rewritten; untouched partitions' FILES
-    carry over into the new manifest by reference — zero IO. A
+    read (manifest pruning) and rewritten; untouched partitions carry
+    over as SEGMENT references — zero IO, their entry lists are not
+    even loaded, let alone rewritten. A
     partition whose every row was deleted simply has no files in the
     new manifest (no directory-delete fix-up needed — removing state is
     a metadata operation here). The commit is one atomic version claim;
@@ -317,6 +398,8 @@ def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame,
                if c not in updates.columns]
     if missing:
         raise ValueError(f"update batch lacks required columns {missing}")
+    _check_types(man["summary"].get("columns"),
+                 updates.drop(DELETED_COL), "snapshot_merge")
     dup = (updates.groupBy(*keys).count().filter(F.col("count") > 1)
            .limit(1).count())
     if dup:
@@ -331,8 +414,11 @@ def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame,
             "partition keys must be non-null")
     parts_str = {str(p) for p in parts}
 
-    affected = [e for e in man["entries"] if e["partition"] in parts_str]
-    kept = [e for e in man["entries"] if e["partition"] not in parts_str]
+    affected = [e for p, refs in man["partitions"].items()
+                if p in parts_str
+                for e in _segment_entries(path, refs)]
+    kept = {p: refs for p, refs in man["partitions"].items()
+            if p not in parts_str}
     if affected:
         target = (spark.read.option("mergeSchema", "true")
                   .parquet(*[e["path"] for e in affected])
@@ -363,8 +449,11 @@ def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame,
     new_entries = _write_data_files(merged, path, partition_col,
                                     man["summary"].get("stats_cols"))
     try:
-        pub = _publish(path, kept + new_entries, "merge",
+        pub = _publish(path, kept | _write_segments(path, new_entries),
+                       "merge",
                        {"partition_col": partition_col,
+                        # evolution widens the recorded table schema
+                        "columns": dict(merged.dtypes),
                         "partitions": len(parts_str),
                         "files_added": len(new_entries),
                         "files_removed": len(affected)}, base,
@@ -402,14 +491,19 @@ def snapshot_merge_retry(spark: SparkSession, path: str,
 def snapshot_append(spark: SparkSession, path: str,
                     rows: DataFrame,
                     stream_batch_id: int | None = None) -> dict:
-    """Append-only commit: new files join the manifest, resident files
-    untouched (the IVF delta-fold / ingest case)."""
+    """Append-only commit: new segments join the touched partitions'
+    reference lists; every resident segment and file is untouched (the
+    IVF delta-fold / ingest case)."""
     base = snapshot_version(path)
     man = _load_manifest(path, base)
     partition_col = man["summary"]["partition_col"]
+    _check_types(man["summary"].get("columns"), rows, "snapshot_append")
     entries = _write_data_files(rows, path, partition_col,
                                 man["summary"].get("stats_cols"))
-    pub = _publish(path, man["entries"] + entries, "append",
+    parts = dict(man["partitions"])
+    for p, refs in _write_segments(path, entries).items():
+        parts[p] = parts.get(p, []) + refs
+    pub = _publish(path, parts, "append",
                    {"partition_col": partition_col,
                     "files_added": len(entries)}, base,
                    stream_batch_id=stream_batch_id)
@@ -423,17 +517,21 @@ def snapshot_compact(spark: SparkSession, path: str,
     ``max_files`` into one file each and commit atomically — readers on
     the old snapshot keep their old files (they are not deleted), so
     compaction is safe under concurrent reads, unlike the in-place
-    ``merge.compact_partitions`` (which requires writers-stopped)."""
+    ``merge.compact_partitions`` (which requires writers-stopped).
+    Offender detection is pure VERSION-MANIFEST metadata — segment refs
+    carry their file counts, so no segment is loaded for compliant
+    partitions; compaction also folds each offender's accreted segment
+    list back to one segment (metadata compaction riding along)."""
     base = snapshot_version(path)
     man = _load_manifest(path, base)
     partition_col = man["summary"]["partition_col"]
-    by_part: dict[str, list[dict]] = {}
-    for e in man["entries"]:
-        by_part.setdefault(e["partition"], []).append(e)
-    offenders = {p: es for p, es in by_part.items() if len(es) > max_files}
+    offenders = {p: refs for p, refs in man["partitions"].items()
+                 if sum(r["n"] for r in refs) > max_files}
     if not offenders:
         return {"rewritten": 0, "version": base}
-    files = [e["path"] for es in offenders.values() for e in es]
+    old_entries = [e for refs in offenders.values()
+                   for e in _segment_entries(path, refs)]
+    files = [e["path"] for e in old_entries]
     df = (spark.read.option("mergeSchema", "true").parquet(*files)
           .drop(_PART_DIR))
     out = df.repartition(len(offenders), partition_col)
@@ -442,9 +540,10 @@ def snapshot_compact(spark: SparkSession, path: str,
     out = out.localCheckpoint(eager=True)
     new_entries = _write_data_files(out, path, partition_col,
                                     man["summary"].get("stats_cols"))
-    kept = [e for p, es in by_part.items() if p not in offenders
-            for e in es]
-    pub = _publish(path, kept + new_entries, "compact",
+    kept = {p: refs for p, refs in man["partitions"].items()
+            if p not in offenders}
+    pub = _publish(path, kept | _write_segments(path, new_entries),
+                   "compact",
                    {"partition_col": partition_col,
                     "rewritten": len(offenders),
                     "files_added": len(new_entries),
@@ -481,11 +580,15 @@ def snapshot_vacuum(spark: SparkSession, path: str,
         return {"removed_files": 0, "removed_manifests": 0}
     keep = set(range(max(1, current - keep_versions + 1), current + 1))
     live: set[str] = set()
+    live_segs: set[str] = set()
     for v in keep:
         try:
-            live.update(e["path"] for e in _load_manifest(path, v)["entries"])
+            man = _load_manifest(path, v)
         except FileNotFoundError:
             continue
+        for refs in man["partitions"].values():
+            live_segs.update(r["seg"] for r in refs)
+            live.update(e["path"] for e in _segment_entries(path, refs))
     removed = 0
     droot = os.path.join(path, "data")
     for cdir in sorted(os.listdir(droot)) if os.path.isdir(droot) else []:
@@ -510,5 +613,10 @@ def snapshot_vacuum(spark: SparkSession, path: str,
             if v not in keep:
                 os.unlink(os.path.join(mdir, f))
                 removed_manifests += 1
+        elif f.startswith("seg-") and f.endswith(".json") \
+                and f not in live_segs:
+            # segments referenced by no retained version (dropped
+            # versions' rewrites, or a failed commit's orphans)
+            os.unlink(os.path.join(mdir, f))
     return {"removed_files": removed,
             "removed_manifests": removed_manifests}

@@ -18,6 +18,7 @@ from movie_rec_spark.sources.snapshot import (
     SnapshotConflict,
     _load_manifest,
     _publish,
+    manifest_entries,
     snapshot_append,
     snapshot_compact,
     snapshot_create,
@@ -64,15 +65,21 @@ def test_snapshot_merge_upsert_delete_insert(spark, table):
 
 def test_snapshot_merge_carries_untouched_files_by_reference(spark, table):
     before = {e["path"]: os.stat(e["path"]).st_mtime_ns
-              for e in _load_manifest(table)["entries"]
-              if e["partition"] in ("1", "3")}
+              for e in manifest_entries(table, partitions=["1", "3"])}
+    seg_before = {p: refs for p, refs in
+                  _load_manifest(table)["partitions"].items()
+                  if p in ("1", "3")}
     updates = spark.createDataFrame([Row(id=20, day=2, val="X")])
     snapshot_merge(spark, table, updates, keys=["id", "day"])
-    man = _load_manifest(table)
     after = {e["path"]: os.stat(e["path"]).st_mtime_ns
-             for e in man["entries"] if e["partition"] in ("1", "3")}
+             for e in manifest_entries(table, partitions=["1", "3"])}
     assert after == before, \
         "untouched partitions must carry over by reference (zero IO)"
+    seg_after = {p: refs for p, refs in
+                 _load_manifest(table)["partitions"].items()
+                 if p in ("1", "3")}
+    assert seg_after == seg_before, \
+        "untouched partitions' SEGMENTS must carry by reference too"
 
 
 def test_snapshot_fully_deleted_partition_vanishes(spark, table):
@@ -80,8 +87,7 @@ def test_snapshot_fully_deleted_partition_vanishes(spark, table):
         [(i, 1, None, True) for i in (10, 11, 12)],
         "id bigint, day bigint, val string, _deleted boolean")
     snapshot_merge(spark, table, updates, keys=["id", "day"])
-    assert {e["partition"] for e in _load_manifest(table)["entries"]} \
-        == {"2", "3"}
+    assert set(_load_manifest(table)["partitions"]) == {"2", "3"}
     assert {r.day for r in snapshot_read(spark, table).collect()} == {2, 3}
 
 
@@ -159,10 +165,10 @@ def test_snapshot_conflict_detected(spark, table):
     """Two writers racing to claim the same version: the second link
     fails with SnapshotConflict and publishes nothing."""
     base = snapshot_version(table)
-    entries = _load_manifest(table)["entries"]
-    _publish(table, entries, "merge", {"partition_col": "day"}, base)
+    parts = _load_manifest(table)["partitions"]
+    _publish(table, parts, "merge", {"partition_col": "day"}, base)
     with pytest.raises(SnapshotConflict):
-        _publish(table, entries, "merge", {"partition_col": "day"}, base)
+        _publish(table, parts, "merge", {"partition_col": "day"}, base)
     assert snapshot_version(table) == base + 1
 
 
@@ -194,14 +200,12 @@ def test_snapshot_append_and_compact(spark, table):
         snapshot_append(
             spark, table,
             spark.createDataFrame([Row(id=100 + i, day=2, val=f"a{i}")]))
-    man = _load_manifest(table)
-    day2 = [e for e in man["entries"] if e["partition"] == "2"]
+    day2 = manifest_entries(table, partitions=["2"])
     assert len(day2) > 4
     pre = snapshot_version(table)
     res = snapshot_compact(spark, table, max_files=4)
     assert res["rewritten"] == 1
-    day2_after = [e for e in _load_manifest(table)["entries"]
-                  if e["partition"] == "2"]
+    day2_after = manifest_entries(table, partitions=["2"])
     assert len(day2_after) < len(day2)
     # rows identical across the rewrite, and day 1/3 untouched
     got = snapshot_read(spark, table)
@@ -316,8 +320,8 @@ def test_snapshot_manifest_file_stats_skipping(spark, tmp_path):
             spark.createDataFrame(
                 [Row(id=base + i, day=1, ts=base + i, val="x")
                  for i in range(10)]).coalesce(1))
-    man = _load_manifest(path)
-    assert all("stats" in e for e in man["entries"]), man["entries"]
+    ents = manifest_entries(path)
+    assert all("stats" in e for e in ents), ents
     pruned = snapshot_read(spark, path, ranges={"ts": (205, 215)})
     assert len(pruned.inputFiles()) == 1   # only the 200-file intersects
     rows = pruned.filter("ts BETWEEN 205 AND 215").collect()
@@ -327,8 +331,7 @@ def test_snapshot_manifest_file_stats_skipping(spark, tmp_path):
         spark, path,
         spark.createDataFrame([Row(id=205, day=1, ts=205, val="EDIT")]),
         keys=["id", "day"])
-    man2 = _load_manifest(path)
-    assert all("stats" in e for e in man2["entries"])
+    assert all("stats" in e for e in manifest_entries(path))
     # open-ended range: everything >= 400
     hi = snapshot_read(spark, path, ranges={"ts": (400, None)})
     assert len(hi.inputFiles()) == 1
@@ -384,3 +387,20 @@ def test_snapshot_changes_between_versions(spark, table):
           .filter(F.col("status") != "unchanged").collect()}
     assert ch == {(20, 2): "changed", (21, 2): "removed",
                   (99, 4): "added"}
+
+
+def test_snapshot_refuses_type_drift(spark, table):
+    """A batch whose column type differs from the table's is refused
+    at COMMIT time with a clear error — accepted drift would poison
+    every later mergeSchema read (CANNOT_MERGE_SCHEMAS mid-query)."""
+    drift = spark.createDataFrame(
+        [(50, 1, "x")], "id int, day bigint, val string")  # id int != bigint
+    with pytest.raises(ValueError, match="type drift|types differ"):
+        snapshot_append(spark, table, drift)
+    with pytest.raises(ValueError, match="type drift|types differ"):
+        snapshot_merge(spark, table, drift, keys=["id", "day"])
+    # correctly-typed commits still flow
+    ok = spark.createDataFrame([(50, 1, "x")],
+                               "id bigint, day bigint, val string")
+    snapshot_append(spark, table, ok)
+    assert snapshot_read(spark, table).count() == 10
