@@ -321,7 +321,9 @@ def snapshot_read(spark: SparkSession, path: str,
     probed, not the table."""
     man = _load_manifest(path, version)
     want = None if partitions is None else {str(p) for p in partitions}
-    entries = manifest_entries(path, man["version"], want)
+    entries = [e for p, refs in man["partitions"].items()
+               if want is None or p in want
+               for e in _segment_entries(path, refs)]
     if ranges:
         def keep(e: dict) -> bool:
             st = e.get("stats") or {}
