@@ -10,10 +10,14 @@ metadata tree, public designs both):
 - **Data files are immutable and uniquely named.** A commit writes NEW
   files under ``data/c-<uuid>/``; it never modifies or deletes a file a
   published snapshot references.
-- **A manifest lists the snapshot.** ``_manifests/v<N>.json`` holds the
-  file list (with each file's partition value — manifest-level partition
-  pruning, Iceberg-style: a pruned read never even stats the excluded
-  files, which beats directory pruning).
+- **A manifest LIST describes the snapshot.** ``_manifests/v<N>.json``
+  holds {partition → segment references}; the file entries themselves
+  live in immutable per-(commit, partition) ``seg-*.json`` segments.
+  The version file scales with segments (partitions × commits since
+  compaction), never with total file count — measured in SCALE.md —
+  and a partition-pruned read loads only the probed partitions'
+  segments, so even planning IO tracks the probe. This is the
+  Iceberg manifest-list layering; pruning never stats excluded files.
 - **Publishing is one atomic filesystem op.** The manifest is written to
   a temp name and CLAIMED as ``v<N>.json`` via an atomic
   link-without-overwrite; the highest ``N`` present IS the current
@@ -209,6 +213,10 @@ def _write_data_files(df: DataFrame, path: str, partition_col: str,
     stats (which still apply inside the files that survive)."""
     import pyarrow.parquet as pq
 
+    if _PART_DIR in df.columns:
+        raise ValueError(
+            f"column name {_PART_DIR!r} is reserved by the snapshot "
+            "layout; rename it")
     cdir = os.path.join(path, "data", f"c-{uuid.uuid4().hex}")
     (df.withColumn(_PART_DIR, F.col(partition_col).cast("string"))
      .write.mode("error").partitionBy(_PART_DIR).parquet(cdir))
@@ -390,8 +398,7 @@ def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame,
     keys = list(keys)
     base = snapshot_version(path)
     man = _load_manifest(path, base)
-    partition_col = man["summary"].get("partition_col") \
-        or _load_manifest(path, 1)["summary"]["partition_col"]
+    partition_col = man["summary"]["partition_col"]
     if partition_col not in keys:
         raise ValueError(
             f"partition_col {partition_col!r} must be part of the merge "
