@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_quality_score": lambda s, d: T.q_quality_score(
             _t("documents")(s, d)),
+        "q_quality_gopher": lambda s, d: T.q_quality_gopher(
+            _t("documents")(s, d)),
         "q_weighted_sample": lambda s, d: T.q_weighted_sample(
             _t("documents")(s, d)),
         "q_sample_stable": lambda s, d: T.q_sample_stable(
@@ -1816,6 +1818,60 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                          RANGE BETWEEN {TP.ROLLING_WINDOW_SEC} PRECEDING
                                AND CURRENT ROW)
+        """,
+        # Gopher rules: every indicator is integer arithmetic or an
+        # exact int/int-division compare; both engines promote the
+        # divisions to double identically (DuckDB / is float division).
+        "q_quality_gopher": f"""
+            WITH b AS (
+                SELECT doc_id, text,
+                       string_split(text, ' ') AS w,
+                       string_split(text, chr(10)) AS lines
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                       len(w) AS n_words,
+                       length(replace(text, ' ', '')) * 1.0 / len(w)
+                           AS mean_wlen,
+                       (length(text) - length(replace(text, '#', '')))
+                           AS n_hash,
+                       (length(text) - length(replace(text, '...', '')))
+                           / 3 + length(text)
+                           - length(replace(text, '…', '')) AS n_ell,
+                       len(lines) AS n_lines,
+                       len(list_filter(lines, l ->
+                           starts_with(l, '-') OR starts_with(l, '•')
+                           OR starts_with(l, '*'))) AS n_bullet,
+                       len(list_filter(lines, l ->
+                           ends_with(l, '...') OR ends_with(l, '…')))
+                           AS n_ell_end,
+                       len(list_filter(w, t ->
+                           regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+                       len(list_filter(w, t -> list_contains(
+                           {list(T.GOPHER_STOPS)}, t))) AS n_stop
+                FROM b)
+            SELECT doc_id, CAST(n_words AS INT) AS n_words,
+                   CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+                       AS pass_words,
+                   CAST(mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS INT)
+                       AS pass_wordlen,
+                   CAST((n_hash + n_ell) / n_words <= 0.1 AS INT)
+                       AS pass_symbol,
+                   CAST(n_bullet * 1.0 / n_lines <= 0.9 AS INT)
+                       AS pass_bullet,
+                   CAST(n_ell_end * 1.0 / n_lines <= 0.3 AS INT)
+                       AS pass_ellipsis,
+                   CAST(n_alpha * 1.0 / n_words >= 0.8 AS INT)
+                       AS pass_alpha,
+                   CAST(n_stop >= 2 AS INT) AS pass_stop,
+                   CAST(n_words >= 50 AND n_words <= 100000
+                        AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+                        AND (n_hash + n_ell) / n_words <= 0.1
+                        AND n_bullet * 1.0 / n_lines <= 0.9
+                        AND n_ell_end * 1.0 / n_lines <= 0.3
+                        AND n_alpha * 1.0 / n_words >= 0.8
+                        AND n_stop >= 2 AS INT) AS keep
+            FROM m
         """,
         # Same RANGE frame as q_rolling_window; z rounds to 2dp BEFORE
         # the threshold compare on BOTH engines so the flag is stable

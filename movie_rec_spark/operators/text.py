@@ -193,6 +193,70 @@ def q_quality_score(documents: DataFrame,
     )
 
 
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_quality_gopher(documents: DataFrame,
+                     min_words: int = 50,
+                     max_words: int = 100_000) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021, Appendix A1) as a
+    per-document audit — the production-standard rule set next to the
+    simplified composite q_quality_score: word-count band [50, 100k],
+    mean word length in [3, 10], symbol-to-word ratio (# and ellipsis)
+    ≤ 0.1, ≤ 90% of lines bullet-started, ≤ 30% ellipsis-ended, ≥ 80%
+    of words containing an alphabetic character, and ≥ 2 OCCURRENCES
+    from the 8-word stop set (the "is this prose at all" rule; the
+    paper's phrasing is ambiguous between distinct-words and
+    occurrences — public reimplementations pick either; occurrences is
+    the reading that bites on this corpus's vocabulary). Output: one
+    indicator column per rule + the conjunction ``keep`` — audits
+    threshold and A/B individual rules, so the per-rule columns ARE
+    the product, not debug output.
+
+    All rules are row-local codegen (splits, filters, integer
+    comparisons; the two ratios compare exact int/int divisions), so
+    the scan is map-only with zero Python and the result is
+    bit-deterministic across engines — oracle-checked.
+    """
+    w = _tokens(F.col("text"))
+    n_words = F.size(w).cast("int")
+    mean_wlen = (F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                 / n_words)
+    n_hash = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ell = ((F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("..."), F.lit("")))) / F.lit(3)
+        + F.length("text") - F.length(
+            F.replace(F.col("text"), F.lit("…"), F.lit(""))))
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda li: li.startswith("-") | li.startswith("•")
+        | li.startswith("*")))
+    n_ell_end = F.size(F.filter(
+        lines, lambda li: li.endswith("...") | li.endswith("…")))
+    n_alpha = F.size(F.filter(w, lambda t: t.rlike("[a-zA-Z]")))
+    n_stop_occ = F.size(F.filter(w, lambda t: t.isin(*GOPHER_STOPS)))
+    rules = {
+        "pass_words": (n_words >= min_words) & (n_words <= max_words),
+        "pass_wordlen": (mean_wlen >= 3.0) & (mean_wlen <= 10.0),
+        "pass_symbol": ((n_hash + n_ell) / n_words) <= 0.1,
+        "pass_bullet": (n_bullet / n_lines) <= 0.9,
+        "pass_ellipsis": (n_ell_end / n_lines) <= 0.3,
+        "pass_alpha": (n_alpha / n_words) >= 0.8,
+        "pass_stop": n_stop_occ >= 2,
+    }
+    keep = None
+    for cond in rules.values():
+        keep = cond if keep is None else (keep & cond)
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        *[cond.cast("int").alias(name) for name, cond in rules.items()],
+        keep.cast("int").alias("keep"),
+    )
+
+
 def q_sample_stable(documents: DataFrame) -> DataFrame:
     """Deterministic content-hash sampling / dataset splitting — the
     production alternative to ``df.sample`` (whose RNG stream is

@@ -778,3 +778,25 @@ def test_bigram_logprob_orders_and_interpolates(spark):
                     + (1 - lam) * (uni[c] / n_total))
            for p, c in zip(ws, ws[1:])]
     assert abs(out[0].avg_logprob - sum(lps) / len(lps)) < 1e-4
+
+
+def test_quality_gopher_rules_fire_individually(spark):
+    """Each Gopher rule trips on its crafted violator while the clean
+    doc passes all seven; `keep` is the conjunction."""
+    prose = ("the quick brown fox jumps with the lazy dog and then "
+             * 6).strip()                          # 60 words, 2+ stops
+    short = "the cat with hat"                     # < 50 words
+    symbols = " ".join(["##tag"] * 60)             # symbol ratio, no stops
+    bullets = "\n".join(["- item " + str(i) for i in range(10)]) \
+        + "\nthe end of the list with and that have"   # 10/11 bullet lines
+    numeric = ("the " * 4 + "12345 " * 56).strip()  # <80% alphabetic words
+    docs = _docs(spark, [prose, short, symbols, bullets, numeric])
+    out = {r.doc_id: r for r in T.q_quality_gopher(docs).collect()}
+    assert out[0].keep == 1 and all(
+        getattr(out[0], c) == 1 for c in
+        ("pass_words", "pass_wordlen", "pass_symbol", "pass_bullet",
+         "pass_ellipsis", "pass_alpha", "pass_stop"))
+    assert out[1].pass_words == 0 and out[1].keep == 0
+    assert out[2].pass_symbol == 0 and out[2].pass_stop == 0
+    assert out[3].pass_bullet == 0
+    assert out[4].pass_alpha == 0 and out[4].keep == 0
