@@ -140,7 +140,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile": lambda s, d: R.q_profile(_t("lineitem")(s, d)),
         "q_outer_join": lambda s, d: R.q_outer_join(
             _t("orders")(s, d), _t("events")(s, d)),
-        "q_hll_union": lambda s, d: R.q_hll_union(_t("events")(s, d)),
         "q_asof_join": lambda s, d: TP.q_asof_join(
             _t("events")(s, d), _t("orders")(s, d)),
         "q_salted_count": lambda s, d: SK.q_salted_count(_t("events")(s, d)),
@@ -248,6 +247,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             MM.with_payload(_t("documents")(s, d)), codec="stub"),
         "q_recommend": lambda s, d: R.q_recommend(
             _t("lineitem")(s, d), _t("orders")(s, d)),
+        # rows-only (HLL registers are engine-specific; error-bound
+        # pytest gate) — parked after the oracle-backed block so the
+        # driver's 50-row window spends its slots on hash-checkable
+        # queries first
+        "q_hll_union": lambda s, d: R.q_hll_union(_t("events")(s, d)),
         # --- ML (rows-only: not SQL-expressible) ---
         # last of the rotated block: with 102 declared queries some
         # entries must sit outside the driver's 50-row window — the two
