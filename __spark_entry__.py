@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_quality_gopher": lambda s, d: T.q_quality_gopher(
             _t("documents")(s, d)),
+        "q_dataset_fingerprint": lambda s, d: T.q_dataset_fingerprint(
+            _t("documents")(s, d)),
         "q_weighted_sample": lambda s, d: T.q_weighted_sample(
             _t("documents")(s, d)),
         "q_sample_stable": lambda s, d: T.q_sample_stable(
@@ -209,11 +211,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity scale paths (rows-only: seeded-random LSH planes /
         # KMeans centroids are engine-specific; recall vs the exact
         # baselines is asserted in tests/test_similarity_multimodal.py) ---
-        # rows-only: minhash signatures are xxhash64-seeded, not
-        # reproducible in DuckDB; agreement with the exact-Jaccard
-        # groups is pytest-asserted (test_text_dedup.py)
-        "q_minhash_groups": lambda s, d: D.q_minhash_groups(
-            _t("documents")(s, d)),
         "q_neardup_lsh": lambda s, d: S.lsh_neardup(
             _t("embeddings")(s, d), dim=S.EMBED_DIM),
         "q_knn_ivf": lambda s, d: S.q_knn_ivf(_t("embeddings")(s, d)),
@@ -247,11 +244,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             MM.with_payload(_t("documents")(s, d)), codec="stub"),
         "q_recommend": lambda s, d: R.q_recommend(
             _t("lineitem")(s, d), _t("orders")(s, d)),
-        # rows-only (HLL registers are engine-specific; error-bound
-        # pytest gate) — parked after the oracle-backed block so the
-        # driver's 50-row window spends its slots on hash-checkable
-        # queries first
+        # rows-only (HLL registers / xxhash64 minhash signatures are
+        # engine-specific; error-bound + exact-Jaccard-agreement pytest
+        # gates) — parked after the oracle-backed block so the driver's
+        # 50-row window spends its slots on hash-checkable queries first
         "q_hll_union": lambda s, d: R.q_hll_union(_t("events")(s, d)),
+        "q_minhash_groups": lambda s, d: D.q_minhash_groups(
+            _t("documents")(s, d)),
         # --- ML (rows-only: not SQL-expressible) ---
         # last of the rotated block: with 102 declared queries some
         # entries must sit outside the driver's 50-row window — the two
@@ -700,6 +699,30 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp_norm,
                    substring(md5(text), 1, 8) AS fp_prefix
             FROM documents
+        """,
+        # 60-bit md5 prefix (15 hex chars) keeps the int inside a
+        # signed BIGINT on both engines; bit_xor is order-insensitive
+        # so no ORDER BY is needed for hash equality.
+        "q_dataset_fingerprint": """
+            WITH f AS (
+                SELECT CASE
+                         WHEN CAST(CAST('0x' || substring(
+                             md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 100 AS INTEGER) < 80
+                             THEN 'train'
+                         WHEN CAST(CAST('0x' || substring(
+                             md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 100 AS INTEGER) < 90
+                             THEN 'val'
+                         ELSE 'test'
+                       END AS split,
+                       CAST(CAST('0x' || substring(md5(text), 1, 15)
+                            AS BIGINT) AS BIGINT) AS fp,
+                       len(string_split(text, ' ')) AS nt
+                FROM documents)
+            SELECT split, CAST(count(*) AS INTEGER) AS n_docs,
+                   sum(nt) AS n_tokens, bit_xor(fp) AS xor_fp
+            FROM f GROUP BY split ORDER BY split
         """,
         "q_profile": profile_sql,
         "q_outer_join": """

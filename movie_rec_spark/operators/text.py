@@ -92,6 +92,37 @@ def q_doc_fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def q_dataset_fingerprint(documents: DataFrame) -> DataFrame:
+    """Per-split dataset fingerprint — the reproducibility attestation
+    a training run records next to its model card: for each
+    train/val/test split (same stable md5 buckets as q_sample_stable),
+    the doc count, total token count, and an ORDER-INSENSITIVE content
+    digest (bit_xor of each doc's 60-bit md5-derived integer). Two runs
+    trained on byte-identical splits produce identical rows; any
+    added/dropped/edited document flips the xor — a dataset-identity
+    check that costs one scan + a 3-row aggregate, no sorting, no
+    collection of per-doc hashes. XOR (not sum) keeps the digest
+    overflow-free and associative/commutative, so it is reshard- and
+    order-stable by construction.
+    """
+    from movie_rec_spark.functions import stable_bucket
+
+    bucket = stable_bucket(F.col("doc_id"))
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    fp_int = F.conv(F.substring(F.md5(F.col("text").cast("binary")),
+                                1, 15), 16, 10).cast("bigint")
+    return (
+        documents.select(split.alias("split"), fp_int.alias("_fp"),
+                         F.size(_tokens(F.col("text"))).alias("_nt"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_docs"),
+             F.sum("_nt").alias("n_tokens"),
+             F.expr("bit_xor(_fp)").alias("xor_fp"))
+        .orderBy("split")
+    )
+
+
 def q_tfidf_top_terms(documents: DataFrame, top_k: int = 3) -> DataFrame:
     """TF-IDF as pure relational algebra (no MLlib HashingTF — exact
     terms, SQL-oracle-checkable): term frequency per (doc, term),

@@ -800,3 +800,28 @@ def test_quality_gopher_rules_fire_individually(spark):
     assert out[2].pass_symbol == 0 and out[2].pass_stop == 0
     assert out[3].pass_bullet == 0
     assert out[4].pass_alpha == 0 and out[4].keep == 0
+
+
+def test_dataset_fingerprint_detects_edits_and_is_reshard_stable(spark):
+    """The xor digest is identical across reshards, flips when any doc
+    changes, and returns to the original when the edit reverts."""
+    texts = [f"doc number {i} with some words" for i in range(40)]
+    base = {r.split: (r.n_docs, r.xor_fp)
+            for r in T.q_dataset_fingerprint(_docs(spark, texts)).collect()}
+    assert sum(n for n, _ in base.values()) == 40
+    reshard = {r.split: (r.n_docs, r.xor_fp)
+               for r in T.q_dataset_fingerprint(
+                   _docs(spark, texts).repartition(7)).collect()}
+    assert reshard == base
+    edited = list(texts)
+    edited[5] = edited[5] + " EDITED"
+    changed = {r.split: (r.n_docs, r.xor_fp)
+               for r in T.q_dataset_fingerprint(
+                   _docs(spark, edited)).collect()}
+    assert changed != base
+    diffs = [s for s in base if base[s] != changed.get(s)]
+    assert len(diffs) == 1          # only doc 5's split flips
+    restored = {r.split: (r.n_docs, r.xor_fp)
+                for r in T.q_dataset_fingerprint(
+                    _docs(spark, texts)).collect()}
+    assert restored == base
