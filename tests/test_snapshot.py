@@ -404,3 +404,53 @@ def test_snapshot_refuses_type_drift(spark, table):
                                "id bigint, day bigint, val string")
     snapshot_append(spark, table, ok)
     assert snapshot_read(spark, table).count() == 10
+
+
+def test_snapshot_chaos_writer_compactor_reader(spark, tmp_path):
+    """Three concurrent actors: a merging writer, a compacting
+    maintainer (both rebasing through snapshot_merge_retry /
+    conflict-tolerant compaction), and a reader asserting full
+    consistency on every read. No partial state, no lost commit, no
+    exception escapes — the protocol under realistic contention."""
+    from movie_rec_spark.sources.snapshot import snapshot_merge_retry
+
+    table = str(tmp_path / "chaos")
+    ids = [(i, d) for d in (1, 2) for i in range(d * 10, d * 10 + 4)]
+    snapshot_create(
+        spark, table,
+        spark.createDataFrame([Row(id=i, day=d, val="g0") for i, d in ids]),
+        "day")
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            rows = snapshot_read(spark, table).collect()
+            gens = {r.val for r in rows}
+            if len(rows) != 8 or len(gens) != 1:
+                errors.append(f"inconsistent: {len(rows)} rows {gens}")
+                return
+
+    def compactor():
+        while not stop.is_set():
+            try:
+                snapshot_compact(spark, table, max_files=2)
+            except SnapshotConflict:
+                continue  # lost a race to the writer; rebase next loop
+
+    rt = threading.Thread(target=reader)
+    ct = threading.Thread(target=compactor)
+    rt.start(); ct.start()
+    try:
+        for gen in range(1, 5):
+            snapshot_merge_retry(
+                spark, table,
+                spark.createDataFrame(
+                    [Row(id=i, day=d, val=f"g{gen}") for i, d in ids]),
+                keys=["id", "day"], max_attempts=30)
+    finally:
+        stop.set()
+        rt.join(); ct.join()
+    assert not errors, errors[0]
+    final = snapshot_read(spark, table).collect()
+    assert len(final) == 8 and {r.val for r in final} == {"g4"}
