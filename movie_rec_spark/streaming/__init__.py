@@ -18,4 +18,5 @@ from movie_rec_spark.streaming.sessions import (  # noqa: F401
 )
 from movie_rec_spark.streaming.anomaly import (  # noqa: F401
     anomaly_stream,
+    anomaly_stream_eventtime,
 )

@@ -18,12 +18,18 @@ Semantics parity with the batch kernel, tested (test_streaming):
   variance → NULL z, never a flag; z rounds to 2dp BEFORE the
   threshold compare.
 
-Ordering caveat (inherent to online scoring, documented not hidden):
-an event arriving LATE — after a younger event of the same user was
-already scored — scores against a baseline that already contains its
-future, where the batch kernel would not. In-order delivery per key
-(the Kafka-partition-per-user norm) gives bit-equal flags to the batch
-kernel; the parity test drives exactly that.
+Two variants, trading latency for ordering tolerance:
+- ``anomaly_stream`` scores IMMEDIATELY on arrival (lowest latency);
+  an event arriving late — after a younger event of the same user was
+  scored — sees a baseline containing its future. In-order delivery
+  per key (the Kafka-partition-per-user norm) gives bit-equal flags
+  to the batch kernel; the parity test drives exactly that.
+- ``anomaly_stream_eventtime`` removes the ordering assumption: events
+  park in per-user state until the WATERMARK seals their second, then
+  score in strict event-time order — batch-exact under ANY arrival
+  order within the lateness bound, at the cost of watermark-delay
+  alert latency. The out-of-order parity test drives a late event
+  around younger ones and still gets the batch kernel's rows.
 
 State is one row per user: (ts_secs array<long>, vals array<double>),
 evicted below ``max_seen − window`` each batch, so state size is
@@ -145,5 +151,117 @@ def anomaly_stream(stream: DataFrame) -> DataFrame:
             stateStructType=ANOMALY_STATE,
             outputMode="append",
             timeoutConf="NoTimeout",
+        )
+    )
+
+
+# event-time variant: per-user state = the UNSCORED buffer (events the
+# watermark has not yet sealed) + the scored trailing window
+ANOMALY_ET_STATE = StructType([
+    StructField("buf_ids", ArrayType(LongType())),
+    StructField("buf_us", ArrayType(LongType())),
+    StructField("buf_vals", ArrayType(DoubleType())),
+    StructField("ts_secs", ArrayType(LongType())),
+    StructField("vals", ArrayType(DoubleType())),
+])
+
+
+def _score_group_eventtime(key: tuple, pdfs: Iterable[pd.DataFrame],
+                           state: Any) -> Iterator[pd.DataFrame]:
+    """Buffer-then-score: arriving events park in per-user state until
+    the WATERMARK passes their second (no earlier event can still
+    arrive inside the lateness bound), then score in strict ts order
+    against the prior-only window — removing anomaly_stream's in-order
+    delivery assumption entirely; any arrival order within the
+    watermark yields the batch kernel's exact output. The timeout
+    timestamp re-arms to just past the oldest buffered second, so a
+    user whose stream goes quiet still flushes when the global
+    watermark advances past their buffer."""
+    import math
+
+    (user_id,) = key
+    if state.exists:
+        buf_ids, buf_secs, buf_vals, ts_secs, vals = [
+            list(x) for x in state.get]
+    else:
+        buf_ids, buf_secs, buf_vals, ts_secs, vals = [], [], [], [], []
+
+    if not state.hasTimedOut:
+        events = pd.concat(list(pdfs), ignore_index=True)
+        if len(events):
+            buf_ids += [int(x) for x in events["event_id"]]
+            # park MICROSECONDS so the original ts re-emits exactly;
+            # window math floors to seconds on demand
+            buf_secs += [int(x) // 1_000
+                         for x in events["ts"].astype("int64")]
+            buf_vals += [float(x) for x in events["value"]]
+
+    wm_sec = state.getCurrentWatermarkMs() // 1000
+    ripe = sorted(
+        (us // 1_000_000, us, i, v)
+        for i, us, v in zip(buf_ids, buf_secs, buf_vals)
+        if us // 1_000_000 <= wm_sec)
+    keep = [(i, us, v) for i, us, v in zip(buf_ids, buf_secs, buf_vals)
+            if us // 1_000_000 > wm_sec]
+    out: dict[str, list] = {f.name: [] for f in ANOMALY_OUTPUT.fields}
+    i = 0
+    while i < len(ripe):
+        sec = ripe[i][0]
+        j = i
+        while j < len(ripe) and ripe[j][0] == sec:
+            j += 1
+        base = [v for t, v in zip(ts_secs, vals)
+                if sec - ROLLING_WINDOW_SEC <= t <= sec - 1]
+        n = len(base)
+        z_ok, mu, sd = False, 0.0, 0.0
+        if n >= ANOMALY_MIN_N:
+            mu = sum(base) / n
+            sd = math.sqrt(sum((x - mu) ** 2 for x in base) / n)
+            z_ok = sd > 0
+        for k in range(i, j):
+            _s, us, eid, v = ripe[k]
+            zk = round((v - mu) / sd, 2) if z_ok else None
+            out["event_id"].append(eid)
+            out["user_id"].append(int(user_id))
+            out["ts"].append(pd.Timestamp(us, unit="us"))
+            out["value"].append(v)
+            out["n_win"].append(n)
+            out["zscore"].append(zk)
+            out["is_anomaly"].append(
+                zk is not None and abs(zk) >= ANOMALY_Z_CUT)
+        for k in range(i, j):
+            ts_secs.append(sec)
+            vals.append(ripe[k][3])
+        i = j
+    if ts_secs:
+        floor = max(ts_secs) - ROLLING_WINDOW_SEC
+        kept2 = [(t, v) for t, v in zip(ts_secs, vals) if t >= floor]
+        ts_secs = [t for t, _ in kept2]
+        vals = [v for _, v in kept2]
+    state.update(([i for i, _us, _v in keep],
+                  [us for _i, us, _v in keep],
+                  [v for _i, _us, v in keep],
+                  ts_secs, vals))
+    if keep:  # fire again once the watermark passes the oldest parked sec
+        state.setTimeoutTimestamp(
+            (min(us // 1_000_000 for _i, us, _v in keep) + 1) * 1000)
+    if out["event_id"]:
+        yield pd.DataFrame(out)
+
+
+def anomaly_stream_eventtime(stream: DataFrame,
+                             watermark: str = "10 minutes") -> DataFrame:
+    """Out-of-order-safe online scorer: watermarked event-time
+    buffering + in-order scoring (see _score_group_eventtime)."""
+    return (
+        stream.select("event_id", "user_id", "ts", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _score_group_eventtime,
+            outputStructType=ANOMALY_OUTPUT,
+            stateStructType=ANOMALY_ET_STATE,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
         )
     )

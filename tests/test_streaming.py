@@ -487,3 +487,52 @@ def test_streaming_anomaly_matches_batch_kernel(spark, tmp_path):
                          if got.get(k) != want.get(k)}
     assert got[5][2] is True            # the spike flags
     assert all(got[e][1] is None for e in (10, 11, 12, 13, 14, 15))
+
+
+def test_streaming_anomaly_eventtime_tolerates_out_of_order(spark, tmp_path):
+    """The watermarked variant: a LATE event (day 3 arriving after
+    days 4-6 were seen) still lands in its correct event-time position
+    — per-event output equals batch q_anomaly on the union, which the
+    immediate-scoring variant cannot promise under this arrival order.
+    A far-future sentinel advances the global watermark so every real
+    event flushes."""
+    import datetime as dt
+
+    from movie_rec_spark.operators.temporal import q_anomaly
+    from movie_rec_spark.streaming.anomaly import anomaly_stream_eventtime
+
+    def rows(recs):
+        return [(eid, u, dt.datetime(2024, 1, d, 12, 0, 0), v)
+                for eid, u, d, v in recs]
+
+    schema = "event_id bigint, user_id bigint, ts timestamp, value double"
+    batch1 = rows([(0, 1, 1, 1.0), (1, 1, 2, 1.2), (3, 1, 4, 1.1),
+                   (4, 1, 5, 0.9), (5, 1, 6, 100.0)])   # day 3 missing
+    batch2 = rows([(2, 1, 3, 0.8)])                     # late day 3
+    sentinel = rows([(99, 9, 30, 0.0)])                 # watermark push
+    src = str(tmp_path / "et_src")
+    for b in (batch1, batch2, sentinel):
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (anomaly_stream_eventtime(stream, watermark="3 days")
+         .writeStream.outputMode("append")
+         .format("memory").queryName("t_anom_et")
+         .option("checkpointLocation", str(tmp_path / "et_ck"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    got = {r.event_id: (r.ts, r.n_win, r.zscore, r.is_anomaly)
+           for r in spark.sql(
+               "SELECT * FROM t_anom_et WHERE user_id != 9").collect()}
+
+    want = {r.event_id: (r.ts, r.n_win, r.zscore, r.is_anomaly)
+            for r in q_anomaly(
+                spark.createDataFrame(batch1 + batch2, schema)).collect()}
+    assert got == want, {k: (got.get(k), want.get(k))
+                         for k in set(got) | set(want)
+                         if got.get(k) != want.get(k)}
+    assert got[5][3] is True   # spike flags with the late event counted
+    assert got[5][1] == 5      # its baseline includes the late day 3
