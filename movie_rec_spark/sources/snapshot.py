@@ -497,12 +497,23 @@ def snapshot_merge_retry(spark: SparkSession, path: str,
     raise last
 
 
+SEG_FOLD_THRESHOLD = 16  # refs per partition before metadata folding
+
+
 def snapshot_append(spark: SparkSession, path: str,
                     rows: DataFrame,
                     stream_batch_id: int | None = None) -> dict:
     """Append-only commit: new segments join the touched partitions'
     reference lists; every resident segment and file is untouched (the
-    IVF delta-fold / ingest case)."""
+    IVF delta-fold / ingest case).
+
+    Metadata folding: when a partition's reference list exceeds
+    ``SEG_FOLD_THRESHOLD``, its segments fold into ONE new segment at
+    commit time — a pure JSON rewrite, no parquet touched — so the
+    version manifest stays O(partitions) under steady appends instead
+    of accreting one ref per (partition, commit) until the next DATA
+    compaction (the growth the manifest probe measured). Old segments
+    stay on disk for older versions; vacuum reclaims them."""
     base = snapshot_version(path)
     man = _load_manifest(path, base)
     partition_col = man["summary"]["partition_col"]
@@ -512,6 +523,10 @@ def snapshot_append(spark: SparkSession, path: str,
     parts = dict(man["partitions"])
     for p, refs in _write_segments(path, entries).items():
         parts[p] = parts.get(p, []) + refs
+    for p, refs in parts.items():
+        if len(refs) > SEG_FOLD_THRESHOLD:
+            folded = _segment_entries(path, refs)
+            parts[p] = _write_segments(path, folded)[p]
     pub = _publish(path, parts, "append",
                    {"partition_col": partition_col,
                     "files_added": len(entries)}, base,

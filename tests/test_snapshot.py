@@ -454,3 +454,26 @@ def test_snapshot_chaos_writer_compactor_reader(spark, tmp_path):
     assert not errors, errors[0]
     final = snapshot_read(spark, table).collect()
     assert len(final) == 8 and {r.val for r in final} == {"g4"}
+
+
+def test_snapshot_append_folds_segment_metadata(spark, table):
+    """Steady appends keep each partition's reference list bounded by
+    the fold threshold (metadata-only rewrite — data files untouched),
+    and every appended row survives the folds."""
+    from movie_rec_spark.sources.snapshot import SEG_FOLD_THRESHOLD
+
+    data_files_before = {e["path"]
+                         for e in manifest_entries(table,
+                                                   partitions=["1"])}
+    for i in range(SEG_FOLD_THRESHOLD + 9):
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame(
+                [Row(id=1000 + i, day=1, val=f"a{i}")]).coalesce(1))
+    refs = _load_manifest(table)["partitions"]["1"]
+    assert len(refs) <= SEG_FOLD_THRESHOLD + 1, len(refs)
+    ents = manifest_entries(table, partitions=["1"])
+    assert data_files_before <= {e["path"] for e in ents}  # no data rewrite
+    got = {r.id for r in snapshot_read(spark, table,
+                                       partitions=["1"]).collect()}
+    assert {1000 + i for i in range(SEG_FOLD_THRESHOLD + 9)} <= got
