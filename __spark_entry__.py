@@ -721,7 +721,8 @@ def oracle_sql() -> dict[str, str]:
                        len(string_split(text, ' ')) AS nt
                 FROM documents)
             SELECT split, CAST(count(*) AS INTEGER) AS n_docs,
-                   sum(nt) AS n_tokens, bit_xor(fp) AS xor_fp
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   bit_xor(fp) AS xor_fp
             FROM f GROUP BY split ORDER BY split
         """,
         "q_profile": profile_sql,
@@ -1612,7 +1613,7 @@ def oracle_sql() -> dict[str, str]:
                            ROWS UNBOUNDED PRECEDING) AS cum
                 FROM d)
             SELECT doc_id, shard, n_tokens,
-                   cum - n_tokens AS start_offset,
+                   CAST(cum - n_tokens AS BIGINT) AS start_offset,
                    CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
                        AS chunk_id,
                    ((cum - n_tokens) % 512 + n_tokens) > 512
@@ -1914,6 +1915,7 @@ def oracle_sql() -> dict[str, str]:
                              AND stddev_pop(value) OVER w > 0
                             THEN round((value - avg(value) OVER w)
                                        / stddev_pop(value) OVER w, 2)
+                                 + 0.0
                        END AS zscore
                 FROM events
                 WINDOW w AS (PARTITION BY user_id

@@ -2,9 +2,19 @@
 
 Runs every ``__spark_entry__.queries()`` entry at the given sf and
 compares against ``oracle_sql()`` via DuckDB: row count, column-name set,
-and order-insensitive value equality (sorted rows, exact for
-ints/strings, 1e-9 relative for floats — stricter than a hash in that it
-pinpoints the first differing cell).
+and order-insensitive REPRESENTATION-EXACT value equality.
+
+The driver hashes stringified cells, so its gate is sensitive to
+divergences a numeric compare forgives: an int64 Spark column vs a
+float64 oracle column ("12345" vs "12345.0", e.g. DuckDB HUGEINT sums
+materializing as float64), and IEEE signed zero ("-0.0" vs "0.0", e.g.
+DuckDB ``round()``).  All three round-5 driver hash failures were in
+this class and passed the old 1e-9-rtol compare, so this harness now
+compares dtype-faithful ``repr`` cells and treats ANY divergence —
+including float bit-inexactness that used to demote to a WARN — as a
+hard FAIL for oracle-backed queries.  A numeric closeness pass still
+runs first purely to produce a better diagnostic (value bug vs
+representation bug).
 
 Usage: python tools/selfcheck.py [--emit OUT.json] [sf_dir] [query ...]
 
@@ -54,6 +64,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _repr_cells(s: pd.Series) -> np.ndarray:
+    """Dtype-faithful stringified cells, modeling the driver's hash input:
+    ints render without a decimal point, floats via ``repr`` (so -0.0 and
+    0.0 are distinct and any bit-inexactness shows), everything else via
+    ``astype(str)``."""
+    if pd.api.types.is_float_dtype(s.dtype):
+        return np.array([repr(float(v)) for v in s.to_numpy()])
+    if pd.api.types.is_integer_dtype(s.dtype):
+        return np.array([str(int(v)) for v in s.to_numpy()])
+    return s.astype(str).to_numpy()
+
+
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     errs = []
     if sorted(got.columns) != sorted(want.columns):
@@ -64,22 +86,34 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
         return errs
     g, w = normalize(got), normalize(want)
     for c in g.columns:
+        # diagnostic pass: is the divergence (if any) a VALUE bug?
+        value_bug = False
         if pd.api.types.is_float_dtype(g[c]) or pd.api.types.is_float_dtype(w[c]):
             a = g[c].astype(float).to_numpy()
             b = w[c].astype(float).to_numpy()
             bad = ~(np.isclose(a, b, rtol=1e-9, atol=1e-12) | (np.isnan(a) & np.isnan(b)))
-            exact = (a == b) | (np.isnan(a) & np.isnan(b))
             if bad.any():
+                value_bug = True
                 i = int(np.argmax(bad))
-                errs.append(f"col {c}: {int(bad.sum())} mismatches, first row {i}: {a[i]!r} vs {b[i]!r}")
-            elif not exact.all():
-                i = int(np.argmax(~exact))
-                errs.append(f"col {c}: WARN inexact {int((~exact).sum())} cells (hash would differ), e.g. {a[i]!r} vs {b[i]!r}")
+                errs.append(f"col {c}: {int(bad.sum())} value mismatches, first row {i}: {a[i]!r} vs {b[i]!r}")
         else:
             neq = ~((g[c] == w[c]) | (g[c].isna() & w[c].isna()))
             if neq.any():
+                value_bug = True
                 i = int(np.argmax(neq.to_numpy()))
-                errs.append(f"col {c}: {int(neq.sum())} mismatches, first row {i}: {g[c].iloc[i]!r} vs {w[c].iloc[i]!r}")
+                errs.append(f"col {c}: {int(neq.sum())} value mismatches, first row {i}: {g[c].iloc[i]!r} vs {w[c].iloc[i]!r}")
+        # strict pass: the driver hashes representations, so ANY repr
+        # divergence fails even when values compare equal numerically
+        if not value_bug:
+            ra, rb = _repr_cells(g[c]), _repr_cells(w[c])
+            neq = ra != rb
+            if neq.any():
+                i = int(np.argmax(neq))
+                errs.append(
+                    f"col {c}: {int(neq.sum())} representation mismatches "
+                    f"(values equal; driver hash WOULD differ), first row "
+                    f"{i}: spark {ra[i]!r} [{g[c].dtype}] vs oracle "
+                    f"{rb[i]!r} [{w[c].dtype}]")
     return errs
 
 
@@ -118,25 +152,21 @@ def check_one(spark, con, sf_dir: str, name: str, fn, oracle: str | None,
                 "spark_rows": len(got), "oracle_rows": None,
                 "err": f"duckdb error: {exc}"}, False
     errs = compare(name, got, want)
-    hard = [e for e in errs if not e.startswith("col") or "WARN" not in e]
     row = {
         "mode": "oracle",
         "rows_match": len(got) == len(want),
         "schema_match": sorted(got.columns) == sorted(want.columns),
-        "values_match": not hard,
+        "values_match": not errs,
         "spark_rows": len(got),
         "oracle_rows": len(want),
-        "err": "; ".join(hard) if hard else None,
+        "err": "; ".join(errs) if errs else None,
     }
-    if hard:
+    if errs:
         print(f"FAIL {label} ({len(got)} rows, {t1-t0:.1f}s)")
         for e in errs:
             print(f"     {e}")
         return row, False
-    tag = " (float-inexact warn)" if errs else ""
-    print(f"ok   {label}: {len(got)} rows, {t1-t0:.1f}s{tag}")
-    for e in errs:
-        print(f"     {e}")
+    print(f"ok   {label}: {len(got)} rows, {t1-t0:.1f}s")
     return row, True
 
 
