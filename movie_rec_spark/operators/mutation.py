@@ -186,6 +186,8 @@ def q_merge_snapshot(events: DataFrame) -> DataFrame:
     q_merge_events' oracle — the commit protocol must change the
     durability story, never the answer — so the driver hash-checks the
     full write-commit-read path, not just the kernel."""
+    import os
+    import shutil
     import tempfile
 
     from movie_rec_spark.sources.snapshot import (
@@ -201,11 +203,19 @@ def q_merge_snapshot(events: DataFrame) -> DataFrame:
     u = (upsert_latest(events.filter(F.col("event_id") % 2 == 1))
          .select(*cols)
          .withColumn("_deleted", F.col("event_id") % 5 == 0))
-    path = tempfile.mkdtemp(prefix="mrs_snap_") + "/tbl"
-    snapshot_create(spark, path, t, "event_type")
-    snapshot_merge(spark, path, u, keys=["user_id", "event_type"],
-                   ts_col="ts")
-    return snapshot_read(spark, path).select(*cols)
+    base = tempfile.mkdtemp(prefix="mrs_snap_")
+    try:
+        path = os.path.join(base, "tbl")
+        snapshot_create(spark, path, t, "event_type")
+        snapshot_merge(spark, path, u, keys=["user_id", "event_type"],
+                       ts_col="ts")
+        # materialize off the parquet files so the scratch table can be
+        # removed NOW — bench's repeated invocations and correctness
+        # re-runs must not leak a table copy per call
+        return (snapshot_read(spark, path).select(*cols)
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame,

@@ -49,6 +49,8 @@ from __future__ import annotations
 
 import json
 import os
+import time
+import urllib.parse
 import uuid
 from collections.abc import Sequence
 
@@ -224,7 +226,12 @@ def _write_data_files(df: DataFrame, path: str, partition_col: str,
     for pdir in sorted(os.listdir(cdir)):
         if not pdir.startswith(f"{_PART_DIR}="):
             continue
-        value = pdir[len(_PART_DIR) + 1:]
+        # Spark hive-escapes special chars in directory names (space,
+        # ':', '%', … → %XX). Manifest partition keys must be the RAW
+        # string value — merge/append/read compare against str(value) —
+        # so unescape here; escaped keys would never match and a merge
+        # would silently drop the partition's resident rows.
+        value = urllib.parse.unquote(pdir[len(_PART_DIR) + 1:])
         full = os.path.join(cdir, pdir)
         for f in sorted(os.listdir(full)):
             if not (f.endswith(".parquet") and not f.startswith((".", "_"))):
@@ -270,6 +277,18 @@ def _json_safe(v):
     return v
 
 
+def _require_nonnull_partition(df: DataFrame, partition_col: str,
+                               what: str) -> None:
+    """NULL partition values hive-encode as __HIVE_DEFAULT_PARTITION__,
+    a directory name no str(value) comparison ever matches — refuse at
+    commit time (same guard snapshot_merge applies) instead of letting
+    an unaddressable partition into the manifest."""
+    if df.filter(F.col(partition_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"{what}: batch contains NULL {partition_col!r} values; "
+            "partition keys must be non-null")
+
+
 def snapshot_create(spark: SparkSession, path: str, df: DataFrame,
                     partition_col: str,
                     stats_cols: Sequence[str] | None = None) -> dict:
@@ -280,6 +299,7 @@ def snapshot_create(spark: SparkSession, path: str, df: DataFrame,
     ``snapshot_read(ranges=...)`` prunes files from the manifest alone."""
     if snapshot_version(path) != 0:
         raise ValueError(f"snapshot table already exists at {path}")
+    _require_nonnull_partition(df, partition_col, "snapshot_create")
     entries = _write_data_files(df, path, partition_col, stats_cols)
     man = _publish(path, _write_segments(path, entries), "create",
                    {"partition_col": partition_col,
@@ -346,10 +366,16 @@ def snapshot_read(spark: SparkSession, path: str,
             return True
         entries = [e for e in entries if keep(e)]
     if not entries:
+        # legal empty states (a merge tombstoned every row, a partition
+        # probe missed, ranges pruned every file): build an empty frame
+        # from the schema every manifest records, instead of raising
+        cols = man["summary"].get("columns")
+        if cols:
+            ddl = ", ".join(f"`{c}` {t}" for c, t in cols.items())
+            return spark.createDataFrame([], ddl)
         raise ValueError(
-            f"snapshot v{man['version']} at {path} has no files"
-            + (f" for partitions {sorted(want)}" if partitions is not None
-               else ""))
+            f"snapshot v{man['version']} at {path} has no files and "
+            "records no schema")
     # mergeSchema: file generations may differ after schema evolution;
     # the union schema resolves older files' missing columns to null
     # (footer-only work, no data pages)
@@ -518,6 +544,7 @@ def snapshot_append(spark: SparkSession, path: str,
     man = _load_manifest(path, base)
     partition_col = man["summary"]["partition_col"]
     _check_types(man["summary"].get("columns"), rows, "snapshot_append")
+    _require_nonnull_partition(rows, partition_col, "snapshot_append")
     entries = _write_data_files(rows, path, partition_col,
                                 man["summary"].get("stats_cols"))
     parts = dict(man["partitions"])
@@ -592,20 +619,57 @@ def snapshot_changes(spark: SparkSession, path: str, keys: Sequence[str],
     return snapshot_diff(old, new, keys)
 
 
+VACUUM_RETENTION_S = 24 * 3600.0  # default reclamation grace period
+
+
 def snapshot_vacuum(spark: SparkSession, path: str,
-                    keep_versions: int = 2) -> dict:
+                    keep_versions: int = 2,
+                    retention_s: float = VACUUM_RETENTION_S) -> dict:
     """Delete data files referenced by NO retained manifest (the last
     ``keep_versions`` snapshots survive for time travel / in-flight
     readers; older manifests are dropped). The only destructive op in
-    the protocol, and the retention window is the reader grace period —
-    same contract as Delta VACUUM."""
+    the protocol.
+
+    Concurrency guards (same contract as Delta VACUUM, which is what
+    makes this safe to run UNDER the module's multi-writer optimistic
+    concurrency rather than writers-stopped):
+
+    - **mtime retention**: nothing younger than ``retention_s`` is
+      deleted. An in-flight commit writes its data files and segments
+      BEFORE its version claim, so at the instant of the liveness scan
+      they are referenced by no manifest — without the age guard they
+      would be reclaimed and the commit would publish dangling
+      references. ``retention_s=0`` restores immediate reclamation and
+      is only safe with writers stopped (the tests' mode).
+    - **never delete the future**: a version published after the scan
+      captured ``current`` (``v > current``) is kept regardless of age
+      or retention — it IS the table now; deleting it would unlink
+      committed data.
+    """
+    now = time.time()
     current = snapshot_version(path)
     if current == 0:
         return {"removed_files": 0, "removed_manifests": 0}
+
+    def young(full: str) -> bool:
+        try:
+            return now - os.path.getmtime(full) < retention_s
+        except OSError:
+            return True  # vanished or unstatable: not ours to reclaim
+
     keep = set(range(max(1, current - keep_versions + 1), current + 1))
+    mdir = _manifest_dir(path)
+    for f in os.listdir(mdir):  # versions claimed after the scan started
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                v = int(f[1:-5])
+            except ValueError:
+                continue
+            if v > current:
+                keep.add(v)
     live: set[str] = set()
     live_segs: set[str] = set()
-    for v in keep:
+    for v in sorted(keep):
         try:
             man = _load_manifest(path, v)
         except FileNotFoundError:
@@ -620,27 +684,28 @@ def snapshot_vacuum(spark: SparkSession, path: str,
         for pdir, _dirs, fs in os.walk(cfull):
             for f in fs:
                 full = os.path.join(pdir, f)
-                if f.endswith(".parquet") and full not in live:
+                if f.endswith(".parquet") and full not in live \
+                        and not young(full):
                     os.unlink(full)
                     removed += 1
         if not any(fs for _p, _d, fs in os.walk(cfull)):
             import shutil
             shutil.rmtree(cfull)
     removed_manifests = 0
-    mdir = _manifest_dir(path)
     for f in os.listdir(mdir):
+        full = os.path.join(mdir, f)
         if f.startswith("v") and f.endswith(".json"):
             try:
                 v = int(f[1:-5])
             except ValueError:
                 continue
-            if v not in keep:
-                os.unlink(os.path.join(mdir, f))
+            if v not in keep and v <= current and not young(full):
+                os.unlink(full)
                 removed_manifests += 1
         elif f.startswith("seg-") and f.endswith(".json") \
-                and f not in live_segs:
+                and f not in live_segs and not young(full):
             # segments referenced by no retained version (dropped
             # versions' rewrites, or a failed commit's orphans)
-            os.unlink(os.path.join(mdir, f))
+            os.unlink(full)
     return {"removed_files": removed,
             "removed_manifests": removed_manifests}

@@ -342,7 +342,7 @@ def test_snapshot_orphans_from_failed_commit_are_vacuumed(spark, tmp_path):
         path, "day")
     assert orphans
     assert {r.id for r in snapshot_read(spark, path).collect()} == {1}
-    res = snapshot_vacuum(spark, path, keep_versions=2)
+    res = snapshot_vacuum(spark, path, keep_versions=2, retention_s=0.0)
     assert res["removed_files"] >= len(orphans)
     import os
     assert all(not os.path.exists(e["path"]) for e in orphans)

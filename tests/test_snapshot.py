@@ -186,7 +186,8 @@ def test_snapshot_time_travel_and_vacuum(spark, table):
     assert {r.val for r in snapshot_read(spark, table).collect()
             if r.id == 20} == {"EDIT"}
     # vacuum to the latest version only: v1's replaced day=2 files go
-    res = snapshot_vacuum(spark, table, keep_versions=1)
+    # retention_s=0: immediate reclamation, legal only writers-stopped
+    res = snapshot_vacuum(spark, table, keep_versions=1, retention_s=0.0)
     assert res["removed_manifests"] == 1
     assert res["removed_files"] >= 1
     with pytest.raises(FileNotFoundError):
@@ -477,3 +478,104 @@ def test_snapshot_append_folds_segment_metadata(spark, table):
     got = {r.id for r in snapshot_read(spark, table,
                                        partitions=["1"]).collect()}
     assert {1000 + i for i in range(SEG_FOLD_THRESHOLD + 9)} <= got
+
+
+def test_vacuum_retention_protects_inflight_commit(spark, tmp_path):
+    """The multi-writer safety guard: data files + segments an in-flight
+    commit wrote BEFORE its version claim are referenced by no manifest
+    at scan time; default-retention vacuum must leave them alone (the
+    round-5 vacuum deleted them — committed data loss)."""
+    from movie_rec_spark.sources.snapshot import _write_data_files
+
+    path = str(tmp_path / "ret")
+    snapshot_create(spark, path,
+                    spark.createDataFrame([Row(id=1, day=1, val="a")]),
+                    "day")
+    # simulate a writer mid-commit: files landed, claim not yet made
+    inflight = _write_data_files(
+        spark.createDataFrame([Row(id=2, day=1, val="b")]), path, "day")
+    res = snapshot_vacuum(spark, path, keep_versions=1)  # default retention
+    assert res["removed_files"] == 0
+    assert all(os.path.exists(e["path"]) for e in inflight)
+    # the in-flight writer can still publish a valid v2 afterwards
+    from movie_rec_spark.sources.snapshot import _write_segments
+    parts = dict(_load_manifest(path)["partitions"])
+    for p, refs in _write_segments(path, inflight).items():
+        parts[p] = parts.get(p, []) + refs
+    _publish(path, parts, "append", {"partition_col": "day"}, 1)
+    assert snapshot_read(spark, path).count() == 2
+
+
+def test_vacuum_never_deletes_versions_above_scan_current(
+        spark, table, monkeypatch):
+    """A version published concurrently after the vacuum scan captured
+    'current' must survive even with retention_s=0 — it IS the table."""
+    import movie_rec_spark.sources.snapshot as SN
+
+    snapshot_merge(spark, table,
+                   spark.createDataFrame([Row(id=20, day=2, val="EDIT")]),
+                   keys=["id", "day"])
+    real_current = snapshot_version(table)  # 2
+    # vacuum believes v1 is current (v2 published "after" its scan)
+    monkeypatch.setattr(SN, "snapshot_version",
+                        lambda p: real_current - 1)
+    SN.snapshot_vacuum(spark, table, keep_versions=1, retention_s=0.0)
+    monkeypatch.undo()
+    assert snapshot_version(table) == real_current
+    assert {r.val for r in snapshot_read(spark, table).collect()
+            if r.id == 20} == {"EDIT"}
+
+
+def test_snapshot_hive_escaped_partition_values_roundtrip(spark, tmp_path):
+    """Partition values Spark percent-escapes in directory names (space,
+    ':') must appear RAW in the manifest, or a merge on that partition
+    silently drops its resident rows (the round-5 escape mismatch)."""
+    path = str(tmp_path / "esc")
+    rows = [Row(id=1, cat="a b", val="keep1"),
+            Row(id=2, cat="a b", val="keep2"),
+            Row(id=3, cat="x:y", val="keep3")]
+    snapshot_create(spark, path, spark.createDataFrame(rows), "cat")
+    assert set(_load_manifest(path)["partitions"]) == {"a b", "x:y"}
+    snapshot_merge(spark, path,
+                   spark.createDataFrame([Row(id=1, cat="a b", val="EDIT")]),
+                   keys=["id", "cat"])
+    got = {(r.id): r.val for r in snapshot_read(spark, path).collect()}
+    # resident row id=2 of the escaped partition SURVIVES the merge
+    assert got == {1: "EDIT", 2: "keep2", 3: "keep3"}
+    pruned = snapshot_read(spark, path, partitions=["a b"])
+    assert {r.id for r in pruned.collect()} == {1, 2}
+
+
+def test_snapshot_create_append_refuse_null_partition(spark, tmp_path):
+    path = str(tmp_path / "np")
+    nullp = spark.createDataFrame([Row(id=1, day=None, val="a")],
+                                  "id bigint, day bigint, val string")
+    with pytest.raises(ValueError, match="NULL"):
+        snapshot_create(spark, path, nullp, "day")
+    snapshot_create(spark, path,
+                    spark.createDataFrame([Row(id=1, day=1, val="a")]),
+                    "day")
+    with pytest.raises(ValueError, match="NULL"):
+        snapshot_append(spark, path, nullp)
+
+
+def test_snapshot_read_empty_states_return_empty_frame(spark, tmp_path):
+    """Legal empty states (all rows tombstoned; partition probe miss)
+    read back as an EMPTY frame with the recorded schema, not an
+    error."""
+    path = str(tmp_path / "empty")
+    snapshot_create(spark, path,
+                    spark.createDataFrame([Row(id=1, day=1, val="a")]),
+                    "day")
+    miss = snapshot_read(spark, path, partitions=["99"])
+    assert miss.count() == 0
+    assert set(miss.columns) == {"id", "day", "val"}
+    snapshot_merge(spark, path,
+                   spark.createDataFrame(
+                       [(1, 1, None, True)],
+                       "id bigint, day bigint, val string, "
+                       "_deleted boolean"),
+                   keys=["id", "day"])
+    empty = snapshot_read(spark, path)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "day", "val"}
