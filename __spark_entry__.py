@@ -36,6 +36,7 @@ from movie_rec_spark.operators import temporal as TP  # noqa: E402
 from movie_rec_spark.operators import text as T  # noqa: E402
 from movie_rec_spark.sources import layout as L  # noqa: E402
 from movie_rec_spark.sources.catalog import load_table  # noqa: E402
+from movie_rec_spark.streaming import anomaly as SA  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -151,6 +152,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_window": lambda s, d: TP.q_rolling_window(
             _t("events")(s, d)),
         "q_anomaly": lambda s, d: TP.q_anomaly(_t("events")(s, d)),
+        # the watermark-buffered STREAMING twin of q_anomaly, replayed
+        # from files in deliberately out-of-order arrival batches and
+        # hash-checked against the SAME batch oracle (streaming/
+        # anomaly.py:q_anomaly_stream_et)
+        "q_anomaly_stream_et": lambda s, d: SA.q_anomaly_stream_et(
+            _t("events")(s, d)),
         "q_scd2": lambda s, d: TP.q_scd2(_t("events")(s, d)),
         "q_resample": lambda s, d: TP.q_resample(_t("events")(s, d)),
         "q_percentiles": lambda s, d: R.q_percentiles(_t("lineitem")(s, d)),
@@ -234,6 +241,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # isolation, sources/snapshot.py); shares its oracle.
         "q_merge_snapshot": lambda s, d: M.q_merge_snapshot(
             _t("events")(s, d)),
+        # Time travel (AS OF v1 after v2 committed) and the v1→v2
+        # change-data-feed of the same scenario — the protocol's
+        # retention/isolation story as hash-checked declared queries.
+        "q_snapshot_asof": lambda s, d: M.q_snapshot_asof(
+            _t("events")(s, d)),
+        "q_snapshot_cdf": lambda s, d: M.q_snapshot_cdf(
+            _t("events")(s, d)),
         # --- multimodal decode plumbing. codec='stub' pinned: the
         # deterministic fake decode is itself oracle-checked (md5-derived
         # header fields + byte statistics are SQL-expressible); the
@@ -269,8 +283,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in keys[cut:] + keys[:cut]}
 
 
-_MERGE_EVENTS_SQL = """
-    WITH t AS (
+# Shared CTE components for the merge-scenario oracles: t = resident
+# state (even half, latest-wins), u = CDC batch (odd half, %5
+# tombstones), _MERGE_STATE = the post-merge table. q_merge_events /
+# q_merge_snapshot / q_snapshot_asof / q_snapshot_cdf all compose these
+# same fragments so the five declared views of one scenario cannot
+# desynchronize.
+_MERGE_CTES = """
+    t AS (
         SELECT event_id, user_id, event_type, value, ts
         FROM (SELECT e.*, row_number() OVER (
                   PARTITION BY user_id, event_type
@@ -285,6 +305,9 @@ _MERGE_EVENTS_SQL = """
                   ORDER BY ts DESC, event_id DESC) AS rn
               FROM events e WHERE event_id % 2 = 1)
         WHERE rn = 1)
+"""
+
+_MERGE_STATE_SQL = """
     SELECT CASE WHEN uw THEN u_event_id ELSE t_event_id END
                AS event_id,
            CASE WHEN uw THEN u_user_id ELSE t_user_id END
@@ -307,6 +330,56 @@ _MERGE_EVENTS_SQL = """
           ON t.user_id = u.user_id
           AND t.event_type = u.event_type) j
     WHERE NOT (uw AND coalesce(del, FALSE))
+"""
+
+_MERGE_EVENTS_SQL = f"WITH {_MERGE_CTES} {_MERGE_STATE_SQL}"
+
+_ANOMALY_SQL = f"""
+    SELECT event_id, user_id, ts, value, n_win, zscore,
+           coalesce(abs(zscore), 0) >= {TP.ANOMALY_Z_CUT}
+               AS is_anomaly
+    FROM (
+        SELECT event_id, user_id, ts, value,
+               count(*) OVER w AS n_win,
+               CASE WHEN count(*) OVER w >= {TP.ANOMALY_MIN_N}
+                     AND stddev_pop(value) OVER w > 0
+                    THEN round((value - avg(value) OVER w)
+                               / stddev_pop(value) OVER w, 2)
+                         + 0.0
+               END AS zscore
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                     RANGE BETWEEN {TP.ROLLING_WINDOW_SEC} PRECEDING
+                           AND 1 PRECEDING))
+"""
+
+# Time travel: the AS OF v1 read must be exactly the resident state.
+_SNAPSHOT_ASOF_SQL = f"""
+    WITH {_MERGE_CTES}
+    SELECT event_id, user_id, event_type, value, ts FROM t
+"""
+
+# CDF v1→v2: full-outer the resident state against the merged state,
+# classify per key, compare every non-key column with IS DISTINCT FROM
+# (mirrors snapshot_diff's null-safe struct equality), ship changes only.
+_SNAPSHOT_CDF_SQL = f"""
+    WITH {_MERGE_CTES},
+    m AS ({_MERGE_STATE_SQL})
+    SELECT coalesce(t.user_id, m.user_id) AS user_id,
+           coalesce(t.event_type, m.event_type) AS event_type,
+           CASE WHEN m.user_id IS NULL THEN 'removed'
+                WHEN t.user_id IS NULL THEN 'added'
+                ELSE 'changed' END AS status,
+           t.event_id AS old_event_id, t.value AS old_value,
+           m.event_id AS new_event_id, m.value AS new_value,
+           m.ts AS new_ts
+    FROM t FULL OUTER JOIN m
+      ON t.user_id = m.user_id AND t.event_type = m.event_type
+    WHERE m.user_id IS NULL OR t.user_id IS NULL
+       OR t.event_id IS DISTINCT FROM m.event_id
+       OR t.value IS DISTINCT FROM m.value
+       OR t.ts IS DISTINCT FROM m.ts
 """
 
 
@@ -635,6 +708,8 @@ def oracle_sql() -> dict[str, str]:
         "q_merge_events": _MERGE_EVENTS_SQL,
         # snapshot-committed form: the protocol must not change the answer
         "q_merge_snapshot": _MERGE_EVENTS_SQL,
+        "q_snapshot_asof": _SNAPSHOT_ASOF_SQL,
+        "q_snapshot_cdf": _SNAPSHOT_CDF_SQL,
         "q_delete_antijoin": """
             SELECT event_id, user_id, event_type, value, ts
             FROM events e
@@ -1903,26 +1978,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Same RANGE frame as q_rolling_window; z rounds to 2dp BEFORE
         # the threshold compare on BOTH engines so the flag is stable
-        # against float accumulation order inside the frame.
-        "q_anomaly": f"""
-            SELECT event_id, user_id, ts, value, n_win, zscore,
-                   coalesce(abs(zscore), 0) >= {TP.ANOMALY_Z_CUT}
-                       AS is_anomaly
-            FROM (
-                SELECT event_id, user_id, ts, value,
-                       count(*) OVER w AS n_win,
-                       CASE WHEN count(*) OVER w >= {TP.ANOMALY_MIN_N}
-                             AND stddev_pop(value) OVER w > 0
-                            THEN round((value - avg(value) OVER w)
-                                       / stddev_pop(value) OVER w, 2)
-                                 + 0.0
-                       END AS zscore
-                FROM events
-                WINDOW w AS (PARTITION BY user_id
-                             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-                             RANGE BETWEEN {TP.ROLLING_WINDOW_SEC} PRECEDING
-                                   AND 1 PRECEDING))
-        """,
+        # against float accumulation order inside the frame. The
+        # streaming event-time twin must reproduce the batch kernel
+        # bit-for-bit, so it shares the oracle verbatim.
+        "q_anomaly": _ANOMALY_SQL,
+        "q_anomaly_stream_et": _ANOMALY_SQL,
         # SCD2: consecutive-repeat islands via lag-flag + running sum;
         # every island row shares event_type, so min() stands in for
         # Spark's first() deterministically.

@@ -177,15 +177,16 @@ def q_merge_events(events: DataFrame) -> DataFrame:
                         ts_col="ts")
 
 
-def q_merge_snapshot(events: DataFrame) -> DataFrame:
-    """The SAME merge as q_merge_events, but routed END-TO-END through
-    the manifest-committed snapshot table (sources/snapshot.py): the
-    resident half is written as snapshot v1 partitioned by event_type,
-    the CDC half commits atomically as v2 (snapshot_merge), and the
-    result is read back THROUGH the published manifest. Shares
-    q_merge_events' oracle — the commit protocol must change the
-    durability story, never the answer — so the driver hash-checks the
-    full write-commit-read path, not just the kernel."""
+def _snapshot_events_scenario(events: DataFrame, reader) -> DataFrame:
+    """Shared scaffold for the declared snapshot-table queries: the
+    q_merge_events scenario routed through a REAL manifest-committed
+    table (sources/snapshot.py). The even-event_id half (latest-wins
+    collapsed) is committed as v1 partitioned by event_type; the odd
+    half plays the CDC batch and commits atomically as v2. ``reader``
+    receives (spark, path) with both versions published and returns the
+    DataFrame under test, which is materialized (localCheckpoint) so
+    the scratch table can be removed immediately — repeated bench /
+    correctness invocations must not leak a table copy per call."""
     import os
     import shutil
     import tempfile
@@ -193,7 +194,6 @@ def q_merge_snapshot(events: DataFrame) -> DataFrame:
     from movie_rec_spark.sources.snapshot import (
         snapshot_create,
         snapshot_merge,
-        snapshot_read,
     )
 
     spark = events.sparkSession
@@ -209,13 +209,68 @@ def q_merge_snapshot(events: DataFrame) -> DataFrame:
         snapshot_create(spark, path, t, "event_type")
         snapshot_merge(spark, path, u, keys=["user_id", "event_type"],
                        ts_col="ts")
-        # materialize off the parquet files so the scratch table can be
-        # removed NOW — bench's repeated invocations and correctness
-        # re-runs must not leak a table copy per call
-        return (snapshot_read(spark, path).select(*cols)
-                .localCheckpoint(eager=True))
+        return reader(spark, path).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def q_merge_snapshot(events: DataFrame) -> DataFrame:
+    """The SAME merge as q_merge_events, but routed END-TO-END through
+    the manifest-committed snapshot table (sources/snapshot.py): the
+    resident half is written as snapshot v1 partitioned by event_type,
+    the CDC half commits atomically as v2 (snapshot_merge), and the
+    result is read back THROUGH the published manifest. Shares
+    q_merge_events' oracle — the commit protocol must change the
+    durability story, never the answer — so the driver hash-checks the
+    full write-commit-read path, not just the kernel."""
+    from movie_rec_spark.sources.snapshot import snapshot_read
+
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    return _snapshot_events_scenario(
+        events, lambda s, p: snapshot_read(s, p).select(*cols))
+
+
+def q_snapshot_asof(events: DataFrame) -> DataFrame:
+    """Time travel as a declared, oracle-backed query: after the CDC
+    batch commits v2, read the table AS OF v1 through the retained
+    manifest — the answer must be exactly the pre-merge resident state
+    (the even-half latest-wins collapse), proving the merge rewrote
+    partitions without disturbing the files v1 references. Oracle: the
+    resident-state CTE alone (no merge applied)."""
+    from movie_rec_spark.sources.snapshot import snapshot_read
+
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    return _snapshot_events_scenario(
+        events,
+        lambda s, p: snapshot_read(s, p, version=1).select(*cols))
+
+
+def q_snapshot_cdf(events: DataFrame) -> DataFrame:
+    """Version-to-version change-data-feed as a declared, oracle-backed
+    query: ``snapshot_changes`` (time travel composed with the
+    snapshot_diff kernel, sources/snapshot.py) between v1 and v2 of the
+    merge scenario — every row the CDC batch added, removed (tombstone),
+    or changed, with old/new values flattened to scalars so the driver
+    hash-checks the feed exactly. Unchanged rows are filtered (a change
+    feed ships changes). Oracle: the v1 CTE full-outer-joined to the
+    merged-state SQL, classifying per column with IS DISTINCT FROM."""
+    from movie_rec_spark.sources.snapshot import snapshot_changes
+
+    def read_cdf(s, p):
+        d = snapshot_changes(s, p, keys=["user_id", "event_type"],
+                             from_version=1, to_version=2)
+        return (
+            d.filter(F.col("status") != "unchanged")
+            .select(
+                "user_id", "event_type", "status",
+                F.col("_old.event_id").alias("old_event_id"),
+                F.col("_old.value").alias("old_value"),
+                F.col("_new.event_id").alias("new_event_id"),
+                F.col("_new.value").alias("new_value"),
+                F.col("_new.ts").alias("new_ts"),
+            ))
+
+    return _snapshot_events_scenario(events, read_cdf)
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame,

@@ -39,16 +39,18 @@ state-store metrics, same posture as streaming/ingest.
 
 from __future__ import annotations
 
+import datetime
+import glob
 from collections.abc import Iterable, Iterator
 from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
     DoubleType,
-    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -66,7 +68,9 @@ ANOMALY_OUTPUT = StructType([
     StructField("user_id", LongType()),
     StructField("ts", TimestampType()),
     StructField("value", DoubleType()),
-    StructField("n_win", IntegerType()),
+    # long, matching batch q_anomaly's F.count exactly — the declared
+    # streaming twin shares the batch oracle, so schemas must agree
+    StructField("n_win", LongType()),
     StructField("zscore", DoubleType()),
     StructField("is_anomaly", BooleanType()),
 ])
@@ -115,7 +119,11 @@ def _score_group(key: tuple, pdfs: Iterable[pd.DataFrame],
             z_ok = sd > 0
         for k in range(i, j):
             r = rows[k]
-            zk = round((float(r["value"]) - mu) / sd, 2) if z_ok else None
+            # + 0.0 IEEE-normalizes Python round()'s -0.0 to +0.0 —
+            # Spark's HALF_UP round never emits -0.0, and the driver's
+            # value hash is representation-sensitive
+            zk = (round((float(r["value"]) - mu) / sd, 2) + 0.0
+                  if z_ok else None)
             out["event_id"].append(int(r["event_id"]))
             out["user_id"].append(int(user_id))
             out["ts"].append(r["ts"])
@@ -220,7 +228,8 @@ def _score_group_eventtime(key: tuple, pdfs: Iterable[pd.DataFrame],
             z_ok = sd > 0
         for k in range(i, j):
             _s, us, eid, v = ripe[k]
-            zk = round((v - mu) / sd, 2) if z_ok else None
+            # + 0.0: see _score_group — never emit IEEE -0.0
+            zk = round((v - mu) / sd, 2) + 0.0 if z_ok else None
             out["event_id"].append(eid)
             out["user_id"].append(int(user_id))
             out["ts"].append(pd.Timestamp(us, unit="us"))
@@ -265,3 +274,61 @@ def anomaly_stream_eventtime(stream: DataFrame,
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+def q_anomaly_stream_et(events: DataFrame) -> DataFrame:
+    """The watermark-buffered online scorer as a DECLARED, oracle-backed
+    query: the events table is replayed as a file stream in two
+    deliberately out-of-order arrival batches (even event_ids, then odd
+    — so every user's odd-id events arrive AFTER younger even-id ones),
+    scored by ``anomaly_stream_eventtime``, and the per-event output
+    must hash-match batch q_anomaly's DuckDB oracle exactly. A
+    far-future sentinel row advances the global watermark past the
+    corpus so every real second seals and flushes; the 45-day lateness
+    bound covers the table's 30-day span, which is the variant's
+    contract — ANY arrival order within the bound reproduces the batch
+    kernel bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = events.sparkSession
+    schema = ("event_id bigint, user_id bigint, ts timestamp, "
+              "value double")
+    base = tempfile.mkdtemp(prefix="mrs_anom_et_")
+    name = f"mrs_anom_et_{uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.join(base, "src")
+        ev = events.select("event_id", "user_id", "ts", "value")
+        batches = [
+            ev.filter(F.col("event_id") % 2 == 0),
+            ev.filter(F.col("event_id") % 2 == 1),
+            spark.createDataFrame(
+                [(-1, -1, datetime.datetime(2024, 6, 1), 0.0)], schema),
+        ]
+        for i, b in enumerate(batches):
+            before = set(glob.glob(os.path.join(src, "*.parquet"))) \
+                if os.path.isdir(src) else set()
+            b.coalesce(1).write.mode("append").parquet(src)
+            # pin strictly increasing mtimes so FileStreamSource's
+            # (mtime, path) order delivers the batches as authored
+            for f in set(glob.glob(os.path.join(src, "*.parquet"))) \
+                    - before:
+                os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+        q = (anomaly_stream_eventtime(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(src),
+                watermark="45 days")
+             .writeStream.outputMode("append")
+             .format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(base, "ck"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        out = (spark.table(name).filter(F.col("user_id") >= 0)
+               .localCheckpoint(eager=True))
+        return out
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(base, ignore_errors=True)
