@@ -89,13 +89,23 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
     total = sum(timings.values())
 
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    print(json.dumps(out))
+    # The driver records only a truncated tail of stdout, which loses
+    # early queries' timings and breaks cross-round diffs. Persist the
+    # COMPLETE per-query dict next to the script (committed per round as
+    # BENCH_local_r0N.json).
+    full = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_local.json")
+    with open(full, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
 
 
 if __name__ == "__main__":

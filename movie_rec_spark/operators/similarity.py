@@ -491,7 +491,8 @@ def lsh_sized_params(n_vecs: int, threshold: float,
 def lsh_neardup(embeddings: DataFrame, dim: int,
                 threshold: float = NEARDUP_THRESHOLD,
                 n_tables: int | None = None, n_bits: int | None = None,
-                seed: int = 42, verify: str = "bucket") -> DataFrame:
+                seed: int = 42, verify: str = "bucket",
+                n_vecs: int | None = None) -> DataFrame:
     """Near-dup pairs via LSH blocking: group on (table, bucket), exact
     cosine verify inside buckets, dedup across tables.
 
@@ -531,7 +532,11 @@ def lsh_neardup(embeddings: DataFrame, dim: int,
     from movie_rec_spark.functions import cosine_batch
 
     if n_bits is None:
-        sized_tables, n_bits = lsh_sized_params(embeddings.count(), threshold)
+        # ``n_vecs`` lets callers that KNOW the corpus size (parquet
+        # footer metadata via catalog.table_rows, a maintained catalog
+        # stat) skip the sizing count() scan on the query path
+        sized_tables, n_bits = lsh_sized_params(
+            embeddings.count() if n_vecs is None else n_vecs, threshold)
         if n_tables is None:
             n_tables = sized_tables
     elif n_tables is None:
@@ -1022,7 +1027,7 @@ SEMDEDUP_CELL_TARGET = 256  # target vectors per cell — bounds the gemm
 
 def q_semdedup(embeddings: DataFrame, n_cells: int | None = None,
                threshold: float = SEMDEDUP_THRESHOLD,
-               seed: int = 42) -> DataFrame:
+               seed: int = 42, n_vecs: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication that never
     compares across the whole corpus — cluster embeddings with a seeded
     KMeans, then prune near-duplicates ONLY within each cluster. A
@@ -1058,8 +1063,11 @@ def q_semdedup(embeddings: DataFrame, n_cells: int | None = None,
     import pandas as pd
 
     if n_cells is None:
+        # same n_vecs shortcut as lsh_neardup: a caller with catalog
+        # footer stats skips the sizing scan
         n_cells = max(2, math.ceil(
-            embeddings.count() / SEMDEDUP_CELL_TARGET))
+            (embeddings.count() if n_vecs is None else n_vecs)
+            / SEMDEDUP_CELL_TARGET))
     assigned, _ = ivf_build(embeddings, n_cells=n_cells, seed=seed)
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -202,11 +202,17 @@ def main() -> int:
             if ok and row.get("spark_rows", 0) == 0:
                 print(f"WARN {name}: still vacuous at {big_sf}")
     if emit:
+        # disclose the external driver's 50-entry recording window so
+        # each round's artifact states exactly which declared queries
+        # the driver did NOT record (they are all checked here instead)
+        names = list(qs)
         artifact = {"_meta": {
             "sf_dir": sf_dir,
             "generated_by": "tools/selfcheck.py --emit",
             "n_checked": len(results),
             "n_fail": n_fail,
+            "driver_window_first_50": names[:50],
+            "outside_driver_window": names[50:],
         }}
         artifact.update(results)
         with open(emit, "w") as fh:
