@@ -94,6 +94,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_implicit_fill": lambda s, d: M.q_implicit_fill(_t("events")(s, d)),
         "q_merge_events": lambda s, d: M.q_merge_events(_t("events")(s, d)),
         "q_snapshot_diff": lambda s, d: M.q_snapshot_diff(_t("events")(s, d)),
+        # CDF consumption: a per-user additive view maintained from the
+        # row-level change feed must equal a full recompute bit-for-bit
+        # (operators/mutation.py:incremental_view_apply)
+        "q_incremental_view": lambda s, d: M.q_incremental_view(
+            _t("events")(s, d)),
         # --- text analysis (training-data pipeline ops) ---
         "q_text_stats": lambda s, d: T.q_text_stats(_t("documents")(s, d)),
         "q_token_counts": lambda s, d: T.q_token_counts(_t("documents")(s, d)),
@@ -299,6 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anomaly", "q_dataset_fingerprint", "q_pack_sequences",
         "q_als_implicit", "q_hll_union", "q_minhash_groups",
         "q_snapshot_asof", "q_snapshot_cdf", "q_anomaly_stream_et",
+        "q_incremental_view",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -734,6 +740,23 @@ def oracle_sql() -> dict[str, str]:
         "q_merge_snapshot": _MERGE_EVENTS_SQL,
         "q_snapshot_asof": _SNAPSHOT_ASOF_SQL,
         "q_snapshot_cdf": _SNAPSHOT_CDF_SQL,
+        # The maintained view must equal a PLAIN GROUP BY over the v2
+        # base — the oracle never sees the delta path at all, which is
+        # the whole correctness claim of incremental maintenance.
+        "q_incremental_view": """
+            WITH b AS (
+                SELECT event_id, user_id,
+                       CAST(round(value * 100, 0) AS BIGINT) AS v_cents
+                FROM events),
+            v2 AS (
+                SELECT event_id, user_id,
+                       CASE WHEN event_id % 5 = 0 THEN v_cents * 2
+                            ELSE v_cents END AS v_cents
+                FROM b WHERE event_id % 7 <> 0)
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(v_cents) AS BIGINT) AS sum_cents
+            FROM v2 GROUP BY user_id
+        """,
         "q_delete_antijoin": """
             SELECT event_id, user_id, event_type, value, ts
             FROM events e

@@ -336,3 +336,98 @@ def q_snapshot_diff(events: DataFrame) -> DataFrame:
                 F.col("_new.n_events").alias("new_n_events"),
                 F.col("_new.n_types").alias("new_n_types"))
     )
+
+
+def incremental_view_apply(view: DataFrame, changes: DataFrame,
+                           keys: Sequence[str],
+                           count_col: str,
+                           sums: dict[str, str] | None = None
+                           ) -> DataFrame:
+    """Maintain a grouped ADDITIVE-aggregate view from a row-level
+    change feed (``snapshot_diff`` / ``snapshot_changes`` output)
+    without recomputing over the base table — the standard lakehouse
+    downstream-view pattern a CDF exists for (Delta's table_changes →
+    MERGE into the materialized aggregate; reference analogue: the
+    15-minute full recompute of per-movie stats, scheduler.py:7-18,
+    which at 100 TB must become exactly this delta application).
+
+    Each change row contributes −(old row) and/or +(new row) to its
+    group: 'removed' only subtracts, 'added' only adds, 'changed' does
+    both — which also handles a row MOVING between groups (the old and
+    new contributions land on different keys). ``count_col`` is the
+    view's row count; ``sums`` maps view column → base column summed
+    into it. Groups whose count reaches zero are dropped, matching a
+    fresh recompute.
+
+    Exactness contract: only additive integer aggregates (counts,
+    integer/cents sums) are accepted semantics — those are
+    associative/commutative, so delta application is BIT-equal to full
+    recompute regardless of order (the declared query hash-proves it
+    against a plain GROUP BY oracle). Float sums would drift by
+    accumulation order; keep them out of incrementally-maintained
+    views (same stance as the integer-cents AVG in q_top_movies).
+
+    Scale shape: one aggregate shuffle over |changes| rows + one
+    key-partitioned full-outer join against the view — O(changes +
+    view), never O(base). Unchanged-row feeds cost nothing extra
+    (they aggregate to zero delta, and a filtered feed skips them
+    entirely).
+    """
+    keys = list(keys)
+    sums = dict(sums or {})
+
+    def side(struct: str, sign: int) -> DataFrame:
+        return (changes.filter(F.col(struct).isNotNull())
+                .select(
+                    *[F.col(f"{struct}.{k}").alias(k) for k in keys],
+                    F.lit(sign).cast("bigint").alias("_dn"),
+                    *[(F.lit(sign) * F.col(f"{struct}.{src}")
+                       .cast("bigint")).alias(f"_d_{out}")
+                      for out, src in sums.items()]))
+
+    delta = (
+        side("_old", -1).unionByName(side("_new", +1))
+        .groupBy(*keys)
+        .agg(F.sum("_dn").alias("_dn"),
+             *[F.sum(f"_d_{out}").alias(f"_d_{out}") for out in sums]))
+    zero = F.lit(0).cast("bigint")
+    joined = view.join(delta, keys, "full_outer")
+    out_cols = [
+        (F.coalesce(F.col(count_col), zero)
+         + F.coalesce(F.col("_dn"), zero)).alias(count_col),
+        *[(F.coalesce(F.col(out), zero)
+           + F.coalesce(F.col(f"_d_{out}"), zero)).alias(out)
+          for out in sums],
+    ]
+    return (joined.select(*keys, *out_cols)
+            .filter(F.col(count_col) > 0))
+
+
+def q_incremental_view(events: DataFrame) -> DataFrame:
+    """Declared query: incremental maintenance ≡ full recompute,
+    hash-exact. Base v1 drops event_ids divisible by 3; base v2 drops
+    ids divisible by 7 and doubles the value of ids divisible by 5 —
+    so the v1→v2 row-level feed carries all three change kinds (adds,
+    removes, value changes). The per-user (n_events, sum_cents) view is
+    aggregated ONCE over v1, the feed is applied with
+    ``incremental_view_apply``, and the oracle is a plain GROUP BY over
+    v2 — the maintained view must match it bit-for-bit without ever
+    re-reading v1's rows."""
+    cents = F.col("value") * 100
+    base = events.select(
+        "event_id", "user_id",
+        F.round(cents, 0).cast("bigint").alias("v_cents"))
+    v1 = base.filter(F.col("event_id") % 3 != 0)
+    v2 = (base.filter(F.col("event_id") % 7 != 0)
+          .withColumn("v_cents",
+                      F.when(F.col("event_id") % 5 == 0,
+                             F.col("v_cents") * 2)
+                      .otherwise(F.col("v_cents"))))
+    view = v1.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v_cents").alias("sum_cents"))
+    feed = (snapshot_diff(v1, v2, keys=["event_id"])
+            .filter(F.col("status") != "unchanged"))
+    return incremental_view_apply(
+        view, feed, keys=["user_id"],
+        count_col="n_events", sums={"sum_cents": "v_cents"})

@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime as dt
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from movie_rec_spark.operators import mutation as M
 
@@ -151,3 +152,54 @@ def test_snapshot_diff_refuses_schema_drift(spark):
     new = spark.createDataFrame([(1, 10, 5)], "k bigint, v int, w int")
     with pytest.raises(ValueError, match="column sets differ"):
         snapshot_diff(old, new, ["k"])
+
+
+def test_incremental_view_apply_edges(spark):
+    """Delta application handles: a row moving BETWEEN groups, a group
+    dropping to zero rows (removed from the view), and a brand-new
+    group appearing — and matches a full recompute exactly."""
+    from movie_rec_spark.operators.mutation import (
+        incremental_view_apply,
+        snapshot_diff,
+    )
+
+    schema = "event_id bigint, user_id bigint, v bigint"
+    v1 = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 7), (3, 20, 100)], schema)
+    v2 = spark.createDataFrame(
+        [(1, 30, 5),            # row 1 MOVED group 10 → 30
+         (2, 10, 9),            # row 2 value changed
+                                # row 3 removed → group 20 vanishes
+         (4, 40, 1)], schema)   # new row, new group
+    view = v1.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    feed = (snapshot_diff(v1, v2, keys=["event_id"])
+            .filter(F.col("status") != "unchanged"))
+    got = {r.user_id: (r.n, r.s)
+           for r in incremental_view_apply(
+               view, feed, ["user_id"], "n", {"s": "v"}).collect()}
+    want = {r.user_id: (r.n, r.s)
+            for r in v2.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("s")).collect()}
+    assert got == want
+    assert 20 not in got and got[30] == (1, 5) and got[40] == (1, 1)
+
+
+def test_incremental_view_unchanged_feed_is_noop(spark):
+    from movie_rec_spark.operators.mutation import (
+        incremental_view_apply,
+        snapshot_diff,
+    )
+
+    schema = "event_id bigint, user_id bigint, v bigint"
+    v1 = spark.createDataFrame([(1, 10, 5), (2, 20, 7)], schema)
+    view = v1.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    # UNFILTERED feed of an identical table: all-unchanged rows must
+    # aggregate to zero delta
+    feed = snapshot_diff(v1, v1, keys=["event_id"])
+    got = {r.user_id: (r.n, r.s)
+           for r in incremental_view_apply(
+               view, feed, ["user_id"], "n", {"s": "v"}).collect()}
+    assert got == {10: (1, 5), 20: (1, 7)}
