@@ -141,6 +141,12 @@ def test_new_operator_shuffle_budgets(spark):
         "q_pagerank_general": 1,  # final ordered select; rounds checkpointed
         "q_top_movies_bucketed": 0,  # bucketed layout removes the agg Exch
         "q_merge_snapshot": 0,   # checkpointed merge; read is scan-only
+        # round-6 additions
+        "q_snapshot_asof": 0,    # checkpointed time-travel read
+        "q_snapshot_cdf": 0,     # checkpointed feed read
+        "q_anomaly_stream_et": 0,  # checkpointed stream output
+        "q_incremental_view": 2,  # view agg + delta agg; joins broadcast
+                                 # at test scale (keyed exchanges at 100TB)
     }
     qs = E.queries()
     for name, budget in budgets.items():

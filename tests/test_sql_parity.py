@@ -33,7 +33,10 @@ PORTABLE = sorted([
     "q_event_counters",
     "q_event_windowed",
     "q_funnel",
+    "q_incremental_view",
     "q_merge_events",
+    "q_snapshot_asof",
+    "q_snapshot_cdf",
     "q_outer_join",
     "q_profile",
     "q_scd2",
