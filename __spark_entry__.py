@@ -220,6 +220,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_int8": lambda s, d: S.q_knn_int8(_t("embeddings")(s, d)),
         "q_embed_centroids": lambda s, d: S.q_embed_centroids(
             _t("embeddings")(s, d)),
+        # embedding-space benchmark decontamination (broadcast bench
+        # set, map-side cosine, argmax via max(struct)) — the semantic
+        # complement of the n-gram q_decontaminate family
+        "q_semantic_decontam": lambda s, d: S.q_semantic_decontam(
+            _t("embeddings")(s, d)),
+        # top-K vocabulary + per-doc OOV rate (map-only corpus pass)
+        "q_vocab_coverage": lambda s, d: T.q_vocab_coverage(
+            _t("documents")(s, d)),
         # --- similarity scale paths (rows-only: seeded-random LSH planes /
         # KMeans centroids are engine-specific; recall vs the exact
         # baselines is asserted in tests/test_similarity_multimodal.py).
@@ -304,7 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anomaly", "q_dataset_fingerprint", "q_pack_sequences",
         "q_als_implicit", "q_hll_union", "q_minhash_groups",
         "q_snapshot_asof", "q_snapshot_cdf", "q_anomaly_stream_et",
-        "q_incremental_view",
+        "q_incremental_view", "q_semantic_decontam", "q_vocab_coverage",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -1744,6 +1752,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Flat (label, pos) rows; 1-based list indexing over a range
         # enumeration mirrors Spark's 0-based posexplode.
+        # argmax per corpus vector = row_number over (sim DESC,
+        # bench_id) — the same deterministic tie order the Spark side's
+        # max(struct(sim, -bench_id)) encodes.
+        "q_semantic_decontam": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            b AS (SELECT vec_id AS bench_id, v AS bv FROM e
+                  WHERE vec_id % {S.SEMANTIC_DECON_MOD} = 0),
+            c AS (SELECT vec_id, v FROM e
+                  WHERE vec_id % {S.SEMANTIC_DECON_MOD} <> 0),
+            s AS (SELECT c.vec_id, b.bench_id,
+                         round(list_cosine_similarity(c.v, b.bv), 4)
+                             AS sim
+                  FROM c, b),
+            r AS (SELECT vec_id, bench_id, sim, row_number() OVER (
+                      PARTITION BY vec_id
+                      ORDER BY sim DESC, bench_id) AS rn
+                  FROM s)
+            SELECT vec_id, bench_id AS best_bench_id, sim AS max_sim,
+                   sim >= {S.NEARDUP_THRESHOLD} AS contaminated
+            FROM r WHERE rn = 1
+        """,
+        # vocab = top-K by corpus frequency, ties lexicographic (the
+        # deterministic cut); OOV via left join against it.
+        "q_vocab_coverage": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+            vocab AS (
+                SELECT w FROM (
+                    SELECT w, count(*) AS cnt FROM toks GROUP BY w
+                    ORDER BY cnt DESC, w LIMIT {T.VOCAB_K})),
+            j AS (SELECT t.doc_id, v.w AS vw
+                  FROM toks t LEFT JOIN vocab v ON t.w = v.w)
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   round(CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0
+                                  END) AS DOUBLE) / count(*), 4)
+                       AS oov_rate
+            FROM j GROUP BY doc_id
+        """,
         "q_embed_centroids": """
             WITH e AS (SELECT label, embedding::DOUBLE[] AS v
                        FROM embeddings),

@@ -1101,3 +1101,51 @@ def q_semdedup(embeddings: DataFrame, n_cells: int | None = None,
     )
     return out.withColumn(
         "dup_of", F.when(F.col("dup_of") >= 0, F.col("dup_of")))
+
+
+SEMANTIC_DECON_MOD = 50  # vec_id % MOD == 0 plays the benchmark set
+
+
+def q_semantic_decontam(embeddings: DataFrame,
+                        threshold: float = NEARDUP_THRESHOLD,
+                        mod: int = SEMANTIC_DECON_MOD) -> DataFrame:
+    """Semantic (embedding-space) decontamination: flag corpus vectors
+    whose cosine against ANY benchmark vector reaches ``threshold`` —
+    the n-gram decontamination family's (q_decontaminate) answer to
+    paraphrased benchmark leakage, which exact shingle overlap cannot
+    see. The deterministic split vec_id % mod == 0 plays the benchmark
+    suite; output carries the best-matching benchmark id and the max
+    similarity so the audit is reviewable, not just a boolean.
+
+    Scale shape: benchmark suites are SMALL by nature (thousands of
+    rows vs a 100 TB corpus), so the benchmark side is broadcast and
+    scoring is a map-side nested loop in pure-JVM codegen (functions.
+    cosine — zip_with/aggregate, accumulation order matches DuckDB's
+    list_cosine_similarity). The per-corpus-row argmax is
+    max(struct(sim, -bench_id)) with map-side partial aggregation, so
+    the single Exchange moves ONE row per corpus vector, never the
+    |corpus|×|benchmark| scored pairs. Ties on the 4dp-rounded sim
+    break to the LOWEST benchmark id on both engines.
+
+    For benchmark sets too large to broadcast, compose the existing
+    scale paths instead: `lsh_bucketed` both sides and verify within
+    buckets (same recall contract as lsh_neardup).
+    """
+    e = _as_double(embeddings)
+    bench = e.filter(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("bv"))
+    corpus = e.filter(F.col("vec_id") % mod != 0)
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("bv")), 4).alias("sim"),
+        "bench_id")
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(
+            F.col("sim"),
+            (-F.col("bench_id")).alias("nb"))).alias("m"))
+    return best.select(
+        "vec_id",
+        (-F.col("m.nb")).alias("best_bench_id"),
+        F.col("m.sim").alias("max_sim"),
+        (F.col("m.sim") >= F.lit(threshold)).alias("contaminated"))

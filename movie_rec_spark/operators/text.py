@@ -933,3 +933,43 @@ def q_weighted_sample(documents: DataFrame,
         .select("doc_id", "source", "es_key",
                 F.col("rn").cast("int").alias("rn"))
     )
+
+
+# top-K corpus words define the vocabulary. 20 on the synthetic corpus
+# (31 distinct words total) so the OOV tail is REAL — a K covering the
+# whole vocabulary makes every oov_rate 0 and the audit vacuous.
+VOCAB_K = 20
+
+
+def q_vocab_coverage(documents: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """Vocabulary-coverage audit: build the top-``k`` corpus vocabulary
+    by word frequency (ties break lexicographically so the cut is
+    deterministic across engines) and score every document's
+    out-of-vocabulary rate — the standard pre-tokenizer health check
+    before committing a tokenizer/vocab to a training run (a rising OOV
+    rate per source flags encoding drift or a domain the vocab misses).
+
+    Scale shape: the vocab is a 2-phase count aggregate + TakeOrdered K
+    (one Exchange over distinct words, partial-aggregated map-side);
+    the K surviving words come back as ONE bounded O(K) driver sync —
+    same sanctioned class as the LSH sizing scalar — and return to the
+    corpus as an array LITERAL, so the per-document scoring pass is
+    MAP-ONLY codegen (size/filter/array_contains over the split,
+    nothing exploded, no per-doc shuffle at all). Corpus side moves
+    zero rows.
+    """
+    toks = F.split(F.col("text"), " ")
+    words = documents.select(F.explode(toks).alias("w"))
+    vocab = [r["w"] for r in
+             (words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+              .orderBy(F.desc("cnt"), F.asc("w")).limit(k)
+              .select("w").collect())]
+    vocab_lit = F.array(*[F.lit(w) for w in sorted(vocab)])
+    n_oov = F.size(F.filter(
+        toks, lambda t: ~F.array_contains(vocab_lit, t)))
+    n_tok = F.size(toks)
+    return documents.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_oov.cast("bigint").alias("n_oov"),
+        F.round(n_oov.cast("double") / n_tok, 4).alias("oov_rate"))
