@@ -29,6 +29,7 @@ from movie_rec_spark import ml as ML  # noqa: E402
 from movie_rec_spark.operators import dedup as D  # noqa: E402
 from movie_rec_spark.operators import multimodal as MM  # noqa: E402
 from movie_rec_spark.operators import mutation as M  # noqa: E402
+from movie_rec_spark.operators import quality as Q  # noqa: E402
 from movie_rec_spark.operators import relational as R  # noqa: E402
 from movie_rec_spark.operators import similarity as S  # noqa: E402
 from movie_rec_spark.operators import skew as SK  # noqa: E402
@@ -228,6 +229,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top-K vocabulary + per-doc OOV rate (map-only corpus pass)
         "q_vocab_coverage": lambda s, d: T.q_vocab_coverage(
             _t("documents")(s, d)),
+        # Deequ-style declarative constraint audit (operators/quality.py):
+        # row-local constraints fold into ONE scan per table
+        "q_data_quality": lambda s, d: Q.q_data_quality(
+            _t("orders")(s, d), _t("customer")(s, d),
+            _t("lineitem")(s, d)),
         # --- similarity scale paths (rows-only: seeded-random LSH planes /
         # KMeans centroids are engine-specific; recall vs the exact
         # baselines is asserted in tests/test_similarity_multimodal.py).
@@ -313,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_als_implicit", "q_hll_union", "q_minhash_groups",
         "q_snapshot_asof", "q_snapshot_cdf", "q_anomaly_stream_et",
         "q_incremental_view", "q_semantic_decontam", "q_vocab_coverage",
+        "q_data_quality",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -1752,6 +1759,70 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Flat (label, pos) rows; 1-based list indexing over a range
         # enumeration mirrors Spark's 0-based posexplode.
+        # One SELECT per constraint row, scalar subqueries for the
+        # counts; NOT-EXISTS for the FK orphans (null-safe); violations
+        # use the same null semantics as the operator (nulls are
+        # not_null's job; range/accepted never count them).
+        "q_data_quality": """
+            SELECT *, violations = 0 AS passed FROM (
+              SELECT 'orders.o_custkey not_null' AS "constraint",
+                     'not_null' AS kind,
+                     (SELECT count(*) FROM orders) AS n_rows,
+                     (SELECT count(*) FROM orders
+                      WHERE o_custkey IS NULL) AS violations
+              UNION ALL
+              SELECT 'orders.o_orderkey unique', 'unique',
+                     (SELECT count(*) FROM orders),
+                     (SELECT count(*) FROM orders)
+                     - (SELECT count(*) FROM
+                        (SELECT DISTINCT o_orderkey FROM orders))
+              UNION ALL
+              SELECT 'orders.o_totalprice nonnegative', 'in_range',
+                     (SELECT count(*) FROM orders),
+                     (SELECT count(*) FROM orders
+                      WHERE o_totalprice < 0)
+              UNION ALL
+              SELECT 'orders.o_orderstatus in (O,F)', 'accepted_values',
+                     (SELECT count(*) FROM orders),
+                     (SELECT count(*) FROM orders
+                      WHERE NOT (o_orderstatus IN ('O', 'F')))
+              UNION ALL
+              SELECT 'orders.o_custkey -> customer', 'foreign_key',
+                     (SELECT count(*) FROM orders
+                      WHERE o_custkey IS NOT NULL),
+                     (SELECT count(*) FROM orders o
+                      WHERE o_custkey IS NOT NULL
+                        AND NOT EXISTS (SELECT 1 FROM customer c
+                                        WHERE c.c_custkey = o.o_custkey))
+              UNION ALL
+              SELECT 'lineitem.(l_orderkey,l_linenumber) unique',
+                     'unique',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem)
+                     - (SELECT count(*) FROM
+                        (SELECT DISTINCT l_orderkey, l_linenumber
+                         FROM lineitem))
+              UNION ALL
+              SELECT 'lineitem.l_quantity in [1,40]', 'in_range',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_quantity < 1 OR l_quantity > 40)
+              UNION ALL
+              SELECT 'lineitem.l_discount in [0,0.1]', 'in_range',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_discount < 0 OR l_discount > 0.1)
+              UNION ALL
+              SELECT 'lineitem.l_orderkey -> orders', 'foreign_key',
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_orderkey IS NOT NULL),
+                     (SELECT count(*) FROM lineitem l
+                      WHERE l_orderkey IS NOT NULL
+                        AND NOT EXISTS (SELECT 1 FROM orders o
+                                        WHERE o.o_orderkey
+                                              = l.l_orderkey))
+            )
+        """,
         # argmax per corpus vector = row_number over (sim DESC,
         # bench_id) — the same deterministic tie order the Spark side's
         # max(struct(sim, -bench_id)) encodes.

@@ -1,0 +1,166 @@
+"""Declarative data-quality constraints — the Deequ / Delta Live
+Tables "expectations" operator family: a table plus a constraint list
+in, one auditable report row per constraint out (violations counted,
+never just a boolean, so the report ranks problems by blast radius).
+
+Reference analogue: the reference enforces these piecemeal — NOT NULL /
+UNIQUE / FK in the DDL (``prototype/movierama_ddl.sql:1-33``) and
+bounds checks inline in the controller (``controller.py:120-122``
+rating-range assert). At lakehouse scale constraints are not enforced
+by the store; they are AUDITED by exactly this kind of pass, gating
+promotion of a batch from bronze to silver.
+
+Constraint kinds and their evaluation cost:
+
+- ``not_null`` / ``in_range`` / ``accepted_values`` are ROW-LOCAL:
+  all of them compile into ONE conditional aggregation over a single
+  scan of the table (a `sum(CASE WHEN violated)` per constraint), then
+  transpose to report rows with one row-local explode — adding a
+  constraint adds a column to the agg, not a pass over the data.
+- ``unique`` costs one distinct-aggregate on its key columns.
+- ``foreign_key`` costs one left-anti join against the referenced
+  column (orphans = violations); the ref side is typically a
+  dimension table and broadcasts.
+
+Null semantics (documented, not clever): range and accepted-values
+constraints do NOT count nulls as violations — null-ness is
+``not_null``'s job, so the two failure modes stay separately
+attributable in the report. ``foreign_key`` likewise audits only
+non-null child keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_REPORT_COLS = ("constraint", "kind", "n_rows", "violations", "passed")
+
+
+def not_null(col: str, name: str | None = None) -> dict:
+    return {"kind": "not_null", "col": col,
+            "name": name or f"{col} not_null"}
+
+
+def in_range(col: str, lo=None, hi=None, name: str | None = None) -> dict:
+    return {"kind": "in_range", "col": col, "lo": lo, "hi": hi,
+            "name": name or f"{col} in_range"}
+
+
+def accepted_values(col: str, values: Sequence,
+                    name: str | None = None) -> dict:
+    return {"kind": "accepted_values", "col": col, "values": list(values),
+            "name": name or f"{col} accepted_values"}
+
+
+def unique(cols: Sequence[str], name: str | None = None) -> dict:
+    cols = list(cols)
+    return {"kind": "unique", "cols": cols,
+            "name": name or f"({', '.join(cols)}) unique"}
+
+
+def foreign_key(col: str, ref: DataFrame, ref_col: str,
+                name: str | None = None) -> dict:
+    return {"kind": "foreign_key", "col": col, "ref": ref,
+            "ref_col": ref_col, "name": name or f"{col} foreign_key"}
+
+
+def _row_local_violation(c: dict):
+    col = F.col(c["col"])
+    if c["kind"] == "not_null":
+        return col.isNull()
+    if c["kind"] == "in_range":
+        cond = F.lit(False)
+        if c["lo"] is not None:
+            cond = cond | (col < F.lit(c["lo"]))
+        if c["hi"] is not None:
+            cond = cond | (col > F.lit(c["hi"]))
+        return cond  # null comparisons fall through to 0 (see module doc)
+    if c["kind"] == "accepted_values":
+        return ~col.isin(*c["values"])
+    raise ValueError(f"not row-local: {c['kind']}")
+
+
+def check_constraints(df: DataFrame, constraints: Sequence[dict]
+                      ) -> DataFrame:
+    """Evaluate ``constraints`` against ``df``; returns one report row
+    per constraint: (constraint, kind, n_rows, violations, passed)."""
+    row_local = [c for c in constraints
+                 if c["kind"] in ("not_null", "in_range",
+                                  "accepted_values")]
+    parts: list[DataFrame] = []
+    if row_local:
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(F.when(_row_local_violation(c), 1).otherwise(0))
+            .cast("bigint").alias(f"_v{i}")
+            for i, c in enumerate(row_local)]
+        one = df.agg(*aggs)
+        # transpose the single agg row to report rows: one row-local
+        # explode, still the same single scan
+        structs = F.array(*[
+            F.struct(F.lit(c["name"]).alias("constraint"),
+                     F.lit(c["kind"]).alias("kind"),
+                     F.col(f"_v{i}").alias("violations"))
+            for i, c in enumerate(row_local)])
+        parts.append(
+            one.select(F.col("_n"), F.explode(structs).alias("c"))
+            .select(F.col("c.constraint"), F.col("c.kind"),
+                    F.col("_n").alias("n_rows"), F.col("c.violations")))
+    for c in constraints:
+        if c["kind"] == "unique":
+            parts.append(df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.countDistinct(*c["cols"]))
+                .alias("violations"))
+                .select(F.lit(c["name"]).alias("constraint"),
+                        F.lit("unique").alias("kind"),
+                        "n_rows", "violations"))
+        elif c["kind"] == "foreign_key":
+            child = df.filter(F.col(c["col"]).isNotNull())
+            orphans = child.join(
+                F.broadcast(c["ref"].select(
+                    F.col(c["ref_col"]).alias(c["col"])).distinct()),
+                c["col"], "left_anti")
+            parts.append(
+                child.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+                    orphans.agg(
+                        F.count(F.lit(1)).alias("violations")))
+                .select(F.lit(c["name"]).alias("constraint"),
+                        F.lit("foreign_key").alias("kind"),
+                        "n_rows", "violations"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("passed", F.col("violations") == 0)
+
+
+def q_data_quality(orders: DataFrame, customer: DataFrame,
+                   lineitem: DataFrame) -> DataFrame:
+    """Declared constraint audit over the order/lineitem tables —
+    mirrors the reference's DDL constraints plus two bounds checks that
+    REALLY fail on this corpus (status 'P' rows; quantities above 40),
+    so the report exercises both verdicts. Table names prefix the
+    constraint names so the union stays unambiguous."""
+    rep_o = check_constraints(orders, [
+        not_null("o_custkey", "orders.o_custkey not_null"),
+        unique(["o_orderkey"], "orders.o_orderkey unique"),
+        in_range("o_totalprice", lo=0,
+                 name="orders.o_totalprice nonnegative"),
+        accepted_values("o_orderstatus", ["O", "F"],
+                        "orders.o_orderstatus in (O,F)"),
+        foreign_key("o_custkey", customer, "c_custkey",
+                    "orders.o_custkey -> customer"),
+    ])
+    rep_l = check_constraints(lineitem, [
+        unique(["l_orderkey", "l_linenumber"],
+               "lineitem.(l_orderkey,l_linenumber) unique"),
+        in_range("l_quantity", lo=1, hi=40,
+                 name="lineitem.l_quantity in [1,40]"),
+        in_range("l_discount", lo=0.0, hi=0.1,
+                 name="lineitem.l_discount in [0,0.1]"),
+        foreign_key("l_orderkey", orders, "o_orderkey",
+                    "lineitem.l_orderkey -> orders"),
+    ])
+    return rep_o.unionByName(rep_l)
