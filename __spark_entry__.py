@@ -251,6 +251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the hash-checked oracle)
         "q_pagerank_general": lambda s, d: D.q_pagerank_general(
             _t("documents")(s, d)),
+        # degree-ordered triangle counting; the oracle is the NAIVE
+        # triple self-join, proving the orientation optimization is
+        # answer-preserving (operators/dedup.py:triangle_count)
+        "q_triangles": lambda s, d: D.q_triangles(_t("documents")(s, d)),
         # Same logical query as q_top_movies, served from the MAINTAINED
         # bucketed lineitem copy (bucketed on the grouping key, so the
         # aggregation Exchange disappears — tests/test_layout.py asserts
@@ -319,7 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_als_implicit", "q_hll_union", "q_minhash_groups",
         "q_snapshot_asof", "q_snapshot_cdf", "q_anomaly_stream_et",
         "q_incremental_view", "q_semantic_decontam", "q_vocab_coverage",
-        "q_data_quality",
+        "q_data_quality", "q_triangles",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -1759,6 +1763,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Flat (label, pos) rows; 1-based list indexing over a range
         # enumeration mirrors Spark's 0-based posexplode.
+        # Naive triangle enumeration: canonical a<b edges, each
+        # triangle appears exactly once as x<y<z via the triple join.
+        "q_triangles": """
+            WITH d AS (SELECT doc_id FROM documents),
+            raw AS (
+                SELECT d.doc_id AS a, d.doc_id + o.o AS b
+                FROM d, (VALUES (1), (2), (3)) AS o(o)),
+            e AS (
+                SELECT DISTINCT r.a, r.b
+                FROM raw r JOIN d ON d.doc_id = r.b),
+            t AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            n AS (
+                SELECT x AS doc_id FROM t
+                UNION ALL SELECT y FROM t
+                UNION ALL SELECT z FROM t)
+            SELECT doc_id, count(*) AS n_triangles
+            FROM n GROUP BY doc_id
+        """,
         # One SELECT per constraint row, scalar subqueries for the
         # counts; NOT-EXISTS for the FK orphans (null-safe); violations
         # use the same null semantics as the operator (nulls are

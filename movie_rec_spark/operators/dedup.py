@@ -1153,3 +1153,97 @@ def q_fuzzy_match(part: DataFrame,
         .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"),
                 "key_a", "key_b", "n_parts_a", "n_parts_b")
     )
+
+
+def triangle_edges(documents: DataFrame) -> DataFrame:
+    """Deterministic UNDIRECTED edge set with real triangle structure:
+    doc x links to x+1, x+2, x+3 (where the target exists), so every
+    offset pair summing to another offset closes a triangle —
+    (x, x+1, x+2), (x, x+1, x+3)*, (x, x+2, x+3)* — rich enough that
+    per-node support varies by position. Same construction cost class
+    as general_edges: one explode + one id-keyed equi-join."""
+    d = documents.select("doc_id")
+    offsets = F.array(F.lit(1), F.lit(2), F.lit(3))
+    return (
+        d.select(F.col("doc_id").alias("doc_a"),
+                 F.explode(offsets).alias("_off"))
+        .select("doc_a", (F.col("doc_a") + F.col("_off")).alias("doc_b"))
+        .join(d.select(F.col("doc_id").alias("doc_b")), "doc_b")
+        .select("doc_a", "doc_b")
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle support (how many triangles each node sits
+    in) via DEGREE-ORDERED edge orientation — the standard
+    at-scale algorithm (Suri & Vassilvitskii's MapReduce formulation;
+    Spark GraphX's TriangleCount uses the same idea): canonicalize the
+    undirected edge set, orient every edge from its lower-(degree, id)
+    endpoint to the higher, enumerate wedges only at each edge's LOW
+    endpoint, and close them with a semi join.
+
+    Why orientation is the scale story: naive wedge enumeration joins
+    the adjacency list with itself, so a celebrity node with degree d
+    contributes d² wedges — quadratic blowups on exactly the skewed
+    nodes a web/social corpus has. Orienting by degree bounds every
+    node's OUT-degree by O(√m) regardless of its raw degree (the
+    arboricity argument), so wedge volume is Σ outdeg² ≤ O(m^1.5)
+    worst-case and near-linear on real degree distributions — the join
+    keys stay skew-free. The oracle is the NAIVE triple self-join in
+    SQL; the two must agree exactly, which is the point: orientation
+    is an optimization, never a semantics change.
+
+    Scale shape: one distinct (canonicalize), one degree aggregate,
+    the rank join-back, one wedge self-join keyed on the low endpoint,
+    one semi join to close — all id-keyed equi-joins, no window, no
+    driver state. Output: (doc_id, n_triangles) for nodes in ≥1
+    triangle."""
+    e = (edges.select(F.least("doc_a", "doc_b").alias("a"),
+                      F.greatest("doc_a", "doc_b").alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    deg = (e.select(F.col("a").alias("node"))
+           .unionAll(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    # total order monotone in (deg, id): rank = deg·2^32 + id
+    rk = deg.select(
+        "node",
+        (F.col("deg").cast("long") * F.lit(1 << 32)
+         + F.col("node")).alias("rk"))
+    er = (
+        e.join(rk.select(F.col("node").alias("a"),
+                         F.col("rk").alias("rka")), "a")
+        .join(rk.select(F.col("node").alias("b"),
+                        F.col("rk").alias("rkb")), "b")
+        .select(
+            F.when(F.col("rka") < F.col("rkb"), F.col("a"))
+            .otherwise(F.col("b")).alias("u"),
+            F.when(F.col("rka") < F.col("rkb"), F.col("b"))
+            .otherwise(F.col("a")).alias("v"),
+            F.greatest("rka", "rkb").alias("rkv"))
+    )
+    wedges = (
+        er.alias("e1").join(
+            er.alias("e2"),
+            (F.col("e1.u") == F.col("e2.u"))
+            & (F.col("e1.rkv") < F.col("e2.rkv")))
+        .select(F.col("e1.u").alias("x"),
+                F.col("e1.v").alias("p"),
+                F.col("e2.v").alias("q"))
+    )
+    # the closing edge p—q is oriented p→q (rank(p) < rank(q) by
+    # construction of the wedge), so one directed semi join closes it
+    tri = wedges.join(
+        er.select(F.col("u").alias("p"), F.col("v").alias("q")),
+        ["p", "q"], "left_semi")
+    corners = tri.select(
+        F.explode(F.array("x", "p", "q")).alias("doc_id"))
+    return (corners.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def q_triangles(documents: DataFrame) -> DataFrame:
+    """Declared query: per-node triangle support on the deterministic
+    offset graph. Oracle = the naive triple self-join over the same
+    canonical edge set — exact integer agreement proves the
+    degree-ordered optimization changes cost, not answers."""
+    return triangle_count(triangle_edges(documents))

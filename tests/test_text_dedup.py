@@ -825,3 +825,41 @@ def test_dataset_fingerprint_detects_edits_and_is_reshard_stable(spark):
                 for r in T.q_dataset_fingerprint(
                     _docs(spark, texts)).collect()}
     assert restored == base
+
+
+def test_triangle_count_known_graph(spark):
+    """Hand-built graph: K4 on {1,2,3,4} (4 triangles, every node in
+    3), plus a star hub 10 with leaves 11..14 (no triangles — wedges
+    at the hub must NOT count), plus a dangling edge. Duplicate and
+    reversed input edges must not change the answer."""
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),   # K4
+             (10, 11), (10, 12), (10, 13), (10, 14),           # star
+             (20, 21),                                          # dangle
+             (2, 1), (3, 1), (1, 2)]                            # dupes
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {r.doc_id: r.n_triangles
+           for r in D.triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # each triangle counted at exactly 3 corners
+    assert sum(got.values()) % 3 == 0 and sum(got.values()) // 3 == 4
+
+
+def test_triangle_offsets_graph_matches_bruteforce(spark):
+    """The declared offset graph vs a pure-Python brute force on a
+    small corpus — the degree-ordered enumeration must agree exactly."""
+    from itertools import combinations
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i) for i in range(30)])
+    got = {r.doc_id: r.n_triangles
+           for r in D.triangle_count(D.triangle_edges(docs)).collect()}
+    nodes = range(30)
+    es = {(a, a + o) for a in nodes for o in (1, 2, 3) if a + o < 30}
+    def adj(x, y):
+        return (min(x, y), max(x, y)) in es
+    want: dict[int, int] = {}
+    for x, y, z in combinations(nodes, 3):
+        if adj(x, y) and adj(y, z) and adj(x, z):
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
