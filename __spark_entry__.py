@@ -285,6 +285,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             MM.with_payload(_t("documents")(s, d)), codec="stub"),
         "q_recommend": lambda s, d: R.q_recommend(
             _t("lineitem")(s, d), _t("orders")(s, d)),
+        # TPC-H Q5-shaped six-table star join: every dim broadcasts,
+        # filters push below the joins, one real Exchange (final agg)
+        "q_star_revenue": lambda s, d: R.q_star_revenue(
+            _t("region")(s, d), _t("nation")(s, d),
+            _t("customer")(s, d), _t("supplier")(s, d),
+            _t("orders")(s, d), _t("lineitem")(s, d)),
         # rows-only (HLL registers / xxhash64 minhash signatures are
         # engine-specific; error-bound + exact-Jaccard-agreement pytest
         # gates) — parked after the oracle-backed block so the driver's
@@ -323,7 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_als_implicit", "q_hll_union", "q_minhash_groups",
         "q_snapshot_asof", "q_snapshot_cdf", "q_anomaly_stream_et",
         "q_incremental_view", "q_semantic_decontam", "q_vocab_coverage",
-        "q_data_quality", "q_triangles",
+        "q_data_quality", "q_triangles", "q_star_revenue",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -1763,6 +1769,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Flat (label, pos) rows; 1-based list indexing over a range
         # enumeration mirrors Spark's 0-based posexplode.
+        "q_star_revenue": f"""
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice
+                                       * (1 - l_discount) * 100, 0)
+                                 AS BIGINT)) AS BIGINT) / 100.0
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = '{R.STAR_REGION}'
+              AND o_orderdate >= TIMESTAMP '{R.STAR_DATE_LO}'
+              AND o_orderdate < TIMESTAMP '{R.STAR_DATE_HI}'
+            GROUP BY n_name
+        """,
         # Naive triangle enumeration: canonical a<b edges, each
         # triangle appears exactly once as x<y<z via the triple join.
         "q_triangles": """

@@ -724,3 +724,55 @@ def q_outliers(events: DataFrame, k: float = 1.5) -> DataFrame:
                 | (F.col("value") > F.col("hi")))
         .select("event_id", "event_type", "value", "lo", "hi")
     )
+
+
+STAR_REGION = "ASIA"
+STAR_DATE_LO = "1996-01-01"
+STAR_DATE_HI = "1997-01-01"
+
+
+def q_star_revenue(region: DataFrame, nation: DataFrame,
+                   customer: DataFrame, supplier: DataFrame,
+                   orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q5-shaped star join — local-supplier revenue per nation
+    for one region and one order-date year: region ⋈ nation ⋈ customer
+    ⋈ orders ⋈ lineitem ⋈ supplier with the classic
+    ``s_nationkey = c_nationkey`` locality condition. The six-table
+    query is THE optimizer showcase: written declaratively, Catalyst
+    broadcasts every dimension (region/nation/customer/supplier are
+    DIM_TABLES), pushes the region and date filters beneath the joins,
+    prunes to the six referenced columns of lineitem/orders, and the
+    only real Exchange left is the final per-nation aggregate — the
+    fact table is never shuffled for the joins. At 100 TB the same
+    declaration holds: dims broadcast, lineitem⋈orders co-partition on
+    orderkey (or zip bucketed copies, sources/layout.py), and AQE
+    picks the strategy per runtime sizes.
+
+    Revenue accumulates as INTEGER CENTS (same HALF_UP idiom as
+    q_top_movies) so the sum is bit-exact under any accumulation
+    order; the division back to currency is exact.
+    """
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+        0).cast("bigint")
+    lo = F.lit(STAR_DATE_LO).cast("timestamp")
+    hi = F.lit(STAR_DATE_HI).cast("timestamp")
+    return (
+        lineitem
+        .join(orders.filter((F.col("o_orderdate") >= lo)
+                            & (F.col("o_orderdate") < hi)),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == STAR_REGION)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg((F.sum(cents) / 100.0).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .select("n_name", "revenue", "n_items")
+    )

@@ -147,6 +147,9 @@ def test_new_operator_shuffle_budgets(spark):
         "q_anomaly_stream_et": 0,  # checkpointed stream output
         "q_incremental_view": 2,  # view agg + delta agg; joins broadcast
                                  # at test scale (keyed exchanges at 100TB)
+        "q_star_revenue": 1,     # six-table star: all dims broadcast,
+                                 # only the final per-nation agg moves
+        "q_data_quality": 8,     # 1 scan/table row-local + unique/fk aggs
     }
     qs = E.queries()
     for name, budget in budgets.items():
