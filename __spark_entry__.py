@@ -1773,7 +1773,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name,
                    CAST(sum(CAST(round(l_extendedprice
                                        * (1 - l_discount) * 100, 0)
-                                 AS BIGINT)) AS BIGINT) / 100.0
+                                 AS BIGINT)) AS DOUBLE) / 100.0
                        AS revenue,
                    count(*) AS n_items
             FROM lineitem
@@ -1816,7 +1816,7 @@ def oracle_sql() -> dict[str, str]:
         # not_null's job; range/accepted never count them).
         "q_data_quality": """
             SELECT *, violations = 0 AS passed FROM (
-              SELECT 'orders.o_custkey not_null' AS "constraint",
+              SELECT 'orders.o_custkey not_null' AS constraint_name,
                      'not_null' AS kind,
                      (SELECT count(*) FROM orders) AS n_rows,
                      (SELECT count(*) FROM orders

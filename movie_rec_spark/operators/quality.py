@@ -36,7 +36,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_REPORT_COLS = ("constraint", "kind", "n_rows", "violations", "passed")
+_REPORT_COLS = ("constraint_name", "kind", "n_rows", "violations", "passed")
 
 
 def not_null(col: str, name: str | None = None) -> dict:
@@ -86,7 +86,7 @@ def _row_local_violation(c: dict):
 def check_constraints(df: DataFrame, constraints: Sequence[dict]
                       ) -> DataFrame:
     """Evaluate ``constraints`` against ``df``; returns one report row
-    per constraint: (constraint, kind, n_rows, violations, passed)."""
+    per constraint: (constraint_name, kind, n_rows, violations, passed)."""
     row_local = [c for c in constraints
                  if c["kind"] in ("not_null", "in_range",
                                   "accepted_values")]
@@ -100,13 +100,13 @@ def check_constraints(df: DataFrame, constraints: Sequence[dict]
         # transpose the single agg row to report rows: one row-local
         # explode, still the same single scan
         structs = F.array(*[
-            F.struct(F.lit(c["name"]).alias("constraint"),
+            F.struct(F.lit(c["name"]).alias("constraint_name"),
                      F.lit(c["kind"]).alias("kind"),
                      F.col(f"_v{i}").alias("violations"))
             for i, c in enumerate(row_local)])
         parts.append(
             one.select(F.col("_n"), F.explode(structs).alias("c"))
-            .select(F.col("c.constraint"), F.col("c.kind"),
+            .select(F.col("c.constraint_name"), F.col("c.kind"),
                     F.col("_n").alias("n_rows"), F.col("c.violations")))
     for c in constraints:
         if c["kind"] == "unique":
@@ -114,7 +114,7 @@ def check_constraints(df: DataFrame, constraints: Sequence[dict]
                 F.count(F.lit(1)).alias("n_rows"),
                 (F.count(F.lit(1)) - F.countDistinct(*c["cols"]))
                 .alias("violations"))
-                .select(F.lit(c["name"]).alias("constraint"),
+                .select(F.lit(c["name"]).alias("constraint_name"),
                         F.lit("unique").alias("kind"),
                         "n_rows", "violations"))
         elif c["kind"] == "foreign_key":
@@ -127,7 +127,7 @@ def check_constraints(df: DataFrame, constraints: Sequence[dict]
                 child.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
                     orphans.agg(
                         F.count(F.lit(1)).alias("violations")))
-                .select(F.lit(c["name"]).alias("constraint"),
+                .select(F.lit(c["name"]).alias("constraint_name"),
                         F.lit("foreign_key").alias("kind"),
                         "n_rows", "violations"))
     out = parts[0]

@@ -19,7 +19,7 @@ from movie_rec_spark.operators.quality import (
 
 
 def _report(df, constraints):
-    return {r.constraint: (r.n_rows, r.violations, r.passed)
+    return {r.constraint_name: (r.n_rows, r.violations, r.passed)
             for r in check_constraints(df, constraints).collect()}
 
 

@@ -27,6 +27,7 @@ PORTABLE = sorted([
     "q_candidates_scalable",
     "q_cc_chain_minlabel",
     "q_cc_chain_star",
+    "q_data_quality",
     "q_dedup_exact",
     "q_delete_antijoin",
     "q_distinct_users",
@@ -44,6 +45,8 @@ PORTABLE = sorted([
     "q_salted_count",
     "q_set_ops",
     "q_source_overlap",
+    "q_star_revenue",
+    "q_triangles",
     "q_unpivot",
     "q_upsert_latest",
     "q_user_latest_ratings",
