@@ -165,6 +165,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anomaly_stream_et": lambda s, d: SA.q_anomaly_stream_et(
             _t("events")(s, d)),
         "q_scd2": lambda s, d: TP.q_scd2(_t("events")(s, d)),
+        # growth series: cumulative distinct via the first-seen trick
+        # (running sum over |days|), never a distinct-over-expanding-
+        # window rescan
+        "q_cumulative_users": lambda s, d: TP.q_cumulative_users(
+            _t("events")(s, d)),
         "q_resample": lambda s, d: TP.q_resample(_t("events")(s, d)),
         "q_percentiles": lambda s, d: R.q_percentiles(_t("lineitem")(s, d)),
         "q_outliers": lambda s, d: R.q_outliers(_t("events")(s, d)),
@@ -330,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_asof", "q_snapshot_cdf", "q_anomaly_stream_et",
         "q_incremental_view", "q_semantic_decontam", "q_vocab_coverage",
         "q_data_quality", "q_triangles", "q_star_revenue",
+        "q_cumulative_users",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -1769,6 +1775,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Flat (label, pos) rows; 1-based list indexing over a range
         # enumeration mirrors Spark's 0-based posexplode.
+        # first-seen trick mirrored; the window sum is HUGEINT in
+        # DuckDB, hence the CAST (the round-5 lesson, baked in)
+        "q_cumulative_users": """
+            WITH daily AS (
+                SELECT date_trunc('day', ts) AS day,
+                       count(DISTINCT user_id) AS active_users
+                FROM events GROUP BY 1),
+            fs AS (SELECT user_id, min(date_trunc('day', ts)) AS day
+                   FROM events GROUP BY 1),
+            npd AS (SELECT day, count(*) AS new_users
+                    FROM fs GROUP BY 1)
+            SELECT d.day, d.active_users,
+                   coalesce(n.new_users, 0) AS new_users,
+                   CAST(sum(coalesce(n.new_users, 0)) OVER (
+                       ORDER BY d.day ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cumulative_users
+            FROM daily d LEFT JOIN npd n USING (day)
+        """,
         "q_star_revenue": f"""
             SELECT n_name,
                    CAST(sum(CAST(round(l_extendedprice

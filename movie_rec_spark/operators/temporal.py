@@ -457,3 +457,31 @@ def q_resample(events: DataFrame) -> DataFrame:
             F.col("n_events").isNull().alias("gap"),
         )
     )
+
+
+def q_cumulative_users(events: DataFrame) -> DataFrame:
+    """Daily active / new / cumulative-distinct users — the growth
+    dashboard's base series. The naive formulation (COUNT(DISTINCT
+    user) OVER an expanding date window) re-scans every prior day per
+    day — quadratic; the scale form used here is the FIRST-SEEN trick:
+    cumulative distinct users at day d ≡ running sum of users whose
+    first-ever event lands on ≤ d. One per-user min, one per-day
+    aggregate pair, one tiny ordered prefix sum over |days| rows —
+    everything keyed, nothing quadratic, same shape at 100 TB.
+    """
+    day = F.date_trunc("day", F.col("ts"))
+    daily = (events.groupBy(day.alias("day"))
+             .agg(F.countDistinct("user_id").alias("active_users")))
+    first_seen = (events.groupBy("user_id")
+                  .agg(F.min(day).alias("day")))
+    new_per_day = (first_seen.groupBy("day")
+                   .agg(F.count(F.lit(1)).alias("new_users")))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        daily.join(new_per_day, "day", "left")
+        .select("day", "active_users",
+                F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .withColumn("cumulative_users",
+                    F.sum("new_users").over(w).cast("bigint"))
+    )

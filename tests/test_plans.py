@@ -150,9 +150,47 @@ def test_new_operator_shuffle_budgets(spark):
         "q_star_revenue": 1,     # six-table star: all dims broadcast,
                                  # only the final per-nation agg moves
         "q_data_quality": 8,     # 1 scan/table row-local + unique/fk aggs
+        "q_cumulative_users": 4,  # daily distinct, first-seen, new-per-
+                                 # day aggs + |days|-row prefix window
     }
     qs = E.queries()
     for name, budget in budgets.items():
         df = qs[name](spark, "/root/testdata/sf0.001")
         got = count_exchanges(df)
         assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Spark's runtime row-level filtering: a selective filter on one
+    join side injects a BLOOM FILTER into the OTHER side's scan, so
+    fact rows that cannot match die before the shuffle. Free at real
+    scale (on by default once the creation side is under its threshold
+    and the application side's scan is big enough); the thresholds are
+    forced here because the test corpus is below the 10 GB application
+    floor. Pinned so a conf or version change that silently loses the
+    optimization fails CI."""
+    from pyspark.sql import functions as F
+
+    from movie_rec_spark.sources.catalog import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sf = "/root/testdata/sf0.001"
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), \
+            "runtime bloom filter no longer injected on the fact scan"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -27,6 +27,7 @@ PORTABLE = sorted([
     "q_candidates_scalable",
     "q_cc_chain_minlabel",
     "q_cc_chain_star",
+    "q_cumulative_users",
     "q_data_quality",
     "q_dedup_exact",
     "q_delete_antijoin",
