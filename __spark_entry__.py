@@ -36,6 +36,7 @@ from movie_rec_spark.operators import skew as SK  # noqa: E402
 from movie_rec_spark.operators import temporal as TP  # noqa: E402
 from movie_rec_spark.operators import text as T  # noqa: E402
 from movie_rec_spark.sources import layout as L  # noqa: E402
+from movie_rec_spark.sources import restds as RD  # noqa: E402
 from movie_rec_spark.sources.catalog import load_table, table_rows  # noqa: E402
 from movie_rec_spark.streaming import anomaly as SA  # noqa: E402
 
@@ -290,6 +291,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             MM.with_payload(_t("documents")(s, d)), codec="stub"),
         "q_recommend": lambda s, d: R.q_recommend(
             _t("lineitem")(s, d), _t("orders")(s, d)),
+        # S4/S5 as a REGISTERED Spark-4 Python Data Source: planned id
+        # partitions, per-partition batched fetch, retry-with-backoff
+        # surviving injected transient failures, JVM JSON shaping
+        # (sources/restds.py; fake connectivity, real machinery)
+        "q_rest_enrichment": lambda s, d: RD.q_rest_enrichment(s),
         # TPC-H Q5-shaped six-table star join: every dim broadcasts,
         # filters push below the joins, one real Exchange (final agg)
         "q_star_revenue": lambda s, d: R.q_star_revenue(
@@ -335,7 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_asof", "q_snapshot_cdf", "q_anomaly_stream_et",
         "q_incremental_view", "q_semantic_decontam", "q_vocab_coverage",
         "q_data_quality", "q_triangles", "q_star_revenue",
-        "q_cumulative_users",
+        "q_cumulative_users", "q_rest_enrichment",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -1775,6 +1781,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Flat (label, pos) rows; 1-based list indexing over a range
         # enumeration mirrors Spark's 0-based posexplode.
+        # The fake payload's arithmetic reproduced in SQL: the hash
+        # check covers source planning, partitioned fetch, retries,
+        # and the JVM JSON shaping end-to-end.
+        "q_rest_enrichment": """
+            WITH ids AS (SELECT unnest(range(1, 501)) AS movie_id),
+            g AS (SELECT ['Drama', 'Comedy', 'Action', 'Sci-Fi',
+                          'Horror'] AS gl)
+            SELECT movie_id,
+                   'Movie ' || movie_id AS title,
+                   CAST(1950 + (movie_id * 42) % 70 AS INT) AS year,
+                   array_to_string(
+                       list_transform(range((movie_id % 3) + 1),
+                           k -> gl[CAST((movie_id + k) % 5 AS INT)
+                                   + 1]),
+                       '|') AS genres,
+                   'Synopsis of movie ' || movie_id || '.'
+                       AS description
+            FROM ids, g
+        """,
         # first-seen trick mirrored; the window sum is HUGEINT in
         # DuckDB, hence the CAST (the round-5 lesson, baked in)
         "q_cumulative_users": """

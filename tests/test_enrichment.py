@@ -36,3 +36,47 @@ def test_genres_pipe_join_counts(spark):
 def test_default_fetcher_raises(spark):
     with pytest.raises(Exception):
         EN.fetch_raw(_ids(spark, 2)).collect()
+
+
+def test_datasource_partitions_plan_the_id_space():
+    from movie_rec_spark.sources.restds import RestEnrichmentReader
+
+    r = RestEnrichmentReader({"lo": "1", "hi": "101",
+                              "num_partitions": "4"})
+    parts = r.partitions()
+    assert len(parts) == 4
+    covered = [i for p in parts for i in range(p.lo, p.hi)]
+    assert covered == list(range(1, 101))
+
+
+def test_datasource_retry_survives_injected_transients(spark):
+    from movie_rec_spark.sources.restds import read_enrichment
+
+    df = read_enrichment(spark, 1, 201, num_partitions=4,
+                         fail_every=2, backoff_s=0.0)
+    got = {r.movie_id: r.title for r in df.collect()}
+    assert len(got) == 200 and got[7] == "Movie 7"
+
+
+def test_datasource_retry_exhaustion_fails_loudly(spark):
+    from movie_rec_spark.sources.restds import read_enrichment
+
+    df = read_enrichment(spark, 1, 201, num_partitions=1,
+                         fail_every=1, retries=0, backoff_s=0.0)
+    with pytest.raises(Exception, match="transient"):
+        df.collect()
+
+
+def test_datasource_matches_mapinpandas_enrichment_path(spark):
+    """The registered source and the mapInPandas fetch_raw path share
+    the fake-payload arithmetic; the parsed outputs must be identical
+    row-for-row — two front doors, one answer."""
+    from movie_rec_spark.sources.restds import read_enrichment
+
+    ids = spark.createDataFrame([Row(movie_id=i) for i in range(1, 51)])
+    via_map = EN.parse_enrichment(
+        EN.fetch_raw(ids, fetcher=EN.make_fake_fetcher()))
+    via_src = read_enrichment(spark, 1, 51, num_partitions=3)
+    a = {tuple(r) for r in via_map.collect()}
+    b = {tuple(r) for r in via_src.collect()}
+    assert a == b
