@@ -536,3 +536,48 @@ def test_streaming_anomaly_eventtime_tolerates_out_of_order(spark, tmp_path):
                          if got.get(k) != want.get(k)}
     assert got[5][3] is True   # spike flags with the late event counted
     assert got[5][1] == 5      # its baseline includes the late day 3
+
+
+def test_stateful_anomaly_runs_on_rocksdb_state_store(spark, tmp_path):
+    """The at-scale state backend: HDFS-backed state lives on the
+    executor HEAP (state size bounded by memory), RocksDB spills to
+    local disk with incremental checkpointing — the default any
+    large-state production stream should run. The stateful scorer must
+    produce IDENTICAL output under it; pinned here so the kernels never
+    grow a heap-provider dependency."""
+    import datetime as dt
+
+    from movie_rec_spark.operators.temporal import q_anomaly
+    from movie_rec_spark.streaming.anomaly import anomaly_stream
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(
+            key, "org.apache.spark.sql.execution.streaming."
+                 "state.RocksDBStateStoreProvider")
+        schema = ("event_id bigint, user_id bigint, ts timestamp, "
+                  "value double")
+        rows = [(i, 1, dt.datetime(2024, 1, 1 + i, 12, 0, 0),
+                 100.0 if i == 5 else 1.0 + (i % 3) * 0.1)
+                for i in range(7)]
+        src = str(tmp_path / "rdb_src")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q = (anomaly_stream(
+                spark.readStream.schema(schema).parquet(src))
+             .writeStream.outputMode("append")
+             .format("memory").queryName("t_rocks")
+             .option("checkpointLocation", str(tmp_path / "rdb_ck"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        got = {r.event_id: (r.n_win, r.zscore, r.is_anomaly)
+               for r in spark.sql("SELECT * FROM t_rocks").collect()}
+        want = {r.event_id: (r.n_win, r.zscore, r.is_anomaly)
+                for r in q_anomaly(
+                    spark.createDataFrame(rows, schema)).collect()}
+        assert got == want
+        assert got[5][2] is True
+    finally:
+        spark.conf.set(key, old)
