@@ -99,3 +99,95 @@ def decode_rec_list(kv: DataFrame) -> DataFrame:
         F.regexp_replace("key", "^u", "").cast("bigint").alias("user_id"),
         F.split("value", ";").cast("array<int>").alias("item_ids"),
     )
+
+
+# --- S9/S10 as a REGISTERED Spark-4 Python Data Source WRITER: the
+# foreachPartition path above ships rows but has no commit protocol —
+# a failed job leaves whatever partitions already flushed. The writer
+# below adds the all-or-nothing contract the API provides: tasks STAGE
+# their batches to uniquely-named files and return commit messages;
+# commit() publishes one _manifest.json naming exactly the staged
+# files (readers trust only manifested files, same atomic-publish
+# stance as sources/snapshot.py); abort() deletes the orphans. On a
+# real deployment the staged file becomes a Redis pipeline guarded by
+# a transactional rename-key or versioned-namespace flip.
+
+import json as _json
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _KVCommit(WriterCommitMessage):
+    def __init__(self, filename: str, rows: int):
+        self.filename = filename
+        self.rows = rows
+
+
+class KVFileWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.batch_size = int(options.get("batch_size", BATCH_SIZE))
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        name = f"staged-{uuid.uuid4().hex}.kv"
+        client = FileKVClient(self.path)
+        client._path = os.path.join(self.path, name)
+        n = 0
+        try:
+            for row in iterator:
+                client.set(str(row[0]), str(row[1]))
+                n += 1
+                if n % self.batch_size == 0:
+                    client.flush()
+        finally:
+            client.close()
+        return _KVCommit(name, n)
+
+    def commit(self, messages):
+        man = {"files": sorted(m.filename for m in messages
+                               if m is not None),
+               "rows": sum(m.rows for m in messages if m is not None)}
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            _json.dump(man, fh)
+        os.replace(tmp, os.path.join(self.path, "_manifest.json"))
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None:
+                try:
+                    os.unlink(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+class KVFileDataSource(DataSource):
+    """``df.write.format("kvfile").option("path", dir).mode(...)``:
+    the first two columns become (key, value)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kvfile"
+
+    def writer(self, schema, overwrite: bool) -> KVFileWriter:
+        return KVFileWriter(self.options)
+
+
+def read_kv_manifested(spark, path: str) -> DataFrame:
+    """Read back ONLY the committed (manifested) kv files — staged
+    orphans from failed/aborted jobs are invisible, which is the whole
+    point of the commit protocol."""
+    with open(os.path.join(path, "_manifest.json")) as fh:
+        files = _json.load(fh)["files"]
+    rows = []
+    for f in files:
+        with open(os.path.join(path, f), encoding="utf-8") as fh:
+            for line in fh:
+                k, _, v = line.rstrip("\n").partition("\t")
+                rows.append((k, v))
+    return spark.createDataFrame(rows or [], "key string, value string")

@@ -207,3 +207,54 @@ def test_jsonl_corrupt_record_modes(spark, tmp_path):
     dropped = read_jsonl(spark, str(p), schema,
                          mode="DROPMALFORMED").collect()
     assert sorted(r.doc_id for r in dropped) == [1, 2]
+
+
+def test_kvfile_writer_commits_manifest(spark, tmp_path):
+    """The registered writer's commit protocol: staged per-task files
+    publish atomically via one manifest; read-back sees every row."""
+    from movie_rec_spark.sources.kv import (
+        KVFileDataSource,
+        read_kv_manifested,
+    )
+
+    spark.dataSource.register(KVFileDataSource)
+    out = str(tmp_path / "kvout")
+    df = spark.createDataFrame(
+        [(f"u{i}", f"{i};{i+1}") for i in range(100)],
+        "key string, value string").repartition(4)
+    df.write.format("kvfile").option("path", out).mode("append").save()
+    import json
+    import os
+    man = json.load(open(os.path.join(out, "_manifest.json")))
+    assert man["rows"] == 100 and 1 <= len(man["files"]) <= 4
+    back = {r.key: r.value
+            for r in read_kv_manifested(spark, out).collect()}
+    assert len(back) == 100 and back["u7"] == "7;8"
+
+
+def test_kvfile_writer_abort_leaves_no_manifest(spark, tmp_path):
+    """A failing task aborts the job: no manifest is published, so a
+    manifested read sees NOTHING — partial flushes stay invisible."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from movie_rec_spark.sources.kv import KVFileDataSource
+
+    spark.dataSource.register(KVFileDataSource)
+    out = str(tmp_path / "kvfail")
+    from pyspark.sql.types import StringType
+
+    @F.udf(returnType=StringType())
+    def poison(v):
+        if v == 99:
+            raise RuntimeError("poison row")
+        return str(v)
+
+    df = spark.range(100).select(
+        F.concat(F.lit("u"), "id").alias("key"), poison("id").alias("value"))
+    with pytest.raises(Exception):
+        df.coalesce(1).write.format("kvfile") \
+          .option("path", out).mode("append").save()
+    assert not os.path.exists(os.path.join(out, "_manifest.json"))
