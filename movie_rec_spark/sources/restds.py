@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 RAW_SCHEMA = "movie_id bigint, raw_json string"
@@ -143,6 +144,9 @@ class RestEnrichmentDataSource(DataSource):
     def reader(self, schema) -> RestEnrichmentReader:
         return RestEnrichmentReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return RestEnrichmentStreamReader(self.options)
+
 
 def read_enrichment(spark, lo: int, hi: int, num_partitions: int = 8,
                     **options):
@@ -169,3 +173,47 @@ def q_rest_enrichment(spark) -> "DataFrame":  # noqa: F821
     and the JSON shaping end-to-end."""
     return read_enrichment(spark, 1, 501, num_partitions=8,
                            fail_every=2, backoff_s=0.0)
+
+
+class RestEnrichmentStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch STREAM variant of the source: the offset is the next
+    unfetched id, each batch fetches one block, and Spark's checkpoint
+    carries the offset — so a restarted query resumes exactly where it
+    stopped and replayed batches re-read the SAME id range
+    (``readBetweenOffsets``), the exactly-once contract a polling REST
+    ingester needs. ``hi`` caps the id space (an exhausted source
+    returns empty batches at a parked offset); the production
+    ``mode=http`` hook and the retry loop are shared with the batch
+    reader."""
+
+    def __init__(self, options: dict):
+        self._r = RestEnrichmentReader(options)
+        self.lo = self._r.lo
+        self.hi = self._r.hi
+        self.block = int(options.get("block", 100))
+
+    def initialOffset(self) -> dict:
+        return {"next_id": self.lo}
+
+    def _rows(self, lo: int, hi: int):
+        # a pickled-friendly ITERATOR (list iterator), never a raw
+        # generator: the simple-reader prefetches rows driver-side and
+        # pickles them into the batch plan, and the framework consumes
+        # them via next()
+        out: list[tuple] = []
+        ids = list(range(lo, hi))
+        for i in range(0, len(ids), self._r.batch_size):
+            chunk = ids[i:i + self._r.batch_size]
+            out.extend(zip(chunk, self._r._fetch_with_retry(chunk)))
+        return iter(out)
+
+    def read(self, start: dict):
+        cur = int(start["next_id"])
+        end = min(cur + self.block, self.hi)
+        return self._rows(cur, end), {"next_id": max(cur, end)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["next_id"]), int(end["next_id"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint

@@ -80,3 +80,45 @@ def test_datasource_matches_mapinpandas_enrichment_path(spark):
     a = {tuple(r) for r in via_map.collect()}
     b = {tuple(r) for r in via_src.collect()}
     assert a == b
+
+
+def test_datasource_streams_with_offset_resume(spark, tmp_path):
+    """The STREAMING reader: id offsets advance per micro-batch, the
+    checkpoint carries them, and a restarted query (with a wider id
+    cap) resumes at the parked offset instead of refetching — 400
+    distinct ids across the restart, zero duplicates. That is the
+    exactly-once contract a polling REST ingester needs."""
+    import time
+
+    from movie_rec_spark.sources.restds import RestEnrichmentDataSource
+
+    spark.dataSource.register(RestEnrichmentDataSource)
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def start(hi):
+        return (spark.readStream.format("rest_enrichment")
+                .option("lo", 1).option("hi", hi)
+                .option("block", 100).load()
+                .writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ck).start())
+
+    def count():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:  # noqa: BLE001 - sink dir not created yet
+            return 0
+
+    q = start(251)
+    deadline = time.time() + 90
+    while time.time() < deadline and count() < 250:
+        time.sleep(0.5)
+    q.stop()
+    assert count() == 250
+    q2 = start(401)
+    deadline = time.time() + 90
+    while time.time() < deadline and count() < 400:
+        time.sleep(0.5)
+    q2.stop()
+    df = spark.read.parquet(out)
+    assert df.count() == 400
+    assert df.select("movie_id").distinct().count() == 400
