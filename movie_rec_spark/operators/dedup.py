@@ -1220,6 +1220,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.when(F.col("rka") < F.col("rkb"), F.col("b"))
             .otherwise(F.col("a")).alias("v"),
             F.greatest("rka", "rkb").alias("rkv"))
+        # er feeds THREE plan positions (both wedge sides + the
+        # closing semi join); checkpoint it once or the whole
+        # canonicalize→degree→orient subtree recomputes 3× (measured:
+        # 32 Exchanges without, 5 with — the dedup_components lesson)
+        .localCheckpoint(eager=False)
     )
     wedges = (
         er.alias("e1").join(

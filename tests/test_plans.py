@@ -152,6 +152,9 @@ def test_new_operator_shuffle_budgets(spark):
         "q_data_quality": 8,     # 1 scan/table row-local + unique/fk aggs
         "q_cumulative_users": 4,  # daily distinct, first-seen, new-per-
                                  # day aggs + |days|-row prefix window
+        "q_triangles": 5,        # checkpointed oriented edges feed all
+                                 # three plan positions (32 without)
+        "q_rest_enrichment": 0,  # registered source + row-local shaping
     }
     qs = E.queries()
     for name, budget in budgets.items():
