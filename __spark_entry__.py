@@ -235,6 +235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top-K vocabulary + per-doc OOV rate (map-only corpus pass)
         "q_vocab_coverage": lambda s, d: T.q_vocab_coverage(
             _t("documents")(s, d)),
+        # overlapping RAG passage windows (width 10, stride 5) —
+        # zero-Exchange row-local windowing
+        "q_passages": lambda s, d: T.q_passages(_t("documents")(s, d)),
+        # (q_passages oracle lives with the text oracles below)
         # Deequ-style declarative constraint audit (operators/quality.py):
         # row-local constraints fold into ONE scan per table
         "q_data_quality": lambda s, d: Q.q_data_quality(
@@ -341,7 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_asof", "q_snapshot_cdf", "q_anomaly_stream_et",
         "q_incremental_view", "q_semantic_decontam", "q_vocab_coverage",
         "q_data_quality", "q_triangles", "q_star_revenue",
-        "q_cumulative_users", "q_rest_enrichment",
+        "q_cumulative_users", "q_rest_enrichment", "q_passages",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -1944,6 +1948,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, bench_id AS best_bench_id, sim AS max_sim,
                    sim >= {S.NEARDUP_THRESHOLD} AS contaminated
             FROM r WHERE rn = 1
+        """,
+        # sliding windows mirrored with range(0, n, stride) + 1-based
+        # clamped list slices; passage_idx = start // stride since
+        # starts are exact multiples.
+        "q_passages": f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            s AS (SELECT doc_id, w,
+                         unnest(range(0, len(w), {T.PASSAGE_STRIDE}))
+                             AS st
+                  FROM t)
+            SELECT doc_id,
+                   CAST(st // {T.PASSAGE_STRIDE} AS BIGINT)
+                       AS passage_idx,
+                   CAST(st AS BIGINT) AS start_tok,
+                   CAST(len(w[CAST(st + 1 AS INT):
+                              CAST(st + {T.PASSAGE_WIDTH} AS INT)])
+                        AS BIGINT) AS n_tokens,
+                   array_to_string(
+                       w[CAST(st + 1 AS INT):
+                         CAST(st + {T.PASSAGE_WIDTH} AS INT)], ' ')
+                       AS passage
+            FROM s
         """,
         # vocab = top-K by corpus frequency, ties lexicographic (the
         # deterministic cut); OOV via left join against it.

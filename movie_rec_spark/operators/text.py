@@ -973,3 +973,38 @@ def q_vocab_coverage(documents: DataFrame, k: int = VOCAB_K) -> DataFrame:
         n_tok.cast("bigint").alias("n_tokens"),
         n_oov.cast("bigint").alias("n_oov"),
         F.round(n_oov.cast("double") / n_tok, 4).alias("oov_rate"))
+
+
+PASSAGE_WIDTH = 10  # tokens per retrieval passage
+PASSAGE_STRIDE = 5  # 50% overlap — the RAG-standard sliding window
+
+
+def q_passages(documents: DataFrame, width: int = PASSAGE_WIDTH,
+               stride: int = PASSAGE_STRIDE) -> DataFrame:
+    """OVERLAPPING passage windows — the retrieval-chunking complement
+    of the stride==width operators (dedup.chunk_rows splits
+    paragraph-proxy chunks; q_pack_sequences packs): a window of
+    ``width`` tokens starts every ``stride`` tokens, so a fact
+    straddling a chunk boundary is always fully inside SOME passage —
+    the standard RAG indexing layout, paid for with width/stride ×
+    storage. Output carries (passage_idx, start_tok, n_tokens, text)
+    per window; trailing windows may be shorter.
+
+    Scale shape: pure row-local codegen — one posexplode of the start
+    sequence plus slice/array_join, ZERO Exchanges; emitted rows feed
+    the same embed/index paths as q_chunk_knn.
+    """
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
+                        F.lit(stride))
+    d = documents.select(
+        "doc_id", toks.alias("w"),
+        F.posexplode(starts).alias("passage_idx", "start_tok"))
+    arr = F.slice(F.col("w"), F.col("start_tok") + 1, width)
+    return d.select(
+        "doc_id",
+        F.col("passage_idx").cast("bigint").alias("passage_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.size(arr).cast("bigint").alias("n_tokens"),
+        F.array_join(arr, " ").alias("passage"))
