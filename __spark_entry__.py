@@ -300,6 +300,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # surviving injected transient failures, JVM JSON shaping
         # (sources/restds.py; fake connectivity, real machinery)
         "q_rest_enrichment": lambda s, d: RD.q_rest_enrichment(s),
+        # item-item "also bought" with lift scoring — basket self-join
+        # bounded by basket size, per-item top-k via WindowGroupLimit
+        "q_item_cooccurrence": lambda s, d: R.q_item_cooccurrence(
+            _t("lineitem")(s, d)),
         # TPC-H Q5-shaped six-table star join: every dim broadcasts,
         # filters push below the joins, one real Exchange (final agg)
         "q_star_revenue": lambda s, d: R.q_star_revenue(
@@ -346,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_view", "q_semantic_decontam", "q_vocab_coverage",
         "q_data_quality", "q_triangles", "q_star_revenue",
         "q_cumulative_users", "q_rest_enrichment", "q_passages",
+        "q_item_cooccurrence",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -1821,6 +1826,36 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY d.day ROWS UNBOUNDED PRECEDING)
                        AS BIGINT) AS cumulative_users
             FROM daily d LEFT JOIN npd n USING (day)
+        """,
+        # baskets = distinct (order, part); lift association and 4dp
+        # round written identically on both engines before the rank.
+        "q_item_cooccurrence": f"""
+            WITH b AS (SELECT DISTINCT l_orderkey AS ok,
+                                       l_partkey AS item
+                       FROM lineitem),
+            n AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
+            p AS (SELECT x.item AS item_a, y.item AS item_b,
+                         count(*) AS n_ab
+                  FROM b x JOIN b y ON x.ok = y.ok
+                                   AND x.item < y.item
+                  GROUP BY 1, 2
+                  HAVING count(*) >= {R.COOC_MIN_PAIRS}),
+            s AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+            sc AS (SELECT p.item_a, p.item_b,
+                          CAST(p.n_ab AS BIGINT) AS n_ab,
+                          round(p.n_ab * 1.0 * n.n_orders
+                                / (sa.n_item * sb.n_item), 4) AS lift
+                   FROM p
+                   JOIN s sa ON sa.item = p.item_a
+                   JOIN s sb ON sb.item = p.item_b
+                   CROSS JOIN n)
+            SELECT item_a, item_b, n_ab, lift,
+                   CAST(rn AS INT) AS rn
+            FROM (SELECT sc.*, row_number() OVER (
+                      PARTITION BY item_a
+                      ORDER BY lift DESC, n_ab DESC, item_b) AS rn
+                  FROM sc)
+            WHERE rn <= {R.COOC_TOP_K}
         """,
         "q_star_revenue": f"""
             SELECT n_name,

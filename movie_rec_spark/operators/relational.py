@@ -776,3 +776,68 @@ def q_star_revenue(region: DataFrame, nation: DataFrame,
              F.count(F.lit(1)).alias("n_items"))
         .select("n_name", "revenue", "n_items")
     )
+
+
+COOC_MIN_PAIRS = 2
+COOC_TOP_K = 5
+
+
+def q_item_cooccurrence(lineitem: DataFrame,
+                        min_pairs: int = COOC_MIN_PAIRS,
+                        top_k: int = COOC_TOP_K) -> DataFrame:
+    """Item-to-item co-occurrence with LIFT scoring — the "users who
+    bought X also bought Y" recommender that complements the
+    latent-factor path (reference: serving blends MF scores with
+    popularity fallbacks, controller.py:245-257; co-occurrence is the
+    industry-standard item-item baseline the reference lacks). Baskets
+    are orders; a pair's lift = P(a,b) / (P(a)·P(b)) — how much more
+    often the two co-occur than independence predicts, the quantity a
+    'frequently bought together' shelf ranks by.
+
+    Scale shape: the pair explosion is the basket self-join keyed on
+    the ORDER — volume Σ|basket|², bounded by real basket sizes (tiny),
+    never |catalog|². Pair counts aggregate on the (a, b) key, item
+    supports on the item key, the support join-back broadcasts only if
+    small (Catalyst/AQE decides), and the per-item top-k is a
+    WindowGroupLimit. min_pairs prunes the n_ab=1 noise floor BEFORE
+    the join-backs so the heavy tail never moves twice.
+
+    The lift expression is written with identical association on both
+    engines and rounded to 4dp before the rank so the cut is
+    deterministic.
+    """
+    baskets = lineitem.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("item")).distinct()
+    n_orders = baskets.select(
+        F.countDistinct("ok").alias("n_orders"))
+    pairs = (
+        baskets.alias("x")
+        .join(baskets.alias("y"), "ok")
+        .filter(F.col("x.item") < F.col("y.item"))
+        .select(F.col("x.item").alias("item_a"),
+                F.col("y.item").alias("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    support = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_item"))
+    scored = (
+        pairs
+        .join(support.select(F.col("item").alias("item_a"),
+                             F.col("n_item").alias("n_a")), "item_a")
+        .join(support.select(F.col("item").alias("item_b"),
+                             F.col("n_item").alias("n_b")), "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a", "item_b", "n_ab",
+            F.round(F.col("n_ab") * 1.0 * F.col("n_orders")
+                    / (F.col("n_a") * F.col("n_b")), 4).alias("lift"))
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.desc("lift"), F.desc("n_ab"), F.asc("item_b"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top_k)
+            .select("item_a", "item_b", "n_ab", "lift",
+                    F.col("rn").cast("int").alias("rn")))
