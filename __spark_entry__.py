@@ -33,6 +33,7 @@ from movie_rec_spark.operators import quality as Q  # noqa: E402
 from movie_rec_spark.operators import relational as R  # noqa: E402
 from movie_rec_spark.operators import similarity as S  # noqa: E402
 from movie_rec_spark.operators import skew as SK  # noqa: E402
+from movie_rec_spark.operators import spatial as SP  # noqa: E402
 from movie_rec_spark.operators import temporal as TP  # noqa: E402
 from movie_rec_spark.operators import text as T  # noqa: E402
 from movie_rec_spark.sources import layout as L  # noqa: E402
@@ -300,6 +301,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # surviving injected transient failures, JVM JSON shaping
         # (sources/restds.py; fake connectivity, real machinery)
         "q_rest_enrichment": lambda s, d: RD.q_rest_enrichment(s),
+        # grid-cell-blocked spatial radius join vs a naive all-pairs
+        # oracle (operators/spatial.py) — blocking is answer-preserving
+        "q_spatial_join": lambda s, d: SP.q_spatial_join(
+            _t("events")(s, d)),
         # item-item "also bought" with lift scoring — basket self-join
         # bounded by basket size, per-item top-k via WindowGroupLimit
         "q_item_cooccurrence": lambda s, d: R.q_item_cooccurrence(
@@ -350,7 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_view", "q_semantic_decontam", "q_vocab_coverage",
         "q_data_quality", "q_triangles", "q_star_revenue",
         "q_cumulative_users", "q_rest_enrichment", "q_passages",
-        "q_item_cooccurrence",
+        "q_item_cooccurrence", "q_spatial_join",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -1826,6 +1831,28 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY d.day ROWS UNBOUNDED PRECEDING)
                        AS BIGINT) AS cumulative_users
             FROM daily d LEFT JOIN npd n USING (day)
+        """,
+        # naive all-pairs distance join — the blocking-free ground
+        # truth; coordinates re-synthesized with the same integer
+        # arithmetic, dist2 rounded to 6dp before the threshold.
+        "q_spatial_join": f"""
+            WITH p AS (
+                SELECT event_id AS pid,
+                       (CAST('0x' || substring(
+                            md5(CAST(event_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % {SP._GRID}) / 100.0 AS x,
+                       (CAST('0x' || substring(
+                            md5(CAST(event_id AS VARCHAR)), 9, 8)
+                        AS BIGINT) % {SP._GRID}) / 100.0 AS y
+                FROM events
+                WHERE event_id % {SP.SPATIAL_SAMPLE_MOD} = 0)
+            SELECT a.pid AS pid_a, b.pid AS pid_b,
+                   round((a.x - b.x) * (a.x - b.x)
+                         + (a.y - b.y) * (a.y - b.y), 6) AS dist2
+            FROM p a JOIN p b ON a.pid < b.pid
+            WHERE round((a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y), 6)
+                  <= {SP.SPATIAL_RADIUS * SP.SPATIAL_RADIUS}
         """,
         # baskets = distinct (order, part); lift association and 4dp
         # round written identically on both engines before the rank.

@@ -326,3 +326,59 @@ def test_resample_fills_gaps_per_user_span(spark):
     assert (out[13].n_events, out[13].gap) == (0, True)
     assert (out[14].n_events, out[14].gap) == (0, True)
     assert (out[15].n_events, out[15].total_value) == (1, 4.0)
+
+
+def test_spatial_radius_join_matches_naive(spark):
+    """Grid blocking must be answer-preserving: pairs straddling cell
+    boundaries (candidates only via the 3x3 neighborhood) and pairs
+    exactly AT the radius are found; far pairs are not; each pair
+    appears exactly once."""
+    from itertools import combinations
+
+    from movie_rec_spark.operators.spatial import radius_join
+
+    pts = [(1, 0.5, 0.5), (2, 0.6, 0.5),    # same cell, close
+           (3, 0.95, 0.5), (4, 1.05, 0.5),  # adjacent cells, close
+           (5, 5.0, 5.0), (6, 6.0, 5.0),    # exactly at radius 1.0
+           (7, 50.0, 50.0)]                 # isolated
+    df = spark.createDataFrame(pts, "pid bigint, x double, y double")
+    got = {(r.pid_a, r.pid_b) for r in radius_join(df).collect()}
+    want = {(a[0], b[0]) for a, b in combinations(pts, 2)
+            if round((a[1]-b[1])**2 + (a[2]-b[2])**2, 6) <= 1.0}
+    assert got == want
+    assert (5, 6) in got and (3, 4) in got and \
+        all(7 not in p for p in got)
+
+
+def test_spatial_join_candidate_volume_is_blocked(spark):
+    """The blocking claim itself: the joined candidate set (before the
+    distance filter) must be far below the quadratic all-pairs count
+    for spread-out points."""
+    from movie_rec_spark.operators.spatial import event_points, radius_join
+    from movie_rec_spark.sources.catalog import load_table
+
+    pts = event_points(load_table(
+        spark, "/root/testdata/sf0.01", "events"))
+    n = pts.count()
+    # count candidates by removing the distance filter: re-run the
+    # join at a huge radius bound but same cell size via internals —
+    # simplest faithful proxy: candidates = pairs sharing a 3x3 cell
+    from pyspark.sql import functions as F2
+    cell = 1.0
+    p = pts.select("pid",
+                   F2.floor(F2.col("x") / cell).alias("cx"),
+                   F2.floor(F2.col("y") / cell).alias("cy"))
+    a = p.select(F2.col("pid").alias("pa"), "cx", "cy",
+                 F2.explode(F2.array(*[
+                     F2.struct(F2.lit(dx).alias("dx"),
+                               F2.lit(dy).alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)]))
+                 .alias("o"))
+    a = a.select("pa", (F2.col("cx") + F2.col("o.dx")).alias("jx"),
+                 (F2.col("cy") + F2.col("o.dy")).alias("jy"))
+    b = p.select(F2.col("pid").alias("pb"),
+                 F2.col("cx").alias("jx"), F2.col("cy").alias("jy"))
+    candidates = (a.join(b, ["jx", "jy"])
+                  .filter(F2.col("pa") < F2.col("pb")).count())
+    assert candidates < (n * (n - 1) // 2) * 0.01, \
+        f"{candidates} candidates vs {n*(n-1)//2} all-pairs"
