@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anomaly_stream_et": lambda s, d: SA.q_anomaly_stream_et(
             _t("events")(s, d)),
         "q_scd2": lambda s, d: TP.q_scd2(_t("events")(s, d)),
+        # leakage-safe time-series CV: expanding-window backtest folds
+        "q_walkforward_splits": lambda s, d: TP.q_walkforward_splits(
+            _t("events")(s, d)),
         # growth series: cumulative distinct via the first-seen trick
         # (running sum over |days|), never a distinct-over-expanding-
         # window rescan
@@ -355,7 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_view", "q_semantic_decontam", "q_vocab_coverage",
         "q_data_quality", "q_triangles", "q_star_revenue",
         "q_cumulative_users", "q_rest_enrichment", "q_passages",
-        "q_item_cooccurrence", "q_spatial_join",
+        "q_item_cooccurrence", "q_spatial_join", "q_walkforward_splits",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -1813,6 +1816,35 @@ def oracle_sql() -> dict[str, str]:
                    'Synopsis of movie ' || movie_id || '.'
                        AS description
             FROM ids, g
+        """,
+        # same integer window arithmetic: epoch floor-seconds, width by
+        # integer floor-div (+1 so the max lands inside the last
+        # window), fold × role membership via CASE.
+        "q_walkforward_splits": f"""
+            WITH b AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT)
+                           AS t0,
+                       CAST(floor(epoch(max(ts))) AS BIGINT) AS t1
+                       FROM events),
+            e AS (SELECT ts, user_id,
+                         CAST(floor((CAST(floor(epoch(ts)) AS BIGINT)
+                                     - b.t0)
+                              / ((b.t1 - b.t0)
+                                 // {TP.WALKFORWARD_FOLDS + 1} + 1))
+                              AS INT) AS w
+                  FROM events, b),
+            f AS (SELECT unnest(range({TP.WALKFORWARD_FOLDS}))
+                      AS fold),
+            m AS (SELECT CAST(f.fold AS INT) AS fold,
+                         CASE WHEN e.w <= f.fold THEN 'train'
+                              WHEN e.w = f.fold + 1 THEN 'test'
+                         END AS role,
+                         e.ts, e.user_id
+                  FROM e, f)
+            SELECT fold, role, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   min(ts) AS ts_min, max(ts) AS ts_max
+            FROM m WHERE role IS NOT NULL
+            GROUP BY fold, role
         """,
         # first-seen trick mirrored; the window sum is HUGEINT in
         # DuckDB, hence the CAST (the round-5 lesson, baked in)

@@ -485,3 +485,49 @@ def q_cumulative_users(events: DataFrame) -> DataFrame:
         .withColumn("cumulative_users",
                     F.sum("new_users").over(w).cast("bigint"))
     )
+
+
+WALKFORWARD_FOLDS = 3
+
+
+def q_walkforward_splits(events: DataFrame,
+                         n_folds: int = WALKFORWARD_FOLDS) -> DataFrame:
+    """Walk-forward (expanding-window) cross-validation splits — the
+    time-series replacement for random k-fold, where every fold trains
+    strictly BEFORE its test window (random folds leak the future; the
+    reference's 3-fold CV, trainer.py:45-66, is only sound for its
+    stationary ratings use). The observed time range divides into
+    ``n_folds + 1`` equal windows; fold k trains on windows 0..k and
+    tests on window k+1, so later folds see strictly more history —
+    the standard backtest layout.
+
+    Output is the per-(fold, role) audit summary (event/user counts +
+    actual time bounds) a training job logs next to its metrics; the
+    per-event assignment is the same expression un-aggregated. All
+    window arithmetic is integer epoch math, bit-equal across engines.
+
+    Scale shape: one scalar min/max agg broadcast back, a 3-row fold
+    table broadcast-joined (each event lands in ≤ n_folds+1 roles),
+    one (fold, role) aggregate — no window function, no sort.
+    """
+    sec = F.unix_timestamp("ts")
+    bounds = events.agg(F.min(sec).alias("t0"), F.max(sec).alias("t1"))
+    folds = events.sparkSession.range(n_folds).select(
+        F.col("id").cast("int").alias("fold"))
+    # integer floor-div, NOT a double cast: Spark's bigint cast
+    # truncates while DuckDB's rounds — div keeps both engines exact
+    width = F.expr(f"(t1 - t0) div {n_folds + 1}") + 1
+    w = F.floor((sec - F.col("t0")) / width).cast("int")
+    role = (F.when(w <= F.col("fold"), "train")
+            .when(w == F.col("fold") + 1, "test"))
+    return (
+        events.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(folds))
+        .withColumn("role", role)
+        .filter(F.col("role").isNotNull())
+        .groupBy("fold", "role")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.min("ts").alias("ts_min"),
+             F.max("ts").alias("ts_max"))
+    )
