@@ -170,6 +170,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leakage-safe time-series CV: expanding-window backtest folds
         "q_walkforward_splits": lambda s, d: TP.q_walkforward_splits(
             _t("events")(s, d)),
+        # first-order Markov "next action" matrix: one user-keyed
+        # lead() shuffle, broadcast per-from normalizer
+        "q_event_transitions": lambda s, d: TP.q_event_transitions(
+            _t("events")(s, d)),
+        # RFM quartile segmentation: broadcast percentile boundaries,
+        # no global sort/ntile (operators/relational.py:q_rfm)
+        "q_rfm": lambda s, d: R.q_rfm(_t("orders")(s, d)),
+        # equi-width binning: O(buckets) shuffle via partial agg
+        "q_histogram": lambda s, d: R.q_histogram(_t("orders")(s, d)),
         # growth series: cumulative distinct via the first-seen trick
         # (running sum over |days|), never a distinct-over-expanding-
         # window rescan
@@ -342,11 +351,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries, so the window is spent on maximum fresh signal:
     #   1. the 3 round-5 hash-fail queries, re-recorded post-fix;
     #   2. the 3 queries that have never had a driver row;
-    #   3. this round's 3 new queries;
-    #   4. the remaining 41 slots go to the LEAST-recently-recorded
+    #   3. this round's new queries (oracle-backed, never recorded);
+    #   4. the remaining slots go to the LEAST-recently-recorded
     #      block (the original r01-r04 window, in declaration order;
-    #      its last 9 entries sit just outside this round's window and
-    #      rotate in next round — listed in CORRECTNESS_local's meta).
+    #      its tail sits just outside this round's window and
+    #      rotates in next round — listed in CORRECTNESS_local's meta).
     keys = list(q)
     cut = keys.index("q_profile") + 1
     original = keys[:cut]   # last driver-recorded in r04
@@ -359,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_data_quality", "q_triangles", "q_star_revenue",
         "q_cumulative_users", "q_rest_enrichment", "q_passages",
         "q_item_cooccurrence", "q_spatial_join", "q_walkforward_splits",
+        "q_event_transitions", "q_rfm", "q_histogram",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -2434,5 +2444,94 @@ def oracle_sql() -> dict[str, str]:
                 FROM ev JOIN fs ON ev.user_id = fs.user_id)
             SELECT cohort_week, offset_weeks, count(*) AS n_users
             FROM x GROUP BY cohort_week, offset_weeks
+        """,
+        # Spark-SQL-portable (test_sql_parity): lead window + bigint
+        # division; per-from totals CAST so DuckDB's HUGEINT sum never
+        # reaches the division dtype.
+        "q_event_transitions": """
+            WITH seq AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS to_type
+                FROM events),
+            pairs AS (
+                SELECT from_type, to_type,
+                       CAST(count(*) AS BIGINT) AS n_pairs
+                FROM seq WHERE to_type IS NOT NULL
+                GROUP BY from_type, to_type),
+            tot AS (
+                SELECT from_type, to_type, n_pairs,
+                       CAST(sum(n_pairs) OVER (PARTITION BY from_type)
+                            AS BIGINT) AS n_from
+                FROM pairs)
+            SELECT from_type, to_type, n_pairs,
+                   round(n_pairs / n_from, 4) AS pr
+            FROM tot
+        """,
+        # quartile boundaries via quantile_cont — the estimator
+        # q_percentiles already proves bit-equal to Spark's exact
+        # `percentile`; scores count strict crossings of those shared
+        # doubles, so the 1-4 grid cannot diverge.
+        "q_rfm": """
+            WITH nowt AS (SELECT max(CAST(o_orderdate AS DATE)) AS now_d
+                          FROM orders),
+            per AS (
+                SELECT o_custkey,
+                       CAST(date_diff('day',
+                                      max(CAST(o_orderdate AS DATE)),
+                                      (SELECT now_d FROM nowt))
+                            AS INT) AS recency_days,
+                       CAST(count(*) AS BIGINT) AS frequency,
+                       CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT)
+                           AS monetary_cents
+                FROM orders GROUP BY o_custkey),
+            b AS (
+                SELECT quantile_cont(recency_days, 0.25) AS rq1,
+                       quantile_cont(recency_days, 0.50) AS rq2,
+                       quantile_cont(recency_days, 0.75) AS rq3,
+                       quantile_cont(frequency, 0.25) AS fq1,
+                       quantile_cont(frequency, 0.50) AS fq2,
+                       quantile_cont(frequency, 0.75) AS fq3,
+                       quantile_cont(monetary_cents, 0.25) AS mq1,
+                       quantile_cont(monetary_cents, 0.50) AS mq2,
+                       quantile_cont(monetary_cents, 0.75) AS mq3
+                FROM per),
+            sc AS (
+                SELECT per.*,
+                       CAST(1 + (recency_days < rq3)::INT
+                              + (recency_days < rq2)::INT
+                              + (recency_days < rq1)::INT AS INT)
+                           AS r_score,
+                       CAST(1 + (frequency > fq1)::INT
+                              + (frequency > fq2)::INT
+                              + (frequency > fq3)::INT AS INT)
+                           AS f_score,
+                       CAST(1 + (monetary_cents > mq1)::INT
+                              + (monetary_cents > mq2)::INT
+                              + (monetary_cents > mq3)::INT AS INT)
+                           AS m_score
+                FROM per, b)
+            SELECT o_custkey, recency_days, frequency, monetary_cents,
+                   r_score, f_score, m_score,
+                   CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                       || CAST(m_score AS VARCHAR) AS segment
+            FROM sc
+        """,
+        # Spark-SQL-portable: raw stored doubles for lo/hi (no
+        # re-round), bigint bucket × exact 500.0 products for bounds.
+        "q_histogram": f"""
+            SELECT bucket,
+                   bucket * CAST({R.HIST_BIN_WIDTH} AS DOUBLE) AS bin_lo,
+                   (bucket + 1) * CAST({R.HIST_BIN_WIDTH} AS DOUBLE)
+                       AS bin_hi,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   min(p) AS lo_price, max(p) AS hi_price
+            FROM (SELECT CAST(floor(o_totalprice / {R.HIST_BIN_WIDTH})
+                              AS BIGINT) AS bucket,
+                         o_totalprice AS p
+                  FROM orders) t
+            GROUP BY bucket
         """,
     }

@@ -841,3 +841,108 @@ def q_item_cooccurrence(lineitem: DataFrame,
             .filter(F.col("rn") <= top_k)
             .select("item_a", "item_b", "n_ab", "lift",
                     F.col("rn").cast("int").alias("rn")))
+
+
+RFM_QUARTILES = (0.25, 0.5, 0.75)
+
+
+def q_rfm(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quartile scores, the classic marketing-analytics segmentation
+    (beyond reference — SURVEY.md §2 note; the reference's user stats,
+    models.py:71-77, keep only a rating count+mean per user). Each
+    customer gets three 1-4 scores (4 = best: most recent, most
+    frequent, highest spend) and the concatenated segment label
+    ("444" = champions) a campaign targets on.
+
+    Determinism: metrics live in integer domains (days, counts,
+    cents), quartile boundaries come from the exact interpolated
+    ``percentile`` — the SAME estimator q_percentiles already proves
+    bit-equal to DuckDB quantile_cont — and scores count strict
+    boundary crossings, so both engines compare identical doubles.
+
+    Scale shape: one custkey-keyed aggregate; the anchor date and the
+    nine quartile boundaries reduce to ONE scalar row broadcast back
+    (no global sort, no ntile — ranking against broadcast boundaries
+    is the 1000-executor form of quantile scoring). Exact percentile
+    buffers per-distinct-value counts on one reducer; recency/
+    frequency domains are tiny, and for a monetary domain too wide
+    for that, percentile_approx is the documented drop-in (identical
+    plan shape, sketch-bounded memory).
+    """
+    day = F.to_date("o_orderdate")
+    now = orders.agg(F.max(day).alias("now_d"))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(F.max(day).alias("last_d"),
+             F.count(F.lit(1)).alias("frequency"),
+             # integer-cents HALF_UP (see part_popularity)
+             F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+             .alias("monetary_cents"))
+        .crossJoin(F.broadcast(now))
+        .select("o_custkey",
+                F.datediff("now_d", "last_d").alias("recency_days"),
+                "frequency", "monetary_cents"))
+    bounds = per.agg(*[
+        F.percentile(m, F.lit(q)).alias(f"{m[0]}q{i}")
+        for m in ("recency_days", "frequency", "monetary_cents")
+        for i, q in enumerate(RFM_QUARTILES, 1)])
+
+    def _score_high(col: str, pre: str):  # higher metric -> higher score
+        return (F.lit(1)
+                + (F.col(col) > F.col(f"{pre}q1")).cast("int")
+                + (F.col(col) > F.col(f"{pre}q2")).cast("int")
+                + (F.col(col) > F.col(f"{pre}q3")).cast("int"))
+
+    # recency inverts: LOWER days-since-last-order is the better score
+    r_score = (F.lit(1)
+               + (F.col("recency_days") < F.col("rq3")).cast("int")
+               + (F.col("recency_days") < F.col("rq2")).cast("int")
+               + (F.col("recency_days") < F.col("rq1")).cast("int"))
+    f_score = _score_high("frequency", "f")
+    m_score = _score_high("monetary_cents", "m")
+    return (
+        per.crossJoin(F.broadcast(bounds))
+        .select("o_custkey", "recency_days", "frequency", "monetary_cents",
+                r_score.alias("r_score"), f_score.alias("f_score"),
+                m_score.alias("m_score"),
+                F.concat(r_score.cast("string"), f_score.cast("string"),
+                         m_score.cast("string")).alias("segment"))
+    )
+
+
+HIST_BIN_WIDTH = 500.0
+
+
+def q_histogram(orders: DataFrame,
+                bin_width: float = HIST_BIN_WIDTH) -> DataFrame:
+    """Equi-width histogram of order totals — the binning operator a
+    dashboard or data-profiling pass runs over any numeric column
+    (beyond reference — SURVEY.md §2 note; complements q_profile's
+    min/max/null summary with the distribution's shape). One row per
+    occupied bucket with its [lo, hi) bounds, count, and the actual
+    min/max observed inside.
+
+    Determinism: bucket = floor(x / width) on identical doubles; bin
+    bounds are bigint × 500.0 products (exactly representable); the
+    in-bucket min/max are RAW stored doubles — no re-rounding anywhere,
+    so every cell is bit-identical across engines.
+
+    Scale shape: a map-side expression plus one aggregate on a keyspace
+    of |range|/width buckets — partial aggregation collapses each
+    partition to its occupied buckets before the exchange, so shuffle
+    volume is O(buckets), not O(rows), at any corpus size.
+    """
+    t = orders.select(
+        F.floor(F.col("o_totalprice") / bin_width).alias("bucket"),
+        F.col("o_totalprice").alias("p"))
+    return (
+        t.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.min("p").alias("lo_price"),
+             F.max("p").alias("hi_price"))
+        .select("bucket",
+                (F.col("bucket") * bin_width).alias("bin_lo"),
+                ((F.col("bucket") + 1) * bin_width).alias("bin_hi"),
+                "n_orders", "lo_price", "hi_price")
+    )

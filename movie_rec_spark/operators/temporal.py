@@ -531,3 +531,42 @@ def q_walkforward_splits(events: DataFrame,
              F.min("ts").alias("ts_min"),
              F.max("ts").alias("ts_max"))
     )
+
+
+def q_event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — "what does a user do NEXT after event X" (beyond
+    reference — SURVEY.md §2 note; the event-analytics sibling of the
+    bigram LM in text.py, which does the same estimator over token
+    streams). Output is one row per observed (from_type, to_type)
+    transition with its count and the conditional probability
+    P(to | from), the matrix a product-analytics "next action" panel
+    or a session-simulation model consumes.
+
+    Scale shape: ONE user-keyed shuffle for the lead() window (the
+    same exchange every sequence operator here rides), one (from, to)
+    aggregate over a |event_types|² keyspace (tiny), and the
+    normalizer is a sum() window over the ALREADY-AGGREGATED matrix —
+    a per-from total via self-join would recompute the corpus-sized
+    window subtree twice, while the window form re-shards only the
+    |event_types|²-row result. At 100 TB the only corpus-sized move
+    is the per-user sort.
+
+    P is long/long division rounded to 4dp — both engines do exact
+    IEEE division of exact integers then the same away-from-zero
+    round, so the matrix is hash-identical (positive everywhere, so no
+    -0.0 class either).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events
+        .select(F.col("user_id"),
+                F.col("event_type").alias("from_type"),
+                F.lead("event_type").over(w).alias("to_type"))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_pairs")))
+    n_from = F.sum("n_pairs").over(Window.partitionBy("from_type"))
+    return pairs.select(
+        "from_type", "to_type", "n_pairs",
+        F.round(F.col("n_pairs") / n_from, 4).alias("pr"))

@@ -155,6 +155,11 @@ def test_new_operator_shuffle_budgets(spark):
         "q_triangles": 5,        # checkpointed oriented edges feed all
                                  # three plan positions (32 without)
         "q_rest_enrichment": 0,  # registered source + row-local shaping
+        "q_event_transitions": 3,  # user lead window + matrix agg +
+                                   # from_type normalizer window (tiny)
+        "q_rfm": 8,              # static count; AQE dedupes the custkey
+                                 # agg to 2 ReusedExchange at runtime
+        "q_histogram": 1,        # partial agg -> one O(buckets) Exchange
     }
     qs = E.queries()
     for name, budget in budgets.items():

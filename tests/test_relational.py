@@ -179,3 +179,57 @@ def test_outliers_tukey_fences_per_group(spark):
            for r in q_outliers(ev).collect()}
     assert ("a", 5) in out and out[("a", 5)] == 500.0
     assert not any(t == "b" for t, _ in out)
+
+
+def test_rfm_scores_partition_customers_into_quartiles(spark):
+    """Scores stay in 1-4, the segment label is the score concat, and
+    with 8 customers on a strictly increasing metric grid each
+    frequency/monetary quartile gets exactly 2 customers (boundaries
+    interpolate between distinct values, so crossings are unambiguous).
+    Recency inverts: the most recent buyer scores r=4."""
+    import datetime as dt
+    from movie_rec_spark.operators.relational import q_rfm
+    rows = []
+    for c in range(8):
+        # customer c: c+1 orders, each 100*(c+1) dollars, last order
+        # c days before the corpus max date
+        for o in range(c + 1):
+            rows.append((1000 * c + o, c,
+                         dt.datetime(2024, 3, 28 - c),
+                         100.0 * (c + 1)))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, "
+              "o_orderdate timestamp, o_totalprice double")
+    out = {r.o_custkey: r for r in q_rfm(orders).collect()}
+    assert len(out) == 8
+    for r in out.values():
+        assert 1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 \
+            and 1 <= r.m_score <= 4
+        assert r.segment == f"{r.r_score}{r.f_score}{r.m_score}"
+    # strictly increasing metric grid -> 2 customers per quartile
+    from collections import Counter
+    assert Counter(r.f_score for r in out.values()) \
+        == {1: 2, 2: 2, 3: 2, 4: 2}
+    assert Counter(r.m_score for r in out.values()) \
+        == {1: 2, 2: 2, 3: 2, 4: 2}
+    # customer 0 ordered last (0 days ago): best recency, worst f/m
+    assert out[0].r_score == 4 and out[0].f_score == 1
+    assert out[7].r_score == 1 and out[7].m_score == 4
+    assert out[7].monetary_cents == 8 * 800 * 100
+
+
+def test_histogram_buckets_tile_and_conserve_rows(spark):
+    """Bucket counts conserve the row total, every observed min/max
+    lies inside its bucket's [lo, hi) bounds, and boundary values land
+    in the right-open bucket (500.0 -> bucket 1)."""
+    from movie_rec_spark.operators.relational import q_histogram
+    vals = [0.0, 499.99, 500.0, 500.01, 1234.56, 2500.0, 2999.99]
+    orders = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)],
+        "o_orderkey bigint, o_totalprice double")
+    out = {r.bucket: r for r in q_histogram(orders).collect()}
+    assert sum(r.n_orders for r in out.values()) == len(vals)
+    assert out[0].n_orders == 2 and out[1].n_orders == 2
+    assert out[1].bin_lo == 500.0 and out[1].lo_price == 500.0
+    for r in out.values():
+        assert r.bin_lo <= r.lo_price <= r.hi_price < r.bin_hi

@@ -33,8 +33,10 @@ PORTABLE = sorted([
     "q_delete_antijoin",
     "q_distinct_users",
     "q_event_counters",
+    "q_event_transitions",
     "q_event_windowed",
     "q_funnel",
+    "q_histogram",
     "q_incremental_view",
     "q_merge_events",
     "q_snapshot_asof",

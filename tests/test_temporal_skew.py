@@ -382,3 +382,34 @@ def test_spatial_join_candidate_volume_is_blocked(spark):
                   .filter(F2.col("pa") < F2.col("pb")).count())
     assert candidates < (n * (n - 1) // 2) * 0.01, \
         f"{candidates} candidates vs {n*(n-1)//2} all-pairs"
+
+
+def test_event_transitions_rows_and_probabilities(spark):
+    """The matrix contains exactly the observed adjacent pairs (per
+    user, time order), counts them right, and each from-row's
+    probabilities sum to 1 (4dp rounding aside)."""
+    import datetime as dt
+    from collections import Counter
+    from movie_rec_spark.operators.temporal import q_event_transitions
+    seqs = {1: ["view", "view", "cart", "buy"],
+            2: ["view", "cart", "view"],
+            3: ["buy"]}  # single event: no transition
+    rows = []
+    for u, seq in seqs.items():
+        for i, et in enumerate(seq):
+            rows.append((u * 100 + i, dt.datetime(2024, 1, 1, 0, i),
+                         u, et))
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string")
+    got = {(r.from_type, r.to_type): r for r in
+           q_event_transitions(ev).collect()}
+    want = Counter()
+    for seq in seqs.values():
+        for a, b in zip(seq, seq[1:]):
+            want[(a, b)] += 1
+    assert {k: r.n_pairs for k, r in got.items()} == dict(want)
+    by_from = Counter()
+    for (a, _), r in got.items():
+        by_from[a] += r.pr
+    assert all(abs(p - 1.0) < 1e-3 for p in by_from.values())
