@@ -179,6 +179,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rfm": lambda s, d: R.q_rfm(_t("orders")(s, d)),
         # equi-width binning: O(buckets) shuffle via partial agg
         "q_histogram": lambda s, d: R.q_histogram(_t("orders")(s, d)),
+        # whole-journey session paths: sessionize + ordered serialize
+        "q_session_paths": lambda s, d: TP.q_session_paths(
+            _t("events")(s, d)),
+        # two-proportion z-test from exact integer counts
+        "q_ab_test": lambda s, d: TP.q_ab_test(_t("events")(s, d)),
+        # exact-integer-sum Pearson matrix (merge-order deterministic,
+        # unlike Spark's corr aggregate — see operator docstring)
+        "q_corr_matrix": lambda s, d: R.q_corr_matrix(
+            _t("lineitem")(s, d)),
         # growth series: cumulative distinct via the first-seen trick
         # (running sum over |days|), never a distinct-over-expanding-
         # window rescan
@@ -369,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cumulative_users", "q_rest_enrichment", "q_passages",
         "q_item_cooccurrence", "q_spatial_join", "q_walkforward_splits",
         "q_event_transitions", "q_rfm", "q_histogram",
+        "q_session_paths", "q_ab_test", "q_corr_matrix",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -531,6 +541,37 @@ def _decon_sql(k: int) -> str:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each queries() entry."""
     K = R.FOCUS_CUSTKEY
+    # q_corr_matrix: one select per pair over the shared sums CTE,
+    # formula text identical to the Spark expression (same association)
+    corr_names = list(R.CORR_COLS)
+    corr_pairs = [(a, b) for i, a in enumerate(corr_names)
+                  for b in corr_names[i + 1:]]
+    _D = "CAST({} AS DOUBLE)"
+
+    def _corr_select(a: str, b: str) -> str:
+        n, sa, sb = _D.format("n"), _D.format(f"s_{a}"), _D.format(f"s_{b}")
+        cov = f"{n} * {_D.format(f'sp_{a}_{b}')} - {sa} * {sb}"
+        va = f"{n} * {_D.format(f'ss_{a}')} - {sa} * {sa}"
+        vb = f"{n} * {_D.format(f'ss_{b}')} - {sb} * {sb}"
+        # `+ 0.0` IEEE-normalizes DuckDB round()'s signed zero (a
+        # near-zero correlation can round to -0.0; Spark's BigDecimal
+        # round never emits it — the round-5 q_anomaly lesson)
+        return (f"SELECT '{a}' AS col_a, '{b}' AS col_b, n,\n"
+                f"       round(({cov}) / (sqrt({va}) * sqrt({vb})), 6)"
+                f" + 0.0 AS corr FROM s")
+
+    corr_sql = (
+        "WITH t AS (SELECT "
+        + ", ".join(f"{e} AS {n}" for n, e in R.CORR_COLS.items())
+        + " FROM lineitem),\n s AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        + ", ".join(f"CAST(sum({n}) AS BIGINT) AS s_{n}"
+                    for n in corr_names) + ", "
+        + ", ".join(f"CAST(sum({n} * {n}) AS BIGINT) AS ss_{n}"
+                    for n in corr_names) + ", "
+        + ", ".join(f"CAST(sum({a} * {b}) AS BIGINT) AS sp_{a}_{b}"
+                    for a, b in corr_pairs)
+        + " FROM t)\n"
+        + "\nUNION ALL\n".join(_corr_select(a, b) for a, b in corr_pairs))
     jaccard_pairs = f"""
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
                           FROM documents),
@@ -2534,4 +2575,82 @@ def oracle_sql() -> dict[str, str]:
                   FROM orders) t
             GROUP BY bucket
         """,
+        # gap rule from first principles (q_sessionize's oracle idiom)
+        # on FRACTIONAL epoch seconds — ts carries real microseconds;
+        # path order (ts, event_id) is total so the string is unique
+        "q_session_paths": f"""
+            WITH g AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w)
+                                    > {TP.SESSION_GAP_SEC}
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts, event_id, event_type,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+                FROM g),
+            p AS (
+                SELECT user_id, sess,
+                       string_agg(event_type, '>'
+                                  ORDER BY ts, event_id) AS path,
+                       CAST(count(*) AS INT) AS path_len
+                FROM s GROUP BY user_id, sess)
+            SELECT path, path_len,
+                   CAST(count(*) AS BIGINT) AS n_sessions
+            FROM p GROUP BY path, path_len
+        """,
+        # Welch z over exact integer-cents sums, SAME association as
+        # the Spark expression; z round-normalized `+ 0.0` against
+        # DuckDB signed zero (the q_anomaly lesson)
+        "q_ab_test": f"""
+            WITH t AS (
+                SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END
+                           AS arm,
+                       CAST(round(value * 100, 0) AS BIGINT) AS cents
+                FROM events),
+            g AS (
+                SELECT CAST(sum(1 - arm) AS BIGINT) AS n_a,
+                       CAST(sum(arm) AS BIGINT) AS n_b,
+                       CAST(sum((1 - arm) * cents) AS BIGINT) AS s_a,
+                       CAST(sum(arm * cents) AS BIGINT) AS s_b,
+                       CAST(sum((1 - arm) * cents * cents) AS BIGINT)
+                           AS ss_a,
+                       CAST(sum(arm * cents * cents) AS BIGINT) AS ss_b
+                FROM t),
+            z AS (
+                SELECT *,
+                       round((CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                              - CAST(s_a AS DOUBLE)
+                                    / CAST(n_a AS DOUBLE))
+                             / sqrt((CAST(n_a AS DOUBLE)
+                                         * CAST(ss_a AS DOUBLE)
+                                     - CAST(s_a AS DOUBLE)
+                                         * CAST(s_a AS DOUBLE))
+                                    / (CAST(n_a AS DOUBLE)
+                                       * (CAST(n_a AS DOUBLE) - 1))
+                                    / CAST(n_a AS DOUBLE)
+                                    + (CAST(n_b AS DOUBLE)
+                                           * CAST(ss_b AS DOUBLE)
+                                       - CAST(s_b AS DOUBLE)
+                                           * CAST(s_b AS DOUBLE))
+                                      / (CAST(n_b AS DOUBLE)
+                                         * (CAST(n_b AS DOUBLE) - 1))
+                                      / CAST(n_b AS DOUBLE)),
+                             4) + 0.0 AS z_score
+                FROM g)
+            SELECT n_a, n_b,
+                   round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                         / 100, 4) AS mean_a,
+                   round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                         / 100, 4) AS mean_b,
+                   z_score,
+                   abs(z_score) >= {TP.AB_Z_CRITICAL} AS significant
+            FROM z
+        """,
+        "q_corr_matrix": corr_sql,
     }

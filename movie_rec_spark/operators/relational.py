@@ -946,3 +946,68 @@ def q_histogram(orders: DataFrame,
                 ((F.col("bucket") + 1) * bin_width).alias("bin_hi"),
                 "n_orders", "lo_price", "hi_price")
     )
+
+
+CORR_COLS = {
+    # integer-valued projections of lineitem's numeric columns —
+    # exact-sum domains (see q_corr_matrix docstring for the bound)
+    "quantity": "CAST(round(l_quantity, 0) AS BIGINT)",
+    "price_usd": "CAST(round(l_extendedprice, 0) AS BIGINT)",
+    "discount_pct": "CAST(round(l_discount * 100, 0) AS BIGINT)",
+    "tax_pct": "CAST(round(l_tax * 100, 0) AS BIGINT)",
+}
+
+
+def q_corr_matrix(lineitem: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns — the data-profiling companion to q_profile (beyond
+    reference — SURVEY.md §2 note). Spark's ``corr`` aggregate uses a
+    streaming (Welford-style) update whose float result depends on
+    partition merge order, so it can never hash-match another engine;
+    this operator instead computes the five exact integer sums (n, Σx,
+    Σy, Σx², Σxy) per pair and evaluates the textbook formula
+    r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) over
+    CAST-to-double sums with identical association on both engines —
+    deterministic at any partitioning, because integer sums have no
+    merge-order sensitivity.
+
+    Exactness bound: the largest sum is Σprice² ≈ (1e5)² × |rows| —
+    inside int64 to ~1e8 rows and double-exact (< 2^53) conversions to
+    ~9e15; beyond that the doubles round identically on both engines
+    as long as the int64 sums don't overflow (Spark would need the
+    DECIMAL(38) sum variant past ~1e8 rows; documented, not hit at
+    bench scale).
+
+    Scale shape: ONE scalar aggregate (map-side partials collapse each
+    partition to 15 numbers), then a row-local 6-way stack — no
+    per-pair passes, no shuffle beyond the single scalar Exchange.
+    """
+    names = list(CORR_COLS)
+    t = lineitem.select(
+        *[F.expr(e).alias(n) for n, e in CORR_COLS.items()])
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(n).alias(f"s_{n}") for n in names]
+    aggs += [F.sum(F.col(n) * F.col(n)).alias(f"ss_{n}") for n in names]
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    aggs += [F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}")
+             for a, b in pairs]
+    row = t.agg(*aggs)
+
+    def _corr(a: str, b: str):
+        d = lambda c: F.col(c).cast("double")  # noqa: E731
+        n = d("n")
+        cov = n * d(f"sp_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")
+        va = n * d(f"ss_{a}") - d(f"s_{a}") * d(f"s_{a}")
+        vb = n * d(f"ss_{b}") - d(f"s_{b}") * d(f"s_{b}")
+        return F.round(cov / (F.sqrt(va) * F.sqrt(vb)), 6)
+
+    stacked = F.expr(
+        "stack({}, {}) as (col_a, col_b, corr)".format(
+            len(pairs),
+            ", ".join(f"'{a}', '{b}', _c_{a}_{b}" for a, b in pairs)))
+    return (
+        row.select("n", *[_corr(a, b).alias(f"_c_{a}_{b}")
+                          for a, b in pairs])
+        .select("n", stacked)
+        .select("col_a", "col_b", "n", "corr")
+    )

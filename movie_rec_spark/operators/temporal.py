@@ -570,3 +570,99 @@ def q_event_transitions(events: DataFrame) -> DataFrame:
     return pairs.select(
         "from_type", "to_type", "n_pairs",
         F.round(F.col("n_pairs") / n_from, 4).alias("pr"))
+
+
+def q_session_paths(events: DataFrame,
+                    gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
+    """Session path analysis — the "what do users actually DO in a
+    visit" panel: sessionize by inactivity gap, serialize each
+    session's events into an ordered `a>b>c` path string, count
+    sessions per distinct path (beyond reference — SURVEY.md §2.10
+    note; composes q_sessionize's gap rule with q_event_transitions'
+    sequence view into whole-journey granularity).
+
+    The gap rule is written from first principles on BOTH engines
+    (lag → boundary flag → running sum) with fractional-second epoch
+    arithmetic — `ts` carries real microseconds, so truncating
+    unix_timestamp would move gap boundaries vs the oracle's epoch().
+    Path order is (ts, event_id) — total, so the string is unique.
+
+    Scale shape: sessionization is two same-key windows on ONE
+    user_id Exchange; the (user, session) collapse reuses that
+    partitioning (user_id ⊆ grouping key, no new shuffle — Spark's
+    ClusteredDistribution accepts the subset partitioning); only the
+    final path-count agg re-shards, keyed on the path string. Path
+    strings stay session-sized; the heavy corpus never moves twice.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ won't cast to double directly; TIMESTAMP→DOUBLE gives
+    # fractional epoch seconds (same UTC-session assumption every
+    # unix_timestamp-on-NTZ query here already makes)
+    sec = F.col("ts").cast("timestamp").cast("double")
+    prev = F.lag("ts").over(w).cast("timestamp").cast("double")
+    new_sess = F.when(
+        prev.isNull() | ((sec - prev) > gap_sec), 1).otherwise(0)
+    sess = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    paths = (
+        events
+        .select("user_id", "ts", "event_id", "event_type",
+                sess.alias("sess"))
+        .groupBy("user_id", "sess")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("ts", "event_id", "event_type"))).alias("evs"))
+        .select(
+            F.concat_ws(
+                ">", F.expr("transform(evs, x -> x.event_type)"))
+            .alias("path"),
+            F.size("evs").alias("path_len")))
+    return paths.groupBy("path", "path_len").agg(
+        F.count(F.lit(1)).alias("n_sessions"))
+
+
+AB_Z_CRITICAL = 1.96  # two-sided 95%
+
+
+def q_ab_test(events: DataFrame) -> DataFrame:
+    """Welch two-sample z-test on mean event value, arms assigned by
+    user-id parity (the deterministic stand-in for a bucketing
+    column) — the one-row readout an experimentation dashboard shows:
+    per-arm event counts, mean values, the z statistic, and the 95%
+    verdict (beyond reference — SURVEY.md §2 note). The metric is a
+    continuous per-event value rather than a conversion flag because
+    on this corpus every user fires every event type, which makes a
+    proportion test degenerate (pooled p = 1 -> se = 0 -> NaN).
+
+    Determinism: values enter as integer cents (HALF_UP), so the
+    per-arm (n, sum, sum-of-squares) triples are EXACT integers at any
+    partitioning; the z formula is written with identical association
+    over CAST-to-double sums on both engines. Rounded outputs are
+    positive (means) or oracle-normalized `+ 0.0` (z, which can round
+    to DuckDB's signed zero — the round-5 q_anomaly lesson).
+
+    Scale shape: ONE scalar aggregate (map-side partials collapse each
+    partition to six numbers) — O(1) output at any corpus size; the
+    user-parity arm needs no per-user collapse at all.
+    """
+    arm = (F.col("user_id") % 2 == 1).cast("int")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    g = events.agg(
+        F.sum(1 - arm).alias("n_a"),
+        F.sum(arm).alias("n_b"),
+        F.sum((1 - arm) * cents).alias("s_a"),
+        F.sum(arm * cents).alias("s_b"),
+        F.sum((1 - arm) * cents * cents).alias("ss_a"),
+        F.sum(arm * cents * cents).alias("ss_b"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = lambda x: d(f"s_{x}") / d(f"n_{x}")  # noqa: E731
+    # sample variance via the exact-sums identity, then Welch SE
+    var = lambda x: (d(f"n_{x}") * d(f"ss_{x}")  # noqa: E731
+                     - d(f"s_{x}") * d(f"s_{x}"))         / (d(f"n_{x}") * (d(f"n_{x}") - 1))
+    se = F.sqrt(var("a") / d("n_a") + var("b") / d("n_b"))
+    z = F.round((mean("b") - mean("a")) / se, 4)
+    return g.select(
+        "n_a", "n_b",
+        F.round(mean("a") / 100, 4).alias("mean_a"),
+        F.round(mean("b") / 100, 4).alias("mean_b"),
+        z.alias("z_score"),
+        (F.abs(z) >= AB_Z_CRITICAL).alias("significant"))

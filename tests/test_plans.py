@@ -160,6 +160,10 @@ def test_new_operator_shuffle_budgets(spark):
         "q_rfm": 8,              # static count; AQE dedupes the custkey
                                  # agg to 2 ReusedExchange at runtime
         "q_histogram": 1,        # partial agg -> one O(buckets) Exchange
+        "q_session_paths": 2,    # user window (reused by the session
+                                 # collapse) + path-count agg
+        "q_ab_test": 0,          # scalar agg, map-side partials
+        "q_corr_matrix": 0,      # one scalar agg + row-local stack
     }
     qs = E.queries()
     for name, budget in budgets.items():

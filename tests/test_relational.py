@@ -233,3 +233,32 @@ def test_histogram_buckets_tile_and_conserve_rows(spark):
     assert out[1].bin_lo == 500.0 and out[1].lo_price == 500.0
     for r in out.values():
         assert r.bin_lo <= r.lo_price <= r.hi_price < r.bin_hi
+
+
+def test_corr_matrix_recovers_known_correlations(spark):
+    """corr(x, x+noise-free linear) = ±1; corr with an independent
+    alternating column ~ 0; values agree with numpy's corrcoef on the
+    same integer projections to 6dp."""
+    import numpy as np
+    from movie_rec_spark.operators.relational import q_corr_matrix
+    n = 200
+    q = [float(1 + i % 50) for i in range(n)]
+    price = [100.0 * v for v in q]          # perfectly correlated
+    disc = [0.01 * ((i * 7) % 11) for i in range(n)]  # unrelated-ish
+    tax = [0.5 - 0.01 * (i % 50) for i in range(n)]  # anti with q
+    # (0.01 steps -> integer tax_pct, so the anti-correlation stays
+    # exactly linear through the integer projection)
+    li = spark.createDataFrame(
+        list(zip(q, price, disc, tax)),
+        "l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double")
+    got = {(r.col_a, r.col_b): r.corr for r in q_corr_matrix(li).collect()}
+    assert got[("quantity", "price_usd")] == 1.0
+    assert got[("quantity", "tax_pct")] == -1.0
+    ints = {
+        "quantity": np.round(q), "price_usd": np.round(price),
+        "discount_pct": np.round(np.array(disc) * 100),
+        "tax_pct": np.round(np.array(tax) * 100)}
+    for (a, b), v in got.items():
+        want = np.corrcoef(ints[a], ints[b])[0, 1]
+        assert abs(v - round(want, 6)) <= 1e-6, (a, b, v, want)

@@ -23,8 +23,10 @@ SF = "/root/testdata/sf0.001"
 # every oracle that parses in Spark SQL today — keep sorted; additions
 # welcome, removals need a comment explaining the lost portability
 PORTABLE = sorted([
+    "q_ab_test",
     "q_candidates",
     "q_candidates_scalable",
+    "q_corr_matrix",
     "q_cc_chain_minlabel",
     "q_cc_chain_star",
     "q_cumulative_users",

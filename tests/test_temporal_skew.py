@@ -413,3 +413,49 @@ def test_event_transitions_rows_and_probabilities(spark):
     for (a, _), r in got.items():
         by_from[a] += r.pr
     assert all(abs(p - 1.0) < 1e-3 for p in by_from.values())
+
+
+def test_session_paths_split_on_gap_and_count_duplicates(spark):
+    """A gap over the threshold splits the path; identical journeys
+    from different users/sessions collapse into one counted row; path
+    order follows (ts, event_id) within the session."""
+    import datetime as dt
+    from movie_rec_spark.operators.temporal import q_session_paths
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: view>click, then a 31-min gap, then view>click again
+    for k, off in enumerate([0, 60, 31 * 60 + 60, 31 * 60 + 120]):
+        rows.append((k, base + dt.timedelta(seconds=off), 1,
+                     "view" if k % 2 == 0 else "click"))
+    # user 2: one view>click session
+    rows += [(10, base, 2, "view"),
+             (11, base + dt.timedelta(seconds=60), 2, "click")]
+    # user 3: same-timestamp pair -> event_id breaks the tie
+    rows += [(21, base, 3, "buy"), (20, base, 3, "cart")]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string")
+    got = {r.path: r for r in q_session_paths(ev).collect()}
+    assert got["view>click"].n_sessions == 3
+    assert got["view>click"].path_len == 2
+    assert got["cart>buy"].n_sessions == 1  # id 20 (cart) sorts first
+
+
+def test_ab_test_detects_a_planted_arm_difference(spark):
+    """Arm B's values are shifted up by a constant; the z-test must
+    flag significance with z > 0, and the means must be exact."""
+    import datetime as dt
+    from movie_rec_spark.operators.temporal import q_ab_test
+    rows = []
+    for u in range(40):
+        for i in range(50):
+            v = 10.0 + (i % 7) + (5.0 if u % 2 == 1 else 0.0)
+            rows.append((u * 1000 + i, dt.datetime(2024, 1, 1), u,
+                         "view", v))
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    r = q_ab_test(ev).collect()[0]
+    assert r.n_a == r.n_b == 1000
+    assert abs(r.mean_b - r.mean_a - 5.0) < 1e-9
+    assert r.z_score > 1.96 and bool(r.significant)
