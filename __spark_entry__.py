@@ -295,6 +295,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_movies_bucketed": lambda s, d: R.q_top_movies(
             L.bucketed_table(s, d, "lineitem", "l_partkey", 16),
             _t("part")(s, d)),
+        # the fact-fact half of the bucketing story: both facts
+        # co-bucketed + sorted on the order key, single-file buckets,
+        # so the join drops BOTH fact Exchanges (test_layout asserts
+        # the plan delta vs the raw-table twin; same oracle either way)
+        "q_bucketed_join": lambda s, d: R.order_priority_revenue(
+            L.bucketed_table(s, d, "lineitem", "l_orderkey", 16,
+                             sort_col="l_orderkey"),
+            L.bucketed_table(s, d, "orders", "o_orderkey", 16,
+                             sort_col="o_orderkey")),
         # Same MERGE as q_merge_events, routed through the
         # manifest-committed snapshot table (atomic commit + snapshot
         # isolation, sources/snapshot.py); shares its oracle.
@@ -379,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_item_cooccurrence", "q_spatial_join", "q_walkforward_splits",
         "q_event_transitions", "q_rfm", "q_histogram",
         "q_session_paths", "q_ab_test", "q_corr_matrix",
+        "q_bucketed_join",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -2653,4 +2663,14 @@ def oracle_sql() -> dict[str, str]:
             FROM z
         """,
         "q_corr_matrix": corr_sql,
+        # layout must never change the answer: plain join+agg SQL
+        "q_bucketed_join": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(round(
+                       l_extendedprice * (1 - l_discount) * 100, 0)
+                       AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
     }

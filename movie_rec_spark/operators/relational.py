@@ -1011,3 +1011,41 @@ def q_corr_matrix(lineitem: DataFrame) -> DataFrame:
         .select("n", stacked)
         .select("col_a", "col_b", "n", "corr")
     )
+
+
+def order_priority_revenue(lineitem: DataFrame,
+                           orders: DataFrame) -> DataFrame:
+    """Fact-fact join + rollup: discounted revenue per order priority.
+    Layout-neutral semantics — the declared q_bucketed_join entry
+    feeds it the MAINTAINED co-bucketed copies (both clustered and
+    sorted on the order key, ONE file per bucket), which removes both
+    fact-side join Exchanges; fed raw catalog tables it is an ordinary
+    two-Exchange SMJ with identical answers (tests/test_layout.py
+    asserts the plan delta, the shared oracle asserts the answers).
+    The SMJ's per-partition Sort stays by default — since SPARK-28632
+    the scan only advertises bucket-sortedness under
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering``, a safe
+    opt-in here because the writer guarantees single-file buckets
+    (the test proves the flag removes the Sort); unflagged it sorts
+    already-sorted runs in place, no shuffle.
+
+    This is the missing half of the bucketing story: q_top_movies_
+    bucketed amortizes a GROUP BY Exchange, this one amortizes the
+    fact-fact JOIN Exchange — at 100 TB the dominant shuffle in any
+    star-schema pipeline joining two order-keyed fact tables.
+
+    Revenue stays in integer cents until one final double division
+    (the A1 discipline); the per-priority agg re-shards a 5-key
+    keyspace, collapsed map-side first.
+    """
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+        0).cast("long")
+    return (
+        lineitem.select(F.col("l_orderkey").alias("ok"), cents.alias("c"))
+        .join(orders.select(F.col("o_orderkey").alias("ok"),
+                            "o_orderpriority"), "ok")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             (F.sum("c").cast("double") / 100.0).alias("revenue"))
+    )

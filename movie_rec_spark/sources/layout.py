@@ -65,7 +65,11 @@ def bucketed_table(spark: SparkSession, sf_dir: str, table: str,
 
     digest = hashlib.md5(
         os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    name = f"mrs_b_{table}_{bucket_col}_{n_buckets}_{digest}"
+    # sort_col participates in the identity: a sorted layout is a
+    # DIFFERENT physical contract (zero-Sort merge zip) than the
+    # unsorted one, and must not collide with it on disk
+    sfx = f"_s{sort_col}" if sort_col else ""
+    name = f"mrs_b_{table}_{bucket_col}_{n_buckets}{sfx}_{digest}"
     if spark.catalog.tableExists(name):
         return spark.table(name)
 
@@ -84,7 +88,14 @@ def bucketed_table(spark: SparkSession, sf_dir: str, table: str,
             f"CLUSTERED BY ({bucket_col}) {sort} "
             f"INTO {n_buckets} BUCKETS LOCATION '{path}'")
     else:
-        w = (src.write.mode("overwrite").format("parquet")
+        # ONE file per bucket: repartition on the bucket hash so each
+        # task owns exactly one bucket — Spark only reports sorted
+        # output (and skips the downstream Sort) for single-file
+        # buckets; multi-file buckets would demote sortBy to a
+        # per-file property the planner can't use.
+        from pyspark.sql import functions as F
+        w = (src.repartition(n_buckets, F.col(bucket_col))
+             .write.mode("overwrite").format("parquet")
              .bucketBy(n_buckets, bucket_col).option("path", path))
         if sort_col:
             w = w.sortBy(sort_col)

@@ -250,3 +250,52 @@ def test_zorder_write_three_dims(spark, tmp_path):
         assert len(spans) >= 4
         assert sum(spans) < len(spans) * full * 0.85, \
             f"{col}: z-order must tighten per-file ranges"
+
+
+def test_cobucketed_fact_join_drops_exchanges_and_sorts(
+        spark, no_broadcast):
+    """q_bucketed_join's layout: both facts co-bucketed AND sorted on
+    the order key, so the fact-fact sort-merge join needs neither an
+    Exchange nor a Sort before the zip; the raw-table twin needs both.
+    Rows identical — layout must never change the answer."""
+    from movie_rec_spark.operators.relational import (
+        order_priority_revenue,
+    )
+    from movie_rec_spark.plans import count_exchanges, physical_plan
+    from movie_rec_spark.sources.layout import bucketed_table
+
+    plain = order_priority_revenue(
+        load_table(spark, SF, "lineitem"), load_table(spark, SF, "orders"))
+    buck = order_priority_revenue(
+        bucketed_table(spark, SF, "lineitem", "l_orderkey", 8,
+                       sort_col="l_orderkey"),
+        bucketed_table(spark, SF, "orders", "o_orderkey", 8,
+                       sort_col="o_orderkey"))
+    # one Exchange remains (the 5-key priority agg); the join's two
+    # fact shuffles are gone
+    assert count_exchanges(buck) <= 1 < count_exchanges(plain)
+    # The SMJ's Sort nodes remain by default: since SPARK-28632 the
+    # scan only advertises bucket-sortedness under
+    # spark.sql.legacy.bucketedTableScan.outputOrdering (one file per
+    # bucket isn't guaranteed in general — our writer does guarantee
+    # it, so the flag is a safe opt-in here). Even unflagged, the Sort
+    # is per-partition over already-sorted runs — no shuffle, and
+    # TimSort-style merges on sorted input — so the Exchange win is
+    # the one that matters. Prove the opt-in removes the Sort too:
+    old = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        buck2 = order_priority_revenue(
+            bucketed_table(spark, SF, "lineitem", "l_orderkey", 8,
+                           sort_col="l_orderkey"),
+            bucketed_table(spark, SF, "orders", "o_orderkey", 8,
+                           sort_col="o_orderkey"))
+        join_part = physical_plan(buck2).split("SortMergeJoin")[-1]
+        assert "Sort " not in join_part
+    finally:
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", old)
+    assert sorted(map(tuple, buck.collect())) == \
+        sorted(map(tuple, plain.collect()))

@@ -164,6 +164,8 @@ def test_new_operator_shuffle_budgets(spark):
                                  # collapse) + path-count agg
         "q_ab_test": 0,          # scalar agg, map-side partials
         "q_corr_matrix": 0,      # one scalar agg + row-local stack
+        "q_bucketed_join": 1,    # co-bucketed facts join shuffle-free;
+                                 # only the 5-key priority agg moves
     }
     qs = E.queries()
     for name, budget in budgets.items():
