@@ -348,3 +348,72 @@ def test_snapshot_orphans_from_failed_commit_are_vacuumed(spark, tmp_path):
     assert all(not os.path.exists(e["path"]) for e in orphans)
     assert snapshot_version(path) == 1
     assert {r.id for r in snapshot_read(spark, path).collect()} == {1}
+
+
+@SLOW
+@given(st.lists(
+    st.tuples(st.integers(min_value=1, max_value=5),      # user
+              st.integers(min_value=0, max_value=7200),   # offset sec
+              st.sampled_from(["a", "b", "c"])),          # type
+    min_size=1, max_size=40, unique_by=lambda t: (t[0], t[1])))
+def test_session_paths_conserve_events_against_model(spark, evs):
+    """Σ(path_len × n_sessions) == |events|, and the per-path counts
+    match a pure-Python gap-rule model on generated inputs."""
+    from collections import Counter
+
+    from movie_rec_spark.operators.temporal import q_session_paths
+    rows = [(i, EPOCH + dt.timedelta(seconds=off), u, t)
+            for i, (u, off, t) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string")
+    got = {(r.path, r.path_len): r.n_sessions
+           for r in q_session_paths(df, gap_sec=1800).collect()}
+    assert sum(pl * n for (_, pl), n in got.items()) == len(rows)
+    # pure-Python model
+    by_user: dict[int, list[tuple[dt.datetime, int, str]]] = {}
+    for i, (u, off, t) in enumerate(evs):
+        by_user.setdefault(u, []).append(
+            (EPOCH + dt.timedelta(seconds=off), i, t))
+    want: Counter = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        path: list[str] = []
+        prev = None
+        for ts, _, t in seq:
+            if prev is not None and (ts - prev).total_seconds() > 1800:
+                want[(">".join(path), len(path))] += 1
+                path = []
+            path.append(t)
+            prev = ts
+        want[(">".join(path), len(path))] += 1
+    assert got == dict(want)
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=19),
+                          st.integers(min_value=0, max_value=10000)),
+                min_size=4, max_size=60))
+def test_event_transitions_counts_match_model(spark, evs):
+    """Transition counts equal the adjacent-pair census of each user's
+    (ts, event_id)-ordered sequence; probabilities sum to 1 per from."""
+    from collections import Counter
+
+    from movie_rec_spark.operators.temporal import q_event_transitions
+    rows = [(i, EPOCH + dt.timedelta(seconds=s), u % 4,
+             "t" + str(u % 3)) for i, (u, s) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string")
+    got = {(r.from_type, r.to_type): r.n_pairs
+           for r in q_event_transitions(df).collect()}
+    by_user: dict[int, list] = {}
+    for i, (u, s) in enumerate(evs):
+        by_user.setdefault(u % 4, []).append(
+            (EPOCH + dt.timedelta(seconds=s), i, "t" + str(u % 3)))
+    want: Counter = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            want[(a, b)] += 1
+    assert got == dict(want)
