@@ -193,6 +193,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window rescan
         "q_cumulative_users": lambda s, d: TP.q_cumulative_users(
             _t("events")(s, d)),
+        # 2-D Pareto frontier: two keyed collapses + running-max scan
+        # vs the oracle's quadratic NOT EXISTS (operators/relational.py)
+        "q_skyline": lambda s, d: R.q_skyline(_t("part")(s, d)),
+        # explicit GROUPING SETS w/ grouping_id — one Expand + one agg
+        "q_grouping_sets": lambda s, d: R.q_grouping_sets(
+            _t("orders")(s, d)),
+        # per-group categorical mode, deterministic tie-break; rank +
+        # normalizer share one status-keyed window sort
+        "q_mode": lambda s, d: R.q_mode(_t("orders")(s, d)),
+        # JSON payload decode (get_json_object, JVM codegen) + agg —
+        # the read half of S12's serialization story
+        "q_json_decode": lambda s, d: R.q_json_decode(
+            _t("events")(s, d)),
         "q_resample": lambda s, d: TP.q_resample(_t("events")(s, d)),
         "q_percentiles": lambda s, d: R.q_percentiles(_t("lineitem")(s, d)),
         "q_outliers": lambda s, d: R.q_outliers(_t("events")(s, d)),
@@ -389,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_transitions", "q_rfm", "q_histogram",
         "q_session_paths", "q_ab_test", "q_corr_matrix",
         "q_bucketed_join",
+        "q_skyline", "q_grouping_sets", "q_mode", "q_json_decode",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -2584,6 +2598,75 @@ def oracle_sql() -> dict[str, str]:
                          o_totalprice AS p
                   FROM orders) t
             GROUP BY bucket
+        """,
+        # quadratic NOT-EXISTS dominance check — the ground-truth
+        # skyline definition; the engine's two-collapse + running-max
+        # plan must reproduce it exactly
+        "q_skyline": """
+            WITH pairs AS (
+                SELECT p_retailprice, p_size,
+                       CAST(count(*) AS BIGINT) AS n_parts
+                FROM part GROUP BY p_retailprice, p_size)
+            SELECT a.p_retailprice, a.p_size, a.n_parts
+            FROM pairs a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pairs b
+                WHERE b.p_retailprice <= a.p_retailprice
+                  AND b.p_size >= a.p_size
+                  AND (b.p_retailprice < a.p_retailprice
+                       OR b.p_size > a.p_size))
+        """,
+        # gid recomputed as grouping(a)*2+grouping(b) — portable across
+        # engines, and bit-identical to Spark's grouping_id() for this
+        # column order; integer-cents sum (the A1 discipline)
+        "q_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(grouping(o_orderstatus) * 2
+                        + grouping(o_orderpriority) AS BIGINT) AS gid,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS DOUBLE) / 100.0
+                       AS revenue
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderpriority), ())
+        """,
+        # rank + window-sum normalizer, deterministic tie-break; the
+        # window sum is HUGEINT in DuckDB -> CAST (the round-5 lesson)
+        "q_mode": """
+            WITH c AS (
+                SELECT o_orderstatus, o_orderpriority,
+                       CAST(count(*) AS BIGINT) AS n_mode
+                FROM orders GROUP BY o_orderstatus, o_orderpriority),
+            r AS (
+                SELECT o_orderstatus, o_orderpriority, n_mode,
+                       sum(n_mode) OVER (
+                           PARTITION BY o_orderstatus) AS n_total,
+                       row_number() OVER (
+                           PARTITION BY o_orderstatus
+                           ORDER BY n_mode DESC, o_orderpriority) AS rn
+                FROM c)
+            SELECT o_orderstatus, o_orderpriority AS mode_priority,
+                   n_mode, CAST(n_total AS BIGINT) AS n_total,
+                   round(CAST(n_mode AS DOUBLE)
+                         / CAST(n_total AS DOUBLE), 6) AS share
+            FROM r WHERE rn = 1
+        """,
+        # DuckDB json_extract_string ≡ Spark get_json_object for this
+        # flat payload; TRY_CAST mirrors Spark's NULL-on-malformed cast
+        "q_json_decode": """
+            WITH t AS (
+                SELECT event_type,
+                       TRY_CAST(json_extract_string(props, '$.k')
+                                AS INTEGER) AS k
+                FROM events)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(k) AS BIGINT) AS n_parsed,
+                   CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+                   min(k) AS min_k, max(k) AS max_k,
+                   CAST(sum(k) AS BIGINT) AS sum_k
+            FROM t GROUP BY event_type
         """,
         # gap rule from first principles (q_sessionize's oracle idiom)
         # on FRACTIONAL epoch seconds — ts carries real microseconds;

@@ -1049,3 +1049,128 @@ def order_priority_revenue(lineitem: DataFrame,
         .agg(F.count(F.lit(1)).alias("n_items"),
              (F.sum("c").cast("double") / 100.0).alias("revenue"))
     )
+
+
+def q_skyline(part: DataFrame) -> DataFrame:
+    """2-D skyline (Pareto frontier) over parts: the rows no other part
+    dominates, where "better" = lower ``p_retailprice`` AND higher
+    ``p_size`` (dominance needs one strict inequality, so identical
+    (price, size) twins never dominate each other and surface together
+    with their multiplicity). Beyond reference — SURVEY.md §2 notes no
+    preference queries exist there; this is the classic BNL/SFS skyline
+    operator (Börzsönyi et al., ICDE'01) re-expressed as two keyed
+    collapses plus one running-max scan instead of the quadratic
+    NOT-EXISTS self-join the oracle runs.
+
+    Shape: (1) collapse rows to distinct (price, size) pairs with
+    multiplicity — duplicates vanish BEFORE any comparison; (2) per
+    price keep only the max size (``max_by`` carries the multiplicity),
+    since equal-price-smaller-size is strictly dominated; (3) order the
+    survivors by price ascending — now sizes of non-dominated rows must
+    strictly increase, so one running-max window keeps exactly the
+    frontier.
+
+    Scale shape: two keyed shuffles collapse the corpus to at most
+    |distinct prices| rows; only that collapsed set enters the final
+    single-task ordered scan (same bounded-input contract as
+    q_percentiles' per-group sort). At 100 TB the prefilters run
+    map-side-combined on the full cluster and the frontier scan sees
+    thousands of rows, not billions.
+    """
+    pairs = part.groupBy("p_retailprice", "p_size").agg(
+        F.count(F.lit(1)).alias("n_parts"))
+    per_price = pairs.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("p_size"),
+        F.max_by("n_parts", "p_size").alias("n_parts"))
+    w = (Window.orderBy(F.col("p_retailprice").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        per_price.withColumn("_run", F.max("p_size").over(w))
+        .where(F.col("_run").isNull() | (F.col("p_size") > F.col("_run")))
+        .select("p_retailprice", "p_size", "n_parts")
+    )
+
+
+def q_grouping_sets(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — the third member of the §2.4 grouping
+    family next to q_rollup/q_cube: user-chosen sets ((status,
+    priority), (priority), ()) rather than the hierarchical/powerset
+    defaults, with ``grouping_id`` disambiguating subtotal rows from
+    genuine NULL keys. Revenue follows the integer-cents discipline so
+    every engine sums exactly.
+
+    Scale shape: Catalyst plans grouping sets as a single Expand +
+    one hash aggregate — rows replicate once per set (3× here) but
+    partial aggregation collapses them map-side, so the exchange
+    carries |groups| not 3×|rows|.
+    """
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        orders.select("o_orderstatus", "o_orderpriority",
+                      cents.alias("c"))
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"],
+             []],
+            "o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().cast("long").alias("gid"),
+             F.count(F.lit(1)).alias("n_orders"),
+             (F.sum("c").cast("double") / 100.0).alias("revenue"))
+    )
+
+
+def q_mode(orders: DataFrame) -> DataFrame:
+    """Per-group categorical MODE with a deterministic tie-break: the
+    most frequent order priority within each order status (ties resolve
+    to the lexicographically smallest priority, because an unordered
+    argmax is engine-dependent). Companion to q_profile's numeric
+    summary — the categorical central tendency the reference's stats
+    page surfaces as "most common rating" (statistics.py:30 analogue).
+
+    Shape: one (status, priority) count — the only corpus-sized
+    exchange — then a row_number window AND the group total as a
+    window sum over the SAME status partitioning, so ranking and
+    normalization ride one sort with no join-back.
+    """
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_mode"))
+    w = Window.partitionBy("o_orderstatus")
+    rank = (Window.partitionBy("o_orderstatus")
+            .orderBy(F.desc("n_mode"), F.asc("o_orderpriority")))
+    return (
+        counts
+        .withColumn("n_total", F.sum("n_mode").over(w))
+        .withColumn("_rn", F.row_number().over(rank))
+        .where(F.col("_rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n_mode", "n_total",
+            F.round(F.col("n_mode").cast("double")
+                    / F.col("n_total").cast("double"), 6).alias("share"))
+    )
+
+
+def q_json_decode(events: DataFrame) -> DataFrame:
+    """JSON payload decode + aggregate — the read half of S12's
+    serialization story (q_json_encode writes JSON; this parses the
+    events table's ``props`` payload ``{"k": <int>}`` the way the
+    reference's API layer deserializes request bodies,
+    web/routes.py:61 analogue). ``get_json_object`` is JVM codegen —
+    no Python touches the hot path — and malformed/missing keys
+    surface as a counted NULL bucket instead of poisoning the run.
+
+    Scale shape: row-local parse, then ONE event_type-keyed aggregate
+    (5-key keyspace, map-side combined); distinct-k adds the usual
+    two-phase distinct inside the same exchange.
+    """
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.count("k").alias("n_parsed"),
+             F.countDistinct("k").alias("n_distinct_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"),
+             F.sum("k").cast("long").alias("sum_k"))
+    )

@@ -166,6 +166,12 @@ def test_new_operator_shuffle_budgets(spark):
         "q_corr_matrix": 0,      # one scalar agg + row-local stack
         "q_bucketed_join": 1,    # co-bucketed facts join shuffle-free;
                                  # only the 5-key priority agg moves
+        "q_skyline": 3,          # pair collapse + per-price collapse +
+                                 # single-partition frontier scan (input
+                                 # bounded to |distinct prices| by then)
+        "q_grouping_sets": 1,    # one Expand + one two-phase agg
+        "q_mode": 2,             # (status,prio) count + status window
+        "q_json_decode": 2,      # countDistinct's two-phase agg pair
     }
     qs = E.queries()
     for name, budget in budgets.items():

@@ -262,3 +262,85 @@ def test_corr_matrix_recovers_known_correlations(spark):
     for (a, b), v in got.items():
         want = np.corrcoef(ints[a], ints[b])[0, 1]
         assert abs(v - round(want, 6)) <= 1e-6, (a, b, v, want)
+
+
+def test_skyline_dominance_ties_and_duplicates(spark):
+    """Frontier keeps the non-dominated set; identical (price, size)
+    twins survive together with multiplicity; an equal-price smaller
+    size and an equal-size higher price are both dominated."""
+    from movie_rec_spark.operators.relational import q_skyline
+    rows = [
+        (10.0, 5), (10.0, 5),   # duplicate pair: frontier, n_parts=2
+        (10.0, 3),              # same price, smaller size: dominated
+        (12.0, 5),              # same size, higher price: dominated
+        (20.0, 9),              # frontier (bigger, pricier)
+        (30.0, 9),              # dominated by (20.0, 9)
+        (5.0, 1),               # frontier (cheapest)
+    ]
+    part = spark.createDataFrame(
+        [(i, "p", "B", "T", s, p) for i, (p, s) in enumerate(rows)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double")
+    got = {(r.p_retailprice, r.p_size): r.n_parts
+           for r in q_skyline(part).collect()}
+    assert got == {(5.0, 1): 1, (10.0, 5): 2, (20.0, 9): 1}
+
+
+def test_grouping_sets_levels_and_exact_sums(spark):
+    """gid separates the three declared sets; each level's revenue is
+    the exact sum of its members (cents discipline, no drift)."""
+    from movie_rec_spark.operators.relational import q_grouping_sets
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 10.01, None, "1-URGENT"),
+         (2, 1, "O", 20.02, None, "1-URGENT"),
+         (3, 1, "F", 5.55, None, "2-HIGH")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string")
+    rows = q_grouping_sets(orders).collect()
+    by = {(r.gid, r.o_orderstatus, r.o_orderpriority): (r.n_orders,
+                                                        r.revenue)
+          for r in rows}
+    assert by[(0, "O", "1-URGENT")] == (2, 30.03)
+    assert by[(0, "F", "2-HIGH")] == (1, 5.55)
+    assert by[(2, None, "1-URGENT")] == (2, 30.03)   # status rolled up
+    assert by[(2, None, "2-HIGH")] == (1, 5.55)
+    assert by[(3, None, None)] == (3, 35.58)          # grand total
+    assert len(rows) == 5
+
+
+def test_mode_tie_breaks_to_smallest_priority(spark):
+    """Equal counts resolve to the lexicographically smallest
+    priority; share normalizes by the group total."""
+    from movie_rec_spark.operators.relational import q_mode
+    orders = spark.createDataFrame(
+        [(1, "O", "3-MEDIUM"), (2, "O", "3-MEDIUM"),
+         (3, "O", "1-URGENT"), (4, "O", "1-URGENT"),
+         (5, "F", "5-LOW")],
+        "o_orderkey long, o_orderstatus string, o_orderpriority string")
+    got = {r.o_orderstatus: r for r in q_mode(orders).collect()}
+    assert got["O"].mode_priority == "1-URGENT"      # tie -> smallest
+    assert (got["O"].n_mode, got["O"].n_total) == (2, 4)
+    assert got["O"].share == 0.5
+    assert got["F"].mode_priority == "5-LOW"
+
+
+def test_json_decode_counts_malformed_as_null(spark):
+    """Malformed payloads and missing keys land in the NULL bucket
+    (n_parsed < n_events) instead of failing the pass."""
+    import datetime as dt
+    from movie_rec_spark.operators.relational import q_json_decode
+    ts = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(1, ts, 1, "click", 1.0, '{"k": 7}'),
+         (2, ts, 1, "click", 1.0, '{"k": 9}'),
+         (3, ts, 1, "click", 1.0, 'not json'),
+         (4, ts, 1, "view", 1.0, '{"other": 1}')],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    got = {r.event_type: r for r in q_json_decode(events).collect()}
+    c = got["click"]
+    assert (c.n_events, c.n_parsed, c.n_distinct_k) == (3, 2, 2)
+    assert (c.min_k, c.max_k, c.sum_k) == (7, 9, 16)
+    v = got["view"]
+    assert (v.n_events, v.n_parsed, v.sum_k) == (1, 0, None)

@@ -23,6 +23,9 @@ SF = "/root/testdata/sf0.001"
 # every oracle that parses in Spark SQL today — keep sorted; additions
 # welcome, removals need a comment explaining the lost portability
 PORTABLE = sorted([
+    "q_grouping_sets",
+    "q_mode",
+    "q_skyline",
     "q_ab_test",
     "q_candidates",
     "q_candidates_scalable",
@@ -73,9 +76,11 @@ def entry(spark):
 
 
 def _norm(rows):
-    return sorted(
-        tuple(round(x, 6) if isinstance(x, float) else x for x in r)
-        for r in rows)
+    # None-safe total order (grouping-set subtotal rows carry NULL keys)
+    out = [tuple(round(x, 6) if isinstance(x, float) else x for x in r)
+           for r in rows]
+    return sorted(out, key=lambda t: tuple(
+        (v is None, type(v).__name__, str(v)) for v in t))
 
 
 @pytest.mark.parametrize("name", PORTABLE)
