@@ -206,6 +206,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the read half of S12's serialization story
         "q_json_decode": lambda s, d: R.q_json_decode(
             _t("events")(s, d)),
+        # last-touch attribution: the asof-join specialization riding
+        # ONE user-keyed window (no purchase×touch self-join)
+        "q_attribution": lambda s, d: TP.q_attribution(
+            _t("events")(s, d)),
+        # exact-integer CUSUM mean-shift scan over the daily series
+        "q_changepoint": lambda s, d: TP.q_changepoint(
+            _t("events")(s, d)),
         "q_resample": lambda s, d: TP.q_resample(_t("events")(s, d)),
         "q_percentiles": lambda s, d: R.q_percentiles(_t("lineitem")(s, d)),
         "q_outliers": lambda s, d: R.q_outliers(_t("events")(s, d)),
@@ -403,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_paths", "q_ab_test", "q_corr_matrix",
         "q_bucketed_join",
         "q_skyline", "q_grouping_sets", "q_mode", "q_json_decode",
+        "q_attribution", "q_changepoint",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -2667,6 +2675,64 @@ def oracle_sql() -> dict[str, str]:
                    min(k) AS min_k, max(k) AS max_k,
                    CAST(sum(k) AS BIGINT) AS sum_k
             FROM t GROUP BY event_type
+        """,
+        # same carried-forward-touch windows; epoch_us ≡ Spark
+        # unix_micros keeps the lookback boundary microsecond-exact
+        "q_attribution": f"""
+            WITH t AS (
+                SELECT user_id, ts, event_id, event_type, value,
+                       last_value(CASE WHEN event_type IN
+                                       ('click', 'view') THEN ts END
+                                  IGNORE NULLS) OVER w AS tts,
+                       last_value(CASE WHEN event_type IN
+                                       ('click', 'view')
+                                  THEN event_type END
+                                  IGNORE NULLS) OVER w AS ttype
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)),
+            c AS (
+                SELECT CASE WHEN tts IS NULL
+                              OR epoch_us(ts) - epoch_us(tts)
+                                 > CAST({TP.ATTRIBUTION_LOOKBACK_SEC}
+                                        AS BIGINT) * 1000000
+                            THEN 'direct' ELSE ttype END AS channel,
+                       CAST(round(value * 100, 0) AS BIGINT) AS cents
+                FROM t WHERE event_type = 'purchase')
+            SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+                   CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+            FROM c GROUP BY channel
+        """,
+        # scaled-CUSUM argmax in exact integers; tn/td avoid DuckDB's
+        # case-insensitive t/T collision; window sums CAST from HUGEINT
+        "q_changepoint": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS d,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY CAST(ts AS DATE)),
+            s AS (
+                SELECT d, n_events,
+                       CAST(sum(n_events) OVER (ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS cum_events,
+                       CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+                           AS tn,
+                       CAST(count(*) OVER () AS BIGINT) AS td,
+                       CAST(sum(n_events) OVER () AS BIGINT) AS nn
+                FROM daily),
+            k AS (
+                SELECT d, n_events, cum_events,
+                       CAST(td * cum_events - tn * nn AS BIGINT)
+                           AS cusum_scaled,
+                       CASE WHEN tn = td THEN -1
+                            ELSE abs(td * cum_events - tn * nn)
+                       END AS sk
+                FROM s)
+            SELECT d, n_events, cum_events, cusum_scaled,
+                   row_number() OVER (ORDER BY sk DESC, d) = 1
+                       AS is_change
+            FROM k
         """,
         # gap rule from first principles (q_sessionize's oracle idiom)
         # on FRACTIONAL epoch seconds — ts carries real microseconds;

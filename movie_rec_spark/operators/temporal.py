@@ -666,3 +666,107 @@ def q_ab_test(events: DataFrame) -> DataFrame:
         F.round(mean("b") / 100, 4).alias("mean_b"),
         z.alias("z_score"),
         (F.abs(z) >= AB_Z_CRITICAL).alias("significant"))
+
+
+ATTRIBUTION_LOOKBACK_SEC = 7 * 24 * 3600  # touch older than this -> direct
+
+
+def q_attribution(events: DataFrame,
+                  lookback_s: int = ATTRIBUTION_LOOKBACK_SEC) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent click/view STRICTLY before it (total order
+    (ts, event_id), so a same-timestamp touch still attributes
+    deterministically); purchases with no touch inside the 7-day
+    lookback credit the synthetic 'direct' channel. Per channel:
+    conversions and attributed revenue (beyond reference — SURVEY.md §2
+    note; the serving layer logs recommendations and purchases but
+    never joins them, prototype/controller.py:293 analogue).
+
+    Shape: the classic asof-join specialization — one user-keyed window
+    carries (touch ts, touch type) forward via ``last(..,
+    ignorenulls=True)`` over ROWS UNBOUNDED PRECEDING..1 PRECEDING, so
+    touch and conversion meet WITHOUT a self-join; both carried columns
+    ride the same frame, so they always come from the same touch row.
+    Revenue stays integer cents until the final division.
+
+    Scale shape: ONE user_id exchange (the same layout every event-
+    analytics query here keys on) + the O(|channels|) final agg.
+    """
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch_ts = F.last(F.when(is_touch, F.col("ts")),
+                      ignorenulls=True).over(w)
+    touch_type = F.last(F.when(is_touch, F.col("event_type")),
+                        ignorenulls=True).over(w)
+    conv = (
+        events
+        .withColumn("_tts", touch_ts)
+        .withColumn("_ttype", touch_type)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            # microsecond-exact boundary: unix_micros ≡ DuckDB epoch_us
+            # (unix_timestamp would floor to seconds and disagree with
+            # the oracle's fractional epoch near the lookback edge);
+            # ts arrives TIMESTAMP_NTZ — the cast shifts both ends by
+            # the same session-tz offset, so the difference is exact
+            F.when(
+                F.col("_tts").isNull()
+                | ((F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("_tts").cast("timestamp")))
+                   > lookback_s * 1_000_000),
+                F.lit("direct")).otherwise(F.col("_ttype"))
+            .alias("channel"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"))
+    )
+    return conv.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        (F.sum("c").cast("double") / 100.0).alias("revenue"))
+
+
+def q_changepoint(events: DataFrame) -> DataFrame:
+    """Mean-shift change-point scan (binary-segmentation statistic)
+    over the daily event-count series: the day t maximizing the scaled
+    CUSUM |S_t| = |T·C_t − t·N| (C_t = events through day t, N = total,
+    T = days — S_t is T·t·(mean_≤t − mean_all), the unnormalized CUSUM
+    numerator kept in EXACT integers so the argmax is engine-exact with
+    no float merge-order sensitivity). Output: the full daily series
+    with its statistic plus the flagged change day (earliest wins ties;
+    the final day, where S ≡ 0 by construction, is excluded from the
+    argmax).
+
+    Scale shape: the corpus collapses to |days| rows in one keyed agg;
+    every window after that (cumsum, totals, argmax rank) runs over the
+    collapsed series in a single bounded task — same contract as
+    q_skyline's frontier scan and q_cumulative_users' prefix window.
+    """
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events"))
+    w_cum = (Window.orderBy("d")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = (Window.orderBy("d")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    t = F.row_number().over(Window.orderBy("d"))
+    # tn/td (not t/T): case-insensitive resolution on either engine
+    # would collide the two names
+    series = daily.select(
+        "d", "n_events",
+        F.sum("n_events").over(w_cum).alias("cum_events"),
+        t.alias("tn"),
+        F.count(F.lit(1)).over(w_all).alias("td"),
+        F.sum("n_events").over(w_all).alias("nn"))
+    s = (F.col("td") * F.col("cum_events")
+         - F.col("tn") * F.col("nn")).cast("long")
+    scored = series.select(
+        "d", "n_events",
+        F.col("cum_events").cast("long").alias("cum_events"),
+        s.alias("cusum_scaled"),
+        # final day ranks last (S_T = 0 identically, not a candidate)
+        F.when(F.col("tn") == F.col("td"), F.lit(-1))
+        .otherwise(F.abs(s)).alias("_key"))
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("_key"), F.asc("d")))
+    return (scored.withColumn("is_change", rk == 1)
+            .select("d", "n_events", "cum_events", "cusum_scaled",
+                    "is_change"))

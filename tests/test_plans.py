@@ -172,6 +172,9 @@ def test_new_operator_shuffle_budgets(spark):
         "q_grouping_sets": 1,    # one Expand + one two-phase agg
         "q_mode": 2,             # (status,prio) count + status window
         "q_json_decode": 2,      # countDistinct's two-phase agg pair
+        "q_attribution": 2,      # user touch window + channel agg
+        "q_changepoint": 1,      # day collapse; the series windows run
+                                 # in the same bounded task after it
     }
     qs = E.queries()
     for name, budget in budgets.items():

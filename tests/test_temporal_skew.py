@@ -459,3 +459,75 @@ def test_ab_test_detects_a_planted_arm_difference(spark):
     assert r.n_a == r.n_b == 1000
     assert abs(r.mean_b - r.mean_a - 5.0) < 1e-9
     assert r.z_score > 1.96 and bool(r.significant)
+
+
+def _ev(spark, rows):
+    """(event_id, ts, user_id, event_type, value) -> events frame."""
+    return spark.createDataFrame(
+        [(i, t, u, e, float(v), "{}") for (i, t, u, e, v) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+
+
+def test_attribution_last_touch_lookback_and_direct(spark):
+    """Purchase credits the latest strictly-prior touch of its user;
+    stale (> lookback) and touchless purchases fall to 'direct';
+    a later purchase re-attributes to the touch before IT."""
+    from movie_rec_spark.operators.temporal import q_attribution
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    ev = _ev(spark, [
+        (1, s(0), 1, "view", 0),
+        (2, s(10), 1, "click", 0),
+        (3, s(20), 1, "purchase", 10.0),    # -> click (latest touch)
+        (4, s(30), 1, "purchase", 5.0),     # still click (no new touch)
+        (5, s(0), 2, "purchase", 7.0),      # no touch -> direct
+        (6, s(0), 3, "view", 0),
+        (7, s(8 * 24 * 3600), 3, "purchase", 2.0),  # stale -> direct
+    ])
+    got = {r.channel: (r.n_conversions, r.revenue)
+           for r in q_attribution(ev).collect()}
+    assert got == {"click": (2, 15.0), "direct": (2, 9.0)}
+
+
+def test_attribution_same_timestamp_touch_counts(spark):
+    """A touch sharing the purchase's timestamp but with a smaller
+    event_id is strictly prior under the (ts, event_id) total order."""
+    from movie_rec_spark.operators.temporal import q_attribution
+    t0 = dt.datetime(2024, 1, 10)
+    ev = _ev(spark, [
+        (1, t0, 1, "view", 0),
+        (2, t0, 1, "purchase", 3.0),        # same ts, later id -> view
+    ])
+    got = {r.channel: r.n_conversions for r in q_attribution(ev).collect()}
+    assert got == {"view": 1}
+
+
+def test_changepoint_flags_level_shift_day(spark):
+    """A clean 2/day -> 6/day shift after day 3 puts the |CUSUM| peak
+    on the last low day; the statistic matches the hand formula."""
+    from movie_rec_spark.operators.temporal import q_changepoint
+    rows, eid = [], 0
+    for day, n in [(1, 2), (2, 2), (3, 2), (4, 6), (5, 6), (6, 6)]:
+        for _ in range(n):
+            rows.append((eid, dt.datetime(2024, 1, day), 1, "view", 0))
+            eid += 1
+    got = {r.d: r for r in q_changepoint(_ev(spark, rows)).collect()}
+    # T=6, N=24; S_3 = 6*6 - 3*24 = -36 is the peak magnitude
+    assert got[dt.date(2024, 1, 3)].is_change
+    assert got[dt.date(2024, 1, 3)].cusum_scaled == -36
+    assert sum(1 for r in got.values() if r.is_change) == 1
+    # final day is never the flagged candidate even though S=0 ties
+    # can't happen here; its statistic is identically zero
+    assert got[dt.date(2024, 1, 6)].cusum_scaled == 0
+
+
+def test_changepoint_flat_series_flags_earliest(spark):
+    """All-zero statistics (no shift) tie-break to the earliest day —
+    deterministic, never engine-dependent."""
+    from movie_rec_spark.operators.temporal import q_changepoint
+    rows = [(i, dt.datetime(2024, 1, 1 + i), 1, "view", 0)
+            for i in range(4)]
+    got = q_changepoint(_ev(spark, rows)).collect()
+    flagged = [r.d for r in got if r.is_change]
+    assert flagged == [dt.date(2024, 1, 1)]
