@@ -213,6 +213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-integer CUSUM mean-shift scan over the daily series
         "q_changepoint": lambda s, d: TP.q_changepoint(
             _t("events")(s, d)),
+        # exact frequent items via Misra-Gries candidates + broadcast
+        # recount — hot keys with NO corpus-cardinality shuffle
+        "q_heavy_hitters": lambda s, d: SK.q_heavy_hitters(
+            _t("events")(s, d)),
         "q_resample": lambda s, d: TP.q_resample(_t("events")(s, d)),
         "q_percentiles": lambda s, d: R.q_percentiles(_t("lineitem")(s, d)),
         "q_outliers": lambda s, d: R.q_outliers(_t("events")(s, d)),
@@ -410,7 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_paths", "q_ab_test", "q_corr_matrix",
         "q_bucketed_join",
         "q_skyline", "q_grouping_sets", "q_mode", "q_json_decode",
-        "q_attribution", "q_changepoint",
+        "q_attribution", "q_changepoint", "q_heavy_hitters",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -2821,5 +2825,16 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        # the sketch must be invisible in the answer: exact frequent
+        # items is a plain HAVING over integer cross-multiplication
+        # (count*capacity > n — no division, mirroring the Spark side)
+        "q_heavy_hitters": f"""
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM events
+            GROUP BY user_id
+            HAVING count(*) * {SK.HH_CAPACITY}
+                   > (SELECT count(*) FROM events)
         """,
     }

@@ -72,3 +72,90 @@ def q_salted_count(events: DataFrame) -> DataFrame:
     aggregation — oracle-checked against the plain GROUP BY, proving the
     salt is semantics-preserving."""
     return salted_count(events, "user_id", n_salts=8)
+
+HH_CAPACITY = 200   # Misra-Gries summary size -> threshold n/200
+
+
+def misra_gries_candidates(df: DataFrame, key: str,
+                           capacity: int = HH_CAPACITY) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries, merged by key.
+
+    Each task keeps at most ``capacity`` counters regardless of key
+    cardinality (the point of the sketch — a plain per-partition
+    groupBy holds |distinct-per-partition| keys, unbounded at 100 TB on
+    a high-cardinality column). Batches feed the sketch via vectorized
+    ``value_counts`` — one counter update per DISTINCT item per Arrow
+    batch, not per row. Decrement steps subtract the same amount from
+    every counter, preserving the classic bound: a key absent from a
+    partition's summary has fewer than n_p/capacity occurrences there,
+    so (Agarwal et al., "Mergeable Summaries", PODS'12) any key with
+    global count > n/capacity survives in at least one summary — the
+    union is a complete candidate set for the n/capacity threshold.
+
+    The merge here is a conservative groupBy-sum (no re-pruning):
+    a superset of the properly-merged MG summary, at most
+    tasks×capacity rows — negligible, and completeness is what the
+    exact second pass needs.
+    """
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item, cnt in pdf[key].dropna().value_counts().items():
+                if item in counters:
+                    counters[item] += int(cnt)
+                elif len(counters) < capacity:
+                    counters[item] = int(cnt)
+                else:
+                    # decrement all by the smallest "absorbable" amount:
+                    # min(new count, current min counter) per MG step,
+                    # applied in bulk for the batched update
+                    dec = min(int(cnt), min(counters.values()))
+                    counters = {i: c - dec for i, c in counters.items()
+                                if c > dec}
+                    rem = int(cnt) - dec
+                    if rem > 0 and len(counters) < capacity:
+                        counters[item] = rem
+        if counters:
+            yield pd.DataFrame({key: list(counters),
+                                "est": list(counters.values())})
+
+    sketched = df.select(key).mapInPandas(
+        mg, schema=f"{key} {dict(df.dtypes)[key]}, est long")
+    return sketched.groupBy(key).agg(F.sum("est").alias("est"))
+
+
+def q_heavy_hitters(events: DataFrame,
+                    capacity: int = HH_CAPACITY) -> DataFrame:
+    """Exact frequent-items query, sketch-accelerated: every user_id
+    with more than n/capacity events, with its EXACT count — the
+    hot-key detector that feeds this module's salting decisions
+    (beyond reference — SURVEY.md §2 note).
+
+    Two passes: (1) Misra-Gries candidates (bounded memory, NO
+    corpus-cardinality shuffle — the summary union is ≤ tasks×capacity
+    rows); (2) exact recount of the corpus against the BROADCAST
+    candidate set, so the only key-shuffle that ever happens carries
+    candidate keys alone. The threshold compare stays in integers
+    (count·capacity > n) — no division, no float edge.
+
+    At 100 TB this replaces a full-cardinality groupBy (billions of
+    distinct keys through the exchange) with a second scan + a
+    ≤capacity-key aggregate; scans are cheap, wide shuffles are not.
+    The completeness argument lives on misra_gries_candidates.
+    """
+    cands = F.broadcast(
+        misra_gries_candidates(events, "user_id", capacity)
+        .select("user_id"))
+    total = events.agg(
+        F.count(F.lit(1)).alias("n"))
+    counted = (
+        events.join(cands, "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences")))
+    return (
+        counted.join(F.broadcast(total))
+        .where(F.col("n_occurrences") * capacity > F.col("n"))
+        .select("user_id", "n_occurrences")
+    )

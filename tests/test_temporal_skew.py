@@ -98,6 +98,33 @@ def test_salt_actually_spreads_hot_key(skewed):
     assert n_buckets >= 2
 
 
+def test_misra_gries_candidates_complete(spark):
+    """Any key above the n/capacity threshold must survive the sketch.
+    capacity=3 over an 8-partition frame forces real decrement steps;
+    the hot keys (count > 60/3 = 20) must all be in the candidate set,
+    and the summary union stays within tasks*capacity rows."""
+    rows = ([(1,)] * 30 + [(2,)] * 22 + [(3,)] * 2
+            + [(k,) for k in range(10, 16)])
+    df = spark.createDataFrame(rows, "k long").repartition(8)
+    cands = {r.k for r in
+             SK.misra_gries_candidates(df, "k", capacity=3).collect()}
+    assert {1, 2} <= cands
+    assert len(cands) <= 8 * 3
+
+
+def test_heavy_hitters_exact_counts(spark):
+    """q_heavy_hitters returns exactly the keys over n/capacity with
+    their EXACT counts — the sketch is a candidate filter only."""
+    rows = [(i, dt.datetime(2024, 1, 1), uid, "view", 0.0)
+            for i, uid in enumerate([7] * 50 + [8] * 30
+                                    + list(range(100, 120)))]
+    ev = _ev(spark, rows)
+    got = {r.user_id: r.n_occurrences
+           for r in SK.q_heavy_hitters(ev, capacity=4).collect()}
+    # n=100, threshold count*4 > 100 -> strictly more than 25
+    assert got == {7: 50, 8: 30}
+
+
 def test_rollup_and_cube_shapes(spark):
     li = spark.createDataFrame(
         [("A", "F", 1.0), ("A", "O", 2.0), ("B", "F", 3.0)],
