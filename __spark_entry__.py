@@ -193,6 +193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window rescan
         "q_cumulative_users": lambda s, d: TP.q_cumulative_users(
             _t("events")(s, d)),
+        # DAU/WAU via contribution expansion on deduped (user, day)
+        # pairs — never a sliding COUNT(DISTINCT) rescan
+        "q_active_users": lambda s, d: TP.q_active_users(
+            _t("events")(s, d)),
+        # grouped OLS as five map-combinable integer sums, ONE shuffle
+        "q_trend": lambda s, d: TP.q_trend(_t("events")(s, d)),
         # 2-D Pareto frontier: two keyed collapses + running-max scan
         # vs the oracle's quadratic NOT EXISTS (operators/relational.py)
         "q_skyline": lambda s, d: R.q_skyline(_t("part")(s, d)),
@@ -415,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bucketed_join",
         "q_skyline", "q_grouping_sets", "q_mode", "q_json_decode",
         "q_attribution", "q_changepoint", "q_heavy_hitters",
+        "q_active_users", "q_trend",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -1950,6 +1957,57 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY d.day ROWS UNBOUNDED PRECEDING)
                        AS BIGINT) AS cumulative_users
             FROM daily d LEFT JOIN npd n USING (day)
+        """,
+        # sliding distinct actives from first principles: an interval
+        # join against the observed-day dimension is DuckDB's clearest
+        # spelling of "active within the trailing week" — the Spark
+        # side's explode(sequence(...)) votes are the same set
+        "q_active_users": f"""
+            WITH ud AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                FROM events),
+            days AS (SELECT DISTINCT day FROM ud),
+            wau AS (
+                SELECT d.day,
+                       CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+                FROM days d JOIN ud u
+                  ON d.day BETWEEN u.day
+                       AND u.day + {TP.ACTIVE_WINDOW_DAYS - 1}
+                GROUP BY d.day),
+            dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                    FROM ud GROUP BY day)
+            SELECT day, dau, wau FROM dau JOIN wau USING (day)
+        """,
+        # same five exact-integer sums; the sole float op is the final
+        # division of bit-equal int64s, identically rounded (+0.0
+        # normalizes DuckDB's signed zero, the q_anomaly lesson)
+        "q_trend": f"""
+            WITH b AS (
+                SELECT user_id, CAST(ts AS DATE) AS day,
+                       CAST(round(value * 100, 0) AS BIGINT) AS y
+                FROM events),
+            x0 AS (SELECT user_id, min(day) AS day0
+                   FROM b GROUP BY user_id),
+            xy AS (
+                SELECT b.user_id, y,
+                       CAST(date_diff('day', day0, day) AS BIGINT) AS x
+                FROM b JOIN x0 USING (user_id)),
+            s AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx
+                FROM xy GROUP BY user_id)
+            SELECT user_id, n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 4)
+                       + 0.0 AS slope_cents_per_day,
+                   round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 4)
+                       + 0.0 AS intercept_cents
+            FROM s
+            WHERE n >= {TP.TREND_MIN_EVENTS} AND n * sxx - sx * sx > 0
         """,
         # naive all-pairs distance join — the blocking-free ground
         # truth; coordinates re-synthesized with the same integer

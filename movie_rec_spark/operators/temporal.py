@@ -487,6 +487,46 @@ def q_cumulative_users(events: DataFrame) -> DataFrame:
     )
 
 
+ACTIVE_WINDOW_DAYS = 7   # trailing window for the WAU series
+
+
+def q_active_users(events: DataFrame,
+                   window_days: int = ACTIVE_WINDOW_DAYS) -> DataFrame:
+    """DAU / trailing-WAU series — daily distinct actives plus the
+    distinct actives over the trailing ``window_days`` calendar days,
+    reported for every day with ≥1 event (beyond reference; the
+    engagement twin of q_cumulative_users' growth series).
+
+    Sliding COUNT(DISTINCT) is the classic scale trap: a RANGE-frame
+    window would re-scan ``window_days`` of raw events per day, and
+    Spark refuses DISTINCT aggregates in windows outright. The scale
+    form is CONTRIBUTION EXPANSION: collapse the corpus to distinct
+    (user, day) pairs first — the only pass over raw data — then each
+    pair votes for the ≤``window_days`` window-end days it makes
+    active, and one countDistinct per window-end day finishes. The
+    blow-up factor is bounded by the window length ON THE DEDUPED
+    PAIRS (≤7× of |user-days|, not of raw rows at 100 TB), and every
+    stage is a keyed aggregate — no per-day rescans, no window sort
+    over the corpus. Vote days beyond the data's horizon are clipped
+    by the inner join against the observed-day dimension (tiny —
+    |days| rows — and broadcast).
+    """
+    ud = (events.select(F.to_date("ts").alias("day"), "user_id")
+          .distinct())
+    days = ud.select("day").distinct()
+    votes = ud.select(
+        F.explode(F.expr(
+            f"sequence(day, date_add(day, {window_days - 1}))"
+        )).alias("day"),
+        "user_id")
+    wau = (votes.join(F.broadcast(days), "day")
+           .groupBy("day")
+           .agg(F.countDistinct("user_id").alias("wau")))
+    dau = ud.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, "day").select("day", "dau", "wau")
+
+
 WALKFORWARD_FOLDS = 3
 
 
@@ -530,6 +570,56 @@ def q_walkforward_splits(events: DataFrame,
              F.countDistinct("user_id").alias("n_users"),
              F.min("ts").alias("ts_min"),
              F.max("ts").alias("ts_max"))
+    )
+
+
+TREND_MIN_EVENTS = 5   # users with fewer events have no stable trend
+
+
+def q_trend(events: DataFrame,
+            min_events: int = TREND_MIN_EVENTS) -> DataFrame:
+    """Per-user spend trend: the OLS slope/intercept of event value
+    (cents) against days-since-first-activity, for users with
+    ``min_events``+ events spanning >1 day (beyond reference — the
+    grouped-regression feature a churn model trains on).
+
+    Closed-form OLS is an ALGEBRAIC aggregate — five sums (n, Σx, Σy,
+    Σxy, Σx²) fully map-side-combinable, so the corpus collapses in
+    ONE keyed shuffle exactly like a COUNT; no per-user iteration, no
+    matrix library. All five sums stay in exact int64 — x is DAYS
+    since the user's first event (≤ ~4·10² for a year span, so
+    n·Σx² ≤ ~10¹¹ even at 10⁵ events/user) and y is integer cents —
+    so numerator and denominator are bit-equal across engines and the
+    only float op is one final division, identically rounded.
+
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), intercept at x=0 (first
+    day) = (ΣyΣx² − ΣxΣxy) / same-denominator; both reported in cents.
+    """
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    base = events.select("user_id", F.to_date("ts").alias("day"),
+                         cents.alias("y"))
+    x0 = base.groupBy("user_id").agg(F.min("day").alias("day0"))
+    xy = (base.join(x0, "user_id")
+          .select("user_id", "y",
+                  F.datediff("day", "day0").cast("long").alias("x")))
+    s = xy.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num_b = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    num_a = (F.col("sy") * F.col("sxx")
+             - F.col("sx") * F.col("sxy"))
+    return (
+        s.where((F.col("n") >= min_events) & (den > 0))
+        .select(
+            "user_id", "n",
+            (F.round(num_b.cast("double") / den.cast("double"), 4)
+             + F.lit(0.0)).alias("slope_cents_per_day"),
+            (F.round(num_a.cast("double") / den.cast("double"), 4)
+             + F.lit(0.0)).alias("intercept_cents"))
     )
 
 

@@ -530,6 +530,41 @@ def test_attribution_same_timestamp_touch_counts(spark):
     assert got == {"view": 1}
 
 
+def test_active_users_window_boundary(spark):
+    """WAU counts a user active exactly window-1 days back, not
+    window days back; days with no events vanish from the series but
+    still receive no phantom rows."""
+    from movie_rec_spark.operators.temporal import q_active_users
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "view", 0),
+        (2, dt.datetime(2024, 1, 7), 2, "view", 0),   # day 1+6: u1 in
+        (3, dt.datetime(2024, 1, 8), 3, "view", 0),   # day 1+7: u1 out
+        (4, dt.datetime(2024, 1, 7), 2, "view", 0),   # dup user-day
+    ]
+    got = {r.day: (r.dau, r.wau)
+           for r in q_active_users(_ev(spark, rows)).collect()}
+    assert got == {dt.date(2024, 1, 1): (1, 1),
+                   dt.date(2024, 1, 7): (1, 2),
+                   dt.date(2024, 1, 8): (1, 2)}
+
+
+def test_trend_recovers_planted_slope(spark):
+    """A user spending 1.00 + 0.50/day for 5 days has slope 50
+    cents/day, intercept 100 cents; a same-day-only user (den = 0)
+    and a below-min-events user are excluded."""
+    from movie_rec_spark.operators.temporal import q_trend
+    rows = [(i, dt.datetime(2024, 1, 1 + i), 1, "view",
+             1.0 + 0.5 * i) for i in range(5)]
+    rows += [(10 + i, dt.datetime(2024, 1, 1), 2, "view", 9.9)
+             for i in range(5)]                       # 5 events, 1 day
+    rows += [(20, dt.datetime(2024, 1, 1), 3, "view", 1.0),
+             (21, dt.datetime(2024, 1, 2), 3, "view", 2.0)]  # n < 5
+    got = {r.user_id: r for r in q_trend(_ev(spark, rows)).collect()}
+    assert set(got) == {1}
+    assert got[1].slope_cents_per_day == 50.0
+    assert got[1].intercept_cents == 100.0
+
+
 def test_changepoint_flags_level_shift_day(spark):
     """A clean 2/day -> 6/day shift after day 3 puts the |CUSUM| peak
     on the last low day; the statistic matches the hand formula."""
