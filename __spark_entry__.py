@@ -279,6 +279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_int8": lambda s, d: S.q_knn_int8(_t("embeddings")(s, d)),
         "q_embed_centroids": lambda s, d: S.q_embed_centroids(
             _t("embeddings")(s, d)),
+        # exact-integer Lloyd k-means: grid-snapped points, integer
+        # argmin, half-up rational centroid rounding — bit-checkable
+        "q_kmeans": lambda s, d: S.q_kmeans(_t("embeddings")(s, d)),
         # embedding-space benchmark decontamination (broadcast bench
         # set, map-side cosine, argmax via max(struct)) — the semantic
         # complement of the n-gram q_decontaminate family
@@ -421,7 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bucketed_join",
         "q_skyline", "q_grouping_sets", "q_mode", "q_json_decode",
         "q_attribution", "q_changepoint", "q_heavy_hitters",
-        "q_active_users", "q_trend",
+        "q_active_users", "q_trend", "q_kmeans",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -2245,6 +2248,68 @@ def oracle_sql() -> dict[str, str]:
                    n.n_vectors
             FROM p JOIN n USING (label)
             GROUP BY p.label, p.pos, n.n_vectors
+        """,
+        # two Lloyd iterations unrolled; every step is int64 (grid
+        # snap, Σ(p−c)² distances, floor((2s+n)/(2n)) centroid
+        # rounding) so assignments and centroids are engine-exact
+        "q_kmeans": f"""
+            WITH p AS (
+                SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+                       CAST(round(v[CAST(i AS INT)]
+                                  * {S.KMEANS_SCALE}) AS BIGINT) AS p
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                             unnest(range(1, len(embedding) + 1)) AS i
+                      FROM embeddings)),
+            seeds AS (SELECT vec_id FROM embeddings
+                      ORDER BY vec_id LIMIT {S.KMEANS_K}),
+            c0 AS (SELECT p.vec_id AS cid, pos, p AS c
+                   FROM p JOIN seeds USING (vec_id)),
+            d1 AS (SELECT p.vec_id, c.cid,
+                          sum((p.p - c.c) * (p.p - c.c)) AS d
+                   FROM p JOIN c0 c ON p.pos = c.pos
+                   GROUP BY p.vec_id, c.cid),
+            a1 AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY d, cid) AS rn
+                       FROM d1) WHERE rn = 1),
+            u1 AS (SELECT a1.cid, p.pos,
+                          CAST(sum(p.p) AS BIGINT) AS s,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM p JOIN a1 USING (vec_id)
+                   GROUP BY a1.cid, p.pos),
+            c1 AS (SELECT c0.cid, c0.pos,
+                          CASE WHEN u1.s IS NULL THEN c0.c
+                               ELSE CAST(floor((2.0 * u1.s + u1.n)
+                                         / (2.0 * u1.n)) AS BIGINT)
+                          END AS c
+                   FROM c0 LEFT JOIN u1
+                     ON c0.cid = u1.cid AND c0.pos = u1.pos),
+            d2 AS (SELECT p.vec_id, c.cid,
+                          sum((p.p - c.c) * (p.p - c.c)) AS d
+                   FROM p JOIN c1 c ON p.pos = c.pos
+                   GROUP BY p.vec_id, c.cid),
+            a2 AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY d, cid) AS rn
+                       FROM d2) WHERE rn = 1),
+            u2 AS (SELECT a2.cid, p.pos,
+                          CAST(sum(p.p) AS BIGINT) AS s,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM p JOIN a2 USING (vec_id)
+                   GROUP BY a2.cid, p.pos),
+            c2 AS (SELECT c1.cid, c1.pos,
+                          CASE WHEN u2.s IS NULL THEN c1.c
+                               ELSE CAST(floor((2.0 * u2.s + u2.n)
+                                         / (2.0 * u2.n)) AS BIGINT)
+                          END AS c
+                   FROM c1 LEFT JOIN u2
+                     ON c1.cid = u2.cid AND c1.pos = u2.pos),
+            sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n
+                      FROM a2 GROUP BY cid)
+            SELECT c2.cid AS cluster, c2.pos,
+                   c2.c / {S.KMEANS_SCALE}.0 AS centroid_val,
+                   CAST(coalesce(sizes.n, 0) AS BIGINT) AS n_vectors
+            FROM c2 LEFT JOIN sizes USING (cid)
         """,
         # Same quantization arithmetic as the q_embed_quantize oracle;
         # int8 codes are exact in float64, so the cosine is bit-stable

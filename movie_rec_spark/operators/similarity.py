@@ -357,6 +357,77 @@ def q_embed_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+KMEANS_K = 8          # clusters
+KMEANS_ITERS = 2      # Lloyd iterations (unrolled in the oracle)
+KMEANS_SCALE = 10_000  # coordinate grid: 1e-4 of an embedding unit
+
+
+def q_kmeans(embeddings: DataFrame, k: int = KMEANS_K,
+             iters: int = KMEANS_ITERS) -> DataFrame:
+    """Seeded Lloyd k-means over the embedding column, made ENGINE-
+    EXACT by doing every step in integers (beyond reference — the
+    clustering kernel behind IVF cell builds, SemDeDup cells, and
+    corpus bucketing, here with a bit-checkable answer).
+
+    Float k-means is unverifiable across engines: centroid means and
+    distance sums differ in the last ulp with summation order, and one
+    flipped boundary assignment cascades. Instead (a) points snap to a
+    1e-4 grid (``round(x·10⁴)`` — identical float64 input, identical
+    half-away round on both engines, then pure int64), (b) distances
+    are exact integer Σ(p−c)², argmin tie-broken by cluster id, and
+    (c) centroid updates round the exact rational mean s/n to the grid
+    via ``floor((2s+n)/(2n))`` — integer half-up division, no float
+    mean anywhere. Clusters are seeded with the ``k`` smallest vec_ids
+    and keep their previous centroid if they empty out.
+
+    Scale shape: the corpus collapses to (vec_id, pos, p) scalar rows
+    fused into the scan; each iteration is one broadcast join against
+    the K·dim center table (the N·K·dim relational GEMM — all
+    codegen), one (vec_id, cid) partial-agg argmin, and one keyed
+    centroid re-agg. Nothing driver-side ever holds more than K·dim
+    rows, and iteration count is fixed — the IVF/SemDeDup operators
+    remain the declared paths when K must grow with the corpus.
+    """
+    e = _as_double(embeddings)
+    pts = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id", "pos",
+        F.round(F.col("x") * KMEANS_SCALE, 0).cast("long").alias("p"))
+    seeds = (e.select("vec_id").orderBy("vec_id").limit(k))
+    centers = (pts.join(F.broadcast(seeds), "vec_id")
+               .select(F.col("vec_id").alias("cid"), "pos",
+                       F.col("p").alias("c")))
+    assign = None
+    for _ in range(iters):
+        d = (pts.join(F.broadcast(centers), "pos")
+             .groupBy("vec_id", "cid")
+             .agg(F.sum((F.col("p") - F.col("c"))
+                        * (F.col("p") - F.col("c"))).alias("d")))
+        assign = (d.groupBy("vec_id")
+                  .agg(F.min(F.struct("d", "cid")).alias("m"))
+                  .select("vec_id", F.col("m.cid").alias("cid")))
+        upd = (pts.join(assign, "vec_id")
+               .groupBy("cid", "pos")
+               .agg(F.sum("p").alias("s"),
+                    F.count(F.lit(1)).alias("n")))
+        centers = (centers.join(upd, ["cid", "pos"], "left")
+                   .select("cid", "pos",
+                           F.when(F.col("s").isNull(), F.col("c"))
+                           .otherwise(F.floor(
+                               (2 * F.col("s") + F.col("n"))
+                               / (2 * F.col("n"))).cast("long"))
+                           .alias("c")))
+    sizes = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vectors"))
+    return (centers.join(sizes, "cid", "left")
+            .select(F.col("cid").alias("cluster"),
+                    F.col("pos").cast("int").alias("pos"),
+                    (F.col("c") / F.lit(float(KMEANS_SCALE)))
+                    .alias("centroid_val"),
+                    F.coalesce("n_vectors", F.lit(0))
+                    .cast("long").alias("n_vectors")))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (driver-side tiny)."""
     rng = random.Random(seed)

@@ -233,6 +233,35 @@ def test_embed_centroids_match_numpy(spark, sf_emb):
             assert abs(val - mean[pos]) < 1e-6
 
 
+def test_kmeans_separates_two_blobs(spark):
+    """Two well-separated blobs, k=2 seeded with one point of each:
+    Lloyd converges in one step — every point lands with its blob and
+    the centroids sit on the integer-grid blob means."""
+    vecs = ([[10.0 + 0.1 * i, 0.0] for i in range(4)]      # blob A
+            + [[0.0, 5.0 + 0.1 * i] for i in range(4)])    # blob B
+    # ids 0/1 (the seeds) are one point of each blob, so the seeded
+    # clusters straddle the separation from iteration 1
+    e = _emb(spark, [vecs[0], vecs[4], *vecs[1:4], *vecs[5:]])
+    out = S.q_kmeans(e, k=2, iters=2).collect()
+    got = {(r.cluster, r.pos): r.centroid_val for r in out}
+    sizes = {r.cluster: r.n_vectors for r in out}
+    assert sizes == {0: 4, 1: 4}
+    assert abs(got[(0, 0)] - 10.15) < 1e-4 and got[(0, 1)] == 0.0
+    assert got[(1, 0)] == 0.0 and abs(got[(1, 1)] - 5.15) < 1e-4
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """If a cluster loses every member, its centroid carries forward
+    instead of dividing by zero, and its reported size is 0."""
+    e = _emb(spark, [[0.0, 0.0], [0.0, 0.0], [0.0, 0.0]])
+    out = S.q_kmeans(e, k=2, iters=2).collect()
+    sizes = {r.cluster: r.n_vectors for r in out}
+    # all identical points -> argmin tie-break sends everything to
+    # cluster 0; cluster 1 empties but keeps its seed centroid (0,0)
+    assert sizes == {0: 3, 1: 0}
+    assert all(r.centroid_val == 0.0 for r in out)
+
+
 def test_ivf_append_and_drift(spark, sf_emb, tmp_path):
     """Incremental IVF maintenance: build at rest on half the corpus,
     append the other half — appended vectors land in their NEAREST
