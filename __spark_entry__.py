@@ -260,6 +260,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_ngram_counts": lambda s, d: T.q_ngram_counts(
             _t("documents")(s, d)),
+        # per-source unigram KL vs the corpus mixture — the
+        # distribution-drift alarm next to q_domain_stats' volumes
+        "q_source_divergence": lambda s, d: T.q_source_divergence(
+            _t("documents")(s, d)),
         "q_domain_stats": lambda s, d: T.q_domain_stats(
             _t("documents")(s, d)),
         "q_dedup_incremental": lambda s, d: D.q_dedup_incremental(
@@ -424,7 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bucketed_join",
         "q_skyline", "q_grouping_sets", "q_mode", "q_json_decode",
         "q_attribution", "q_changepoint", "q_heavy_hitters",
-        "q_active_users", "q_trend", "q_kmeans",
+        "q_active_users", "q_trend", "q_kmeans", "q_source_divergence",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -1652,6 +1656,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Quality arithmetic identical to the q_quality_score oracle;
         # dup_ratio multiplies by 1.0 so both engines divide as double.
+        # probabilities spelled as the SAME single double divisions as
+        # the Spark side (never c·N integer products); per-source sum
+        # rounded 4dp and -0.0-normalized
+        "q_source_divergence": """
+            WITH toks AS (
+                SELECT source, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+            dt AS (SELECT source, term, count(*) AS c_dt
+                   FROM toks GROUP BY 1, 2),
+            tc AS (SELECT term, count(*) AS c_t FROM toks GROUP BY 1),
+            nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+                   FROM toks GROUP BY 1),
+            total AS (SELECT count(*) AS n_total FROM toks)
+            SELECT dt.source, nd.n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   round(sum((dt.c_dt * 1.0 / nd.n_tokens)
+                             * ln((dt.c_dt * 1.0 / nd.n_tokens)
+                                  / (tc.c_t * 1.0 / n_total))), 4)
+                       + 0.0 AS kl_nats
+            FROM dt JOIN tc USING (term) JOIN nd USING (source)
+            CROSS JOIN total
+            GROUP BY dt.source, nd.n_tokens
+        """,
         "q_domain_stats": """
             WITH b AS (
                 SELECT source, md5(text) AS fp,

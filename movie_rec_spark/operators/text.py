@@ -363,6 +363,50 @@ def q_ngram_counts(documents: DataFrame, top_k: int = 50) -> DataFrame:
     )
 
 
+def q_source_divergence(documents: DataFrame) -> DataFrame:
+    """Per-source KL divergence of the unigram token distribution
+    against the whole-corpus distribution — the drift/contamination
+    detector a data-mixing job watches: a source whose scraper started
+    emitting boilerplate (or a different language) jumps in KL long
+    before eyeballing samples would catch it (beyond reference; the
+    distributional twin of q_domain_stats' volume dashboard).
+
+    KL(P_s ‖ P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p(t)) is finite by
+    construction (every source term is in the corpus mixture) and ≥ 0.
+    Probabilities stay as single double divisions of exact counts
+    (never c·N integer cross-products, which could overflow int64 at
+    extreme corpus sizes), mirrored term-by-term in the oracle; the
+    per-source sum is rounded to 4dp (summation order differs in the
+    last ulp) and -0.0-normalized.
+
+    Plan shape: one exploded-token pass feeds three keyed counts
+    (source×term, term, source — each ONE hash shuffle with map-side
+    partials); the scoring join is vocabulary-sized, the corpus total
+    rides as a broadcast scalar, and the finish is a |sources|-row
+    aggregate. Nothing scales worse than the vocabulary.
+    """
+    toks = documents.select(
+        "source", F.explode(_tokens(F.col("text"))).alias("term"))
+    dt = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c_dt"))
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
+    nd = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_tokens"))
+    total = toks.select(F.count(F.lit(1)).alias("n_total"))
+    p_s = F.col("c_dt") / F.col("n_tokens")
+    p = F.col("c_t") / F.col("n_total")
+    per_source = (
+        dt.join(tc, "term")
+        .join(nd, "source")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source", "n_tokens")
+        .agg(F.count(F.lit(1)).alias("n_terms"),
+             (F.round(F.sum(p_s * F.log(p_s / p)), 4)
+              + F.lit(0.0)).alias("kl_nats")))
+    return per_source.select("source", "n_tokens",
+                             F.col("n_terms").cast("long").alias("n_terms"),
+                             "kl_nats")
+
+
 def q_domain_stats(documents: DataFrame) -> DataFrame:
     """Per-source corpus report — the governance dashboard a corpus
     owner reads before training: document volume, exact-duplicate rate,

@@ -265,6 +265,28 @@ def test_domain_stats_dup_ratio(spark):
     assert 0.0 <= out["a"].avg_quality <= 1.0
 
 
+def test_source_divergence_hand_computed_kl(spark):
+    """Two sources with hand-computable unigram mixes: a source
+    identical to its own share of the corpus has the exact KL of the
+    closed-form formula, and a source is never negative."""
+    import math
+    from pyspark.sql import Row
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="x x y", lang="en", source="a", n_chars=1),
+        Row(doc_id=1, text="y y y", lang="en", source="b", n_chars=1),
+    ])
+    out = {r.source: r for r in T.q_source_divergence(docs).collect()}
+    # corpus: x=2/6, y=4/6; source a: x=2/3, y=1/3; source b: y=1
+    kl_a = (2 / 3) * math.log((2 / 3) / (2 / 6)) \
+        + (1 / 3) * math.log((1 / 3) / (4 / 6))
+    kl_b = 1.0 * math.log(1.0 / (4 / 6))
+    assert out["a"].n_tokens == 3 and out["a"].n_terms == 2
+    assert out["b"].n_tokens == 3 and out["b"].n_terms == 1
+    assert abs(out["a"].kl_nats - round(kl_a, 4)) < 1e-12
+    assert abs(out["b"].kl_nats - round(kl_b, 4)) < 1e-12
+    assert all(r.kl_nats >= 0.0 for r in out.values())
+
+
 def test_dedup_incremental_statuses(spark):
     """ids 20/30/37 md5-bucket into the incoming batch (>=95); the rest
     play the corpus. 20 duplicates corpus text -> dup_of_corpus;
