@@ -225,6 +225,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("events")(s, d)),
         "q_resample": lambda s, d: TP.q_resample(_t("events")(s, d)),
         "q_percentiles": lambda s, d: R.q_percentiles(_t("lineitem")(s, d)),
+        # equi-depth deciles via broadcast quantile boundaries — never
+        # a global ntile sort
+        "q_quantile_bins": lambda s, d: R.q_quantile_bins(
+            _t("orders")(s, d)),
         "q_outliers": lambda s, d: R.q_outliers(_t("events")(s, d)),
         "q_window_analytics": lambda s, d: R.q_window_analytics(
             _t("orders")(s, d)),
@@ -429,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline", "q_grouping_sets", "q_mode", "q_json_decode",
         "q_attribution", "q_changepoint", "q_heavy_hitters",
         "q_active_users", "q_trend", "q_kmeans", "q_source_divergence",
+        "q_quantile_bins",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -1455,6 +1460,28 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag
+        """,
+        # same boundary quantiles (quantile_cont ≡ Spark percentile,
+        # the q_percentiles parity) and the same comparison-sum binning
+        "q_quantile_bins": f"""
+            WITH c AS (
+                SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                           AS cents
+                FROM orders),
+            b AS (SELECT quantile_cont(cents,
+                      [{', '.join(str(k / R.QUANTILE_BINS)
+                                  for k in range(1, R.QUANTILE_BINS))}])
+                      AS bs FROM c),
+            a AS (SELECT cents,
+                         {' + '.join(
+                             f'CAST(cents > round(bs[{i}], 4) AS INT)'
+                             for i in range(1, R.QUANTILE_BINS))} AS bin
+                  FROM c CROSS JOIN b)
+            SELECT bin, CAST(count(*) AS BIGINT) AS n_orders,
+                   min(cents) / 100.0 AS min_price,
+                   max(cents) / 100.0 AS max_price,
+                   CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+            FROM a GROUP BY bin
         """,
         "q_tfidf_top_terms": """
             WITH toks AS (

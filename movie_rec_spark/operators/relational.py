@@ -538,6 +538,51 @@ def q_percentiles(lineitem: DataFrame) -> DataFrame:
     )
 
 
+QUANTILE_BINS = 10   # equi-depth deciles
+
+
+def q_quantile_bins(orders: DataFrame,
+                    n_bins: int = QUANTILE_BINS) -> DataFrame:
+    """Equi-depth (quantile) binning of orders by total price, with
+    per-bin occupancy and value stats — the feature-binning /
+    calibration-bucket primitive (beyond reference; the equi-DEPTH
+    twin of q_histogram's equi-width grid).
+
+    The textbook spelling, ``ntile(n) OVER (ORDER BY price)``, forces
+    a single-task global sort — the canonical 100 TB killer. The scale
+    form here computes the n−1 boundary quantiles in one exact
+    interpolated-percentile pass (switchable to percentile_approx at
+    extreme scale), broadcasts that single boundary row, and assigns
+    each order its bin with a row-local comparison sum — scan-fused,
+    no global order anywhere. Trade-off vs ntile, documented: rows
+    tied AT a boundary land by value (all in the lower bin), not split
+    by rank, so bins are equi-depth up to tie mass.
+
+    Exactness: prices become integer cents; boundaries are rounded to
+    4dp — interpolated quantiles of integers either hit the integer
+    exactly (g = 0, bit-exact on both engines) or sit ≥ ~0.1 ulp-free
+    away from it, so the integer-vs-boundary comparisons agree across
+    engines. Per-bin sums are exact int64 cents.
+    """
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    o = orders.select(cents.alias("cents"))
+    qs = [k / n_bins for k in range(1, n_bins)]
+    b = o.agg(F.percentile(
+        "cents", F.array(*[F.lit(q) for q in qs])).alias("bs"))
+    bin_expr = sum(
+        (F.col("cents") > F.round(F.col("bs")[i], 4)).cast("int")
+        for i in range(n_bins - 1))
+    return (
+        o.crossJoin(F.broadcast(b))
+        .select("cents", bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             (F.min("cents") / 100.0).alias("min_price"),
+             (F.max("cents") / 100.0).alias("max_price"),
+             (F.sum("cents").cast("double") / 100.0).alias("revenue"))
+    )
+
+
 def q_json_encode(part: DataFrame) -> DataFrame:
     """S12 JSON serialization sink: row → JSON object string
     (marshmallow schema dump, reference models.py:25-30 / used at

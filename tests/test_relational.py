@@ -235,6 +235,25 @@ def test_histogram_buckets_tile_and_conserve_rows(spark):
         assert r.bin_lo <= r.lo_price <= r.hi_price < r.bin_hi
 
 
+def test_quantile_bins_equi_depth_and_ordered(spark):
+    """100 distinct prices into 10 bins: every bin holds exactly 10
+    rows, bins are value-ordered (bin k's max < bin k+1's min), counts
+    conserve the total, and revenue is the exact cent sum."""
+    from movie_rec_spark.operators.relational import q_quantile_bins
+    orders = spark.createDataFrame(
+        [(i, 1.0 + i) for i in range(100)],
+        "o_orderkey bigint, o_totalprice double")
+    out = sorted(q_quantile_bins(orders).collect(),
+                 key=lambda r: r.bin)
+    assert [r.bin for r in out] == list(range(10))
+    assert all(r.n_orders == 10 for r in out)
+    assert sum(r.n_orders for r in out) == 100
+    for lo, hi in zip(out, out[1:]):
+        assert lo.max_price < hi.min_price
+    assert abs(sum(r.revenue for r in out)
+               - sum(1.0 + i for i in range(100))) < 1e-9
+
+
 def test_corr_matrix_recovers_known_correlations(spark):
     """corr(x, x+noise-free linear) = ±1; corr with an independent
     alternating column ~ 0; values agree with numpy's corrcoef on the
