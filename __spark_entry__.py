@@ -328,6 +328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # triple self-join, proving the orientation optimization is
         # answer-preserving (operators/dedup.py:triangle_count)
         "q_triangles": lambda s, d: D.q_triangles(_t("documents")(s, d)),
+        # ≤3-hop reachability counts, frontier-pruned BFS vs the
+        # naive unrolled join oracle
+        "q_khop": lambda s, d: D.q_khop(_t("documents")(s, d)),
         # Same logical query as q_top_movies, served from the MAINTAINED
         # bucketed lineitem copy (bucketed on the grouping key, so the
         # aggregation Exchange disappears — tests/test_layout.py asserts
@@ -433,7 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline", "q_grouping_sets", "q_mode", "q_json_decode",
         "q_attribution", "q_changepoint", "q_heavy_hitters",
         "q_active_users", "q_trend", "q_kmeans", "q_source_divergence",
-        "q_quantile_bins",
+        "q_quantile_bins", "q_khop",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -2158,6 +2161,28 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT z FROM t)
             SELECT doc_id, count(*) AS n_triangles
             FROM n GROUP BY doc_id
+        """,
+        # general_edges re-synthesized (j² offsets, mod-10 sinks); the
+        # naive unrolled 3-layer expansion with DISTINCT-union dedup —
+        # pays the path blowup the frontier prune avoids, same answer
+        "q_khop": """
+            WITH d AS (SELECT doc_id FROM documents),
+            e AS (
+                SELECT DISTINCT r.a AS doc_a, r.b AS doc_b
+                FROM (SELECT d.doc_id AS a, d.doc_id + o.o AS b
+                      FROM d, (VALUES (1), (4), (9)) AS o(o)
+                      WHERE d.doc_id % 10 <> 0) r
+                JOIN d ON d.doc_id = r.b),
+            h1 AS (SELECT DISTINCT doc_a AS src, doc_b AS node FROM e),
+            h2 AS (SELECT DISTINCT h1.src, e.doc_b AS node
+                   FROM h1 JOIN e ON h1.node = e.doc_a),
+            h3 AS (SELECT DISTINCT h2.src, e.doc_b AS node
+                   FROM h2 JOIN e ON h2.node = e.doc_a),
+            r AS (SELECT src, node FROM h1
+                  UNION SELECT src, node FROM h2
+                  UNION SELECT src, node FROM h3)
+            SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS n_reachable
+            FROM r WHERE src <> node GROUP BY src
         """,
         # One SELECT per constraint row, scalar subqueries for the
         # counts; NOT-EXISTS for the FK orphans (null-safe); violations

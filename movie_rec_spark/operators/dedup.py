@@ -1155,6 +1155,59 @@ def q_fuzzy_match(part: DataFrame,
     )
 
 
+KHOP_K = 3   # neighborhood radius
+
+
+def khop_counts(edges: DataFrame, k: int = KHOP_K) -> DataFrame:
+    """Exact ≤k-hop reachability counts per source node — the
+    neighborhood-size feature (influence radius, crawl frontier
+    sizing, graph embedding context windows) on a directed graph
+    (beyond reference; the integer-exact cousin of q_pagerank_general,
+    which is rows-only because float mass sums reorder — set
+    reachability has no such problem, so this one IS oracle-checked).
+
+    Layered BFS with frontier pruning: round i joins only the NEWLY
+    discovered (src, node) pairs against the edge list, anti-joins out
+    pairs already reached (so a dense core never re-expands — without
+    the prune, k rounds on a clique re-enumerate every path, an
+    exponential blowup the naive unrolled join-oracle actually pays),
+    and accumulates into the reach set. k is fixed and small; each
+    round is one id-keyed equi-join + one anti join, both shuffled on
+    the node id — no window, no driver state, frontier checkpointed
+    per round to cut lineage (the dedup_components lesson).
+
+    Output: (doc_id, n_reachable) — distinct nodes ≠ src within k
+    hops; nodes that reach nothing are absent (same convention as
+    q_triangles).
+    """
+    e = edges.select(F.col("doc_a").alias("node"),
+                     F.col("doc_b").alias("nxt"))
+    reach = (edges.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("node"))
+             .distinct().localCheckpoint(eager=False))
+    frontier = reach
+    for _ in range(k - 1):
+        grown = (frontier.join(e, "node")
+                 .select("src", F.col("nxt").alias("node"))
+                 .distinct())
+        frontier = (grown.join(reach, ["src", "node"], "left_anti")
+                    .localCheckpoint(eager=False))
+        reach = reach.unionByName(frontier).localCheckpoint(eager=False)
+    return (reach.filter(F.col("src") != F.col("node"))
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("n_reachable"))
+            .withColumnRenamed("src", "doc_id"))
+
+
+def q_khop(documents: DataFrame) -> DataFrame:
+    """Declared query: ≤3-hop reachability counts on the deterministic
+    general directed graph (general_edges: j² fan-out offsets, ~10%
+    dangling sinks contribute in-edges only). Oracle = the naive
+    unrolled 3-layer DISTINCT-union join — frontier pruning must
+    change cost, never the answer."""
+    return khop_counts(general_edges(documents), KHOP_K)
+
+
 def triangle_edges(documents: DataFrame) -> DataFrame:
     """Deterministic UNDIRECTED edge set with real triangle structure:
     doc x links to x+1, x+2, x+3 (where the target exists), so every

@@ -866,6 +866,44 @@ def test_triangle_count_known_graph(spark):
     assert sum(got.values()) % 3 == 0 and sum(got.values()) // 3 == 4
 
 
+def test_khop_chain_cycle_and_self_exclusion(spark):
+    """Chain 1→2→3→4→5: node 1 reaches {2,3,4} in ≤3 hops. A 2-cycle
+    20↔21: each node reaches only the other (the self round-trip is
+    excluded). Duplicate input edges change nothing."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),
+             (20, 21), (21, 20), (20, 21)]
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {r.doc_id: r.n_reachable
+           for r in D.khop_counts(df, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 2, 4: 1,
+                   20: 1, 21: 1}
+
+
+def test_khop_matches_bruteforce_bfs(spark):
+    """Frontier-pruned BFS vs a pure-Python BFS on the declared
+    general graph — pruning must change cost, never the answer."""
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(40)])
+    got = {r.doc_id: r.n_reachable
+           for r in D.q_khop(docs).collect()}
+    adj: dict[int, list[int]] = {}
+    for a in range(40):
+        if a % 10 == 0:
+            continue
+        for o in (1, 4, 9):
+            if a + o < 40:
+                adj.setdefault(a, []).append(a + o)
+    want: dict[int, int] = {}
+    for s in range(40):
+        seen, frontier = set(), {s}
+        for _ in range(3):
+            frontier = {v for u in frontier for v in adj.get(u, [])}
+            seen |= frontier
+        seen.discard(s)
+        if seen:
+            want[s] = len(seen)
+    assert got == want
+
+
 def test_triangle_offsets_graph_matches_bruteforce(spark):
     """The declared offset graph vs a pure-Python brute force on a
     small corpus — the degree-ordered enumeration must agree exactly."""
