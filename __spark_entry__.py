@@ -199,6 +199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("events")(s, d)),
         # grouped OLS as five map-combinable integer sums, ONE shuffle
         "q_trend": lambda s, d: TP.q_trend(_t("events")(s, d)),
+        # time-weighted average value: exact cents×epoch-millis
+        # weights on the family's shared user_id exchange
+        "q_twap": lambda s, d: TP.q_twap(_t("events")(s, d)),
         # 2-D Pareto frontier: two keyed collapses + running-max scan
         # vs the oracle's quadratic NOT EXISTS (operators/relational.py)
         "q_skyline": lambda s, d: R.q_skyline(_t("part")(s, d)),
@@ -436,7 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline", "q_grouping_sets", "q_mode", "q_json_decode",
         "q_attribution", "q_changepoint", "q_heavy_hitters",
         "q_active_users", "q_trend", "q_kmeans", "q_source_divergence",
-        "q_quantile_bins", "q_khop",
+        "q_quantile_bins", "q_khop", "q_twap",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -2037,6 +2040,27 @@ def oracle_sql() -> dict[str, str]:
             dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
                     FROM ud GROUP BY day)
             SELECT day, dau, wau FROM dau JOIN wau USING (day)
+        """,
+        # epoch_ms ≡ Spark unix_millis (identical µs→ms truncation);
+        # weights and sums stay int64, one identically-rounded division
+        "q_twap": """
+            WITH s AS (
+                SELECT user_id,
+                       CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                       lead(epoch_ms(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                           - epoch_ms(ts) AS dt_ms
+                FROM events),
+            g AS (
+                SELECT user_id,
+                       CAST(count(*) AS BIGINT) AS n_intervals,
+                       CAST(sum(dt_ms) AS BIGINT) AS span_ms,
+                       CAST(sum(cents * dt_ms) AS BIGINT) AS wsum
+                FROM s WHERE dt_ms IS NOT NULL GROUP BY user_id)
+            SELECT user_id, n_intervals, span_ms,
+                   round(CAST(wsum AS DOUBLE) / CAST(span_ms AS DOUBLE)
+                         / 100.0, 4) + 0.0 AS twap
+            FROM g WHERE span_ms > 0
         """,
         # same five exact-integer sums; the sole float op is the final
         # division of bit-equal int64s, identically rounded (+0.0

@@ -573,6 +573,51 @@ def q_walkforward_splits(events: DataFrame,
     )
 
 
+def q_twap(events: DataFrame) -> DataFrame:
+    """Per-user TIME-weighted average event value — the TWAP/telemetry
+    aggregate (beyond reference): a sensor reading or price holds
+    until the next observation, so each value is weighted by how long
+    it was current, not by its row count. Plain AVG over-weights
+    bursts; TWAP is the honest summary under irregular sampling.
+
+    Semantics: events order by the (ts, event_id) total order per
+    user; value_i carries weight Δt_i = millis until the user's next
+    event (the final observation carries zero — it holds for no
+    measured time); users with zero total span (single event, or all
+    events at one instant) are excluded. Arithmetic is exact end to
+    end: integer-cents values × integer epoch-millis gaps (µs-exact
+    timestamps truncate to ms identically on both engines), summed in
+    int64 — bounded by span·max_cents (~10¹⁵ per user-year), NOT by
+    event count — with one final division, identically rounded.
+
+    Plan shape: ONE user-keyed shuffle — the lead() window and the
+    closing aggregate share the same hash layout as the rest of the
+    event-analytics family (q_sessionize, q_anomaly, q_rolling_window
+    — SCALE.md), so a pipeline running several of these pays the
+    exchange once.
+    """
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ → TIMESTAMP first (the attribution idiom): unix_millis ≡
+    # DuckDB epoch_ms, both truncating the µs remainder
+    t = F.unix_millis(F.col("ts").cast("timestamp"))
+    stepped = events.select(
+        "user_id", cents.alias("cents"),
+        (F.lead(t, 1).over(w) - t).alias("dt_ms"))
+    return (
+        stepped.where(F.col("dt_ms").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_intervals"),
+             F.sum("dt_ms").alias("span_ms"),
+             F.sum(F.col("cents") * F.col("dt_ms")).alias("_wsum"))
+        .where(F.col("span_ms") > 0)
+        .select("user_id", "n_intervals", "span_ms",
+                (F.round(F.col("_wsum").cast("double")
+                         / F.col("span_ms").cast("double") / 100.0, 4)
+                 + F.lit(0.0)).alias("twap"))
+    )
+
+
 TREND_MIN_EVENTS = 5   # users with fewer events have no stable trend
 
 

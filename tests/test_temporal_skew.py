@@ -548,6 +548,26 @@ def test_active_users_window_boundary(spark):
                    dt.date(2024, 1, 8): (1, 2)}
 
 
+def test_twap_weights_by_holding_time(spark):
+    """Value 1.00 held 9s then 100.00 held 1s -> TWAP 10.90 (plain AVG
+    would say 50.50); the final observation carries zero time; a
+    single-event user (no span) is excluded."""
+    from movie_rec_spark.operators.temporal import q_twap
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 1.0),
+        (2, t0 + dt.timedelta(seconds=9), 1, "view", 100.0),
+        (3, t0 + dt.timedelta(seconds=10), 1, "view", 999.0),  # 0-time
+        (4, t0, 2, "view", 5.0),                               # lone
+    ]
+    got = {r.user_id: r for r in q_twap(_ev(spark, rows)).collect()}
+    assert set(got) == {1}
+    assert got[1].n_intervals == 2
+    assert got[1].span_ms == 10_000
+    assert got[1].twap == round((100 * 9000 + 10000 * 1000)
+                                / 10000 / 100, 4)
+
+
 def test_trend_recovers_planted_slope(spark):
     """A user spending 1.00 + 0.50/day for 5 days has slope 50
     cents/day, intercept 100 cents; a same-day-only user (den = 0)
