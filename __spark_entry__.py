@@ -202,6 +202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time-weighted average value: exact cents×epoch-millis
         # weights on the family's shared user_id exchange
         "q_twap": lambda s, d: TP.q_twap(_t("events")(s, d)),
+        # exact audience-intersection matrix from per-user type sets
+        "q_audience_overlap": lambda s, d: TP.q_audience_overlap(
+            _t("events")(s, d)),
         # 2-D Pareto frontier: two keyed collapses + running-max scan
         # vs the oracle's quadratic NOT EXISTS (operators/relational.py)
         "q_skyline": lambda s, d: R.q_skyline(_t("part")(s, d)),
@@ -439,7 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline", "q_grouping_sets", "q_mode", "q_json_decode",
         "q_attribution", "q_changepoint", "q_heavy_hitters",
         "q_active_users", "q_trend", "q_kmeans", "q_source_divergence",
-        "q_quantile_bins", "q_khop", "q_twap",
+        "q_quantile_bins", "q_khop", "q_twap", "q_audience_overlap",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -2040,6 +2043,29 @@ def oracle_sql() -> dict[str, str]:
             dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
                     FROM ud GROUP BY day)
             SELECT day, dau, wau FROM dau JOIN wau USING (day)
+        """,
+        # same membership-collapse-then-self-join shape; Jaccard is an
+        # exact-integer ratio until one identically-rounded division
+        "q_audience_overlap": """
+            WITH ut AS (
+                SELECT DISTINCT user_id, event_type FROM events),
+            shared AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       CAST(count(*) AS BIGINT) AS n_shared
+                FROM ut a JOIN ut b ON a.user_id = b.user_id
+                WHERE a.event_type < b.event_type
+                GROUP BY 1, 2),
+            sizes AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+                FROM ut GROUP BY 1)
+            SELECT s.type_a, s.type_b, s.n_shared,
+                   sa.n_users AS n_users_a, sb.n_users AS n_users_b,
+                   round(CAST(s.n_shared AS DOUBLE)
+                         / CAST(sa.n_users + sb.n_users - s.n_shared
+                                AS DOUBLE), 4) + 0.0 AS jaccard
+            FROM shared s
+            JOIN sizes sa ON sa.event_type = s.type_a
+            JOIN sizes sb ON sb.event_type = s.type_b
         """,
         # epoch_ms ≡ Spark unix_millis (identical µs→ms truncation);
         # weights and sums stay int64, one identically-rounded division

@@ -668,6 +668,49 @@ def q_trend(events: DataFrame,
     )
 
 
+def q_audience_overlap(events: DataFrame) -> DataFrame:
+    """Pairwise audience overlap between event types: shared distinct
+    users, each side's audience size, and the Jaccard overlap — the
+    segment-intersection matrix an activation/campaign dashboard shows
+    (beyond reference; the set-level cousin of q_event_transitions'
+    sequence matrix).
+
+    Exact set intersections at scale WITHOUT a distinct-count-per-pair
+    rescan: collapse to distinct (user, type) memberships first (one
+    shuffle, the only corpus-sized move), then the per-user type-set
+    self-join — fan-out bounded by |event_types|² per user, a few
+    dozen rows for any real type vocabulary, NOT corpus-squared —
+    counts every co-membership once. Audience sizes ride the same
+    membership table; Jaccard = shared / (a + b − shared) stays an
+    exact-integer ratio until one identically-rounded division.
+    Pairs are canonicalized type_a < type_b.
+    """
+    ut = events.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    shared = (a.join(b, "user_id")
+              .where(F.col("type_a") < F.col("type_b"))
+              .groupBy("type_a", "type_b")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"))
+    return (
+        shared
+        .join(F.broadcast(sizes.select(
+            F.col("event_type").alias("type_a"),
+            F.col("n_users").alias("n_users_a"))), "type_a")
+        .join(F.broadcast(sizes.select(
+            F.col("event_type").alias("type_b"),
+            F.col("n_users").alias("n_users_b"))), "type_b")
+        .select(
+            "type_a", "type_b", "n_shared", "n_users_a", "n_users_b",
+            (F.round(F.col("n_shared").cast("double")
+                     / (F.col("n_users_a") + F.col("n_users_b")
+                        - F.col("n_shared")).cast("double"), 4)
+             + F.lit(0.0)).alias("jaccard"))
+    )
+
+
 def q_event_transitions(events: DataFrame) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences — "what does a user do NEXT after event X" (beyond

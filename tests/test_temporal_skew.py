@@ -548,6 +548,25 @@ def test_active_users_window_boundary(spark):
                    dt.date(2024, 1, 8): (1, 2)}
 
 
+def test_audience_overlap_exact_sets(spark):
+    """Users {1,2} view, {2,3} click, {3} buy: view∩click = {2},
+    click∩buy = {3}, view∩buy = ∅ (pair absent); Jaccard exact;
+    repeat events never inflate memberships."""
+    from movie_rec_spark.operators.temporal import q_audience_overlap
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 1, "view", 0), (2, t0, 2, "view", 0),
+            (3, t0, 2, "view", 0),                      # repeat
+            (4, t0, 2, "click", 0), (5, t0, 3, "click", 0),
+            (6, t0, 3, "buy", 0)]
+    got = {(r.type_a, r.type_b): r
+           for r in q_audience_overlap(_ev(spark, rows)).collect()}
+    assert set(got) == {("click", "view"), ("buy", "click")}
+    cv = got[("click", "view")]
+    assert (cv.n_shared, cv.n_users_a, cv.n_users_b) == (1, 2, 2)
+    assert cv.jaccard == round(1 / 3, 4)
+    assert got[("buy", "click")].jaccard == 0.5
+
+
 def test_twap_weights_by_holding_time(spark):
     """Value 1.00 held 9s then 100.00 held 1s -> TWAP 10.90 (plain AVG
     would say 50.50); the final observation carries zero time; a
