@@ -205,6 +205,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact audience-intersection matrix from per-user type sets
         "q_audience_overlap": lambda s, d: TP.q_audience_overlap(
             _t("events")(s, d)),
+        # day-of-week naive forecast backtest on the collapsed series
+        "q_seasonal_naive": lambda s, d: TP.q_seasonal_naive(
+            _t("events")(s, d)),
         # 2-D Pareto frontier: two keyed collapses + running-max scan
         # vs the oracle's quadratic NOT EXISTS (operators/relational.py)
         "q_skyline": lambda s, d: R.q_skyline(_t("part")(s, d)),
@@ -443,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_attribution", "q_changepoint", "q_heavy_hitters",
         "q_active_users", "q_trend", "q_kmeans", "q_source_divergence",
         "q_quantile_bins", "q_khop", "q_twap", "q_audience_overlap",
+        "q_seasonal_naive",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -2043,6 +2047,19 @@ def oracle_sql() -> dict[str, str]:
             dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
                     FROM ud GROUP BY day)
             SELECT day, dau, wau FROM dau JOIN wau USING (day)
+        """,
+        # lag lookup as the same derived-key self-join (a.d = f.d + 7);
+        # APE is one integer-ratio division, identically rounded
+        "q_seasonal_naive": f"""
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS d,
+                       CAST(count(*) AS BIGINT) AS actual
+                FROM events GROUP BY 1)
+            SELECT a.d, a.actual, f.actual AS forecast,
+                   round(CAST(abs(a.actual - f.actual) AS DOUBLE)
+                         / CAST(a.actual AS DOUBLE), 4) + 0.0 AS ape
+            FROM daily a
+            JOIN daily f ON a.d = f.d + {TP.SEASONAL_LAG_DAYS}
         """,
         # same membership-collapse-then-self-join shape; Jaccard is an
         # exact-integer ratio until one identically-rounded division

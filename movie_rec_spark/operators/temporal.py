@@ -902,6 +902,43 @@ def q_attribution(events: DataFrame,
         (F.sum("c").cast("double") / 100.0).alias("revenue"))
 
 
+SEASONAL_LAG_DAYS = 7   # day-of-week seasonality
+
+
+def q_seasonal_naive(events: DataFrame,
+                     lag_days: int = SEASONAL_LAG_DAYS) -> DataFrame:
+    """Seasonal-naive forecast backtest over the daily event-count
+    series: each day's forecast is the count ``lag_days`` earlier
+    (the day-of-week baseline every real forecaster must beat), scored
+    with its absolute percentage error — the capacity-planning sanity
+    series (beyond reference; shares q_changepoint's collapsed-series
+    cost class).
+
+    Exactness: actual and forecast are integer counts; APE is one
+    integer-ratio division, identically rounded (4dp) — no float
+    accumulates. Days without a lag-predecessor (the first week, and
+    any gap day whose lag lands on a no-event day) are absent, same
+    convention both engines.
+
+    Scale shape: ONE keyed aggregate collapses the corpus to |days|
+    rows; the lag lookup is a |days|-row self-join on a derived key —
+    bounded work at any corpus size, no window sort over raw events.
+    """
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("actual"))
+    fc = daily.select(
+        F.date_add("d", lag_days).alias("d"),
+        F.col("actual").alias("forecast"))
+    return (
+        daily.join(fc, "d")
+        .select(
+            "d", "actual", "forecast",
+            (F.round(F.abs(F.col("actual") - F.col("forecast"))
+                     .cast("double") / F.col("actual").cast("double"),
+                     4) + F.lit(0.0)).alias("ape"))
+    )
+
+
 def q_changepoint(events: DataFrame) -> DataFrame:
     """Mean-shift change-point scan (binary-segmentation statistic)
     over the daily event-count series: the day t maximizing the scaled

@@ -604,6 +604,25 @@ def test_trend_recovers_planted_slope(spark):
     assert got[1].intercept_cents == 100.0
 
 
+def test_seasonal_naive_lag_and_ape(spark):
+    """Day 8 forecasts from day 1 (2 events), day 9 from day 2 (4):
+    APE is the exact integer ratio; the first week has no
+    predecessors and is absent."""
+    from movie_rec_spark.operators.temporal import q_seasonal_naive
+    rows, eid = [], 0
+    for day, n in [(1, 2), (2, 4), (8, 3), (9, 4)]:
+        for _ in range(n):
+            rows.append((eid, dt.datetime(2024, 1, day), 1, "view", 0))
+            eid += 1
+    got = {r.d: r for r in
+           q_seasonal_naive(_ev(spark, rows)).collect()}
+    assert set(got) == {dt.date(2024, 1, 8), dt.date(2024, 1, 9)}
+    r8 = got[dt.date(2024, 1, 8)]
+    assert (r8.actual, r8.forecast, r8.ape) == (3, 2, round(1 / 3, 4))
+    r9 = got[dt.date(2024, 1, 9)]
+    assert (r9.actual, r9.forecast, r9.ape) == (4, 4, 0.0)
+
+
 def test_changepoint_flags_level_shift_day(spark):
     """A clean 2/day -> 6/day shift after day 3 puts the |CUSUM| peak
     on the last low day; the statistic matches the hand formula."""
