@@ -398,6 +398,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("region")(s, d), _t("nation")(s, d),
             _t("customer")(s, d), _t("supplier")(s, d),
             _t("orders")(s, d), _t("lineitem")(s, d)),
+        # TPC-H Q3 shape: pruned-dim broadcast + date-pivoted
+        # fact-fact join, top-10 via TakeOrderedAndProject
+        "q_top_unshipped": lambda s, d: R.q_top_unshipped(
+            _t("customer")(s, d), _t("orders")(s, d),
+            _t("lineitem")(s, d)),
         # rows-only (HLL registers / xxhash64 minhash signatures are
         # engine-specific; error-bound + exact-Jaccard-agreement pytest
         # gates) — parked after the oracle-backed block so the driver's
@@ -446,7 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_attribution", "q_changepoint", "q_heavy_hitters",
         "q_active_users", "q_trend", "q_kmeans", "q_source_divergence",
         "q_quantile_bins", "q_khop", "q_twap", "q_audience_overlap",
-        "q_seasonal_naive",
+        "q_seasonal_naive", "q_top_unshipped",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -2206,6 +2211,25 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '{R.STAR_DATE_LO}'
               AND o_orderdate < TIMESTAMP '{R.STAR_DATE_HI}'
             GROUP BY n_name
+        """,
+        # top-10 cut is total-ordered (revenue desc, orderkey) and
+        # revenue is exact integer cents, so the boundary is
+        # engine-deterministic
+        "q_top_unshipped": f"""
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice
+                                       * (1 - l_discount) * 100, 0)
+                                 AS BIGINT)) AS DOUBLE) / 100.0
+                       AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = '{R.SHIP_SEGMENT}'
+              AND o_orderdate < TIMESTAMP '{R.SHIP_CUTOFF}'
+              AND l_shipdate > TIMESTAMP '{R.SHIP_CUTOFF}'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
         """,
         # Naive triangle enumeration: canonical a<b edges, each
         # triangle appears exactly once as x<y<z via the triple join.

@@ -538,6 +538,48 @@ def q_percentiles(lineitem: DataFrame) -> DataFrame:
     )
 
 
+SHIP_CUTOFF = "1998-01-01"       # TPC-H Q3's date pivot, our calendar
+SHIP_SEGMENT = "BUILDING"
+
+
+def q_top_unshipped(customer: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: the 10 highest-revenue
+    orders taken before the cutoff whose items ship after it, for one
+    market segment — the classic sales-urgency report and the second
+    optimizer-showcase shape next to q_star_revenue's Q5 star (this
+    one is selective-dimension + DATE-pivoted fact-fact).
+
+    Declarative wins to check in the plan: the segment filter prunes
+    customer BEFORE it broadcasts; both date filters push to the
+    parquet scans (o_orderdate < cutoff, l_shipdate > cutoff); the
+    orderkey join is the only real Exchange; the top-10 is
+    TakeOrderedAndProject on (revenue desc, orderkey) — a bounded
+    heap, never a global sort. Revenue accumulates as integer cents
+    (HALF_UP), so the ranking is bit-exact under any merge order.
+    """
+    cutoff = F.lit(SHIP_CUTOFF).cast("timestamp")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+        0).cast("bigint")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(
+            customer.filter(F.col("c_mktsegment") == SHIP_SEGMENT)),
+            F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents).alias("_cents"))
+        .select("l_orderkey",
+                (F.col("_cents").cast("double") / 100.0)
+                .alias("revenue"),
+                "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 QUANTILE_BINS = 10   # equi-depth deciles
 
 

@@ -676,24 +676,30 @@ def q_audience_overlap(events: DataFrame) -> DataFrame:
     sequence matrix).
 
     Exact set intersections at scale WITHOUT a distinct-count-per-pair
-    rescan: collapse to distinct (user, type) memberships first (one
-    shuffle, the only corpus-sized move), then the per-user type-set
-    self-join — fan-out bounded by |event_types|² per user, a few
-    dozen rows for any real type vocabulary, NOT corpus-squared —
-    counts every co-membership once. Audience sizes ride the same
-    membership table; Jaccard = shared / (a + b − shared) stays an
-    exact-integer ratio until one identically-rounded division.
-    Pairs are canonicalized type_a < type_b.
+    rescan OR a membership self-join: ONE user-keyed aggregate
+    collapses the corpus to per-user sorted type SETS, pair
+    enumeration is then a row-local array transform (fan-out bounded
+    by |event_types|² per user — a few dozen rows for any real type
+    vocabulary, never corpus-squared, and never a second corpus
+    shuffle the way the membership self-join costs), and two tiny
+    aggs finish. Audience sizes explode from the same checkpointed
+    sets; Jaccard = shared / (a + b − shared) stays an exact-integer
+    ratio until one identically-rounded division. Pairs are
+    canonicalized type_a < type_b by the array sort.
     """
-    ut = events.select("user_id", "event_type").distinct()
-    a = ut.select("user_id", F.col("event_type").alias("type_a"))
-    b = ut.select("user_id", F.col("event_type").alias("type_b"))
-    shared = (a.join(b, "user_id")
-              .where(F.col("type_a") < F.col("type_b"))
-              .groupBy("type_a", "type_b")
+    sets = (events.groupBy("user_id")
+            .agg(F.array_sort(F.collect_set("event_type")).alias("ts"))
+            .localCheckpoint(eager=False))
+    pair = F.explode(F.expr(
+        "flatten(transform(ts, (x, i) -> "
+        "transform(slice(ts, i + 2, size(ts)), "
+        "y -> struct(x AS type_a, y AS type_b))))"))
+    shared = (sets.select(pair.alias("p"))
+              .groupBy("p.type_a", "p.type_b")
               .agg(F.count(F.lit(1)).alias("n_shared")))
-    sizes = ut.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_users"))
+    sizes = (sets.select(F.explode("ts").alias("event_type"))
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_users")))
     return (
         shared
         .join(F.broadcast(sizes.select(

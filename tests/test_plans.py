@@ -175,6 +175,24 @@ def test_new_operator_shuffle_budgets(spark):
         "q_attribution": 2,      # user touch window + channel agg
         "q_changepoint": 1,      # day collapse; the series windows run
                                  # in the same bounded task after it
+        "q_heavy_hitters": 2,    # MG summary merge + candidate recount;
+                                 # the corpus never keys an exchange
+        "q_trend": 2,            # day0 join-back + the five-sum agg
+        "q_twap": 1,             # lead window + agg share one user key
+        "q_quantile_bins": 1,    # boundary percentile broadcast; the
+                                 # bin agg is the only real move
+        "q_khop": 1,             # per-round joins checkpointed; true
+                                 # cost 2/round, SCALE.md caveat
+        "q_audience_overlap": 3,  # user set agg + pair agg + sizes agg
+                                 # (was 7 as a membership self-join)
+        "q_seasonal_naive": 2,   # day collapse + |days|-row lag join
+        "q_top_unshipped": 1,    # dims broadcast, dates pushed; only
+                                 # the orderkey agg moves (TopK finish)
+        "q_active_users": 6,     # all on deduped user-day pairs
+        "q_source_divergence": 4,  # three token counts + scoring agg
+        "q_kmeans": 19,          # 2 Lloyd iterations relationally:
+                                 # distance/argmin/centroid aggs per
+                                 # round, fixed iteration count
     }
     qs = E.queries()
     for name, budget in budgets.items():
