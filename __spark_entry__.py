@@ -208,6 +208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # day-of-week naive forecast backtest on the collapsed series
         "q_seasonal_naive": lambda s, d: TP.q_seasonal_naive(
             _t("events")(s, d)),
+        # daily new-vs-returning split via the first-seen trick
+        "q_new_vs_returning": lambda s, d: TP.q_new_vs_returning(
+            _t("events")(s, d)),
         # 2-D Pareto frontier: two keyed collapses + running-max scan
         # vs the oracle's quadratic NOT EXISTS (operators/relational.py)
         "q_skyline": lambda s, d: R.q_skyline(_t("part")(s, d)),
@@ -451,7 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_attribution", "q_changepoint", "q_heavy_hitters",
         "q_active_users", "q_trend", "q_kmeans", "q_source_divergence",
         "q_quantile_bins", "q_khop", "q_twap", "q_audience_overlap",
-        "q_seasonal_naive", "q_top_unshipped",
+        "q_seasonal_naive", "q_top_unshipped", "q_new_vs_returning",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -2052,6 +2055,22 @@ def oracle_sql() -> dict[str, str]:
             dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
                     FROM ud GROUP BY day)
             SELECT day, dau, wau FROM dau JOIN wau USING (day)
+        """,
+        # same first-seen classification over deduped user-days
+        "q_new_vs_returning": """
+            WITH ud AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                FROM events),
+            f AS (SELECT user_id, min(day) AS day0
+                  FROM ud GROUP BY user_id)
+            SELECT ud.day,
+                   CAST(sum(CAST(ud.day = f.day0 AS BIGINT))
+                        AS BIGINT) AS new_users,
+                   CAST(sum(CAST(ud.day > f.day0 AS BIGINT))
+                        AS BIGINT) AS returning_users,
+                   CAST(count(*) AS BIGINT) AS active_users
+            FROM ud JOIN f USING (user_id)
+            GROUP BY ud.day
         """,
         # lag lookup as the same derived-key self-join (a.d = f.d + 7);
         # APE is one integer-ratio division, identically rounded

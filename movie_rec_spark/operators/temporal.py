@@ -527,6 +527,36 @@ def q_active_users(events: DataFrame,
     return dau.join(wau, "day").select("day", "dau", "wau")
 
 
+def q_new_vs_returning(events: DataFrame) -> DataFrame:
+    """Daily active users split into NEW (first-ever activity that
+    day) vs RETURNING — the acquisition-vs-retention headline the
+    growth dashboard leads with (beyond reference; composes
+    q_cumulative_users' first-seen trick with the per-day split).
+
+    The naive spelling re-scans history per day ("was this user seen
+    before d?"); the scale form computes each user's first-seen day
+    ONCE (one user-keyed min), joins it back onto deduped user-day
+    pairs (same key, one co-partitioned join), and classifies
+    row-locally. Every stage is keyed on user_id or day; nothing
+    rescans, nothing is quadratic in days.
+    """
+    ud = (events.select(F.to_date("ts").alias("day"), "user_id")
+          .distinct())
+    first = ud.groupBy("user_id").agg(F.min("day").alias("day0"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("day0")).cast("long"))
+            .alias("new_users"),
+            F.sum((F.col("day") > F.col("day0")).cast("long"))
+            .alias("returning_users"))
+        .select("day", "new_users", "returning_users",
+                (F.col("new_users") + F.col("returning_users"))
+                .alias("active_users"))
+    )
+
+
 WALKFORWARD_FOLDS = 3
 
 

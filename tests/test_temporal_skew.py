@@ -604,6 +604,20 @@ def test_trend_recovers_planted_slope(spark):
     assert got[1].intercept_cents == 100.0
 
 
+def test_new_vs_returning_split(spark):
+    """u1 active days 1+2, u2 only day 2: day 1 = 1 new; day 2 = 1 new
+    (u2) + 1 returning (u1). Repeat same-day events never double."""
+    from movie_rec_spark.operators.temporal import q_new_vs_returning
+    rows = [(1, dt.datetime(2024, 1, 1), 1, "view", 0),
+            (2, dt.datetime(2024, 1, 1), 1, "view", 0),
+            (3, dt.datetime(2024, 1, 2), 1, "view", 0),
+            (4, dt.datetime(2024, 1, 2), 2, "view", 0)]
+    got = {r.day: (r.new_users, r.returning_users, r.active_users)
+           for r in q_new_vs_returning(_ev(spark, rows)).collect()}
+    assert got == {dt.date(2024, 1, 1): (1, 0, 1),
+                   dt.date(2024, 1, 2): (1, 1, 2)}
+
+
 def test_seasonal_naive_lag_and_ape(spark):
     """Day 8 forecasts from day 1 (2 events), day 9 from day 2 (4):
     APE is the exact integer ratio; the first week has no
