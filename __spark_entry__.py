@@ -117,6 +117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_groups": lambda s, d: D.q_dedup_groups(_t("documents")(s, d)),
         "q_dedup_char_jaccard": lambda s, d: D.q_dedup_char_jaccard(
             _t("documents")(s, d)),
+        # prefix-filtered EXACT Jaccard (AllPairs/PPJoin): rare-shingle
+        # prefixes generate candidates, verify recounts — shares the
+        # full-index oracle verbatim
+        "q_dedup_prefix": lambda s, d: D.q_dedup_prefix(
+            _t("documents")(s, d)),
         "q_cc_chain_star": lambda s, d: D.q_cc_chain_star(
             _t("documents")(s, d)),
         "q_cc_chain_minlabel": lambda s, d: D.q_cc_chain_minlabel(
@@ -455,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_active_users", "q_trend", "q_kmeans", "q_source_divergence",
         "q_quantile_bins", "q_khop", "q_twap", "q_audience_overlap",
         "q_seasonal_naive", "q_top_unshipped", "q_new_vs_returning",
+        "q_dedup_prefix",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -1107,6 +1113,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "q_dedup_jaccard": jaccard_pairs,
+        # the prefix filter is a candidate-generation strategy, not a
+        # semantics change: same answer, same oracle
+        "q_dedup_prefix": jaccard_pairs,
         # char_shingles truncates at the string end exactly like
         # DuckDB's substring-over-range enumeration below.
         "q_dedup_char_jaccard": f"""

@@ -92,6 +92,31 @@ def test_jaccard_identical_and_disjoint(spark):
     assert pairs == {(0, 1): 1.0}
 
 
+def test_prefix_jaccard_agrees_with_full_index(spark, sf_docs):
+    """Prefix filtering is a candidate strategy, not a semantics
+    change: on the real sf0.001 corpus the pair set AND every jaccard
+    value must equal q_dedup_jaccard's exactly."""
+    full = {(r.doc_a, r.doc_b): r.jaccard
+            for r in D.q_dedup_jaccard(sf_docs).collect()}
+    pref = {(r.doc_a, r.doc_b): r.jaccard
+            for r in D.q_dedup_prefix(sf_docs).collect()}
+    assert pref == full and len(full) > 0
+
+
+def test_prefix_jaccard_boundary_pair(spark):
+    """A pair at exactly the 0.5 threshold (overlap 4 of 6+6 3-gram
+    sets -> J = 4/8) must survive the prefix filter — the
+    completeness bound is tight, not approximate."""
+    docs = _docs(spark, [
+        "a b c d e f g h",            # 6 shingles
+        "a b c d e f x y",            # shares 4 -> J = 4/8 = 0.5
+        "p q r s t u v w",            # disjoint
+    ])
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in D.q_dedup_prefix(docs, threshold=0.5).collect()}
+    assert got == {(0, 1): 0.5}
+
+
 def test_minhash_finds_exact_dup_and_agrees_with_jaccard(spark):
     texts = [
         "alpha beta gamma delta epsilon zeta eta theta",
