@@ -216,6 +216,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # daily new-vs-returning split via the first-seen trick
         "q_new_vs_returning": lambda s, d: TP.q_new_vs_returning(
             _t("events")(s, d)),
+        # feature-store row: trailing-window conditional sums + a
+        # struct-max argmax, all in ONE user-keyed aggregate
+        "q_lag_features": lambda s, d: TP.q_lag_features(
+            _t("events")(s, d)),
         # 2-D Pareto frontier: two keyed collapses + running-max scan
         # vs the oracle's quadratic NOT EXISTS (operators/relational.py)
         "q_skyline": lambda s, d: R.q_skyline(_t("part")(s, d)),
@@ -460,7 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_active_users", "q_trend", "q_kmeans", "q_source_divergence",
         "q_quantile_bins", "q_khop", "q_twap", "q_audience_overlap",
         "q_seasonal_naive", "q_top_unshipped", "q_new_vs_returning",
-        "q_dedup_prefix",
+        "q_dedup_prefix", "q_lag_features",
     ]
     order = (priority
              + [k for k in original if k not in priority]
@@ -2064,6 +2068,37 @@ def oracle_sql() -> dict[str, str]:
             dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
                     FROM ud GROUP BY day)
             SELECT day, dau, wau FROM dau JOIN wau USING (day)
+        """,
+        # epoch_us ≡ Spark unix_micros; trailing windows are integer
+        # compares against the same broadcast now-scalar; the latest
+        # event re-derives via the (ts, event_id) total order
+        "q_lag_features": """
+            WITH n AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+            s AS (SELECT user_id, epoch_us(ts) AS us, ts, event_id,
+                         CAST(round(value * 100, 0) AS BIGINT) AS cents
+                  FROM events),
+            g AS (SELECT user_id,
+                         CAST(sum(CAST(us > now_us - 604800000000
+                                       AS BIGINT)) AS BIGINT)
+                             AS n_events_7d,
+                         CAST(sum(CAST(us > now_us - 2592000000000
+                                       AS BIGINT)) AS BIGINT)
+                             AS n_events_30d,
+                         CAST(sum(CASE WHEN us > now_us - 2592000000000
+                                       THEN cents ELSE 0 END)
+                              AS BIGINT) AS spend_cents_30d,
+                         CAST(floor(CAST(min(now_us - us) AS DOUBLE)
+                                    / 86400000000) AS BIGINT)
+                             AS days_since_last
+                  FROM s CROSS JOIN n GROUP BY user_id),
+            l AS (SELECT user_id, cents AS last_cents FROM (
+                      SELECT user_id, cents, row_number() OVER (
+                          PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM s) WHERE rn = 1)
+            SELECT g.user_id, n_events_7d, n_events_30d,
+                   spend_cents_30d, days_since_last, l.last_cents
+            FROM g JOIN l USING (user_id)
         """,
         # same first-seen classification over deduped user-days
         "q_new_vs_returning": """

@@ -527,6 +527,45 @@ def q_active_users(events: DataFrame,
     return dau.join(wau, "day").select("day", "dau", "wau")
 
 
+def q_lag_features(events: DataFrame) -> DataFrame:
+    """Per-user feature-store row — the lag-feature assembly a churn /
+    propensity model trains on, computed AS OF the corpus's last
+    event: activity counts over trailing 7- and 30-day windows, 30-day
+    spend, days since last activity, and the value of the LATEST event
+    (beyond reference; the batch feature-materialization pattern).
+
+    Everything is ONE user-keyed aggregate over the scan: the trailing
+    windows are conditional sums against a broadcast now-scalar
+    (microsecond-exact integer compares, no per-window rescan, no
+    window function at all), and latest-event extraction is
+    max(struct(ts, event_id, cents)) — an argmax by the (ts, event_id)
+    total order that stays inside the same partial-aggregable pass
+    instead of costing a sort. All features are exact integers.
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    now = events.agg(F.max(us).alias("now_us"))
+    day_us = 86_400 * 1_000_000
+    in_7d = us > F.col("now_us") - F.lit(7 * day_us)
+    in_30d = us > F.col("now_us") - F.lit(30 * day_us)
+    return (
+        events.crossJoin(F.broadcast(now))
+        .groupBy("user_id")
+        .agg(F.sum(in_7d.cast("long")).alias("n_events_7d"),
+             F.sum(in_30d.cast("long")).alias("n_events_30d"),
+             F.sum(F.when(in_30d, cents).otherwise(F.lit(0)))
+             .alias("spend_cents_30d"),
+             F.min(F.col("now_us") - us).alias("_gap_us"),
+             F.max(F.struct(F.col("ts"), F.col("event_id"),
+                            cents.alias("c"))).alias("_last"))
+        .select("user_id", "n_events_7d", "n_events_30d",
+                "spend_cents_30d",
+                F.floor(F.col("_gap_us") / F.lit(day_us)).cast("long")
+                .alias("days_since_last"),
+                F.col("_last.c").alias("last_cents"))
+    )
+
+
 def q_new_vs_returning(events: DataFrame) -> DataFrame:
     """Daily active users split into NEW (first-ever activity that
     day) vs RETURNING — the acquisition-vs-retention headline the

@@ -604,6 +604,29 @@ def test_trend_recovers_planted_slope(spark):
     assert got[1].intercept_cents == 100.0
 
 
+def test_lag_features_windows_and_argmax(spark):
+    """Corpus 'now' = day 40. u1's events on days 1, 20, 40, 40: the
+    7d window holds the two day-40 events, the 30d window adds day 20,
+    spend sums only windowed cents, days_since_last = 0, and the
+    latest event by (ts, event_id) provides last_cents even when two
+    events share the final timestamp."""
+    from movie_rec_spark.operators.temporal import q_lag_features
+    d = lambda n: dt.datetime(2024, 1, 1) + dt.timedelta(days=n - 1)
+    rows = [(1, d(1), 1, "view", 7.0),
+            (2, d(20), 1, "view", 2.0),
+            (3, d(40), 1, "view", 3.0),
+            (4, d(40), 1, "view", 4.0),    # same ts, higher event_id
+            (5, d(40), 2, "view", 9.0)]
+    got = {r.user_id: r for r in
+           q_lag_features(_ev(spark, rows)).collect()}
+    u1 = got[1]
+    assert u1.n_events_7d == 2 and u1.n_events_30d == 3
+    assert u1.spend_cents_30d == 200 + 300 + 400
+    assert u1.days_since_last == 0
+    assert u1.last_cents == 400
+    assert got[2].n_events_7d == 1 and got[2].last_cents == 900
+
+
 def test_new_vs_returning_split(spark):
     """u1 active days 1+2, u2 only day 2: day 1 = 1 new; day 2 = 1 new
     (u2) + 1 returning (u1). Repeat same-day events never double."""
