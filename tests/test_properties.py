@@ -417,3 +417,54 @@ def test_event_transitions_counts_match_model(spark, evs):
         for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
             want[(a, b)] += 1
     assert got == dict(want)
+
+
+@SLOW
+@given(st.lists(st.integers(min_value=0, max_value=30),
+                min_size=1, max_size=120),
+       st.integers(min_value=2, max_value=5))
+def test_misra_gries_candidates_complete_model(spark, keys, capacity):
+    """Sketch completeness under random multisets and tiny capacities
+    (forcing heavy decrement churn): every key whose count exceeds
+    n/capacity must appear in the candidate set, and q_heavy_hitters
+    must return exactly the over-threshold keys with exact counts."""
+    from collections import Counter
+
+    from movie_rec_spark.operators.skew import (
+        misra_gries_candidates,
+        q_heavy_hitters,
+    )
+    df = spark.createDataFrame([(k,) for k in keys],
+                               "user_id long").repartition(4)
+    c = Counter(keys)
+    n = len(keys)
+    heavy = {k for k, v in c.items() if v * capacity > n}
+    cands = {r.user_id for r in
+             misra_gries_candidates(df, "user_id", capacity).collect()}
+    assert heavy <= cands
+    got = {r.user_id: r.n_occurrences
+           for r in q_heavy_hitters(df, capacity).collect()}
+    assert got == {k: c[k] for k in heavy}
+
+
+@SLOW
+@given(st.lists(st.lists(st.integers(0, 9), min_size=3, max_size=10),
+                min_size=2, max_size=12))
+def test_prefix_jaccard_equals_full_index_model(spark, token_lists):
+    """Prefix filtering never changes the answer: on random small-
+    vocabulary docs (maximal shingle collisions), the prefix-filtered
+    pair set and jaccard values equal the full inverted index's."""
+    from movie_rec_spark.operators.dedup import (
+        q_dedup_jaccard,
+        q_dedup_prefix,
+    )
+    from pyspark.sql import Row
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{t}" for t in toks),
+             lang="en", source="s", n_chars=1)
+         for i, toks in enumerate(token_lists)])
+    full = {(r.doc_a, r.doc_b): r.jaccard
+            for r in q_dedup_jaccard(docs).collect()}
+    pref = {(r.doc_a, r.doc_b): r.jaccard
+            for r in q_dedup_prefix(docs).collect()}
+    assert pref == full
