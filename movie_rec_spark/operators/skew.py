@@ -76,6 +76,31 @@ def q_salted_count(events: DataFrame) -> DataFrame:
 HH_CAPACITY = 200   # Misra-Gries summary size -> threshold n/200
 
 
+def mg_fold(counters: dict, item_counts, capacity: int) -> dict:
+    """Fold (item, count) pairs into a Misra-Gries summary IN PLACE —
+    the shared kernel of the batch sketch below and the streaming twin
+    (streaming/sketch.py). Decrement steps subtract the same amount
+    from every counter (min(new count, current min) per batched MG
+    step), preserving the classic undercount bound D ≤ n/(capacity+1).
+    """
+    for item, cnt in item_counts:
+        if item in counters:
+            counters[item] += int(cnt)
+        elif len(counters) < capacity:
+            counters[item] = int(cnt)
+        else:
+            dec = min(int(cnt), min(counters.values()))
+            drop = [i for i, c in counters.items() if c <= dec]
+            for i in counters:
+                counters[i] -= dec
+            for i in drop:
+                del counters[i]
+            rem = int(cnt) - dec
+            if rem > 0 and len(counters) < capacity:
+                counters[item] = rem
+    return counters
+
+
 def misra_gries_candidates(df: DataFrame, key: str,
                            capacity: int = HH_CAPACITY) -> DataFrame:
     """Per-partition Misra-Gries frequency summaries, merged by key.
@@ -102,21 +127,8 @@ def misra_gries_candidates(df: DataFrame, key: str,
     def mg(batches):
         counters: dict = {}
         for pdf in batches:
-            for item, cnt in pdf[key].dropna().value_counts().items():
-                if item in counters:
-                    counters[item] += int(cnt)
-                elif len(counters) < capacity:
-                    counters[item] = int(cnt)
-                else:
-                    # decrement all by the smallest "absorbable" amount:
-                    # min(new count, current min counter) per MG step,
-                    # applied in bulk for the batched update
-                    dec = min(int(cnt), min(counters.values()))
-                    counters = {i: c - dec for i, c in counters.items()
-                                if c > dec}
-                    rem = int(cnt) - dec
-                    if rem > 0 and len(counters) < capacity:
-                        counters[item] = rem
+            mg_fold(counters,
+                    pdf[key].dropna().value_counts().items(), capacity)
         if counters:
             yield pd.DataFrame({key: list(counters),
                                 "est": list(counters.values())})

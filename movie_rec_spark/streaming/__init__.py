@@ -20,3 +20,6 @@ from movie_rec_spark.streaming.anomaly import (  # noqa: F401
     anomaly_stream,
     anomaly_stream_eventtime,
 )
+from movie_rec_spark.streaming.sketch import (  # noqa: F401
+    heavy_hitters_stream,
+)

@@ -1,0 +1,110 @@
+"""Streaming frequent-items sketch — the online twin of
+``operators.skew.q_heavy_hitters``.
+
+The batch operator runs two passes (Misra-Gries candidates, exact
+recount); a stream cannot rescan history for the second pass, so the
+online form maintains the SKETCH as keyed state and exposes its
+deterministic error bound instead: each emitted candidate carries its
+summary estimate ``est`` and its shard's total ``n_shard``, and the MG
+guarantee pins the true count into
+``[est, est + n_shard // (capacity + 1)]``.
+
+Sharding makes the guarantee STRONGER than the batch union argument:
+``user_id % n_shards`` routes every occurrence of a key to one shard,
+so a key with global count > n/capacity has count_s = count >
+n_s/capacity in its own shard and must survive that shard's summary —
+the candidate union over shards is complete for the global threshold.
+State per shard is exactly ``capacity`` counters + one total — bytes,
+not rows — so state size is O(shards · capacity) forever, independent
+of stream length: the whole point of sketching the stream instead of
+counting it.
+
+Each micro-batch folds its per-shard ``value_counts`` into the state
+(one counter update per DISTINCT key per batch — the same Arrow-batched
+kernel as the batch sketch, ``skew.mg_fold``) and emits the shard's
+current candidates in update mode; ``n_shard`` is monotone, so a
+consumer (and the parity test) takes each shard's max-``n_shard``
+generation as the live view.
+
+Completeness is pytest-gated against batch ``q_heavy_hitters`` on the
+union of the micro-batches (test_streaming): final candidates ⊇ exact
+heavy hitters, with every estimate inside the MG bound.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from movie_rec_spark.operators.skew import HH_CAPACITY, mg_fold
+
+HH_SHARDS = 8
+
+SKETCH_STATE = StructType([
+    StructField("items", ArrayType(LongType())),
+    StructField("counts", ArrayType(LongType())),
+    StructField("n", LongType()),
+])
+
+SKETCH_OUTPUT = StructType([
+    StructField("shard", LongType()),
+    StructField("user_id", LongType()),
+    StructField("est", LongType()),
+    StructField("n_shard", LongType()),
+])
+
+
+def _make_update(capacity: int):
+    def _update(key: tuple, pdfs: Iterable[pd.DataFrame],
+                state: Any) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        if state.exists:
+            items, counts, n = state.get
+            counters = dict(zip(items, counts))
+            n = int(n)
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            vc = pdf["user_id"].dropna().value_counts()
+            mg_fold(counters, vc.items(), capacity)
+            n += int(vc.sum())
+        state.update((list(counters), list(counters.values()), n))
+        if counters:
+            yield pd.DataFrame({
+                "shard": [int(shard)] * len(counters),
+                "user_id": list(counters),
+                "est": list(counters.values()),
+                "n_shard": [n] * len(counters),
+            })
+
+    return _update
+
+
+def heavy_hitters_stream(stream: DataFrame,
+                         capacity: int = HH_CAPACITY,
+                         n_shards: int = HH_SHARDS) -> DataFrame:
+    """Maintain per-shard Misra-Gries summaries over a user_id stream;
+    emits each shard's current candidate set per micro-batch with the
+    estimate and shard total that bound the true count."""
+    return (
+        stream.select(
+            (F.col("user_id") % n_shards).alias("shard"), "user_id")
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _make_update(capacity),
+            outputStructType=SKETCH_OUTPUT,
+            stateStructType=SKETCH_STATE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

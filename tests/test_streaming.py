@@ -581,3 +581,56 @@ def test_stateful_anomaly_runs_on_rocksdb_state_store(spark, tmp_path):
         assert got[5][2] is True
     finally:
         spark.conf.set(key, old)
+
+
+def test_streaming_heavy_hitters_complete_and_bounded(spark, tmp_path):
+    """The stateful Misra-Gries stream, drained over two micro-batches
+    with a heavy key split ACROSS the batch boundary, must (a) emit a
+    final candidate set containing every exact heavy hitter of the
+    batch union, (b) keep every estimate inside the MG bound
+    [true - n_shard//(capacity+1), true], and (c) bound state to
+    capacity counters per shard."""
+    import datetime as dt
+    from collections import Counter
+
+    from movie_rec_spark.streaming.sketch import heavy_hitters_stream
+
+    cap, shards = 3, 2
+    t0 = dt.datetime(2024, 1, 1)
+    # heavy keys 2 (count 24, shard 0) and 7 (count 16, shard 1), tail
+    # keys force decrement churn; key 2 splits across the two batches
+    b1 = [2] * 10 + [7] * 16 + [4, 6, 8, 10, 12, 14]
+    b2 = [2] * 14 + [1, 3, 5, 9, 11, 13]
+    schema = "event_id bigint, user_id bigint, ts timestamp"
+    for i, batch in enumerate((b1, b2)):
+        rows = [(j + i * 1000, int(u), t0) for j, u in enumerate(batch)]
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(tmp_path / "hh_src"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(tmp_path / "hh_src")))
+    q = (heavy_hitters_stream(stream, capacity=cap, n_shards=shards)
+         .writeStream.outputMode("update")
+         .format("memory").queryName("t_hh")
+         .option("checkpointLocation", str(tmp_path / "hh_ck"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    rows = spark.sql("SELECT * FROM t_hh").collect()
+    # live view = each shard's max-n_shard generation (n is monotone)
+    latest_n = {}
+    for r in rows:
+        latest_n[r.shard] = max(latest_n.get(r.shard, 0), r.n_shard)
+    live = {r.user_id: r for r in rows
+            if r.n_shard == latest_n[r.shard]}
+
+    truth = Counter(b1 + b2)
+    n = len(b1) + len(b2)
+    heavy = {k for k, v in truth.items() if v * cap > n}
+    assert heavy <= set(live), (heavy, set(live))
+    for uid, r in live.items():
+        assert r.est <= truth[uid] <= r.est + r.n_shard // (cap + 1)
+    per_shard = Counter(r.shard for r in live.values())
+    assert all(c <= cap for c in per_shard.values())
