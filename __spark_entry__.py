@@ -1715,8 +1715,6 @@ def oracle_sql() -> dict[str, str]:
             FROM grams GROUP BY gram
             ORDER BY n_occurrences DESC, gram LIMIT 50
         """,
-        # Quality arithmetic identical to the q_quality_score oracle;
-        # dup_ratio multiplies by 1.0 so both engines divide as double.
         # probabilities spelled as the SAME single double divisions as
         # the Spark side (never c·N integer products); per-source sum
         # rounded 4dp and -0.0-normalized
@@ -1740,6 +1738,8 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN total
             GROUP BY dt.source, nd.n_tokens
         """,
+        # Quality arithmetic identical to the q_quality_score oracle;
+        # dup_ratio multiplies by 1.0 so both engines divide as double.
         "q_domain_stats": """
             WITH b AS (
                 SELECT source, md5(text) AS fp,

@@ -276,6 +276,27 @@ def q_dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
+def _jaccard_finish(inter: DataFrame, sizes: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Shared finish of every exact-Jaccard variant: join the (doc_a,
+    doc_b, i) intersections to both set sizes and threshold-filter.
+    The division stays RAW (unrounded): int/int is bit-deterministic
+    across engines, while round() would diverge on exact decimal ties
+    — the rule lives here once so the three candidate strategies
+    (full index / char-gram / prefix-filtered) cannot drift apart."""
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
 def q_dedup_jaccard(documents: DataFrame,
                     threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Exact pairwise word-3-gram Jaccard near-dup pairs.
@@ -298,17 +319,7 @@ def q_dedup_jaccard(documents: DataFrame,
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    # Raw (unrounded) division: int/int is bit-deterministic across
-    # engines; round() would diverge on exact decimal ties.
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= F.lit(threshold))
-    )
+    return _jaccard_finish(inter, sizes, threshold)
 
 
 def q_dedup_char_jaccard(documents: DataFrame,
@@ -337,15 +348,7 @@ def q_dedup_char_jaccard(documents: DataFrame,
                  F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= F.lit(threshold))
-    )
+    return _jaccard_finish(inter, sizes, threshold)
 
 
 def q_dedup_prefix(documents: DataFrame,
@@ -408,17 +411,7 @@ def q_dedup_prefix(documents: DataFrame,
     inter = (cands.join(ta, "doc_a").join(tb, ["doc_b", "g"])
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("i")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n").alias("nb"))
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= F.lit(threshold))
-    )
+    return _jaccard_finish(inter, sizes, threshold)
 
 
 def minhash_signatures(documents: DataFrame,

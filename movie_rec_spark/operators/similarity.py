@@ -388,6 +388,9 @@ def q_kmeans(embeddings: DataFrame, k: int = KMEANS_K,
     rows, and iteration count is fixed — the IVF/SemDeDup operators
     remain the declared paths when K must grow with the corpus.
     """
+    if iters < 1:
+        raise ValueError("q_kmeans needs iters >= 1 (sizes come from "
+                         "the last iteration's assignment)")
     e = _as_double(embeddings)
     # pts feeds 2·iters+1 plan positions; measured at sf0.1, LEAVING
     # it lazy beats a localCheckpoint (1.1 vs 1.5 s warm) — the
