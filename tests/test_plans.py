@@ -193,6 +193,11 @@ def test_new_operator_shuffle_budgets(spark):
         "q_kmeans": 19,          # 2 Lloyd iterations relationally:
                                  # distance/argmin/centroid aggs per
                                  # round, fixed iteration count
+        "q_lag_features": 1,     # whole feature row in one user agg
+                                 # (now-scalar broadcast, struct-max)
+        "q_dedup_prefix": 3,     # df agg + prefix self-join + verify
+                                 # (prefix subtree checkpointed)
+        "q_new_vs_returning": 3,  # user-day distinct, first-seen, join
     }
     qs = E.queries()
     for name, budget in budgets.items():
