@@ -563,7 +563,8 @@ def snapshot_append(spark: SparkSession, path: str,
 
 def snapshot_compact(spark: SparkSession, path: str,
                      max_files: int = 4,
-                     sort_col: str | None = None) -> dict:
+                     sort_col: str | None = None,
+                     zorder_cols: tuple[str, ...] = ()) -> dict:
     """OPTIMIZE: rewrite partitions whose file count exceeds
     ``max_files`` into one file each and commit atomically — readers on
     the old snapshot keep their old files (they are not deleted), so
@@ -572,7 +573,17 @@ def snapshot_compact(spark: SparkSession, path: str,
     Offender detection is pure VERSION-MANIFEST metadata — segment refs
     carry their file counts, so no segment is loaded for compliant
     partitions; compaction also folds each offender's accreted segment
-    list back to one segment (metadata compaction riding along)."""
+    list back to one segment (metadata compaction riding along).
+
+    ``zorder_cols`` = OPTIMIZE ... ZORDER BY: rewritten rows sort by
+    the Morton interleave of the named columns (sources/layout.zvalue_n
+    — the same clustering write_zordered proves skips row groups), so
+    a maintained snapshot table gets multi-column data skipping as a
+    side effect of routine compaction, exactly Delta/Iceberg's
+    OPTIMIZE ZORDER posture. Mutually exclusive with ``sort_col``
+    (one ordering per rewrite)."""
+    if sort_col and zorder_cols:
+        raise ValueError("pass sort_col or zorder_cols, not both")
     base = snapshot_version(path)
     man = _load_manifest(path, base)
     partition_col = man["summary"]["partition_col"]
@@ -588,6 +599,12 @@ def snapshot_compact(spark: SparkSession, path: str,
     out = df.repartition(len(offenders), partition_col)
     if sort_col:
         out = out.sortWithinPartitions(sort_col)
+    elif zorder_cols:
+        from movie_rec_spark.sources.layout import zvalue_n
+
+        out = (out.withColumn(
+            "_zv", zvalue_n([F.col(c) for c in zorder_cols]))
+            .sortWithinPartitions("_zv").drop("_zv"))
     out = out.localCheckpoint(eager=True)
     new_entries = _write_data_files(out, path, partition_col,
                                     man["summary"].get("stats_cols"))
