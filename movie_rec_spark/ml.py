@@ -113,6 +113,71 @@ def recommend_top_n(model, n: int = TOP_N) -> DataFrame:
     )
 
 
+def exclude_seen(recs: DataFrame, seen: DataFrame) -> DataFrame:
+    """Drop (user, item) pairs the user already interacted with and
+    re-rank densely — the standard leave-one-out evaluation protocol
+    (and the serving contract: never recommend what's in the history).
+    One anti join + one per-user rank window, both on user_id."""
+    from pyspark.sql.window import Window
+
+    kept = recs.join(seen.select("user_id", "item_id"),
+                     ["user_id", "item_id"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy("rank")
+    return kept.withColumn("rank",
+                           F.row_number().over(w).cast("int"))
+
+
+def evaluate_ranking(recs: DataFrame, test: DataFrame,
+                     k: int = 10) -> dict:
+    """Top-K ranking metrics — the evaluation a recommender actually
+    ships on (RMSE measures rating regression, not list quality;
+    beyond reference, which stops at RMSE/MAE, trainer.py:57-66):
+    precision@K, recall@K, and NDCG@K of per-user ranked lists against
+    a held-out relevant set.
+
+    Everything is one ranked-recs ⋈ test join keyed on (user, item)
+    plus per-user aggregates — no collect, no per-user loop: hits
+    carry their rank, so DCG = Σ 1/log2(rank+1) folds in the same
+    keyed agg, and the ideal DCG for n relevant items comes from a
+    broadcast rank-constant table (K rows). Users with no held-out
+    relevants are excluded (standard).
+    """
+    r = recs.filter(F.col("rank") <= k).select(
+        "user_id", "item_id", "rank")
+    t = test.select("user_id", "item_id").distinct()
+    n_rel = t.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = (r.join(t, ["user_id", "item_id"])
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"),
+                 F.sum(1.0 / F.log2(F.col("rank") + 1)).alias("dcg")))
+    # ideal DCG: prefix sums of 1/log2(i+1), i = 1..k (tiny, driver)
+    import math
+
+    prefix = []
+    acc = 0.0
+    for i in range(1, k + 1):
+        acc += 1.0 / math.log2(i + 1)
+        prefix.append(acc)
+    idcg = F.element_at(
+        F.array(*[F.lit(x) for x in prefix]),
+        F.least(F.col("n_rel"), F.lit(k)).cast("int"))
+    per_user = (n_rel.join(hits, "user_id", "left")
+                .select(
+                    "user_id", "n_rel",
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                    (F.coalesce("dcg", F.lit(0.0)) / idcg)
+                    .alias("ndcg")))
+    agg = per_user.agg(
+        F.avg(F.col("n_hit") / F.lit(k)).alias("precision_at_k"),
+        F.avg(F.col("n_hit") / F.col("n_rel")).alias("recall_at_k"),
+        F.avg("ndcg").alias("ndcg_at_k"),
+        F.count(F.lit(1)).alias("n_users")).collect()[0]
+    return {"precision_at_k": agg.precision_at_k,
+            "recall_at_k": agg.recall_at_k,
+            "ndcg_at_k": agg.ndcg_at_k,
+            "n_users": agg.n_users}
+
+
 def evaluate_rmse_mae(model, test: DataFrame) -> tuple[float, float]:
     """ML3: RMSE + MAE on a held-out split (trainer.py:57,63-66)."""
     from pyspark.ml.evaluation import RegressionEvaluator

@@ -191,3 +191,77 @@ def test_als_implicit_prefers_interacted_item(spark):
         assert min(r[0] for r in recs) == 1
         top = min(recs)[1]
         assert top == u, f"user {u} should rank own item first, got {top}"
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """evaluate_ranking on a hand-built rec list: u1 hits ranks 1 and
+    3 of 2 relevants (P@2... no: K=3), u2 hits nothing, u3 has no
+    held-out row and is excluded. Metrics match the closed forms."""
+    import math
+
+    recs = spark.createDataFrame(
+        [(1, 10, 0.9, 1), (1, 11, 0.8, 2), (1, 12, 0.7, 3),
+         (2, 10, 0.9, 1), (2, 11, 0.8, 2), (2, 12, 0.7, 3),
+         (3, 10, 0.9, 1)],
+        "user_id int, item_id int, score double, rank int")
+    test = spark.createDataFrame(
+        [(1, 10), (1, 12), (2, 99)], "user_id int, item_id int")
+    m = ML.evaluate_ranking(recs, test, k=3)
+    assert m["n_users"] == 2
+    # u1: hits at ranks 1,3 of n_rel=2 -> P=2/3, R=1,
+    #     ndcg = (1 + 1/log2(4)) / (1 + 1/log2(3))
+    ndcg1 = (1 + 1 / math.log2(4)) / (1 + 1 / math.log2(3))
+    assert abs(m["precision_at_k"] - (2 / 3 + 0) / 2) < 1e-12
+    assert abs(m["recall_at_k"] - (1.0 + 0.0) / 2) < 1e-12
+    assert abs(m["ndcg_at_k"] - (ndcg1 + 0.0) / 2) < 1e-12
+
+
+def test_ranking_beats_popularity_on_planted_structure(spark):
+    """On a ratings matrix with PLANTED block structure (two user
+    cohorts, each loving a disjoint item block), ALS top-K must beat
+    the non-personalized popularity list on NDCG@10 against a held-out
+    loved item per user — popularity cannot separate the cohorts by
+    construction, so this is the minimum personalization bar."""
+    from pyspark.sql.window import Window
+
+    rows = []
+    for u in range(40):
+        block = u % 2                      # cohort -> item block
+        for j in range(12):
+            item = block * 100 + j
+            rows.append((u, item, 5.0))    # loved block
+        for j in range(3):
+            item = (1 - block) * 100 + j
+            rows.append((u, item, 1.0))    # disliked other block
+    ratings = spark.createDataFrame(
+        rows, "user_id int, item_id int, rating double")
+    # hold out one loved item per user, VARYING by user so every
+    # item still appears in other users' training data (a shared
+    # held-out item would be cold — unlearnable by any CF model)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("rating"),
+        F.desc((F.col("item_id") + F.col("user_id") * 7) % 12),
+        F.desc("item_id"))
+    ranked = ratings.withColumn("rn", F.row_number().over(w))
+    heldout = ranked.filter(F.col("rn") == 1).select(
+        "user_id", "item_id")
+    train = ranked.filter(F.col("rn") > 1).drop("rn")
+    model = ML.train_als(train)
+    # leave-one-out protocol: recommend wide, EXCLUDE seen, re-rank
+    als_recs = ML.exclude_seen(ML.recommend_top_n(model, 30), train)
+    als = ML.evaluate_ranking(als_recs, heldout)
+    pop_items = (train.groupBy("item_id")
+                 .agg(F.count(F.lit(1)).alias("c"))
+                 .orderBy(F.desc("c"), F.asc("item_id")).limit(30)
+                 .withColumn("rank", F.row_number().over(
+                     Window.orderBy(F.desc("c"), F.asc("item_id"))))
+                 .select("item_id", "rank"))
+    pop = ML.exclude_seen(
+        train.select("user_id").distinct()
+        .crossJoin(pop_items)
+        .select("user_id", "item_id",
+                F.lit(1.0).alias("score"), "rank"), train)
+    base = ML.evaluate_ranking(pop, heldout)
+    assert als["n_users"] == base["n_users"] == 40
+    assert als["ndcg_at_k"] > base["ndcg_at_k"]
+    assert als["recall_at_k"] > 0.5        # finds the held-out item
