@@ -468,3 +468,35 @@ def test_prefix_jaccard_equals_full_index_model(spark, token_lists):
     pref = {(r.doc_a, r.doc_b): r.jaccard
             for r in q_dedup_prefix(docs).collect()}
     assert pref == full
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 3),      # user
+                          st.integers(0, 5000),   # second offset
+                          st.integers(0, 400)),   # cents
+                min_size=1, max_size=50))
+def test_twap_matches_holding_time_model(spark, evs):
+    """TWAP equals the pure-Python holding-time weighted mean over
+    each user's (ts, event_id)-ordered sequence; zero-span users are
+    absent; interval count excludes only the final observation."""
+    from movie_rec_spark.operators.temporal import q_twap
+    rows = [(i, EPOCH + dt.timedelta(seconds=s), u, "e", c / 100)
+            for i, (u, s, c) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    got = {r.user_id: (r.n_intervals, r.span_ms, r.twap)
+           for r in q_twap(df).collect()}
+    by_user: dict[int, list] = {}
+    for i, (u, s, c) in enumerate(evs):
+        by_user.setdefault(u, []).append((s * 1000, i, c))
+    want = {}
+    for u, seq in by_user.items():
+        seq.sort()
+        gaps = [(b[0] - a[0], a[2]) for a, b in zip(seq, seq[1:])]
+        span = sum(g for g, _ in gaps)
+        if not gaps or span == 0:
+            continue
+        wsum = sum(g * c for g, c in gaps)
+        want[u] = (len(gaps), span, round(wsum / span / 100, 4))
+    assert got == want
