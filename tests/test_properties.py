@@ -500,3 +500,37 @@ def test_twap_matches_holding_time_model(spark, evs):
         wsum = sum(g * c for g, c in gaps)
         want[u] = (len(gaps), span, round(wsum / span / 100, 4))
     assert got == want
+
+
+def test_round6_wave_ops_handle_empty_inputs(spark):
+    """Empty-input totality for the round-6 wave: every new operator
+    returns an empty result with the right schema, never raises —
+    empty partitions and empty tables are routine at scale."""
+    from movie_rec_spark.operators.dedup import khop_counts, q_dedup_prefix
+    from movie_rec_spark.operators.skew import q_heavy_hitters
+    from movie_rec_spark.operators.temporal import (
+        q_active_users,
+        q_audience_overlap,
+        q_lag_features,
+        q_new_vs_returning,
+        q_seasonal_naive,
+        q_trend,
+        q_twap,
+    )
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+    empty_edges = spark.createDataFrame([], "doc_a long, doc_b long")
+
+    for op in (q_active_users, q_trend, q_twap, q_audience_overlap,
+               q_seasonal_naive, q_new_vs_returning, q_lag_features,
+               q_heavy_hitters):
+        out = op(empty_ev)
+        assert out.count() == 0, op.__name__
+        assert len(out.columns) > 1, op.__name__
+    assert q_dedup_prefix(empty_docs).count() == 0
+    assert khop_counts(empty_edges).count() == 0
