@@ -351,6 +351,29 @@ def q_dedup_char_jaccard(documents: DataFrame,
     return _jaccard_finish(inter, sizes, threshold)
 
 
+def prefix_index(documents: DataFrame,
+                 threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """The (doc_id, g) PREFIX rows q_dedup_prefix indexes: each doc's
+    first s − ⌈τ·s⌉ + 1 shingles in ascending global-df order (rarest
+    first, ties by shingle). Exposed separately so the candidate
+    volume of the prefix strategy is observable via ``blocking_stats``
+    next to the full-index / minhash / simhash paths."""
+    sh = _shingle_rows(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_ = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "g"))
+    return (
+        sh.join(df_, "g").join(sizes, "doc_id")
+        .withColumn("rn", rn)
+        .filter(F.col("rn")
+                <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n"))
+                + 1)
+        .select("doc_id", "g")
+        .localCheckpoint(eager=False)
+    )
+
+
 def q_dedup_prefix(documents: DataFrame,
                    threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """EXACT word-3-gram Jaccard near-dup pairs via PREFIX FILTERING
@@ -383,18 +406,7 @@ def q_dedup_prefix(documents: DataFrame,
     """
     sh = _shingle_rows(documents)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    df_ = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    rn = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy("df", "g"))
-    prefix = (
-        sh.join(df_, "g").join(sizes, "doc_id")
-        .withColumn("rn", rn)
-        .filter(F.col("rn")
-                <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n"))
-                + 1)
-        .select("doc_id", "g")
-        .localCheckpoint(eager=False)
-    )
+    prefix = prefix_index(documents, threshold)
     cands = (
         prefix.alias("a").join(
             prefix.alias("b"),

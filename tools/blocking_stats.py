@@ -34,6 +34,10 @@ def main() -> None:
          D.simhash_segments(docs, 3), ["q", "qh"], n_docs),
         ("hyperplane LSH (L=8, b=3)",
          S.lsh_bucketed(emb, S.EMBED_DIM), ["tbl", "bucket"], n_vecs),
+        ("full inverted index (word-3-gram)",
+         D._shingle_rows(docs), ["g"], n_docs),
+        ("prefix-filtered index (tau=0.5)",
+         D.prefix_index(docs), ["g"], n_docs),
     ]
     print("| path | n_items | n_blocks | max_occ | p99_occ | "
           "candidate_pairs | all-pairs would be |")
