@@ -26,6 +26,13 @@ PORTABLE = sorted([
     "q_grouping_sets",
     "q_mode",
     "q_skyline",
+    "q_heavy_hitters",
+    "q_active_users",
+    "q_new_vs_returning",
+    "q_seasonal_naive",
+    "q_audience_overlap",
+    "q_top_unshipped",
+    "q_khop",
     "q_ab_test",
     "q_candidates",
     "q_candidates_scalable",
