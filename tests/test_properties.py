@@ -534,3 +534,53 @@ def test_round6_wave_ops_handle_empty_inputs(spark):
         assert len(out.columns) > 1, op.__name__
     assert q_dedup_prefix(empty_docs).count() == 0
     assert khop_counts(empty_edges).count() == 0
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.integers(-20, 20), min_size=2, max_size=2),
+                min_size=3, max_size=20))
+def test_kmeans_matches_exact_integer_model(spark, vecs):
+    """q_kmeans is bit-deterministic by design, so a pure-Python model
+    of the same integer algorithm (grid snap, (d, cid)-argmin,
+    floor((2s+n)/(2n)) centroid update, empty-cluster carry-forward)
+    must reproduce centroids AND sizes exactly on random inputs."""
+    import math
+
+    from pyspark.sql import Row
+
+    from movie_rec_spark.operators.similarity import (
+        KMEANS_SCALE,
+        q_kmeans,
+    )
+    k = min(3, len(vecs))
+    e = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(a), float(b)], label=0)
+         for i, (a, b) in enumerate(vecs)])
+    got = {(r.cluster, r.pos): (r.centroid_val, r.n_vectors)
+           for r in q_kmeans(e, k=k, iters=2).collect()}
+
+    pts = {i: [round(a * KMEANS_SCALE), round(b * KMEANS_SCALE)]
+           for i, (a, b) in enumerate(vecs)}
+    centers = {cid: list(pts[cid]) for cid in range(k)}
+    assign = {}
+    for _ in range(2):
+        assign = {}
+        for i, p in pts.items():
+            best = min(((sum((pc - cc) ** 2
+                             for pc, cc in zip(p, c)), cid)
+                        for cid, c in centers.items()))
+            assign[i] = best[1]
+        for cid in centers:
+            members = [pts[i] for i, c in assign.items() if c == cid]
+            if members:
+                n = len(members)
+                centers[cid] = [
+                    math.floor((2 * sum(m[d] for m in members) + n)
+                               / (2 * n))
+                    for d in range(2)]
+    sizes = {cid: sum(1 for c in assign.values() if c == cid)
+             for cid in centers}
+    want = {(cid, d): (centers[cid][d] / KMEANS_SCALE, sizes[cid])
+            for cid in centers for d in range(2)}
+    assert got == want
