@@ -503,7 +503,10 @@ def q_active_users(events: DataFrame,
     form is CONTRIBUTION EXPANSION: collapse the corpus to distinct
     (user, day) pairs first — the only pass over raw data — then each
     pair votes for the ≤``window_days`` window-end days it makes
-    active, and one countDistinct per window-end day finishes. The
+    active, and ONE day-keyed aggregate finishes BOTH series: votes
+    carry their offset, so DAU is the conditional countDistinct of
+    offset-0 votes inside the same pass as WAU — no separate daily
+    aggregate, no dau⋈wau join (measured 6 → 4 Exchanges). The
     blow-up factor is bounded by the window length ON THE DEDUPED
     PAIRS (≤7× of |user-days|, not of raw rows at 100 TB), and every
     stage is a keyed aggregate — no per-day rescans, no window sort
@@ -514,17 +517,20 @@ def q_active_users(events: DataFrame,
     ud = (events.select(F.to_date("ts").alias("day"), "user_id")
           .distinct())
     days = ud.select("day").distinct()
-    votes = ud.select(
+    votes = (ud.select(
+        "user_id",
         F.explode(F.expr(
-            f"sequence(day, date_add(day, {window_days - 1}))"
-        )).alias("day"),
-        "user_id")
-    wau = (votes.join(F.broadcast(days), "day")
-           .groupBy("day")
-           .agg(F.countDistinct("user_id").alias("wau")))
-    dau = ud.groupBy("day").agg(
-        F.count(F.lit(1)).alias("dau"))
-    return dau.join(wau, "day").select("day", "dau", "wau")
+            f"sequence(0, {window_days - 1})")).alias("off"),
+        "day")
+        .select("user_id", "off",
+                F.expr("date_add(day, off)").alias("day")))
+    return (votes.join(F.broadcast(days), "day")
+            .groupBy("day")
+            .agg(F.countDistinct(
+                F.when(F.col("off") == 0, F.col("user_id")))
+                .alias("dau"),
+                F.countDistinct("user_id").alias("wau"))
+            .select("day", "dau", "wau"))
 
 
 def q_lag_features(events: DataFrame) -> DataFrame:

@@ -188,7 +188,8 @@ def test_new_operator_shuffle_budgets(spark):
         "q_seasonal_naive": 2,   # day collapse + |days|-row lag join
         "q_top_unshipped": 1,    # dims broadcast, dates pushed; only
                                  # the orderkey agg moves (TopK finish)
-        "q_active_users": 6,     # all on deduped user-day pairs
+        "q_active_users": 4,     # one day-keyed pass emits dau+wau
+                                 # (offset-0 conditional distinct)
         "q_source_divergence": 4,  # three token counts + scoring agg
         "q_kmeans": 19,          # 2 Lloyd iterations relationally:
                                  # distance/argmin/centroid aggs per
