@@ -137,7 +137,20 @@ def measure(spark, sf_dir: str) -> dict:
         "q_semdedup": lambda: S.q_semdedup(emb),
         "q_bm25": lambda: T.q_bm25(docs),
     }
+    # SCALE_SKIP_WALL: comma list of queries whose WALL run is skipped
+    # (their candidate counts below still get measured — blocking_stats
+    # is a per-bucket count aggregate, never a pair materialization, so
+    # it stays cheap even where the verify stage would be quadratic).
+    # Used for the 100x point: the fixed-b anti-pattern's verify would
+    # materialize ~2e10 candidate pairs (904x at 30x, ~10 000x at 100x)
+    # in the single shared local[32] JVM — the cliff is the DOCUMENTED
+    # result, not something to re-crash the heap proving.
+    skip_wall = set(filter(None, os.environ.get(
+        "SCALE_SKIP_WALL", "").split(",")))
     for name, fn in queries.items():
+        if name in skip_wall:
+            out["wall"][name] = None
+            continue
         out["wall"][name] = round(_time(fn), 1)
     blocked = {
         "minhash_bands": (D.minhash_banded(docs), ["band", "bh"]),
@@ -192,8 +205,11 @@ def main() -> None:
         else:
             c1 = cn = occ = "-"
             cr = "-"
-        print(f"| {q} | {w1} s | {wn} s | {wn / max(w1, 0.1):.1f}x "
-              f"| {c1} | {cn} | {cr} | {occ} |")
+        if w1 is None or wn is None:
+            wall = f"| {q} | {w1 or '(skipped)'} | {wn or '(skipped)'} | - "
+        else:
+            wall = f"| {q} | {w1} s | {wn} s | {wn / max(w1, 0.1):.1f}x "
+        print(wall + f"| {c1} | {cn} | {cr} | {occ} |")
 
 
 if __name__ == "__main__":
