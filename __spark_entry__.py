@@ -220,6 +220,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # struct-max argmax, all in ONE user-keyed aggregate
         "q_lag_features": lambda s, d: TP.q_lag_features(
             _t("events")(s, d)),
+        # trailing 7-day p50/p95 per day: contribution expansion over
+        # per-day value HISTOGRAMS + one weighted exact percentile —
+        # never a per-day re-sort of raw rows (operators/temporal.py)
+        "q_rolling_percentiles": lambda s, d: TP.q_rolling_percentiles(
+            _t("events")(s, d)),
+        # linear interpolation across silent hours — q_resample's
+        # imputation twin, exact integer-cents rational rounding
+        "q_interpolate": lambda s, d: TP.q_interpolate(
+            _t("events")(s, d)),
+        # winsorization audit: q_outliers' repair twin (clamp to exact
+        # [p05, p95], integer-cents before/after means)
+        "q_winsorize": lambda s, d: R.q_winsorize(_t("events")(s, d)),
         # 2-D Pareto frontier: two keyed collapses + running-max scan
         # vs the oracle's quadratic NOT EXISTS (operators/relational.py)
         "q_skyline": lambda s, d: R.q_skyline(_t("part")(s, d)),
@@ -2115,6 +2127,105 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS active_users
             FROM ud JOIN f USING (user_id)
             GROUP BY ud.day
+        """,
+        # quantile over the expanded trailing-window multiset ≡ Spark's
+        # frequency-weighted percentile over the per-day histogram;
+        # integer-CENTS domain so the common f=0.5 interpolation
+        # midpoint is exact on both engines (Spark (1−f)a+fb vs DuckDB
+        # a+f(b−a) disagree by an ulp at .xx5 in the dollars domain —
+        # measured 2/30 days before the cents move)
+        "q_rolling_percentiles": f"""
+            WITH ud AS (SELECT CAST(ts AS DATE) AS day,
+                               CAST(round(value * 100, 0) AS BIGINT)
+                                   AS c
+                        FROM events),
+            days AS (SELECT DISTINCT day FROM ud),
+            votes AS (SELECT d.day, u.c
+                      FROM ud u JOIN days d
+                      ON d.day BETWEEN u.day
+                           AND u.day + {TP.ACTIVE_WINDOW_DAYS - 1})
+            SELECT day,
+                   CAST(round(quantile_cont(c, 0.5), 0) AS BIGINT)
+                       AS p50_cents,
+                   CAST(round(quantile_cont(c, 0.95), 0) AS BIGINT)
+                       AS p95_cents,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM votes GROUP BY day
+        """,
+        # same spine + IGNORE-NULLS bracketing windows; the rational
+        # (pc·(nt−t) + nc·(t−pt))/(nt−pt) HALF_UP-rounds via the
+        # integer identity floor((2·num+den)/(2·den)) on both engines
+        "q_interpolate": """
+            WITH hrs AS (
+                SELECT user_id, date_trunc('hour', ts) AS h,
+                       CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM events GROUP BY 1, 2),
+            span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                     FROM hrs GROUP BY 1),
+            spine AS (SELECT user_id,
+                             unnest(generate_series(h0, h1,
+                                    INTERVAL 1 HOUR)) AS h
+                      FROM span),
+            grid AS (SELECT s.user_id, s.h, hrs.cents
+                     FROM spine s LEFT JOIN hrs
+                     ON s.user_id = hrs.user_id AND s.h = hrs.h),
+            br AS (SELECT user_id, h, cents,
+                     last_value(cents IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY h
+                        ROWS UNBOUNDED PRECEDING) AS pc,
+                     last_value(CASE WHEN cents IS NOT NULL THEN
+                           CAST(epoch(h) AS BIGINT) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY h
+                             ROWS UNBOUNDED PRECEDING) AS pt,
+                     first_value(cents IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN CURRENT ROW
+                        AND UNBOUNDED FOLLOWING) AS nc,
+                     first_value(CASE WHEN cents IS NOT NULL THEN
+                           CAST(epoch(h) AS BIGINT) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY h
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS nt,
+                     CAST(epoch(h) AS BIGINT) AS t
+                   FROM grid)
+            SELECT user_id, h AS hour,
+                   round(coalesce(cents,
+                       CAST(floor((2 * (pc * (nt - t) + nc * (t - pt))
+                                   + (nt - pt))
+                                  / (2 * (nt - pt))) AS BIGINT))
+                         / 100.0, 2) AS value,
+                   cents IS NULL AS interpolated
+            FROM br
+        """,
+        # exact [p05, p95] clamp audit; sums CAST to BIGINT (HUGEINT
+        # renders float64 in pandas — the round-5 lesson), means via
+        # the same floor((2s+n)/(2n)) HALF_UP identity as the engine
+        "q_winsorize": """
+            WITH b AS (
+                SELECT event_type,
+                       round(quantile_cont(value, 0.05), 2) AS lo,
+                       round(quantile_cont(value, 0.95), 2) AS hi
+                FROM events GROUP BY event_type),
+            a AS (SELECT e.event_type, b.lo, b.hi,
+                         CAST(round(e.value * 100, 0) AS BIGINT) AS c,
+                         CAST(round(greatest(least(e.value, b.hi),
+                                             b.lo) * 100, 0) AS BIGINT)
+                             AS cw,
+                         CAST(e.value < b.lo AS BIGINT) AS low,
+                         CAST(e.value > b.hi AS BIGINT) AS high
+                  FROM events e JOIN b ON e.event_type = b.event_type)
+            SELECT event_type, any_value(lo) AS lo, any_value(hi) AS hi,
+                   CAST(sum(low) AS BIGINT) AS n_clamped_lo,
+                   CAST(sum(high) AS BIGINT) AS n_clamped_hi,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(floor((2 * sum(c) + count(*))
+                              / (2 * count(*))) AS BIGINT)
+                       AS mean_cents_before,
+                   CAST(floor((2 * sum(cw) + count(*))
+                              / (2 * count(*))) AS BIGINT)
+                       AS mean_cents_after
+            FROM a GROUP BY event_type
         """,
         # lag lookup as the same derived-key self-join (a.d = f.d + 7);
         # APE is one integer-ratio division, identically rounded

@@ -813,6 +813,63 @@ def q_outliers(events: DataFrame, k: float = 1.5) -> DataFrame:
     )
 
 
+def q_winsorize(events: DataFrame, lo_p: float = 0.05,
+                hi_p: float = 0.95) -> DataFrame:
+    """Winsorization per group — q_outliers' REPAIR twin: instead of
+    reporting the tail rows, clamp every value into the group's exact
+    [p05, p95] band and report the per-group effect (rows clamped each
+    side, mean before/after in exact integer cents). This is the
+    standard robust-feature step before model training: heavy tails
+    stay in the data (unlike trimming) but stop dominating gradients.
+
+    Scale shape: identical to q_outliers — one grouped exact-percentile
+    pass over a handful of groups, boundaries broadcast back onto the
+    scan, row-local clamp, then ONE map-side-combinable aggregate for
+    the audit row. No window, no second sort; the clamp column itself
+    is a pure projection, so the same plan serves "materialize the
+    clamped corpus" at 100 TB by swapping the final agg for a write.
+    Boundaries round to 2 decimals before the compare (the q_outliers
+    contract) and means come from integer-cents sums with HALF_UP
+    division, so the audit is engine-exact.
+    """
+    bounds = (
+        events.groupBy("event_type")
+        .agg(F.percentile("value",
+                          F.array(F.lit(lo_p), F.lit(hi_p))).alias("_q"))
+        .select(
+            "event_type",
+            F.round(F.col("_q")[0], 2).alias("lo"),
+            F.round(F.col("_q")[1], 2).alias("hi"),
+        )
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    clamped = F.round(
+        F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo"))
+        * 100, 0).cast("long")
+    audited = (
+        events.select("event_type", "value")
+        .join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type", "lo", "hi",
+            cents.alias("c"), clamped.alias("cw"),
+            (F.col("value") < F.col("lo")).cast("long").alias("low"),
+            (F.col("value") > F.col("hi")).cast("long").alias("high"),
+        )
+    )
+    # HALF_UP mean in cents via the integer identity floor((2s+n)/2n)
+    mean2 = lambda s: F.floor((2 * F.sum(s) + F.count(F.lit(1)))  # noqa: E731
+                              / (2 * F.count(F.lit(1)))).cast("long")
+    return (
+        audited.groupBy("event_type")
+        .agg(F.first("lo").alias("lo"), F.first("hi").alias("hi"),
+             F.sum("low").alias("n_clamped_lo"),
+             F.sum("high").alias("n_clamped_hi"),
+             F.count(F.lit(1)).alias("n_rows"),
+             mean2("c").alias("mean_cents_before"),
+             mean2("cw").alias("mean_cents_after"))
+    )
+
+
 STAR_REGION = "ASIA"
 STAR_DATE_LO = "1996-01-01"
 STAR_DATE_HI = "1997-01-01"

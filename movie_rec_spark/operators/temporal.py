@@ -1066,3 +1066,117 @@ def q_changepoint(events: DataFrame) -> DataFrame:
     return (scored.withColumn("is_change", rk == 1)
             .select("d", "n_events", "cum_events", "cusum_scaled",
                     "is_change"))
+
+
+def q_rolling_percentiles(events: DataFrame,
+                          window_days: int = ACTIVE_WINDOW_DAYS
+                          ) -> DataFrame:
+    """Trailing 7-day p50/p95 of event value per day — the latency/
+    spend SLO dashboard series (beyond reference; the quantile member
+    of the trailing-window family: q_active_users covers sliding
+    DISTINCT, q_rolling_window per-event RANGE sums).
+
+    Sliding percentiles are a worse scale trap than sliding DISTINCT:
+    no algebraic decomposition exists at all, so a RANGE-frame window
+    re-sorts ``window_days`` of raw events per day and per partition.
+    The scale form reuses the q_active_users CONTRIBUTION-EXPANSION
+    trick with a HISTOGRAM twist: collapse raw rows to per-day value
+    histograms first (one day-keyed aggregate — value is cents-grain,
+    so |distinct values| is bounded, ~49k cells max here), expand each
+    histogram row to the ≤``window_days`` window-end days it serves,
+    and finish with ONE weighted exact percentile per day (Spark
+    ``percentile``'s frequency argument ≡ quantile over the expanded
+    multiset). Expansion cost is window × |histogram cells|, never
+    window × raw rows — at 100 TB the histogram is what grows with
+    data VARIETY, not data VOLUME. Horizon days beyond the data are
+    clipped by the broadcast observed-day join, same as q_active_users.
+
+    Representation: percentiles are computed and EMITTED in integer
+    cents. Interpolated quantiles are a float-midpoint hazard — Spark
+    interpolates (1−f)·a + f·b, DuckDB a + f·(b−a), and at an exact
+    .xx5 midpoint the two expression orders round the final 2-decimal
+    digit apart (measured: 2 of 30 days at sf0.01). Over integer
+    cents both orders are EXACT at the common f=0.5 midpoint, so the
+    HALF_UP round to whole cents agrees everywhere.
+    """
+    day = F.to_date("ts")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hist = (events.groupBy(day.alias("day"), cents.alias("c"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    days = hist.select("day").distinct()
+    votes = (hist.select(
+        "c", "cnt",
+        F.explode(F.expr(f"sequence(0, {window_days - 1})")).alias("off"),
+        "day")
+        .select("c", "cnt",
+                F.expr("date_add(day, off)").alias("day")))
+    return (votes.join(F.broadcast(days), "day")
+            .groupBy("day")
+            .agg(F.percentile("c",
+                              F.array(F.lit(0.5), F.lit(0.95)),
+                              F.col("cnt")).alias("_pp"),
+                 F.sum("cnt").alias("n_events"))
+            .select("day",
+                    F.round(F.col("_pp")[0], 0).cast("long")
+                    .alias("p50_cents"),
+                    F.round(F.col("_pp")[1], 0).cast("long")
+                    .alias("p95_cents"),
+                    F.col("n_events").cast("long").alias("n_events")))
+
+
+def q_interpolate(events: DataFrame) -> DataFrame:
+    """Per-user hourly series with LINEAR interpolation across silent
+    hours — the imputation step after q_resample's gap fill: resample
+    marks gaps and zero-fills; models that treat the series as a
+    continuous signal (forecasting, drift) want the straight line
+    between the surrounding observations instead.
+
+    Exact-integer discipline (the q_twap/q_kmeans posture): hourly
+    totals become cents, the interpolated value is the rational
+    (prev·(t1−t) + next·(t−t0)) / (t1−t0) evaluated with integer
+    cents×hour weights and HALF_UP-rounded via the integer identity
+    floor((2·num + den) / (2·den)) — no float accumulation anywhere,
+    so the result is engine-exact by construction, not by luck.
+
+    Scale shape: everything is keyed on user_id — the hourly totals,
+    the [first, last]-hour span, the exploded spine, the spine⋈totals
+    join, and the two IGNORE-NULLS windows that carry the bracketing
+    observations — one shuffle's layout reused end to end (the
+    q_resample contract plus two window passes). Span explosion is
+    the same documented knob: rows per user = active-span hours.
+    """
+    hours = (events
+             .select("user_id", F.date_trunc("hour", "ts").alias("h"),
+                     "value")
+             .groupBy("user_id", "h")
+             .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                  .alias("cents")))
+    span = hours.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1",
+                             F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    grid = spine.join(hours, ["user_id", "h"], "left")
+    hsec = F.unix_timestamp("h")
+    obs_h = F.when(F.col("cents").isNotNull(), hsec)
+    wp = (Window.partitionBy("user_id").orderBy(hsec)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wn = (Window.partitionBy("user_id").orderBy(hsec)
+          .rowsBetween(0, Window.unboundedFollowing))
+    bracketed = grid.select(
+        "user_id", "h", "cents",
+        F.last("cents", ignorenulls=True).over(wp).alias("pc"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("pt"),
+        F.first("cents", ignorenulls=True).over(wn).alias("nc"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("nt"),
+        hsec.alias("t"))
+    num = (F.col("pc") * (F.col("nt") - F.col("t"))
+           + F.col("nc") * (F.col("t") - F.col("pt")))
+    den = F.col("nt") - F.col("pt")
+    interp = F.floor((2 * num + den) / (2 * den)).cast("long")
+    cents_out = F.coalesce("cents", interp)
+    return bracketed.select(
+        "user_id", F.col("h").alias("hour"),
+        F.round(cents_out / 100.0, 2).alias("value"),
+        F.col("cents").isNull().alias("interpolated"))

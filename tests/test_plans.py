@@ -199,6 +199,13 @@ def test_new_operator_shuffle_budgets(spark):
         "q_dedup_prefix": 3,     # df agg + prefix self-join + verify
                                  # (prefix subtree checkpointed)
         "q_new_vs_returning": 3,  # user-day distinct, first-seen, join
+        "q_rolling_percentiles": 3,  # day-value histogram, day dim,
+                                     # weighted-percentile day agg
+        "q_interpolate": 2,      # hourly agg + span agg; the spine
+                                 # join and both bracketing windows
+                                 # reuse the user-keyed layout
+        "q_winsorize": 2,        # boundary percentile agg (broadcast
+                                 # back) + the audit agg
     }
     qs = E.queries()
     for name, budget in budgets.items():

@@ -363,3 +363,24 @@ def test_json_decode_counts_malformed_as_null(spark):
     assert (c.min_k, c.max_k, c.sum_k) == (7, 9, 16)
     v = got["view"]
     assert (v.n_events, v.n_parsed, v.sum_k) == (1, 0, None)
+
+
+def test_winsorize_clamps_tails_and_audits_means(spark):
+    """Values outside the group's exact [p05, p95] clamp to the
+    boundary: the after-mean moves toward the center, the clamp
+    counts match the tail rows, and in-band groups are untouched."""
+    import datetime as dt
+    from movie_rec_spark.operators.relational import q_winsorize
+    # 21 rows 0..20: p05 = 1.0, p95 = 19.0 exactly (positions 1 and 19)
+    rows = [(i, dt.datetime(2024, 1, 1), 1, "a", float(v), "{}")
+            for i, v in enumerate(range(21))]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    got = q_winsorize(ev).collect()[0]
+    assert (got.lo, got.hi) == (1.0, 19.0)
+    assert (got.n_clamped_lo, got.n_clamped_hi) == (1, 1)
+    assert got.n_rows == 21
+    assert got.mean_cents_before == 1000             # mean of 0..20
+    # clamping 0->1 and 20->19 keeps the mean symmetric: still 10.00
+    assert got.mean_cents_after == 1000

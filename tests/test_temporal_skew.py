@@ -688,3 +688,49 @@ def test_changepoint_flat_series_flags_earliest(spark):
     got = q_changepoint(_ev(spark, rows)).collect()
     flagged = [r.d for r in got if r.is_change]
     assert flagged == [dt.date(2024, 1, 1)]
+
+
+def test_rolling_percentiles_window_and_exactness(spark):
+    """Each day's percentiles cover the trailing 7 days inclusive:
+    day 8 must NOT see day 1's values; the p50 at an exact midpoint
+    (even count, adjacent cents) HALF_UP-rounds in the cents domain."""
+    from movie_rec_spark.operators.temporal import q_rolling_percentiles
+    rows = [(i, dt.datetime(2024, 1, 1), 1, "view", v)
+            for i, v in enumerate([10.00, 10.01])]          # p50 = 10.005
+    rows += [(10, dt.datetime(2024, 1, 8), 1, "view", 99.0)]
+    got = {r.day: r for r in
+           q_rolling_percentiles(_ev(spark, rows)).collect()}
+    d1, d8 = dt.date(2024, 1, 1), dt.date(2024, 1, 8)
+    # exact .5-cent midpoint rounds HALF_UP to 1001 cents
+    assert (got[d1].p50_cents, got[d1].n_events) == (1001, 2)
+    # day 8's window is [jan 2, jan 8] — day 1 rows are out of frame
+    assert (got[d8].p50_cents, got[d8].n_events) == (9900, 1)
+    # only observed days emit (the broadcast day-dimension clip)
+    assert set(got) == {d1, d8}
+
+
+def test_interpolate_linear_midpoints_and_flags(spark):
+    """A 3-hour gap between 10.00 and 40.00 interpolates the straight
+    line (17.50, 25.00, 32.50); observed hours pass through untouched
+    and are flagged interpolated=False."""
+    from movie_rec_spark.operators.temporal import q_interpolate
+    rows = [(1, dt.datetime(2024, 1, 1, 0), 7, "view", 10.00),
+            (2, dt.datetime(2024, 1, 1, 4), 7, "view", 40.00)]
+    got = {r.hour.hour: r for r in
+           q_interpolate(_ev(spark, rows)).collect()}
+    assert [got[h].value for h in range(5)] == \
+        [10.00, 17.50, 25.00, 32.50, 40.00]
+    assert [got[h].interpolated for h in range(5)] == \
+        [False, True, True, True, False]
+
+
+def test_interpolate_halfup_rational_rounding(spark):
+    """The integer identity floor((2n+d)/(2d)) rounds the exact
+    rational HALF_UP: a 2-hour gap from 0.01 to 0.02 has midpoint
+    1.5 cents -> 2 cents, never banker's-rounded to 0.01."""
+    from movie_rec_spark.operators.temporal import q_interpolate
+    rows = [(1, dt.datetime(2024, 1, 1, 0), 7, "view", 0.01),
+            (2, dt.datetime(2024, 1, 1, 2), 7, "view", 0.02)]
+    got = {r.hour.hour: r.value for r in
+           q_interpolate(_ev(spark, rows)).collect()}
+    assert got[1] == 0.02
