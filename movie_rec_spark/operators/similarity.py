@@ -1101,6 +1101,91 @@ SEMDEDUP_THRESHOLD = 0.4  # cosine cut matching the corpus's near-dup band
 
 SEMDEDUP_CELL_TARGET = 256  # target vectors per cell — bounds the gemm
 
+# flat KMeans assignment is O(n·k); with k = n/CELL_TARGET that is
+# n²/256 — quadratic on the declared path (measured: the 100× trend's
+# q_semdedup wall grew 112.9× for 100× data, SCALE.md). Above this
+# cell count the two-level quantizer takes over: O(n·√k) total.
+SEMDEDUP_FLAT_MAX_CELLS = 64
+
+_HIER_CACHE: dict[tuple, tuple] = {}
+
+
+def semdedup_cells(embeddings: DataFrame, n_cells: int,
+                   seed: int = 42, max_iter: int = 5) -> DataFrame:
+    """Two-level hierarchical quantizer for corpus-sized cell counts —
+    the assignment-side fix for SemDeDup's quadratic flat KMeans.
+
+    Level 1: MLlib KMeans with g = ⌈√k⌉ coarse groups over the corpus
+    (fit + assign: O(n·√k), distributed). Level 2: each coarse group
+    (expected n/√k rows — one Arrow task) runs a seeded numpy Lloyd
+    for its ⌈k/g⌉ fine centers via the |x−c|² = |x|² − 2x·c + |c|²
+    GEMM form, so per-group work is rows × k/√k and the TOTAL level-2
+    cost is O(n·√k) again — n^1.5/16 at k = n/256, vs the flat path's
+    n²/256. The price is assignment quality at coarse-group borders (a
+    point whose true nearest fine center sits in a neighboring coarse
+    group lands one cell over) — for SemDeDup that only moves WHICH
+    near-dups co-cluster, the method's documented accuracy/cost dial;
+    the within-cell precision contract is unaffected and pytest-pinned
+    for this path too.
+
+    Realized cells number at most g·⌈k/g⌉ (≥ k, same order); ids are
+    grp·⌈k/g⌉ + local. Per-task memory is one coarse group
+    (n/√k rows — 500k rows / 28 groups ≈ 18k×64 doubles ≈ 9 MB at the
+    measured 100× corpus); corpora big enough to outgrow that deepen
+    the hierarchy by one more level, same recurrence.
+    """
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+
+    files = tuple(sorted(embeddings.inputFiles()))
+    key = (files or ("obj", id(embeddings)), n_cells, seed, max_iter)
+    if key in _HIER_CACHE:
+        return _HIER_CACHE[key][1]
+
+    g = max(2, _math.ceil(_math.sqrt(n_cells)))
+    fine = max(1, _math.ceil(n_cells / g))
+    coarse, _ = ivf_build(embeddings, n_cells=g, seed=seed,
+                          max_iter=max_iter, cache=False)
+    coarse = coarse.withColumnRenamed("cell", "grp")
+
+    def fine_assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = int(pdf["grp"].iloc[0])
+        order = np.argsort(pdf["vec_id"].to_numpy(dtype=np.int64))
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["embedding"].iloc[order]])
+        n = len(ids)
+        k = min(fine, n)
+        rng = np.random.default_rng(seed * 1_000_003 + grp)
+        c = m[rng.choice(n, size=k, replace=False)]
+        x2 = (m * m).sum(1)
+        for _ in range(max_iter):
+            d2 = x2[:, None] - 2.0 * (m @ c.T) + (c * c).sum(1)[None, :]
+            a = d2.argmin(1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=k).astype(np.float64)
+            nz = counts > 0
+            c[nz] = sums[nz] / counts[nz, None]  # empty cells keep c
+        d2 = x2[:, None] - 2.0 * (m @ c.T) + (c * c).sum(1)[None, :]
+        a = d2.argmin(1)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "embedding": list(m),
+            "cell": (grp * fine + a).astype(np.int32),
+        })
+
+    assigned = (coarse.select("vec_id", "embedding", "grp")
+                .groupBy("grp")
+                .applyInPandas(
+                    fine_assign,
+                    "vec_id bigint, embedding array<double>, cell int")
+                .persist())
+    _HIER_CACHE[key] = (embeddings, assigned)
+    return assigned
+
 
 def q_semdedup(embeddings: DataFrame, n_cells: int | None = None,
                threshold: float = SEMDEDUP_THRESHOLD,
@@ -1133,6 +1218,12 @@ def q_semdedup(embeddings: DataFrame, n_cells: int | None = None,
     driver but the tiny centroid list, and the KMeans fit memoizes
     through ivf_build's (input files, params) cache so repeated calls
     on the same table pay only the column-pruned count().
+
+    Above SEMDEDUP_FLAT_MAX_CELLS the cell ASSIGNMENT itself is the
+    quadratic term (flat KMeans is O(n·k) = n²/256 at the sized cell
+    count — the 100× trend measured it at 112.9× wall for 100× data)
+    and the build switches to the two-level quantizer
+    (``semdedup_cells``, O(n·√k) end to end).
     """
     import math
 
@@ -1145,7 +1236,13 @@ def q_semdedup(embeddings: DataFrame, n_cells: int | None = None,
         n_cells = max(2, math.ceil(
             (embeddings.count() if n_vecs is None else n_vecs)
             / SEMDEDUP_CELL_TARGET))
-    assigned, _ = ivf_build(embeddings, n_cells=n_cells, seed=seed)
+    if n_cells > SEMDEDUP_FLAT_MAX_CELLS:
+        # corpus-sized cell counts: flat KMeans assignment is O(n·k) =
+        # n²/256 — the two-level quantizer keeps the whole build at
+        # O(n·√k) (see semdedup_cells; measured at the 100× corpus)
+        assigned = semdedup_cells(embeddings, n_cells, seed=seed)
+    else:
+        assigned, _ = ivf_build(embeddings, n_cells=n_cells, seed=seed)
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)

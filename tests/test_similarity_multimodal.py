@@ -452,3 +452,47 @@ def test_ivf_snapshot_end_to_end_atomic_maintenance(spark, sf_emb, tmp_path):
     assigned, centers = S.ivf_read_snapshot(spark, path)
     hit = S.ivf_search(assigned, centers, query, k=5, nprobe=4)
     assert hit.count() == 5
+
+
+def test_semdedup_hierarchical_path_contract(spark, sf_emb):
+    """The two-level quantizer path (n_cells above the flat cutoff)
+    keeps every q_semdedup invariant: one row per vector, exactly one
+    cell each, every (dup, dup_of) decision is a TRUE near-dup pair
+    from the exact ground truth with the lower id kept (precision 1.0
+    — assignment quality moves only WHICH pairs co-cluster, never the
+    correctness of a prune), and the build is deterministic."""
+    n_cells = S.SEMDEDUP_FLAT_MAX_CELLS + 8
+    out = S.q_semdedup(sf_emb, n_cells=n_cells).collect()
+    assert len(out) == sf_emb.count()
+    assert len({r.vec_id for r in out}) == len(out)
+    exact = {tuple(sorted((r.vec_a, r.vec_b)))
+             for r in S.q_embed_neardup(
+                 sf_emb, threshold=S.SEMDEDUP_THRESHOLD).collect()}
+    cell = {r.vec_id: r.cell for r in out}
+    for r in out:
+        if not r.keep:
+            assert r.dup_of < r.vec_id and cell[r.dup_of] == cell[r.vec_id]
+            assert (r.dup_of, r.vec_id) in exact
+    # determinism: a cache-bypassing second build agrees exactly
+    S._HIER_CACHE.clear()
+    again = S.q_semdedup(sf_emb, n_cells=n_cells).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_semdedup_hierarchical_groups_are_bounded_tasks(spark):
+    """Level-2 tasks see one coarse group each: cells realized by the
+    hierarchical build nest inside their coarse group's id block
+    (cell // fine == grp), so per-task memory is the coarse group —
+    the n/√k contract the docstring claims."""
+    import math
+    rows = [(i, [float((i * 37 + j * 11) % 13) for j in range(8)])
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    n_cells = 81
+    g = max(2, math.ceil(math.sqrt(n_cells)))
+    fine = max(1, math.ceil(n_cells / g))
+    assigned = S.semdedup_cells(df, n_cells=n_cells, seed=7)
+    cells = [r.cell for r in assigned.select("cell").collect()]
+    assert all(0 <= c < g * fine for c in cells)
+    # more than one coarse block must actually be populated
+    assert len({c // fine for c in cells}) > 1
