@@ -40,6 +40,7 @@ from movie_rec_spark.sources import layout as L  # noqa: E402
 from movie_rec_spark.sources import restds as RD  # noqa: E402
 from movie_rec_spark.sources.catalog import load_table, table_rows  # noqa: E402
 from movie_rec_spark.streaming import anomaly as SA  # noqa: E402
+from movie_rec_spark.streaming import joins as SJ  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -170,6 +171,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-checked against the SAME batch oracle (streaming/
         # anomaly.py:q_anomaly_stream_et)
         "q_anomaly_stream_et": lambda s, d: SA.q_anomaly_stream_et(
+            _t("events")(s, d)),
+        # the stream-stream interval join replayed out-of-order from
+        # files and hash-checked against batch q_range_join's oracle
+        # (streaming/joins.py:q_stream_join_et)
+        "q_stream_join_et": lambda s, d: SJ.q_stream_join_et(
             _t("events")(s, d)),
         "q_scd2": lambda s, d: TP.q_scd2(_t("events")(s, d)),
         # leakage-safe time-series CV: expanding-window backtest folds
@@ -491,6 +497,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # q_merge_snapshot / q_snapshot_asof / q_snapshot_cdf all compose these
 # same fragments so the five declared views of one scenario cannot
 # desynchronize.
+_RANGE_JOIN_SQL = """
+    SELECT v.event_id, v.user_id, v.ts,
+           p.event_id AS purchase_id, p.ts AS win_start
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND p.event_type = 'purchase'
+     AND v.ts >= p.ts
+     AND v.ts < p.ts + INTERVAL 30 MINUTE
+"""
+
 _MERGE_CTES = """
     t AS (
         SELECT event_id, user_id, event_type, value, ts
@@ -1470,17 +1488,11 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY o_custkey
                          ORDER BY o_orderdate, o_orderkey)
         """,
-        "q_range_join": """
-            SELECT v.event_id, v.user_id, v.ts,
-                   p.event_id AS purchase_id, p.ts AS win_start
-            FROM events v
-            JOIN events p
-              ON v.user_id = p.user_id
-             AND v.event_type = 'view'
-             AND p.event_type = 'purchase'
-             AND v.ts >= p.ts
-             AND v.ts < p.ts + INTERVAL 30 MINUTE
-        """,
+        "q_range_join": _RANGE_JOIN_SQL,
+        # the streaming replay twin must match the SAME batch oracle —
+        # one SQL constant so the two can never desynchronize (the
+        # _ANOMALY_SQL pattern)
+        "q_stream_join_et": _RANGE_JOIN_SQL,
         # IQR fences from exact interpolated quantiles, rounded to 2
         # before the boundary comparison on both engines; k=1.5 Tukey.
         "q_outliers": """

@@ -40,7 +40,6 @@ state-store metrics, same posture as streaming/ingest.
 from __future__ import annotations
 
 import datetime
-import glob
 from collections.abc import Iterable, Iterator
 from typing import Any
 
@@ -288,47 +287,20 @@ def q_anomaly_stream_et(events: DataFrame) -> DataFrame:
     bound covers the table's 30-day span, which is the variant's
     contract — ANY arrival order within the bound reproduces the batch
     kernel bit-for-bit."""
-    import os
-    import shutil
-    import tempfile
-    import uuid
+    from movie_rec_spark.streaming.replay import replay_file_stream
 
     spark = events.sparkSession
     schema = ("event_id bigint, user_id bigint, ts timestamp, "
               "value double")
-    base = tempfile.mkdtemp(prefix="mrs_anom_et_")
-    name = f"mrs_anom_et_{uuid.uuid4().hex[:8]}"
-    try:
-        src = os.path.join(base, "src")
-        ev = events.select("event_id", "user_id", "ts", "value")
-        batches = [
-            ev.filter(F.col("event_id") % 2 == 0),
-            ev.filter(F.col("event_id") % 2 == 1),
-            spark.createDataFrame(
-                [(-1, -1, datetime.datetime(2024, 6, 1), 0.0)], schema),
-        ]
-        for i, b in enumerate(batches):
-            before = set(glob.glob(os.path.join(src, "*.parquet"))) \
-                if os.path.isdir(src) else set()
-            b.coalesce(1).write.mode("append").parquet(src)
-            # pin strictly increasing mtimes so FileStreamSource's
-            # (mtime, path) order delivers the batches as authored
-            for f in set(glob.glob(os.path.join(src, "*.parquet"))) \
-                    - before:
-                os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
-        q = (anomaly_stream_eventtime(
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", "1").parquet(src),
-                watermark="45 days")
-             .writeStream.outputMode("append")
-             .format("memory").queryName(name)
-             .option("checkpointLocation", os.path.join(base, "ck"))
-             .trigger(availableNow=True)
-             .start())
-        q.awaitTermination()
-        out = (spark.table(name).filter(F.col("user_id") >= 0)
-               .localCheckpoint(eager=True))
-        return out
-    finally:
-        spark.catalog.dropTempView(name)
-        shutil.rmtree(base, ignore_errors=True)
+    ev = events.select("event_id", "user_id", "ts", "value")
+    batches = [
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        spark.createDataFrame(
+            [(-1, -1, datetime.datetime(2024, 6, 1), 0.0)], schema),
+    ]
+    out = replay_file_stream(
+        batches, schema,
+        lambda s: anomaly_stream_eventtime(s, watermark="45 days"),
+        prefix="mrs_anom_et_")
+    return out.filter(F.col("user_id") >= 0)

@@ -58,3 +58,39 @@ def attribution_join(views: DataFrame, purchases: DataFrame,
         "purchase_id",
         F.col("p_ts").alias("win_start"),
     )
+
+
+def q_stream_join_et(events: DataFrame) -> DataFrame:
+    """The stream-stream interval join as a DECLARED, oracle-backed
+    query: the events table replays as two deliberately out-of-order
+    arrival batches (even event_ids then odd — so a view can arrive
+    BEFORE or AFTER its matching purchase, and each side's state must
+    hold for the other), attribution runs through the watermarked
+    stream-stream join, and the per-row output must hash-match batch
+    ``q_range_join``'s DuckDB oracle exactly.
+
+    Inner stream-stream joins emit every match regardless of arrival
+    order — the watermark bounds STATE EVICTION, not emission — so
+    batch parity holds for ANY arrival order within the lateness
+    bound; the 45-day bound covers the table's 30-day span, same
+    contract as q_anomaly_stream_et. At production scale the bound is
+    the state-size dial: state is O(events inside the horizon), and
+    this query is the driver-verified proof the eviction bound does
+    not change the answer.
+    """
+    from movie_rec_spark.streaming.replay import replay_file_stream
+
+    schema = ("event_id bigint, user_id bigint, ts timestamp, "
+              "event_type string")
+    ev = events.select("event_id", "user_id", "ts", "event_type")
+    batches = [
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    ]
+
+    def build(stream: DataFrame) -> DataFrame:
+        views, purchases = split_typed_streams(stream)
+        return attribution_join(views, purchases, watermark="45 days")
+
+    return replay_file_stream(batches, schema, build,
+                              prefix="mrs_sj_et_")

@@ -1,0 +1,67 @@
+"""Deterministic file-stream replay — the harness behind declared,
+oracle-backed STREAMING queries.
+
+Stages authored micro-batches as parquet files with pinned strictly
+increasing mtimes (FileStreamSource delivers files in (mtime, path)
+order), runs a caller-built streaming DataFrame to a memory sink with
+``availableNow``, and returns the MATERIALIZED result (localCheckpoint)
+so the temp view and staging directory can be reclaimed immediately —
+no tempdir outlives the call (the q_merge_snapshot mkdtemp-leak
+lesson, ADVICE r5).
+
+Why replay at all: the in-order pytest parities
+(tests/test_streaming.py) prove streaming operators equal their batch
+twins under friendly arrival; replaying the SAME corpus in
+deliberately out-of-order batches and hashing against the BATCH
+DuckDB oracle proves the watermarked semantics under arrival orders
+the driver can verify independently. Used by
+``anomaly.q_anomaly_stream_et`` and ``joins.q_stream_join_et``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def replay_file_stream(
+    batches: Sequence[DataFrame],
+    schema: str,
+    build: Callable[[DataFrame], DataFrame],
+    prefix: str = "mrs_replay_",
+) -> DataFrame:
+    """Replay ``batches`` (delivered one file per trigger, in order)
+    through the streaming transformation ``build`` and return the
+    materialized output."""
+    spark = batches[0].sparkSession
+    base = tempfile.mkdtemp(prefix=prefix)
+    name = f"{prefix}{uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.join(base, "src")
+        for i, b in enumerate(batches):
+            before = set(glob.glob(os.path.join(src, "*.parquet"))) \
+                if os.path.isdir(src) else set()
+            b.coalesce(1).write.mode("append").parquet(src)
+            # pin strictly increasing mtimes so FileStreamSource's
+            # (mtime, path) order delivers the batches as authored
+            for f in set(glob.glob(os.path.join(src, "*.parquet"))) \
+                    - before:
+                os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+        q = (build(spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", "1").parquet(src))
+             .writeStream.outputMode("append")
+             .format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(base, "ck"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(base, ignore_errors=True)

@@ -206,6 +206,7 @@ def test_new_operator_shuffle_budgets(spark):
                                  # reuse the user-keyed layout
         "q_winsorize": 2,        # boundary percentile agg (broadcast
                                  # back) + the audit agg
+        "q_stream_join_et": 0,   # checkpointed stream output
     }
     qs = E.queries()
     for name, budget in budgets.items():
