@@ -41,6 +41,7 @@ from movie_rec_spark.sources import restds as RD  # noqa: E402
 from movie_rec_spark.sources.catalog import load_table, table_rows  # noqa: E402
 from movie_rec_spark.streaming import anomaly as SA  # noqa: E402
 from movie_rec_spark.streaming import joins as SJ  # noqa: E402
+from movie_rec_spark.streaming import sketch as SSK  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -176,6 +177,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # files and hash-checked against batch q_range_join's oracle
         # (streaming/joins.py:q_stream_join_et)
         "q_stream_join_et": lambda s, d: SJ.q_stream_join_et(
+            _t("events")(s, d)),
+        # the stateful Misra-Gries sketch replayed out-of-order, final
+        # candidates recounted exactly — hash-matches the plain
+        # GROUP-BY/HAVING oracle via the MG completeness guarantee
+        # (streaming/sketch.py:q_heavy_hitters_stream)
+        "q_heavy_hitters_stream": lambda s, d: SSK.q_heavy_hitters_stream(
             _t("events")(s, d)),
         "q_scd2": lambda s, d: TP.q_scd2(_t("events")(s, d)),
         # leakage-safe time-series CV: expanding-window backtest folds
@@ -497,6 +504,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # q_merge_snapshot / q_snapshot_asof / q_snapshot_cdf all compose these
 # same fragments so the five declared views of one scenario cannot
 # desynchronize.
+_HEAVY_HITTERS_SQL = f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) * {SK.HH_CAPACITY}
+           > (SELECT count(*) FROM events)
+"""
+
 _RANGE_JOIN_SQL = """
     SELECT v.event_id, v.user_id, v.ts,
            p.event_id AS purchase_id, p.ts AS win_start
@@ -3308,12 +3324,9 @@ def oracle_sql() -> dict[str, str]:
         # the sketch must be invisible in the answer: exact frequent
         # items is a plain HAVING over integer cross-multiplication
         # (count*capacity > n — no division, mirroring the Spark side)
-        "q_heavy_hitters": f"""
-            SELECT user_id,
-                   CAST(count(*) AS BIGINT) AS n_occurrences
-            FROM events
-            GROUP BY user_id
-            HAVING count(*) * {SK.HH_CAPACITY}
-                   > (SELECT count(*) FROM events)
-        """,
+        "q_heavy_hitters": _HEAVY_HITTERS_SQL,
+        # the streaming sketch's post-recount output provably equals
+        # the exact answer (MG completeness; sketch.py docstring) —
+        # one SQL constant for both, the _RANGE_JOIN_SQL pattern
+        "q_heavy_hitters_stream": _HEAVY_HITTERS_SQL,
     }

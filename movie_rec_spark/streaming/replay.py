@@ -35,10 +35,13 @@ def replay_file_stream(
     schema: str,
     build: Callable[[DataFrame], DataFrame],
     prefix: str = "mrs_replay_",
+    output_mode: str = "append",
 ) -> DataFrame:
     """Replay ``batches`` (delivered one file per trigger, in order)
     through the streaming transformation ``build`` and return the
-    materialized output."""
+    materialized output — EVERY emitted generation for ``update``-mode
+    operators (the memory sink accumulates; consumers pick the final
+    generation, e.g. by a monotone counter)."""
     spark = batches[0].sparkSession
     base = tempfile.mkdtemp(prefix=prefix)
     name = f"{prefix}{uuid.uuid4().hex[:8]}"
@@ -55,7 +58,7 @@ def replay_file_stream(
                 os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
         q = (build(spark.readStream.schema(schema)
                    .option("maxFilesPerTrigger", "1").parquet(src))
-             .writeStream.outputMode("append")
+             .writeStream.outputMode(output_mode)
              .format("memory").queryName(name)
              .option("checkpointLocation", os.path.join(base, "ck"))
              .trigger(availableNow=True)

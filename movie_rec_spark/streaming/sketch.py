@@ -108,3 +108,52 @@ def heavy_hitters_stream(stream: DataFrame,
             timeoutConf="NoTimeout",
         )
     )
+
+
+def q_heavy_hitters_stream(events: DataFrame,
+                           capacity: int = HH_CAPACITY,
+                           n_shards: int = HH_SHARDS) -> DataFrame:
+    """The streaming sketch as a DECLARED, oracle-backed query — made
+    possible by the completeness guarantee, not in spite of the
+    sketch's approximation: events replay in two out-of-order batches
+    through the stateful per-shard Misra-Gries sketch, each shard's
+    FINAL candidate generation (max monotone ``n_shard``) is recounted
+    EXACTLY against the batch table, and the integer threshold
+    ``count·capacity > n`` filters to the true frequent items.
+
+    Why this hash-matches a plain GROUP-BY/HAVING oracle regardless of
+    arrival order: every key with global count > n/capacity routes all
+    its occurrences to one shard (count_s = count > n/capacity ≥
+    n_s/capacity > n_s/(capacity+1)), so the MG undercount bound says
+    it SURVIVES that shard's summary under any fold order; the exact
+    recount then removes every false positive. Candidate set contents
+    vary with arrival order — the post-recount answer provably cannot.
+    Same two-pass shape as batch ``skew.q_heavy_hitters``, with the
+    sketch pass running online in O(shards·capacity) state.
+    """
+    from pyspark.sql import Window
+
+    from movie_rec_spark.streaming.replay import replay_file_stream
+
+    schema = "event_id bigint, user_id bigint, ts timestamp"
+    ev = events.select("event_id", "user_id", "ts")
+    batches = [
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    ]
+    emitted = replay_file_stream(
+        batches, schema,
+        lambda s: heavy_hitters_stream(s, capacity, n_shards),
+        prefix="mrs_hh_", output_mode="update")
+    w = Window.partitionBy("shard")
+    final = (emitted
+             .withColumn("_maxn", F.max("n_shard").over(w))
+             .filter(F.col("n_shard") == F.col("_maxn"))
+             .select("user_id").distinct())
+    total = events.agg(F.count(F.lit(1)).alias("n"))
+    counted = (events.join(F.broadcast(final), "user_id")
+               .groupBy("user_id")
+               .agg(F.count(F.lit(1)).alias("n_occurrences")))
+    return (counted.join(F.broadcast(total))
+            .where(F.col("n_occurrences") * capacity > F.col("n"))
+            .select("user_id", "n_occurrences"))

@@ -207,6 +207,10 @@ def test_new_operator_shuffle_budgets(spark):
         "q_winsorize": 2,        # boundary percentile agg (broadcast
                                  # back) + the audit agg
         "q_stream_join_et": 0,   # checkpointed stream output
+        "q_heavy_hitters_stream": 3,  # recount of the checkpointed
+                                      # candidates (2, the batch shape)
+                                      # + the final-generation window
+                                      # over the tiny emitted set
     }
     qs = E.queries()
     for name, budget in budgets.items():

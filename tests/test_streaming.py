@@ -652,3 +652,18 @@ def test_stream_join_et_out_of_order_equals_batch(spark):
     assert got == want and got
     # the out-of-order claim is real: some pair splits across batches
     assert any(e % 2 != p % 2 for e, p in got)
+
+
+def test_heavy_hitters_stream_query_equals_batch(spark):
+    """The declared replay query: out-of-order arrival (even ids a
+    batch before odd) cannot change the post-recount answer — it
+    equals batch q_heavy_hitters exactly, counts included."""
+    from movie_rec_spark.operators.skew import q_heavy_hitters
+    from movie_rec_spark.streaming.sketch import q_heavy_hitters_stream
+
+    ev = load_table(spark, SF, "events")
+    got = {(r.user_id, r.n_occurrences)
+           for r in q_heavy_hitters_stream(ev).collect()}
+    want = {(r.user_id, r.n_occurrences)
+            for r in q_heavy_hitters(ev).collect()}
+    assert got == want and got
