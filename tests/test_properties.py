@@ -584,3 +584,94 @@ def test_kmeans_matches_exact_integer_model(spark, vecs):
     want = {(cid, d): (centers[cid][d] / KMEANS_SCALE, sizes[cid])
             for cid in centers for d in range(2)}
     assert got == want
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 2),       # user
+                          st.integers(0, 96),      # hour offset
+                          st.integers(0, 5000)),   # cents
+                min_size=1, max_size=40))
+def test_interpolate_matches_rational_model(spark, evs):
+    """q_interpolate equals the pure-Python exact-rational model on
+    random hourly series: observed hours pass through, gap hours get
+    floor((2·(pc·(nt−t)+nc·(t−pt)) + (nt−pt)) / (2·(nt−pt))) cents —
+    HALF_UP of the exact interpolation rational, no floats anywhere."""
+    from movie_rec_spark.operators.temporal import q_interpolate
+    rows = [(i, EPOCH + dt.timedelta(hours=h), u, "e", c / 100)
+            for i, (u, h, c) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    got = {(r.user_id, r.hour): (round(r.value * 100), r.interpolated)
+           for r in q_interpolate(df).collect()}
+    hourly: dict[tuple, int] = {}
+    for u, h, c in evs:
+        hourly[(u, h)] = hourly.get((u, h), 0) + c
+    want = {}
+    for u in {u for u, _, _ in evs}:
+        hs = sorted(h for (uu, h) in hourly if uu == u)
+        for h in range(hs[0], hs[-1] + 1):
+            ts = EPOCH + dt.timedelta(hours=h)
+            if (u, h) in hourly:
+                want[(u, ts)] = (hourly[(u, h)], False)
+            else:
+                p = max(x for x in hs if x < h)
+                n = min(x for x in hs if x > h)
+                pc, nc = hourly[(u, p)], hourly[(u, n)]
+                num = pc * (n - h) + nc * (h - p)
+                den = n - p
+                want[(u, ts)] = ((2 * num + den) // (2 * den), True)
+    assert got == want
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 13),      # day offset
+                          st.integers(0, 300)),    # cents
+                min_size=1, max_size=60))
+def test_rolling_percentiles_match_numpy_model(spark, evs):
+    """q_rolling_percentiles equals numpy's linear-interpolation
+    quantile over each day's trailing-7-day multiset, HALF_UP-rounded
+    to whole cents — frequency-weighted percentile ≡ expanded
+    multiset, and only observed days emit."""
+    import numpy as np
+    from movie_rec_spark.operators.temporal import q_rolling_percentiles
+    rows = [(i, EPOCH + dt.timedelta(days=d, hours=1), 1, "e", c / 100)
+            for i, (d, c) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    got = {(r.day - EPOCH.date()).days:
+           (r.p50_cents, r.p95_cents, r.n_events)
+           for r in q_rolling_percentiles(df).collect()}
+    days = sorted({d for d, _ in evs})
+    want = {}
+    for d in days:
+        window = [c for dd, c in evs if d - 6 <= dd <= d]
+        p50, p95 = np.quantile(np.array(window, dtype=np.float64),
+                               [0.5, 0.95], method="linear")
+        # HALF_UP to whole cents, matching both engines' round(x, 0)
+        want[d] = (int(np.floor(p50 + 0.5)), int(np.floor(p95 + 0.5)),
+                   len(window))
+    assert got == want
+
+
+def test_late_round6_ops_handle_empty_inputs(spark):
+    """Empty-input totality for the late-round-6 wave: imputation,
+    rolling percentiles, winsorization, and both streaming replay
+    queries return empty results with their schemas, never raise."""
+    from movie_rec_spark.operators.relational import q_winsorize
+    from movie_rec_spark.operators.temporal import (
+        q_interpolate,
+        q_rolling_percentiles,
+    )
+    from movie_rec_spark.streaming.joins import q_stream_join_et
+    from movie_rec_spark.streaming.sketch import q_heavy_hitters_stream
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+    for op in (q_interpolate, q_rolling_percentiles, q_winsorize,
+               q_heavy_hitters_stream, q_stream_join_et):
+        out = op(empty_ev)
+        assert out.count() == 0, op.__name__
+        assert len(out.columns) > 1, op.__name__
