@@ -211,6 +211,10 @@ def test_new_operator_shuffle_budgets(spark):
                                       # candidates (2, the batch shape)
                                       # + the final-generation window
                                       # over the tiny emitted set
+        "q_item_cooccurrence": 5,  # basket-set agg, pair agg, support
+                                   # agg, top-k window (+1 headroom if
+                                   # AQE un-broadcasts a join-back);
+                                   # was 9 as a basket self-join
     }
     qs = E.queries()
     for name, budget in budgets.items():
