@@ -201,9 +201,9 @@ def test_new_operator_shuffle_budgets(spark):
         "q_new_vs_returning": 3,  # user-day distinct, first-seen, join
         "q_rolling_percentiles": 3,  # day-value histogram, day dim,
                                      # weighted-percentile day agg
-        "q_interpolate": 2,      # hourly agg + span agg; the spine
-                                 # join and both bracketing windows
-                                 # reuse the user-keyed layout
+        "q_interpolate": 2,      # hourly agg + the lead window over
+                                 # observed rows; the dense grid emits
+                                 # from a row-local sequence explode
         "q_winsorize": 2,        # boundary percentile agg (broadcast
                                  # back) + the audit agg
         "q_stream_join_et": 0,   # checkpointed stream output
