@@ -27,6 +27,9 @@ PORTABLE = sorted([
     "q_mode",
     "q_skyline",
     "q_heavy_hitters",
+    # the streaming replays share their batch twins' oracles — adding
+    # them here makes the out-of-order replay three-engine checked
+    "q_heavy_hitters_stream",
     "q_active_users",
     "q_new_vs_returning",
     "q_seasonal_naive",
@@ -57,6 +60,7 @@ PORTABLE = sorted([
     "q_profile",
     "q_scd2",
     "q_range_join",
+    "q_stream_join_et",
     "q_salted_count",
     "q_set_ops",
     "q_source_overlap",
