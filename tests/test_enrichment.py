@@ -122,3 +122,112 @@ def test_datasource_streams_with_offset_resume(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 400
     assert df.select("movie_id").distinct().count() == 400
+
+
+# ---- S4 closed for real: a loopback http.server drives the actual ----
+# ---- urllib socket path, with injected 503s exercising the retry ----
+
+class _TMDBLoopbackHandler:
+    """Builds a BaseHTTPRequestHandler class serving the deterministic
+    fake corpus over REAL HTTP, failing each distinct chunk's FIRST
+    request with 503 when fail_first=True."""
+
+    @staticmethod
+    def make(fail_first: bool):
+        import json as _json
+        from http.server import BaseHTTPRequestHandler
+        from urllib.parse import parse_qs, urlparse
+
+        from movie_rec_spark.sources.restds import _fake_fetch
+
+        seen: set = set()
+
+        class Handler(BaseHTTPRequestHandler):
+            n_requests = 0
+            n_failed = 0
+
+            def do_GET(self):  # noqa: N802 - stdlib API name
+                Handler.n_requests += 1
+                ids = [int(x) for x in parse_qs(
+                    urlparse(self.path).query)["ids"][0].split(",")]
+                key = tuple(ids)
+                if fail_first and key not in seen:
+                    seen.add(key)
+                    Handler.n_failed += 1
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+                body = _json.dumps(
+                    [_json.loads(r) for r in _fake_fetch(ids)]).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        return Handler
+
+
+def _serve(handler_cls):
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler_cls)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}/api"
+
+
+def test_http_datasource_survives_real_503s(spark):
+    """mode=http against a live loopback server that 503s every
+    chunk's first request: the reader's backoff retry must recover
+    every row, and the server must have seen real retried requests."""
+    from movie_rec_spark.sources.restds import RestEnrichmentDataSource
+
+    handler = _TMDBLoopbackHandler.make(fail_first=True)
+    srv, url = _serve(handler)
+    try:
+        spark.dataSource.register(RestEnrichmentDataSource)
+        df = (spark.read.format("rest_enrichment")
+              .option("mode", "http").option("base_url", url)
+              .option("lo", 1).option("hi", 201)
+              .option("num_partitions", 4)
+              .option("batch_size", 32)
+              .option("backoff_s", 0.05)
+              .load())
+        rows = df.collect()
+    finally:
+        srv.shutdown()
+    assert len(rows) == 200
+    assert {r.movie_id for r in rows} == set(range(1, 201))
+    assert handler.n_failed >= 4, "503 injection never fired"
+    assert handler.n_requests > handler.n_failed, "no retries happened"
+
+
+def test_http_fetcher_matches_fake_path_end_to_end(spark):
+    """make_http_fetcher through mapInPandas + JVM parsing equals the
+    injected-fake path bit-for-bit — the socket is the only variable,
+    so S4's real transport provably changes nothing downstream."""
+    from movie_rec_spark.sources.enrichment import (
+        fetch_raw,
+        make_fake_fetcher,
+        make_http_fetcher,
+        parse_enrichment,
+    )
+
+    handler = _TMDBLoopbackHandler.make(fail_first=False)
+    srv, url = _serve(handler)
+    try:
+        ids = spark.range(1, 101).withColumnRenamed("id", "movie_id")
+        via_http = parse_enrichment(
+            fetch_raw(ids, fetcher=make_http_fetcher(url, backoff_s=0.05),
+                      batch_size=16)).collect()
+    finally:
+        srv.shutdown()
+    via_fake = parse_enrichment(
+        fetch_raw(ids, fetcher=make_fake_fetcher(), batch_size=16)).collect()
+    assert sorted(map(tuple, via_http)) == sorted(map(tuple, via_fake))
+    assert handler.n_requests > 0
