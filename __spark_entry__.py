@@ -41,6 +41,7 @@ from movie_rec_spark.sources import restds as RD  # noqa: E402
 from movie_rec_spark.sources.catalog import load_table, table_rows  # noqa: E402
 from movie_rec_spark.streaming import anomaly as SA  # noqa: E402
 from movie_rec_spark.streaming import joins as SJ  # noqa: E402
+from movie_rec_spark.streaming import lakehouse as SL  # noqa: E402
 from movie_rec_spark.streaming import sketch as SSK  # noqa: E402
 
 
@@ -183,6 +184,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # GROUP-BY/HAVING oracle via the MG completeness guarantee
         # (streaming/sketch.py:q_heavy_hitters_stream)
         "q_heavy_hitters_stream": lambda s, d: SSK.q_heavy_hitters_stream(
+            _t("events")(s, d)),
+        # the CDC merge sink replayed with a DUPLICATED batch — the
+        # at-least-once contract driver-verified against the same
+        # oracle as q_merge_events (streaming/lakehouse.py)
+        "q_merge_stream": lambda s, d: SL.q_merge_stream(
             _t("events")(s, d)),
         "q_scd2": lambda s, d: TP.q_scd2(_t("events")(s, d)),
         # leakage-safe time-series CV: expanding-window backtest folds
@@ -975,6 +981,10 @@ def oracle_sql() -> dict[str, str]:
         "q_merge_events": _MERGE_EVENTS_SQL,
         # snapshot-committed form: the protocol must not change the answer
         "q_merge_snapshot": _MERGE_EVENTS_SQL,
+        # the streamed sink lands the SAME final state — duplicate
+        # delivery is a no-op by the ts guard (one shared constant,
+        # three views of one scenario)
+        "q_merge_stream": _MERGE_EVENTS_SQL,
         "q_snapshot_asof": _SNAPSHOT_ASOF_SQL,
         "q_snapshot_cdf": _SNAPSHOT_CDF_SQL,
         # The maintained view must equal a PLAIN GROUP BY over the v2

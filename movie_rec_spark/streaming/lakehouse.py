@@ -138,3 +138,51 @@ def read_change_stream(spark: SparkSession, src_dir: str, schema,
     if DELETED_COL not in df.columns:
         df = df.withColumn(DELETED_COL, F.lit(False))
     return df
+
+
+def q_merge_stream(events: DataFrame) -> DataFrame:
+    """The CDC-stream merge sink as a DECLARED query, proven under
+    AT-LEAST-ONCE delivery: the q_merge_events scenario (even half =
+    resident table, odd half = CDC with %5 tombstones) arrives as
+    THREE micro-batches of which the first two are THE SAME BATCH
+    twice — the duplicate is the point. foreachBatch applies each
+    batch through the latest-wins collapse + ts-guarded MERGE, and the
+    final table must hash-match the same DuckDB oracle as
+    q_merge_events / q_merge_snapshot: duplicate delivery provably
+    cannot change the result (re-merged rows no-op on the ts guard,
+    re-delivered tombstones find nothing to delete and insert
+    nothing). Batches are key-disjoint (user parity), so each key's
+    versions collapse within one batch exactly as the oracle's
+    windowed CTE does; the docstring claim "idempotent by
+    construction" is now a driver-verified hash, not prose.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from movie_rec_spark.streaming.replay import stage_batches
+
+    spark = events.sparkSession
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    t = upsert_latest(
+        events.filter(F.col("event_id") % 2 == 0)).select(*cols)
+    u = (events.filter(F.col("event_id") % 2 == 1).select(*cols)
+         .withColumn("_deleted", F.col("event_id") % 5 == 0))
+    b1 = u.filter(F.col("user_id") % 2 == 0)
+    b2 = u.filter(F.col("user_id") % 2 == 1)
+    base = tempfile.mkdtemp(prefix="mrs_mstream_")
+    try:
+        path = os.path.join(base, "tbl")
+        t.write.partitionBy("event_type").parquet(path)
+        src = stage_batches(os.path.join(base, "src"), [b1, b1, b2])
+        schema = ("event_id bigint, user_id bigint, event_type string, "
+                  "value double, ts timestamp, _deleted boolean")
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        merge_stream(spark, stream, path, os.path.join(base, "ck"),
+                     keys=["user_id", "event_type"],
+                     partition_col="event_type", ts_col="ts")
+        return (spark.read.parquet(path).select(*cols)
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

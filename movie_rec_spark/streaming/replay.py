@@ -30,6 +30,21 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame
 
 
+def stage_batches(src: str, batches: Sequence[DataFrame]) -> str:
+    """Write each batch as one parquet file under ``src`` with pinned
+    strictly-increasing mtimes, so FileStreamSource's (mtime, path)
+    order delivers them as authored. Staging the SAME batch twice is
+    the at-least-once simulation: identical rows arrive as two
+    distinct micro-batches."""
+    for i, b in enumerate(batches):
+        before = set(glob.glob(os.path.join(src, "*.parquet"))) \
+            if os.path.isdir(src) else set()
+        b.coalesce(1).write.mode("append").parquet(src)
+        for f in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
+            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    return src
+
+
 def replay_file_stream(
     batches: Sequence[DataFrame],
     schema: str,
@@ -46,16 +61,7 @@ def replay_file_stream(
     base = tempfile.mkdtemp(prefix=prefix)
     name = f"{prefix}{uuid.uuid4().hex[:8]}"
     try:
-        src = os.path.join(base, "src")
-        for i, b in enumerate(batches):
-            before = set(glob.glob(os.path.join(src, "*.parquet"))) \
-                if os.path.isdir(src) else set()
-            b.coalesce(1).write.mode("append").parquet(src)
-            # pin strictly increasing mtimes so FileStreamSource's
-            # (mtime, path) order delivers the batches as authored
-            for f in set(glob.glob(os.path.join(src, "*.parquet"))) \
-                    - before:
-                os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+        src = stage_batches(os.path.join(base, "src"), batches)
         q = (build(spark.readStream.schema(schema)
                    .option("maxFilesPerTrigger", "1").parquet(src))
              .writeStream.outputMode(output_mode)

@@ -306,3 +306,17 @@ def test_merge_schema_discipline_and_evolution(spark, tmp_path):
         merge_into(spark, path,
                    spark.createDataFrame([Row(id=3, val="x")]),
                    keys=["id", "day"], partition_col="day")
+
+
+def test_q_merge_stream_duplicate_delivery_equals_batch_merge(spark):
+    """The declared streaming query: batch 1 delivered TWICE, then
+    batch 2 — the final table equals the one-shot batch MERGE row for
+    row (at-least-once delivery provably changes nothing)."""
+    from movie_rec_spark.operators.mutation import q_merge_events
+    from movie_rec_spark.sources.catalog import load_table
+    from movie_rec_spark.streaming.lakehouse import q_merge_stream
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    got = {tuple(r) for r in q_merge_stream(ev).collect()}
+    want = {tuple(r) for r in q_merge_events(ev).collect()}
+    assert got == want and got

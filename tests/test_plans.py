@@ -211,6 +211,8 @@ def test_new_operator_shuffle_budgets(spark):
                                       # candidates (2, the batch shape)
                                       # + the final-generation window
                                       # over the tiny emitted set
+        "q_merge_stream": 0,     # checkpointed sink read; merges ran
+                                 # inside foreachBatch
         "q_item_cooccurrence": 5,  # basket-set agg, pair agg, support
                                    # agg, top-k window (+1 headroom if
                                    # AQE un-broadcasts a join-back);
