@@ -170,6 +170,10 @@ def q_merge_stream(events: DataFrame) -> DataFrame:
          .withColumn("_deleted", F.col("event_id") % 5 == 0))
     b1 = u.filter(F.col("user_id") % 2 == 0)
     b2 = u.filter(F.col("user_id") % 2 == 1)
+    if t.isEmpty() and u.isEmpty():
+        # a bare-parquet table seeded from nothing has no schema to
+        # read back — empty in, empty out (the totality contract)
+        return t
     base = tempfile.mkdtemp(prefix="mrs_mstream_")
     try:
         path = os.path.join(base, "tbl")

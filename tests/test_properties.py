@@ -665,13 +665,15 @@ def test_late_round6_ops_handle_empty_inputs(spark):
         q_rolling_percentiles,
     )
     from movie_rec_spark.streaming.joins import q_stream_join_et
+    from movie_rec_spark.streaming.lakehouse import q_merge_stream
     from movie_rec_spark.streaming.sketch import q_heavy_hitters_stream
 
     empty_ev = spark.createDataFrame(
         [], "event_id long, ts timestamp, user_id long, "
             "event_type string, value double, props string")
     for op in (q_interpolate, q_rolling_percentiles, q_winsorize,
-               q_heavy_hitters_stream, q_stream_join_et):
+               q_heavy_hitters_stream, q_stream_join_et,
+               q_merge_stream):
         out = op(empty_ev)
         assert out.count() == 0, op.__name__
         assert len(out.columns) > 1, op.__name__
