@@ -112,6 +112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_fingerprint": lambda s, d: T.q_doc_fingerprint(_t("documents")(s, d)),
         "q_pii_redact": lambda s, d: T.q_pii_redact(_t("documents")(s, d)),
         "q_bm25": lambda s, d: T.q_bm25(_t("documents")(s, d)),
+        # hybrid retrieval: reciprocal-rank fusion of the BM25 arm and
+        # the dense hash-embedding arm for the same query; rank-0
+        # (never NULL) encodes absence so dtypes stay int64
+        "q_rrf": lambda s, d: T.q_rrf(_t("documents")(s, d)),
         # --- deduplication ---
         "q_dedup_exact": lambda s, d: D.q_dedup_exact(_t("documents")(s, d)),
         "q_dedup_jaccard": lambda s, d: D.q_dedup_jaccard(_t("documents")(s, d)),
@@ -124,6 +128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefixes generate candidates, verify recounts — shares the
         # full-index oracle verbatim
         "q_dedup_prefix": lambda s, d: D.q_dedup_prefix(
+            _t("documents")(s, d)),
+        # asymmetric shingle-set containment (i/|A|, i/|B|): catches
+        # the subset duplicates Jaccard misses; raw int/int divisions
+        "q_dedup_containment": lambda s, d: D.q_dedup_containment(
             _t("documents")(s, d)),
         "q_cc_chain_star": lambda s, d: D.q_cc_chain_star(
             _t("documents")(s, d)),
@@ -223,6 +231,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("events")(s, d)),
         # grouped OLS as five map-combinable integer sums, ONE shuffle
         "q_trend": lambda s, d: TP.q_trend(_t("events")(s, d)),
+        # per-user lag-1 autocorrelation: six exact-int64 sums, one
+        # shared-shape float expression (IEEE sqrt/mul/div), one round
+        "q_autocorr": lambda s, d: TP.q_autocorr(_t("events")(s, d)),
+        # truncated-FIR EWMA over per-type daily counts: shared tap
+        # literals + left-associated dot product on both engines
+        "q_ewma": lambda s, d: TP.q_ewma(_t("events")(s, d)),
         # time-weighted average value: exact cents×epoch-millis
         # weights on the family's shared user_id exchange
         "q_twap": lambda s, d: TP.q_twap(_t("events")(s, d)),
@@ -383,6 +397,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ≤3-hop reachability counts, frontier-pruned BFS vs the
         # naive unrolled join oracle
         "q_khop": lambda s, d: D.q_khop(_t("documents")(s, d)),
+        # 5-core by iterative peeling on the community graph
+        # (core_edges). Rows-only BY DESIGN (fixpoint loop is not
+        # single-statement SQL); gate = pytest vs a pure-Python
+        # sequential peeler (k-core confluence) + min-degree invariant
+        "q_kcore": lambda s, d: D.q_kcore(_t("documents")(s, d)),
+        # deterministic synchronous label propagation (4 rounds,
+        # min-label tie rule). Rows-only BY DESIGN; gate = pytest vs
+        # a pure-Python synchronous mirror on the same graph
+        "q_label_prop": lambda s, d: D.q_label_prop(
+            _t("documents")(s, d)),
         # Same logical query as q_top_movies, served from the MAINTAINED
         # bucketed lineitem copy (bucketed on the grouping key, so the
         # aggregation Exchange disappears — tests/test_layout.py asserts
@@ -482,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         "q_anomaly", "q_dataset_fingerprint", "q_pack_sequences",
         "q_als_implicit", "q_hll_union", "q_minhash_groups",
+        "q_autocorr", "q_ewma", "q_dedup_containment", "q_rrf",
         "q_snapshot_asof", "q_snapshot_cdf", "q_anomaly_stream_et",
         "q_incremental_view", "q_semantic_decontam", "q_vocab_coverage",
         "q_data_quality", "q_triangles", "q_star_revenue",
@@ -497,6 +522,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonal_naive", "q_top_unshipped", "q_new_vs_returning",
         "q_dedup_prefix", "q_lag_features",
     ]
+    # 52 priority entries vs a 50-row driver window: the LAST two
+    # (q_dedup_prefix, q_lag_features) sit at positions 51-52 and
+    # rotate into the r07 window — disclosed here; both stay covered
+    # by the committed strict CORRECTNESS_local.json either way.
     order = (priority
              + [k for k in original if k not in priority]
              + [k for k in newer if k not in priority])
@@ -763,6 +792,17 @@ def oracle_sql() -> dict[str, str]:
                         + CAST(n_punct / n_tokens < 0.5 AS INTEGER)
                         + CAST(avg_tok >= 2.0 AND avg_tok <= 12.0
                                AS INTEGER)) / 4.0"""
+    # q_ewma oracle plumbing: the tap weights ship as the repr of the
+    # exact Python doubles (repr round-trips bit-for-bit in both
+    # engines) and the dot product is the same LEFT-ASSOCIATED chain
+    # the Spark builder emits, so the IEEE result is identical before
+    # the shared rounding.
+    _ewma_w = TP.ewma_weights()
+    _ewma_lags = ",\n                       ".join(
+        f"CAST(lag(n_events, {j}) OVER w AS DOUBLE) AS c{j}"
+        for j in range(TP.EWMA_TAPS))
+    _ewma_dot = " + ".join(
+        f"c{j} * {w!r}" for j, w in enumerate(_ewma_w))
     # q_pagerank_chain oracle: the five rounds unrolled as plain CTEs.
     # The damping base ships as the repr of Python's (1.0 - d) double,
     # CAST to DOUBLE: DuckDB would type a literal `1.0 - 0.85` as
@@ -1142,6 +1182,95 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bm25 DESC, tf.doc_id ASC
             LIMIT {T.BM25_TOP_K}
         """,
+        # RRF: the q_bm25 CTEs (lexical arm) + the q_knn_text CTEs over
+        # the corpus ∪ query-row (dense arm), fused by rank with the
+        # CAST(1 AS DOUBLE)/(k+r) sum written lexical-then-dense on
+        # both engines; rank 0 (not NULL) encodes absence so every
+        # column stays int64/float64 representation-exact.
+        "q_rrf": f"""
+            WITH docs2 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT -1, '{" ".join(T.BM25_QUERY)}'),
+            w AS (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM docs2),
+            d AS (SELECT doc_id,
+                         CAST(CAST('0x' || substring(md5(w), 1, 8)
+                             AS BIGINT) % {T.EMBED_HASH_DIM} AS INTEGER)
+                             AS pos
+                  FROM w),
+            c AS (SELECT doc_id, pos, count(*) AS cnt
+                  FROM d GROUP BY doc_id, pos),
+            nn AS (SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm
+                   FROM c GROUP BY doc_id),
+            e AS (SELECT c.doc_id, c.pos, round(c.cnt / nn.nrm, 6) AS val
+                  FROM c JOIN nn ON c.doc_id = nn.doc_id),
+            nm AS (SELECT doc_id, sqrt(sum(val * val)) AS n2 FROM e
+                   GROUP BY doc_id),
+            q AS (SELECT pos, val FROM e WHERE doc_id = -1),
+            den AS (
+                SELECT e.doc_id,
+                       round(sum(e.val * q.val)
+                             / (max(nm.n2) * (SELECT max(n2) FROM nm
+                                              WHERE doc_id = -1)), 4)
+                           AS sim
+                FROM e JOIN q ON e.pos = q.pos
+                JOIN nm ON nm.doc_id = e.doc_id
+                WHERE e.doc_id <> -1
+                GROUP BY e.doc_id
+                ORDER BY sim DESC, e.doc_id LIMIT {T.BM25_TOP_K}),
+            dl AS (
+                SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS dl
+                FROM documents),
+            stats AS (
+                SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                WHERE term IN ({", ".join(f"'{t}'" for t in T.BM25_QUERY)})
+                GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            lex AS (
+                SELECT tf.doc_id,
+                       round(sum(round(
+                           ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * (tf.tf * ({T.BM25_K1} + 1.0)
+                              / (tf.tf + {T.BM25_K1}
+                                 * (1.0 - {T.BM25_B} + {T.BM25_B} * dl.dl
+                                    / (sum_dl * 1.0 / n_docs)))), 4)), 4)
+                           AS bm25
+                FROM tf
+                JOIN df ON tf.term = df.term
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+                GROUP BY tf.doc_id
+                ORDER BY bm25 DESC, tf.doc_id ASC
+                LIMIT {T.BM25_TOP_K}),
+            lr AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                              AS r_lex
+                   FROM lex),
+            dr AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY sim DESC, doc_id)
+                              AS r_dense
+                   FROM den)
+            SELECT coalesce(lr.doc_id, dr.doc_id) AS doc_id,
+                   coalesce(lr.r_lex, 0) AS r_lex,
+                   coalesce(dr.r_dense, 0) AS r_dense,
+                   (CASE WHEN coalesce(lr.r_lex, 0) > 0
+                         THEN CAST(1.0 AS DOUBLE)
+                              / ({T.RRF_K} + lr.r_lex)
+                         ELSE CAST(0.0 AS DOUBLE) END
+                    + CASE WHEN coalesce(dr.r_dense, 0) > 0
+                           THEN CAST(1.0 AS DOUBLE)
+                                / ({T.RRF_K} + dr.r_dense)
+                           ELSE CAST(0.0 AS DOUBLE) END) AS rrf
+            FROM lr FULL OUTER JOIN dr ON lr.doc_id = dr.doc_id
+            ORDER BY rrf DESC, doc_id LIMIT {T.RRF_TOP}
+        """,
         # Same RE2-compatible patterns as T.PII_PATTERNS; DuckDB needs
         # the explicit 'g' flag where Spark's regexp_replace is global.
         "q_pii_redact": f"""
@@ -1176,6 +1305,34 @@ def oracle_sql() -> dict[str, str]:
         # the prefix filter is a candidate-generation strategy, not a
         # semantics change: same answer, same oracle
         "q_dedup_prefix": jaccard_pairs,
+        # same shingle/intersection CTEs as jaccard_pairs; the finish
+        # keeps BOTH directional ratios raw (i*1.0/n is the same
+        # double division the Spark side computes — rounding could
+        # diverge on exact ties, int/int division cannot)
+        "q_dedup_containment": f"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(list_slice(w, CAST(i AS INT),
+                              CAST(i AS INT) + 2), ' ') AS g
+                   FROM (SELECT doc_id, w,
+                                unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+                         FROM toks)),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             count(*) AS i
+                      FROM sh a JOIN sh b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   i * 1.0 / sa.n AS cont_a_in_b,
+                   i * 1.0 / sb.n AS cont_b_in_a
+            FROM inter
+            JOIN sz sa ON doc_a = sa.doc_id
+            JOIN sz sb ON doc_b = sb.doc_id
+            WHERE i * 1.0 / sa.n >= {D.CONTAINMENT_THRESHOLD}
+               OR i * 1.0 / sb.n >= {D.CONTAINMENT_THRESHOLD}
+        """,
         # char_shingles truncates at the string end exactly like
         # DuckDB's substring-over-range enumeration below.
         "q_dedup_char_jaccard": f"""
@@ -2352,6 +2509,55 @@ def oracle_sql() -> dict[str, str]:
                        + 0.0 AS intercept_cents
             FROM s
             WHERE n >= {TP.TREND_MIN_EVENTS} AND n * sxx - sx * sx > 0
+        """,
+        # same algebraic-aggregate discipline as q_trend: six exact
+        # BIGINT sums over integer cents, pairs formed by the SAME
+        # (ts, event_id)-ordered lead, then ONE float expression
+        # num / (sqrt(da) * sqrt(db)) written with the identical shape
+        # on both engines (IEEE sqrt/mul/div are correctly rounded)
+        "q_autocorr": f"""
+            WITH b AS (
+                SELECT user_id,
+                       CAST(round(value * 100, 0) AS BIGINT) AS y,
+                       lead(CAST(round(value * 100, 0) AS BIGINT))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS z
+                FROM events),
+            s AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(z) AS BIGINT) AS sz,
+                       CAST(sum(y * z) AS BIGINT) AS syz,
+                       CAST(sum(y * y) AS BIGINT) AS syy,
+                       CAST(sum(z * z) AS BIGINT) AS szz
+                FROM b WHERE z IS NOT NULL GROUP BY user_id)
+            SELECT user_id, n AS n_pairs,
+                   round(CAST(n * syz - sy * sz AS DOUBLE)
+                         / (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                            * sqrt(CAST(n * szz - sz * sz AS DOUBLE))),
+                         4) + 0.0 AS lag1_autocorr
+            FROM s
+            WHERE n >= {TP.AUTOCORR_MIN_PAIRS}
+              AND n * syy - sy * sy > 0
+              AND n * szz - sz * sz > 0
+        """,
+        # tap weights + dot-product chain are built ONCE in Python
+        # (_ewma_dot above) so the two engines cannot drift; rows whose
+        # trailing kernel is incomplete (c{{taps-1}} NULL) are dropped,
+        # matching the Spark builder's null-propagating sum
+        "q_ewma": f"""
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2),
+            l AS (
+                SELECT event_type, day, n_events,
+                       {_ewma_lags}
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day))
+            SELECT event_type, day, n_events,
+                   round({_ewma_dot}, 4) + 0.0 AS ewma
+            FROM l WHERE c{TP.EWMA_TAPS - 1} IS NOT NULL
         """,
         # naive all-pairs distance join — the blocking-free ground
         # truth; coordinates re-synthesized with the same integer

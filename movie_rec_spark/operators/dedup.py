@@ -1384,3 +1384,213 @@ def q_triangles(documents: DataFrame) -> DataFrame:
     canonical edge set — exact integer agreement proves the
     degree-ordered optimization changes cost, not answers."""
     return triangle_count(triangle_edges(documents))
+
+
+CONTAINMENT_THRESHOLD = 0.9  # |A∩B| / min(|A|,|B|) at-or-above -> pair
+
+
+def q_dedup_containment(documents: DataFrame,
+                        threshold: float = CONTAINMENT_THRESHOLD
+                        ) -> DataFrame:
+    """ASYMMETRIC set-containment near-dup pairs over word-3-gram
+    shingle sets — catches the subset duplicates Jaccard misses: a
+    short doc embedded verbatim inside a longer one has containment
+    ≈ 1 but Jaccard ≈ |A|/|B|, far below any symmetric threshold
+    (the quote/boilerplate/excerpt case every training-data dedup
+    pipeline needs; cf. Broder's containment coefficient).
+
+    Same inverted-index self-join shape as q_dedup_jaccard (only
+    pairs sharing ≥1 shingle are formed), finishing with BOTH
+    directional ratios i/|A| and i/|B| — kept RAW (int/int division
+    is bit-deterministic across engines; rounding could diverge on
+    exact ties). A pair is emitted when EITHER direction clears the
+    threshold, i.e. max containment = i/min(|A|,|B|) ≥ τ.
+
+    Scale shape: identical to q_dedup_jaccard — one shingle-keyed
+    self-join + one pair-keyed count, sizes broadcast. The LSH /
+    prefix-filter candidate strategies compose in front of this
+    finish unchanged when the corpus outgrows the full index.
+    """
+    sh = _shingle_rows(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("nb"))
+    cab = F.col("i") / F.col("na")
+    cba = F.col("i") / F.col("nb")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b",
+                cab.alias("cont_a_in_b"), cba.alias("cont_b_in_a"))
+        .filter((F.col("cont_a_in_b") >= F.lit(threshold))
+                | (F.col("cont_b_in_a") >= F.lit(threshold)))
+    )
+
+
+KCORE_K = 5  # keeps the clique blocks of core_edges, peels the paths
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K,
+          max_rounds: int = 100) -> DataFrame:
+    """k-core decomposition by ITERATIVE PEELING (Matula–Beck): drop
+    every node with degree < k, recompute degrees on the induced
+    subgraph, repeat until stable. The surviving subgraph is the
+    maximal one where every node keeps ≥ k neighbors — the standard
+    graph-density filter (spam rings, bot clusters, community cores).
+
+    Determinism: peeling is confluent — the k-core is unique
+    regardless of removal order — so synchronous whole-round peeling
+    gives the same answer as any sequential order; the pytest gate
+    compares against an independent pure-Python sequential peeler.
+
+    Scale shape per round: one degree aggregate (node-keyed shuffle)
+    + two semi joins to drop incident edges, with an EAGER
+    localCheckpoint so round r+1 plans against materialized id pairs
+    (the dedup_components lesson — lineage would otherwise double per
+    round). Driver sync is one scalar per round (did anything peel).
+
+    Round-count caveat (measured, not theoretical): peel depth is the
+    graph's DEGENERACY ORDERING depth, which is O(n) on pathological
+    near-path graphs — the chain-shaped general_edges graph took >100
+    rounds at k=4 here, which is why q_kcore runs on the community-
+    structured core_edges instead. On real community graphs (and on
+    core_edges) depth is a small constant; cap with ``max_rounds`` and
+    fail loudly rather than loop silently.
+
+    Input: (doc_a, doc_b) directed or undirected; canonicalized here.
+    Output: (doc_id, deg) — core members with their IN-CORE degree.
+    """
+    e = (edges.select(F.least("doc_a", "doc_b").alias("a"),
+                      F.greatest("doc_a", "doc_b").alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct().localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        deg = (e.select(F.col("a").alias("node"))
+               .unionAll(e.select(F.col("b").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+               .localCheckpoint(eager=False))
+        if deg.filter(F.col("deg") < k).limit(1).count() == 0:
+            return deg.select(F.col("node").alias("doc_id"), "deg")
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (e.join(keep.select(F.col("node").alias("a")), "a",
+                    "left_semi")
+             .join(keep.select(F.col("node").alias("b")), "b",
+                   "left_semi")
+             .select("a", "b").localCheckpoint(eager=True))
+    raise RuntimeError(f"kcore did not stabilize in {max_rounds} rounds")
+
+
+CORE_BLOCK = 10  # community size in core_edges
+
+
+def core_edges(documents: DataFrame) -> DataFrame:
+    """Deterministic COMMUNITY graph over the corpus ids — the shape a
+    density filter is actually pointed at: docs group into blocks of
+    ``CORE_BLOCK``; EVEN blocks are cliques (in-block degree 9), ODD
+    blocks are id-chains (degree ≤ 2), and consecutive ids bridge the
+    blocks into one connected graph. The ≥3-core is exactly the clique
+    blocks, the chains evaporate in one peel round, and degrees vary
+    2..10 — real contrast, shallow peel depth.
+
+    Construction cost: one block-keyed self-join for the cliques (each
+    block is O(CORE_BLOCK²) edges, bounded) + one id-shift join for
+    the chain — both id-keyed equi-joins, no window, no collect.
+    """
+    ids = documents.select(
+        "doc_id", F.floor(F.col("doc_id") / CORE_BLOCK).alias("blk"))
+    even = ids.filter(F.col("blk") % 2 == 0)
+    a, b = even.alias("a"), even.alias("b")
+    clique = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b")))
+    d = documents.select("doc_id")
+    chain = (
+        d.select(F.col("doc_id").alias("doc_a"),
+                 (F.col("doc_id") + 1).alias("doc_b"))
+        .join(d.select(F.col("doc_id").alias("doc_b")), "doc_b")
+        .select("doc_a", "doc_b"))
+    return clique.unionByName(chain)
+
+
+def q_kcore(documents: DataFrame) -> DataFrame:
+    """Declared query: the 5-core of the community graph (core_edges:
+    clique blocks survive at in-core degree 9, chain blocks and
+    bridges peel). Rows-only BY DESIGN: the fixpoint loop is not
+    single-statement SQL; the correctness gate is the pytest
+    comparison against an independent pure-Python sequential peeler
+    (k-core uniqueness/confluence makes any removal order comparable)
+    plus the min-degree ≥ k invariant.
+    """
+    return kcore(core_edges(documents), KCORE_K)
+
+
+LABELPROP_ITERS = 4  # fixed synchronous rounds (deterministic cut)
+
+
+def label_propagation(edges: DataFrame,
+                      iters: int = LABELPROP_ITERS) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007) with a deterministic tie rule: each round, every node
+    adopts the most frequent label among its NEIGHBORS, ties broken by
+    the smallest label. Classic LPA randomizes update order and tie
+    breaks; that is non-reproducible across runs, let alone engines,
+    so this uses the synchronous variant with a total-order tie break
+    and a FIXED round count — same answer every run, every engine,
+    verifiable against a pure-Python mirror (the pytest gate).
+
+    Scale shape per round: one join (labels onto the symmetric edge
+    list, node-keyed) + one (node, label) count + one node-keyed
+    argmax via max(struct(cnt, -label)) — all map-side-combinable
+    aggregates, eager-checkpointed so plans stay flat across rounds.
+    """
+    sym = (edges.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+           .unionByName(edges.select(F.col("doc_b").alias("src"),
+                                     F.col("doc_a").alias("dst")))
+           .filter(F.col("src") != F.col("dst"))
+           .distinct().localCheckpoint(eager=True))
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(iters):
+        nb = (sym.join(labels.select(F.col("node").alias("dst"),
+                                     "label"), "dst")
+              .groupBy(F.col("src").alias("node"), "label")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+        # argmax by (cnt DESC, label ASC) in ONE aggregate:
+        # max(struct(cnt, -label)) is maximal exactly at the most
+        # frequent label with smallest-label tie break
+        labels = (nb.groupBy("node")
+                  .agg(F.max(F.struct(F.col("cnt"),
+                                      (-F.col("label")).alias("neg")))
+                       .alias("m"))
+                  .select("node", (-F.col("m.neg")).alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels.select(F.col("node").alias("doc_id"), "label")
+
+
+def q_label_prop(documents: DataFrame) -> DataFrame:
+    """Declared query: 4-round deterministic synchronous LPA over the
+    community graph (core_edges). On the uniform triangle chain LPA
+    degenerates — every node's neighbor labels are an all-distinct
+    tie, so the min rule just shifts labels down the chain and no
+    communities form (measured: 488 singleton labels on 500 docs).
+    On core_edges the clique blocks lock onto one label within two
+    rounds (real mode wins, not ties) while the chains fragment —
+    exactly the contrast a community detector should show. Rows-only
+    BY DESIGN (iterative fixpoint); pytest compares the full
+    assignment against an independent pure-Python synchronous mirror.
+    """
+    return label_propagation(core_edges(documents), LABELPROP_ITERS)

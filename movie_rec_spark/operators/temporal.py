@@ -1182,3 +1182,108 @@ def q_interpolate(events: DataFrame) -> DataFrame:
         "user_id", "hour",
         F.round(cents_out / 100.0, 2).alias("value"),
         is_gap.alias("interpolated"))
+
+
+AUTOCORR_MIN_PAIRS = 10  # fewer consecutive pairs -> no stable estimate
+
+
+def q_autocorr(events: DataFrame,
+               min_pairs: int = AUTOCORR_MIN_PAIRS) -> DataFrame:
+    """Per-user lag-1 autocorrelation of the spend series — the
+    time-series feature that separates bursty spenders from steady
+    ones (beyond reference; a staple input to churn/LTV models).
+
+    Pearson r over consecutive pairs (y_t, y_{t+1}) in (ts, event_id)
+    order — the unique event_id breaks timestamp ties so the pairing
+    is deterministic across engines. Like q_trend, the estimator is an
+    ALGEBRAIC aggregate: six exact-int64 sums over integer cents
+    (n, Σy, Σz, Σyz, Σy², Σz²), fully map-side-combinable, then ONE
+    float expression — num / (√da · √db) — evaluated with the same
+    shape on both engines (IEEE sqrt/mul/div are correctly rounded, so
+    the doubles agree bit-for-bit) and rounded once.
+
+    Scale shape: ONE user-keyed Exchange total — the lead() window and
+    the groupBy share the user_id partitioning, so Catalyst reuses the
+    shuffle. Overflow bound: n·Σyz ≤ n²·max_cents² needs n·max_cents
+    < 3·10⁹ per user (10⁵ events of $300 each); beyond that, scale
+    cents to dollars first.
+    """
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", cents.alias("y"))
+        .select("user_id", "y", F.lead("y").over(w).alias("z"))
+        .where(F.col("z").isNotNull())
+    )
+    s = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"))
+    num = F.col("n") * F.col("syz") - F.col("sy") * F.col("sz")
+    da = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    db = F.col("n") * F.col("szz") - F.col("sz") * F.col("sz")
+    r = num.cast("double") / (F.sqrt(da.cast("double"))
+                              * F.sqrt(db.cast("double")))
+    return (
+        s.where((F.col("n") >= min_pairs) & (da > 0) & (db > 0))
+        .select("user_id", F.col("n").alias("n_pairs"),
+                (F.round(r, 4) + F.lit(0.0)).alias("lag1_autocorr"))
+    )
+
+
+EWMA_ALPHA = 0.3  # smoothing factor
+EWMA_TAPS = 8     # FIR truncation: (1-α)^8 ≈ 5.8% residual mass
+
+
+def ewma_weights(alpha: float = EWMA_ALPHA,
+                 taps: int = EWMA_TAPS) -> list[float]:
+    """Normalized truncated-EWMA tap weights α(1−α)^j / Σ, computed
+    once in Python so the Spark build and the SQL oracle interpolate
+    the IDENTICAL double literals (repr round-trips exactly)."""
+    raw = [alpha * (1 - alpha) ** j for j in range(taps)]
+    tot = sum(raw)
+    return [x / tot for x in raw]
+
+
+def q_ewma(events: DataFrame, alpha: float = EWMA_ALPHA,
+           taps: int = EWMA_TAPS) -> DataFrame:
+    """Truncated-FIR EWMA smoothing of the per-type daily event-count
+    series (beyond reference — the denoising step before q_changepoint
+    / q_seasonal_naive style downstream analysis).
+
+    The textbook EWMA is a recurrence (not SQL-expressible without
+    per-row iteration); the standard scalable form truncates it to a
+    ``taps``-tap FIR filter — here 8 taps keep >94% of the weight mass,
+    renormalized to sum to 1. Each output row is Σ w_j·count_{t−j}
+    over the OBSERVED row sequence (smooth after any gap-fill, same
+    order as pandas ewm on a resampled frame); rows whose trailing
+    window is incomplete (first taps−1 per series) are dropped rather
+    than renormalized, so every emitted value uses the full kernel.
+
+    Determinism across engines: counts are exact-int doubles, the tap
+    weights are shared literals, and the dot product is written as the
+    same left-associated chain on both sides, so the IEEE result is
+    bit-identical before the final shared rounding.
+
+    Scale shape: one (event_type, day) count aggregate, then ONE
+    event_type-keyed window sort serving all ``taps`` lag() calls —
+    two Exchanges total, no self-join against shifted copies.
+    """
+    daily = (
+        events.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    acc = None
+    for j, wt in enumerate(ewma_weights(alpha, taps)):
+        term = F.lag("n_events", j).over(w).cast("double") * F.lit(wt)
+        acc = term if acc is None else acc + term
+    return (
+        daily.select("event_type", "day", "n_events",
+                     (F.round(acc, 4) + F.lit(0.0)).alias("ewma"))
+        .where(F.col("ewma").isNotNull())
+    )

@@ -1052,3 +1052,78 @@ def q_passages(documents: DataFrame, width: int = PASSAGE_WIDTH,
         F.col("start_tok").cast("bigint").alias("start_tok"),
         F.size(arr).cast("bigint").alias("n_tokens"),
         F.array_join(arr, " ").alias("passage"))
+
+
+RRF_K = 60       # the standard RRF damping constant (Cormack 2009)
+RRF_TOP = 10     # fused list size
+
+
+def q_rrf(documents: DataFrame,
+          query_terms: tuple[str, ...] = BM25_QUERY,
+          k_const: int = RRF_K, top: int = RRF_TOP) -> DataFrame:
+    """HYBRID retrieval: reciprocal-rank fusion (Cormack, Clarke &
+    Büttcher 2009) of the lexical arm (q_bm25) and the dense arm
+    (hash-embedding cosine, the q_knn_text kernel) for the SAME query
+    — the standard way production search combines sparse and dense
+    scores without tuning weights: score(d) = Σ_lists 1/(k + rank_d).
+
+    The dense arm embeds the query text itself (a synthetic doc_id −1
+    row unioned into the corpus before featurizing — the query must
+    share the corpus' hashing vocabulary), so both arms answer the
+    identical information need. Ranks, not scores, are fused: absent
+    membership contributes 0 via rank 0, never NULL (NULL ranks would
+    materialize as float64 in pandas and break the driver's
+    representation-exact hash — the r05 HUGEINT lesson).
+
+    Determinism: each arm's top-K cut is already oracle-deterministic
+    ((rounded score, doc_id) order); ranks are exact ints; the fused
+    score is CAST(1 AS DOUBLE)/(k+r) summed lexical-then-dense on both
+    engines — correctly-rounded IEEE ops on exact inputs, bit-equal.
+
+    Scale shape: both arms end in constant-size top-K lists, so the
+    rank windows and the fusion join run on ≤2K rows regardless of
+    corpus size — the corpus-scale work is exactly the two arms'
+    already-measured shapes (BM25: term-filtered explode; dense: one
+    featurize shuffle + broadcast-query scan).
+    """
+    from pyspark.sql.window import Window
+
+    from movie_rec_spark.operators.similarity import q_knn_brute
+
+    spark = documents.sparkSession
+    qrow = spark.createDataFrame(
+        [(-1, " ".join(query_terms))], "doc_id bigint, text string")
+    corpus = documents.select("doc_id", "text").unionByName(qrow)
+    emb = text_embedding(corpus, EMBED_HASH_DIM).localCheckpoint(
+        eager=False)
+    dense = (q_knn_brute(emb, query_vec_id=-1, k=BM25_TOP_K)
+             .select(F.col("vec_id").alias("doc_id"), "sim"))
+    lex = q_bm25(documents, query_terms, BM25_TOP_K)
+    # constant-size lists: a single-partition window here is O(top_k)
+    r_lex = lex.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("long").alias("r_lex"))
+    r_den = dense.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.desc("sim"), F.asc("doc_id")))
+        .cast("long").alias("r_dense"))
+    one = F.lit(1.0)
+    fused = (
+        r_lex.join(r_den, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("r_lex", F.lit(0)).alias("r_lex"),
+            F.coalesce("r_dense", F.lit(0)).alias("r_dense"))
+        .select(
+            "doc_id", "r_lex", "r_dense",
+            (F.when(F.col("r_lex") > 0,
+                    one / (F.lit(k_const) + F.col("r_lex")))
+             .otherwise(F.lit(0.0))
+             + F.when(F.col("r_dense") > 0,
+                      one / (F.lit(k_const) + F.col("r_dense")))
+             .otherwise(F.lit(0.0))).alias("rrf"))
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(top)

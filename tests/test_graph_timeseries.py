@@ -1,0 +1,269 @@
+"""Gates for the round-6 graph/time-series wave: k-core and label
+propagation against independent pure-Python mirrors (their declared
+queries are rows-only BY DESIGN — the fixpoint loops are not
+single-statement SQL, so these mirrors ARE the correctness oracle),
+plus construction checks for containment / autocorrelation / EWMA.
+"""
+from __future__ import annotations
+
+import datetime as dt
+
+from movie_rec_spark.operators import dedup as D
+from movie_rec_spark.operators import temporal as TP
+
+
+# ---------- pure-Python mirrors ----------
+
+def _adj(edges):
+    adj: dict = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def _kcore_py(edges, k):
+    """Sequential peeler — k-core uniqueness (confluence) makes any
+    removal order comparable with the engine's synchronous rounds."""
+    adj = _adj(edges)
+    while True:
+        victims = [v for v, nb in adj.items() if len(nb) < k]
+        if not victims:
+            return {v: len(nb) for v, nb in adj.items()}
+        for v in victims:
+            for u in adj[v]:
+                adj[u].discard(v)
+            del adj[v]
+
+
+def _lpa_py(edges, iters):
+    """Synchronous LPA, (count DESC, label ASC) tie rule — the exact
+    semantics label_propagation encodes as max(struct(cnt, -label))."""
+    adj = _adj(edges)
+    labels = {v: v for v in adj}
+    for _ in range(iters):
+        labels = {
+            v: max(
+                ((lab, sum(1 for u in nb if labels[u] == lab))
+                 for lab in {labels[u] for u in nb}),
+                key=lambda kv: (kv[1], -kv[0]))[0]
+            for v, nb in adj.items()
+        }
+    return labels
+
+
+# ---------- k-core ----------
+
+def test_kcore_known_graph(spark):
+    """3-core of K4 + a pendant chain is exactly the K4 at degree 3."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 6)], "doc_a bigint, doc_b bigint")
+    got = {r.doc_id: r.deg for r in D.kcore(edges, 3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_cascade_peels_path_to_empty(spark):
+    """2-core of a 12-path is EMPTY, discovered endpoint-by-endpoint —
+    the multi-round cascade the synchronous loop must survive."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a bigint, doc_b bigint")
+    assert D.kcore(edges, 2).count() == 0
+
+
+def test_q_kcore_matches_pure_peeler(spark, sf_docs):
+    """q_kcore on the real corpus equals the sequential pure-Python
+    peeler exactly (ids AND in-core degrees), is non-empty, and every
+    member keeps ≥ k in-core neighbors."""
+    edges = [(r.doc_a, r.doc_b)
+             for r in D.core_edges(sf_docs).collect()]
+    assert edges
+    want = _kcore_py(edges, D.KCORE_K)
+    got = {r.doc_id: r.deg for r in D.q_kcore(sf_docs).collect()}
+    assert got == want
+    assert got, "5-core is vacuous on the corpus graph"
+    assert min(got.values()) >= D.KCORE_K
+
+
+# ---------- label propagation ----------
+
+def test_label_prop_two_cliques_find_two_communities(spark):
+    """Two 4-cliques joined by one bridge resolve to exactly two
+    communities, each clique uniform — and match the mirror."""
+    c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+    edges_py = c1 + c2 + [(4, 11)]
+    edges = spark.createDataFrame(edges_py, "doc_a bigint, doc_b bigint")
+    got = {r.doc_id: r.label
+           for r in D.label_propagation(edges, D.LABELPROP_ITERS).collect()}
+    assert got == _lpa_py(edges_py, D.LABELPROP_ITERS)
+    assert len({got[v] for v in (1, 2, 3, 4)}) == 1
+    assert len({got[v] for v in (11, 12, 13, 14)}) == 1
+    assert got[1] != got[11]
+
+
+def test_q_label_prop_matches_pure_mirror(spark, sf_docs):
+    """Full assignment parity on the real community graph, plus the
+    structural claim the docstring makes: clique blocks lock onto ONE
+    label (communities of ≥ CORE_BLOCK), chains fragment."""
+    edges = [(r.doc_a, r.doc_b)
+             for r in D.core_edges(sf_docs).collect()]
+    want = _lpa_py(edges, D.LABELPROP_ITERS)
+    got = {r.doc_id: r.label for r in D.q_label_prop(sf_docs).collect()}
+    assert got == want
+    sizes: dict = {}
+    for lab in got.values():
+        sizes[lab] = sizes.get(lab, 0) + 1
+    assert max(sizes.values()) >= D.CORE_BLOCK      # cliques locked
+    assert len(sizes) > 2                           # chains fragmented
+
+
+# ---------- containment ----------
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A doc embedded verbatim in a 4× longer one: containment = 1.0
+    (pair emitted) while symmetric Jaccard stays below its threshold
+    (no pair) — the asymmetric operator's reason to exist."""
+    short = " ".join(f"w{i}" for i in range(10))
+    long_ = short + " " + " ".join(f"x{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, short, "en", "a", len(short)),
+         (1, long_, "en", "b", len(long_))],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    got = D.q_dedup_containment(docs).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.doc_a, r.doc_b) == (0, 1)
+    assert r.cont_a_in_b == 1.0
+    assert r.cont_b_in_a < D.CONTAINMENT_THRESHOLD
+    assert D.q_dedup_jaccard(docs).count() == 0
+
+
+# ---------- autocorrelation ----------
+
+def test_autocorr_alternating_series_is_negative_one(spark):
+    """A strictly alternating two-value series has lag-1 autocorrelation
+    exactly −1; a linear ramp is strongly positive. Exact construction
+    check of the algebraic-aggregate estimator."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):  # user 1: alternate 1.00 / 3.00
+        rows.append((i, t0 + dt.timedelta(hours=i), 1, "e",
+                     1.0 if i % 2 == 0 else 3.0, "{}"))
+    for i in range(20):  # user 2: ramp
+        rows.append((100 + i, t0 + dt.timedelta(hours=i), 2, "e",
+                     float(i), "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r.user_id: r for r in TP.q_autocorr(ev).collect()}
+    assert got[1].n_pairs == 19 and got[2].n_pairs == 19
+    assert got[1].lag1_autocorr == -1.0
+    assert got[2].lag1_autocorr > 0.99
+
+
+def test_autocorr_breaks_timestamp_ties_by_event_id(spark):
+    """All rows share ONE timestamp: the pairing must fall back to
+    event_id order, giving the alternating series r = −1 — not an
+    engine-dependent shuffle of pairs."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 1, "e", 1.0 if i % 2 == 0 else 3.0, "{}")
+            for i in range(12)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    [r] = TP.q_autocorr(ev).collect()
+    assert r.lag1_autocorr == -1.0
+
+
+# ---------- EWMA ----------
+
+def test_ewma_matches_python_dot_product(spark):
+    """Every emitted row equals the Python dot product of the shared
+    tap weights with the trailing daily counts; constant series smooth
+    to themselves; short-kernel rows are dropped."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    counts = {"a": [5 + (i % 3) for i in range(12)],
+              "b": [7] * 12}
+    for typ, per_day in counts.items():
+        for day, n in enumerate(per_day):
+            for _ in range(n):
+                rows.append((eid, t0 + dt.timedelta(days=day), 1,
+                             typ, 1.0, "{}"))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r.event_type, r.day): r for r in TP.q_ewma(ev).collect()}
+    w = TP.ewma_weights()
+    taps = TP.EWMA_TAPS
+    want_n = sum(len(v) - (taps - 1) for v in counts.values())
+    assert len(got) == want_n
+    for typ, per_day in counts.items():
+        for day in range(taps - 1, len(per_day)):
+            acc = 0.0
+            for j, wt in enumerate(w):
+                acc = acc + per_day[day - j] * wt
+            key = (typ, (t0 + dt.timedelta(days=day)).date())
+            assert got[key].ewma == round(acc, 4), key
+    assert all(got[("b", (t0 + dt.timedelta(days=d)).date())].ewma == 7.0
+               for d in range(taps - 1, 12))
+
+
+def test_new_wave_ops_handle_empty_inputs(spark):
+    """Empty-input totality for this wave: autocorr/EWMA/containment/
+    k-core/label-prop return empty results with schemas, never raise."""
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+    empty_docs = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint")
+    for op, src in ((TP.q_autocorr, empty_ev), (TP.q_ewma, empty_ev),
+                    (D.q_dedup_containment, empty_docs),
+                    (D.q_kcore, empty_docs), (D.q_label_prop, empty_docs)):
+        out = op(src)
+        assert out.count() == 0, op.__name__
+        assert len(out.columns) > 1, op.__name__
+
+
+# ---------- reciprocal-rank fusion ----------
+
+def test_rrf_equals_python_fusion_of_the_two_arms(spark, sf_docs):
+    """q_rrf equals the Python fusion of its own collected arms: rank
+    both lists (score DESC, doc_id ASC), score 1/(k+r) per membership,
+    take the top by (rrf DESC, doc_id) — and both arms genuinely
+    contribute (some fused doc is missing from one list)."""
+    from movie_rec_spark.operators import text as T
+    from movie_rec_spark.operators.similarity import q_knn_brute
+
+    lex = sorted(((r.bm25, r.doc_id) for r in T.q_bm25(sf_docs).collect()),
+                 key=lambda t: (-t[0], t[1]))
+    qrow = spark.createDataFrame(
+        [(-1, " ".join(T.BM25_QUERY))], "doc_id bigint, text string")
+    emb = T.text_embedding(
+        sf_docs.select("doc_id", "text").unionByName(qrow),
+        T.EMBED_HASH_DIM)
+    den = sorted(((r.sim, r.vec_id)
+                  for r in q_knn_brute(emb, query_vec_id=-1,
+                                       k=T.BM25_TOP_K).collect()),
+                 key=lambda t: (-t[0], t[1]))
+    r_lex = {doc: i + 1 for i, (_, doc) in enumerate(lex)}
+    r_den = {doc: i + 1 for i, (_, doc) in enumerate(den)}
+    fused = {
+        doc: (1.0 / (T.RRF_K + r_lex[doc]) if doc in r_lex else 0.0)
+        + (1.0 / (T.RRF_K + r_den[doc]) if doc in r_den else 0.0)
+        for doc in set(r_lex) | set(r_den)
+    }
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:T.RRF_TOP]
+    got = T.q_rrf(sf_docs).collect()
+    assert [(r.doc_id, r.rrf) for r in got] == want
+    assert [(r.doc_id, (r.r_lex, r.r_dense)) for r in got] == \
+        [(doc, (r_lex.get(doc, 0), r_den.get(doc, 0))) for doc, _ in want]
+    assert any(r.r_lex == 0 or r.r_dense == 0 for r in got) or \
+        set(r_lex) == set(r_den)
