@@ -217,6 +217,19 @@ def test_new_operator_shuffle_budgets(spark):
                                    # agg, top-k window (+1 headroom if
                                    # AQE un-broadcasts a join-back);
                                    # was 9 as a basket self-join
+        # round-6 wave 4
+        "q_autocorr": 1,         # lead window + six-sum agg share ONE
+                                 # user-keyed Exchange
+        "q_ewma": 2,             # (type, day) count agg + the
+                                 # type-keyed lag window
+        "q_dedup_containment": 3,  # shingle self-join + pair agg +
+                                   # sizes agg (sizes broadcast back)
+        "q_rrf": 4,              # bm25 arm (tf/df/doc aggs) + fusion;
+                                 # dense arm rides the checkpointed
+                                 # featurized index
+        "q_kcore": 0,            # peeling rounds eager-checkpointed;
+                                 # final degree agg reads bare pairs
+        "q_label_prop": 0,       # per-round joins/aggs checkpointed
     }
     qs = E.queries()
     for name, budget in budgets.items():
