@@ -91,6 +91,11 @@ def measure(spark, events) -> dict:
         "q_heavy_hitters": lambda: SK.q_heavy_hitters(events),
         "q_winsorize": lambda: R.q_winsorize(events),
         "q_interpolate": lambda: TP.q_interpolate(events),
+        # wave 4: both must track rows (one user-keyed Exchange for
+        # autocorr; a day-collapsed series for ewma, so the window
+        # input GROWS only with types×days, never with raw rows)
+        "q_autocorr": lambda: TP.q_autocorr(events),
+        "q_ewma": lambda: TP.q_ewma(events),
     }
     return {name: round(_time(fn), 1) for name, fn in queries.items()}
 

@@ -136,6 +136,13 @@ def measure(spark, sf_dir: str) -> dict:
         "q_chunk_prune": lambda: D.q_chunk_prune(docs),
         "q_semdedup": lambda: S.q_semdedup(emb),
         "q_bm25": lambda: T.q_bm25(docs),
+        # wave 4: containment shares the Jaccard inverted-index cost
+        # class (sum df(g)² over shingles — word-salting keeps shingle
+        # selectivity constant per copy, so candidates grow linearly);
+        # RRF's arms both end in constant-size top-K lists, so the
+        # fusion cost is O(1) and the wall must track the two scans.
+        "q_dedup_containment": lambda: D.q_dedup_containment(docs),
+        "q_rrf": lambda: T.q_rrf(docs),
     }
     # SCALE_SKIP_WALL: comma list of queries whose WALL run is skipped
     # (their candidate counts below still get measured — blocking_stats
