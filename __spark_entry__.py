@@ -116,6 +116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the dense hash-embedding arm for the same query; rank-0
         # (never NULL) encodes absence so dtypes stay int64
         "q_rrf": lambda s, d: T.q_rrf(_t("documents")(s, d)),
+        # tokenizer training: BPE merge induction on the word-frequency
+        # dict (ONE corpus shuffle; each round is dict-sized), unrolled
+        # round-for-round in the oracle
+        "q_bpe_merges": lambda s, d: T.q_bpe_merges(_t("documents")(s, d)),
         # --- deduplication ---
         "q_dedup_exact": lambda s, d: D.q_dedup_exact(_t("documents")(s, d)),
         "q_dedup_jaccard": lambda s, d: D.q_dedup_jaccard(_t("documents")(s, d)),
@@ -507,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anomaly", "q_dataset_fingerprint", "q_pack_sequences",
         "q_als_implicit", "q_hll_union", "q_minhash_groups",
         "q_autocorr", "q_ewma", "q_dedup_containment", "q_rrf",
+        "q_bpe_merges",
         "q_snapshot_asof", "q_snapshot_cdf", "q_anomaly_stream_et",
         "q_incremental_view", "q_semantic_decontam", "q_vocab_coverage",
         "q_data_quality", "q_triangles", "q_star_revenue",
@@ -522,10 +527,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonal_naive", "q_top_unshipped", "q_new_vs_returning",
         "q_dedup_prefix", "q_lag_features",
     ]
-    # 52 priority entries vs a 50-row driver window: the LAST two
-    # (q_dedup_prefix, q_lag_features) sit at positions 51-52 and
-    # rotate into the r07 window — disclosed here; both stay covered
-    # by the committed strict CORRECTNESS_local.json either way.
+    # 53 priority entries vs a 50-row driver window: the LAST three
+    # (q_new_vs_returning, q_dedup_prefix, q_lag_features) sit at
+    # positions 51-53 and rotate into the r07 window — disclosed here;
+    # all three stay covered by the committed strict
+    # CORRECTNESS_local.json either way.
     order = (priority
              + [k for k in original if k not in priority]
              + [k for k in newer if k not in priority])
@@ -803,6 +809,39 @@ def oracle_sql() -> dict[str, str]:
         for j in range(TP.EWMA_TAPS))
     _ewma_dot = " + ".join(
         f"c{j} * {w!r}" for j, w in enumerate(_ewma_w))
+    # q_bpe_merges oracle: the merge rounds unrolled as CTE triples
+    # (pair counts -> argmax -> dict rewrite); the chosen pair feeds
+    # the rewrite via scalar subqueries where the Spark side collects
+    # the same single row. replace() is plain (non-regex) left-to-right
+    # non-overlapping substitution in BOTH engines, so run semantics
+    # agree (see operators/text.py::q_bpe_merges).
+    # MATERIALIZED is load-bearing: without it DuckDB inlines each CTE
+    # at every reference, and the per-round chains re-evaluate the
+    # whole prefix exponentially (measured: >120 s vs 0.2 s at sf0.01)
+    _bpe_steps = "".join(
+        f""",
+            p{r} AS MATERIALIZED (
+                SELECT s[i] AS a, s[i + 1] AS b,
+                       CAST(sum(freq) AS BIGINT) AS pf
+                FROM (SELECT string_split(sym, ' ') AS s, freq,
+                             unnest(range(1, len(string_split(sym, ' '))))
+                                 AS i
+                      FROM w{r - 1})
+                GROUP BY 1, 2),
+            b{r} AS MATERIALIZED (
+                SELECT a, b, pf FROM p{r}
+                ORDER BY pf DESC, a ASC, b ASC LIMIT 1),
+            w{r} AS MATERIALIZED (
+                SELECT trim(replace(' ' || sym || ' ',
+                           ' ' || mg.a || ' ' || mg.b || ' ',
+                           ' ' || mg.a || mg.b || ' ')) AS sym,
+                       freq
+                FROM w{r - 1}, b{r} mg)"""
+        for r in range(1, T.BPE_ROUNDS + 1))
+    _bpe_union = "\n            UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_round, a AS left_sym, "
+        f"b AS right_sym, pf AS pair_freq FROM b{r}"
+        for r in range(1, T.BPE_ROUNDS + 1))
     # q_pagerank_chain oracle: the five rounds unrolled as plain CTEs.
     # The damping base ships as the repr of Python's (1.0 - d) double,
     # CAST to DOUBLE: DuckDB would type a literal `1.0 - 0.85` as
@@ -1181,6 +1220,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tf.doc_id
             ORDER BY bm25 DESC, tf.doc_id ASC
             LIMIT {T.BM25_TOP_K}
+        """,
+        "q_bpe_merges": f"""
+            WITH w0 AS (
+                SELECT array_to_string(string_split(w, ''), ' ') AS sym,
+                       CAST(count(*) AS BIGINT) AS freq
+                FROM (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                WHERE w <> ''
+                GROUP BY 1){_bpe_steps}
+            SELECT * FROM (
+            {_bpe_union})
         """,
         # RRF: the q_bm25 CTEs (lexical arm) + the q_knn_text CTEs over
         # the corpus ∪ query-row (dense arm), fused by rank with the

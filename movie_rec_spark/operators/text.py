@@ -1127,3 +1127,73 @@ def q_rrf(documents: DataFrame,
              .otherwise(F.lit(0.0))).alias("rrf"))
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(top)
+
+
+BPE_ROUNDS = 6  # unrolled merge rounds (the oracle unrolls the same 6)
+
+
+def q_bpe_merges(documents: DataFrame,
+                 rounds: int = BPE_ROUNDS) -> DataFrame:
+    """BPE merge induction — the core step of tokenizer TRAINING
+    (Sennrich et al. 2016): repeatedly find the most frequent adjacent
+    symbol pair in the corpus and fuse it into a new symbol. Output:
+    one row per merge round (merge_round, left_sym, right_sym,
+    pair_freq) — the merge table a tokenizer ships.
+
+    The at-scale shape is the algorithm's own: the corpus collapses to
+    the WORD-FREQUENCY DICT in one shuffle (the only corpus-sized
+    move — identical to any word count), and every merge round runs on
+    the dict alone (vocab-sized, ~10⁶ rows on real corpora): one
+    row-local adjacent-pair expansion, one (a, b)-keyed weighted count,
+    one TakeOrdered argmax collected to the driver (O(1) rows — the CC
+    convergence-scalar discipline), and one row-local string replace
+    applying the merge. Rounds eager-checkpoint so plans stay flat.
+
+    Determinism across engines: the argmax tie rule is (freq DESC,
+    left ASC, right ASC); merge application is PLAIN (non-regex)
+    string replace of ' a b ' with ' ab ' on the space-padded symbol
+    string — Java's and DuckDB's replace both substitute left-to-right
+    non-overlapping occurrences, so on back-to-back repeats of a pair
+    (a run 'x x x') both engines fuse alternate occurrences per pass;
+    canonical BPE differs only on such runs, identically on both
+    sides. Symbols are literal strings throughout — no regex
+    metacharacter hazard.
+
+    Reference analogue: none (SURVEY §2 has no tokenizer); this is the
+    vocabulary-induction member of the token family next to
+    q_token_counts / q_vocab_coverage / q_unigram_logprob.
+    """
+    chars = F.array_remove(F.split(F.col("w"), ""), "")
+    cur = (
+        documents.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.array_join(chars, " ").alias("sym"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    spark = documents.sparkSession
+    schema = ("merge_round int, left_sym string, right_sym string, "
+              "pair_freq bigint")
+    merges: list[tuple] = []
+    for r in range(1, rounds + 1):
+        arr = F.split("sym", " ")
+        n = F.size(arr)
+        pair = F.explode(F.zip_with(
+            F.slice(arr, 1, n - 1), F.slice(arr, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b"))))
+        pc = (cur.select("freq", pair.alias("p"))
+              .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+              .agg(F.sum("freq").alias("pf")))
+        best = pc.orderBy(F.desc("pf"), F.asc("a"), F.asc("b")) \
+                 .limit(1).collect()
+        if not best:
+            break
+        a, b, pf = best[0].a, best[0].b, best[0].pf
+        merges.append((r, a, b, pf))
+        cur = (cur.select(
+            F.trim(F.replace(
+                F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))).alias("sym"),
+            "freq")
+            .localCheckpoint(eager=True))
+    return spark.createDataFrame(merges, schema)

@@ -267,3 +267,81 @@ def test_rrf_equals_python_fusion_of_the_two_arms(spark, sf_docs):
         [(doc, (r_lex.get(doc, 0), r_den.get(doc, 0))) for doc, _ in want]
     assert any(r.r_lex == 0 or r.r_dense == 0 for r in got) or \
         set(r_lex) == set(r_den)
+
+
+# ---------- BPE merge induction ----------
+
+def _bpe_py(word_freqs, rounds):
+    """Pure-Python mirror of q_bpe_merges: Python str.replace shares
+    the left-to-right non-overlapping substitution semantics of
+    Java's and DuckDB's replace, so run handling agrees too."""
+    cur = [(" ".join(w), f) for w, f in word_freqs.items()]
+    merges = []
+    for r in range(1, rounds + 1):
+        counts: dict = {}
+        for sym, f in cur:
+            s = sym.split(" ")
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = \
+                    counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), pf = sorted(counts.items(),
+                            key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((r, a, b, pf))
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        cur = [((" " + sym + " ").replace(pat, rep).strip(), f)
+               for sym, f in cur]
+    return merges
+
+
+def test_bpe_matches_pure_mirror_on_corpus(spark, sf_docs):
+    """The full merge table equals the pure-Python BPE mirror on the
+    real corpus' word-frequency dict, and merged symbols compound
+    (some later round consumes an earlier round's output)."""
+    from movie_rec_spark.operators import text as T
+
+    freqs: dict = {}
+    for row in sf_docs.select("text").collect():
+        for w in row.text.split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    want = _bpe_py(freqs, T.BPE_ROUNDS)
+    got = [(r.merge_round, r.left_sym, r.right_sym, r.pair_freq)
+           for r in T.q_bpe_merges(sf_docs).collect()]
+    assert sorted(got) == want
+    assert len(got) == T.BPE_ROUNDS
+
+
+def test_bpe_known_corpus_and_run_semantics(spark):
+    """Hand-checked case including a back-to-back pair run: 'aaaa'
+    (symbols 'a a a a') under the ('a','a') merge fuses only the
+    FIRST occurrence per pass ('aa a a' — replace resumes scanning
+    after the inserted text, so the run's second pair lost its left
+    neighbor), identically in Spark, DuckDB, and the Python mirror;
+    and merges COMPOUND (round 3 consumes round 2's 'lo')."""
+    from movie_rec_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa low low lower", "en", "s", 23)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    got = [(r.merge_round, r.left_sym, r.right_sym, r.pair_freq)
+           for r in T.q_bpe_merges(docs).collect()]
+    want = _bpe_py({"aaaa": 2, "low": 2, "lower": 1}, T.BPE_ROUNDS)
+    assert sorted(got) == want
+    assert got[0][1:] == ("a", "a", 6)   # 3 pairs per 'aaaa', twice
+    assert got[1][1:] == ("l", "o", 3)   # run left 'aa a a', not 'aa aa'
+    assert got[2][1:] == ("lo", "w", 3)  # compounds round 2's merge
+
+
+def test_bpe_empty_corpus_returns_schema(spark):
+    from movie_rec_spark.operators import text as T
+
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint")
+    out = T.q_bpe_merges(empty)
+    assert out.count() == 0
+    assert out.columns == ["merge_round", "left_sym", "right_sym",
+                           "pair_freq"]

@@ -230,6 +230,9 @@ def test_new_operator_shuffle_budgets(spark):
         "q_kcore": 0,            # peeling rounds eager-checkpointed;
                                  # final degree agg reads bare pairs
         "q_label_prop": 0,       # per-round joins/aggs checkpointed
+        "q_bpe_merges": 0,       # merge table is collected O(rounds)
+                                 # rows; per-round work (dict agg +
+                                 # TakeOrdered) runs at build time
     }
     qs = E.queries()
     for name, budget in budgets.items():
