@@ -91,6 +91,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_candidates_scalable": lambda s, d: R.candidate_counts_scalable(
             _t("customer")(s, d), _t("part")(s, d),
             _t("lineitem")(s, d), _t("orders")(s, d)),
+        # deterministic hash-slot negative sampling: k unseen items per
+        # user with NO complement materialization (md5(user:slot) draw
+        # + one anti-join) — the training-data twin of q_candidates
+        "q_negative_sample": lambda s, d: R.q_negative_sample(
+            _t("customer")(s, d), _t("part")(s, d),
+            _t("lineitem")(s, d), _t("orders")(s, d)),
         "q_user_topn": lambda s, d: R.q_user_topn(_t("orders")(s, d)),
         "q_scalar_funcs": lambda s, d: R.q_scalar_funcs(_t("events")(s, d)),
         "q_set_ops": lambda s, d: R.q_set_ops(
@@ -511,7 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anomaly", "q_dataset_fingerprint", "q_pack_sequences",
         "q_als_implicit", "q_hll_union", "q_minhash_groups",
         "q_autocorr", "q_ewma", "q_dedup_containment", "q_rrf",
-        "q_bpe_merges",
+        "q_bpe_merges", "q_negative_sample",
         "q_snapshot_asof", "q_snapshot_cdf", "q_anomaly_stream_et",
         "q_incremental_view", "q_semantic_decontam", "q_vocab_coverage",
         "q_data_quality", "q_triangles", "q_star_revenue",
@@ -527,11 +533,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonal_naive", "q_top_unshipped", "q_new_vs_returning",
         "q_dedup_prefix", "q_lag_features",
     ]
-    # 53 priority entries vs a 50-row driver window: the LAST three
-    # (q_new_vs_returning, q_dedup_prefix, q_lag_features) sit at
-    # positions 51-53 and rotate into the r07 window — disclosed here;
-    # all three stay covered by the committed strict
-    # CORRECTNESS_local.json either way.
+    # 54 priority entries vs a 50-row driver window: the LAST four
+    # (q_top_unshipped, q_new_vs_returning, q_dedup_prefix,
+    # q_lag_features) sit at positions 51-54 and rotate into the r07
+    # window — disclosed here; all four stay covered by the committed
+    # strict CORRECTNESS_local.json either way.
     order = (priority
              + [k for k in original if k not in priority]
              + [k for k in newer if k not in priority])
@@ -989,6 +995,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey,
                    (SELECT count(*) FROM part) - coalesce(s.n_seen, 0) AS n_candidates
             FROM customer c LEFT JOIN seen s ON c.c_custkey = s.o_custkey
+        """,
+        # same md5-prefix-as-bigint trick as q_spatial_join; the slot
+        # draw, the min(slot) collision collapse, the NOT EXISTS
+        # anti-probe, and the slot-ordered rank mirror the Spark build
+        "q_negative_sample": f"""
+            WITH n AS (SELECT count(*) AS n_items FROM part),
+            seen AS (SELECT DISTINCT o_custkey AS user_id,
+                            l_partkey AS item_id
+                     FROM lineitem JOIN orders
+                       ON l_orderkey = o_orderkey),
+            slots AS (SELECT c_custkey AS user_id,
+                             unnest(range(0,
+                                 {R.NEG_K * R.NEG_OVERSAMPLE})) AS slot
+                      FROM customer),
+            cand0 AS (SELECT user_id, slot,
+                             CAST('0x' || substring(
+                                 md5(user_id || ':' || slot), 1, 15)
+                              AS BIGINT) % n.n_items AS item_id
+                      FROM slots CROSS JOIN n),
+            cand AS (SELECT user_id, item_id, min(slot) AS slot
+                     FROM cand0 GROUP BY 1, 2),
+            unseen AS (SELECT c.user_id, c.item_id, c.slot
+                       FROM cand c
+                       WHERE NOT EXISTS (
+                           SELECT 1 FROM seen s
+                           WHERE s.user_id = c.user_id
+                             AND s.item_id = c.item_id)),
+            r AS (SELECT user_id, item_id,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY slot) AS rn
+                  FROM unseen)
+            SELECT user_id, item_id, CAST(rn AS INTEGER) AS neg_rank
+            FROM r WHERE rn <= {R.NEG_K}
         """,
         "q_user_topn": f"""
             SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn

@@ -1325,3 +1325,69 @@ def q_json_decode(events: DataFrame) -> DataFrame:
              F.max("k").alias("max_k"),
              F.sum("k").cast("long").alias("sum_k"))
     )
+
+
+NEG_K = 5           # negatives kept per user
+NEG_OVERSAMPLE = 4  # hash slots drawn per negative kept
+
+
+def q_negative_sample(customer: DataFrame, part: DataFrame,
+                      lineitem: DataFrame, orders: DataFrame,
+                      k: int = NEG_K) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for recommender training: for
+    each user, k items they have NOT interacted with — the contrastive
+    examples every implicit-feedback trainer (BPR, sampled-softmax,
+    ALS-implicit negatives) consumes at the same volume as positives.
+
+    The complement is never materialized (q_candidates' |C|×|P| cliff,
+    SURVEY §7.3): each user draws k·NEG_OVERSAMPLE pseudo-random item
+    SLOTS — item = md5(user:slot) % |items| over the contiguous id
+    space, the q_spatial_join md5 trick, so the draw is a pure
+    function of (user, corpus) and reproducible across runs, reshards,
+    and engines — then one anti-join against the seen pairs removes
+    collisions with positives and the first k survivors by slot order
+    are kept. Oversampling bound: a user keeps k whenever their seen
+    fraction is below 1 − k/m minus collision slack (here m = 20 slots
+    against a ~2% seen fraction; real catalogs are far sparser) —
+    under-filled users emit what survives, never a substitute item.
+
+    Scale shape: slots explode row-local from the user table (small);
+    the ONLY corpus-sized moves are the seen-pair distinct and the
+    (user, item)-keyed anti-join; the final per-user top-k is one
+    WindowGroupLimit window. No cross join anywhere.
+    """
+    m = k * NEG_OVERSAMPLE
+    n_items = part.select(F.count(F.lit(1)).alias("n_items"))
+    seen = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("user_id"),
+                F.col("l_partkey").alias("item_id"))
+        .distinct()
+    )
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.col("user_id").cast("string"), F.lit(":"),
+        F.col("slot").cast("string")).cast("binary")), 1, 15),
+        16, 10).cast("bigint")
+    cand = (
+        customer.select(F.col("c_custkey").alias("user_id"))
+        .select("user_id",
+                F.explode(F.array(*[F.lit(j) for j in range(m)]))
+                .alias("slot"))
+        .crossJoin(F.broadcast(n_items))
+        .select("user_id", "slot",
+                F.pmod(h, F.col("n_items")).alias("item_id"))
+        # one slot per distinct (user, item): different items draw from
+        # disjoint slot sets, so min(slot) is unique per user and the
+        # slot order below is total
+        .groupBy("user_id", "item_id").agg(F.min("slot").alias("slot"))
+    )
+    unseen = cand.join(seen, ["user_id", "item_id"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy("slot")
+    return (
+        unseen.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("user_id", "item_id",
+                F.col("rn").cast("int").alias("neg_rank"))
+    )

@@ -345,3 +345,58 @@ def test_bpe_empty_corpus_returns_schema(spark):
     assert out.count() == 0
     assert out.columns == ["merge_round", "left_sym", "right_sym",
                            "pair_freq"]
+
+
+# ---------- negative sampling ----------
+
+def test_negative_sample_properties(spark):
+    """Structural guarantees on the real tables: no sampled item is a
+    seen positive; ranks run 1..k dense per user; every sampled item
+    exists in the catalog; and the draw is a pure function of the
+    corpus (two invocations identical)."""
+    from movie_rec_spark.operators.relational import (
+        NEG_K,
+        q_negative_sample,
+    )
+    from movie_rec_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    c, p, li, o = (load_table(spark, sf, t)
+                   for t in ("customer", "part", "lineitem", "orders"))
+    out = q_negative_sample(c, p, li, o).collect()
+    assert out
+    seen = {(r.o_custkey, r.l_partkey)
+            for r in li.join(o, li.l_orderkey == o.o_orderkey)
+            .select("o_custkey", "l_partkey").distinct().collect()}
+    items = {r.p_partkey for r in p.select("p_partkey").collect()}
+    by_user: dict = {}
+    for r in out:
+        assert (r.user_id, r.item_id) not in seen
+        assert r.item_id in items
+        by_user.setdefault(r.user_id, []).append(r.neg_rank)
+    for ranks in by_user.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= NEG_K
+    again = q_negative_sample(c, p, li, o).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_negative_sample_empty_interactions(spark):
+    """With no interactions at all every user still draws k distinct
+    catalog items (pure hash draw, no anti-join casualties)."""
+    from movie_rec_spark.operators.relational import (
+        NEG_K,
+        q_negative_sample,
+    )
+    c = spark.createDataFrame([(i,) for i in range(4)],
+                              "c_custkey bigint")
+    p = spark.createDataFrame([(i,) for i in range(100)],
+                              "p_partkey bigint")
+    li = spark.createDataFrame([], "l_orderkey bigint, l_partkey bigint")
+    o = spark.createDataFrame([], "o_orderkey bigint, o_custkey bigint")
+    out = q_negative_sample(c, p, li, o).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.user_id, set()).add(r.item_id)
+    assert set(per) == {0, 1, 2, 3}
+    assert all(len(v) == NEG_K for v in per.values())

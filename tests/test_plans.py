@@ -233,6 +233,9 @@ def test_new_operator_shuffle_budgets(spark):
         "q_bpe_merges": 0,       # merge table is collected O(rounds)
                                  # rows; per-round work (dict agg +
                                  # TakeOrdered) runs at build time
+        "q_negative_sample": 3,  # seen-pair distinct + the (user,
+                                 # item) slot collapse + anti-join/
+                                 # window sharing the user key
     }
     qs = E.queries()
     for name, budget in budgets.items():
