@@ -1163,17 +1163,25 @@ def q_bpe_merges(documents: DataFrame,
     vocabulary-induction member of the token family next to
     q_token_counts / q_vocab_coverage / q_unigram_logprob.
     """
+    merges, _ = _bpe_train(documents, rounds)
+    schema = ("merge_round int, left_sym string, right_sym string, "
+              "pair_freq bigint")
+    return documents.sparkSession.createDataFrame(merges, schema)
+
+
+def _bpe_train(documents: DataFrame,
+               rounds: int) -> tuple[list[tuple], DataFrame]:
+    """The shared BPE training loop: returns (merge table rows, the
+    final word-frequency dict with its post-merge segmentation) — the
+    dict is the encode side q_bpe_encode exposes."""
     chars = F.array_remove(F.split(F.col("w"), ""), "")
     cur = (
         documents.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
-        .select(F.array_join(chars, " ").alias("sym"), "freq")
+        .select("w", F.array_join(chars, " ").alias("sym"), "freq")
         .localCheckpoint(eager=False)
     )
-    spark = documents.sparkSession
-    schema = ("merge_round int, left_sym string, right_sym string, "
-              "pair_freq bigint")
     merges: list[tuple] = []
     for r in range(1, rounds + 1):
         arr = F.split("sym", " ")
@@ -1191,9 +1199,33 @@ def q_bpe_merges(documents: DataFrame,
         a, b, pf = best[0].a, best[0].b, best[0].pf
         merges.append((r, a, b, pf))
         cur = (cur.select(
+            "w",
             F.trim(F.replace(
                 F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
                 F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))).alias("sym"),
             "freq")
             .localCheckpoint(eager=True))
-    return spark.createDataFrame(merges, schema)
+    return merges, cur
+
+
+def q_bpe_encode(documents: DataFrame,
+                 rounds: int = BPE_ROUNDS) -> DataFrame:
+    """The ENCODE half of the tokenizer story: the vocabulary after
+    applying the learned merges — each distinct word with its corpus
+    frequency, its post-merge segmentation, and its token count before
+    (characters) and after. sum(freq·n_tokens)/sum(freq·n_chars) over
+    this table is the compression ratio a tokenizer is judged by.
+
+    Identical training loop as q_bpe_merges (shared `_bpe_train`);
+    the oracle unrolls the same rounds carrying the word through, so
+    the final dict CTE IS the expected output. Encoding real corpora
+    at serving time is the same chain of ``rounds`` plain replaces —
+    row-local, whole-stage codegen, no Python.
+    """
+    _, dict_df = _bpe_train(documents, rounds)
+    return dict_df.select(
+        F.col("w").alias("word"), "freq",
+        F.col("sym").alias("encoded"),
+        F.size(F.split("sym", " ")).cast("int").alias("n_tokens"),
+        F.length(F.replace(F.col("w"), F.lit(" "), F.lit("")))
+        .cast("int").alias("n_chars"))

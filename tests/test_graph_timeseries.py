@@ -400,3 +400,28 @@ def test_negative_sample_empty_interactions(spark):
         per.setdefault(r.user_id, set()).add(r.item_id)
     assert set(per) == {0, 1, 2, 3}
     assert all(len(v) == NEG_K for v in per.values())
+
+
+def test_bpe_encode_matches_mirror_application(spark, sf_docs):
+    """The encoded vocabulary equals applying the mirror's merge
+    sequence to every word, with consistent token/char counts and a
+    real compression win (some word's n_tokens < n_chars)."""
+    from movie_rec_spark.operators import text as T
+
+    freqs: dict = {}
+    for row in sf_docs.select("text").collect():
+        for w in row.text.split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    merges = _bpe_py(freqs, T.BPE_ROUNDS)
+    want = {}
+    for w, f in freqs.items():
+        sym = " ".join(w)
+        for _, a, b, _ in merges:
+            sym = (" " + sym + " ").replace(
+                f" {a} {b} ", f" {a}{b} ").strip()
+        want[w] = (f, sym, len(sym.split(" ")), len(w))
+    got = {r.word: (r.freq, r.encoded, r.n_tokens, r.n_chars)
+           for r in T.q_bpe_encode(sf_docs).collect()}
+    assert got == want
+    assert any(v[2] < v[3] for v in got.values())

@@ -236,6 +236,8 @@ def test_new_operator_shuffle_budgets(spark):
         "q_negative_sample": 3,  # seen-pair distinct + the (user,
                                  # item) slot collapse + anti-join/
                                  # window sharing the user key
+        "q_bpe_encode": 0,       # reads the checkpointed final dict;
+                                 # round work ran at build time
     }
     qs = E.queries()
     for name, budget in budgets.items():
