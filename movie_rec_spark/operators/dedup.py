@@ -352,13 +352,24 @@ def q_dedup_char_jaccard(documents: DataFrame,
 
 
 def prefix_index(documents: DataFrame,
-                 threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+                 threshold: float = JACCARD_THRESHOLD,
+                 sh: DataFrame | None = None) -> DataFrame:
     """The (doc_id, g) PREFIX rows q_dedup_prefix indexes: each doc's
     first s − ⌈τ·s⌉ + 1 shingles in ascending global-df order (rarest
     first, ties by shingle). Exposed separately so the candidate
     volume of the prefix strategy is observable via ``blocking_stats``
-    next to the full-index / minhash / simhash paths."""
-    sh = _shingle_rows(documents)
+    next to the full-index / minhash / simhash paths.
+
+    ``sh``: optionally pass an already-materialized ``_shingle_rows``
+    frame — this function references it THREE times (rows, df, sizes)
+    and q_dedup_prefix's verify stage twice more, so sharing one
+    lazily-checkpointed frame keeps the tokenize subtree single-
+    execution by construction. (Measured neutral at sf0.1 — Catalyst
+    was already deduplicating the identical scan subtrees via
+    ReusedExchange — but the checkpoint makes that guarantee explicit
+    rather than optimizer-dependent.)"""
+    if sh is None:
+        sh = _shingle_rows(documents).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df_ = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     rn = F.row_number().over(
@@ -404,9 +415,9 @@ def q_dedup_prefix(documents: DataFrame,
     and one verify join keyed on the candidate pair. All keyed; the
     skew knob is the same as every blocked path (blocking_stats).
     """
-    sh = _shingle_rows(documents)
+    sh = _shingle_rows(documents).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    prefix = prefix_index(documents, threshold)
+    prefix = prefix_index(documents, threshold, sh=sh)
     cands = (
         prefix.alias("a").join(
             prefix.alias("b"),
