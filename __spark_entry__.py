@@ -828,8 +828,18 @@ def oracle_sql() -> dict[str, str]:
     # MATERIALIZED is load-bearing: without it DuckDB inlines each CTE
     # at every reference, and the per-round chains re-evaluate the
     # whole prefix exponentially (measured: >120 s vs 0.2 s at sf0.01)
-    _bpe_steps = "".join(
-        f""",
+    # The w{r} rewrite LEFT-joins its round's (≤1-row) argmax and
+    # passes sym through untouched when no merge exists, so a corpus
+    # that exhausts its pairs before BPE_ROUNDS keeps its dict flowing
+    # to w{BPE_ROUNDS} — exactly the Spark loop's early `break`
+    # semantics (a comma cross join would empty every later round and
+    # break q_bpe_encode's parity on merge-poor corpora).
+    def _bpe_cte_steps(carry: str) -> str:
+        """One CTE-triple chain per merge round; ``carry`` prefixes
+        extra pass-through columns ('' or 'w, ') — the ONLY difference
+        between the q_bpe_merges and q_bpe_encode chains."""
+        return "".join(
+            f""",
             p{r} AS MATERIALIZED (
                 SELECT s[i] AS a, s[i + 1] AS b,
                        CAST(sum(freq) AS BIGINT) AS pf
@@ -842,34 +852,86 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a, b, pf FROM p{r}
                 ORDER BY pf DESC, a ASC, b ASC LIMIT 1),
             w{r} AS MATERIALIZED (
-                SELECT trim(replace(' ' || sym || ' ',
-                           ' ' || mg.a || ' ' || mg.b || ' ',
-                           ' ' || mg.a || mg.b || ' ')) AS sym,
+                SELECT {carry}CASE WHEN mg.a IS NULL THEN sym
+                       ELSE trim(replace(' ' || sym || ' ',
+                            ' ' || mg.a || ' ' || mg.b || ' ',
+                            ' ' || mg.a || mg.b || ' ')) END AS sym,
                        freq
-                FROM w{r - 1}, b{r} mg)"""
-        for r in range(1, T.BPE_ROUNDS + 1))
+                FROM w{r - 1} LEFT JOIN b{r} mg ON TRUE)"""
+            for r in range(1, T.BPE_ROUNDS + 1))
+
+    _bpe_steps = _bpe_cte_steps("")
     # q_bpe_encode variant: the same rounds carrying the WORD through,
     # so the final dict CTE is the encoded vocabulary itself
-    _bpe_enc_steps = "".join(
-        f""",
-            p{r} AS MATERIALIZED (
-                SELECT s[i] AS a, s[i + 1] AS b,
-                       CAST(sum(freq) AS BIGINT) AS pf
-                FROM (SELECT string_split(sym, ' ') AS s, freq,
-                             unnest(range(1, len(string_split(sym, ' '))))
-                                 AS i
-                      FROM w{r - 1})
-                GROUP BY 1, 2),
-            b{r} AS MATERIALIZED (
-                SELECT a, b, pf FROM p{r}
-                ORDER BY pf DESC, a ASC, b ASC LIMIT 1),
-            w{r} AS MATERIALIZED (
-                SELECT w, trim(replace(' ' || sym || ' ',
-                           ' ' || mg.a || ' ' || mg.b || ' ',
-                           ' ' || mg.a || mg.b || ' ')) AS sym,
-                       freq
-                FROM w{r - 1}, b{r} mg)"""
-        for r in range(1, T.BPE_ROUNDS + 1))
+    _bpe_enc_steps = _bpe_cte_steps("w, ")
+    # Shared retrieval-arm CTE builders: q_bm25 / q_knn_text and the
+    # q_rrf fusion compose the SAME SQL bodies (the jaccard_pairs
+    # sharing discipline) — a future rounding/idf fix lands in one
+    # place or the fusion oracle silently drifts.
+    def _bm25_ctes() -> str:
+        return f"""dl AS (
+                SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS dl
+                FROM documents),
+            stats AS (
+                SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                WHERE term IN ({", ".join(f"'{t}'" for t in T.BM25_QUERY)})
+                GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"""
+
+    def _bm25_select() -> str:
+        return f"""SELECT tf.doc_id,
+                   round(sum(round(
+                       ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * (tf.tf * ({T.BM25_K1} + 1.0)
+                          / (tf.tf + {T.BM25_K1}
+                             * (1.0 - {T.BM25_B} + {T.BM25_B} * dl.dl
+                                / (sum_dl * 1.0 / n_docs)))), 4)), 4)
+                       AS bm25
+            FROM tf
+            JOIN df ON tf.term = df.term
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+            ORDER BY bm25 DESC, tf.doc_id ASC
+            LIMIT {T.BM25_TOP_K}"""
+
+    def _knn_ctes(src: str, qid: int) -> str:
+        return f"""w AS (SELECT doc_id,
+                          unnest(string_split(text, ' ')) AS w
+                   FROM {src}),
+            d AS (SELECT doc_id,
+                         CAST(CAST('0x' || substring(md5(w), 1, 8)
+                             AS BIGINT) % {T.EMBED_HASH_DIM} AS INTEGER)
+                             AS pos
+                  FROM w),
+            c AS (SELECT doc_id, pos, count(*) AS cnt
+                  FROM d GROUP BY doc_id, pos),
+            nn AS (SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm
+                   FROM c GROUP BY doc_id),
+            e AS (SELECT c.doc_id, c.pos, round(c.cnt / nn.nrm, 6) AS val
+                  FROM c JOIN nn ON c.doc_id = nn.doc_id),
+            nm AS (SELECT doc_id, sqrt(sum(val * val)) AS n2 FROM e
+                   GROUP BY doc_id),
+            q AS (SELECT pos, val FROM e WHERE doc_id = {qid})"""
+
+    def _knn_select(qid: int, k: int, positive_only: bool) -> str:
+        sim = f"""round(sum(e.val * q.val)
+                         / (max(nm.n2) * (SELECT max(n2) FROM nm
+                                          WHERE doc_id = {qid})), 4)"""
+        having = f"\n            HAVING {sim} > 0" if positive_only else ""
+        return f"""SELECT e.doc_id,
+                   {sim} AS sim
+            FROM e JOIN q ON e.pos = q.pos
+            JOIN nm ON nm.doc_id = e.doc_id
+            WHERE e.doc_id <> {qid}
+            GROUP BY e.doc_id{having}
+            ORDER BY sim DESC, e.doc_id LIMIT {k}"""
+
     _bpe_union = "\n            UNION ALL ".join(
         f"SELECT CAST({r} AS INTEGER) AS merge_round, a AS left_sym, "
         f"b AS right_sym, pf AS pair_freq FROM b{r}"
@@ -1257,34 +1319,8 @@ def oracle_sql() -> dict[str, str]:
         # b*dl/avgdl, exact-integer avgdl build) so doubles agree
         # bit-for-bit; ln-carrying per-term scores round to 4 before sum.
         "q_bm25": f"""
-            WITH dl AS (
-                SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
-                           AS dl
-                FROM documents),
-            stats AS (
-                SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-            tf AS (
-                SELECT doc_id, term, count(*) AS tf
-                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                      FROM documents)
-                WHERE term IN ({", ".join(f"'{t}'" for t in T.BM25_QUERY)})
-                GROUP BY doc_id, term),
-            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-            SELECT tf.doc_id,
-                   round(sum(round(
-                       ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
-                       * (tf.tf * ({T.BM25_K1} + 1.0)
-                          / (tf.tf + {T.BM25_K1}
-                             * (1.0 - {T.BM25_B} + {T.BM25_B} * dl.dl
-                                / (sum_dl * 1.0 / n_docs)))), 4)), 4)
-                       AS bm25
-            FROM tf
-            JOIN df ON tf.term = df.term
-            JOIN dl ON tf.doc_id = dl.doc_id
-            CROSS JOIN stats
-            GROUP BY tf.doc_id
-            ORDER BY bm25 DESC, tf.doc_id ASC
-            LIMIT {T.BM25_TOP_K}
+            WITH {_bm25_ctes()}
+            {_bm25_select()}
         """,
         "q_bpe_merges": f"""
             WITH w0 AS (
@@ -1323,63 +1359,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, text FROM documents
                 UNION ALL
                 SELECT -1, '{" ".join(T.BM25_QUERY)}'),
-            w AS (SELECT doc_id,
-                         unnest(string_split(text, ' ')) AS w
-                  FROM docs2),
-            d AS (SELECT doc_id,
-                         CAST(CAST('0x' || substring(md5(w), 1, 8)
-                             AS BIGINT) % {T.EMBED_HASH_DIM} AS INTEGER)
-                             AS pos
-                  FROM w),
-            c AS (SELECT doc_id, pos, count(*) AS cnt
-                  FROM d GROUP BY doc_id, pos),
-            nn AS (SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm
-                   FROM c GROUP BY doc_id),
-            e AS (SELECT c.doc_id, c.pos, round(c.cnt / nn.nrm, 6) AS val
-                  FROM c JOIN nn ON c.doc_id = nn.doc_id),
-            nm AS (SELECT doc_id, sqrt(sum(val * val)) AS n2 FROM e
-                   GROUP BY doc_id),
-            q AS (SELECT pos, val FROM e WHERE doc_id = -1),
+            {_knn_ctes("docs2", -1)},
             den AS (
-                SELECT e.doc_id,
-                       round(sum(e.val * q.val)
-                             / (max(nm.n2) * (SELECT max(n2) FROM nm
-                                              WHERE doc_id = -1)), 4)
-                           AS sim
-                FROM e JOIN q ON e.pos = q.pos
-                JOIN nm ON nm.doc_id = e.doc_id
-                WHERE e.doc_id <> -1
-                GROUP BY e.doc_id
-                ORDER BY sim DESC, e.doc_id LIMIT {T.BM25_TOP_K}),
-            dl AS (
-                SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
-                           AS dl
-                FROM documents),
-            stats AS (
-                SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-            tf AS (
-                SELECT doc_id, term, count(*) AS tf
-                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                      FROM documents)
-                WHERE term IN ({", ".join(f"'{t}'" for t in T.BM25_QUERY)})
-                GROUP BY doc_id, term),
-            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            {_knn_select(-1, T.BM25_TOP_K, positive_only=True)}),
+            {_bm25_ctes()},
             lex AS (
-                SELECT tf.doc_id,
-                       round(sum(round(
-                           ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
-                           * (tf.tf * ({T.BM25_K1} + 1.0)
-                              / (tf.tf + {T.BM25_K1}
-                                 * (1.0 - {T.BM25_B} + {T.BM25_B} * dl.dl
-                                    / (sum_dl * 1.0 / n_docs)))), 4)), 4)
-                           AS bm25
-                FROM tf
-                JOIN df ON tf.term = df.term
-                JOIN dl ON tf.doc_id = dl.doc_id
-                CROSS JOIN stats
-                GROUP BY tf.doc_id
-                ORDER BY bm25 DESC, tf.doc_id ASC
-                LIMIT {T.BM25_TOP_K}),
+            {_bm25_select()}),
             lr AS (SELECT doc_id,
                           row_number() OVER (ORDER BY bm25 DESC, doc_id)
                               AS r_lex
@@ -1401,8 +1386,7 @@ def oracle_sql() -> dict[str, str]:
                            ELSE CAST(0.0 AS DOUBLE) END) AS rrf
             FROM lr FULL OUTER JOIN dr ON lr.doc_id = dr.doc_id
             ORDER BY rrf DESC, doc_id LIMIT {T.RRF_TOP}
-        """,
-        # Same RE2-compatible patterns as T.PII_PATTERNS; DuckDB needs
+        """,        # Same RE2-compatible patterns as T.PII_PATTERNS; DuckDB needs
         # the explicit 'g' flag where Spark's regexp_replace is global.
         "q_pii_redact": f"""
             WITH c AS (
@@ -1909,32 +1893,8 @@ def oracle_sql() -> dict[str, str]:
         # (6dp-rounded), cosine = Σ val_a·val_b / (na·nb) over matching
         # positions only (zeros contribute nothing to the dense dot).
         "q_knn_text": f"""
-            WITH w AS (SELECT doc_id,
-                              unnest(string_split(text, ' ')) AS w
-                       FROM documents),
-            d AS (SELECT doc_id,
-                         CAST(CAST('0x' || substring(md5(w), 1, 8)
-                             AS BIGINT) % {T.EMBED_HASH_DIM} AS INTEGER)
-                             AS pos
-                  FROM w),
-            c AS (SELECT doc_id, pos, count(*) AS cnt
-                  FROM d GROUP BY doc_id, pos),
-            nn AS (SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm
-                   FROM c GROUP BY doc_id),
-            e AS (SELECT c.doc_id, c.pos, round(c.cnt / nn.nrm, 6) AS val
-                  FROM c JOIN nn ON c.doc_id = nn.doc_id),
-            nm AS (SELECT doc_id, sqrt(sum(val * val)) AS n2 FROM e
-                   GROUP BY doc_id),
-            q AS (SELECT pos, val FROM e WHERE doc_id = 0)
-            SELECT e.doc_id,
-                   round(sum(e.val * q.val)
-                         / (max(nm.n2) * (SELECT max(n2) FROM nm
-                                          WHERE doc_id = 0)), 4) AS sim
-            FROM e JOIN q ON e.pos = q.pos
-            JOIN nm ON nm.doc_id = e.doc_id
-            WHERE e.doc_id <> 0
-            GROUP BY e.doc_id
-            ORDER BY sim DESC, e.doc_id LIMIT 10
+            WITH {_knn_ctes("documents", 0)}
+            {_knn_select(0, 10, positive_only=False)}
         """,
         # chunk-granularity retrieval: the q_knn_text oracle with the
         # chunk CTE substituted for documents and invertible chunk ids.

@@ -1485,20 +1485,26 @@ def kcore(edges: DataFrame, k: int = KCORE_K,
                       F.greatest("doc_a", "doc_b").alias("b"))
          .filter(F.col("a") != F.col("b"))
          .distinct().localCheckpoint(eager=True))
-    for _ in range(max_rounds):
+    peels = 0
+    while True:
         deg = (e.select(F.col("a").alias("node"))
                .unionAll(e.select(F.col("b").alias("node")))
                .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
                .localCheckpoint(eager=False))
         if deg.filter(F.col("deg") < k).limit(1).count() == 0:
             return deg.select(F.col("node").alias("doc_id"), "deg")
+        # cap counts PEELS, not checks: a graph whose peel depth is
+        # exactly max_rounds still gets its final stability check
+        if peels >= max_rounds:
+            raise RuntimeError(
+                f"kcore did not stabilize in {max_rounds} rounds")
+        peels += 1
         keep = deg.filter(F.col("deg") >= k).select("node")
         e = (e.join(keep.select(F.col("node").alias("a")), "a",
                     "left_semi")
              .join(keep.select(F.col("node").alias("b")), "b",
                    "left_semi")
              .select("a", "b").localCheckpoint(eager=True))
-    raise RuntimeError(f"kcore did not stabilize in {max_rounds} rounds")
 
 
 CORE_BLOCK = 10  # community size in core_edges
@@ -1531,6 +1537,13 @@ def core_edges(documents: DataFrame) -> DataFrame:
         d.select(F.col("doc_id").alias("doc_a"),
                  (F.col("doc_id") + 1).alias("doc_b"))
         .join(d.select(F.col("doc_id").alias("doc_b")), "doc_b")
+        # consecutive pairs INSIDE an even block are already clique
+        # edges — excluded here (row-local) so the union is duplicate-
+        # free by construction and degree-counting consumers need no
+        # repair distinct()
+        .filter(~((F.floor(F.col("doc_a") / CORE_BLOCK) % 2 == 0)
+                  & (F.floor(F.col("doc_b") / CORE_BLOCK)
+                     == F.floor(F.col("doc_a") / CORE_BLOCK))))
         .select("doc_a", "doc_b"))
     return clique.unionByName(chain)
 

@@ -1096,7 +1096,14 @@ def q_rrf(documents: DataFrame,
     corpus = documents.select("doc_id", "text").unionByName(qrow)
     emb = text_embedding(corpus, EMBED_HASH_DIM).localCheckpoint(
         eager=False)
+    # sim > 0 (on the ROUNDED sim both engines compute): q_knn_brute
+    # scores every doc, so zero-overlap docs would otherwise pad the
+    # top-K by lowest doc_id, while the oracle's inverted-index join
+    # never forms them — a latent divergence on corpora where fewer
+    # than K docs share a hash bucket with the query. Retrieval
+    # semantics also want it: no overlap, no result.
     dense = (q_knn_brute(emb, query_vec_id=-1, k=BM25_TOP_K)
+             .filter(F.col("sim") > 0)
              .select(F.col("vec_id").alias("doc_id"), "sim"))
     lex = q_bm25(documents, query_terms, BM25_TOP_K)
     # constant-size lists: a single-partition window here is O(top_k)

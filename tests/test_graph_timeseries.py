@@ -251,7 +251,8 @@ def test_rrf_equals_python_fusion_of_the_two_arms(spark, sf_docs):
         T.EMBED_HASH_DIM)
     den = sorted(((r.sim, r.vec_id)
                   for r in q_knn_brute(emb, query_vec_id=-1,
-                                       k=T.BM25_TOP_K).collect()),
+                                       k=T.BM25_TOP_K).collect()
+                  if r.sim > 0),
                  key=lambda t: (-t[0], t[1]))
     r_lex = {doc: i + 1 for i, (_, doc) in enumerate(lex)}
     r_den = {doc: i + 1 for i, (_, doc) in enumerate(den)}
@@ -425,3 +426,22 @@ def test_bpe_encode_matches_mirror_application(spark, sf_docs):
            for r in T.q_bpe_encode(sf_docs).collect()}
     assert got == want
     assert any(v[2] < v[3] for v in got.values())
+
+
+def test_bpe_merge_poor_corpus_exhausts_gracefully(spark):
+    """A corpus with only 2 possible merges: the loop stops early, the
+    merge table has 2 rows, and the encode dict still flows through —
+    the oracle's LEFT-JOIN pass-through mirrors the Spark break."""
+    from movie_rec_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab cd", "en", "s", 8)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    got = [(r.merge_round, r.left_sym, r.right_sym, r.pair_freq)
+           for r in T.q_bpe_merges(docs).collect()]
+    assert got == _bpe_py({"ab": 2, "cd": 1}, T.BPE_ROUNDS)
+    assert len(got) == 2
+    enc = {r.word: (r.encoded, r.n_tokens)
+           for r in T.q_bpe_encode(docs).collect()}
+    assert enc == {"ab": ("ab", 1), "cd": ("cd", 1)}
