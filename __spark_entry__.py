@@ -159,6 +159,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_match": lambda s, d: D.q_fuzzy_match(_t("part")(s, d)),
         # --- similarity search ---
         "q_knn_brute": lambda s, d: S.q_knn_brute(_t("embeddings")(s, d)),
+        # contrastive-training hard negatives: per-anchor top-k
+        # most-similar OTHER-label vectors (rounded-cosine order,
+        # anchors broadcast, WindowGroupLimit finish)
+        "q_hard_negatives": lambda s, d: S.q_hard_negatives(
+            _t("embeddings")(s, d)),
         "q_embed_neardup": lambda s, d: S.q_embed_neardup(_t("embeddings")(s, d)),
         "q_embed_dedup_groups": lambda s, d: S.q_embed_dedup_groups(
             _t("embeddings")(s, d)),
@@ -521,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_als_implicit", "q_hll_union", "q_minhash_groups",
         "q_autocorr", "q_ewma", "q_dedup_containment", "q_rrf",
         "q_bpe_merges", "q_bpe_encode", "q_negative_sample",
+        "q_hard_negatives",
         "q_snapshot_asof", "q_snapshot_cdf", "q_anomaly_stream_et",
         "q_incremental_view", "q_semantic_decontam", "q_vocab_coverage",
         "q_data_quality", "q_triangles", "q_star_revenue",
@@ -536,12 +542,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonal_naive", "q_top_unshipped", "q_new_vs_returning",
         "q_dedup_prefix", "q_lag_features",
     ]
-    # 55 priority entries vs a 50-row driver window: the LAST five
-    # (q_seasonal_naive, q_top_unshipped, q_new_vs_returning,
-    # q_dedup_prefix, q_lag_features) sit at positions 51-55 and
-    # rotate into the r07 window — disclosed here; all five stay
-    # covered by the committed strict CORRECTNESS_local.json either
-    # way.
+    # 56 priority entries vs a 50-row driver window: the LAST six
+    # (q_audience_overlap, q_seasonal_naive, q_top_unshipped,
+    # q_new_vs_returning, q_dedup_prefix, q_lag_features) sit at
+    # positions 51-56 and rotate into the r07 window — disclosed
+    # here; all six stay covered by the committed strict
+    # CORRECTNESS_local.json either way.
     order = (priority
              + [k for k in original if k not in priority]
              + [k for k in newer if k not in priority])
@@ -1686,6 +1692,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS sim
             FROM e, q WHERE e.vec_id <> {S.QUERY_VEC_ID}
             ORDER BY sim DESC, e.vec_id LIMIT {S.KNN_K}
+        """,
+        # per-anchor other-label top-k; the label inequality excludes
+        # the anchor itself, the rank is on the shared rounded cosine
+        "q_hard_negatives": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                       FROM embeddings),
+            a AS (SELECT vec_id AS anchor_id, v AS av, label AS alabel
+                  FROM e WHERE vec_id < {S.HARDNEG_ANCHORS}),
+            p AS (SELECT a.anchor_id, e.vec_id AS neg_id,
+                         round(list_cosine_similarity(e.v, a.av), 4)
+                             AS sim
+                  FROM e CROSS JOIN a
+                  WHERE e.label <> a.alabel),
+            r AS (SELECT anchor_id, neg_id, sim,
+                         row_number() OVER (PARTITION BY anchor_id
+                             ORDER BY sim DESC, neg_id) AS rn
+                  FROM p)
+            SELECT anchor_id, neg_id, sim, CAST(rn AS INTEGER)
+                       AS neg_rank
+            FROM r WHERE rn <= {S.HARDNEG_K}
         """,
         "q_embed_neardup": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -1323,3 +1323,50 @@ def q_semantic_decontam(embeddings: DataFrame,
         (-F.col("m.nb")).alias("best_bench_id"),
         F.col("m.sim").alias("max_sim"),
         (F.col("m.sim") >= F.lit(threshold)).alias("contaminated"))
+
+
+HARDNEG_ANCHORS = 10  # anchors = vec_id < this (pinned for the oracle)
+HARDNEG_K = 3         # hard negatives mined per anchor
+
+
+def q_hard_negatives(embeddings: DataFrame,
+                     n_anchors: int = HARDNEG_ANCHORS,
+                     k: int = HARDNEG_K) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: for each anchor
+    vector, the k most-similar vectors with a DIFFERENT label — the
+    near-miss examples that make metric-learning / retrieval losses
+    (triplet, InfoNCE, cross-encoder distillation) actually learn;
+    random negatives (q_negative_sample's regime) are too easy to
+    carry gradient signal on a trained model.
+
+    Exact brute-force baseline, same determinism discipline as
+    q_knn_brute: ROUNDED cosine ordering with vec_id tie-break, the
+    anchor itself excluded for free by the label inequality. Scale
+    shape: anchors are a constant-size broadcast, scoring is one
+    row-local pass over the corpus (|corpus|·n_anchors expansion, no
+    shuffle), and the per-anchor top-k is one WindowGroupLimit window
+    keyed on anchor_id. At corpus scale the candidate generator
+    composes in front unchanged — mine from each anchor's IVF cell
+    (ivf_search) or LSH bucket instead of the full scan, then this
+    same label-filtered rank finishes.
+    """
+    e = _as_double(embeddings)
+    anchors = (
+        e.filter(F.col("vec_id") < n_anchors)
+        .select(F.col("vec_id").alias("anchor_id"),
+                F.col("embedding").alias("avec"),
+                F.col("label").alias("alabel")))
+    scored = (
+        e.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("alabel"))
+        .select("anchor_id", "vec_id",
+                F.round(cosine(F.col("embedding"), F.col("avec")), 4)
+                .alias("sim")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("anchor_id", F.col("vec_id").alias("neg_id"), "sim",
+                F.col("rn").cast("int").alias("neg_rank")))

@@ -445,3 +445,46 @@ def test_bpe_merge_poor_corpus_exhausts_gracefully(spark):
     enc = {r.word: (r.encoded, r.n_tokens)
            for r in T.q_bpe_encode(docs).collect()}
     assert enc == {"ab": ("ab", 1), "cd": ("cd", 1)}
+
+
+# ---------- hard-negative mining ----------
+
+def test_hard_negatives_properties(spark, sf_emb):
+    """Every mined negative has a different label than its anchor,
+    ranks are dense 1..k per anchor, the anchor never appears among
+    its own negatives, and each anchor's top negative is at least as
+    similar as its k-th (mining order respected)."""
+    from movie_rec_spark.operators.similarity import (
+        HARDNEG_ANCHORS,
+        HARDNEG_K,
+        q_hard_negatives,
+    )
+    labels = {r.vec_id: r.label
+              for r in sf_emb.select("vec_id", "label").collect()}
+    out = q_hard_negatives(sf_emb).collect()
+    assert out
+    per: dict = {}
+    for r in out:
+        assert r.anchor_id < HARDNEG_ANCHORS
+        assert labels[r.neg_id] != labels[r.anchor_id]
+        assert r.neg_id != r.anchor_id
+        per.setdefault(r.anchor_id, []).append((r.neg_rank, r.sim))
+    for ranks in per.values():
+        ranks.sort()
+        assert [n for n, _ in ranks] == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= HARDNEG_K
+        sims = [s for _, s in ranks]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_hard_negatives_single_label_corpus_is_empty(spark):
+    """A corpus where every vector shares one label has NO valid
+    negatives — empty result with schema, never a same-label leak."""
+    from movie_rec_spark.operators.similarity import q_hard_negatives
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], 7) for i in range(6)],
+        "vec_id bigint, embedding array<float>, label int")
+    out = q_hard_negatives(emb)
+    assert out.count() == 0
+    assert out.columns == ["anchor_id", "neg_id", "sim", "neg_rank"]

@@ -238,6 +238,8 @@ def test_new_operator_shuffle_budgets(spark):
                                  # window sharing the user key
         "q_bpe_encode": 0,       # reads the checkpointed final dict;
                                  # round work ran at build time
+        "q_hard_negatives": 1,   # anchors broadcast; the only move is
+                                 # the anchor-keyed top-k window
     }
     qs = E.queries()
     for name, budget in budgets.items():
