@@ -129,6 +129,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the encode half: the post-merge vocabulary segmentation —
         # shared training loop, word carried through the oracle rounds
         "q_bpe_encode": lambda s, d: T.q_bpe_encode(_t("documents")(s, d)),
+        # padding-waste accounting for length-bucketed batching:
+        # integer CASE-chain buckets (no log2 floats), one O(buckets)
+        # aggregate, raw int/int waste ratio
+        "q_length_buckets": lambda s, d: T.q_length_buckets(
+            _t("documents")(s, d)),
         # --- deduplication ---
         "q_dedup_exact": lambda s, d: D.q_dedup_exact(_t("documents")(s, d)),
         "q_dedup_jaccard": lambda s, d: D.q_dedup_jaccard(_t("documents")(s, d)),
@@ -526,7 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_als_implicit", "q_hll_union", "q_minhash_groups",
         "q_autocorr", "q_ewma", "q_dedup_containment", "q_rrf",
         "q_bpe_merges", "q_bpe_encode", "q_negative_sample",
-        "q_hard_negatives",
+        "q_hard_negatives", "q_length_buckets",
         "q_snapshot_asof", "q_snapshot_cdf", "q_anomaly_stream_et",
         "q_incremental_view", "q_semantic_decontam", "q_vocab_coverage",
         "q_data_quality", "q_triangles", "q_star_revenue",
@@ -542,11 +547,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonal_naive", "q_top_unshipped", "q_new_vs_returning",
         "q_dedup_prefix", "q_lag_features",
     ]
-    # 56 priority entries vs a 50-row driver window: the LAST six
-    # (q_audience_overlap, q_seasonal_naive, q_top_unshipped,
+    # 57 priority entries vs a 50-row driver window: the LAST seven
+    # (q_twap, q_audience_overlap, q_seasonal_naive, q_top_unshipped,
     # q_new_vs_returning, q_dedup_prefix, q_lag_features) sit at
-    # positions 51-56 and rotate into the r07 window — disclosed
-    # here; all six stay covered by the committed strict
+    # positions 51-57 and rotate into the r07 window — disclosed
+    # here; all seven stay covered by the committed strict
     # CORRECTNESS_local.json either way.
     order = (priority
              + [k for k in original if k not in priority]
@@ -1354,6 +1359,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(replace(w, ' ', '')) AS INTEGER)
                        AS n_chars
             FROM w{T.BPE_ROUNDS}
+        """,
+        # bucket CASE chain generated from the same LENGTH_BUCKETS
+        # constant the Spark builder folds — integer-exact assignment
+        "q_length_buckets": f"""
+            WITH d AS (
+                SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS nt
+                FROM documents),
+            b AS (SELECT CAST(CASE
+                      {" ".join(f"WHEN nt <= {x} THEN {x}"
+                                for x in T.LENGTH_BUCKETS)}
+                      ELSE {T.LENGTH_BUCKETS[-1] * 2} END AS BIGINT)
+                          AS bucket, nt
+                  FROM d),
+            g AS (SELECT bucket,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(nt) AS BIGINT) AS n_tokens
+                  FROM b GROUP BY 1)
+            SELECT bucket, n_docs, n_tokens,
+                   bucket * n_docs AS capacity,
+                   (bucket * n_docs - n_tokens) * 1.0
+                       / (bucket * n_docs) AS waste_ratio
+            FROM g
         """,
         # RRF: the q_bm25 CTEs (lexical arm) + the q_knn_text CTEs over
         # the corpus ∪ query-row (dense arm), fused by rank with the

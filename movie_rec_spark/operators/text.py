@@ -1236,3 +1236,39 @@ def q_bpe_encode(documents: DataFrame,
         F.size(F.split("sym", " ")).cast("int").alias("n_tokens"),
         F.length(F.replace(F.col("w"), F.lit(" "), F.lit("")))
         .cast("int").alias("n_chars"))
+
+
+LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def q_length_buckets(documents: DataFrame,
+                     buckets: tuple[int, ...] = LENGTH_BUCKETS
+                     ) -> DataFrame:
+    """Length-bucketed batching audit — the padding-waste accounting a
+    packing pipeline runs before choosing bucket boundaries: each doc
+    lands in the smallest bucket covering its token count, and each
+    bucket reports docs, real tokens, padded capacity, and the waste
+    ratio (padding / capacity) that fixed-length batching would burn.
+    q_pack_sequences is the greedy-packing alternative; this table is
+    how you justify one over the other on a given corpus.
+
+    Buckets are INTEGER literals compared in a CASE chain (generated
+    once in Python for both engines) — no log2/pow floats anywhere, so
+    bucket assignment is exact by construction; the only division is
+    the final raw int/int waste ratio. Map-only until one O(|buckets|)
+    aggregate.
+    """
+    n = F.size(F.split("text", " ")).cast("long")
+    bucket = F.lit(buckets[-1] * 2).cast("long")  # overflow bucket
+    for b in reversed(buckets):
+        bucket = F.when(n <= b, F.lit(b).cast("long")).otherwise(bucket)
+    g = (documents.select(bucket.alias("bucket"), n.alias("nt"))
+         .groupBy("bucket")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("nt").alias("n_tokens")))
+    cap = F.col("bucket") * F.col("n_docs")
+    return (g.select(
+        "bucket", "n_docs", "n_tokens",
+        cap.alias("capacity"),
+        ((cap - F.col("n_tokens")) / cap).alias("waste_ratio"))
+        .orderBy("bucket"))

@@ -488,3 +488,30 @@ def test_hard_negatives_single_label_corpus_is_empty(spark):
     out = q_hard_negatives(emb)
     assert out.count() == 0
     assert out.columns == ["anchor_id", "neg_id", "sim", "neg_rank"]
+
+
+# ---------- length-bucketed batching audit ----------
+
+def test_length_buckets_matches_python_audit(spark, sf_docs):
+    """Bucket assignment, counts, capacities, and waste ratios equal a
+    pure-Python audit of the same corpus; ratios stay in [0, 1) and
+    every doc lands in exactly one bucket."""
+    from movie_rec_spark.operators import text as T
+
+    lens = [len(r.text.split(" "))
+            for r in sf_docs.select("text").collect()]
+    want: dict = {}
+    for n in lens:
+        b = next((x for x in T.LENGTH_BUCKETS if n <= x),
+                 T.LENGTH_BUCKETS[-1] * 2)
+        d = want.setdefault(b, [0, 0])
+        d[0] += 1
+        d[1] += n
+    got = {r.bucket: r for r in T.q_length_buckets(sf_docs).collect()}
+    assert set(got) == set(want)
+    assert sum(r.n_docs for r in got.values()) == len(lens)
+    for b, (nd, nt) in want.items():
+        r = got[b]
+        assert (r.n_docs, r.n_tokens, r.capacity) == (nd, nt, b * nd)
+        assert r.waste_ratio == (b * nd - nt) / (b * nd)
+        assert 0 <= r.waste_ratio < 1
