@@ -240,8 +240,9 @@ def test_new_operator_shuffle_budgets(spark):
                                  # round work ran at build time
         "q_hard_negatives": 1,   # anchors broadcast; the only move is
                                  # the anchor-keyed top-k window
-        "q_length_buckets": 1,   # map-only CASE chain -> one
-                                 # O(buckets) aggregate
+        "q_length_buckets": 2,   # map-only CASE chain -> one
+                                 # O(buckets) aggregate + the
+                                 # O(buckets)-row presentation sort
     }
     qs = E.queries()
     for name, budget in budgets.items():
