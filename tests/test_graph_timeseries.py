@@ -515,3 +515,136 @@ def test_length_buckets_matches_python_audit(spark, sf_docs):
         assert (r.n_docs, r.n_tokens, r.capacity) == (nd, nt, b * nd)
         assert r.waste_ratio == (b * nd - nt) / (b * nd)
         assert 0 <= r.waste_ratio < 1
+
+
+# ---------- hypothesis property gates ----------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+SLOW = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                min_size=1, max_size=40),
+       st.integers(2, 3))
+def test_kcore_equals_peeler_on_random_graphs(spark, raw, k):
+    """Synchronous whole-round peeling equals the sequential mirror on
+    arbitrary random graphs — the confluence claim, not just the
+    community fixture."""
+    edges_py = [(a, b) for a, b in raw if a != b]
+    if not edges_py:
+        return
+    edges = spark.createDataFrame(edges_py, "doc_a bigint, doc_b bigint")
+    got = {r.doc_id: r.deg for r in D.kcore(edges, k).collect()}
+    assert got == _kcore_py(edges_py, k)
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 10), st.integers(0, 10)),
+                min_size=1, max_size=30),
+       st.integers(1, 4))
+def test_label_prop_equals_mirror_on_random_graphs(spark, raw, iters):
+    """Synchronous LPA with the (count DESC, label ASC) tie rule equals
+    the pure-Python mirror on arbitrary graphs and iteration counts."""
+    edges_py = [(a, b) for a, b in raw if a != b]
+    if not edges_py:
+        return
+    edges = spark.createDataFrame(edges_py, "doc_a bigint, doc_b bigint")
+    got = {r.doc_id: r.label
+           for r in D.label_propagation(edges, iters).collect()}
+    assert got == _lpa_py(edges_py, iters)
+
+
+@SLOW
+@given(st.lists(st.integers(0, 500), min_size=11, max_size=40))
+def test_autocorr_equals_exact_float_model(spark, cents):
+    """On a random integer-cents series the estimator equals the exact
+    int-sums model evaluated with the same IEEE expression (tolerance
+    only for the final HALF_UP-vs-banker's rounding tie)."""
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=i), 1, "e", c / 100.0, "")
+         for i, c in enumerate(cents)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    y, z = cents[:-1], cents[1:]
+    n = len(y)
+    sy, sz = sum(y), sum(z)
+    syz = sum(a * b for a, b in zip(y, z))
+    syy = sum(a * a for a in y)
+    szz = sum(b * b for b in z)
+    da, db = n * syy - sy * sy, n * szz - sz * sz
+    rows = TP.q_autocorr(ev).collect()
+    if da > 0 and db > 0:
+        [r] = rows
+        want = (n * syz - sy * sz) / (math.sqrt(da) * math.sqrt(db))
+        assert r.n_pairs == n
+        assert abs(r.lag1_autocorr - want) <= 5.0001e-5
+    else:
+        assert rows == []
+
+
+@SLOW
+@given(st.lists(st.integers(1, 50), min_size=8, max_size=20))
+def test_ewma_equals_dot_model_on_random_series(spark, counts):
+    """Random daily count series: every emitted row equals the Python
+    tap dot product (same left-assoc order) within the rounding tie."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for day, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((eid, t0 + dt.timedelta(days=day), 1, "x",
+                         1.0, ""))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r.day.day + 31 * r.day.month: r.ewma
+           for r in TP.q_ewma(ev).collect()}
+    w = TP.ewma_weights()
+    taps = TP.EWMA_TAPS
+    assert len(got) == len(counts) - taps + 1
+    for day in range(taps - 1, len(counts)):
+        acc = 0.0
+        for j, wt in enumerate(w):
+            acc = acc + counts[day - j] * wt
+        d = t0 + dt.timedelta(days=day)
+        assert abs(got[d.day + 31 * d.month] - acc) <= 5.0001e-5
+
+
+@SLOW
+@given(st.lists(st.lists(st.integers(0, 5), min_size=3, max_size=10),
+                min_size=2, max_size=6))
+def test_containment_equals_brute_python(spark, word_lists):
+    """Random tiny-vocab docs: emitted pairs and both directional
+    ratios equal the brute-force Python set model exactly (raw int/int
+    divisions on both sides)."""
+    texts = [" ".join(f"w{t}" for t in ws) for ws in word_lists]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    shingles = []
+    for ws in word_lists:
+        toks = [f"w{t}" for t in ws]
+        shingles.append({" ".join(toks[i:i + 3])
+                         for i in range(max(len(toks) - 2, 1))})
+    want = {}
+    for a in range(len(shingles)):
+        for b in range(a + 1, len(shingles)):
+            i = len(shingles[a] & shingles[b])
+            if not i:
+                continue
+            cab, cba = i / len(shingles[a]), i / len(shingles[b])
+            if max(cab, cba) >= D.CONTAINMENT_THRESHOLD:
+                want[(a, b)] = (cab, cba)
+    got = {(r.doc_a, r.doc_b): (r.cont_a_in_b, r.cont_b_in_a)
+           for r in D.q_dedup_containment(docs).collect()}
+    assert got == want
