@@ -1370,18 +1370,20 @@ def oracle_sql() -> dict[str, str]:
             b AS (SELECT CAST(CASE
                       {" ".join(f"WHEN nt <= {x} THEN {x}"
                                 for x in T.LENGTH_BUCKETS)}
-                      ELSE {T.LENGTH_BUCKETS[-1] * 2} END AS BIGINT)
+                      ELSE 0 END AS BIGINT)
                           AS bucket, nt
                   FROM d),
             g AS (SELECT bucket,
                          CAST(count(*) AS BIGINT) AS n_docs,
                          CAST(sum(nt) AS BIGINT) AS n_tokens
-                  FROM b GROUP BY 1)
-            SELECT bucket, n_docs, n_tokens,
-                   bucket * n_docs AS capacity,
-                   (bucket * n_docs - n_tokens) * 1.0
-                       / (bucket * n_docs) AS waste_ratio
-            FROM g
+                  FROM b GROUP BY 1),
+            c AS (SELECT bucket, n_docs, n_tokens,
+                         CASE WHEN bucket = 0 THEN n_tokens
+                              ELSE bucket * n_docs END AS capacity
+                  FROM g)
+            SELECT bucket, n_docs, n_tokens, capacity,
+                   (capacity - n_tokens) * 1.0 / capacity AS waste_ratio
+            FROM c
         """,
         # RRF: the q_bm25 CTEs (lexical arm) + the q_knn_text CTEs over
         # the corpus ∪ query-row (dense arm), fused by rank with the
@@ -1420,7 +1422,8 @@ def oracle_sql() -> dict[str, str]:
                            ELSE CAST(0.0 AS DOUBLE) END) AS rrf
             FROM lr FULL OUTER JOIN dr ON lr.doc_id = dr.doc_id
             ORDER BY rrf DESC, doc_id LIMIT {T.RRF_TOP}
-        """,        # Same RE2-compatible patterns as T.PII_PATTERNS; DuckDB needs
+        """,
+        # Same RE2-compatible patterns as T.PII_PATTERNS; DuckDB needs
         # the explicit 'g' flag where Spark's regexp_replace is global.
         "q_pii_redact": f"""
             WITH c AS (
@@ -1966,22 +1969,7 @@ def oracle_sql() -> dict[str, str]:
                               AS doc_id,
                           chunk AS text
                    FROM chunks),
-            w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                  FROM cd),
-            d AS (SELECT doc_id,
-                         CAST(CAST('0x' || substring(md5(w), 1, 8)
-                             AS BIGINT) % {T.EMBED_HASH_DIM} AS INTEGER)
-                             AS pos
-                  FROM w),
-            c AS (SELECT doc_id, pos, count(*) AS cnt
-                  FROM d GROUP BY doc_id, pos),
-            nn AS (SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm
-                   FROM c GROUP BY doc_id),
-            e AS (SELECT c.doc_id, c.pos, round(c.cnt / nn.nrm, 6) AS val
-                  FROM c JOIN nn ON c.doc_id = nn.doc_id),
-            nm AS (SELECT doc_id, sqrt(sum(val * val)) AS n2 FROM e
-                   GROUP BY doc_id),
-            q AS (SELECT pos, val FROM e WHERE doc_id = 0)
+            {_knn_ctes("cd", 0)}
             SELECT e.doc_id AS chunk_id,
                    e.doc_id // {T.CHUNK_ID_STRIDE} AS doc_id,
                    CAST(e.doc_id % {T.CHUNK_ID_STRIDE} AS INT) AS chunk_idx,

@@ -1257,16 +1257,23 @@ def q_length_buckets(documents: DataFrame,
     bucket assignment is exact by construction; the only division is
     the final raw int/int waste ratio. Map-only until one O(|buckets|)
     aggregate.
+
+    Docs longer than the largest bucket report as bucket 0 — the
+    explicit "does not fit, must be split/truncated" marker — with
+    capacity = their real token sum (a fixed-length batch cannot hold
+    them, so padding accounting is meaningless there and the waste
+    ratio is 0 by definition, never negative).
     """
     n = F.size(F.split("text", " ")).cast("long")
-    bucket = F.lit(buckets[-1] * 2).cast("long")  # overflow bucket
+    bucket = F.lit(0).cast("long")  # 0 = does not fit any bucket
     for b in reversed(buckets):
         bucket = F.when(n <= b, F.lit(b).cast("long")).otherwise(bucket)
     g = (documents.select(bucket.alias("bucket"), n.alias("nt"))
          .groupBy("bucket")
          .agg(F.count(F.lit(1)).alias("n_docs"),
               F.sum("nt").alias("n_tokens")))
-    cap = F.col("bucket") * F.col("n_docs")
+    cap = F.when(F.col("bucket") == 0, F.col("n_tokens")) \
+        .otherwise(F.col("bucket") * F.col("n_docs"))
     return (g.select(
         "bucket", "n_docs", "n_tokens",
         cap.alias("capacity"),

@@ -502,8 +502,7 @@ def test_length_buckets_matches_python_audit(spark, sf_docs):
             for r in sf_docs.select("text").collect()]
     want: dict = {}
     for n in lens:
-        b = next((x for x in T.LENGTH_BUCKETS if n <= x),
-                 T.LENGTH_BUCKETS[-1] * 2)
+        b = next((x for x in T.LENGTH_BUCKETS if n <= x), 0)
         d = want.setdefault(b, [0, 0])
         d[0] += 1
         d[1] += n
@@ -512,20 +511,37 @@ def test_length_buckets_matches_python_audit(spark, sf_docs):
     assert sum(r.n_docs for r in got.values()) == len(lens)
     for b, (nd, nt) in want.items():
         r = got[b]
-        assert (r.n_docs, r.n_tokens, r.capacity) == (nd, nt, b * nd)
-        assert r.waste_ratio == (b * nd - nt) / (b * nd)
+        cap = nt if b == 0 else b * nd
+        assert (r.n_docs, r.n_tokens, r.capacity) == (nd, nt, cap)
+        assert r.waste_ratio == (cap - nt) / cap
         assert 0 <= r.waste_ratio < 1
+
+
+def test_length_buckets_overflow_doc_marks_bucket_zero(spark):
+    """A doc longer than the largest bucket reports as bucket 0 with
+    capacity = its real tokens and waste 0 — never a negative ratio
+    pretending a fixed-length batch could hold it."""
+    from movie_rec_spark.operators import text as T
+
+    big = " ".join(f"w{i}" for i in range(T.LENGTH_BUCKETS[-1] + 100))
+    docs = spark.createDataFrame(
+        [(0, big, "en", "s", len(big)), (1, "a b c", "en", "s", 5)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    got = {r.bucket: r for r in T.q_length_buckets(docs).collect()}
+    assert set(got) == {0, T.LENGTH_BUCKETS[0]}
+    o = got[0]
+    assert o.n_docs == 1
+    assert o.capacity == o.n_tokens == T.LENGTH_BUCKETS[-1] + 100
+    assert o.waste_ratio == 0.0
 
 
 # ---------- hypothesis property gates ----------
 
-from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import given  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
-SLOW = settings(
-    max_examples=8, deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+from hyp import SLOW  # noqa: E402
 
 
 @SLOW

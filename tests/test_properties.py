@@ -10,17 +10,14 @@ from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+from hyp import SLOW
 from pyspark.sql import functions as F
 
 from movie_rec_spark.functions import round_half_up
 from movie_rec_spark.operators.mutation import upsert_latest
 from movie_rec_spark.operators.skew import salted_count
 from movie_rec_spark.operators.temporal import asof_join, q_sessionize
-
-SLOW = settings(
-    max_examples=8, deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
 
 EPOCH = dt.datetime(2024, 1, 1)
 
