@@ -144,3 +144,38 @@ def stateful_sessions(stream: DataFrame,
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+def q_sessionize_stream(events: DataFrame) -> DataFrame:
+    """The native session_window aggregation as a DECLARED, oracle-backed
+    replay: the events table arrives as a file stream in two
+    deliberately OUT-OF-ORDER batches (even event_ids, then odd — every
+    user's odd-id events land after younger even-id ones), sessionized
+    by ``session_windows_stream`` under a lateness bound covering the
+    corpus span, and the emitted sessions must hash-match batch
+    q_sessionize's DuckDB oracle exactly. A far-future sentinel row
+    advances the global watermark past every session close + gap, so
+    append mode finalizes and emits ALL sessions — the engine's late
+    session-window merge is what's under test: any arrival order within
+    the bound reproduces the batch answer.
+    """
+    import datetime
+
+    from movie_rec_spark.streaming.replay import replay_file_stream
+
+    spark = events.sparkSession
+    schema = ("event_id bigint, user_id bigint, ts timestamp, "
+              "value double")
+    ev = events.select("event_id", "user_id", "ts", "value")
+    batches = [
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        spark.createDataFrame(
+            [(-1, -1, datetime.datetime(2024, 6, 1), 0.0)], schema),
+    ]
+    out = replay_file_stream(
+        batches, schema,
+        lambda s: session_windows_stream(
+            s.select("user_id", "ts", "value"), watermark="45 days"),
+        prefix="mrs_sess_et_")
+    return out.filter(F.col("user_id") >= 0)

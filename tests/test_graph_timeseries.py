@@ -664,3 +664,22 @@ def test_containment_equals_brute_python(spark, word_lists):
     got = {(r.doc_a, r.doc_b): (r.cont_a_in_b, r.cont_b_in_a)
            for r in D.q_dedup_containment(docs).collect()}
     assert got == want
+
+
+def test_sessionize_stream_replay_equals_batch(spark):
+    """The out-of-order file-stream replay (even ids, then odd, then
+    the watermark sentinel) emits exactly the batch q_sessionize
+    sessions — late session-window merges are invisible in the answer."""
+    from movie_rec_spark.operators.temporal import q_sessionize
+    from movie_rec_spark.sources.catalog import load_table
+    from movie_rec_spark.streaming.sessions import q_sessionize_stream
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = {(r.user_id, r.session_start, r.session_end):
+            (r.n_events, r.total_value)
+            for r in q_sessionize(ev).collect()}
+    got = {(r.user_id, r.session_start, r.session_end):
+           (r.n_events, r.total_value)
+           for r in q_sessionize_stream(ev).collect()}
+    assert got == want
+    assert want

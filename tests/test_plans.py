@@ -243,6 +243,7 @@ def test_new_operator_shuffle_budgets(spark):
         "q_length_buckets": 2,   # map-only CASE chain -> one
                                  # O(buckets) aggregate + the
                                  # O(buckets)-row presentation sort
+        "q_sessionize_stream": 0,  # checkpointed stream output
     }
     qs = E.queries()
     for name, budget in budgets.items():
