@@ -2482,12 +2482,15 @@ def oracle_sql() -> dict[str, str]:
             FROM ud JOIN f USING (user_id)
             GROUP BY ud.day
         """,
-        # quantile over the expanded trailing-window multiset ≡ Spark's
-        # frequency-weighted percentile over the per-day histogram;
-        # integer-CENTS domain so the common f=0.5 interpolation
-        # midpoint is exact on both engines (Spark (1−f)a+fb vs DuckDB
-        # a+f(b−a) disagree by an ulp at .xx5 in the dollars domain —
-        # measured 2/30 days before the cents move)
+        # EXACT integer-rational quantile over the expanded trailing-
+        # window multiset — the same bracketing-order-statistics +
+        # floor((2·num+den)/(2·den)) HALF_UP arithmetic as the engine
+        # (operators/temporal.py:q_rolling_percentiles), on integer
+        # ranks and integer cents throughout. NOT quantile_cont: its
+        # a + f·(b−a) float order diverges from Spark's (1−f)·a + f·b
+        # by 1 ulp across exact .5 results at f≠0.5 interpolation
+        # points (window [0,23,238] p95 = 216.5 → 216 vs 217), so the
+        # float kernels can never be the parity spec.
         "q_rolling_percentiles": f"""
             WITH ud AS (SELECT CAST(ts AS DATE) AS day,
                                CAST(round(value * 100, 0) AS BIGINT)
@@ -2497,14 +2500,31 @@ def oracle_sql() -> dict[str, str]:
             votes AS (SELECT d.day, u.c
                       FROM ud u JOIN days d
                       ON d.day BETWEEN u.day
-                           AND u.day + {TP.ACTIVE_WINDOW_DAYS - 1})
+                           AND u.day + {TP.ACTIVE_WINDOW_DAYS - 1}),
+            ranked AS (SELECT day, c,
+                              row_number() OVER (PARTITION BY day
+                                                 ORDER BY c) - 1 AS rk,
+                              count(*) OVER (PARTITION BY day) AS n
+                       FROM votes),
+            br AS (SELECT day, max(n) AS n,
+                          max(CASE WHEN rk = (n-1)//2
+                                   THEN c END) AS lo50,
+                          max(CASE WHEN rk = (n-1)//2 + 1
+                                   THEN c END) AS hi50,
+                          max(CASE WHEN rk = (19*(n-1))//20
+                                   THEN c END) AS lo95,
+                          max(CASE WHEN rk = (19*(n-1))//20 + 1
+                                   THEN c END) AS hi95
+                   FROM ranked GROUP BY day)
             SELECT day,
-                   CAST(round(quantile_cont(c, 0.5), 0) AS BIGINT)
-                       AS p50_cents,
-                   CAST(round(quantile_cont(c, 0.95), 0) AS BIGINT)
-                       AS p95_cents,
-                   CAST(count(*) AS BIGINT) AS n_events
-            FROM votes GROUP BY day
+                   CAST((2*(lo50*(2 - (n-1)%2)
+                            + coalesce(hi50, lo50)*((n-1)%2)) + 2)
+                        // 4 AS BIGINT) AS p50_cents,
+                   CAST((2*(lo95*(20 - (19*(n-1))%20)
+                            + coalesce(hi95, lo95)*((19*(n-1))%20))
+                         + 20) // 40 AS BIGINT) AS p95_cents,
+                   CAST(n AS BIGINT) AS n_events
+            FROM br
         """,
         # same spine + IGNORE-NULLS bracketing windows; the rational
         # (pc·(nt−t) + nc·(t−pt))/(nt−pt) HALF_UP-rounds via the

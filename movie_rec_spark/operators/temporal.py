@@ -1092,12 +1092,25 @@ def q_rolling_percentiles(events: DataFrame,
     clipped by the broadcast observed-day join, same as q_active_users.
 
     Representation: percentiles are computed and EMITTED in integer
-    cents. Interpolated quantiles are a float-midpoint hazard — Spark
-    interpolates (1−f)·a + f·b, DuckDB a + f·(b−a), and at an exact
-    .xx5 midpoint the two expression orders round the final 2-decimal
-    digit apart (measured: 2 of 30 days at sf0.01). Over integer
-    cents both orders are EXACT at the common f=0.5 midpoint, so the
-    HALF_UP round to whole cents agrees everywhere.
+    cents, with EXACT integer-rational interpolation (the
+    q_interpolate / q_twap / q_kmeans posture). Float quantile
+    kernels are a midpoint hazard beyond f=0.5: the linear method's
+    fraction f = frac(p·(n−1)) can be any multiple of 0.05 for
+    p=0.95, and over integer cents many of those land on an exact
+    .5 result (e.g. window [0, 23, 238]: p95 = 23 + 0.9·215 =
+    216.5 exactly) where Spark's (1−f)·a + f·b evaluation order
+    rounds HALF_UP to 217 while the a + f·(b−a) order (numpy,
+    DuckDB quantile_cont) computes 216.49999999999997 → 216. So no
+    float path at all: both bracketing order statistics are picked
+    by cumulative-count bracketing over the sorted histogram, the
+    interpolated value is the rational
+    (lo·(den−rem) + hi·rem) / den with i = ⌊p_num·(n−1)/p_den⌋,
+    rem = p_num·(n−1) mod p_den, and the whole-cents HALF_UP round
+    is the integer identity floor((2·num + den)/(2·den)) — the
+    DuckDB oracle mirrors the identical integer arithmetic, so
+    agreement is by construction, not by the data avoiding
+    knife-edge windows (tests/test_properties.py pins the f=0.9
+    counterexample class with Hypothesis).
     """
     day = F.to_date("ts")
     cents = F.round(F.col("value") * 100, 0).cast("long")
@@ -1110,18 +1123,54 @@ def q_rolling_percentiles(events: DataFrame,
         "day")
         .select("c", "cnt",
                 F.expr("date_add(day, off)").alias("day")))
-    return (votes.join(F.broadcast(days), "day")
-            .groupBy("day")
-            .agg(F.percentile("c",
-                              F.array(F.lit(0.5), F.lit(0.95)),
-                              F.col("cnt")).alias("_pp"),
-                 F.sum("cnt").alias("n_events"))
+    # window-collapsed histogram: one row per (day, c); cum/prev give
+    # each cell's 0-indexed rank span [prev, cum) in the sorted
+    # trailing-window multiset, n the multiset size. repartition by
+    # day ONLY: HashPartitioning(day) satisfies the (day, c) agg's
+    # ClusteredDistribution (subset rule) AND the day-keyed windows
+    # AND the final day groupBy, so the whole tail rides ONE Exchange
+    merged = (votes.join(F.broadcast(days), "day")
+              .repartition("day")
+              .groupBy("day", "c").agg(F.sum("cnt").alias("cnt")))
+    w_cum = (Window.partitionBy("day").orderBy("c")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy("day")
+    ranked = merged.select(
+        "day", "c", "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"))
+
+    # F.floor(long / long) routes through IEEE double division, which
+    # is still EXACT here: operands are exact integers < 2^53, the
+    # quotient is correctly rounded, and the nearest floor boundary is
+    # either hit exactly (den | num → exact representable integer) or
+    # ≥ 1/(2·den) = 1/40 away — 10 orders of magnitude beyond the ulp
+    # at any realistic window population (< 2^46 events/cents).
+
+    def order_stat(rank):
+        """value at 0-indexed `rank` = the cell whose span covers it"""
+        prev = F.col("cum") - F.col("cnt")
+        return F.max(F.when((prev <= rank) & (F.col("cum") > rank),
+                            F.col("c")))
+
+    def brackets(p_num, p_den, tag):
+        i = F.floor((F.lit(p_num) * (F.col("n") - 1)) / F.lit(p_den))
+        return [order_stat(i).alias(f"lo{tag}"),
+                order_stat(i + 1).alias(f"hi{tag}")]
+
+    def half_up(p_num, p_den, tag):
+        rem = F.pmod(F.lit(p_num) * (F.col("n") - 1), F.lit(p_den))
+        num = (F.col(f"lo{tag}") * (F.lit(p_den) - rem)
+               + F.coalesce(F.col(f"hi{tag}"), F.col(f"lo{tag}")) * rem)
+        return F.floor((2 * num + p_den) / F.lit(2 * p_den)).cast("long")
+
+    return (ranked.groupBy("day")
+            .agg(F.max("n").alias("n"),
+                 *brackets(1, 2, "50"), *brackets(19, 20, "95"))
             .select("day",
-                    F.round(F.col("_pp")[0], 0).cast("long")
-                    .alias("p50_cents"),
-                    F.round(F.col("_pp")[1], 0).cast("long")
-                    .alias("p95_cents"),
-                    F.col("n_events").cast("long").alias("n_events")))
+                    half_up(1, 2, "50").alias("p50_cents"),
+                    half_up(19, 20, "95").alias("p95_cents"),
+                    F.col("n").cast("long").alias("n_events")))
 
 
 def q_interpolate(events: DataFrame) -> DataFrame:

@@ -625,12 +625,15 @@ def test_interpolate_matches_rational_model(spark, evs):
 @given(st.lists(st.tuples(st.integers(0, 13),      # day offset
                           st.integers(0, 300)),    # cents
                 min_size=1, max_size=60))
-def test_rolling_percentiles_match_numpy_model(spark, evs):
-    """q_rolling_percentiles equals numpy's linear-interpolation
-    quantile over each day's trailing-7-day multiset, HALF_UP-rounded
-    to whole cents — frequency-weighted percentile ≡ expanded
-    multiset, and only observed days emit."""
-    import numpy as np
+def test_rolling_percentiles_match_exact_rational_model(spark, evs):
+    """q_rolling_percentiles equals the EXACT integer-rational
+    linear-interpolation quantile over each day's trailing-7-day
+    multiset, HALF_UP-rounded to whole cents via
+    floor((2·num+den)/(2·den)) — all-integer model, so knife-edge
+    f≠0.5 interpolation points like window [0, 23, 238] p95 = 216.5
+    (where float evaluation orders disagree by 1 ulp: numpy/DuckDB
+    a+f·(b−a) → 216, Spark (1−f)a+fb → 217) are decided by the
+    arithmetic spec, not by which float kernel the engine uses."""
     from movie_rec_spark.operators.temporal import q_rolling_percentiles
     rows = [(i, EPOCH + dt.timedelta(days=d, hours=1), 1, "e", c / 100)
             for i, (d, c) in enumerate(evs)]
@@ -640,14 +643,20 @@ def test_rolling_percentiles_match_numpy_model(spark, evs):
     got = {(r.day - EPOCH.date()).days:
            (r.p50_cents, r.p95_cents, r.n_events)
            for r in q_rolling_percentiles(df).collect()}
+
+    def exact_q(sorted_vals, p_num, p_den):
+        n = len(sorted_vals)
+        i, rem = divmod(p_num * (n - 1), p_den)
+        lo = sorted_vals[i]
+        hi = sorted_vals[i + 1] if rem else lo
+        num = lo * (p_den - rem) + hi * rem
+        return (2 * num + p_den) // (2 * p_den)
+
     days = sorted({d for d, _ in evs})
     want = {}
     for d in days:
-        window = [c for dd, c in evs if d - 6 <= dd <= d]
-        p50, p95 = np.quantile(np.array(window, dtype=np.float64),
-                               [0.5, 0.95], method="linear")
-        # HALF_UP to whole cents, matching both engines' round(x, 0)
-        want[d] = (int(np.floor(p50 + 0.5)), int(np.floor(p95 + 0.5)),
+        window = sorted(c for dd, c in evs if d - 6 <= dd <= d)
+        want[d] = (exact_q(window, 1, 2), exact_q(window, 19, 20),
                    len(window))
     assert got == want
 
