@@ -739,6 +739,45 @@ def _decon_sql(k: int) -> str:
     """
 
 
+def _pq_ranked(src: str) -> str:
+    """Rank CTE body for the exact-percentile oracle fragments: ``src``
+    must yield (g, c) rows — group key and integer cents. Mirrors
+    movie_rec_spark.operators.relational.exact_pct_brackets."""
+    return f"""SELECT g, c,
+                      row_number() OVER (PARTITION BY g ORDER BY c) - 1
+                          AS rk,
+                      count(*) OVER (PARTITION BY g) AS n
+               FROM {src}"""
+
+
+def _pq_brackets(pcts: dict[str, tuple[int, int]]) -> str:
+    """Bracket select-list: lo<tag>/hi<tag> order statistics at
+    0-indexed floor(p·(n−1)) and the next rank, per percentile."""
+    parts = []
+    for tag, (pn, pd_) in pcts.items():
+        idx = f"({pn}*(n-1))//{pd_}"
+        parts.append(f"max(CASE WHEN rk = {idx} THEN c END) AS lo{tag}")
+        parts.append(
+            f"max(CASE WHEN rk = {idx} + 1 THEN c END) AS hi{tag}")
+    return ",\n                   ".join(parts)
+
+
+def _pq_num(tag: str, pn: int, pd_: int) -> str:
+    """Exact interpolated percentile as an integer-rational NUMERATOR
+    over denominator ``pd_`` (relational.pct_rational's SQL twin)."""
+    rem = f"(({pn}*(n-1))%{pd_})"
+    return (f"(lo{tag}*({pd_} - {rem})"
+            f" + coalesce(hi{tag}, lo{tag})*{rem})")
+
+
+def _pq_halfup(num: str, den: int) -> str:
+    """HALF_UP(num/den) via floor((2·num+den)/(2·den)) — float
+    division + floor stays exact at these magnitudes and, unlike
+    DuckDB's ``//`` (truncates toward zero), keeps floor semantics on
+    negative fence numerators (relational.half_up_div's SQL twin)."""
+    return f"CAST(floor((2*{num} + {den}) / (2.0*{den})) AS BIGINT)"
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each queries() entry."""
     K = R.FOCUS_CUSTKEY
@@ -1874,47 +1913,79 @@ def oracle_sql() -> dict[str, str]:
         # one SQL constant so the two can never desynchronize (the
         # _ANOMALY_SQL pattern)
         "q_stream_join_et": _RANGE_JOIN_SQL,
-        # IQR fences from exact interpolated quantiles, rounded to 2
-        # before the boundary comparison on both engines; k=1.5 Tukey.
-        "q_outliers": """
-            WITH f AS (
-                SELECT event_type,
-                       round(quantile_cont(value, 0.25)
-                             - 1.5 * (quantile_cont(value, 0.75)
-                                      - quantile_cont(value, 0.25)),
-                             2) AS lo,
-                       round(quantile_cont(value, 0.75)
-                             + 1.5 * (quantile_cont(value, 0.75)
-                                      - quantile_cont(value, 0.25)),
-                             2) AS hi
-                FROM events GROUP BY event_type)
+        # IQR fences from the EXACT integer-rational quantile kernel
+        # (relational.exact_pct_brackets parity; k=1.5 Tukey → fence
+        # rationals over denominator 8, HALF_UP to whole cents) —
+        # never quantile_cont, whose float evaluation order diverges
+        # from Spark's at non-dyadic interpolation knife edges.
+        "q_outliers": f"""
+            WITH v AS (SELECT event_type AS g,
+                              CAST(round(value * 100, 0) AS BIGINT) AS c
+                       FROM events),
+            r AS ({_pq_ranked('v')}),
+            b AS (SELECT g, max(n) AS n,
+                   {_pq_brackets({'q1': (1, 4), 'q3': (3, 4)})}
+                  FROM r GROUP BY g),
+            nm AS (SELECT g, {_pq_num('q1', 1, 4)} AS n1,
+                          {_pq_num('q3', 3, 4)} AS n3
+                   FROM b),
+            f AS (SELECT g AS event_type,
+                         {_pq_halfup('(5*n1 - 3*n3)', 8)} / 100.0 AS lo,
+                         {_pq_halfup('(5*n3 - 3*n1)', 8)} / 100.0 AS hi
+                  FROM nm)
             SELECT e.event_id, e.event_type, e.value, f.lo, f.hi
             FROM events e JOIN f ON e.event_type = f.event_type
             WHERE e.value < f.lo OR e.value > f.hi
         """,
-        "q_percentiles": """
-            SELECT l_returnflag,
-                   round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
-                   round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
-                   round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
-                   count(*) AS n_rows
-            FROM lineitem GROUP BY l_returnflag
+        # exact integer-rational percentiles at cents grain (the
+        # exact_pct_brackets kernel mirrored rank-side)
+        "q_percentiles": f"""
+            WITH pv AS (SELECT l_returnflag AS g,
+                               CAST(round(l_extendedprice * 100, 0)
+                                    AS BIGINT) AS c
+                        FROM lineitem),
+            pr AS ({_pq_ranked('pv')}),
+            pb AS (SELECT g, max(n) AS n,
+                   {_pq_brackets({'p50': (1, 2), 'p90': (9, 10)})}
+                   FROM pr GROUP BY g),
+            qv AS (SELECT l_returnflag AS g,
+                          CAST(round(l_quantity * 100, 0) AS BIGINT)
+                              AS c
+                   FROM lineitem),
+            qr AS ({_pq_ranked('qv')}),
+            qb AS (SELECT g,
+                   {_pq_brackets({'q50': (1, 2)})}
+                   FROM qr GROUP BY g)
+            SELECT pb.g AS l_returnflag,
+                   {_pq_halfup(_pq_num('p50', 1, 2), 2)} / 100.0
+                       AS p50_price,
+                   {_pq_halfup(_pq_num('p90', 9, 10), 10)} / 100.0
+                       AS p90_price,
+                   {_pq_halfup(_pq_num('q50', 1, 2), 2)} / 100.0
+                       AS p50_qty,
+                   CAST(n AS BIGINT) AS n_rows
+            FROM pb JOIN qb ON pb.g = qb.g
         """,
-        # same boundary quantiles (quantile_cont ≡ Spark percentile,
-        # the q_percentiles parity) and the same comparison-sum binning
+        # boundary deciles as exact integer rationals; the binning
+        # predicate is the pure-integer cents·n_bins > numerator — no
+        # float boundary representation exists on either engine
         "q_quantile_bins": f"""
             WITH c AS (
                 SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
                            AS cents
                 FROM orders),
-            b AS (SELECT quantile_cont(cents,
-                      [{', '.join(str(k / R.QUANTILE_BINS)
-                                  for k in range(1, R.QUANTILE_BINS))}])
-                      AS bs FROM c),
+            v AS (SELECT 1 AS g, cents AS c FROM c),
+            r AS ({_pq_ranked('v')}),
+            b AS (SELECT max(n) AS n,
+                   {_pq_brackets({f'b{k}': (k, R.QUANTILE_BINS)
+                                  for k in range(1, R.QUANTILE_BINS)})}
+                  FROM r),
             a AS (SELECT cents,
                          {' + '.join(
-                             f'CAST(cents > round(bs[{i}], 4) AS INT)'
-                             for i in range(1, R.QUANTILE_BINS))} AS bin
+                             f'CAST(cents*{R.QUANTILE_BINS} > '
+                             f'{_pq_num(f"b{k}", k, R.QUANTILE_BINS)}'
+                             f' AS INT)'
+                             for k in range(1, R.QUANTILE_BINS))} AS bin
                   FROM c CROSS JOIN b)
             SELECT bin, CAST(count(*) AS BIGINT) AS n_orders,
                    min(cents) / 100.0 AS min_price,
@@ -2575,12 +2646,20 @@ def oracle_sql() -> dict[str, str]:
         # exact [p05, p95] clamp audit; sums CAST to BIGINT (HUGEINT
         # renders float64 in pandas — the round-5 lesson), means via
         # the same floor((2s+n)/(2n)) HALF_UP identity as the engine
-        "q_winsorize": """
-            WITH b AS (
-                SELECT event_type,
-                       round(quantile_cont(value, 0.05), 2) AS lo,
-                       round(quantile_cont(value, 0.95), 2) AS hi
-                FROM events GROUP BY event_type),
+        "q_winsorize": f"""
+            WITH v AS (SELECT event_type AS g,
+                              CAST(round(value * 100, 0) AS BIGINT) AS c
+                       FROM events),
+            r AS ({_pq_ranked('v')}),
+            bb AS (SELECT g, max(n) AS n,
+                   {_pq_brackets({'lo': (1, 20), 'hi': (19, 20)})}
+                   FROM r GROUP BY g),
+            b AS (SELECT g AS event_type,
+                         {_pq_halfup(_pq_num('lo', 1, 20), 20)} / 100.0
+                             AS lo,
+                         {_pq_halfup(_pq_num('hi', 19, 20), 20)} / 100.0
+                             AS hi
+                  FROM bb),
             a AS (SELECT e.event_type, b.lo, b.hi,
                          CAST(round(e.value * 100, 0) AS BIGINT) AS c,
                          CAST(round(greatest(least(e.value, b.hi),

@@ -510,31 +510,112 @@ def q_window_analytics(orders: DataFrame) -> DataFrame:
     )
 
 
+def exact_pct_brackets(df: DataFrame, group_cols: list[str],
+                       cents_col: str,
+                       pcts: dict[str, tuple[int, int]]) -> DataFrame:
+    """Bracketing order statistics for EXACT interpolated percentiles
+    over an integer (cents-grain) column — the shared kernel behind
+    q_percentiles / q_outliers / q_winsorize (and the same arithmetic
+    as temporal.q_rolling_percentiles).
+
+    Float quantile kernels (Spark ``percentile``, DuckDB
+    ``quantile_cont``) interpolate in different evaluation orders —
+    (1−f)·a + f·b vs a + f·(b−a) — and at interpolation points whose
+    exact value lands on a decimal rounding boundary (any f≠0.5 can
+    produce an exact .5 over integer inputs, e.g. 23 + 0.9·215 =
+    216.5) the two orders straddle it by 1 ulp and round apart. So no
+    float path: for each percentile p_num/p_den this returns the
+    0-indexed ⌊p·(n−1)⌋ and next order statistics (``_lo<tag>`` /
+    ``_hi<tag>``) plus the multiset size ``_n``; callers assemble the
+    exact rational lo·(den−rem) + hi·rem over den = p_den with
+    ``pct_rational`` and HALF_UP-round with ``half_up_div``.
+
+    Scale shape (better than ``F.percentile``, which buffers every
+    group value in executor memory): collapse to a (group, cents)
+    HISTOGRAM first — bounded by value VARIETY, not volume — then rank
+    cells with two group-keyed windows sharing one Exchange and pick
+    brackets with conditional aggregation. The whole kernel is
+    codegen'd JVM expressions, no UDFs.
+    """
+    # pre-partition by the group key alone: HashPartitioning(group)
+    # satisfies the (group, cents) histogram agg's ClusteredDistribution
+    # (subset rule) AND the group-keyed windows AND the final group
+    # agg, so the whole kernel rides ONE Exchange. Reducer load is
+    # histogram-sized (bounded by value variety per group), because
+    # the map-side partial agg collapses raw rows before the shuffle.
+    src = df.repartition(*group_cols) if group_cols else df
+    hist = (src.groupBy(*group_cols, F.col(cents_col).alias("_c"))
+            .agg(F.count(F.lit(1)).alias("_cnt")))
+    w_cum = (Window.partitionBy(*group_cols).orderBy("_c")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy(*group_cols)
+    ranked = hist.select(
+        *group_cols, "_c", "_cnt",
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(w_all).alias("_n"))
+    prev = F.col("_cum") - F.col("_cnt")
+
+    def stat(rank):
+        return F.max(F.when((prev <= rank) & (F.col("_cum") > rank),
+                            F.col("_c")))
+
+    aggs = [F.max("_n").alias("_n")]
+    for tag, (p_num, p_den) in pcts.items():
+        # floor over double division is exact here: operands are exact
+        # integers < 2^53 and the nearest floor boundary is either hit
+        # exactly or ≥ 1/(2·p_den) away (see q_rolling_percentiles)
+        i = F.floor((F.lit(p_num) * (F.col("_n") - 1)) / F.lit(p_den))
+        aggs += [stat(i).alias(f"_lo{tag}"), stat(i + 1).alias(f"_hi{tag}")]
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def pct_rational(tag: str, p_num: int, p_den: int):
+    """Numerator of the exact interpolated percentile as a rational
+    over denominator ``p_den``, from ``exact_pct_brackets`` columns:
+    lo·(p_den−rem) + hi·rem with rem = p_num·(n−1) mod p_den."""
+    rem = F.pmod(F.lit(p_num) * (F.col("_n") - 1), F.lit(p_den))
+    return (F.col(f"_lo{tag}") * (F.lit(p_den) - rem)
+            + F.coalesce(F.col(f"_hi{tag}"), F.col(f"_lo{tag}")) * rem)
+
+
+def half_up_div(num, den: int):
+    """HALF_UP(num/den) for integer columns via the exact identity
+    floor((2·num + den) / (2·den)) — round-half-toward-+∞, matching
+    Spark/DuckDB round() on the nonnegative domain and well-defined
+    (and engine-agreed, since both sides use this same identity) on
+    the negative one. Exact for |num| < 2^46."""
+    return F.floor((2 * num + den) / F.lit(2 * den)).cast("long")
+
+
 def q_percentiles(lineitem: DataFrame) -> DataFrame:
     """Exact interpolated percentiles per group (beyond reference —
-    OLAP staple): median and p90 of price, median quantity. Spark's
-    ``percentile`` (exact, interpolated) matches DuckDB quantile_cont
-    bit-for-bit on doubles after rounding; at 100 TB switch to
-    ``percentile_approx`` (fixed-memory sketch, rows-only check).
-
-    Both price percentiles come from ONE percentile(array(...)) call —
-    one sort buffer per group instead of two."""
-    return (
-        lineitem.groupBy("l_returnflag")
-        .agg(
-            F.percentile(
-                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9))
-            ).alias("_pp"),
-            F.round(F.percentile("l_quantity", F.lit(0.5)), 2)
-            .alias("p50_qty"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .select(
-            "l_returnflag",
-            F.round(F.col("_pp")[0], 2).alias("p50_price"),
-            F.round(F.col("_pp")[1], 2).alias("p90_price"),
-            "p50_qty", "n_rows",
-        )
+    OLAP staple): median and p90 of price, median quantity, all at
+    cents grain via the exact_pct_brackets integer-rational kernel —
+    engine/oracle agreement is by shared integer arithmetic, never by
+    float kernels happening to round the same way (they don't: see
+    exact_pct_brackets). Two histogram passes (price, quantity) joined
+    on the 3-row group frame; each is bounded by value variety, so at
+    100 TB this outscales the former per-group F.percentile buffer."""
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    pb = exact_pct_brackets(
+        lineitem.select("l_returnflag", price_c.alias("pc")),
+        ["l_returnflag"], "pc", {"p50": (1, 2), "p90": (9, 10)})
+    qb = exact_pct_brackets(
+        lineitem.select("l_returnflag", qty_c.alias("qc")),
+        ["l_returnflag"], "qc", {"q50": (1, 2)})
+    # both kernels see the same rows, so qty's _n ≡ price's _n — drop
+    # the duplicate before the 3-row broadcast join
+    qb = qb.select("l_returnflag", "_loq50", "_hiq50")
+    return pb.join(F.broadcast(qb), "l_returnflag").select(
+        "l_returnflag",
+        (half_up_div(pct_rational("p50", 1, 2), 2) / 100.0)
+        .alias("p50_price"),
+        (half_up_div(pct_rational("p90", 9, 10), 10) / 100.0)
+        .alias("p90_price"),
+        (half_up_div(pct_rational("q50", 1, 2), 2) / 100.0)
+        .alias("p50_qty"),
+        F.col("_n").alias("n_rows"),
     )
 
 
@@ -591,29 +672,35 @@ def q_quantile_bins(orders: DataFrame,
     twin of q_histogram's equi-width grid).
 
     The textbook spelling, ``ntile(n) OVER (ORDER BY price)``, forces
-    a single-task global sort — the canonical 100 TB killer. The scale
-    form here computes the n−1 boundary quantiles in one exact
-    interpolated-percentile pass (switchable to percentile_approx at
-    extreme scale), broadcasts that single boundary row, and assigns
-    each order its bin with a row-local comparison sum — scan-fused,
-    no global order anywhere. Trade-off vs ntile, documented: rows
-    tied AT a boundary land by value (all in the lower bin), not split
-    by rank, so bins are equi-depth up to tie mass.
+    a single-task global sort of ALL rows — the canonical 100 TB
+    killer. The scale form computes the n−1 boundary quantiles with
+    the exact_pct_brackets histogram kernel (its one global window
+    ranks HISTOGRAM CELLS — bounded by price variety, not row volume
+    — where the former F.percentile buffered every row's value in one
+    aggregation buffer), broadcasts the single bracket row, and
+    assigns each order its bin with a row-local comparison sum —
+    scan-fused, no global order over data anywhere. Trade-off vs
+    ntile, documented: rows tied AT a boundary land by value (all in
+    the lower bin), not split by rank, so bins are equi-depth up to
+    tie mass.
 
-    Exactness: prices become integer cents; boundaries are rounded to
-    4dp — interpolated quantiles of integers either hit the integer
-    exactly (g = 0, bit-exact on both engines) or sit ≥ ~0.1 ulp-free
-    away from it, so the integer-vs-boundary comparisons agree across
-    engines. Per-bin sums are exact int64 cents.
+    Exactness: boundaries stay exact integer RATIONALS over cents
+    (numerator over denominator n_bins) and the bin comparison is the
+    pure integer predicate cents·n_bins > num — no float boundary
+    representation exists at all, so a decile whose exact value lands
+    ON an integer cent (constructible at f≠0.5: lo=10, hi=20, f=0.9
+    → 19) cannot flip a row's bin between engines. Per-bin sums are
+    exact int64 cents.
     """
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     o = orders.select(cents.alias("cents"))
-    qs = [k / n_bins for k in range(1, n_bins)]
-    b = o.agg(F.percentile(
-        "cents", F.array(*[F.lit(q) for q in qs])).alias("bs"))
+    pcts = {f"b{k}": (k, n_bins) for k in range(1, n_bins)}
+    b = exact_pct_brackets(o.select(F.col("cents").alias("vc")),
+                           [], "vc", pcts)
     bin_expr = sum(
-        (F.col("cents") > F.round(F.col("bs")[i], 4)).cast("int")
-        for i in range(n_bins - 1))
+        (F.col("cents") * n_bins > pct_rational(f"b{k}", k, n_bins))
+        .cast("int")
+        for k in range(1, n_bins))
     return (
         o.crossJoin(F.broadcast(b))
         .select("cents", bin_expr.alias("bin"))
@@ -785,24 +872,34 @@ def q_outliers(events: DataFrame, k: float = 1.5) -> DataFrame:
     engine-deterministic — exact interpolated percentiles are, which
     is what makes this query hash-checkable at all.
 
-    Scale shape: one grouped percentile pass (same operator as
-    q_percentiles, tiny group count), fences broadcast back onto the
-    scan, row-local comparison — the second pass is a pure map with
-    the filter pushed onto the parquet scan columns. Fences are
-    rounded to 2 decimals BEFORE comparison on both engines so the
-    boundary cut is identical.
+    Scale shape: one grouped exact-percentile histogram pass (the
+    exact_pct_brackets kernel, tiny group count), fences broadcast
+    back onto the scan, row-local comparison — the second pass is a
+    pure map with the filter pushed onto the parquet scan columns.
+
+    Exactness: q1/q3 are exact rationals over integer cents with
+    denominator 4; the fence q1 − k·(q3−q1) (k = k_num/k_den, from
+    Fraction(k)) stays a rational over 4·k_den and HALF_UP-rounds to
+    whole cents via the integer identity — both engines run the same
+    integer arithmetic, so the emitted fences and the boundary cut
+    are engine-exact by construction (float quantile kernels are
+    not: see exact_pct_brackets).
     """
-    fences = (
-        events.groupBy("event_type")
-        .agg(F.percentile("value",
-                          F.array(F.lit(0.25), F.lit(0.75))).alias("_q"))
-        .select(
-            "event_type",
-            F.round(F.col("_q")[0] - k * (F.col("_q")[1] - F.col("_q")[0]),
-                    2).alias("lo"),
-            F.round(F.col("_q")[1] + k * (F.col("_q")[1] - F.col("_q")[0]),
-                    2).alias("hi"),
-        )
+    from fractions import Fraction
+    kf = Fraction(k).limit_denominator(1000)
+    kn, kd = kf.numerator, kf.denominator
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    b = exact_pct_brackets(
+        events.select("event_type", cents.alias("vc")),
+        ["event_type"], "vc", {"q1": (1, 4), "q3": (3, 4)})
+    n1, n3 = pct_rational("q1", 1, 4), pct_rational("q3", 3, 4)
+    # lo = (n1·kd − kn·(n3−n1)) / (4·kd); hi mirrored
+    fences = b.select(
+        "event_type",
+        (half_up_div(n1 * kd - kn * (n3 - n1), 4 * kd) / 100.0)
+        .alias("lo"),
+        (half_up_div(n3 * kd + kn * (n3 - n1), 4 * kd) / 100.0)
+        .alias("hi"),
     )
     return (
         events.select("event_id", "event_type", "value")
@@ -823,24 +920,32 @@ def q_winsorize(events: DataFrame, lo_p: float = 0.05,
     stay in the data (unlike trimming) but stop dominating gradients.
 
     Scale shape: identical to q_outliers — one grouped exact-percentile
-    pass over a handful of groups, boundaries broadcast back onto the
-    scan, row-local clamp, then ONE map-side-combinable aggregate for
-    the audit row. No window, no second sort; the clamp column itself
-    is a pure projection, so the same plan serves "materialize the
-    clamped corpus" at 100 TB by swapping the final agg for a write.
-    Boundaries round to 2 decimals before the compare (the q_outliers
-    contract) and means come from integer-cents sums with HALF_UP
-    division, so the audit is engine-exact.
+    histogram pass (exact_pct_brackets) over a handful of groups,
+    boundaries broadcast back onto the scan, row-local clamp, then ONE
+    map-side-combinable aggregate for the audit row. No window, no
+    second sort; the clamp column itself is a pure projection, so the
+    same plan serves "materialize the clamped corpus" at 100 TB by
+    swapping the final agg for a write. Boundaries are exact integer
+    rationals over cents HALF_UP-rounded to whole cents (the
+    exact_pct_brackets posture — float quantile kernels diverge at
+    f≠0.5 knife edges) and means come from integer-cents sums with
+    HALF_UP division, so the audit is engine-exact.
     """
-    bounds = (
-        events.groupBy("event_type")
-        .agg(F.percentile("value",
-                          F.array(F.lit(lo_p), F.lit(hi_p))).alias("_q"))
-        .select(
-            "event_type",
-            F.round(F.col("_q")[0], 2).alias("lo"),
-            F.round(F.col("_q")[1], 2).alias("hi"),
-        )
+    from fractions import Fraction
+    lf = Fraction(lo_p).limit_denominator(10000)
+    hf = Fraction(hi_p).limit_denominator(10000)
+    cents0 = F.round(F.col("value") * 100, 0).cast("long")
+    b = exact_pct_brackets(
+        events.select("event_type", cents0.alias("vc")),
+        ["event_type"], "vc",
+        {"lo": (lf.numerator, lf.denominator),
+         "hi": (hf.numerator, hf.denominator)})
+    bounds = b.select(
+        "event_type",
+        (half_up_div(pct_rational("lo", lf.numerator, lf.denominator),
+                     lf.denominator) / 100.0).alias("lo"),
+        (half_up_div(pct_rational("hi", hf.numerator, hf.denominator),
+                     hf.denominator) / 100.0).alias("hi"),
     )
     cents = F.round(F.col("value") * 100, 0).cast("long")
     clamped = F.round(

@@ -93,7 +93,8 @@ def test_new_operator_shuffle_budgets(spark):
         "q_sessionize": 1,      # session_window agg
         "q_salted_count": 2,    # partial + final by design
         "q_window_analytics": 1,
-        "q_percentiles": 1,
+        "q_percentiles": 2,     # two exact-histogram kernels (price,
+                                # qty), each ONE group-keyed Exchange
         "q_pivot": 1,
         "q_unpivot": 0,         # row-local expand
         "q_range_join": 0,      # broadcast at test scale; equi-join shape
@@ -179,8 +180,9 @@ def test_new_operator_shuffle_budgets(spark):
                                  # the corpus never keys an exchange
         "q_trend": 2,            # day0 join-back + the five-sum agg
         "q_twap": 1,             # lead window + agg share one user key
-        "q_quantile_bins": 1,    # boundary percentile broadcast; the
-                                 # bin agg is the only real move
+        "q_quantile_bins": 2,    # global boundary histogram (cents agg
+                                 # + cell-ranking window) broadcast
+                                 # back; the bin agg is the real move
         "q_khop": 1,             # per-round joins checkpointed; true
                                  # cost 2/round, SCALE.md caveat
         "q_audience_overlap": 3,  # user set agg + pair agg + sizes agg

@@ -683,3 +683,133 @@ def test_late_round6_ops_handle_empty_inputs(spark):
         out = op(empty_ev)
         assert out.count() == 0, op.__name__
         assert len(out.columns) > 1, op.__name__
+
+
+def _exact_q_num(sorted_vals: list[int], p_num: int,
+                 p_den: int) -> tuple[int, int]:
+    """Exact interpolated percentile of an integer multiset as a
+    rational (numerator, denominator p_den) — the arithmetic spec
+    shared by exact_pct_brackets (Spark) and the _pq_* oracle SQL."""
+    n = len(sorted_vals)
+    i, rem = divmod(p_num * (n - 1), p_den)
+    lo = sorted_vals[i]
+    hi = sorted_vals[i + 1] if rem else lo
+    return lo * (p_den - rem) + hi * rem, p_den
+
+
+def _half_up(num: int, den: int) -> int:
+    return (2 * num + den) // (2 * den)
+
+
+@SLOW
+@given(st.lists(st.tuples(st.sampled_from(["A", "N", "R"]),
+                          st.integers(0, 300),    # price cents
+                          st.integers(1, 50)),    # whole quantity
+                min_size=1, max_size=40))
+def test_percentiles_match_exact_rational_model(spark, rows):
+    """q_percentiles equals the exact integer-rational percentile
+    model on adversarial small-integer inputs — the f≠0.5 knife-edge
+    class (p90's f is a non-dyadic multiple of 1/10) that float
+    quantile kernels decide by evaluation order."""
+    from movie_rec_spark.operators.relational import q_percentiles
+    df = spark.createDataFrame(
+        [(f, c / 100, float(q)) for f, c, q in rows],
+        "l_returnflag string, l_extendedprice double, l_quantity double")
+    got = {r.l_returnflag: (r.p50_price, r.p90_price, r.p50_qty,
+                            r.n_rows)
+           for r in q_percentiles(df).collect()}
+    want = {}
+    for flag in {f for f, _, _ in rows}:
+        pc = sorted(c for f, c, _ in rows if f == flag)
+        qc = sorted(q * 100 for f, _, q in rows if f == flag)
+        want[flag] = (_half_up(*_exact_q_num(pc, 1, 2)) / 100.0,
+                      _half_up(*_exact_q_num(pc, 9, 10)) / 100.0,
+                      _half_up(*_exact_q_num(qc, 1, 2)) / 100.0,
+                      len(pc))
+    assert got == want
+
+
+@SLOW
+@given(st.lists(st.tuples(st.sampled_from(["u", "v"]),
+                          st.integers(0, 400)),   # cents
+                min_size=1, max_size=40))
+def test_outliers_fences_match_exact_rational_model(spark, rows):
+    """q_outliers' emitted Tukey fences and membership equal the
+    exact-rational model: lo = (5·q1num − 3·q3num)/8 cents HALF_UP
+    (k=1.5 over quartile rationals of denominator 4)."""
+    from movie_rec_spark.operators.relational import q_outliers
+    df = spark.createDataFrame(
+        [(i, t, c / 100) for i, (t, c) in enumerate(rows)],
+        "event_id long, event_type string, value double")
+    got = {r.event_id: (r.value, r.lo, r.hi)
+           for r in q_outliers(df).collect()}
+    want = {}
+    for t in {t for t, _ in rows}:
+        vs = sorted(c for tt, c in rows if tt == t)
+        n1, _ = _exact_q_num(vs, 1, 4)
+        n3, _ = _exact_q_num(vs, 3, 4)
+        lo = _half_up(5 * n1 - 3 * n3, 8) / 100.0
+        hi = _half_up(5 * n3 - 3 * n1, 8) / 100.0
+        for i, (tt, c) in enumerate(rows):
+            if tt == t and (c / 100 < lo or c / 100 > hi):
+                want[i] = (c / 100, lo, hi)
+    assert got == want
+
+
+@SLOW
+@given(st.lists(st.tuples(st.sampled_from(["u", "v"]),
+                          st.integers(0, 400)),
+                min_size=1, max_size=40))
+def test_winsorize_match_exact_rational_model(spark, rows):
+    """q_winsorize's [p05, p95] clamp audit equals the exact-rational
+    model — p05/p95 rationals have denominator 20, the densest
+    knife-edge grid on the declared surface."""
+    from movie_rec_spark.operators.relational import q_winsorize
+    df = spark.createDataFrame(
+        [(t, c / 100) for t, c in rows],
+        "event_type string, value double")
+    got = {r.event_type:
+           (r.lo, r.hi, r.n_clamped_lo, r.n_clamped_hi, r.n_rows,
+            r.mean_cents_before, r.mean_cents_after)
+           for r in q_winsorize(df).collect()}
+    want = {}
+    for t in {t for t, _ in rows}:
+        vs = sorted(c for tt, c in rows if tt == t)
+        lo = _half_up(*_exact_q_num(vs, 1, 20)) / 100.0
+        hi = _half_up(*_exact_q_num(vs, 19, 20)) / 100.0
+        cw = [round(max(min(c / 100, hi), lo) * 100) for c in vs]
+        want[t] = (lo, hi,
+                   sum(1 for c in vs if c / 100 < lo),
+                   sum(1 for c in vs if c / 100 > hi),
+                   len(vs),
+                   (2 * sum(vs) + len(vs)) // (2 * len(vs)),
+                   (2 * sum(cw) + len(cw)) // (2 * len(cw)))
+    assert got == want
+
+
+@SLOW
+@given(st.lists(st.integers(0, 200), min_size=1, max_size=40))
+def test_quantile_bins_match_exact_model(spark, cents):
+    """q_quantile_bins' decile boundaries as exact rationals and the
+    pure-integer bin predicate cents·10 > numerator — bin membership
+    can never flip on a boundary whose exact value lands on an
+    integer cent."""
+    from movie_rec_spark.operators.relational import (
+        QUANTILE_BINS,
+        q_quantile_bins,
+    )
+    df = spark.createDataFrame([(c / 100,) for c in cents],
+                               "o_totalprice double")
+    got = {r.bin: (r.n_orders, r.min_price, r.max_price, r.revenue)
+           for r in q_quantile_bins(df).collect()}
+    vs = sorted(cents)
+    nums = [_exact_q_num(vs, k, QUANTILE_BINS)[0]
+            for k in range(1, QUANTILE_BINS)]
+    bins: dict[int, list[int]] = {}
+    for c in cents:
+        b = sum(1 for num in nums if c * QUANTILE_BINS > num)
+        bins.setdefault(b, []).append(c)
+    want = {b: (len(cs), min(cs) / 100.0, max(cs) / 100.0,
+                sum(cs) / 100.0)
+            for b, cs in bins.items()}
+    assert got == want
