@@ -1188,9 +1188,12 @@ def oracle_sql() -> dict[str, str]:
                              AND s.item_id = c.item_id)),
             r AS (SELECT user_id, item_id,
                          row_number() OVER (PARTITION BY user_id
-                                            ORDER BY slot) AS rn
+                                            ORDER BY slot) AS rn,
+                         least(count(*) OVER (PARTITION BY user_id),
+                               {R.NEG_K}) AS n_negs
                   FROM unseen)
-            SELECT user_id, item_id, CAST(rn AS INTEGER) AS neg_rank
+            SELECT user_id, item_id, CAST(rn AS INTEGER) AS neg_rank,
+                   CAST(n_negs AS INTEGER) AS n_negs
             FROM r WHERE rn <= {R.NEG_K}
         """,
         "q_user_topn": f"""

@@ -1454,7 +1454,11 @@ def q_negative_sample(customer: DataFrame, part: DataFrame,
     are kept. Oversampling bound: a user keeps k whenever their seen
     fraction is below 1 − k/m minus collision slack (here m = 20 slots
     against a ~2% seen fraction; real catalogs are far sparser) —
-    under-filled users emit what survives, never a substitute item.
+    under-filled users emit what survives, never a substitute item,
+    and every row carries ``n_negs`` (the user's kept count, ≤ k) so
+    downstream trainers that assume exactly k negatives per user can
+    detect the shortfall with a row-local predicate instead of a
+    re-aggregation (ADVICE r6).
 
     Scale shape: slots explode row-local from the user table (small);
     the ONLY corpus-sized moves are the seen-pair distinct and the
@@ -1490,9 +1494,16 @@ def q_negative_sample(customer: DataFrame, part: DataFrame,
     )
     unseen = cand.join(seen, ["user_id", "item_id"], "left_anti")
     w = Window.partitionBy("user_id").orderBy("slot")
+    w_all = Window.partitionBy("user_id")
     return (
-        unseen.withColumn("rn", F.row_number().over(w))
+        unseen
+        .select("user_id", "item_id",
+                F.row_number().over(w).alias("rn"),
+                # kept-count per user: survivors capped at k; rides
+                # the same user partitioning (no extra Exchange)
+                F.least(F.count(F.lit(1)).over(w_all), F.lit(k))
+                .cast("int").alias("n_negs"))
         .filter(F.col("rn") <= k)
         .select("user_id", "item_id",
-                F.col("rn").cast("int").alias("neg_rank"))
+                F.col("rn").cast("int").alias("neg_rank"), "n_negs")
     )
