@@ -39,7 +39,6 @@ state-store metrics, same posture as streaming/ingest.
 
 from __future__ import annotations
 
-import datetime
 from collections.abc import Iterable, Iterator
 from typing import Any
 
@@ -283,24 +282,29 @@ def q_anomaly_stream_et(events: DataFrame) -> DataFrame:
     scored by ``anomaly_stream_eventtime``, and the per-event output
     must hash-match batch q_anomaly's DuckDB oracle exactly. A
     far-future sentinel row advances the global watermark past the
-    corpus so every real second seals and flushes; the 45-day lateness
-    bound covers the table's 30-day span, which is the variant's
-    contract — ANY arrival order within the bound reproduces the batch
-    kernel bit-for-bit."""
-    from movie_rec_spark.streaming.replay import replay_file_stream
+    corpus so every real second seals and flushes; the lateness bound
+    and sentinel are DERIVED from the input's observed span
+    (replay.derive_lateness — fixture-independent, ADVICE r6), which
+    is the variant's contract — ANY arrival order within the bound
+    reproduces the batch kernel bit-for-bit."""
+    from movie_rec_spark.streaming.replay import (
+        derive_lateness,
+        replay_file_stream,
+    )
 
     spark = events.sparkSession
     schema = ("event_id bigint, user_id bigint, ts timestamp, "
               "value double")
     ev = events.select("event_id", "user_id", "ts", "value")
+    wm_days, sentinel = derive_lateness(events)
     batches = [
         ev.filter(F.col("event_id") % 2 == 0),
         ev.filter(F.col("event_id") % 2 == 1),
-        spark.createDataFrame(
-            [(-1, -1, datetime.datetime(2024, 6, 1), 0.0)], schema),
+        spark.createDataFrame([(-1, -1, sentinel, 0.0)], schema),
     ]
     out = replay_file_stream(
         batches, schema,
-        lambda s: anomaly_stream_eventtime(s, watermark="45 days"),
+        lambda s: anomaly_stream_eventtime(s,
+                                           watermark=f"{wm_days} days"),
         prefix="mrs_anom_et_")
     return out.filter(F.col("user_id") >= 0)

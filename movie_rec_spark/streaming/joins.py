@@ -72,17 +72,22 @@ def q_stream_join_et(events: DataFrame) -> DataFrame:
     Inner stream-stream joins emit every match regardless of arrival
     order — the watermark bounds STATE EVICTION, not emission — so
     batch parity holds for ANY arrival order within the lateness
-    bound; the 45-day bound covers the table's 30-day span, same
+    bound; the bound is DERIVED from the input's observed span
+    (replay.derive_lateness — fixture-independent, ADVICE r6), same
     contract as q_anomaly_stream_et. At production scale the bound is
     the state-size dial: state is O(events inside the horizon), and
     this query is the driver-verified proof the eviction bound does
     not change the answer.
     """
-    from movie_rec_spark.streaming.replay import replay_file_stream
+    from movie_rec_spark.streaming.replay import (
+        derive_lateness,
+        replay_file_stream,
+    )
 
     schema = ("event_id bigint, user_id bigint, ts timestamp, "
               "event_type string")
     ev = events.select("event_id", "user_id", "ts", "event_type")
+    wm_days, _ = derive_lateness(events)
     batches = [
         ev.filter(F.col("event_id") % 2 == 0),
         ev.filter(F.col("event_id") % 2 == 1),
@@ -90,7 +95,8 @@ def q_stream_join_et(events: DataFrame) -> DataFrame:
 
     def build(stream: DataFrame) -> DataFrame:
         views, purchases = split_typed_streams(stream)
-        return attribution_join(views, purchases, watermark="45 days")
+        return attribution_join(views, purchases,
+                                watermark=f"{wm_days} days")
 
     return replay_file_stream(batches, schema, build,
                               prefix="mrs_sj_et_")

@@ -30,6 +30,28 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame
 
 
+def derive_lateness(events: DataFrame, ts_col: str = "ts"):
+    """Fixture-independent lateness bound + sentinel for out-of-order
+    replays (ADVICE r6): one tiny min/max agg over the input derives
+    (wm_days, sentinel) such that the watermark delay exceeds the full
+    observed span (batch 2 can be span-late relative to batch 1's max)
+    and the sentinel sits past max(ts) + gap + delay, so the final
+    watermark seals every window/session. Hardcoded literals would
+    silently late-drop rows if the fixture were regenerated with a
+    longer span or a different epoch."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    lo, hi = events.agg(F.min(ts_col), F.max(ts_col)).first()
+    if hi is None:
+        lo = hi = datetime.datetime(1970, 1, 1)
+    wm_days = (hi - lo).days + 2
+    sentinel = (hi + datetime.timedelta(days=wm_days + 2)
+                ).replace(microsecond=0)
+    return wm_days, sentinel
+
+
 def stage_batches(src: str, batches: Sequence[DataFrame]) -> str:
     """Write each batch as one parquet file under ``src`` with pinned
     strictly-increasing mtimes, so FileStreamSource's (mtime, path)

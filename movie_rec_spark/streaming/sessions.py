@@ -158,24 +158,36 @@ def q_sessionize_stream(events: DataFrame) -> DataFrame:
     append mode finalizes and emits ALL sessions — the engine's late
     session-window merge is what's under test: any arrival order within
     the bound reproduces the batch answer.
-    """
-    import datetime
 
-    from movie_rec_spark.streaming.replay import replay_file_stream
+    The lateness bound and the sentinel are DERIVED from the input's
+    observed [min(ts), max(ts)] span (one tiny agg before the replay,
+    the cost of fixture independence): the watermark delay must exceed
+    the full span (batch 2 can be span-late relative to batch 1's
+    max), and the sentinel must sit past max(ts) + gap + delay so the
+    final watermark closes every session. Hardcoded literals here
+    ('45 days', a 2024-06-01 sentinel) would silently late-drop events
+    if the fixture were regenerated with a longer span or a different
+    epoch.
+    """
+    from movie_rec_spark.streaming.replay import (
+        derive_lateness,
+        replay_file_stream,
+    )
 
     spark = events.sparkSession
     schema = ("event_id bigint, user_id bigint, ts timestamp, "
               "value double")
     ev = events.select("event_id", "user_id", "ts", "value")
+    wm_days, sentinel = derive_lateness(events)
     batches = [
         ev.filter(F.col("event_id") % 2 == 0),
         ev.filter(F.col("event_id") % 2 == 1),
-        spark.createDataFrame(
-            [(-1, -1, datetime.datetime(2024, 6, 1), 0.0)], schema),
+        spark.createDataFrame([(-1, -1, sentinel, 0.0)], schema),
     ]
     out = replay_file_stream(
         batches, schema,
         lambda s: session_windows_stream(
-            s.select("user_id", "ts", "value"), watermark="45 days"),
+            s.select("user_id", "ts", "value"),
+            watermark=f"{wm_days} days"),
         prefix="mrs_sess_et_")
     return out.filter(F.col("user_id") >= 0)
