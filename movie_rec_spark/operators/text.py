@@ -1160,11 +1160,12 @@ def q_bpe_merges(documents: DataFrame,
     left ASC, right ASC); merge application is PLAIN (non-regex)
     string replace of ' a b ' with ' ab ' on the space-padded symbol
     string — Java's and DuckDB's replace both substitute left-to-right
-    non-overlapping occurrences, so on back-to-back repeats of a pair
-    (a run 'x x x') both engines fuse alternate occurrences per pass;
-    canonical BPE differs only on such runs, identically on both
-    sides. Symbols are literal strings throughout — no regex
-    metacharacter hazard.
+    non-overlapping occurrences, and because the pattern ' a a '
+    CONSUMES the shared delimiter space, a run 'a a a' fuses only its
+    FIRST pair per pass ('aaaa' → 'aa a a', pinned by
+    test_bpe_known_corpus_and_run_semantics); canonical BPE differs
+    only on such runs, identically on both sides. Symbols are literal
+    strings throughout — no regex metacharacter hazard.
 
     Reference analogue: none (SURVEY §2 has no tokenizer); this is the
     vocabulary-induction member of the token family next to
@@ -1180,7 +1181,16 @@ def _bpe_train(documents: DataFrame,
                rounds: int) -> tuple[list[tuple], DataFrame]:
     """The shared BPE training loop: returns (merge table rows, the
     final word-frequency dict with its post-merge segmentation) — the
-    dict is the encode side q_bpe_encode exposes."""
+    dict is the encode side q_bpe_encode exposes.
+
+    Character-split parity caveat: the initial segmentation (Spark
+    ``F.split(w, '')`` vs DuckDB ``string_split(w, '')``) is
+    guaranteed to agree on ASCII/BMP code points only — the two
+    engines' empty-delimiter splits may segment surrogate-pair
+    (non-BMP) or combining-character input differently, which would
+    silently break oracle parity on such corpora. The documents
+    fixture is ASCII; a non-ASCII corpus should pre-normalize or pin
+    the behavior per engine before trusting the hashes."""
     chars = F.array_remove(F.split(F.col("w"), ""), "")
     cur = (
         documents.select(F.explode(F.split("text", " ")).alias("w"))
