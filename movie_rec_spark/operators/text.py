@@ -754,25 +754,68 @@ def text_embedding(documents: DataFrame,
                     dense.alias("embedding"))
 
 
+def knn_sparse(flat: DataFrame, query_id: int, k: int,
+               positive_only: bool = False) -> DataFrame:
+    """Sparse inverted cosine top-k over a flat (doc_id, pos, val)
+    hash-embedding table — the scoring kernel of q_knn_text /
+    q_chunk_knn / q_rrf's dense arm, shaped exactly like their DuckDB
+    oracles (inner join on matching positions, so zero-overlap docs
+    never form rows; norms from the 6dp-rounded nonzero values; sim
+    rounds to 4dp before the (sim DESC, doc_id) cut).
+
+    This replaced the dense path (text_embedding → 64-wide arrays →
+    q_knn_brute) after tools/retrieval_scale.py measured q_chunk_knn
+    at 57.9 s at 30× corpus: chunks carry ≤CHUNK_TOKENS distinct
+    positions, so densifying to dim-wide arrays (64 element_at map
+    probes per chunk + a dim-length localCheckpoint materialization +
+    a dim-length fold per cosine) paid ~6× the nonzero work at every
+    step. Here the corpus-sized work is ONE (doc, pos) shuffle (the
+    featurizer's own agg) + a broadcast join against the ≤dim-row
+    query vector + a doc-keyed partial agg — every term touched is a
+    true nonzero. Same 30× probe after: 5.4 s (10.7× less), identical
+    oracle rows. q_knn_brute stays the dense kernel for REAL dense
+    vectors (the embeddings table), where nnz == dim and arrays win.
+
+    ``flat`` is referenced three times (norms, query row, corpus
+    scan) — callers localCheckpoint it; it is nnz-sized, far smaller
+    than the dense form it replaces.
+    """
+    n2 = flat.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("n2"))
+    qv = (flat.filter(F.col("doc_id") == query_id)
+          .select("pos", F.col("val").alias("qval")))
+    qn = (n2.filter(F.col("doc_id") == query_id)
+          .select(F.col("n2").alias("qn2")))
+    sim = (
+        flat.filter(F.col("doc_id") != query_id)
+        .join(F.broadcast(qv), "pos")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+        .join(n2, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .select("doc_id",
+                F.round(F.col("dot") / (F.col("n2") * F.col("qn2")), 4)
+                .alias("sim")))
+    if positive_only:
+        sim = sim.filter(F.col("sim") > 0)
+    return sim.orderBy(F.desc("sim"), F.asc("doc_id")).limit(k)
+
+
 def q_knn_text(documents: DataFrame, query_doc_id: int = 0,
                k: int = 10, dim: int = EMBED_HASH_DIM) -> DataFrame:
     """End-to-end semantic search over RAW TEXT: hash-featurize the
-    corpus (``text_embedding``) and run exact cosine top-k against one
+    corpus (``q_text_embed``) and run exact cosine top-k against one
     document's vector — no external encoder, no fitted state, one
-    declared query from documents table to ranked neighbors. The
-    oracle recomputes it sparsely (sum of matching-position value
-    products over the flat form, normalized), so the whole
-    text→vector→search path is hash-checked cross-engine."""
-    from movie_rec_spark.operators.similarity import q_knn_brute
-
-    # materialize the featurized corpus ONCE: q_knn_brute scans it for
-    # the query row and again for scoring, and without the checkpoint
-    # both scans re-run the full explode+agg pipeline (plan measured 8
-    # exchanges vs 3). In a service this table is the persisted
-    # embedding index (ivf_write consumes it as-is).
-    emb = text_embedding(documents, dim).localCheckpoint(eager=False)
-    return (q_knn_brute(emb, query_vec_id=query_doc_id, k=k)
-            .select(F.col("vec_id").alias("doc_id"), "sim"))
+    declared query from documents table to ranked neighbors. Scoring
+    is the sparse inverted kernel (``knn_sparse``), the same shape the
+    DuckDB oracle computes, so the whole text→vector→search path is
+    hash-checked cross-engine."""
+    # materialize the featurized corpus ONCE: norms, the query row,
+    # and the scoring scan all read it, and without the checkpoint
+    # each reference re-runs the full explode+agg pipeline. In a
+    # service this flat table is the persisted embedding index.
+    flat = q_text_embed(documents, dim).localCheckpoint(eager=False)
+    return knn_sparse(flat, query_doc_id, k)
 
 
 # PII patterns: RE2-compatible subset (no lookaround/backrefs) so the
@@ -908,9 +951,9 @@ def q_chunk_knn(documents: DataFrame, query_chunk_id: int = 0,
     instead of whole documents — the retrieval unit every
     grounded-generation pipeline actually indexes. Composes three
     already-oracle-checked kernels end-to-end: chunk_rows (stride-K
-    windows) → text_embedding (hashing-trick featurizer) →
-    q_knn_brute (exact cosine top-k), so the full documents→chunks→
-    vectors→neighbors path is itself hash-checked cross-engine.
+    windows) → q_text_embed (hashing-trick featurizer) → knn_sparse
+    (inverted cosine top-k), so the full documents→chunks→vectors→
+    neighbors path is itself hash-checked cross-engine.
 
     chunk_id = doc_id·CHUNK_ID_STRIDE + chunk_idx keeps ids unique and
     invertible (chunk_idx < stride holds for any document under
@@ -918,24 +961,25 @@ def q_chunk_knn(documents: DataFrame, query_chunk_id: int = 0,
     stride, asserted nowhere because ids are LongType with headroom).
 
     Scale shape: the chunking is map-side, the featurizer is one
-    (chunk, pos) shuffle, and the scoring is the same
-    broadcast-query exact-kNN baseline as q_knn_text — at corpus scale
-    the persisted-index path is ivf_write over these chunk vectors.
+    (chunk, pos) shuffle, and the scoring is the sparse inverted
+    kernel (``knn_sparse`` — a chunk carries ≤CHUNK_TOKENS nonzero
+    positions, so the former dense-array path paid ~6× the nonzero
+    work; 57.9 → 5.4 s at the 30× retrieval_scale probe) — at corpus
+    scale the persisted-index path is ivf_write over chunk vectors.
     """
     from movie_rec_spark.operators.dedup import chunk_rows
-    from movie_rec_spark.operators.similarity import q_knn_brute
 
     ch = chunk_rows(documents).select(
         (F.col("doc_id") * CHUNK_ID_STRIDE + F.col("chunk_idx"))
         .alias("doc_id"),
         F.col("chunk").alias("text"))
-    emb = text_embedding(ch, dim).localCheckpoint(eager=False)
-    out = q_knn_brute(emb, query_vec_id=query_chunk_id, k=k)
+    flat = q_text_embed(ch, dim).localCheckpoint(eager=False)
+    out = knn_sparse(flat, query_chunk_id, k)
     return out.select(
-        F.col("vec_id").alias("chunk_id"),
+        F.col("doc_id").alias("chunk_id"),
         # exact integer division — float '/' loses id inversion > 2^53
-        F.expr(f"vec_id div {CHUNK_ID_STRIDE}").alias("doc_id"),
-        (F.col("vec_id") % CHUNK_ID_STRIDE).cast("int").alias("chunk_idx"),
+        F.expr(f"doc_id div {CHUNK_ID_STRIDE}").alias("doc_id"),
+        (F.col("doc_id") % CHUNK_ID_STRIDE).cast("int").alias("chunk_idx"),
         "sim")
 
 
@@ -1088,23 +1132,19 @@ def q_rrf(documents: DataFrame,
     """
     from pyspark.sql.window import Window
 
-    from movie_rec_spark.operators.similarity import q_knn_brute
-
     spark = documents.sparkSession
     qrow = spark.createDataFrame(
         [(-1, " ".join(query_terms))], "doc_id bigint, text string")
     corpus = documents.select("doc_id", "text").unionByName(qrow)
-    emb = text_embedding(corpus, EMBED_HASH_DIM).localCheckpoint(
+    flat = q_text_embed(corpus, EMBED_HASH_DIM).localCheckpoint(
         eager=False)
-    # sim > 0 (on the ROUNDED sim both engines compute): q_knn_brute
-    # scores every doc, so zero-overlap docs would otherwise pad the
-    # top-K by lowest doc_id, while the oracle's inverted-index join
-    # never forms them — a latent divergence on corpora where fewer
-    # than K docs share a hash bucket with the query. Retrieval
-    # semantics also want it: no overlap, no result.
-    dense = (q_knn_brute(emb, query_vec_id=-1, k=BM25_TOP_K)
-             .filter(F.col("sim") > 0)
-             .select(F.col("vec_id").alias("doc_id"), "sim"))
+    # positive_only (on the ROUNDED sim both engines compute):
+    # zero-overlap docs must never pad the top-K by lowest doc_id —
+    # the oracle's inverted-index join never forms them, and the
+    # sparse kernel's inner position join plus the sim > 0 filter
+    # matches that exactly. Retrieval semantics also want it: no
+    # overlap, no result.
+    dense = knn_sparse(flat, -1, BM25_TOP_K, positive_only=True)
     lex = q_bm25(documents, query_terms, BM25_TOP_K)
     # constant-size lists: a single-partition window here is O(top_k)
     r_lex = lex.select(

@@ -128,7 +128,11 @@ def test_new_operator_shuffle_budgets(spark):
         "q_rolling_window": 1,   # one user-keyed window, two-pointer frame
         "q_outer_join": 2,       # agg-before-join on both sides, then join
         "q_hll_union": 2,        # daily sketch agg + tiny union agg
-        "q_chunk_knn": 0,        # checkpointed index; map-only scoring
+        "q_chunk_knn": 3,        # sparse scoring over the checkpointed
+                                 # flat index: dot agg + n2 agg + their
+                                 # doc-keyed join (all nnz-row-sized;
+                                 # the dense form hid a 64-wide
+                                 # materialization behind 0 exchanges)
         "q_scd2": 1,             # one user-keyed sort drives all windows
         "q_snapshot_diff": 4,    # two distinct-aggs + full-outer join
         "q_dedup_canonical": 1,  # CC checkpointed; comp-keyed window only
@@ -226,9 +230,12 @@ def test_new_operator_shuffle_budgets(spark):
                                  # type-keyed lag window
         "q_dedup_containment": 3,  # shingle self-join + pair agg +
                                    # sizes agg (sizes broadcast back)
-        "q_rrf": 4,              # bm25 arm (tf/df/doc aggs) + fusion;
-                                 # dense arm rides the checkpointed
-                                 # featurized index
+        "q_rrf": 7,              # bm25 arm (tf/df/doc aggs) + fusion;
+                                 # dense arm now scores sparsely over
+                                 # the checkpointed flat index (+3:
+                                 # dot agg, n2 agg, doc-keyed join —
+                                 # nnz-row-sized, replacing the dense
+                                 # 64-wide array materialization)
         "q_kcore": 0,            # peeling rounds eager-checkpointed;
                                  # final degree agg reads bare pairs
         "q_label_prop": 0,       # per-round joins/aggs checkpointed

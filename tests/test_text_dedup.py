@@ -714,7 +714,11 @@ def test_pagerank_general_query(spark, sf_docs):
 def test_chunk_knn_finds_identical_paragraph(spark):
     """The query chunk (doc 0, chunk 0) scores 1.0 against the doc that
     quotes it verbatim, ids invert to (doc_id, chunk_idx), and the
-    query chunk itself is excluded."""
+    query chunk itself is excluded. The alpha..kappa chunk shares NO
+    hash bucket with the query (verified positions disjoint under
+    md5%64), so under the sparse inverted scoring — the oracle's
+    semantics — it must be ABSENT, not padded in with sim 0.0 the way
+    the former dense path scored it."""
     para = "one two three four five six seven eight nine ten"
     other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     docs = _docs(spark, [para, other + " " + para])
@@ -722,7 +726,7 @@ def test_chunk_knn_finds_identical_paragraph(spark):
     assert 0 not in out                      # query excluded
     assert out[1001].sim == 1.0              # doc 1, chunk 1 == para
     assert (out[1001].doc_id, out[1001].chunk_idx) == (1, 1)
-    assert out[1000].sim < 1.0               # unrelated chunk scores lower
+    assert 1000 not in out                   # zero-overlap: no row
 
 
 def test_dedup_canonical_keeps_best_quality(spark):
@@ -948,3 +952,67 @@ def test_triangle_offsets_graph_matches_bruteforce(spark):
             for n in (x, y, z):
                 want[n] = want.get(n, 0) + 1
     assert got == want
+
+
+def _mhp_py(texts):
+    """Pure-Python mirror of the portable minhash audit pipeline
+    (q_minhash_eval): md5-prefix base hash mod the Mersenne prime,
+    universal-hash mins, band keys, exact word-3-gram Jaccard."""
+    import hashlib
+
+    def shingles(t):
+        w = t.split(" ")
+        n = max(len(w) - 2, 1)
+        return {" ".join(w[i:i + 3]) for i in range(n)}
+
+    def sig(sh):
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+              % D.MHP_P for g in sh]
+        return [min((D.MHP_A[p] * h + D.MHP_B[p]) % D.MHP_P
+                    for h in hs) for p in range(D.MHP_PERMS)]
+
+    shs = {i: shingles(t) for i, t in enumerate(texts)}
+    sigs = {i: sig(s) for i, s in shs.items()}
+    rows = D.MHP_PERMS // D.MHP_BANDS
+    out = {}
+    for a in shs:
+        for b in shs:
+            if a >= b:
+                continue
+            cand = any(
+                sigs[a][band * rows:(band + 1) * rows]
+                == sigs[b][band * rows:(band + 1) * rows]
+                for band in range(D.MHP_BANDS))
+            i = len(shs[a] & shs[b])
+            u = len(shs[a] | shs[b])
+            true = i * 2000 >= u * 1000
+            if cand or true:
+                n_match = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+                out[(a, b)] = (int(cand), int(true), n_match, i, u)
+    return out
+
+
+def test_minhash_eval_matches_python_mirror(spark):
+    """q_minhash_eval against an independent pure-Python mirror on a
+    corpus built to exercise every audit cell: an exact dup pair (all
+    bands collide, is_true), a high-but-sub-threshold pair, and
+    unrelated docs (no rows). Every output column is an integer by
+    design — the audit has no float surface."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    near = base.replace("tonight", "today")
+    docs = _docs(spark, [
+        base, base, near,
+        "completely different words about spark and duckdb engines",
+        "another unrelated document concerning parquet file layouts",
+    ])
+    got = {(r.doc_a, r.doc_b): (r.candidate, r.is_true, r.n_match,
+                                r.n_inter, r.n_union)
+           for r in D.q_minhash_eval(docs).collect()}
+    want = _mhp_py([base, base, near,
+                    "completely different words about spark and duckdb engines",
+                    "another unrelated document concerning parquet file layouts"])
+    assert got == want
+    assert got[(0, 1)] == (1, 1, D.MHP_PERMS,
+                           got[(0, 1)][3], got[(0, 1)][3])  # exact dup
+    assert any(v[1] == 1 for v in got.values())             # true pairs exist
