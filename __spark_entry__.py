@@ -139,6 +139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": lambda s, d: D.q_dedup_exact(_t("documents")(s, d)),
         "q_dedup_jaccard": lambda s, d: D.q_dedup_jaccard(_t("documents")(s, d)),
         "q_dedup_minhash": lambda s, d: D.q_dedup_minhash(_t("documents")(s, d)),
+        # LSH configuration audit: portable integer minhash (md5 base
+        # hash + universal-hash perms mod 2^31-1, bit-identical in
+        # DuckDB) so the full shingle→signature→band→candidate path is
+        # oracle-exact; all-integer output, no float surface
+        "q_minhash_eval": lambda s, d: D.q_minhash_eval(
+            _t("documents")(s, d)),
         "q_dedup_simhash": lambda s, d: D.q_dedup_simhash(_t("documents")(s, d)),
         "q_dedup_groups": lambda s, d: D.q_dedup_groups(_t("documents")(s, d)),
         "q_dedup_char_jaccard": lambda s, d: D.q_dedup_char_jaccard(
@@ -529,10 +535,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. the other 15 queries that have NEVER had a driver row in
     #      rounds 1-6 (late-round-6 additions that sat past the
     #      window cut);
-    #   3. q_als_recs, last recorded in r01 (rows-only there);
-    #   4. the remaining 33 slots go to the LEAST-recently-recorded
+    #   3. q_als_recs, last recorded in r01 (rows-only there), then
+    #      q_minhash_eval (new this round, oracle-exact);
+    #   4. the remaining 32 slots go to the LEAST-recently-recorded
     #      block (last recorded r04), in declaration order; its
-    #      17-query tail (q_pagerank_chain .. q_profile) rotates into
+    #      18-query tail (q_chunk_prune .. q_profile) rotates into
     #      the r08 window.
     # With this rotation, every one of the declared queries has a
     # driver row in at least one of rounds 1-7.
@@ -546,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_unshipped", "q_new_vs_returning", "q_lag_features",
         # -- recorded only in r01
         "q_als_recs",
+        # -- new this round (oracle-exact), never recorded
+        "q_minhash_eval",
         # -- least-recently-recorded block (r04), declaration order
         "q_top_movies", "q_user_latest_ratings", "q_user_top_ratings",
         "q_movie_stats", "q_user_rated_movies", "q_avg_recommendations",
@@ -557,7 +566,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash",
         "q_dedup_simhash", "q_dedup_groups", "q_dedup_char_jaccard",
         "q_cc_chain_star", "q_cc_chain_minlabel", "q_chunk_dedup",
-        "q_chunk_prune",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -810,6 +818,84 @@ def oracle_sql() -> dict[str, str]:
                     for a, b in corr_pairs)
         + " FROM t)\n"
         + "\nUNION ALL\n".join(_corr_select(a, b) for a, b in corr_pairs))
+    # q_minhash_eval oracle: the full portable-minhash pipeline in SQL
+    # (dedup.py MHP_* constants inlined) — md5-prefix base hash mod the
+    # Mersenne prime, 16 universal-hash mins in one agg, 4-band keys,
+    # candidate join, exact inverted-index Jaccard, and the integer
+    # threshold test i*round(1000/t) >= union*1000 mirrored verbatim.
+    _mh_mins = ",\n                   ".join(
+        f"min(({D.MHP_A[p]} * h + {D.MHP_B[p]}) % {D.MHP_P}) AS h{p}"
+        for p in range(D.MHP_PERMS))
+    _mh_rows = D.MHP_PERMS // D.MHP_BANDS
+    _mh_bands = "\n                 UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(':', {cols}) AS key "
+        "FROM sig".format(
+            b=b, cols=", ".join(f"h{b * _mh_rows + r}"
+                                for r in range(_mh_rows)))
+        for b in range(D.MHP_BANDS))
+    _mh_nmatch = " + ".join(
+        f"(CASE WHEN a.h{p} = b.h{p} THEN 1 ELSE 0 END)"
+        for p in range(D.MHP_PERMS))
+    _mh_thr_num = int(1 / D.JACCARD_THRESHOLD * 1000)
+    minhash_eval_sql = f"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(list_slice(w, CAST(i AS INT),
+                              CAST(i AS INT) + 2), ' ') AS g
+                   FROM (SELECT doc_id, w,
+                                unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+                         FROM toks)),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            hs AS (SELECT doc_id,
+                          CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)
+                              % {D.MHP_P} AS h
+                   FROM sh),
+            sig AS (SELECT doc_id,
+                   {_mh_mins}
+                    FROM hs GROUP BY doc_id),
+            banded AS ({_mh_bands}),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a,
+                            b.doc_id AS doc_b
+                     FROM banded a JOIN banded b
+                       ON a.band = b.band AND a.key = b.key
+                      AND a.doc_id < b.doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             count(*) AS n_inter
+                      FROM sh a JOIN sh b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            tp AS (SELECT i.doc_a, i.doc_b
+                   FROM inter i
+                   JOIN sz sa ON i.doc_a = sa.doc_id
+                   JOIN sz sb ON i.doc_b = sb.doc_id
+                   WHERE i.n_inter * {_mh_thr_num}
+                         >= (sa.n + sb.n - i.n_inter) * 1000),
+            pairs AS (SELECT coalesce(c.doc_a, t.doc_a) AS doc_a,
+                             coalesce(c.doc_b, t.doc_b) AS doc_b,
+                             CASE WHEN c.doc_a IS NOT NULL
+                                  THEN 1 ELSE 0 END AS candidate,
+                             CASE WHEN t.doc_a IS NOT NULL
+                                  THEN 1 ELSE 0 END AS is_true
+                      FROM cand c
+                      FULL OUTER JOIN tp t
+                        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+            SELECT p.doc_a, p.doc_b,
+                   CAST(p.candidate AS INT) AS candidate,
+                   CAST(p.is_true AS INT) AS is_true,
+                   CAST({_mh_nmatch} AS INT) AS n_match,
+                   CAST(coalesce(i.n_inter, 0) AS INT) AS n_inter,
+                   CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS INT)
+                       AS n_union
+            FROM pairs p
+            JOIN sig a ON p.doc_a = a.doc_id
+            JOIN sig b ON p.doc_b = b.doc_id
+            LEFT JOIN inter i
+              ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+            JOIN sz sa ON p.doc_a = sa.doc_id
+            JOIN sz sb ON p.doc_b = sb.doc_id
+            ORDER BY p.doc_a, p.doc_b
+    """
     jaccard_pairs = f"""
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
                           FROM documents),
@@ -1523,6 +1609,7 @@ def oracle_sql() -> dict[str, str]:
         # the prefix filter is a candidate-generation strategy, not a
         # semantics change: same answer, same oracle
         "q_dedup_prefix": jaccard_pairs,
+        "q_minhash_eval": minhash_eval_sql,
         # same shingle/intersection CTEs as jaccard_pairs; the finish
         # keeps BOTH directional ratios raw (i*1.0/n is the same
         # double division the Spark side computes — rounding could

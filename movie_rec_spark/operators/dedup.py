@@ -1618,3 +1618,158 @@ def q_label_prop(documents: DataFrame) -> DataFrame:
     assignment against an independent pure-Python synchronous mirror.
     """
     return label_propagation(core_edges(documents), LABELPROP_ITERS)
+
+
+# Portable minhash (q_minhash_eval): base hash = 60-bit md5 prefix mod
+# the Mersenne prime P, permutations = universal hashes (a_p*h + b_p)
+# mod P. Everything stays below 2^62 (a_p, h < 2^31 so the product
+# fits a BIGINT on both engines, no overflow under ANSI), and every
+# step — md5 prefix, integer mod, min — is bit-identical in Spark and
+# DuckDB, which is the point: unlike the xxhash64 signatures of
+# q_dedup_minhash (Spark-only, rows-only checked), this pipeline is
+# hash-checkable end to end. 16 perms / 2 bands of 8 rows: a
+# deliberately precision-tight config — collision prob J^8 per band
+# (J=0.9 → 43%/band, ~68% over 2 bands; J=0.5 → 0.4%) — so the audit
+# has REAL misses to count (a 4-row-band config finds every sf0.01
+# true pair and the recall column degenerates to 1.0).
+MHP_P = 2_147_483_647
+MHP_PERMS = 16
+MHP_BANDS = 2  # rows per band = 16/2 = 8
+MHP_A = [(1103515245 * (p + 1) + 12345) % MHP_P for p in range(MHP_PERMS)]
+MHP_B = [(69069 * (p + 1) + 1) % MHP_P for p in range(MHP_PERMS)]
+
+
+def minhash_portable_sigs(documents: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{PERMS-1}) portable minhash signatures — the
+    cross-engine-deterministic twin of minhash_signatures."""
+    sh = _shingle_rows(documents)
+    h = (F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 15),
+                16, 10).cast("long") % MHP_P)
+    hs = sh.select("doc_id", h.alias("h"))
+    mins = [F.min((F.lit(MHP_A[p]) * F.col("h") + F.lit(MHP_B[p]))
+                  % MHP_P).alias(f"h{p}")
+            for p in range(MHP_PERMS)]
+    return hs.groupBy("doc_id").agg(*mins)
+
+
+def q_minhash_eval(documents: DataFrame,
+                   threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """MinHash-LSH configuration audit — the measurement a pipeline
+    runs BEFORE burning 100 TB on a dedup config: for this corpus (or
+    a stable-bucket sample of it at scale), how many true near-dup
+    pairs does banding find, and what rides along?
+
+    One hash-checked table over the UNION of LSH candidate pairs and
+    exact-Jaccard true pairs (so both false positives and misses are
+    rows, not absences):
+
+      doc_a, doc_b | candidate (banding collided) | is_true (exact
+      word-3-gram Jaccard >= threshold) | n_match (signature positions
+      agreeing, 0..16) | n_inter, n_union (exact shingle overlap)
+
+    Every column is an integer — precision = sum(candidate*is_true) /
+    sum(candidate), recall = sum(candidate*is_true) / sum(is_true),
+    and the estimated Jaccard n_match/16 are all left to the consumer
+    as exact ratios, so the audit has NO float-rounding surface at
+    all (the q_rolling_percentiles lesson applied preemptively).
+
+    The signature pipeline is the PORTABLE integer minhash
+    (minhash_portable_sigs): md5-prefix base hash + universal-hash
+    permutations mod the Mersenne prime 2^31-1 — bit-identical in
+    Spark and DuckDB, so unlike q_dedup_minhash (xxhash64, rows-only)
+    the full shingle->signature->band->candidate path is oracle-exact.
+
+    Scale shape: signatures are ONE doc-keyed shuffle (16 mins in one
+    agg); banding candidates are an equi-join on the 4-value band key;
+    the exact-Jaccard side is the inverted-index ground truth — the
+    quadratic-on-hot-shingles cost class every exact audit pays, which
+    is why at 100 TB this runs on a stable_bucket sample, never the
+    full corpus (same posture as q_dedup_jaccard's docstring).
+
+    Reference analogue: none (SURVEY S2 has no dedup); this is the
+    evaluation member of the minhash family next to q_dedup_minhash /
+    q_minhash_groups.
+    """
+    sh = _shingle_rows(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sigs = minhash_portable_sigs(documents)
+    rows = MHP_PERMS // MHP_BANDS
+    banded = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(":", *[F.col(f"h{b * rows + r}")
+                                   for r in range(rows)]).alias("key"))
+            for b in range(MHP_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"),
+             F.col("bb.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .withColumn("c", F.lit(1))
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        sa.join(sb, (F.col("sa.g") == F.col("sb.g"))
+                & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+        .groupBy(F.col("sa.doc_id").alias("doc_a"),
+                 F.col("sb.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    true_pairs = (
+        inter.join(F.broadcast(sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
+            "doc_a")
+        .join(F.broadcast(sizes.select(
+            F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
+            "doc_b")
+        # integer-exact threshold test for t = i/(na+nb-i) >= 0.5:
+        # 2i >= na+nb-i <=> i*(1/t) >= union; generalized below with
+        # the rational threshold num/den to avoid float division
+        .filter(F.col("n_inter") * F.lit(int(1 / threshold * 1000))
+                >= (F.col("na") + F.col("nb") - F.col("n_inter"))
+                * F.lit(1000))
+        .select("doc_a", "doc_b")
+        .withColumn("t", F.lit(1))
+    )
+    pairs = (
+        cand.join(true_pairs, ["doc_a", "doc_b"], "full_outer")
+        .select("doc_a", "doc_b",
+                F.coalesce("c", F.lit(0)).alias("candidate"),
+                F.coalesce("t", F.lit(0)).alias("is_true"))
+    )
+    siga = sigs.select(F.col("doc_id").alias("doc_a"),
+                       *[F.col(f"h{p}").alias(f"a{p}")
+                         for p in range(MHP_PERMS)])
+    sigb = sigs.select(F.col("doc_id").alias("doc_b"),
+                       *[F.col(f"h{p}").alias(f"b{p}")
+                         for p in range(MHP_PERMS)])
+    n_match = sum(
+        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        for p in range(MHP_PERMS))
+    szb = sizes.select(F.col("doc_id").alias("doc_b"),
+                       F.col("n").alias("nb"))
+    sza = sizes.select(F.col("doc_id").alias("doc_a"),
+                       F.col("n").alias("na"))
+    return (
+        pairs.join(siga, "doc_a").join(sigb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(sza), "doc_a").join(F.broadcast(szb), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.col("candidate").cast("int").alias("candidate"),
+            F.col("is_true").cast("int").alias("is_true"),
+            n_match.cast("int").alias("n_match"),
+            F.coalesce("n_inter", F.lit(0)).cast("int").alias("n_inter"),
+            (F.col("na") + F.col("nb")
+             - F.coalesce("n_inter", F.lit(0))).cast("int")
+            .alias("n_union"))
+        .orderBy("doc_a", "doc_b")
+    )
