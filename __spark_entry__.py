@@ -392,6 +392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-integer Lloyd k-means: grid-snapped points, integer
         # argmin, half-up rational centroid rounding — bit-checkable
         "q_kmeans": lambda s, d: S.q_kmeans(_t("embeddings")(s, d)),
+        # product-quantization ADC search: per-subspace integer
+        # codebooks + exact-integer asymmetric distances — the whole
+        # train→encode→search path is oracle-unrolled like q_kmeans
+        "q_pq_knn": lambda s, d: S.q_pq_knn(_t("embeddings")(s, d)),
         # embedding-space benchmark decontamination (broadcast bench
         # set, map-side cosine, argmax via max(struct)) — the semantic
         # complement of the n-gram q_decontaminate family
@@ -536,10 +540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      rounds 1-6 (late-round-6 additions that sat past the
     #      window cut);
     #   3. q_als_recs, last recorded in r01 (rows-only there), then
-    #      q_minhash_eval (new this round, oracle-exact);
-    #   4. the remaining 32 slots go to the LEAST-recently-recorded
+    #      q_minhash_eval and q_pq_knn (new this round, oracle-exact);
+    #   4. the remaining 31 slots go to the LEAST-recently-recorded
     #      block (last recorded r04), in declaration order; its
-    #      18-query tail (q_chunk_prune .. q_profile) rotates into
+    #      19-query tail (q_chunk_dedup .. q_profile) rotates into
     #      the r08 window.
     # With this rotation, every one of the declared queries has a
     # driver row in at least one of rounds 1-7.
@@ -554,7 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- recorded only in r01
         "q_als_recs",
         # -- new this round (oracle-exact), never recorded
-        "q_minhash_eval",
+        "q_minhash_eval", "q_pq_knn",
         # -- least-recently-recorded block (r04), declaration order
         "q_top_movies", "q_user_latest_ratings", "q_user_top_ratings",
         "q_movie_stats", "q_user_rated_movies", "q_avg_recommendations",
@@ -565,7 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id", "q_doc_fingerprint", "q_pii_redact", "q_bm25",
         "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash",
         "q_dedup_simhash", "q_dedup_groups", "q_dedup_char_jaccard",
-        "q_cc_chain_star", "q_cc_chain_minlabel", "q_chunk_dedup",
+        "q_cc_chain_star", "q_cc_chain_minlabel",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -895,6 +899,79 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON p.doc_a = sa.doc_id
             JOIN sz sb ON p.doc_b = sb.doc_id
             ORDER BY p.doc_a, p.doc_b
+    """
+    # q_pq_knn oracle: the q_kmeans unrolled-Lloyd pattern widened by
+    # the subspace column — per-subspace codebooks, final-codebook
+    # encode, and the integer ADC sum, identical arithmetic to
+    # similarity.q_pq_knn (grid snap, exact integer distances,
+    # floor((2s+n)/(2n)) centroid update, cid tie-break).
+    _pq_iters = []
+    for _i in range(1, S.PQ_ITERS + 1):
+        _pq_iters.append(f"""
+            d{_i} AS (SELECT p.vec_id, p.sub, c.cid,
+                          sum((p.p - c.c) * (p.p - c.c)) AS d
+                   FROM p JOIN c{_i - 1} c
+                     ON p.sub = c.sub AND p.spos = c.spos
+                   GROUP BY p.vec_id, p.sub, c.cid),
+            a{_i} AS (SELECT vec_id, sub, cid FROM (
+                       SELECT vec_id, sub, cid, row_number() OVER (
+                           PARTITION BY vec_id, sub ORDER BY d, cid)
+                           AS rn
+                       FROM d{_i}) WHERE rn = 1),
+            u{_i} AS (SELECT a.sub, a.cid, p.spos,
+                          CAST(sum(p.p) AS BIGINT) AS s,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM p JOIN a{_i} a
+                     ON p.vec_id = a.vec_id AND p.sub = a.sub
+                   GROUP BY a.sub, a.cid, p.spos),
+            c{_i} AS (SELECT c.sub, c.cid, c.spos,
+                          CASE WHEN u.s IS NULL THEN c.c
+                               ELSE CAST(floor((2.0 * u.s + u.n)
+                                         / (2.0 * u.n)) AS BIGINT)
+                          END AS c
+                   FROM c{_i - 1} c LEFT JOIN u{_i} u
+                     ON c.sub = u.sub AND c.cid = u.cid
+                    AND c.spos = u.spos)""")
+    _cf = f"c{S.PQ_ITERS}"
+    pq_knn_sql = f"""
+            WITH p AS (
+                SELECT vec_id,
+                       CAST((i - 1) // {S.PQ_SUB_DIM} AS INTEGER) AS sub,
+                       CAST((i - 1) % {S.PQ_SUB_DIM} AS INTEGER) AS spos,
+                       CAST(round(v[CAST(i AS INT)]
+                                  * {S.KMEANS_SCALE}) AS BIGINT) AS p
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                             unnest(range(1, len(embedding) + 1)) AS i
+                      FROM embeddings)),
+            seeds AS (SELECT vec_id FROM embeddings
+                      ORDER BY vec_id LIMIT {S.PQ_K}),
+            c0 AS (SELECT p.sub, p.vec_id AS cid, p.spos, p.p AS c
+                   FROM p JOIN seeds USING (vec_id)),
+            {",".join(_pq_iters)},
+            ed AS (SELECT p.vec_id, p.sub, c.cid,
+                          sum((p.p - c.c) * (p.p - c.c)) AS d
+                   FROM p JOIN {_cf} c
+                     ON p.sub = c.sub AND p.spos = c.spos
+                   GROUP BY p.vec_id, p.sub, c.cid),
+            codes AS (SELECT vec_id, sub, cid FROM (
+                       SELECT vec_id, sub, cid, row_number() OVER (
+                           PARTITION BY vec_id, sub ORDER BY d, cid)
+                           AS rn
+                       FROM ed) WHERE rn = 1),
+            qp AS (SELECT sub, spos, p AS q FROM p
+                   WHERE vec_id = {S.QUERY_VEC_ID}),
+            lut AS (SELECT c.sub, c.cid,
+                           sum((q.q - c.c) * (q.q - c.c)) AS cell
+                    FROM {_cf} c JOIN qp q
+                      ON c.sub = q.sub AND c.spos = q.spos
+                    GROUP BY c.sub, c.cid)
+            SELECT codes.vec_id,
+                   CAST(sum(l.cell) AS BIGINT) AS adc_dist
+            FROM codes JOIN lut l
+              ON codes.sub = l.sub AND codes.cid = l.cid
+            WHERE codes.vec_id <> {S.QUERY_VEC_ID}
+            GROUP BY codes.vec_id
+            ORDER BY adc_dist, codes.vec_id LIMIT {S.KNN_K}
     """
     jaccard_pairs = f"""
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
@@ -1610,6 +1687,7 @@ def oracle_sql() -> dict[str, str]:
         # semantics change: same answer, same oracle
         "q_dedup_prefix": jaccard_pairs,
         "q_minhash_eval": minhash_eval_sql,
+        "q_pq_knn": pq_knn_sql,
         # same shingle/intersection CTEs as jaccard_pairs; the finish
         # keeps BOTH directional ratios raw (i*1.0/n is the same
         # double division the Spark side computes — rounding could

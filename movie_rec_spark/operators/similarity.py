@@ -1370,3 +1370,105 @@ def q_hard_negatives(embeddings: DataFrame,
         .filter(F.col("rn") <= k)
         .select("anchor_id", F.col("vec_id").alias("neg_id"), "sim",
                 F.col("rn").cast("int").alias("neg_rank")))
+
+
+# Product quantization (q_pq_knn): 8 subspaces of 8 dims over the
+# 64-dim embeddings, 4 centroids per subspace (2-bit codes — a 64×
+# float64 vector compresses to 8×2 bits + the 256-row shared codebook,
+# a 256× memory cut; production PQ uses 8-bit codebooks, same shapes).
+# Training, encode, and ADC search all run on the q_kmeans integer
+# grid (round(x·10⁴) → int64), so every distance is an exact integer
+# and the whole train→encode→search path is oracle-checkable — PQ
+# implementations are normally unverifiable across engines for the
+# same float reasons as k-means.
+PQ_SUBS = 8
+PQ_SUB_DIM = 8   # EMBED_DIM // PQ_SUBS
+PQ_K = 4         # centroids per subspace
+PQ_ITERS = 2     # Lloyd rounds per subspace (unrolled in the oracle)
+
+
+def q_pq_knn(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
+             k: int = KNN_K) -> DataFrame:
+    """Product-quantization kNN (Jégou, Douze & Schmid 2011): train
+    per-subspace codebooks, encode every vector into PQ_SUBS codes,
+    and rank the corpus for one query by ASYMMETRIC DISTANCE — the
+    query stays unquantized; each of its subvectors contributes a
+    (sub, code) lookup-table entry Σ(q−c)², and a vector's distance is
+    the sum of its codes' table cells. This is the memory side of the
+    ANN toolbox (IVF prunes WHICH vectors to score; PQ shrinks WHAT is
+    stored per vector — production systems compose them as IVF-PQ).
+
+    Engine-exact: subvectors snap to the q_kmeans 1e-4 integer grid,
+    per-subspace Lloyd runs PQ_ITERS rounds with the exact-rational
+    ``floor((2s+n)/(2n))`` centroid update, codes are integer-distance
+    argmins (cid breaks ties), and the ADC total is a BIGINT — the
+    DuckDB oracle unrolls the identical arithmetic, so the returned
+    distances hash-match bit-for-bit. adc_dist is in grid²; consumers
+    divide by SCALE² for embedding units.
+
+    Scale shape: training is per-subspace k-means on the SAME one
+    (vec, sub, cid) partial-agg shape as q_kmeans (the sub column just
+    widens the key — still one Exchange per round pair), the codebook
+    is PQ_SUBS·PQ_K·PQ_SUB_DIM rows (broadcast everywhere), encode is
+    one argmin agg, and the search is a broadcast of the PQ_SUBS·PQ_K
+    LUT + one vec-keyed sum — no dense arrays move after encode. At
+    100 TB the codebook trains on a stable_bucket sample and encode is
+    the only corpus-sized pass.
+
+    Reference analogue: none (SURVEY §2 has no ANN); the quantized
+    sibling of q_knn_brute next to q_knn_int8 (scalar) and q_knn_ivf
+    (pruning).
+    """
+    e = _as_double(embeddings)
+    pts = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id",
+        (F.col("pos") / PQ_SUB_DIM).cast("int").alias("sub"),
+        (F.col("pos") % PQ_SUB_DIM).cast("int").alias("spos"),
+        F.round(F.col("x") * KMEANS_SCALE, 0).cast("long").alias("p"))
+    seeds = e.select("vec_id").orderBy("vec_id").limit(PQ_K)
+    centers = (pts.join(F.broadcast(seeds), "vec_id")
+               .select("sub", F.col("vec_id").alias("cid"), "spos",
+                       F.col("p").alias("c")))
+    for _ in range(PQ_ITERS):
+        d = (pts.join(F.broadcast(centers), ["sub", "spos"])
+             .groupBy("vec_id", "sub", "cid")
+             .agg(F.sum((F.col("p") - F.col("c"))
+                        * (F.col("p") - F.col("c"))).alias("d")))
+        assign = (d.groupBy("vec_id", "sub")
+                  .agg(F.min(F.struct("d", "cid")).alias("m"))
+                  .select("vec_id", "sub", F.col("m.cid").alias("cid")))
+        upd = (pts.join(assign, ["vec_id", "sub"])
+               .groupBy("sub", "cid", "spos")
+               .agg(F.sum("p").alias("s"), F.count(F.lit(1)).alias("n")))
+        centers = (centers.join(upd, ["sub", "cid", "spos"], "left")
+                   .select("sub", "cid", "spos",
+                           F.when(F.col("s").isNull(), F.col("c"))
+                           .otherwise(F.floor(
+                               (2 * F.col("s") + F.col("n"))
+                               / (2 * F.col("n"))).cast("long"))
+                           .alias("c")))
+    # encode under the FINAL codebook (ADC must read the same centers
+    # the codes were assigned with — assigning inside the loop would
+    # pair round-1 codes with round-2 centers)
+    enc_d = (pts.join(F.broadcast(centers), ["sub", "spos"])
+             .groupBy("vec_id", "sub", "cid")
+             .agg(F.sum((F.col("p") - F.col("c"))
+                        * (F.col("p") - F.col("c"))).alias("d")))
+    codes = (enc_d.groupBy("vec_id", "sub")
+             .agg(F.min(F.struct("d", "cid")).alias("m"))
+             .select("vec_id", "sub", F.col("m.cid").alias("cid")))
+    qpts = (pts.filter(F.col("vec_id") == query_vec_id)
+            .select("sub", "spos", F.col("p").alias("q")))
+    lut = (centers.join(F.broadcast(qpts), ["sub", "spos"])
+           .groupBy("sub", "cid")
+           .agg(F.sum((F.col("q") - F.col("c"))
+                      * (F.col("q") - F.col("c"))).alias("cell")))
+    return (
+        codes.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("cell").alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+    )

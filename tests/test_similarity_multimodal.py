@@ -496,3 +496,43 @@ def test_semdedup_hierarchical_groups_are_bounded_tasks(spark):
     assert all(0 <= c < g * fine for c in cells)
     # more than one coarse block must actually be populated
     assert len({c // fine for c in cells}) > 1
+
+
+def test_pq_knn_separates_planted_groups(spark):
+    """End-to-end PQ semantics on a corpus built so quantization MUST
+    succeed: 12 vectors = 3 distinct 64-dim patterns × 4 identical
+    copies, INTERLEAVED so the id-ordered seeds (vecs 0..3) cover all
+    three patterns — Lloyd then sits exactly on the patterns (the
+    duplicate fourth seed empties out via the cid tie-break and keeps
+    its previous centroid). The query is pattern 0's first copy: its
+    3 copies must fill the top ranks with adc_dist exactly 0 (same
+    cell in every subspace), and every cross-pattern distance must
+    dwarf within-pattern."""
+    def pat(seed):
+        # deterministic, strongly distinct 64-dim patterns
+        return [((seed * 37 + i * 11) % 7 - 3) / 3.0 for i in range(64)]
+
+    # vec_id i carries pattern i % 3: copies of pattern 0 are 0,3,6,9
+    vecs = [pat(i % 3) for i in range(12)]
+    out = S.q_pq_knn(_emb(spark, vecs), query_vec_id=0, k=11).collect()
+    assert [r.vec_id for r in out[:3]] == [3, 6, 9]   # copies first
+    assert all(r.adc_dist == 0 for r in out[:3])      # same cell exactly
+    assert all(r.adc_dist > 10_000 for r in out[3:])  # other patterns far
+    assert len(out) == 11 and 0 not in {r.vec_id for r in out}
+
+
+def test_pq_knn_recall_floor_and_determinism(spark, sf_emb):
+    """On the real fixture the 2-bit demo codebook is deliberately
+    coarse (rate-distortion: 4 centroids over an 8-dim gaussian
+    subspace leave quantization error the same order as neighbor
+    gaps), so the gate is a floor, not closeness: >= 2 of the exact
+    top-10 survive, ranks are deterministic across runs, and every
+    distance is a non-negative integer (the oracle hash-checks the
+    exact values — this test pins the Python-visible contract)."""
+    brute = {r.vec_id for r in S.q_knn_brute(sf_emb, 0, 10).collect()}
+    a = S.q_pq_knn(sf_emb, query_vec_id=0, k=10).collect()
+    b = S.q_pq_knn(sf_emb, query_vec_id=0, k=10).collect()
+    assert [(r.vec_id, r.adc_dist) for r in a] \
+        == [(r.vec_id, r.adc_dist) for r in b]
+    assert len({r.vec_id for r in a} & brute) >= 2
+    assert all(r.adc_dist >= 0 for r in a)
