@@ -396,6 +396,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codebooks + exact-integer asymmetric distances — the whole
         # train→encode→search path is oracle-unrolled like q_kmeans
         "q_pq_knn": lambda s, d: S.q_pq_knn(_t("embeddings")(s, d)),
+        # IVF-PQ: coarse-cell pruning + residual PQ codes, both levels
+        # on the integer grid so the composed index is oracle-exact
+        "q_ivfpq_knn": lambda s, d: S.q_ivfpq_knn(
+            _t("embeddings")(s, d)),
         # embedding-space benchmark decontamination (broadcast bench
         # set, map-side cosine, argmax via max(struct)) — the semantic
         # complement of the n-gram q_decontaminate family
@@ -540,11 +544,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      rounds 1-6 (late-round-6 additions that sat past the
     #      window cut);
     #   3. q_als_recs, last recorded in r01 (rows-only there), then
-    #      q_minhash_eval and q_pq_knn (new this round, oracle-exact);
-    #   4. the remaining 31 slots go to the LEAST-recently-recorded
+    #      q_minhash_eval, q_pq_knn, and q_ivfpq_knn (new this
+    #      round, oracle-exact);
+    #   4. the remaining 30 slots go to the LEAST-recently-recorded
     #      block (last recorded r04), in declaration order; its
-    #      19-query tail (q_chunk_dedup .. q_profile) rotates into
-    #      the r08 window.
+    #      20-query tail (q_cc_chain_minlabel .. q_profile) rotates
+    #      into the r08 window.
     # With this rotation, every one of the declared queries has a
     # driver row in at least one of rounds 1-7.
     keys = list(q)
@@ -558,7 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- recorded only in r01
         "q_als_recs",
         # -- new this round (oracle-exact), never recorded
-        "q_minhash_eval", "q_pq_knn",
+        "q_minhash_eval", "q_pq_knn", "q_ivfpq_knn",
         # -- least-recently-recorded block (r04), declaration order
         "q_top_movies", "q_user_latest_ratings", "q_user_top_ratings",
         "q_movie_stats", "q_user_rated_movies", "q_avg_recommendations",
@@ -569,7 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id", "q_doc_fingerprint", "q_pii_redact", "q_bm25",
         "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash",
         "q_dedup_simhash", "q_dedup_groups", "q_dedup_char_jaccard",
-        "q_cc_chain_star", "q_cc_chain_minlabel",
+        "q_cc_chain_star",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -900,38 +905,59 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON p.doc_b = sb.doc_id
             ORDER BY p.doc_a, p.doc_b
     """
-    # q_pq_knn oracle: the q_kmeans unrolled-Lloyd pattern widened by
-    # the subspace column — per-subspace codebooks, final-codebook
-    # encode, and the integer ADC sum, identical arithmetic to
-    # similarity.q_pq_knn (grid snap, exact integer distances,
-    # floor((2s+n)/(2n)) centroid update, cid tie-break).
-    _pq_iters = []
-    for _i in range(1, S.PQ_ITERS + 1):
-        _pq_iters.append(f"""
-            d{_i} AS (SELECT p.vec_id, p.sub, c.cid,
+    # q_pq_knn / q_ivfpq_knn oracles: the q_kmeans unrolled-Lloyd
+    # pattern widened by the subspace column — per-subspace codebooks,
+    # final-codebook encode, and the integer ADC sum, identical
+    # arithmetic to similarity._pq_train/_pq_encode (grid snap, exact
+    # integer distances, floor((2s+n)/(2n)) centroid update, cid
+    # tie-break). _lloyd_ctes generates one unrolled round over
+    # ``src`` (a (vec_id, sub, spos, p) CTE), prefixed so the two
+    # IVF-PQ levels can coexist in one statement.
+    def _lloyd_ctes(src: str, pref: str, iters: int) -> str:
+        out = []
+        for i in range(1, iters + 1):
+            out.append(f"""
+            {pref}d{i} AS (SELECT p.vec_id, p.sub, c.cid,
                           sum((p.p - c.c) * (p.p - c.c)) AS d
-                   FROM p JOIN c{_i - 1} c
+                   FROM {src} p JOIN {pref}c{i - 1} c
                      ON p.sub = c.sub AND p.spos = c.spos
                    GROUP BY p.vec_id, p.sub, c.cid),
-            a{_i} AS (SELECT vec_id, sub, cid FROM (
+            {pref}a{i} AS (SELECT vec_id, sub, cid FROM (
                        SELECT vec_id, sub, cid, row_number() OVER (
                            PARTITION BY vec_id, sub ORDER BY d, cid)
                            AS rn
-                       FROM d{_i}) WHERE rn = 1),
-            u{_i} AS (SELECT a.sub, a.cid, p.spos,
+                       FROM {pref}d{i}) WHERE rn = 1),
+            {pref}u{i} AS (SELECT a.sub, a.cid, p.spos,
                           CAST(sum(p.p) AS BIGINT) AS s,
                           CAST(count(*) AS BIGINT) AS n
-                   FROM p JOIN a{_i} a
+                   FROM {src} p JOIN {pref}a{i} a
                      ON p.vec_id = a.vec_id AND p.sub = a.sub
                    GROUP BY a.sub, a.cid, p.spos),
-            c{_i} AS (SELECT c.sub, c.cid, c.spos,
+            {pref}c{i} AS (SELECT c.sub, c.cid, c.spos,
                           CASE WHEN u.s IS NULL THEN c.c
                                ELSE CAST(floor((2.0 * u.s + u.n)
                                          / (2.0 * u.n)) AS BIGINT)
                           END AS c
-                   FROM c{_i - 1} c LEFT JOIN u{_i} u
+                   FROM {pref}c{i - 1} c LEFT JOIN {pref}u{i} u
                      ON c.sub = u.sub AND c.cid = u.cid
                     AND c.spos = u.spos)""")
+        return ",".join(out)
+
+    def _lloyd_encode(src: str, pref: str, iters: int,
+                      name: str) -> str:
+        return f"""
+            {name}0 AS (SELECT p.vec_id, p.sub, c.cid,
+                          sum((p.p - c.c) * (p.p - c.c)) AS d
+                   FROM {src} p JOIN {pref}c{iters} c
+                     ON p.sub = c.sub AND p.spos = c.spos
+                   GROUP BY p.vec_id, p.sub, c.cid),
+            {name} AS (SELECT vec_id, sub, cid FROM (
+                       SELECT vec_id, sub, cid, row_number() OVER (
+                           PARTITION BY vec_id, sub ORDER BY d, cid)
+                           AS rn
+                       FROM {name}0) WHERE rn = 1)"""
+
+    _pq_iters = [_lloyd_ctes("p", "", S.PQ_ITERS)]
     _cf = f"c{S.PQ_ITERS}"
     pq_knn_sql = f"""
             WITH p AS (
@@ -969,6 +995,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(l.cell) AS BIGINT) AS adc_dist
             FROM codes JOIN lut l
               ON codes.sub = l.sub AND codes.cid = l.cid
+            WHERE codes.vec_id <> {S.QUERY_VEC_ID}
+            GROUP BY codes.vec_id
+            ORDER BY adc_dist, codes.vec_id LIMIT {S.KNN_K}
+    """
+    # q_ivfpq_knn: both levels unrolled — coarse cells are the same
+    # Lloyd with one full-width subspace (prefix g), the PQ codebooks
+    # train on residuals (prefix r), and the search probes the
+    # n_probe nearest cells with per-cell residual LUTs.
+    _sd = S.PQ_SUB_DIM
+    ivfpq_knn_sql = f"""
+            WITH p0 AS (
+                SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+                       CAST(round(v[CAST(i AS INT)]
+                                  * {S.KMEANS_SCALE}) AS BIGINT) AS p
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                             unnest(range(1, len(embedding) + 1)) AS i
+                      FROM embeddings)),
+            cp AS (SELECT vec_id, CAST(0 AS INTEGER) AS sub,
+                          pos AS spos, p
+                   FROM p0),
+            gseeds AS (SELECT vec_id FROM embeddings
+                       ORDER BY vec_id LIMIT {S.IVFPQ_CELLS}),
+            gc0 AS (SELECT p.sub, p.vec_id AS cid, p.spos, p.p AS c
+                    FROM cp p JOIN gseeds USING (vec_id)),
+            {_lloyd_ctes("cp", "g", S.PQ_ITERS)},
+            {_lloyd_encode("cp", "g", S.PQ_ITERS, "gcodes")},
+            cells AS (SELECT vec_id, cid AS cell FROM gcodes),
+            rp AS (SELECT p0.vec_id,
+                          CAST(p0.pos // {_sd} AS INTEGER) AS sub,
+                          CAST(p0.pos % {_sd} AS INTEGER) AS spos,
+                          p0.p - c.c AS p
+                   FROM p0 JOIN cells ON p0.vec_id = cells.vec_id
+                   JOIN gc{S.PQ_ITERS} c
+                     ON c.cid = cells.cell AND c.spos = p0.pos),
+            rseeds AS (SELECT vec_id FROM embeddings
+                       ORDER BY vec_id LIMIT {S.PQ_K}),
+            rc0 AS (SELECT p.sub, p.vec_id AS cid, p.spos, p.p AS c
+                    FROM rp p JOIN rseeds USING (vec_id)),
+            {_lloyd_ctes("rp", "r", S.PQ_ITERS)},
+            {_lloyd_encode("rp", "r", S.PQ_ITERS, "codes")},
+            qc AS (SELECT c.cid AS cell,
+                          sum((p.p - c.c) * (p.p - c.c)) AS d
+                   FROM cp p JOIN gc{S.PQ_ITERS} c
+                     ON p.sub = c.sub AND p.spos = c.spos
+                   WHERE p.vec_id = {S.QUERY_VEC_ID}
+                   GROUP BY c.cid),
+            probed AS (SELECT cell FROM qc
+                       ORDER BY d, cell LIMIT {S.IVFPQ_PROBE}),
+            qr AS (SELECT pr.cell,
+                          CAST(p0.pos // {_sd} AS INTEGER) AS sub,
+                          CAST(p0.pos % {_sd} AS INTEGER) AS spos,
+                          p0.p - c.c AS q
+                   FROM p0 JOIN gc{S.PQ_ITERS} c ON c.spos = p0.pos
+                   JOIN probed pr ON c.cid = pr.cell
+                   WHERE p0.vec_id = {S.QUERY_VEC_ID}),
+            lut AS (SELECT qr.cell, c.sub, c.cid,
+                           sum((qr.q - c.c) * (qr.q - c.c)) AS cellv
+                    FROM rc{S.PQ_ITERS} c JOIN qr
+                      ON c.sub = qr.sub AND c.spos = qr.spos
+                    GROUP BY qr.cell, c.sub, c.cid)
+            SELECT codes.vec_id,
+                   CAST(sum(l.cellv) AS BIGINT) AS adc_dist,
+                   CAST(min(cells.cell) AS INTEGER) AS cell
+            FROM codes
+            JOIN cells ON codes.vec_id = cells.vec_id
+            JOIN lut l ON cells.cell = l.cell
+                      AND codes.sub = l.sub AND codes.cid = l.cid
             WHERE codes.vec_id <> {S.QUERY_VEC_ID}
             GROUP BY codes.vec_id
             ORDER BY adc_dist, codes.vec_id LIMIT {S.KNN_K}
@@ -1688,6 +1781,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_prefix": jaccard_pairs,
         "q_minhash_eval": minhash_eval_sql,
         "q_pq_knn": pq_knn_sql,
+        "q_ivfpq_knn": ivfpq_knn_sql,
         # same shingle/intersection CTEs as jaccard_pairs; the finish
         # keeps BOTH directional ratios raw (i*1.0/n is the same
         # double division the Spark side computes — rounding could

@@ -1420,44 +1420,10 @@ def q_pq_knn(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
     (pruning).
     """
     e = _as_double(embeddings)
-    pts = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "x")).select(
-        "vec_id",
-        (F.col("pos") / PQ_SUB_DIM).cast("int").alias("sub"),
-        (F.col("pos") % PQ_SUB_DIM).cast("int").alias("spos"),
-        F.round(F.col("x") * KMEANS_SCALE, 0).cast("long").alias("p"))
+    pts = _pq_split(_grid_pts(e), PQ_SUB_DIM)
     seeds = e.select("vec_id").orderBy("vec_id").limit(PQ_K)
-    centers = (pts.join(F.broadcast(seeds), "vec_id")
-               .select("sub", F.col("vec_id").alias("cid"), "spos",
-                       F.col("p").alias("c")))
-    for _ in range(PQ_ITERS):
-        d = (pts.join(F.broadcast(centers), ["sub", "spos"])
-             .groupBy("vec_id", "sub", "cid")
-             .agg(F.sum((F.col("p") - F.col("c"))
-                        * (F.col("p") - F.col("c"))).alias("d")))
-        assign = (d.groupBy("vec_id", "sub")
-                  .agg(F.min(F.struct("d", "cid")).alias("m"))
-                  .select("vec_id", "sub", F.col("m.cid").alias("cid")))
-        upd = (pts.join(assign, ["vec_id", "sub"])
-               .groupBy("sub", "cid", "spos")
-               .agg(F.sum("p").alias("s"), F.count(F.lit(1)).alias("n")))
-        centers = (centers.join(upd, ["sub", "cid", "spos"], "left")
-                   .select("sub", "cid", "spos",
-                           F.when(F.col("s").isNull(), F.col("c"))
-                           .otherwise(F.floor(
-                               (2 * F.col("s") + F.col("n"))
-                               / (2 * F.col("n"))).cast("long"))
-                           .alias("c")))
-    # encode under the FINAL codebook (ADC must read the same centers
-    # the codes were assigned with — assigning inside the loop would
-    # pair round-1 codes with round-2 centers)
-    enc_d = (pts.join(F.broadcast(centers), ["sub", "spos"])
-             .groupBy("vec_id", "sub", "cid")
-             .agg(F.sum((F.col("p") - F.col("c"))
-                        * (F.col("p") - F.col("c"))).alias("d")))
-    codes = (enc_d.groupBy("vec_id", "sub")
-             .agg(F.min(F.struct("d", "cid")).alias("m"))
-             .select("vec_id", "sub", F.col("m.cid").alias("cid")))
+    centers = _pq_train(pts, seeds, PQ_ITERS)
+    codes = _pq_encode(pts, centers)
     qpts = (pts.filter(F.col("vec_id") == query_vec_id)
             .select("sub", "spos", F.col("p").alias("q")))
     lut = (centers.join(F.broadcast(qpts), ["sub", "spos"])
@@ -1469,6 +1435,178 @@ def q_pq_knn(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
         .join(F.broadcast(lut), ["sub", "cid"])
         .groupBy("vec_id")
         .agg(F.sum("cell").alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _grid_pts(e: DataFrame) -> DataFrame:
+    """(vec_id, pos, p) — embeddings snapped to the q_kmeans integer
+    grid (round(x·SCALE) half-away, identical on both engines)."""
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id", "pos",
+        F.round(F.col("x") * KMEANS_SCALE, 0).cast("long").alias("p"))
+
+
+def _pq_split(pts: DataFrame, sub_dim: int) -> DataFrame:
+    """Widen grid points with the subspace key: pos → (sub, spos).
+    sub_dim == the full dimension degenerates to ONE subspace — which
+    makes the per-subspace Lloyd below a plain integer k-means, so the
+    same trainer serves both PQ codebooks and IVF coarse cells."""
+    return pts.select(
+        "vec_id",
+        (F.col("pos") / sub_dim).cast("int").alias("sub"),
+        (F.col("pos") % sub_dim).cast("int").alias("spos"),
+        "p")
+
+
+def _pq_train(pts: DataFrame, seeds: DataFrame,
+              iters: int) -> DataFrame:
+    """Per-subspace integer Lloyd over (vec_id, sub, spos, p) rows →
+    (sub, cid, spos, c) codebooks. Seeded by the given vec_ids'
+    subvectors; exact integer distances, argmin tie-broken by cid,
+    centroids updated with the floor((2s+n)/(2n)) HALF_UP identity;
+    emptied clusters keep their previous centroid — the q_kmeans
+    kernel with the sub column widening every key."""
+    centers = (pts.join(F.broadcast(seeds), "vec_id")
+               .select("sub", F.col("vec_id").alias("cid"), "spos",
+                       F.col("p").alias("c")))
+    for _ in range(iters):
+        assign = _pq_encode(pts, centers)
+        upd = (pts.join(assign, ["vec_id", "sub"])
+               .groupBy("sub", "cid", "spos")
+               .agg(F.sum("p").alias("s"), F.count(F.lit(1)).alias("n")))
+        # checkpoint each round's codebook (subs·k·sub_dim rows):
+        # every round references the previous centers THREE times
+        # (encode's distance join, the empty-cluster fallback, the
+        # update join), so an unchecked lineage re-executes the whole
+        # upstream pipeline a multiplicative number of times — q_kmeans
+        # tolerates that over its cheap scan, but IVF-PQ trains over
+        # RESIDUALS whose lineage is the entire coarse level (measured
+        # 32.4 → 10.7 s cold at sf0.01 from these cuts; the remainder
+        # is round-serialized job latency, not recomputation)
+        centers = (centers.join(upd, ["sub", "cid", "spos"], "left")
+                   .select("sub", "cid", "spos",
+                           F.when(F.col("s").isNull(), F.col("c"))
+                           .otherwise(F.floor(
+                               (2 * F.col("s") + F.col("n"))
+                               / (2 * F.col("n"))).cast("long"))
+                           .alias("c"))
+                   .localCheckpoint(eager=False))
+    return centers
+
+
+def _pq_encode(pts: DataFrame, centers: DataFrame) -> DataFrame:
+    """(vec_id, sub, cid) nearest-centroid codes under ``centers`` —
+    exact integer distances, cid breaks ties. Callers encode under the
+    FINAL codebook (ADC must read the same centers the codes were
+    assigned with — codes from inside the training loop would pair
+    round-1 assignments with round-2 centers)."""
+    d = (pts.join(F.broadcast(centers), ["sub", "spos"])
+         .groupBy("vec_id", "sub", "cid")
+         .agg(F.sum((F.col("p") - F.col("c"))
+                    * (F.col("p") - F.col("c"))).alias("d")))
+    return (d.groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("d", "cid")).alias("m"))
+            .select("vec_id", "sub", F.col("m.cid").alias("cid")))
+
+
+IVFPQ_CELLS = 4   # coarse cells (level 1)
+IVFPQ_PROBE = 2   # cells scanned per query
+
+
+def q_ivfpq_knn(embeddings: DataFrame,
+                query_vec_id: int = QUERY_VEC_ID, k: int = KNN_K,
+                n_cells: int = IVFPQ_CELLS,
+                n_probe: int = IVFPQ_PROBE) -> DataFrame:
+    """IVF-PQ search — the production ANN layout (Faiss IVFPQ; Jégou
+    et al. 2011 §V): a coarse quantizer partitions the corpus into
+    cells, every vector stores only its cell id + the PQ codes of its
+    RESIDUAL (vector − cell centroid), and a query probes its
+    ``n_probe`` nearest cells, building one residual lookup table per
+    probed cell and ADC-ranking only those cells' members. IVF prunes
+    the scan (n_probe/n_cells of the corpus), PQ shrinks the bytes
+    (codes, not vectors) — composed, they are how billion-vector
+    indexes actually serve.
+
+    Engine-exact end to end, which float IVF-PQ never is: BOTH levels
+    run the integer-grid Lloyd (``_pq_train`` — the coarse quantizer
+    is the same trainer with one full-width subspace), residuals are
+    integer subtractions, and every ADC total is an exact BIGINT. The
+    DuckDB oracle unrolls the identical two-level arithmetic, so cell
+    choices, probe order, codes, and returned distances all
+    hash-match. Misses vs exact kNN are the DOCUMENTED accuracy trade
+    (bounded in pytest), not float drift.
+
+    Scale shape: two bounded-round trainers (each one broadcast-join +
+    two keyed aggs per round over scalar rows), one corpus-sized
+    assignment and one corpus-sized encode, then search touches ONLY
+    probed-cell members: the candidate scan is |corpus|·n_probe/
+    n_cells rows of (sub, cid) codes joined to a broadcast
+    n_probe·PQ_SUBS·PQ_K-row LUT. At 100 TB both codebooks train on a
+    stable_bucket sample, n_cells grows to √n, and the per-cell code
+    lists are the parquet layout (cell-partitioned, as ivf_write
+    already demonstrates for plain IVF).
+
+    Reference analogue: none (SURVEY §2 has no ANN); the composition
+    of q_pq_knn (memory) and q_knn_ivf (pruning), oracle-exact where
+    q_knn_ivf is rows-only.
+    """
+    e = _as_double(embeddings)
+    gpts = _grid_pts(e)
+    full_dim = EMBED_DIM
+    # level 1: coarse cells = the same trainer, one full-width subspace
+    cpts = _pq_split(gpts, full_dim)
+    cseeds = e.select("vec_id").orderBy("vec_id").limit(n_cells)
+    coarse = _pq_train(cpts, cseeds, PQ_ITERS)
+    cells = (_pq_encode(cpts, coarse)
+             .select("vec_id", F.col("cid").alias("cell"))
+             .localCheckpoint(eager=False))
+    # residuals, re-split into PQ subspaces (spos of the one coarse
+    # subspace IS the original pos)
+    cvals = coarse.select(F.col("cid").alias("cell"),
+                          F.col("spos").alias("pos"),
+                          F.col("c").alias("cc"))
+    rpts = (gpts.join(cells, "vec_id")
+            .join(F.broadcast(cvals), ["cell", "pos"])
+            .select("vec_id", "cell",
+                    (F.col("pos") / PQ_SUB_DIM).cast("int").alias("sub"),
+                    (F.col("pos") % PQ_SUB_DIM).cast("int").alias("spos"),
+                    (F.col("p") - F.col("cc")).alias("p"))
+            # the PQ trainer references residual points 3× per round
+            # and their lineage is the whole coarse level — cut it
+            .localCheckpoint(eager=False))
+    pseeds = e.select("vec_id").orderBy("vec_id").limit(PQ_K)
+    pqc = _pq_train(rpts.drop("cell"), pseeds, PQ_ITERS)
+    codes = _pq_encode(rpts.drop("cell"), pqc)
+    # query: probe the n_probe nearest cells by exact integer distance
+    qg = gpts.filter(F.col("vec_id") == query_vec_id)
+    qcd = (qg.join(F.broadcast(coarse.select(
+               F.col("cid").alias("cell"),
+               F.col("spos").alias("pos"), "c")), "pos")
+           .groupBy("cell")
+           .agg(F.sum((F.col("p") - F.col("c"))
+                      * (F.col("p") - F.col("c"))).alias("d")))
+    probed = qcd.orderBy(F.asc("d"), F.asc("cell")).limit(n_probe)
+    # per-probed-cell residual LUT: Σ(q − cellc − pqc)² by (cell, sub, cid)
+    qr = (qg.join(F.broadcast(
+              cvals.join(probed.select("cell"), "cell")), "pos")
+          .select("cell",
+                  (F.col("pos") / PQ_SUB_DIM).cast("int").alias("sub"),
+                  (F.col("pos") % PQ_SUB_DIM).cast("int").alias("spos"),
+                  (F.col("p") - F.col("cc")).alias("q")))
+    lut = (pqc.join(F.broadcast(qr), ["sub", "spos"])
+           .groupBy("cell", "sub", "cid")
+           .agg(F.sum((F.col("q") - F.col("c"))
+                      * (F.col("q") - F.col("c"))).alias("cellv")))
+    return (
+        codes.join(cells, "vec_id")
+        .filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(lut), ["cell", "sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("cellv").alias("adc_dist"),
+             F.min("cell").cast("int").alias("cell"))
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(k)
     )

@@ -536,3 +536,37 @@ def test_pq_knn_recall_floor_and_determinism(spark, sf_emb):
         == [(r.vec_id, r.adc_dist) for r in b]
     assert len({r.vec_id for r in a} & brute) >= 2
     assert all(r.adc_dist >= 0 for r in a)
+
+
+def test_ivfpq_knn_planted_patterns_and_pruning(spark):
+    """IVF-PQ on the interleaved planted corpus (same construction as
+    the PQ test, 4 patterns so every coarse seed is distinct): the
+    query's copies share its cell AND its residual codes, so they rank
+    first at adc_dist exactly 0; results only ever come from probed
+    cells (the returned cell column has <= n_probe distinct values) —
+    the pruning contract, visible in the output."""
+    def pat(seed):
+        return [((seed * 37 + i * 11) % 7 - 3) / 3.0 for i in range(64)]
+
+    vecs = [pat(i % 4) for i in range(16)]
+    out = S.q_ivfpq_knn(_emb(spark, vecs), query_vec_id=0, k=15).collect()
+    assert [r.vec_id for r in out[:3]] == [4, 8, 12]  # copies first
+    assert all(r.adc_dist == 0 for r in out[:3])
+    assert len({r.cell for r in out}) <= S.IVFPQ_PROBE
+    assert 0 not in {r.vec_id for r in out}
+
+
+def test_ivfpq_knn_recall_floor_and_agreement(spark, sf_emb):
+    """Real-fixture contract: deterministic ranks, non-negative
+    integer distances, and a recall floor vs exact top-10 (probing 2
+    of 4 cells + 2-bit residual codes is deliberately coarse; the
+    oracle hash-checks exact values — this pins the Python-visible
+    behavior and that pruning actually restricts cells)."""
+    brute = {r.vec_id for r in S.q_knn_brute(sf_emb, 0, 10).collect()}
+    a = S.q_ivfpq_knn(sf_emb, query_vec_id=0, k=10).collect()
+    b = S.q_ivfpq_knn(sf_emb, query_vec_id=0, k=10).collect()
+    assert [(r.vec_id, r.adc_dist) for r in a] \
+        == [(r.vec_id, r.adc_dist) for r in b]
+    assert all(r.adc_dist >= 0 for r in a)
+    assert len({r.cell for r in a}) <= S.IVFPQ_PROBE
+    assert len({r.vec_id for r in a} & brute) >= 1

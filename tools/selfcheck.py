@@ -219,11 +219,12 @@ def main() -> int:
             "not_recorded_this_round": names[50:],
             "coverage_note": (
                 "r07 window = 16 never-driver-recorded queries + "
-                "q_als_recs (r01) + q_minhash_eval/q_pq_knn (new r07) "
-                "+ the 31 least-recently-recorded (r04) in "
-                "declaration order; with it, every declared query has "
-                "a driver row in some round 1-7. The 19-query r04 "
-                "tail (q_chunk_dedup..q_profile) rotates into r08."),
+                "q_als_recs (r01) + q_minhash_eval/q_pq_knn/"
+                "q_ivfpq_knn (new r07) + the 30 least-recently-"
+                "recorded (r04) in declaration order; with it, every "
+                "declared query has a driver row in some round 1-7. "
+                "The 20-query r04 tail (q_cc_chain_minlabel.."
+                "q_profile) rotates into r08."),
         }}
         artifact.update(results)
         with open(emit, "w") as fh:
