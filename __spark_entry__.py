@@ -400,6 +400,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on the integer grid so the composed index is oracle-exact
         "q_ivfpq_knn": lambda s, d: S.q_ivfpq_knn(
             _t("embeddings")(s, d)),
+        # KMV distinct sketch: k-minimum md5 hashes per day + merged
+        # window row — the sketch whose state AND estimate the oracle
+        # hash-checks (q_hll_union's verifiable twin)
+        "q_kmv_distinct": lambda s, d: R.q_kmv_distinct(
+            _t("events")(s, d)),
         # embedding-space benchmark decontamination (broadcast bench
         # set, map-side cosine, argmax via max(struct)) — the semantic
         # complement of the n-gram q_decontaminate family
@@ -544,12 +549,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      rounds 1-6 (late-round-6 additions that sat past the
     #      window cut);
     #   3. q_als_recs, last recorded in r01 (rows-only there), then
-    #      q_minhash_eval, q_pq_knn, and q_ivfpq_knn (new this
-    #      round, oracle-exact);
-    #   4. the remaining 30 slots go to the LEAST-recently-recorded
+    #      q_minhash_eval, q_pq_knn, q_ivfpq_knn, and
+    #      q_kmv_distinct (new this round, all oracle-exact);
+    #   4. the remaining 29 slots go to the LEAST-recently-recorded
     #      block (last recorded r04), in declaration order; its
-    #      20-query tail (q_cc_chain_minlabel .. q_profile) rotates
-    #      into the r08 window.
+    #      21-query tail (q_cc_chain_star .. q_profile) rotates into
+    #      the r08 window.
     # With this rotation, every one of the declared queries has a
     # driver row in at least one of rounds 1-7.
     keys = list(q)
@@ -563,7 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- recorded only in r01
         "q_als_recs",
         # -- new this round (oracle-exact), never recorded
-        "q_minhash_eval", "q_pq_knn", "q_ivfpq_knn",
+        "q_minhash_eval", "q_pq_knn", "q_ivfpq_knn", "q_kmv_distinct",
         # -- least-recently-recorded block (r04), declaration order
         "q_top_movies", "q_user_latest_ratings", "q_user_top_ratings",
         "q_movie_stats", "q_user_rated_movies", "q_avg_recommendations",
@@ -574,7 +579,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id", "q_doc_fingerprint", "q_pii_redact", "q_bm25",
         "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash",
         "q_dedup_simhash", "q_dedup_groups", "q_dedup_char_jaccard",
-        "q_cc_chain_star",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -1782,6 +1786,39 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_eval": minhash_eval_sql,
         "q_pq_knn": pq_knn_sql,
         "q_ivfpq_knn": ivfpq_knn_sql,
+        # KMV: identical hash recipe, per-day k-min ranking, distinct
+        # pooled merge, and the pure-integer (K-1)*M // kth estimator
+        "q_kmv_distinct": f"""
+            WITH dh AS (SELECT DISTINCT CAST(ts AS DATE) AS d,
+                           CAST('0x' || substring(
+                               md5(CAST(user_id AS VARCHAR)), 1, 14)
+                            AS BIGINT) AS h
+                        FROM events),
+            mins AS (SELECT d, h, rn FROM (
+                       SELECT d, h, row_number() OVER (
+                           PARTITION BY d ORDER BY h) AS rn FROM dh)
+                     WHERE rn <= {R.KMV_K}),
+            mh AS (SELECT DISTINCT h FROM mins),
+            merged AS (SELECT '__all__' AS day, h, rn FROM (
+                        SELECT h, row_number() OVER (ORDER BY h) AS rn
+                        FROM mh) WHERE rn <= {R.KMV_K}),
+            pooled AS (SELECT CAST(d AS VARCHAR) AS day, h, rn
+                       FROM mins
+                       UNION ALL SELECT day, h, rn FROM merged)
+            SELECT day,
+                   CAST(count(*) AS BIGINT) AS n_mins,
+                   CAST(coalesce(max(CASE WHEN rn = {R.KMV_K}
+                                          THEN h END), -1) AS BIGINT)
+                       AS kth_hash,
+                   CAST(CASE WHEN max(CASE WHEN rn = {R.KMV_K}
+                                          THEN h END) IS NULL
+                             THEN count(*)
+                             ELSE {(R.KMV_K - 1) * R.KMV_M}
+                                  // max(CASE WHEN rn = {R.KMV_K}
+                                             THEN h END)
+                        END AS BIGINT) AS est_distinct
+            FROM pooled GROUP BY day ORDER BY day
+        """,
         # same shingle/intersection CTEs as jaccard_pairs; the finish
         # keeps BOTH directional ratios raw (i*1.0/n is the same
         # double division the Spark side computes — rounding could

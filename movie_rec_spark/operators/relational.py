@@ -861,6 +861,82 @@ def q_hll_union(events: DataFrame) -> DataFrame:
     )
 
 
+# KMV sketch: k minimum 56-bit md5-prefix hash values. 2^56 is the
+# hash-space size M; the estimator floor((K-1)·M / kth_min) is classic
+# KMV (Bar-Yossef et al. 2002; Beyer et al. 2007 unbiased form). 56
+# bits, not 60, so (K-1)·M = 63·2^56 ≈ 4.5e18 stays under 2^63 and the
+# whole estimator is PURE LONG ARITHMETIC (`div`) — a decimal division
+# would round its quotient (Spark HALF_UP at scale 6) before floor,
+# reintroducing exactly the knife-edge class q_rolling_percentiles was
+# burned by.
+KMV_K = 64
+KMV_M = 1 << 56
+
+
+def q_kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Distinct-count SKETCH the oracle can actually check: per-day
+    active-user estimates from a K-minimum-values sketch, plus the
+    '__all__' row estimated by MERGING the per-day sketches (k
+    smallest of a union = k smallest of the pooled mins — KMV's
+    mergeability is set algebra, so the window estimate never rescans
+    history, the same discipline q_hll_union demonstrates with HLL).
+
+    The declared sketch twin q_hll_union stays rows-only because
+    Datasketches binaries are implementation-defined; KMV's entire
+    state is k integer hash values from the shared md5 recipe, so
+    estimate AND state are hash-checked cross-engine — an audit-grade
+    sketch. Every output column is an integer: est =
+    (K-1)·2^56 div kth_min, all in 63-bit-safe long arithmetic; days
+    with fewer than K distinct users report their exact count
+    (est = n_mins, kth_hash = -1), the standard KMV
+    small-cardinality mode.
+
+    Scale shape: ONE day-keyed shuffle of distinct (day, hash) rows;
+    the per-day top-K ranking is a WindowGroupLimit-shaped cut, and
+    the merge row aggregates |days|·K values — effectively free, like
+    any partial-aggregate union. At 100 TB the per-day K-min sets are
+    the persisted incremental state (KB per day).
+
+    Reference analogue: none (SURVEY §2 has no sketches); the
+    verifiable member of the sketch family next to q_hll_union and
+    the Misra-Gries streaming heavy hitters.
+    """
+    from pyspark.sql.window import Window
+
+    h = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")
+                                  .cast("binary")), 1, 14), 16, 10)
+         .cast("long"))
+    dh = (events.select(F.to_date("ts").alias("d"),
+                        h.alias("h"))
+          .distinct())
+    # per-day k-min set; the '__all__' sketch merges the per-day sets:
+    # k smallest DISTINCT hashes of the pooled per-day mins (a user
+    # active on many days repeats its hash across sets — KMV state is
+    # a SET) — never rescans events
+    win = Window.partitionBy("d").orderBy("h")
+    mins = (dh.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= k))
+    merged = (mins.select("h").distinct()
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy(F.lit(1)).orderBy("h")))
+              .filter(F.col("rn") <= k)
+              .select(F.lit("__all__").alias("day"), "h", "rn"))
+    both = mins.select(F.col("d").cast("string").alias("day"),
+                       "h", "rn").unionByName(merged)
+    per = (both.groupBy("day")
+           .agg(F.count(F.lit(1)).alias("n_mins"),
+                F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"))
+           .select(
+               "day",
+               F.col("n_mins").cast("long").alias("n_mins"),
+               F.coalesce("kth", F.lit(-1)).cast("long").alias("kth_hash"),
+               F.when(F.col("kth").isNull(), F.col("n_mins"))
+               .otherwise(F.expr(f"CAST({(k - 1) * KMV_M} AS BIGINT) "
+                                 "div kth"))
+               .cast("long").alias("est_distinct")))
+    return per.orderBy("day")
+
+
 def q_outliers(events: DataFrame, k: float = 1.5) -> DataFrame:
     """IQR (Tukey-fence) outlier detection per group — the numeric
     data-quality twin of q_profile: events whose value falls outside

@@ -384,3 +384,55 @@ def test_winsorize_clamps_tails_and_audits_means(spark):
     assert got.mean_cents_before == 1000             # mean of 0..20
     # clamping 0->1 and 20->19 keeps the mean symmetric: still 10.00
     assert got.mean_cents_after == 1000
+
+
+def _events_kmv(spark, day_users):
+    """(day -> iterable of user_ids) -> minimal events frame."""
+    rows = []
+    i = 0
+    for day, users in day_users.items():
+        for u in users:
+            rows.append(Row(
+                event_id=i, ts=dt.datetime(2024, 1, day, 12, 0, 0),
+                user_id=u, event_type="view", value=1.0, props="{}"))
+            i += 1
+    return spark.createDataFrame(rows)
+
+
+def test_kmv_distinct_small_cardinality_is_exact(spark):
+    """Days with fewer than K distinct users are in the sketch's exact
+    mode: est == true distinct, kth_hash == -1; the merged row over
+    small days is exact too (pooled mins == pooled distinct sets).
+    Repeat visits by the same user must not inflate anything."""
+    ev = _events_kmv(spark, {
+        1: [1, 2, 3, 4, 5, 1, 2, 1],       # 5 distinct, repeats
+        2: [3, 4, 5, 6],                   # 4 distinct, overlaps day 1
+    })
+    out = {r.day: r for r in R.q_kmv_distinct(ev).collect()}
+    assert out["2024-01-01"].est_distinct == 5
+    assert out["2024-01-02"].est_distinct == 4
+    assert out["__all__"].est_distinct == 6   # union {1..6}
+    assert all(r.kth_hash == -1 for r in out.values())
+
+
+def test_kmv_distinct_estimates_within_theory_bound(spark):
+    """Above-K cardinalities: per-day and merged estimates must land
+    within 4 standard errors (4/sqrt(K-2) ~ 51%) of truth — a loose
+    bound a broken estimator (wrong M, off-by-one rank, float
+    division) still fails by orders of magnitude. The fixture check
+    (sf0.01: max day error 14.3%, window 144 vs 150) pins typical
+    accuracy; this test pins the CONTRACT on synthetic days."""
+    ev = _events_kmv(spark, {
+        d: range(d * 1000, d * 1000 + 400 + 50 * d) for d in range(1, 6)
+    })
+    out = {r.day: r for r in R.q_kmv_distinct(ev).collect()}
+    bound = 4.0 / (R.KMV_K - 2) ** 0.5
+    for d in range(1, 6):
+        truth = 400 + 50 * d
+        est = out[f"2024-01-0{d}"].est_distinct
+        assert abs(est - truth) / truth < bound, (d, est, truth)
+        assert out[f"2024-01-0{d}"].kth_hash > 0
+        assert out[f"2024-01-0{d}"].n_mins == R.KMV_K
+    truth = sum(400 + 50 * d for d in range(1, 6))  # disjoint ranges
+    est = out["__all__"].est_distinct
+    assert abs(est - truth) / truth < bound, (est, truth)

@@ -220,11 +220,11 @@ def main() -> int:
             "coverage_note": (
                 "r07 window = 16 never-driver-recorded queries + "
                 "q_als_recs (r01) + q_minhash_eval/q_pq_knn/"
-                "q_ivfpq_knn (new r07) + the 30 least-recently-"
-                "recorded (r04) in declaration order; with it, every "
-                "declared query has a driver row in some round 1-7. "
-                "The 20-query r04 tail (q_cc_chain_minlabel.."
-                "q_profile) rotates into r08."),
+                "q_ivfpq_knn/q_kmv_distinct (new r07) + the 29 "
+                "least-recently-recorded (r04) in declaration order; "
+                "with it, every declared query has a driver row in "
+                "some round 1-7. The 21-query r04 tail "
+                "(q_cc_chain_star..q_profile) rotates into r08."),
         }}
         artifact.update(results)
         with open(emit, "w") as fh:
