@@ -145,6 +145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-exact; all-integer output, no float surface
         "q_minhash_eval": lambda s, d: D.q_minhash_eval(
             _t("documents")(s, d)),
+        # the simhash twin: portable 32-bit signatures, pigeonhole
+        # candidates vs brute-forced oracle hamming, exact-Jaccard truth
+        "q_simhash_eval": lambda s, d: D.q_simhash_eval(
+            _t("documents")(s, d)),
         "q_dedup_simhash": lambda s, d: D.q_dedup_simhash(_t("documents")(s, d)),
         "q_dedup_groups": lambda s, d: D.q_dedup_groups(_t("documents")(s, d)),
         "q_dedup_char_jaccard": lambda s, d: D.q_dedup_char_jaccard(
@@ -549,12 +553,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      rounds 1-6 (late-round-6 additions that sat past the
     #      window cut);
     #   3. q_als_recs, last recorded in r01 (rows-only there), then
-    #      q_minhash_eval, q_pq_knn, q_ivfpq_knn, and
-    #      q_kmv_distinct (new this round, all oracle-exact);
-    #   4. the remaining 29 slots go to the LEAST-recently-recorded
+    #      q_minhash_eval, q_simhash_eval, q_pq_knn, q_ivfpq_knn,
+    #      and q_kmv_distinct (new this round, all oracle-exact);
+    #   4. the remaining 28 slots go to the LEAST-recently-recorded
     #      block (last recorded r04), in declaration order; its
-    #      21-query tail (q_cc_chain_star .. q_profile) rotates into
-    #      the r08 window.
+    #      22-query tail (q_dedup_char_jaccard .. q_profile) rotates
+    #      into the r08 window.
     # With this rotation, every one of the declared queries has a
     # driver row in at least one of rounds 1-7.
     keys = list(q)
@@ -568,7 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- recorded only in r01
         "q_als_recs",
         # -- new this round (oracle-exact), never recorded
-        "q_minhash_eval", "q_pq_knn", "q_ivfpq_knn", "q_kmv_distinct",
+        "q_minhash_eval", "q_simhash_eval", "q_pq_knn", "q_ivfpq_knn",
+        "q_kmv_distinct",
         # -- least-recently-recorded block (r04), declaration order
         "q_top_movies", "q_user_latest_ratings", "q_user_top_ratings",
         "q_movie_stats", "q_user_rated_movies", "q_avg_recommendations",
@@ -578,7 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_diff", "q_text_stats", "q_token_counts",
         "q_lang_id", "q_doc_fingerprint", "q_pii_redact", "q_bm25",
         "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash",
-        "q_dedup_simhash", "q_dedup_groups", "q_dedup_char_jaccard",
+        "q_dedup_simhash", "q_dedup_groups",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -1069,6 +1074,76 @@ def oracle_sql() -> dict[str, str]:
             WHERE codes.vec_id <> {S.QUERY_VEC_ID}
             GROUP BY codes.vec_id
             ORDER BY adc_dist, codes.vec_id LIMIT {S.KNN_K}
+    """
+    # q_simhash_eval oracle: the portable 56-bit simhash in SQL (md5
+    # token hashes, 32 vote sums, positive-vote bits), with candidates
+    # BRUTE-FORCED over all pairs — hash-matching the Spark side's
+    # pigeonhole blocking proves the blocking exact, not just the
+    # signature arithmetic. Shares the exact-Jaccard truth shape with
+    # q_minhash_eval.
+    _sh_votes = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(D.SHP_BITS))
+    _sh_sig = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)" for i in range(D.SHP_BITS))
+    simhash_eval_sql = f"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                          FROM documents),
+            tk AS (SELECT DISTINCT doc_id, unnest(w) AS t FROM toks),
+            th AS (SELECT doc_id,
+                          CAST('0x' || substring(md5(t), 1, 14)
+                           AS BIGINT) AS h
+                   FROM tk),
+            vt AS (SELECT doc_id,
+                   {_sh_votes}
+                    FROM th GROUP BY doc_id),
+            sig AS (SELECT doc_id, {_sh_sig} AS sig FROM vt),
+            cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                     WHERE bit_count(xor(a.sig, b.sig)) <= {D.SHP_HMAX}),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(list_slice(w, CAST(i AS INT),
+                              CAST(i AS INT) + 2), ' ') AS g
+                   FROM (SELECT doc_id, w,
+                                unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+                         FROM toks)),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             count(*) AS n_inter
+                      FROM sh a JOIN sh b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            tp AS (SELECT i.doc_a, i.doc_b
+                   FROM inter i
+                   JOIN sz sa ON i.doc_a = sa.doc_id
+                   JOIN sz sb ON i.doc_b = sb.doc_id
+                   WHERE i.n_inter * {int(1 / D.JACCARD_THRESHOLD * 1000)}
+                         >= (sa.n + sb.n - i.n_inter) * 1000),
+            pairs AS (SELECT coalesce(c.doc_a, t.doc_a) AS doc_a,
+                             coalesce(c.doc_b, t.doc_b) AS doc_b,
+                             CASE WHEN c.doc_a IS NOT NULL
+                                  THEN 1 ELSE 0 END AS candidate,
+                             CASE WHEN t.doc_a IS NOT NULL
+                                  THEN 1 ELSE 0 END AS is_true
+                      FROM cand c
+                      FULL OUTER JOIN tp t
+                        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+            SELECT p.doc_a, p.doc_b,
+                   CAST(p.candidate AS INT) AS candidate,
+                   CAST(p.is_true AS INT) AS is_true,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming,
+                   CAST(coalesce(i.n_inter, 0) AS INT) AS n_inter,
+                   CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS INT)
+                       AS n_union
+            FROM pairs p
+            JOIN sig a ON p.doc_a = a.doc_id
+            JOIN sig b ON p.doc_b = b.doc_id
+            LEFT JOIN inter i
+              ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+            JOIN sz sa ON p.doc_a = sa.doc_id
+            JOIN sz sb ON p.doc_b = sb.doc_id
+            ORDER BY p.doc_a, p.doc_b
     """
     jaccard_pairs = f"""
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
@@ -1784,6 +1859,7 @@ def oracle_sql() -> dict[str, str]:
         # semantics change: same answer, same oracle
         "q_dedup_prefix": jaccard_pairs,
         "q_minhash_eval": minhash_eval_sql,
+        "q_simhash_eval": simhash_eval_sql,
         "q_pq_knn": pq_knn_sql,
         "q_ivfpq_knn": ivfpq_knn_sql,
         # KMV: identical hash recipe, per-day k-min ranking, distinct

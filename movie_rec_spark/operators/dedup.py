@@ -1773,3 +1773,150 @@ def q_minhash_eval(documents: DataFrame,
             .alias("n_union"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Portable simhash (q_simhash_eval): 32-bit signatures whose token
+# hashes come from the shared md5 recipe, so the vote sums, the
+# signature bits, and every pairwise hamming distance are bit-identical
+# in Spark and DuckDB — unlike q_dedup_simhash's xxhash64 signatures
+# (rows-only checked). 56 bits — the full entropy of the 14-hex md5
+# prefix (a 32-bit variant measured 18 897 candidate pairs at sf0.01,
+# ~15% of all pairs: on a degenerate 31-word vocabulary narrow
+# signatures collide constantly; 56 bits restores the standard
+# hamming≤3 selectivity band).
+SHP_BITS = 56
+SHP_HMAX = 3  # pigeonhole: SHP_HMAX+1 segments of 14 bits
+
+
+def simhash_portable_sigs(documents: DataFrame) -> DataFrame:
+    """(doc_id, sig) portable 56-bit simhash — md5-hashed distinct
+    tokens, per-bit ±1 votes, bit set iff the vote sum is positive
+    (a zero vote leaves the bit 0, deterministically)."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
+    h = (F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 14),
+                16, 10).cast("long"))
+    hashed = toks.select("doc_id", h.alias("h"))
+    votes = [
+        F.sum(F.when(F.expr(f"(h >> {i}) & 1") == 1, 1)
+              .otherwise(-1)).alias(f"v{i}")
+        for i in range(SHP_BITS)
+    ]
+    sig = F.expr(" + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)" for i in range(SHP_BITS)))
+    return hashed.groupBy("doc_id").agg(*votes).select(
+        "doc_id", sig.alias("sig"))
+
+
+def q_simhash_eval(documents: DataFrame,
+                   threshold: float = JACCARD_THRESHOLD,
+                   hamming_max: int = SHP_HMAX) -> DataFrame:
+    """SimHash-as-near-dup-proxy audit — q_minhash_eval's sibling for
+    the OTHER sketch family: one hash-checked integer table over the
+    union of simhash candidate pairs (hamming ≤ hamming_max over the
+    portable 56-bit signatures) and exact word-3-gram Jaccard true
+    pairs, so both proxy failure modes are rows: false positives
+    (close in hamming, dissimilar in Jaccard) and misses (true
+    near-dups beyond the radius).
+
+      doc_a, doc_b | candidate | is_true | hamming | n_inter | n_union
+
+    The Spark side generates candidates with the pigeonhole segment
+    blocking (hamming_max+1 segments of 8 bits — an equi-join, the
+    at-scale path); the DuckDB oracle brute-forces hamming over ALL
+    pairs instead. Their hash-match is therefore ALSO a driver-checked
+    proof of the blocking's exactness guarantee (a pair within the
+    radius cannot differ in every segment), on top of the signature
+    arithmetic itself. All columns integers — no float surface.
+
+    Scale shape: signatures are one doc-keyed 32-vote aggregate;
+    candidates are the segment equi-join; the exact-Jaccard side is
+    the inverted-index ground-truth cost class — at 100 TB the audit
+    runs on a stable_bucket sample, same posture as q_minhash_eval.
+
+    Reference analogue: none; the evaluation member of the simhash
+    family next to q_dedup_simhash.
+    """
+    sigs = simhash_portable_sigs(documents)
+    n_seg = hamming_max + 1
+    width = SHP_BITS // n_seg
+    segs = sigs.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.expr(f"(sig >> {q * width}) & {(1 << width) - 1}")
+                .alias("qh"))
+            for q in range(n_seg)
+        ])).alias("ss"),
+    ).select("doc_id", "sig", F.col("ss.q").alias("q"),
+             F.col("ss.qh").alias("qh"))
+    a, b = segs.alias("a"), segs.alias("b")
+    cand = (
+        a.join(b, (F.col("a.q") == F.col("b.q"))
+               & (F.col("a.qh") == F.col("b.qh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.expr("bit_count(a.sig ^ b.sig)").alias("hamming"))
+        .filter(F.col("hamming") <= hamming_max)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("c", F.lit(1))
+    )
+    sh = _shingle_rows(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        sa.join(sb, (F.col("sa.g") == F.col("sb.g"))
+                & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+        .groupBy(F.col("sa.doc_id").alias("doc_a"),
+                 F.col("sb.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    thr_num = int(1 / threshold * 1000)
+    true_pairs = (
+        inter.join(F.broadcast(sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
+            "doc_a")
+        .join(F.broadcast(sizes.select(
+            F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
+            "doc_b")
+        .filter(F.col("n_inter") * F.lit(thr_num)
+                >= (F.col("na") + F.col("nb") - F.col("n_inter"))
+                * F.lit(1000))
+        .select("doc_a", "doc_b")
+        .withColumn("t", F.lit(1))
+    )
+    pairs = (
+        cand.select("doc_a", "doc_b", "c")
+        .join(true_pairs, ["doc_a", "doc_b"], "full_outer")
+        .select("doc_a", "doc_b",
+                F.coalesce("c", F.lit(0)).alias("candidate"),
+                F.coalesce("t", F.lit(0)).alias("is_true"))
+    )
+    siga = sigs.select(F.col("doc_id").alias("doc_a"),
+                       F.col("sig").alias("sig_a"))
+    sigb = sigs.select(F.col("doc_id").alias("doc_b"),
+                       F.col("sig").alias("sig_b"))
+    sza = sizes.select(F.col("doc_id").alias("doc_a"),
+                       F.col("n").alias("na"))
+    szb = sizes.select(F.col("doc_id").alias("doc_b"),
+                       F.col("n").alias("nb"))
+    return (
+        pairs.join(siga, "doc_a").join(sigb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(sza), "doc_a").join(F.broadcast(szb), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.col("candidate").cast("int").alias("candidate"),
+            F.col("is_true").cast("int").alias("is_true"),
+            F.expr("bit_count(sig_a ^ sig_b)").cast("int")
+            .alias("hamming"),
+            F.coalesce("n_inter", F.lit(0)).cast("int").alias("n_inter"),
+            (F.col("na") + F.col("nb")
+             - F.coalesce("n_inter", F.lit(0))).cast("int")
+            .alias("n_union"))
+        .orderBy("doc_a", "doc_b")
+    )

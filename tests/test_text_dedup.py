@@ -1016,3 +1016,56 @@ def test_minhash_eval_matches_python_mirror(spark):
     assert got[(0, 1)] == (1, 1, D.MHP_PERMS,
                            got[(0, 1)][3], got[(0, 1)][3])  # exact dup
     assert any(v[1] == 1 for v in got.values())             # true pairs exist
+
+
+def test_simhash_eval_matches_python_mirror(spark):
+    """q_simhash_eval against an independent pure-Python mirror: md5
+    token hashes, 56 vote sums, positive-vote bits, brute-force
+    hamming for candidates (mirroring the ORACLE's formulation — the
+    Spark side's pigeonhole blocking must produce the same set), and
+    exact word-3-gram Jaccard truth with the integer threshold test."""
+    import hashlib
+
+    texts = [
+        ("the quick brown fox jumps over the lazy dog and then "
+         "runs far away into the deep dark woods tonight"),
+        ("the quick brown fox jumps over the lazy dog and then "
+         "runs far away into the deep dark woods tonight"),
+        ("the quick brown fox jumps over the lazy dog and then "
+         "runs far away into the deep dark woods today"),
+        "completely different words about spark and duckdb engines",
+    ]
+
+    def sig(t):
+        bits = [0] * D.SHP_BITS
+        for w in set(t.split(" ")):
+            h = int(hashlib.md5(w.encode()).hexdigest()[:14], 16)
+            for i in range(D.SHP_BITS):
+                bits[i] += 1 if (h >> i) & 1 else -1
+        return sum((1 << i) for i in range(D.SHP_BITS) if bits[i] > 0)
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 3])
+                for i in range(max(len(w) - 2, 1))}
+
+    sigs = [sig(t) for t in texts]
+    shs = [shingles(t) for t in texts]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            cand = ham <= D.SHP_HMAX
+            i = len(shs[a] & shs[b])
+            u = len(shs[a] | shs[b])
+            true = i * 2000 >= u * 1000
+            if cand or true:
+                want[(a, b)] = (int(cand), int(true), ham, i, u)
+    got = {(r.doc_a, r.doc_b): (r.candidate, r.is_true, r.hamming,
+                                r.n_inter, r.n_union)
+           for r in D.q_simhash_eval(_docs(spark, texts)).collect()}
+    assert got == want
+    assert got[(0, 1)][2] == 0 and got[(0, 1)] == (1, 1,
+                                                   0, got[(0, 1)][3],
+                                                   got[(0, 1)][3])
+    assert (0, 3) not in got or got[(0, 3)][1] == 0
