@@ -891,11 +891,12 @@ def q_kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
     (est = n_mins, kth_hash = -1), the standard KMV
     small-cardinality mode.
 
-    Scale shape: ONE day-keyed shuffle of distinct (day, hash) rows;
-    the per-day top-K ranking is a WindowGroupLimit-shaped cut, and
-    the merge row aggregates |days|·K values — effectively free, like
-    any partial-aggregate union. At 100 TB the per-day K-min sets are
-    the persisted incremental state (KB per day).
+    Scale shape: two corpus-sized shuffles — the (day, hash)
+    distinct and the day-keyed ranking, where the rn<=K filter
+    triggers WindowGroupLimit so each map task forwards only its local
+    top-K per day — then everything downstream (merge, estimates)
+    moves ≤ |days|·K rows. At 100 TB the per-day K-min sets are the
+    persisted incremental state (KB per day).
 
     Reference analogue: none (SURVEY §2 has no sketches); the
     verifiable member of the sketch family next to q_hll_union and

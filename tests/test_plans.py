@@ -253,6 +253,18 @@ def test_new_operator_shuffle_budgets(spark):
                                  # O(buckets) aggregate + the
                                  # O(buckets)-row presentation sort
         "q_sessionize_stream": 0,  # checkpointed stream output
+        # round-7 additions
+        "q_minhash_eval": 13,    # sig agg + band self-join + exact
+                                 # inverted-index truth + audit joins
+        "q_simhash_eval": 13,    # vote agg + segment self-join + the
+                                 # same truth/audit join shape
+        "q_pq_knn": 4,           # checkpointed per-round codebooks;
+                                 # encode argmin + ADC sum aggs
+        "q_ivfpq_knn": 6,        # two checkpointed trainers + encode,
+                                 # probe, and the candidate ADC agg
+        "q_kmv_distinct": 7,     # 2 corpus-sized (distinct + the
+                                 # WindowGroupLimit day ranking); the
+                                 # rest move <= days*K rows
     }
     qs = E.queries()
     for name, budget in budgets.items():
