@@ -143,6 +143,12 @@ def measure(spark, sf_dir: str) -> dict:
         # fusion cost is O(1) and the wall must track the two scans.
         "q_dedup_containment": lambda: D.q_dedup_containment(docs),
         "q_rrf": lambda: T.q_rrf(docs),
+        # round 7: the quantized ANN members — training is bounded
+        # rounds over scalar rows, encode is the only corpus-sized
+        # pass, search is a broadcast-LUT scan (PQ) / probed-cells-only
+        # scan (IVF-PQ); wall must track rows
+        "q_pq_knn": lambda: S.q_pq_knn(emb),
+        "q_ivfpq_knn": lambda: S.q_ivfpq_knn(emb),
     }
     # SCALE_SKIP_WALL: comma list of queries whose WALL run is skipped
     # (their candidate counts below still get measured — blocking_stats
