@@ -1639,10 +1639,14 @@ MHP_A = [(1103515245 * (p + 1) + 12345) % MHP_P for p in range(MHP_PERMS)]
 MHP_B = [(69069 * (p + 1) + 1) % MHP_P for p in range(MHP_PERMS)]
 
 
-def minhash_portable_sigs(documents: DataFrame) -> DataFrame:
+def minhash_portable_sigs(documents: DataFrame,
+                          sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, h0..h{PERMS-1}) portable minhash signatures — the
-    cross-engine-deterministic twin of minhash_signatures."""
-    sh = _shingle_rows(documents)
+    cross-engine-deterministic twin of minhash_signatures. Pass a
+    prepared (doc_id, g) frame via ``sh`` to share one shingle scan
+    with other pipeline stages (q_minhash_eval's pattern)."""
+    if sh is None:
+        sh = _shingle_rows(documents)
     h = (F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 15),
                 16, 10).cast("long") % MHP_P)
     hs = sh.select("doc_id", h.alias("h"))
@@ -1690,9 +1694,12 @@ def q_minhash_eval(documents: DataFrame,
     evaluation member of the minhash family next to q_dedup_minhash /
     q_minhash_groups.
     """
-    sh = _shingle_rows(documents)
+    # ONE materialized shingle frame feeds sizes, signatures, and the
+    # exact-truth self-join (five plan references otherwise re-scan +
+    # re-explode the corpus each — the d087588 prefix-pipeline lesson)
+    sh = _shingle_rows(documents).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sigs = minhash_portable_sigs(documents)
+    sigs = minhash_portable_sigs(documents, sh=sh)
     rows = MHP_PERMS // MHP_BANDS
     banded = sigs.select(
         "doc_id",
@@ -1865,7 +1872,8 @@ def q_simhash_eval(documents: DataFrame,
         .dropDuplicates(["doc_a", "doc_b"])
         .withColumn("c", F.lit(1))
     )
-    sh = _shingle_rows(documents)
+    # shared shingle materialization, same rationale as q_minhash_eval
+    sh = _shingle_rows(documents).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa, sb = sh.alias("sa"), sh.alias("sb")
     inter = (
