@@ -409,6 +409,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-checks (q_hll_union's verifiable twin)
         "q_kmv_distinct": lambda s, d: R.q_kmv_distinct(
             _t("events")(s, d)),
+        # exact mergeable quantile state: per-day cents histograms +
+        # merged '__all__' row; oracle ranks raw rows, so the match
+        # proves merge-equals-rescan
+        "q_quantile_merge": lambda s, d: R.q_quantile_merge(
+            _t("events")(s, d)),
         # embedding-space benchmark decontamination (broadcast bench
         # set, map-side cosine, argmax via max(struct)) — the semantic
         # complement of the n-gram q_decontaminate family
@@ -553,12 +558,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      rounds 1-6 (late-round-6 additions that sat past the
     #      window cut);
     #   3. q_als_recs, last recorded in r01 (rows-only there), then
-    #      q_minhash_eval, q_simhash_eval, q_pq_knn, q_ivfpq_knn,
-    #      and q_kmv_distinct (new this round, all oracle-exact);
-    #   4. the remaining 28 slots go to the LEAST-recently-recorded
+    #      the 6 new round-7 queries (q_minhash_eval,
+    #      q_simhash_eval, q_pq_knn, q_ivfpq_knn, q_kmv_distinct,
+    #      q_quantile_merge — all oracle-exact);
+    #   4. the remaining 27 slots go to the LEAST-recently-recorded
     #      block (last recorded r04), in declaration order; its
-    #      22-query tail (q_dedup_char_jaccard .. q_profile) rotates
-    #      into the r08 window.
+    #      23-query tail (q_dedup_groups .. q_profile) rotates into
+    #      the r08 window.
     # With this rotation, every one of the declared queries has a
     # driver row in at least one of rounds 1-7.
     keys = list(q)
@@ -573,7 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_als_recs",
         # -- new this round (oracle-exact), never recorded
         "q_minhash_eval", "q_simhash_eval", "q_pq_knn", "q_ivfpq_knn",
-        "q_kmv_distinct",
+        "q_kmv_distinct", "q_quantile_merge",
         # -- least-recently-recorded block (r04), declaration order
         "q_top_movies", "q_user_latest_ratings", "q_user_top_ratings",
         "q_movie_stats", "q_user_rated_movies", "q_avg_recommendations",
@@ -583,7 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_diff", "q_text_stats", "q_token_counts",
         "q_lang_id", "q_doc_fingerprint", "q_pii_redact", "q_bm25",
         "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash",
-        "q_dedup_simhash", "q_dedup_groups",
+        "q_dedup_simhash",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -804,6 +810,7 @@ def _pq_halfup(num: str, den: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each queries() entry."""
+    QM = R.QM_PCTS
     K = R.FOCUS_CUSTKEY
     # q_corr_matrix: one select per pair over the shared sums CTE,
     # formula text identical to the Spark expression (same association)
@@ -1859,6 +1866,32 @@ def oracle_sql() -> dict[str, str]:
         # semantics change: same answer, same oracle
         "q_dedup_prefix": jaccard_pairs,
         "q_minhash_eval": minhash_eval_sql,
+        # q_quantile_merge: both branches rank RAW rows (per-day and the
+        # whole window) — the Spark side computes the '__all__' row from
+        # MERGED daily histograms, so the hash-match proves
+        # merge-equals-rescan. Same cents recipe and exact-rational
+        # HALF_UP fragments as q_winsorize/q_percentiles.
+        "q_quantile_merge": f"""
+            WITH v AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS g,
+                              CAST(round(value * 100, 0) AS BIGINT) AS c
+                       FROM events),
+            va AS (SELECT '__all__' AS g, c FROM v),
+            r AS ({_pq_ranked('v')}),
+            ra AS ({_pq_ranked('va')}),
+            bb AS (SELECT g, max(n) AS n,
+                   {_pq_brackets(QM)}
+                   FROM r GROUP BY g
+                   UNION ALL
+                   SELECT g, max(n) AS n,
+                   {_pq_brackets(QM)}
+                   FROM ra GROUP BY g)
+            SELECT g AS day, CAST(n AS BIGINT) AS n_rows,
+                   {_pq_halfup(_pq_num('_p25', 1, 4), 4)} AS p25_cents,
+                   {_pq_halfup(_pq_num('_p50', 1, 2), 2)} AS p50_cents,
+                   {_pq_halfup(_pq_num('_p75', 3, 4), 4)} AS p75_cents,
+                   {_pq_halfup(_pq_num('_p95', 19, 20), 20)} AS p95_cents
+            FROM bb ORDER BY day
+        """,
         "q_simhash_eval": simhash_eval_sql,
         "q_pq_knn": pq_knn_sql,
         "q_ivfpq_knn": ivfpq_knn_sql,

@@ -546,6 +546,17 @@ def exact_pct_brackets(df: DataFrame, group_cols: list[str],
     src = df.repartition(*group_cols) if group_cols else df
     hist = (src.groupBy(*group_cols, F.col(cents_col).alias("_c"))
             .agg(F.count(F.lit(1)).alias("_cnt")))
+    return pct_brackets_from_hist(hist, group_cols, pcts)
+
+
+def pct_brackets_from_hist(hist: DataFrame, group_cols: list[str],
+                           pcts: dict[str, tuple[int, int]]) -> DataFrame:
+    """The post-histogram half of ``exact_pct_brackets``: brackets from
+    a prebuilt (*group_cols, _c, _cnt) histogram. Exposed separately
+    because integer-domain histograms are EXACT mergeable quantile
+    state — summing per-partition histograms loses nothing — so
+    q_quantile_merge can feed MERGED daily state through the identical
+    bracket arithmetic the raw-scan path uses."""
     w_cum = (Window.partitionBy(*group_cols).orderBy("_c")
              .rowsBetween(Window.unboundedPreceding, 0))
     w_all = Window.partitionBy(*group_cols)
@@ -567,6 +578,62 @@ def exact_pct_brackets(df: DataFrame, group_cols: list[str],
         i = F.floor((F.lit(p_num) * (F.col("_n") - 1)) / F.lit(p_den))
         aggs += [stat(i).alias(f"_lo{tag}"), stat(i + 1).alias(f"_hi{tag}")]
     return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+QM_PCTS = {"_p25": (1, 4), "_p50": (1, 2),
+           "_p75": (3, 4), "_p95": (19, 20)}
+
+
+def q_quantile_merge(events: DataFrame) -> DataFrame:
+    """Incremental EXACT quantiles from mergeable histogram state —
+    the pattern that replaces approximate quantile sketches (t-digest,
+    GK) whenever values live on an integer grid, which cents-grain
+    metrics always do: persist one (day, cents, count) histogram per
+    day (bounded by value VARIETY, not volume), and ANY window's
+    exact percentiles come from summing histograms — never rescanning
+    events, and with zero sketch error.
+
+    Output: per-day p25/p50/p75/p95 of value (whole cents, HALF_UP
+    from the exact-rational interpolation) plus the '__all__' row
+    computed from the MERGED daily histograms. The merged row is
+    bit-equal to what a raw whole-window scan would produce (histogram
+    merge is lossless), which is exactly what the oracle checks: its
+    '__all__' branch ranks the raw rows directly, so the hash-match
+    proves merge-equals-rescan, the property that makes the persisted
+    state trustworthy.
+
+    Scale shape: ONE day-keyed shuffle builds the daily state (the
+    per-day quantile windows ride the same partitioning via the
+    exact_pct_brackets discipline); the merge aggregates
+    histogram-sized rows (days × distinct cents), far below raw
+    volume. All integer arithmetic — the f≠0.5 knife edges of float
+    quantile kernels can't occur (same posture as q_percentiles).
+
+    Reference analogue: none (SURVEY §2 has no quantiles); the
+    incremental-state member of the percentile family next to
+    q_percentiles (single-scan) and q_rolling_percentiles (windowed).
+    """
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily_hist = (
+        events.select(F.to_date("ts").cast("string").alias("day"),
+                      cents.alias("_c"))
+        .repartition("day")
+        .groupBy("day", "_c").agg(F.count(F.lit(1)).alias("_cnt"))
+        # the persisted per-day state: built once, read by both the
+        # per-day brackets and the merge
+        .localCheckpoint(eager=False))
+    per_day = pct_brackets_from_hist(daily_hist, ["day"], QM_PCTS)
+    merged_hist = (daily_hist.groupBy("_c")
+                   .agg(F.sum("_cnt").alias("_cnt"))
+                   .select(F.lit("__all__").alias("day"), "_c", "_cnt"))
+    merged = pct_brackets_from_hist(merged_hist, ["day"], QM_PCTS)
+    out_cols = [F.col("day"), F.col("_n").cast("long").alias("n_rows")]
+    for tag, (pn, pd_) in QM_PCTS.items():
+        out_cols.append(
+            half_up_div(pct_rational(tag, pn, pd_), pd_)
+            .alias(f"p{tag.split('_p')[1]}_cents"))
+    return (per_day.unionByName(merged)
+            .select(*out_cols).orderBy("day"))
 
 
 def pct_rational(tag: str, p_num: int, p_den: int):

@@ -265,6 +265,9 @@ def test_new_operator_shuffle_budgets(spark):
         "q_kmv_distinct": 7,     # 2 corpus-sized (distinct + the
                                  # WindowGroupLimit day ranking); the
                                  # rest move <= days*K rows
+        "q_quantile_merge": 3,   # 1 corpus-sized day shuffle builds
+                                 # the checkpointed daily histograms;
+                                 # merge + union move histogram rows
     }
     qs = E.queries()
     for name, budget in budgets.items():

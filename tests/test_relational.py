@@ -436,3 +436,39 @@ def test_kmv_distinct_estimates_within_theory_bound(spark):
     truth = sum(400 + 50 * d for d in range(1, 6))  # disjoint ranges
     est = out["__all__"].est_distinct
     assert abs(est - truth) / truth < bound, (est, truth)
+
+
+def test_quantile_merge_exact_and_merge_equals_rescan(spark):
+    """Hand-built two-day corpus: per-day percentiles must equal the
+    all-integer model (including a f=0.75 interpolation landing on an
+    exact .5 — the knife-edge class float kernels round apart), and
+    the '__all__' row computed from MERGED daily histograms must equal
+    percentiles of the pooled raw values."""
+    def model(vals, pn, pd_):
+        v = sorted(vals)
+        num = pn * (len(v) - 1)
+        i, rem = divmod(num, pd_)
+        raw = v[i] * (pd_ - rem) + (v[i + 1] if rem else v[i]) * rem
+        return (2 * raw + pd_) // (2 * pd_)   # HALF_UP
+
+    d1 = [100, 200, 300, 401]      # p75 rank 2.25: interpolates 300/401
+    d2 = [150, 250, 350, 450, 550]
+    rows = []
+    for day, vals in ((1, d1), (2, d2)):
+        for j, c in enumerate(vals):
+            rows.append(Row(event_id=day * 100 + j,
+                            ts=dt.datetime(2024, 1, day, 12, 0, 0),
+                            user_id=j, event_type="view",
+                            value=c / 100.0, props="{}"))
+    ev = spark.createDataFrame(rows)
+    out = {r.day: r for r in R.q_quantile_merge(ev).collect()}
+    for day, vals in (("2024-01-01", d1), ("2024-01-02", d2),
+                      ("__all__", d1 + d2)):
+        got = out[day]
+        assert got.n_rows == len(vals)
+        for col, (pn, pd_) in (("p25_cents", (1, 4)),
+                               ("p50_cents", (1, 2)),
+                               ("p75_cents", (3, 4)),
+                               ("p95_cents", (19, 20))):
+            assert getattr(got, col) == model(vals, pn, pd_), \
+                (day, col, getattr(got, col), model(vals, pn, pd_))
