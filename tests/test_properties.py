@@ -813,3 +813,88 @@ def test_quantile_bins_match_exact_model(spark, cents):
                 sum(cs) / 100.0)
             for b, cs in bins.items()}
     assert got == want
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(1, 9),       # day of month
+                          st.integers(-200, 300)),  # cents (negatives!)
+                min_size=1, max_size=50))
+def test_quantile_merge_matches_exact_model(spark, evs):
+    """q_quantile_merge equals the all-integer exact-rational quantile
+    model on every per-day row AND on the '__all__' row built from
+    merged histograms — including negative cents (the HALF_UP identity
+    must agree with the engine's floor semantics below zero) and
+    singleton days (rem = 0 everywhere)."""
+    from movie_rec_spark.operators.relational import q_quantile_merge
+    rows = [(i, EPOCH + dt.timedelta(days=d - 1, hours=2), 1, "e",
+             c / 100) for i, (d, c) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+
+    def exact_q(vals, p_num, p_den):
+        v = sorted(vals)
+        i, rem = divmod(p_num * (len(v) - 1), p_den)
+        num = v[i] * (p_den - rem) + (v[i + 1] if rem else v[i]) * rem
+        q, r = divmod(2 * num + p_den, 2 * p_den)
+        return q  # floor((2num+den)/(2den)) == HALF_UP
+
+    def expect(vals):
+        return (len(vals), exact_q(vals, 1, 4), exact_q(vals, 1, 2),
+                exact_q(vals, 3, 4), exact_q(vals, 19, 20))
+
+    got = {r.day: (r.n_rows, r.p25_cents, r.p50_cents,
+                   r.p75_cents, r.p95_cents)
+           for r in q_quantile_merge(df).collect()}
+    want = {}
+    for d in {d for d, _ in evs}:
+        day = (EPOCH + dt.timedelta(days=d - 1)).date().isoformat()
+        want[day] = expect([c for dd, c in evs if dd == d])
+    want["__all__"] = expect([c for _, c in evs])
+    assert got == want
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(1, 4),        # day of month
+                          st.integers(0, 5000)),    # user id
+                min_size=1, max_size=80))
+def test_kmv_distinct_matches_exact_model(spark, evs):
+    """q_kmv_distinct equals a pure-Python mirror of the sketch: same
+    md5-prefix hashes, same per-day k-min sets, same distinct pooled
+    merge, same integer (K-1)*M div kth estimator — on corpora that
+    exercise both the exact small-cardinality mode and (via the k=8
+    override) the estimating mode with cross-day repeat users."""
+    import hashlib
+
+    from movie_rec_spark.operators.relational import (
+        KMV_M,
+        q_kmv_distinct,
+    )
+    k = 8
+    rows = [(i, EPOCH + dt.timedelta(days=d - 1, hours=3), u, "e", 1.0)
+            for i, (d, u) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+
+    def h(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:14], 16)
+
+    def sketch(hashes):
+        mins = sorted(set(hashes))[:k]
+        if len(mins) < k:
+            return (len(mins), -1, len(mins))
+        kth = mins[-1]
+        return (k, kth, (k - 1) * KMV_M // kth)
+
+    got = {r.day: (r.n_mins, r.kth_hash, r.est_distinct)
+           for r in q_kmv_distinct(df, k=k).collect()}
+    want = {}
+    pooled = []
+    for d in {d for d, _ in evs}:
+        day = (EPOCH + dt.timedelta(days=d - 1)).date().isoformat()
+        day_mins = sorted({h(u) for dd, u in evs if dd == d})[:k]
+        pooled.extend(day_mins)
+        want[day] = sketch(day_mins)
+    want["__all__"] = sketch(pooled)
+    assert got == want
