@@ -898,3 +898,78 @@ def test_kmv_distinct_matches_exact_model(spark, evs):
         want[day] = sketch(day_mins)
     want["__all__"] = sketch(pooled)
     assert got == want
+
+
+_AUDIT_VOCAB = ["alpha", "beta", "gamma", "delta",
+                "epsilon", "zeta", "eta", "theta"]
+
+
+@SLOW
+@given(st.lists(st.lists(st.sampled_from(_AUDIT_VOCAB),
+                         min_size=3, max_size=10),
+                min_size=2, max_size=5))
+def test_minhash_eval_matches_python_mirror_property(spark, words):
+    """The fixed-corpus mirror test generalized: on RANDOM tiny
+    corpora (8-word vocabulary, so exact dups, near-dups, and
+    disjoint docs all occur) q_minhash_eval must equal the
+    pure-Python portable-minhash mirror exactly — candidates, truth
+    flags, signature agreement counts, and overlap sizes."""
+    from test_text_dedup import _mhp_py
+
+    from movie_rec_spark.operators.dedup import q_minhash_eval
+    texts = [" ".join(ws) for ws in words]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    got = {(r.doc_a, r.doc_b): (r.candidate, r.is_true, r.n_match,
+                                r.n_inter, r.n_union)
+           for r in q_minhash_eval(df).collect()}
+    assert got == _mhp_py(texts)
+
+
+@SLOW
+@given(st.lists(st.lists(st.sampled_from(_AUDIT_VOCAB),
+                         min_size=3, max_size=10),
+                min_size=2, max_size=5))
+def test_simhash_eval_matches_python_mirror_property(spark, words):
+    """q_simhash_eval on random tiny corpora vs an independent mirror:
+    md5 token hashes, 56 vote sums, positive-vote bits, BRUTE-FORCE
+    hamming candidates (so the Spark side's pigeonhole blocking is
+    proved exact on every generated corpus), exact-Jaccard truth."""
+    import hashlib
+
+    from movie_rec_spark.operators import dedup as D
+    texts = [" ".join(ws) for ws in words]
+
+    def sig(t):
+        bits = [0] * D.SHP_BITS
+        for w in set(t.split(" ")):
+            hv = int(hashlib.md5(w.encode()).hexdigest()[:14], 16)
+            for i in range(D.SHP_BITS):
+                bits[i] += 1 if (hv >> i) & 1 else -1
+        return sum((1 << i) for i in range(D.SHP_BITS) if bits[i] > 0)
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(max(len(w) - 2, 1))}
+
+    sigs = [sig(t) for t in texts]
+    shs = [shingles(t) for t in texts]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            i = len(shs[a] & shs[b])
+            u = len(shs[a] | shs[b])
+            cand, true = ham <= D.SHP_HMAX, i * 2000 >= u * 1000
+            if cand or true:
+                want[(a, b)] = (int(cand), int(true), ham, i, u)
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    got = {(r.doc_a, r.doc_b): (r.candidate, r.is_true, r.hamming,
+                                r.n_inter, r.n_union)
+           for r in D.q_simhash_eval(df).collect()}
+    assert got == want
