@@ -149,6 +149,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidates vs brute-forced oracle hamming, exact-Jaccard truth
         "q_simhash_eval": lambda s, d: D.q_simhash_eval(
             _t("documents")(s, d)),
+        # Bloom membership audit: train-digest filter probed by the
+        # WHOLE corpus, per-probe ground truth (non-vacuous
+        # no-false-negative proof + measured FP rate), integer state,
+        # broadcast probe join
+        "q_bloom_audit": lambda s, d: D.q_bloom_audit(
+            _t("documents")(s, d)),
         "q_dedup_simhash": lambda s, d: D.q_dedup_simhash(_t("documents")(s, d)),
         "q_dedup_groups": lambda s, d: D.q_dedup_groups(_t("documents")(s, d)),
         "q_dedup_char_jaccard": lambda s, d: D.q_dedup_char_jaccard(
@@ -558,12 +564,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      rounds 1-6 (late-round-6 additions that sat past the
     #      window cut);
     #   3. q_als_recs, last recorded in r01 (rows-only there), then
-    #      the 6 new round-7 queries (q_minhash_eval,
+    #      the 7 new round-7 queries (q_minhash_eval,
     #      q_simhash_eval, q_pq_knn, q_ivfpq_knn, q_kmv_distinct,
-    #      q_quantile_merge — all oracle-exact);
-    #   4. the remaining 27 slots go to the LEAST-recently-recorded
+    #      q_quantile_merge, q_bloom_audit — all oracle-exact);
+    #   4. the remaining 26 slots go to the LEAST-recently-recorded
     #      block (last recorded r04), in declaration order; its
-    #      23-query tail (q_dedup_groups .. q_profile) rotates into
+    #      24-query tail (q_dedup_simhash .. q_profile) rotates into
     #      the r08 window.
     # With this rotation, every one of the declared queries has a
     # driver row in at least one of rounds 1-7.
@@ -579,7 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_als_recs",
         # -- new this round (oracle-exact), never recorded
         "q_minhash_eval", "q_simhash_eval", "q_pq_knn", "q_ivfpq_knn",
-        "q_kmv_distinct", "q_quantile_merge",
+        "q_kmv_distinct", "q_quantile_merge", "q_bloom_audit",
         # -- least-recently-recorded block (r04), declaration order
         "q_top_movies", "q_user_latest_ratings", "q_user_top_ratings",
         "q_movie_stats", "q_user_rated_movies", "q_avg_recommendations",
@@ -589,7 +595,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_diff", "q_text_stats", "q_token_counts",
         "q_lang_id", "q_doc_fingerprint", "q_pii_redact", "q_bm25",
         "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash",
-        "q_dedup_simhash",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -1893,6 +1898,50 @@ def oracle_sql() -> dict[str, str]:
             FROM bb ORDER BY day
         """,
         "q_simhash_eval": simhash_eval_sql,
+        # q_bloom_audit: identical md5 position recipe, distinct
+        # set-bit state, probe with all-k-positions-present test,
+        # digest semi-join truth — per-probe integer rows
+        "q_bloom_audit": f"""
+            WITH docs AS (
+                SELECT doc_id, md5(text) AS fp,
+                       CAST(CAST('0x' || substring(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 100 AS INTEGER) AS bucket
+                FROM documents),
+            train AS (SELECT * FROM docs
+                      WHERE bucket < {D.TRAIN_MAX_BUCKET}),
+            tpos AS (SELECT DISTINCT
+                            CAST(CAST('0x' || substring(
+                                md5(fp || ':' || j), 1, 14)
+                             AS BIGINT) % {D.BLOOM_M} AS INTEGER) AS pos
+                     FROM train,
+                          unnest(range(0, {D.BLOOM_K})) AS t(j)),
+            nb AS (SELECT CAST(count(*) AS INTEGER) AS n_bits_set
+                   FROM tpos),
+            epos AS (SELECT doc_id,
+                            CAST(CAST('0x' || substring(
+                                md5(fp || ':' || j), 1, 14)
+                             AS BIGINT) % {D.BLOOM_M} AS INTEGER) AS pos
+                     FROM docs,
+                          unnest(range(0, {D.BLOOM_K})) AS t(j)),
+            hits AS (SELECT e.doc_id,
+                            CAST(min(CASE WHEN tpos.pos IS NULL
+                                          THEN 0 ELSE 1 END) AS INTEGER)
+                                AS bloom_hit
+                     FROM epos e LEFT JOIN tpos ON e.pos = tpos.pos
+                     GROUP BY e.doc_id),
+            mem AS (SELECT e.doc_id,
+                           CAST(CASE WHEN EXISTS (
+                               SELECT 1 FROM train t
+                               WHERE t.fp = e.fp)
+                               THEN 1 ELSE 0 END AS INTEGER)
+                               AS is_member
+                    FROM docs e)
+            SELECT h.doc_id, h.bloom_hit, m.is_member, nb.n_bits_set
+            FROM hits h JOIN mem m ON h.doc_id = m.doc_id
+            CROSS JOIN nb
+            ORDER BY h.doc_id
+        """,
         "q_pq_knn": pq_knn_sql,
         "q_ivfpq_knn": ivfpq_knn_sql,
         # KMV: identical hash recipe, per-day k-min ranking, distinct

@@ -1928,3 +1928,87 @@ def q_simhash_eval(documents: DataFrame,
             .alias("n_union"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Bloom membership audit: M bits, K md5-derived positions per key.
+# Together with q_kmv_distinct (cardinality), the Misra-Gries heavy
+# hitters (frequency), and q_quantile_merge (quantiles) this closes
+# the verifiable-sketch family: every sketch whose state is plain
+# integers gets a hash-checked oracle, while binary-state sketches
+# (HLL) stay rows-only by necessity. M=4096/K=3 on the ~400-digest
+# train side gives a theory FP rate of (1-e^{-Kn/M})^K ≈ 2% — small
+# but non-zero, so the audit measures something real.
+BLOOM_M = 4096
+BLOOM_K = 3
+
+
+def q_bloom_audit(documents: DataFrame,
+                  m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Bloom-filter membership audit — the pre-deployment measurement
+    for the most common 100 TB join-pruning trick (ship a KB-sized
+    filter of the build side's keys to every scan task; rows whose
+    keys miss the filter die before the shuffle): build the filter
+    over the TRAIN split's content digests, probe EVERY document in
+    the corpus, and emit per-probe ground truth so the realized
+    false-positive rate is measured, not assumed.
+
+      doc_id | bloom_hit (all k bit positions set) | is_member (the
+      digest truly occurs in the train split) | n_bits_set (the
+      filter's load, same on every row — the theory input)
+
+    Probing the whole corpus (not just the eval split) keeps both
+    sides of the guarantee non-vacuous: every train doc is a member,
+    so the no-false-negative property is exercised on ~80% of rows
+    (any is_member=1, bloom_hit=0 row would hash-mismatch), while the
+    eval split supplies the non-member probes whose hits are the
+    measured false positives.
+    State is pure integers (the set of set bit positions, md5-derived:
+    pos_j = md5(fp || ':' || j) % m), so filter construction, probe,
+    and truth are all cross-engine exact. All-integer output.
+
+    Scale shape: the filter state is ≤ m rows built in one distinct
+    over k·|train| position rows; probes join that state BROADCAST
+    (the whole point of a Bloom filter — per-task membership with no
+    shuffle of the probe side); truth is one digest-keyed semi-join,
+    the audit-only part a production filter never pays.
+
+    Reference analogue: none; the membership member of the sketch
+    family next to q_kmv_distinct / q_heavy_hitters /
+    q_quantile_merge.
+    """
+    from movie_rec_spark.functions import stable_bucket
+
+    fp = F.md5(F.col("text").cast("binary"))
+    docs = documents.select(
+        "doc_id", fp.alias("fp"),
+        stable_bucket(F.col("doc_id")).alias("bucket"))
+    train = docs.filter(F.col("bucket") < TRAIN_MAX_BUCKET)
+
+    def positions(src):
+        return src.select(
+            "doc_id",
+            F.explode(F.array(*[
+                (F.conv(F.substring(
+                    F.md5(F.concat(F.col("fp"), F.lit(f":{j}"))
+                          .cast("binary")), 1, 14), 16, 10)
+                 .cast("long") % m).cast("int").alias("p")
+                for j in range(k)
+            ])).alias("pos"))
+
+    bits = positions(train).select("pos").distinct()
+    n_bits = bits.agg(F.count(F.lit(1)).cast("int").alias("n_bits_set"))
+    probe = (positions(docs)
+             .join(F.broadcast(bits.withColumn("hit", F.lit(1))),
+                   "pos", "left")
+             .groupBy("doc_id")
+             .agg(F.min(F.coalesce("hit", F.lit(0))).cast("int")
+                  .alias("bloom_hit")))
+    member = (docs.join(train.select("fp").distinct()
+                        .withColumn("mem", F.lit(1)), "fp", "left")
+              .select("doc_id",
+                      F.coalesce("mem", F.lit(0)).cast("int")
+                      .alias("is_member")))
+    return (probe.join(member, "doc_id")
+            .crossJoin(F.broadcast(n_bits))
+            .select("doc_id", "bloom_hit", "is_member", "n_bits_set")
+            .orderBy("doc_id"))

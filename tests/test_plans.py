@@ -268,6 +268,9 @@ def test_new_operator_shuffle_budgets(spark):
         "q_quantile_merge": 3,   # 1 corpus-sized day shuffle builds
                                  # the checkpointed daily histograms;
                                  # merge + union move histogram rows
+        "q_bloom_audit": 5,      # bit-set distinct + probe agg + the
+                                 # digest truth join; the probe side
+                                 # joins the filter BROADCAST
     }
     qs = E.queries()
     for name, budget in budgets.items():

@@ -1069,3 +1069,45 @@ def test_simhash_eval_matches_python_mirror(spark):
                                                    0, got[(0, 1)][3],
                                                    got[(0, 1)][3])
     assert (0, 3) not in got or got[(0, 3)][1] == 0
+
+
+def test_bloom_audit_matches_python_mirror_and_fp_behavior(spark):
+    """q_bloom_audit against a pure-Python mirror (same md5 digests,
+    buckets, positions): exact row match at the default config, every
+    member hits (no false negatives — Bloom's guarantee), and at a
+    deliberately tiny m=16/k=2 filter the load saturates so non-member
+    probes register false positives while members STILL all hit."""
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8],
+                   16) % 100
+
+    def mirror(texts, m, k):
+        fps = {i: hashlib.md5(t.encode()).hexdigest()
+               for i, t in enumerate(texts)}
+        train = {i for i in fps if bucket(i) < D.TRAIN_MAX_BUCKET}
+        def pos(fp):
+            return {int(hashlib.md5(f"{fp}:{j}".encode())
+                        .hexdigest()[:14], 16) % m for j in range(k)}
+        bits = set().union(*(pos(fps[i]) for i in train)) \
+            if train else set()
+        tfps = {fps[i] for i in train}
+        return {i: (int(pos(fps[i]) <= bits), int(fps[i] in tfps),
+                    len(bits))
+                for i in fps}
+
+    # ids 0..39: md5-buckets split them train/eval; duplicate texts
+    # place eval copies of train content (true members outside train)
+    texts = [f"doc number {i % 25} has words" for i in range(40)]
+    for m, k in ((D.BLOOM_M, D.BLOOM_K), (16, 2)):
+        got = {r.doc_id: (r.bloom_hit, r.is_member, r.n_bits_set)
+               for r in D.q_bloom_audit(_docs(spark, texts),
+                                        m=m, k=k).collect()}
+        assert got == mirror(texts, m, k), (m, k)
+        assert all(h == 1 for h, mem, _ in got.values() if mem == 1)
+    # the tiny filter must actually saturate into false positives
+    tiny = {r.doc_id: r for r in
+            D.q_bloom_audit(_docs(spark, texts), m=16, k=2).collect()}
+    assert any(r.bloom_hit == 1 and r.is_member == 0
+               for r in tiny.values())

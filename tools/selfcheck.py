@@ -219,13 +219,14 @@ def main() -> int:
             "not_recorded_this_round": names[50:],
             "coverage_note": (
                 "r07 window = 16 never-driver-recorded queries + "
-                "q_als_recs (r01) + the 6 new r07 queries "
+                "q_als_recs (r01) + the 7 new r07 queries "
                 "(q_minhash_eval, q_simhash_eval, q_pq_knn, "
-                "q_ivfpq_knn, q_kmv_distinct, q_quantile_merge) + "
-                "the 27 least-recently-recorded (r04) in declaration "
-                "order; with it, every declared query has a driver "
-                "row in some round 1-7. The 23-query r04 tail "
-                "(q_dedup_groups..q_profile) rotates into r08."),
+                "q_ivfpq_knn, q_kmv_distinct, q_quantile_merge, "
+                "q_bloom_audit) + the 26 least-recently-recorded "
+                "(r04) in declaration order; with it, every declared "
+                "query has a driver row in some round 1-7. The "
+                "24-query r04 tail (q_dedup_simhash..q_profile) "
+                "rotates into r08."),
         }}
         artifact.update(results)
         with open(emit, "w") as fh:
