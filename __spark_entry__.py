@@ -145,7 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-exact; all-integer output, no float surface
         "q_minhash_eval": lambda s, d: D.q_minhash_eval(
             _t("documents")(s, d)),
-        # the simhash twin: portable 32-bit signatures, pigeonhole
+        # the simhash twin: portable 56-bit signatures, pigeonhole
         # candidates vs brute-forced oracle hamming, exact-Jaccard truth
         "q_simhash_eval": lambda s, d: D.q_simhash_eval(
             _t("documents")(s, d)),
@@ -851,8 +851,9 @@ def oracle_sql() -> dict[str, str]:
     # q_minhash_eval oracle: the full portable-minhash pipeline in SQL
     # (dedup.py MHP_* constants inlined) — md5-prefix base hash mod the
     # Mersenne prime, 16 universal-hash mins in one agg, 4-band keys,
-    # candidate join, exact inverted-index Jaccard, and the integer
-    # threshold test i*round(1000/t) >= union*1000 mirrored verbatim.
+    # candidate join, exact inverted-index Jaccard, and the exact
+    # rational threshold test i*den >= union*num mirrored verbatim
+    # (jaccard_threshold_frac — same (num, den) on both engines).
     _mh_mins = ",\n                   ".join(
         f"min(({D.MHP_A[p]} * h + {D.MHP_B[p]}) % {D.MHP_P}) AS h{p}"
         for p in range(D.MHP_PERMS))
@@ -866,7 +867,8 @@ def oracle_sql() -> dict[str, str]:
     _mh_nmatch = " + ".join(
         f"(CASE WHEN a.h{p} = b.h{p} THEN 1 ELSE 0 END)"
         for p in range(D.MHP_PERMS))
-    _mh_thr_num = int(1 / D.JACCARD_THRESHOLD * 1000)
+    _mh_thr_num, _mh_thr_den = D.jaccard_threshold_frac(
+        D.JACCARD_THRESHOLD)
     minhash_eval_sql = f"""
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
                           FROM documents),
@@ -899,8 +901,8 @@ def oracle_sql() -> dict[str, str]:
                    FROM inter i
                    JOIN sz sa ON i.doc_a = sa.doc_id
                    JOIN sz sb ON i.doc_b = sb.doc_id
-                   WHERE i.n_inter * {_mh_thr_num}
-                         >= (sa.n + sb.n - i.n_inter) * 1000),
+                   WHERE i.n_inter * {_mh_thr_den}
+                         >= (sa.n + sb.n - i.n_inter) * {_mh_thr_num}),
             pairs AS (SELECT coalesce(c.doc_a, t.doc_a) AS doc_a,
                              coalesce(c.doc_b, t.doc_b) AS doc_b,
                              CASE WHEN c.doc_a IS NOT NULL
@@ -1088,7 +1090,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY adc_dist, codes.vec_id LIMIT {S.KNN_K}
     """
     # q_simhash_eval oracle: the portable 56-bit simhash in SQL (md5
-    # token hashes, 32 vote sums, positive-vote bits), with candidates
+    # token hashes, 56 vote sums, positive-vote bits), with candidates
     # BRUTE-FORCED over all pairs — hash-matching the Spark side's
     # pigeonhole blocking proves the blocking exact, not just the
     # signature arithmetic. Shares the exact-Jaccard truth shape with
@@ -1130,8 +1132,8 @@ def oracle_sql() -> dict[str, str]:
                    FROM inter i
                    JOIN sz sa ON i.doc_a = sa.doc_id
                    JOIN sz sb ON i.doc_b = sb.doc_id
-                   WHERE i.n_inter * {int(1 / D.JACCARD_THRESHOLD * 1000)}
-                         >= (sa.n + sb.n - i.n_inter) * 1000),
+                   WHERE i.n_inter * {_mh_thr_den}
+                         >= (sa.n + sb.n - i.n_inter) * {_mh_thr_num}),
             pairs AS (SELECT coalesce(c.doc_a, t.doc_a) AS doc_a,
                              coalesce(c.doc_b, t.doc_b) AS doc_b,
                              CASE WHEN c.doc_a IS NOT NULL
@@ -3043,12 +3045,8 @@ def oracle_sql() -> dict[str, str]:
                                    THEN c END) AS hi95
                    FROM ranked GROUP BY day)
             SELECT day,
-                   CAST((2*(lo50*(2 - (n-1)%2)
-                            + coalesce(hi50, lo50)*((n-1)%2)) + 2)
-                        // 4 AS BIGINT) AS p50_cents,
-                   CAST((2*(lo95*(20 - (19*(n-1))%20)
-                            + coalesce(hi95, lo95)*((19*(n-1))%20))
-                         + 20) // 40 AS BIGINT) AS p95_cents,
+                   {_pq_halfup(_pq_num('50', 1, 2), 2)} AS p50_cents,
+                   {_pq_halfup(_pq_num('95', 19, 20), 20)} AS p95_cents,
                    CAST(n AS BIGINT) AS n_events
             FROM br
         """,

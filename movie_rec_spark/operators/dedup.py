@@ -22,6 +22,7 @@ stays inside codegen and is reproducible across engines.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from fractions import Fraction
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -30,6 +31,23 @@ from pyspark.sql.window import Window
 from movie_rec_spark.functions import word_shingles
 
 JACCARD_THRESHOLD = 0.5
+
+
+def jaccard_threshold_frac(threshold: float) -> tuple[int, int]:
+    """Exact rational (num, den) with threshold == num/den.
+
+    Backs the integer-exact Jaccard cut ``i/union >= threshold`` as
+    ``i*den >= union*num`` on BOTH engines.  limit_denominator recovers
+    the intended decimal from the float (0.9 → 9/10, 0.5 → 1/2), so the
+    boundary pair Jaccard == threshold is INCLUDED at every threshold —
+    unlike the former ``int(1/t*1000)`` scaling, which was exact only
+    when 1000/t was integral (t=0.9 → 1111/1000 ≈ 0.90009 silently
+    excluded pairs with Jaccard exactly 9/10: 9*1111 < 10*1000).  The
+    small denominators keep ``union*num`` far below 2**63 at any
+    realistic shingle-set size.
+    """
+    frac = Fraction(threshold).limit_denominator(10**6)
+    return frac.numerator, frac.denominator
 MINHASH_PERMS = 32
 MINHASH_BANDS = 8  # rows per band = 32/8 = 4
 # Decontamination: containment cut and the split boundary. EVAL_MIN_BUCKET
@@ -1730,6 +1748,7 @@ def q_minhash_eval(documents: DataFrame,
                  F.col("sb.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    _thr_num, _thr_den = jaccard_threshold_frac(threshold)
     true_pairs = (
         inter.join(F.broadcast(sizes.select(
             F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
@@ -1737,12 +1756,12 @@ def q_minhash_eval(documents: DataFrame,
         .join(F.broadcast(sizes.select(
             F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
             "doc_b")
-        # integer-exact threshold test for t = i/(na+nb-i) >= 0.5:
-        # 2i >= na+nb-i <=> i*(1/t) >= union; generalized below with
-        # the rational threshold num/den to avoid float division
-        .filter(F.col("n_inter") * F.lit(int(1 / threshold * 1000))
+        # integer-exact threshold test: i/(na+nb-i) >= num/den
+        # <=> i*den >= union*num, with (num, den) the exact rational
+        # of the threshold (jaccard_threshold_frac) — no float division
+        .filter(F.col("n_inter") * F.lit(_thr_den)
                 >= (F.col("na") + F.col("nb") - F.col("n_inter"))
-                * F.lit(1000))
+                * F.lit(_thr_num))
         .select("doc_a", "doc_b")
         .withColumn("t", F.lit(1))
     )
@@ -1782,7 +1801,7 @@ def q_minhash_eval(documents: DataFrame,
     )
 
 
-# Portable simhash (q_simhash_eval): 32-bit signatures whose token
+# Portable simhash (q_simhash_eval): 56-bit signatures whose token
 # hashes come from the shared md5 recipe, so the vote sums, the
 # signature bits, and every pairwise hamming distance are bit-identical
 # in Spark and DuckDB — unlike q_dedup_simhash's xxhash64 signatures
@@ -1831,7 +1850,7 @@ def q_simhash_eval(documents: DataFrame,
       doc_a, doc_b | candidate | is_true | hamming | n_inter | n_union
 
     The Spark side generates candidates with the pigeonhole segment
-    blocking (hamming_max+1 segments of 8 bits — an equi-join, the
+    blocking (hamming_max+1 segments of 14 bits — an equi-join, the
     at-scale path); the DuckDB oracle brute-forces hamming over ALL
     pairs instead. Their hash-match is therefore ALSO a driver-checked
     proof of the blocking's exactness guarantee (a pair within the
@@ -1883,7 +1902,7 @@ def q_simhash_eval(documents: DataFrame,
                  F.col("sb.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    thr_num = int(1 / threshold * 1000)
+    thr_num, thr_den = jaccard_threshold_frac(threshold)
     true_pairs = (
         inter.join(F.broadcast(sizes.select(
             F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
@@ -1891,9 +1910,9 @@ def q_simhash_eval(documents: DataFrame,
         .join(F.broadcast(sizes.select(
             F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
             "doc_b")
-        .filter(F.col("n_inter") * F.lit(thr_num)
+        .filter(F.col("n_inter") * F.lit(thr_den)
                 >= (F.col("na") + F.col("nb") - F.col("n_inter"))
-                * F.lit(1000))
+                * F.lit(thr_num))
         .select("doc_a", "doc_b")
         .withColumn("t", F.lit(1))
     )

@@ -1256,10 +1256,16 @@ def q_rfm(orders: DataFrame) -> DataFrame:
     ("444" = champions) a campaign targets on.
 
     Determinism: metrics live in integer domains (days, counts,
-    cents), quartile boundaries come from the exact interpolated
-    ``percentile`` — the SAME estimator q_percentiles already proves
-    bit-equal to DuckDB quantile_cont — and scores count strict
-    boundary crossings, so both engines compare identical doubles.
+    cents), and the ``F.percentile`` quartile boundaries are exact in
+    binary floating point ON THEIR OWN: the quartile fractions are
+    dyadic (0.25/0.5/0.75 → f ∈ {0, 1/4, 1/2, 3/4} exactly), a+f·(b−a)
+    over integer-valued brackets therefore has an exactly-representable
+    product and sum, and DuckDB quantile_cont evaluates the same dyadic
+    arithmetic — so both engines produce bit-identical boundary
+    doubles, which then feed strict comparisons (boundary-crossing
+    counts), not rounding.  (q_percentiles itself moved to the
+    integer-rational bracket kernel in round 7 because ITS fractions —
+    e.g. 0.95 — are not dyadic; quartiles never needed that.)
 
     Scale shape: one custkey-keyed aggregate; the anchor date and the
     nine quartile boundaries reduce to ONE scalar row broadcast back
