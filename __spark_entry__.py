@@ -410,10 +410,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on the integer grid so the composed index is oracle-exact
         "q_ivfpq_knn": lambda s, d: S.q_ivfpq_knn(
             _t("embeddings")(s, d)),
+        # hyperplane-LSH audit: integer-grid points + md5-derived
+        # integer hyperplanes; candidates ∪ exact-grid-cosine truth in
+        # one all-integer table (q_minhash_eval's embedding sibling)
+        "q_hyperlsh_eval": lambda s, d: S.q_hyperlsh_eval(
+            _t("embeddings")(s, d)),
         # KMV distinct sketch: k-minimum md5 hashes per day + merged
         # window row — the sketch whose state AND estimate the oracle
         # hash-checks (q_hll_union's verifiable twin)
         "q_kmv_distinct": lambda s, d: R.q_kmv_distinct(
+            _t("events")(s, d)),
+        # register-exact HLL audit: every per-day register and the
+        # merged-window register is an integer row both engines
+        # recompute identically; exact distinct as the truth column
+        "q_hll_audit": lambda s, d: R.q_hll_audit(
             _t("events")(s, d)),
         # exact mergeable quantile state: per-day cents histograms +
         # merged '__all__' row; oracle ranks raw rows, so the match
@@ -462,13 +472,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # naive unrolled join oracle
         "q_khop": lambda s, d: D.q_khop(_t("documents")(s, d)),
         # 5-core by iterative peeling on the community graph
-        # (core_edges). Rows-only BY DESIGN (fixpoint loop is not
-        # single-statement SQL); gate = pytest vs a pure-Python
-        # sequential peeler (k-core confluence) + min-degree invariant
+        # (core_edges). Oracle-exact since r8: confluent bounded-round
+        # peeling unrolled round-per-CTE in DuckDB; pytest vs a
+        # pure-Python sequential peeler stays as defense in depth
         "q_kcore": lambda s, d: D.q_kcore(_t("documents")(s, d)),
         # deterministic synchronous label propagation (4 rounds,
-        # min-label tie rule). Rows-only BY DESIGN; gate = pytest vs
-        # a pure-Python synchronous mirror on the same graph
+        # min-label tie rule). Oracle-exact since r8 (fixed rounds
+        # unrolled); pytest vs a pure-Python synchronous mirror too
         "q_label_prop": lambda s, d: D.q_label_prop(
             _t("documents")(s, d)),
         # Same logical query as q_top_movies, served from the MAINTAINED
@@ -552,49 +562,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("lineitem")(s, d), _t("orders")(s, d)),
         "q_als_implicit": lambda s, d: ML.q_als_implicit(_t("events")(s, d)),
     }
-    # Driver-window rotation, round 7 (disclosed; the committed
+    # Driver-window rotation, round 8 (disclosed; the committed
     # CORRECTNESS_local.json selfcheck covers the FULL set every round
     # regardless — its `_meta.driver_window_first_50` /
     # `_meta.not_recorded_this_round` lists make the rotation
     # auditable). The external driver records only the first 50
     # entries, so the window is spent on maximum fresh signal:
-    #   1. q_rolling_percentiles in slot 1 — this round's exact-
-    #      rational interpolation fix gets driver proof;
-    #   2. the other 15 queries that have NEVER had a driver row in
-    #      rounds 1-6 (late-round-6 additions that sat past the
-    #      window cut);
-    #   3. q_als_recs, last recorded in r01 (rows-only there), then
-    #      the 7 new round-7 queries (q_minhash_eval,
-    #      q_simhash_eval, q_pq_knn, q_ivfpq_knn, q_kmv_distinct,
-    #      q_quantile_merge, q_bloom_audit — all oracle-exact);
-    #   4. the remaining 26 slots go to the LEAST-recently-recorded
-    #      block (last recorded r04), in declaration order; its
-    #      24-query tail (q_dedup_simhash .. q_profile) rotates into
-    #      the r08 window.
-    # With this rotation, every one of the declared queries has a
-    # driver row in at least one of rounds 1-7.
+    #   1. q_kcore / q_label_prop lead — both gained unrolled-round
+    #      DuckDB oracles this round (previously rows-only), so their
+    #      first ORACLE driver rows land now;
+    #   2. q_hll_audit / q_hyperlsh_eval — new this round
+    #      (oracle-exact audit twins for the last two un-audited
+    #      approximate families), never recorded;
+    #   3. the 24-query r04-stale tail (q_dedup_simhash .. q_profile,
+    #      named by the r07 coverage note), three rounds of kernel
+    #      churn since their last driver row;
+    #   4. the remaining 22 slots go to the next-oldest block (last
+    #      recorded r05), in declaration order; the other 25
+    #      r05-recorded queries rotate into the r09 window.
+    # After r08 every declared query's latest driver row is ≤3 rounds
+    # old, and every query touched by the r07 exact-rational /
+    # sparse-scoring kernel churn is driver-re-proven.
     keys = list(q)
     priority = [
-        # -- never driver-recorded (r1-r6); the percentile fix first
-        "q_rolling_percentiles", "q_interpolate", "q_winsorize",
-        "q_twap", "q_stream_join_et", "q_merge_stream",
-        "q_heavy_hitters_stream", "q_kcore", "q_khop", "q_label_prop",
-        "q_dedup_prefix", "q_audience_overlap", "q_seasonal_naive",
-        "q_top_unshipped", "q_new_vs_returning", "q_lag_features",
-        # -- recorded only in r01
-        "q_als_recs",
-        # -- new this round (oracle-exact), never recorded
-        "q_minhash_eval", "q_simhash_eval", "q_pq_knn", "q_ivfpq_knn",
-        "q_kmv_distinct", "q_quantile_merge", "q_bloom_audit",
-        # -- least-recently-recorded block (r04), declaration order
-        "q_top_movies", "q_user_latest_ratings", "q_user_top_ratings",
-        "q_movie_stats", "q_user_rated_movies", "q_avg_recommendations",
-        "q_distinct_users", "q_candidates", "q_candidates_scalable",
-        "q_user_topn", "q_scalar_funcs", "q_set_ops", "q_upsert_latest",
-        "q_delete_antijoin", "q_implicit_fill", "q_merge_events",
-        "q_snapshot_diff", "q_text_stats", "q_token_counts",
-        "q_lang_id", "q_doc_fingerprint", "q_pii_redact", "q_bm25",
-        "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash",
+        # -- newly oracle-exact this round (were rows-only)
+        "q_kcore", "q_label_prop",
+        # -- new this round, never recorded
+        "q_hll_audit", "q_hyperlsh_eval",
+        # -- r04-stale tail, declaration order
+        "q_dedup_simhash", "q_dedup_groups", "q_dedup_char_jaccard",
+        "q_cc_chain_star", "q_cc_chain_minlabel", "q_chunk_dedup",
+        "q_chunk_prune", "q_pagerank_chain", "q_dedup_canonical",
+        "q_fuzzy_match", "q_knn_brute", "q_embed_neardup",
+        "q_embed_dedup_groups", "q_multimodal_meta", "q_json_encode",
+        "q_event_counters", "q_event_windowed", "q_event_sliding",
+        "q_pivot", "q_unpivot", "q_rollup", "q_cube",
+        "q_approx_distinct", "q_profile",
+        # -- oldest r05-recorded block, declaration order
+        "q_outer_join", "q_asof_join", "q_salted_count",
+        "q_sessionize", "q_funnel", "q_funnel_window", "q_cohort",
+        "q_rolling_window", "q_scd2", "q_resample", "q_percentiles",
+        "q_outliers", "q_window_analytics", "q_range_join",
+        "q_tfidf_top_terms", "q_quality_score", "q_quality_gopher",
+        "q_weighted_sample", "q_sample_stable", "q_text_embed",
+        "q_chunk_knn", "q_knn_text",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -1089,6 +1100,82 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY codes.vec_id
             ORDER BY adc_dist, codes.vec_id LIMIT {S.KNN_K}
     """
+    # q_hyperlsh_eval oracle: the full portable hyperplane-LSH audit
+    # in SQL — HLE_SCALE integer grid, md5-derived plane weights
+    # (same 32-bit recipe, mirrored verbatim), sign-bit buckets via
+    # BIGINT shifts, bucket self-join candidates, all-pairs exact
+    # integer cosine truth with the Fraction(threshold) rational cut.
+    # dim is the fixture's 64 (the engine derives it dynamically).
+    _hl_tn, _hl_td = __import__("fractions").Fraction(
+        S.NEARDUP_THRESHOLD).limit_denominator(10**6).as_integer_ratio()
+    hyperlsh_eval_sql = f"""
+            WITH samp AS (SELECT vec_id FROM (
+                     SELECT vec_id, row_number() OVER (
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS rn
+                     FROM embeddings) WHERE rn <= {S.HLE_AUDIT_N}),
+            pts AS (
+                SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+                       CAST(round(v[CAST(i AS INT)]
+                                  * {S.HLE_SCALE}) AS BIGINT) AS p
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                             unnest(range(1, len(embedding) + 1)) AS i
+                      FROM embeddings JOIN samp USING (vec_id))),
+            planes AS (
+                SELECT t.t, b.b, s.pos,
+                       CAST('0x' || substring(md5(concat_ws(':', 'hp',
+                            CAST(t.t AS VARCHAR), CAST(b.b AS VARCHAR),
+                            CAST(s.pos AS VARCHAR))), 1, 8) AS BIGINT)
+                       - 2147483648 AS w
+                FROM (SELECT unnest(range(0, {S.HLE_TABLES})) AS t) t,
+                     (SELECT unnest(range(0, {S.HLE_BITS})) AS b) b,
+                     (SELECT unnest(range(0, 64)) AS pos) s),
+            sb AS (SELECT p.vec_id, pl.t, pl.b,
+                          sum(pl.w * p.p) AS pdot
+                   FROM pts p JOIN planes pl ON pl.pos = p.pos
+                   GROUP BY 1, 2, 3),
+            bk AS (SELECT vec_id, t,
+                          sum(CASE WHEN pdot >= 0
+                              THEN (CAST(1 AS BIGINT) << b)
+                              ELSE 0 END) AS bucket
+                   FROM sb GROUP BY 1, 2),
+            cand AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                            count(*) AS n_tables_hit
+                     FROM bk x JOIN bk y
+                       ON x.t = y.t AND x.bucket = y.bucket
+                          AND x.vec_id < y.vec_id
+                     GROUP BY 1, 2),
+            nrm AS (SELECT vec_id, CAST(sum(p * p) AS BIGINT) AS nrm
+                    FROM pts GROUP BY 1),
+            sc AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                          CAST(sum(a.p * b.p) AS BIGINT) AS dot
+                   FROM pts a JOIN pts b
+                     ON a.pos = b.pos AND a.vec_id < b.vec_id
+                   GROUP BY 1, 2),
+            scored AS (SELECT sc.vec_a, sc.vec_b, sc.dot,
+                              xn.nrm AS na, yn.nrm AS nb
+                       FROM sc JOIN nrm xn ON xn.vec_id = sc.vec_a
+                               JOIN nrm yn ON yn.vec_id = sc.vec_b),
+            tp AS (SELECT vec_a, vec_b FROM scored
+                   WHERE dot >= 0
+                     AND dot * dot * {_hl_td * _hl_td}
+                         >= {_hl_tn * _hl_tn} * na * nb),
+            pairs AS (SELECT coalesce(c.vec_a, t.vec_a) AS vec_a,
+                             coalesce(c.vec_b, t.vec_b) AS vec_b,
+                             CASE WHEN c.vec_a IS NOT NULL
+                                  THEN 1 ELSE 0 END AS candidate,
+                             CASE WHEN t.vec_a IS NOT NULL
+                                  THEN 1 ELSE 0 END AS is_true,
+                             CAST(coalesce(c.n_tables_hit, 0)
+                                  AS BIGINT) AS n_tables_hit
+                      FROM cand c FULL OUTER JOIN tp t
+                        ON c.vec_a = t.vec_a AND c.vec_b = t.vec_b)
+            SELECT p.vec_a, p.vec_b, p.candidate, p.is_true,
+                   p.n_tables_hit, s.dot, s.na, s.nb
+            FROM pairs p JOIN scored s
+              ON s.vec_a = p.vec_a AND s.vec_b = p.vec_b
+            ORDER BY p.vec_a, p.vec_b
+    """
     # q_simhash_eval oracle: the portable 56-bit simhash in SQL (md5
     # token hashes, 56 vote sums, positive-vote bits), with candidates
     # BRUTE-FORCED over all pairs — hash-matching the Spark side's
@@ -1394,6 +1481,82 @@ def oracle_sql() -> dict[str, str]:
                     FROM n){_pr_steps}
             SELECT node AS doc_id, round(rank, 6) AS pr
             FROM pr{D.PAGERANK_ITERS}
+    """
+    # core_edges re-synthesized in SQL (dedup.core_edges): even blocks
+    # of CORE_BLOCK ids are cliques, odd blocks are id-chains,
+    # consecutive ids bridge the blocks; in-even-block consecutive
+    # pairs are excluded row-locally so the union is duplicate-free and
+    # doc_a < doc_b everywhere by construction. e0 mirrors the engine's
+    # least/greatest + DISTINCT canonicalization verbatim.
+    _core_edges_ctes = f"""
+            ids AS (SELECT doc_id, doc_id // {D.CORE_BLOCK} AS blk
+                    FROM documents),
+            clique AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                       FROM ids a JOIN ids b
+                         ON a.blk = b.blk AND a.doc_id < b.doc_id
+                       WHERE a.blk % 2 = 0),
+            chain AS (SELECT i.doc_id AS doc_a, i.doc_id + 1 AS doc_b
+                      FROM ids i JOIN ids j ON j.doc_id = i.doc_id + 1
+                      WHERE NOT (i.blk % 2 = 0 AND j.blk = i.blk)),
+            ce AS (SELECT doc_a, doc_b FROM clique
+                   UNION ALL SELECT doc_a, doc_b FROM chain),
+            e0 AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+                          greatest(doc_a, doc_b) AS b
+                   FROM ce WHERE doc_a <> doc_b)"""
+    # q_kcore oracle: Matula–Beck peeling unrolled round-per-CTE (the
+    # q_bpe_merges/q_kmeans doctrine for bounded-round fixpoints).
+    # Peeling is monotone and confluent, so once the graph stabilizes
+    # every further unrolled round is the identity — the unroll count
+    # only needs to COVER the peel depth, not equal it. On core_edges
+    # depth is structural, not data-sized: every odd-block node has
+    # degree ≤ 2 + bridges < KCORE_K and peels in round 1, full clique
+    # blocks keep in-block degree CORE_BLOCK-1 ≥ KCORE_K forever, and a
+    # trailing partial clique block cascades at most 2 more rounds —
+    # KCORE_ORACLE_ROUNDS=4 covers that at every sf (the engine's
+    # max_rounds guard would raise long before 4 became insufficient).
+    _kc_rounds = 4
+    _kc_steps = "".join(f""",
+            deg{r} AS (SELECT node, count(*) AS deg
+                       FROM (SELECT a AS node FROM e{r}
+                             UNION ALL SELECT b FROM e{r})
+                       GROUP BY node),
+            e{r + 1} AS (SELECT a, b FROM e{r}
+                       WHERE a IN (SELECT node FROM deg{r}
+                                   WHERE deg >= {D.KCORE_K})
+                         AND b IN (SELECT node FROM deg{r}
+                                   WHERE deg >= {D.KCORE_K}))"""
+                        for r in range(_kc_rounds))
+    kcore_sql = f"""
+            WITH {_core_edges_ctes}{_kc_steps},
+            degf AS (SELECT node, count(*) AS deg
+                     FROM (SELECT a AS node FROM e{_kc_rounds}
+                           UNION ALL SELECT b FROM e{_kc_rounds})
+                     GROUP BY node)
+            SELECT node AS doc_id, deg FROM degf
+    """
+    # q_label_prop oracle: the 4 synchronous LPA rounds unrolled, one
+    # (count, argmax) pair of CTEs per round. The engine's one-agg
+    # argmax max(struct(cnt, -label)) is mirrored as max-count window +
+    # min(label) over the tied rows — identical (cnt DESC, label ASC)
+    # semantics, all-integer state.
+    _lp_steps = "".join(f""",
+            n{r} AS (SELECT s.src AS node, l.label, count(*) AS cnt
+                     FROM sym s JOIN l{r - 1} l ON s.dst = l.node
+                     GROUP BY 1, 2),
+            l{r} AS (SELECT node, min(label) AS label FROM (
+                       SELECT node, label, cnt,
+                              max(cnt) OVER (PARTITION BY node) AS mx
+                       FROM n{r}) WHERE cnt = mx GROUP BY node)"""
+                        for r in range(1, D.LABELPROP_ITERS + 1))
+    label_prop_sql = f"""
+            WITH {_core_edges_ctes},
+            sym AS (SELECT DISTINCT src, dst FROM (
+                      SELECT a AS src, b AS dst FROM e0
+                      UNION ALL SELECT b AS src, a AS dst FROM e0)
+                    WHERE src <> dst),
+            l0 AS (SELECT DISTINCT src AS node, src AS label
+                   FROM sym){_lp_steps}
+            SELECT node AS doc_id, label FROM l{D.LABELPROP_ITERS}
     """
     return {
         "q_top_movies": _TOP_MOVIES_SQL,
@@ -1946,6 +2109,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pq_knn": pq_knn_sql,
         "q_ivfpq_knn": ivfpq_knn_sql,
+        "q_hyperlsh_eval": hyperlsh_eval_sql,
         # KMV: identical hash recipe, per-day k-min ranking, distinct
         # pooled merge, and the pure-integer (K-1)*M // kth estimator
         "q_kmv_distinct": f"""
@@ -1978,6 +2142,44 @@ def oracle_sql() -> dict[str, str]:
                                              THEN h END)
                         END AS BIGINT) AS est_distinct
             FROM pooled GROUP BY day ORDER BY day
+        """,
+        # register-exact HLL audit: same md5 recipe, bucket = low
+        # HLL_AUDIT_P bits, rho = 49 - length(bin(suffix)) (bin renders
+        # BIGINTs identically on both engines, no log2 float surface);
+        # per-day registers maxed per bucket, '__all__' = register-wise
+        # max across days, exact distinct users as the truth column
+        "q_hll_audit": f"""
+            WITH base AS (
+                SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       user_id,
+                       CAST('0x' || substring(
+                           md5(CAST(user_id AS VARCHAR)), 1, 14)
+                        AS BIGINT) AS h
+                FROM events),
+            hw AS (SELECT day, h % {1 << R.HLL_AUDIT_P} AS idx,
+                          h // {1 << R.HLL_AUDIT_P} AS w
+                   FROM base),
+            rg AS (SELECT day, idx,
+                          CAST(max(CASE WHEN w = 0
+                                   THEN {R.HLL_AUDIT_HASH_BITS
+                                         - R.HLL_AUDIT_P + 1}
+                                   ELSE {R.HLL_AUDIT_HASH_BITS
+                                         - R.HLL_AUDIT_P + 1}
+                                        - length(bin(w)) END)
+                               AS BIGINT) AS reg
+                   FROM hw GROUP BY 1, 2),
+            de AS (SELECT day, count(DISTINCT user_id) AS day_exact
+                   FROM base GROUP BY 1),
+            mg AS (SELECT idx, max(reg) AS reg FROM rg GROUP BY idx)
+            SELECT rg.day, CAST(rg.idx AS BIGINT) AS idx, rg.reg,
+                   de.day_exact
+            FROM rg JOIN de USING (day)
+            UNION ALL
+            SELECT '__all__' AS day, CAST(mg.idx AS BIGINT) AS idx,
+                   mg.reg,
+                   (SELECT count(DISTINCT user_id) FROM base)
+                       AS day_exact
+            FROM mg
         """,
         # same shingle/intersection CTEs as jaccard_pairs; the finish
         # keeps BOTH directional ratios raw (i*1.0/n is the same
@@ -3404,6 +3606,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS n_reachable
             FROM r WHERE src <> node GROUP BY src
         """,
+        # unrolled-round fixpoint oracles (generated above): peeling /
+        # synchronous LPA as one materialized CTE pair per round
+        "q_kcore": kcore_sql,
+        "q_label_prop": label_prop_sql,
         # One SELECT per constraint row, scalar subqueries for the
         # counts; NOT-EXISTS for the FK orphans (null-safe); violations
         # use the same null semantics as the operator (nulls are

@@ -97,10 +97,25 @@ def main() -> None:
         "sf": sf,
     }
     print(json.dumps(out))
-    # The driver records only a truncated tail of stdout, which loses
-    # early queries' timings and breaks cross-round diffs. Persist the
-    # COMPLETE per-query dict next to the script (committed per round as
-    # BENCH_local_r0N.json).
+    # The driver records only a fixed-size TAIL of stdout and parses
+    # the last JSON it can find; the full per-query line above has
+    # outgrown that window since r04 (BENCH_rN.json `parsed: null`),
+    # its head getting cut mid-object. So the LAST line is a compact
+    # totals-first summary guaranteed to fit the tail window — the
+    # complete per-query dict lives in the line above and in the
+    # committed BENCH_local.json.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "slowest10": slowest,
+        "queries_full": "BENCH_local.json",
+    }))
+    # Persist the COMPLETE per-query dict next to the script
+    # (committed per round as BENCH_local_r0N.json).
     full = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_local.json")
     with open(full, "w") as fh:

@@ -1569,11 +1569,15 @@ def core_edges(documents: DataFrame) -> DataFrame:
 def q_kcore(documents: DataFrame) -> DataFrame:
     """Declared query: the 5-core of the community graph (core_edges:
     clique blocks survive at in-core degree 9, chain blocks and
-    bridges peel). Rows-only BY DESIGN: the fixpoint loop is not
-    single-statement SQL; the correctness gate is the pytest
-    comparison against an independent pure-Python sequential peeler
-    (k-core uniqueness/confluence makes any removal order comparable)
-    plus the min-degree ≥ k invariant.
+    bridges peel). ORACLE-EXACT since round 8: peeling is a bounded-
+    round confluent fixpoint, so the DuckDB oracle unrolls it round-
+    per-CTE (the q_bpe_merges/q_kmeans doctrine) — extra unrolled
+    rounds past stabilization are the identity, so the unroll count
+    only has to cover core_edges' structural peel depth (≤3). The
+    pytest comparison against an independent pure-Python sequential
+    peeler (k-core uniqueness/confluence makes any removal order
+    comparable) and the min-degree ≥ k invariant stay as defense in
+    depth.
     """
     return kcore(core_edges(documents), KCORE_K)
 
@@ -1631,9 +1635,11 @@ def q_label_prop(documents: DataFrame) -> DataFrame:
     communities form (measured: 488 singleton labels on 500 docs).
     On core_edges the clique blocks lock onto one label within two
     rounds (real mode wins, not ties) while the chains fragment —
-    exactly the contrast a community detector should show. Rows-only
-    BY DESIGN (iterative fixpoint); pytest compares the full
-    assignment against an independent pure-Python synchronous mirror.
+    exactly the contrast a community detector should show.
+    ORACLE-EXACT since round 8: the FIXED 4 synchronous rounds unroll
+    as one (neighbor-count, argmax) CTE pair per round in DuckDB;
+    pytest additionally compares the full assignment against an
+    independent pure-Python synchronous mirror.
     """
     return label_propagation(core_edges(documents), LABELPROP_ITERS)
 

@@ -1005,6 +1005,80 @@ def q_kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
     return per.orderBy("day")
 
 
+# Portable HLL registers: hash = the shared 56-bit md5 prefix, bucket
+# index = the low HLL_AUDIT_P bits, register value rho = leading-zero
+# count of the remaining 48-bit suffix + 1 (1..49, the standard
+# Flajolet HLL rank). bit length comes from length(bin(w)) — Spark and
+# DuckDB both render BIGINTs without leading zeros (bin(5)='101',
+# bin(0)='0', verified), so rho is pure integer arithmetic on both
+# engines, no log2 float surface.
+HLL_AUDIT_P = 8  # 2^8 = 256 registers
+HLL_AUDIT_HASH_BITS = 56
+
+
+def q_hll_audit(events: DataFrame, p: int = HLL_AUDIT_P) -> DataFrame:
+    """Register-exact HLL audit — the oracle-checkable twin of
+    q_hll_union (whose Datasketches binaries are implementation-
+    defined and stay rows-only forever). Every per-day HLL register
+    and the register-wise max that merges them into the window sketch
+    is an INTEGER ROW DuckDB recomputes identically:
+
+      day ('__all__' = merged window) | idx (0..2^p-1, touched
+      registers only) | reg (max rho in the bucket, 1..49) |
+      day_exact (exact distinct users for that day / the window)
+
+    The float HLL estimate alpha_m·m²/Σ2^(-M_j) is deliberately NOT a
+    column — consumers derive Σ2^(-M_j) exactly from these rows as the
+    integer Σ 2^(49-reg) plus (m - n_touched)·2^49 over denominator
+    2^49, and pytest gates the resulting estimate against day_exact
+    within the standard HLL error band. The audit doctrine of
+    q_minhash_eval applied to cardinality sketching: measure the
+    sketch against exact truth in one all-integer table instead of
+    asserting its error bound.
+
+    Scale shape: one (day, idx)-keyed MAX aggregate (map-side
+    combinable, duplicate-insensitive — no distinct pass needed for
+    the registers) + one exact distinct per day for the truth column;
+    the merge side aggregates |days|·2^p tiny rows. At 100 TB the
+    per-day register sets (2^p integers/day) are the persisted
+    incremental state, and the exact-truth column is the audit's
+    documented cost — run it on a stable_bucket sample or a backfill
+    window, same posture as the dedup audits.
+
+    Reference analogue: none (SURVEY §2 has no sketches); completes
+    the audit family next to q_kmv_distinct (order sketch),
+    q_minhash_eval / q_simhash_eval (similarity) and q_bloom_audit
+    (membership).
+    """
+    m = 1 << p
+    rho_max = HLL_AUDIT_HASH_BITS - p + 1
+    h = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")
+                                  .cast("binary")), 1, 14), 16, 10)
+         .cast("long"))
+    base = events.select(F.to_date("ts").cast("string").alias("day"),
+                         "user_id", h.alias("h"))
+    w = F.expr(f"h div {m}")
+    rho = (F.when(w == 0, F.lit(rho_max))
+           .otherwise(F.lit(rho_max) - F.length(F.bin(w))))
+    regs = (base.select("day", (F.col("h") % m).alias("idx"),
+                        rho.alias("rho"))
+            .groupBy("day", "idx")
+            .agg(F.max("rho").cast("long").alias("reg")))
+    day_exact = base.groupBy("day").agg(
+        F.countDistinct("user_id").alias("day_exact"))
+    merged = (regs.groupBy("idx")
+              .agg(F.max("reg").alias("reg"))
+              .select(F.lit("__all__").alias("day"), "idx", "reg"))
+    all_exact = base.agg(
+        F.countDistinct("user_id").alias("day_exact"))
+    per_day = regs.join(F.broadcast(day_exact), "day")
+    window = merged.crossJoin(F.broadcast(all_exact))
+    return (per_day.unionByName(window)
+            .select("day", F.col("idx").cast("long").alias("idx"),
+                    "reg", "day_exact")
+            .orderBy("day", "idx"))
+
+
 def q_outliers(events: DataFrame, k: float = 1.5) -> DataFrame:
     """IQR (Tukey-fence) outlier detection per group — the numeric
     data-quality twin of q_profile: events whose value falls outside

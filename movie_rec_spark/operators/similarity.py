@@ -694,6 +694,174 @@ def lsh_neardup(embeddings: DataFrame, dim: int,
     return pairs.mapInPandas(score, "vec_a bigint, vec_b bigint, sim double")
 
 
+# Portable hyperplane LSH (q_hyperlsh_eval): points snap to the
+# HLE_SCALE integer grid and hyperplane weights are md5-derived 32-bit
+# integers, so every sign bit, bucket key, and the exact-cosine truth
+# cut are BIGINT arithmetic both engines compute identically.
+# HLE_SCALE is 10× coarser than KMEANS_SCALE because the truth
+# predicate squares a dot product: with |x| ≤ 2 embedding units and
+# dim 64, |dot| and na each stay ≤ 64·(2·HLE_SCALE)² = 2.56e8, so
+# den²·dot² ≤ 25·6.6e16 = 1.6e18 and num²·na·nb ≤ 4·6.6e16 = 2.6e17
+# both fit 63 bits; at KMEANS_SCALE (10⁴) dot² alone would be 6.6e20
+# and overflow. A deliberately recall-tight config (few bits, few
+# tables) so the audit counts REAL misses and false positives, the
+# q_minhash_eval doctrine.
+HLE_SCALE = 1000
+HLE_TABLES = 8
+HLE_BITS = 4
+# The audit measures its config on a FIXED-SIZE deterministic sample
+# (the HLE_AUDIT_N vectors with the smallest md5(vec_id), total-ordered
+# by (hash, vec_id)) rather than the whole corpus: candidate volume
+# under a fixed n_bits grows ~quadratically with corpus size (the
+# measured lsh_sized_params cliff), so an unbounded audit would cost
+# more at each sf while measuring the SAME per-pair collision
+# statistics — a fixed unbiased sample keeps the audit sf-invariant
+# (~50k rows, seconds) and is exactly what a 100 TB pipeline would
+# point this at. The md5 ranking is engine-portable; at true scale the
+# global id rank would be replaced by a hash-bucket filter (documented
+# trade, the rank keeps the sample size EXACT for the oracle).
+HLE_AUDIT_N = 512
+
+
+def q_hyperlsh_eval(embeddings: DataFrame,
+                    threshold: float = NEARDUP_THRESHOLD,
+                    n_tables: int = HLE_TABLES,
+                    n_bits: int = HLE_BITS,
+                    sample_n: int = HLE_AUDIT_N) -> DataFrame:
+    """Hyperplane-LSH configuration audit — q_minhash_eval's sibling
+    for the EMBEDDING near-dup family (the declared q_neardup_lsh
+    pipeline uses float numpy hyperplanes and stays rows-only; this
+    portable integer twin is the measurement). One hash-checked
+    all-integer table over the UNION of LSH candidate pairs and
+    exact-cosine true pairs, so both failure modes are rows:
+
+      vec_a, vec_b | candidate (bucket collision in ≥1 table) |
+      is_true (grid cosine ≥ threshold) | n_tables_hit (0..n_tables) |
+      dot, na, nb (exact integer cosine witnesses)
+
+    Ground truth is the exact cosine OF THE GRID-QUANTIZED vectors —
+    deterministic and engine-identical by construction — tested as
+    dot ≥ 0 AND den²·dot² ≥ num²·na·nb with (num, den) =
+    Fraction(threshold) (the jaccard_threshold_frac doctrine), so the
+    boundary pair is included exactly. Precision/recall are left to
+    the consumer as exact ratios over the flag columns.
+
+    Scale shape: the audit runs on the fixed HLE_AUDIT_N-vector
+    md5-ranked sample (see the constant's comment), so its cost is
+    sf-INVARIANT by construction — signatures are one broadcast of
+    n_tables·n_bits·dim plane rows + one (vec, table, bit)-keyed
+    aggregate over sample rows, and the all-pairs truth side is
+    O(sample²·dim), a constant. The production pipeline the audit
+    sizes (lsh_neardup) runs on the full corpus with auto-sized bits.
+
+    Reference analogue: none (SURVEY §2 has no ANN); completes the
+    audit family — every approximate operator family now has an
+    oracle-exact measurement member.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql.window import Window
+
+    spark = embeddings.sparkSession
+    ranked = (embeddings.select(
+        "vec_id",
+        F.md5(F.col("vec_id").cast("string").cast("binary"))
+        .alias("hk"))
+        .withColumn("rn", F.row_number().over(
+            Window.orderBy("hk", "vec_id")))
+        .filter(F.col("rn") <= sample_n).select("vec_id"))
+    e = _as_double(embeddings.join(F.broadcast(ranked), "vec_id",
+                                   "left_semi"))
+    dim = e.select(F.size("embedding")).first()[0]  # O(1) driver sync
+    pts = (e.select("vec_id",
+                    F.posexplode("embedding").alias("pos", "x"))
+           .select("vec_id", F.col("pos").cast("long").alias("pos"),
+                   F.round(F.col("x") * HLE_SCALE, 0)
+                   .cast("long").alias("p"))
+           .localCheckpoint(eager=False))
+    planes = (spark.range(n_tables * n_bits * dim)
+              .select(F.expr(f"id div {n_bits * dim}").alias("t"),
+                      F.expr(f"(id div {dim}) % {n_bits}").alias("b"),
+                      (F.col("id") % dim).alias("pos"))
+              .select("t", "b", "pos",
+                      (F.conv(F.substring(F.md5(F.concat_ws(
+                          ":", F.lit("hp"), F.col("t").cast("string"),
+                          F.col("b").cast("string"),
+                          F.col("pos").cast("string")).cast("binary")),
+                          1, 8), 16, 10).cast("long")
+                       - F.lit(2147483648)).alias("w")))
+    sbits = (pts.join(F.broadcast(planes), "pos")
+             .groupBy("vec_id", "t", "b")
+             .agg(F.sum(F.col("w") * F.col("p")).alias("pdot")))
+    buckets = (sbits.groupBy("vec_id", "t")
+               .agg(F.sum(F.when(
+                   F.col("pdot") >= 0,
+                   F.expr("shiftleft(CAST(1 AS BIGINT), "
+                          "CAST(b AS INT))"))
+                   .otherwise(F.lit(0))).alias("bucket")))
+    cand = (buckets.alias("x").join(
+        buckets.alias("y"),
+        (F.col("x.t") == F.col("y.t"))
+        & (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .groupBy(F.col("x.vec_id").alias("vec_a"),
+                 F.col("y.vec_id").alias("vec_b"))
+        .agg(F.count(F.lit(1)).alias("n_tables_hit")))
+    # all-pairs exact integer scores in ONE int64 GEMM task: the
+    # sample is a fixed 512×dim int matrix (~256 KB), so a shuffled
+    # position-join (sample²·dim rows through an Exchange — measured
+    # ~30 s of the original form at sf0.1) is the wrong physical plan;
+    # quantization stays Spark-side (F.round HALF_UP, the established
+    # cross-engine grid) and int64 matmul is exact, so oracle parity
+    # is untouched. Same sanctioned dense-linear-algebra pattern as
+    # q_embed_neardup's bucket GEMM.
+    import numpy as np
+    import pandas as pd
+
+    qv = pts.groupBy("vec_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "p"))).alias("sp")
+    ).select("vec_id", F.col("sp.p").alias("pv"),
+             F.lit(1).alias("g"))
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack([np.asarray(v, dtype=np.int64)
+                        for v in pdf["pv"].to_numpy()[order]])
+        g = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), 1)
+        nrm = np.diag(g)
+        return pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib],
+                             "dot": g[ia, ib],
+                             "na": nrm[ia], "nb": nrm[ib]})
+
+    scored = (qv.groupBy("g").applyInPandas(
+        gemm, "vec_a bigint, vec_b bigint, dot bigint, "
+              "na bigint, nb bigint")
+        .localCheckpoint(eager=False))
+    frac = Fraction(threshold).limit_denominator(10**6)
+    tn, td = frac.numerator, frac.denominator
+    truth = (scored.filter(
+        (F.col("dot") >= 0)
+        & (F.col("dot") * F.col("dot") * F.lit(td * td)
+           >= F.lit(tn * tn) * F.col("na") * F.col("nb")))
+        .select("vec_a", "vec_b").withColumn("tflag", F.lit(1)))
+    audit = (cand.join(truth, ["vec_a", "vec_b"], "full_outer")
+             .select("vec_a", "vec_b",
+                     F.when(F.col("n_tables_hit").isNotNull(), 1)
+                     .otherwise(0).alias("candidate"),
+                     F.coalesce("tflag", F.lit(0)).alias("is_true"),
+                     F.coalesce("n_tables_hit", F.lit(0))
+                     .alias("n_tables_hit")))
+    return (audit
+            .join(scored.select("vec_a", "vec_b", "dot", "na", "nb"),
+                  ["vec_a", "vec_b"])
+            .select("vec_a", "vec_b", "candidate", "is_true",
+                    "n_tables_hit", "dot", "na", "nb")
+            .orderBy("vec_a", "vec_b"))
+
+
 def ivf_index(embeddings: DataFrame, n_cells: int = 8,
               seed: int = 42, max_iter: int = 5):
     """IVF coarse quantizer: seeded KMeans over the corpus; returns

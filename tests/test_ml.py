@@ -265,3 +265,31 @@ def test_ranking_beats_popularity_on_planted_structure(spark):
     assert als["n_users"] == base["n_users"] == 40
     assert als["ndcg_at_k"] > base["ndcg_at_k"]
     assert als["recall_at_k"] > 0.5        # finds the held-out item
+
+
+def _roundtrip_hash(df):
+    import hashlib
+    rows = sorted(map(tuple, df.collect()))
+    return hashlib.md5(repr(rows).encode()).hexdigest()
+
+
+def test_q_als_recs_declared_config_deterministic(spark):
+    """The DECLARED q_als_recs (default grid-pinned config, fixture
+    tables) fit twice in one session yields byte-identical top-N —
+    q_als_recs is rows-only at the driver forever (DuckDB cannot fit
+    ALS), so this pins what CAN be pinned: a regression in MLlib
+    seeding, shuffle partitioning, or the ratings build flips this
+    test instead of silently changing a driver row."""
+    li = load_table(spark, SF, "lineitem")
+    od = load_table(spark, SF, "orders")
+    h1 = _roundtrip_hash(ML.q_als_recs(li, od))
+    h2 = _roundtrip_hash(ML.q_als_recs(li, od))
+    assert h1 == h2
+
+
+def test_q_als_implicit_declared_config_deterministic(spark):
+    """Same-session double-fit hash pin for the implicit twin."""
+    ev = load_table(spark, SF, "events")
+    h1 = _roundtrip_hash(ML.q_als_implicit(ev))
+    h2 = _roundtrip_hash(ML.q_als_implicit(ev))
+    assert h1 == h2

@@ -472,3 +472,78 @@ def test_quantile_merge_exact_and_merge_equals_rescan(spark):
                                ("p95_cents", (19, 20))):
             assert getattr(got, col) == model(vals, pn, pd_), \
                 (day, col, getattr(got, col), model(vals, pn, pd_))
+
+
+def _hll_mirror_registers(user_ids, p=None):
+    """Pure-Python mirror of q_hll_audit's register pipeline: 56-bit
+    md5 prefix, low-p-bit bucket, rho = leading zeros of the suffix
+    + 1 — an independent implementation (hashlib + int.bit_length)
+    for the engine's conv/bin SQL arithmetic."""
+    import hashlib
+
+    if p is None:
+        p = R.HLL_AUDIT_P
+    m = 1 << p
+    suffix_bits = R.HLL_AUDIT_HASH_BITS - p
+    regs: dict[int, int] = {}
+    for u in user_ids:
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:14], 16)
+        idx, w = h % m, h // m
+        rho = suffix_bits - w.bit_length() + 1
+        regs[idx] = max(regs.get(idx, 0), rho)
+    return regs
+
+
+def test_hll_audit_registers_match_python_mirror(spark):
+    """Every per-day register row and the merged '__all__' rows equal
+    an independent pure-Python HLL (hashlib md5 + bit_length), and
+    day_exact is the true distinct count — the register arithmetic
+    (conv/bin/shift) is pinned end to end, repeats ignored."""
+    day_users = {1: [1, 2, 3, 4, 5, 1, 2], 2: [4, 5, 6, 7],
+                 3: list(range(100, 160))}
+    ev = _events_kmv(spark, day_users)
+    out = R.q_hll_audit(ev).collect()
+    by_day: dict[str, dict[int, int]] = {}
+    exact: dict[str, int] = {}
+    for r in out:
+        by_day.setdefault(r.day, {})[r.idx] = r.reg
+        exact[r.day] = r.day_exact
+    all_users = set()
+    for day, users in day_users.items():
+        want = _hll_mirror_registers(set(users))
+        assert by_day[f"2024-01-0{day}"] == want
+        assert exact[f"2024-01-0{day}"] == len(set(users))
+        all_users |= set(users)
+    assert by_day["__all__"] == _hll_mirror_registers(all_users)
+    assert exact["__all__"] == len(all_users)
+    # mergeability: '__all__' is the register-wise max of the days
+    merged: dict[int, int] = {}
+    for day in day_users:
+        for idx, reg in by_day[f"2024-01-0{day}"].items():
+            merged[idx] = max(merged.get(idx, 0), reg)
+    assert by_day["__all__"] == merged
+
+
+def test_hll_audit_estimate_within_error_band(spark):
+    """The HLL estimate DERIVED from the audit's integer rows (raw
+    harmonic-mean form + the standard linear-counting small-range
+    correction) lands within 4 standard errors (4·1.04/sqrt(m)) of
+    the exact distinct count the table carries alongside — the gate a
+    broken register pipeline (wrong bucket bits, off-by-one rho)
+    fails by orders of magnitude."""
+    import math
+
+    n = 5000
+    ev = _events_kmv(spark, {1: range(n)})
+    rows = [r for r in R.q_hll_audit(ev).collect() if r.day == "__all__"]
+    m = 1 << R.HLL_AUDIT_P
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -r.reg for r in rows) + (m - len(rows))
+    est = alpha * m * m / s
+    v = m - len(rows)
+    if est <= 2.5 * m and v > 0:
+        est = m * math.log(m / v)
+    exact = rows[0].day_exact
+    assert exact == n
+    band = 4 * 1.04 / math.sqrt(m)
+    assert abs(est - exact) / exact < band, (est, exact, band)

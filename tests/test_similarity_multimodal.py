@@ -570,3 +570,105 @@ def test_ivfpq_knn_recall_floor_and_agreement(spark, sf_emb):
     assert all(r.adc_dist >= 0 for r in a)
     assert len({r.cell for r in a}) <= S.IVFPQ_PROBE
     assert len({r.vec_id for r in a} & brute) >= 1
+
+
+def _hyperlsh_mirror(vecs, n_tables, n_bits):
+    """Pure-Python mirror of q_hyperlsh_eval's signature pipeline
+    (hashlib md5 weights, HALF_UP grid, sign-bit buckets) — an
+    independent implementation of the engine's conv/shiftleft SQL."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    dim = len(vecs[0])
+
+    def w(t, b, pos):
+        hx = hashlib.md5(f"hp:{t}:{b}:{pos}".encode()).hexdigest()
+        return int(hx[:8], 16) - 2147483648
+
+    def grid(x):
+        return int(Decimal(repr(x * S.HLE_SCALE)).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP))
+
+    buckets = {}
+    for vid, v in enumerate(vecs):
+        p = [grid(x) for x in v]
+        for t in range(n_tables):
+            key = 0
+            for b in range(n_bits):
+                dot = sum(w(t, b, pos) * p[pos] for pos in range(dim))
+                if dot >= 0:
+                    key |= 1 << b
+            buckets.setdefault((t, key), []).append(vid)
+    pairs = {}
+    for members in buckets.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                k = (min(a, b), max(a, b))
+                pairs[k] = pairs.get(k, 0) + 1
+    return pairs
+
+
+def test_hyperlsh_eval_matches_python_mirror(spark):
+    """Candidate pairs + n_tables_hit equal an independent pure-Python
+    hyperplane LSH (hashlib weights, Decimal HALF_UP grid), and the
+    integer truth columns (dot, na, nb) match exact Python integer
+    arithmetic on the same grid — the whole audit pipeline pinned on a
+    frame small enough to enumerate."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(30)]
+    # two engineered near-dups so is_true is non-vacuous
+    vecs.append([x * 1.001 for x in vecs[0]])
+    vecs.append(list(vecs[1]))
+    e = _emb(spark, vecs)
+    out = S.q_hyperlsh_eval(e, n_tables=4, n_bits=3).collect()
+    mirror = _hyperlsh_mirror(vecs, n_tables=4, n_bits=3)
+    got_cand = {(r.vec_a, r.vec_b): r.n_tables_hit
+                for r in out if r.candidate}
+    assert got_cand == mirror
+    # integer witnesses + truth predicate, mirrored exactly
+    from fractions import Fraction
+
+    tn, td = Fraction(S.NEARDUP_THRESHOLD).limit_denominator(
+        10**6).as_integer_ratio()
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def grid(v):
+        return [int(Decimal(repr(x * S.HLE_SCALE)).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP)) for x in v]
+
+    g = [grid(v) for v in vecs]
+    true_found = 0
+    for r in out:
+        pa, pb = g[r.vec_a], g[r.vec_b]
+        dot = sum(a * b for a, b in zip(pa, pb))
+        na = sum(a * a for a in pa)
+        nb = sum(b * b for b in pb)
+        assert (r.dot, r.na, r.nb) == (dot, na, nb), (r.vec_a, r.vec_b)
+        want_true = int(dot >= 0 and dot * dot * td * td
+                        >= tn * tn * na * nb)
+        assert r.is_true == want_true
+        assert r.candidate or r.is_true
+        true_found += want_true
+    assert true_found >= 2  # the engineered near-dups are rows
+
+
+def test_hyperlsh_eval_sample_is_md5_ranked_prefix(spark):
+    """With more vectors than sample_n, the audit covers EXACTLY the
+    sample_n vec_ids with the smallest md5 rank — deterministic,
+    unbiased by vec_id order — and no pair mentions an unsampled id."""
+    import hashlib
+    import random
+
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(40)]
+    e = _emb(spark, vecs)
+    out = S.q_hyperlsh_eval(e, n_tables=4, n_bits=3, sample_n=10).collect()
+    want = set(sorted(range(40), key=lambda i: (
+        hashlib.md5(str(i).encode()).hexdigest(), i))[:10])
+    seen = {r.vec_a for r in out} | {r.vec_b for r in out}
+    assert seen <= want
+    # with 10 vectors and 4 tables of 3 bits, collisions are certain
+    # enough that the sample is non-trivially exercised
+    assert len(out) > 0

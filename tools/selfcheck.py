@@ -218,15 +218,16 @@ def main() -> int:
             # this round (every one is strict-checked in THIS file)
             "not_recorded_this_round": names[50:],
             "coverage_note": (
-                "r07 window = 16 never-driver-recorded queries + "
-                "q_als_recs (r01) + the 7 new r07 queries "
-                "(q_minhash_eval, q_simhash_eval, q_pq_knn, "
-                "q_ivfpq_knn, q_kmv_distinct, q_quantile_merge, "
-                "q_bloom_audit) + the 26 least-recently-recorded "
-                "(r04) in declaration order; with it, every declared "
-                "query has a driver row in some round 1-7. The "
-                "24-query r04 tail (q_dedup_simhash..q_profile) "
-                "rotates into r08."),
+                "r08 window = q_kcore + q_label_prop (newly "
+                "oracle-exact via unrolled-round DuckDB CTEs, first "
+                "oracle driver rows) + the 2 new r08 audit queries "
+                "(q_hll_audit, q_hyperlsh_eval) + the 24-query "
+                "r04-stale tail (q_dedup_simhash..q_profile) + the "
+                "22 oldest r05-recorded queries in declaration "
+                "order. After r08 every declared query's latest "
+                "driver row is <=3 rounds old; the 25 remaining "
+                "r05-recorded queries (q_corpus_clean..q_recommend) "
+                "rotate into r09."),
         }}
         artifact.update(results)
         with open(emit, "w") as fh:
