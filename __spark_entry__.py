@@ -351,6 +351,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_quality_gopher": lambda s, d: T.q_quality_gopher(
             _t("documents")(s, d)),
+        # fastText-slot learned-filter inference: hashed unigram
+        # buckets + broadcast weight table, integer margin (weights
+        # md5-derived stand-ins; the plumbing is the production shape)
+        "q_quality_classifier": lambda s, d: T.q_quality_classifier(
+            _t("documents")(s, d)),
         "q_dataset_fingerprint": lambda s, d: T.q_dataset_fingerprint(
             _t("documents")(s, d)),
         "q_weighted_sample": lambda s, d: T.q_weighted_sample(
@@ -518,6 +523,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             MM.with_payload(_t("documents")(s, d)), codec="stub"),
         "q_audio_features": lambda s, d: MM.decode_audio_features(
             MM.with_payload(_t("documents")(s, d)), codec="stub"),
+        # image perceptual-hash near-dup over REAL BMP bytes: the
+        # oracle computes the ideal md5->block->dHash math, so the
+        # hash-match proves the codec roundtrip byte-exactly
+        "q_image_neardup": lambda s, d: MM.q_image_neardup(
+            _t("documents")(s, d)),
         "q_recommend": lambda s, d: R.q_recommend(
             _t("lineitem")(s, d), _t("orders")(s, d)),
         # S4/S5 as a REGISTERED Spark-4 Python Data Source: planned id
@@ -571,14 +581,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   1. q_kcore / q_label_prop lead — both gained unrolled-round
     #      DuckDB oracles this round (previously rows-only), so their
     #      first ORACLE driver rows land now;
-    #   2. q_hll_audit / q_hyperlsh_eval — new this round
-    #      (oracle-exact audit twins for the last two un-audited
-    #      approximate families), never recorded;
+    #   2. the 4 queries new this round, never recorded: q_hll_audit /
+    #      q_hyperlsh_eval (oracle-exact audit twins for the last two
+    #      un-audited approximate families), q_image_neardup (the
+    #      BMP-roundtrip-proving image near-dup), and
+    #      q_quality_classifier (hashed-linear filter inference);
     #   3. the 24-query r04-stale tail (q_dedup_simhash .. q_profile,
     #      named by the r07 coverage note), three rounds of kernel
     #      churn since their last driver row;
-    #   4. the remaining 22 slots go to the next-oldest block (last
-    #      recorded r05), in declaration order; the other 25
+    #   4. the remaining 20 slots go to the next-oldest block (last
+    #      recorded r05), in declaration order; the other 27
     #      r05-recorded queries rotate into the r09 window.
     # After r08 every declared query's latest driver row is ≤3 rounds
     # old, and every query touched by the r07 exact-rational /
@@ -588,7 +600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- newly oracle-exact this round (were rows-only)
         "q_kcore", "q_label_prop",
         # -- new this round, never recorded
-        "q_hll_audit", "q_hyperlsh_eval",
+        "q_hll_audit", "q_hyperlsh_eval", "q_image_neardup",
+        "q_quality_classifier",
         # -- r04-stale tail, declaration order
         "q_dedup_simhash", "q_dedup_groups", "q_dedup_char_jaccard",
         "q_cc_chain_star", "q_cc_chain_minlabel", "q_chunk_dedup",
@@ -604,8 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_window", "q_scd2", "q_resample", "q_percentiles",
         "q_outliers", "q_window_analytics", "q_range_join",
         "q_tfidf_top_terms", "q_quality_score", "q_quality_gopher",
-        "q_weighted_sample", "q_sample_stable", "q_text_embed",
-        "q_chunk_knn", "q_knn_text",
+        "q_weighted_sample", "q_sample_stable", "q_chunk_knn",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -2395,6 +2407,64 @@ def oracle_sql() -> dict[str, str]:
                        END AS rms
             FROM p
         """,
+        # q_image_neardup oracle: the IDEAL md5->pixel->block-mean->
+        # dHash->pigeonhole arithmetic, computed directly — the engine
+        # reaches the same rows only if its BMP encode (BGR bottom-up
+        # rows, stride) and byte-parser invert each other exactly, so
+        # this hash-match is a codec-roundtrip proof (multimodal.py
+        # block comment).
+        "q_image_neardup": f"""
+            WITH d AS (SELECT doc_id FROM documents),
+            px AS (SELECT d.doc_id, y.y, x.x,
+                      CASE WHEN y.y // {MM.PHASH_BLOCK}
+                                = d.doc_id % {MM.PHASH_GROUP}
+                            AND x.x // {MM.PHASH_BLOCK}
+                                = 2 * (d.doc_id % {MM.PHASH_GROUP})
+                           THEN CAST('0x' || substring(md5(concat_ws(
+                                ':', 'pert', d.doc_id, y.y, x.x // 16)),
+                                2 * (x.x % 16) + 1, 2) AS BIGINT)
+                           ELSE CAST('0x' || substring(md5(concat_ws(
+                                ':', 'img',
+                                d.doc_id // {MM.PHASH_GROUP}, y.y,
+                                x.x // 16)),
+                                2 * (x.x % 16) + 1, 2) AS BIGINT)
+                      END AS v
+                   FROM d,
+                        (SELECT unnest(range(0,
+                            {MM.PHASH_GRID_H * MM.PHASH_BLOCK})) AS y) y,
+                        (SELECT unnest(range(0,
+                            {MM.PHASH_GRID_W * MM.PHASH_BLOCK})) AS x) x),
+            g AS (SELECT doc_id, y // {MM.PHASH_BLOCK} AS r,
+                         x // {MM.PHASH_BLOCK} AS c,
+                         sum(v) // {MM.PHASH_BLOCK * MM.PHASH_BLOCK} AS g
+                  FROM px GROUP BY 1, 2, 3),
+            sig AS (SELECT a.doc_id,
+                           CAST(sum(CASE WHEN a.g < b.g
+                                    THEN (CAST(1 AS BIGINT)
+                                          << (a.r * 8 + a.c))
+                                    ELSE 0 END) AS BIGINT) AS sig
+                    FROM g a JOIN g b
+                      ON b.doc_id = a.doc_id AND b.r = a.r
+                         AND b.c = a.c + 1
+                    GROUP BY 1),
+            segs AS (SELECT doc_id, sig, s.s,
+                            (sig >> ({56 // MM.PHASH_SEGS} * s.s))
+                            & {(1 << (56 // MM.PHASH_SEGS)) - 1} AS v
+                     FROM sig,
+                          (SELECT unnest(range(0, {MM.PHASH_SEGS}))
+                              AS s) s),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a,
+                            b.doc_id AS doc_b, b.sig AS sig_b
+                     FROM segs a JOIN segs b
+                       ON a.s = b.s AND a.v = b.v
+                          AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER)
+                       AS hamming
+            FROM cand
+            WHERE bit_count(xor(sig_a, sig_b)) <= {MM.PHASH_HMAX}
+            ORDER BY doc_a, doc_b
+        """,
         # Chain graph = maximal runs of consecutive ids inside an
         # id-block, so CC reduces to gaps-and-islands SQL — no recursion
         # needed; comp = min id of the run. Both CC variants share it.
@@ -4064,6 +4134,28 @@ def oracle_sql() -> dict[str, str]:
                         AND n_alpha * 1.0 / n_words >= 0.8
                         AND n_stop >= 2 AS INT) AS keep
             FROM m
+        """,
+        # hashed-linear-classifier inference mirrored: same 56-bit md5
+        # bucket/weight recipe, bag-of-words multiplicity kept
+        "q_quality_classifier": f"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS t
+                         FROM documents),
+            f AS (SELECT doc_id,
+                         CAST('0x' || substring(md5(t), 1, 14)
+                              AS BIGINT) % {T.QCL_BUCKETS} AS bucket
+                  FROM tok),
+            w AS (SELECT b.b AS bucket,
+                         CAST('0x' || substring(md5(
+                             'qw:' || CAST(b.b AS VARCHAR)), 1, 14)
+                              AS BIGINT) % {T.QCL_WRANGE} - 8 AS weight
+                  FROM (SELECT unnest(range(0, {T.QCL_BUCKETS}))
+                            AS b) b)
+            SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(w.weight) AS BIGINT) AS margin,
+                   CAST(sum(w.weight) > 0 AS INTEGER) AS kept
+            FROM f JOIN w USING (bucket)
+            GROUP BY 1 ORDER BY 1
         """,
         # Same RANGE frame as q_rolling_window; z rounds to 2dp BEFORE
         # the threshold compare on BOTH engines so the flag is stable

@@ -438,3 +438,214 @@ def resize_images(with_payload_df: DataFrame, target: int = 32,
             })
 
     return with_payload_df.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash near-dup (q_image_neardup) — the image-dedup
+# stage every multimodal training pipeline runs (LAION/DataComp-style
+# pHash dedup), built over the REAL stdlib BMP codec:
+#
+#   synth (md5-derived pixels -> actual 24-bit BMP bytes, bottom-up
+#   rows)  ->  decode (byte-parse the BMP back to the pixel grid)  ->
+#   4x4 block floor-mean downsample  ->  56-bit dHash (g[r][c] <
+#   g[r][c+1], 8 comparisons x 7 rows)  ->  pigeonhole 14-bit-segment
+#   blocking  ->  exact hamming <= PHASH_HMAX verify.
+#
+# ORACLE-EXACT BY COMPOSITION: the synthetic pixels are a pure md5
+# function of (doc_id, y, x), so DuckDB computes the ideal
+# pixel->block->dHash arithmetic directly — the engine's answer equals
+# it ONLY if the BMP encode (BGR triples, bottom-up row order, stride)
+# and the byte-parser invert each other exactly. The oracle match is
+# therefore a driver-checked proof of the whole codec roundtrip, not
+# just of the hash math — the strongest check the multimodal family
+# has (its other decode paths are pytest-mirrored, rows-only).
+#
+# The synthetic corpus plants near-dups: docs share a base image in
+# groups of PHASH_GROUP, each doc perturbing ONE 4x4 grid cell
+# (row o, col 2o for o = doc_id % PHASH_GROUP — non-adjacent cells,
+# so a perturbed cell touches <= 2 dHash comparisons and intra-group
+# hamming stays <= 3 while cross-group pairs measure ~26/56 bits
+# (measured: intra max 3, cross min 15). PHASH_HMAX = 3 with 4
+# segments of 14 bits is then the exact pigeonhole guarantee — a pair
+# within the radius cannot differ in every segment (q_dedup_simhash's
+# blocking, same constants).
+# ---------------------------------------------------------------------------
+PHASH_GRID_W = 9   # dHash grid: 9 cols -> 8 comparisons per row
+PHASH_GRID_H = 7   # 7 rows -> 56 bits (sign-safe in a BIGINT)
+PHASH_BLOCK = 4    # image = 36x28, downsampled by 4x4 floor means
+PHASH_GROUP = 4    # docs per shared base image
+PHASH_HMAX = 3
+PHASH_SEGS = 4     # 4 segments x 14 bits = 56
+
+DHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sig", LongType()),
+])
+
+
+def _synth_pixel(doc_id: int, y: int, x: int) -> int:
+    """Grayscale byte at (y, x): md5-derived from the doc's GROUP base
+    image, except inside the doc's own perturbed cell. One md5 digest
+    covers 16 consecutive pixels (byte x%16 of the x//16 chunk) — 16×
+    fewer hash calls than per-pixel keys on BOTH engines, same
+    portability (SQL reads hex pair 2·(x%16)+1)."""
+    o = doc_id % PHASH_GROUP
+    if y // PHASH_BLOCK == o and x // PHASH_BLOCK == 2 * o:
+        key = f"pert:{doc_id}:{y}:{x // 16}"
+    else:
+        key = f"img:{doc_id // PHASH_GROUP}:{y}:{x // 16}"
+    return hashlib.md5(key.encode()).digest()[x % 16]
+
+
+def synth_bmp(documents: DataFrame) -> DataFrame:
+    """(doc_id, payload) — REAL 24-bit BI_RGB BMP bytes (bottom-up
+    rows, BGR triples, 4-byte row stride) for the deterministic
+    synthetic image of each doc. Arrow-batched; ~1k md5 calls per doc."""
+    w = PHASH_GRID_W * PHASH_BLOCK
+    h = PHASH_GRID_H * PHASH_BLOCK
+
+    def encode(doc_id: int) -> bytes:
+        row_bytes = w * 3
+        stride = (row_bytes + 3) & ~3
+        pad = b"\x00" * (stride - row_bytes)
+        px_size = stride * h
+        header = (b"BM"
+                  + (54 + px_size).to_bytes(4, "little")
+                  + b"\x00\x00\x00\x00"
+                  + (54).to_bytes(4, "little")
+                  + (40).to_bytes(4, "little")
+                  + w.to_bytes(4, "little")
+                  + h.to_bytes(4, "little")         # positive: bottom-up
+                  + (1).to_bytes(2, "little")
+                  + (24).to_bytes(2, "little")
+                  + (0).to_bytes(4, "little")       # BI_RGB
+                  + px_size.to_bytes(4, "little")
+                  + b"\x00" * 16)
+        o = doc_id % PHASH_GROUP
+        py0, px0 = o * PHASH_BLOCK, 2 * o * PHASH_BLOCK  # perturbed cell
+        rows = []
+        for r_file in range(h):                     # file order: bottom row first
+            y = h - 1 - r_file
+            in_prow = py0 <= y < py0 + PHASH_BLOCK
+            row = bytearray()
+            for chunk in range((w + 15) // 16):
+                img_d = hashlib.md5(
+                    f"img:{doc_id // PHASH_GROUP}:{y}:{chunk}"
+                    .encode()).digest()
+                pert_d = (hashlib.md5(
+                    f"pert:{doc_id}:{y}:{chunk}".encode()).digest()
+                    if in_prow else None)
+                for x in range(chunk * 16, min((chunk + 1) * 16, w)):
+                    d = (pert_d if in_prow
+                         and px0 <= x < px0 + PHASH_BLOCK else img_d)
+                    v = d[x % 16]
+                    row += bytes((v, v, v))         # B, G, R (equal)
+            rows.append(bytes(row) + pad)
+        return header + b"".join(rows)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [encode(int(d)) for d in pdf["doc_id"]],
+            })
+
+    return documents.select("doc_id").mapInPandas(
+        fn, StructType([StructField("doc_id", LongType()),
+                        StructField("payload", BinaryType())]))
+
+
+def bmp_dhash(payloads: DataFrame) -> DataFrame:
+    """(doc_id, sig) — byte-parse each 24-bit BMP back to its pixel
+    grid (this is a decoder: wrong magic/compression raises), floor-
+    mean every PHASH_BLOCK x PHASH_BLOCK block, pack the 56 dHash
+    comparison bits into a BIGINT."""
+    gw, gh, blk = PHASH_GRID_W, PHASH_GRID_H, PHASH_BLOCK
+
+    def dhash(payload: bytes) -> int:
+        if payload[:2] != b"BM":
+            raise ValueError("bmp_dhash expects BMP payloads")
+        pixel_off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if comp != 0 or bpp != 24 or h <= 0:
+            raise ValueError("bmp_dhash supports bottom-up BI_RGB 24-bit")
+        if (w, h) != (gw * blk, gh * blk):
+            raise ValueError(f"unexpected dimensions {w}x{h}")
+        stride = (w * 3 + 3) & ~3
+        sums = [[0] * gw for _ in range(gh)]
+        for r_file in range(h):
+            y = h - 1 - r_file
+            base = pixel_off + r_file * stride
+            row = payload[base:base + w * 3]
+            gy = y // blk
+            for x in range(w):
+                sums[gy][x // blk] += row[x * 3]    # blue == gray here
+        n = blk * blk
+        g = [[s // n for s in row] for row in sums]
+        sig = 0
+        for r in range(gh):
+            for c in range(gw - 1):
+                if g[r][c] < g[r][c + 1]:
+                    sig |= 1 << (r * 8 + c)
+        return sig
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sig": [dhash(bytes(b)) for b in pdf["payload"]],
+            })
+
+    return payloads.mapInPandas(fn, DHASH_SCHEMA)
+
+
+def q_image_neardup(documents: DataFrame,
+                    hamming_max: int = PHASH_HMAX) -> DataFrame:
+    """Declared query: perceptual-hash image near-dup pairs over the
+    synthetic BMP corpus — (doc_a, doc_b, hamming) for every pair
+    within ``hamming_max`` dHash bits. See the module-level block
+    comment: the DuckDB oracle computes the ideal md5→block→dHash
+    arithmetic, so the hash-match proves the BMP encode/decode
+    roundtrip byte-exactly.
+
+    Scale shape: synth+hash are two map-only Arrow stages (no
+    shuffle); blocking is one (segment, value)-keyed equi-join whose
+    chance-collision volume is ~n²·segs/2^(seg_bits+1) — measured 19×
+    wall at 100× docs (SCALE.md §Round 8), the structural floor of
+    multi-index hamming at FIXED hash width (pigeonhole exactness
+    pins segments = hamming_max+1 over all 56 bits, so unlike LSH
+    this cannot be occupancy-resized). The production knob is hash
+    WIDTH: a 128/256-bit dHash (finer grid) gives 32/64-bit segments
+    and a n²/2^33 floor, negligible to ~10M images; real image
+    corpora are also far kinder than this uniform-random synthetic
+    (true pHashes cluster on near-dups). On real corpora the synth
+    stage is replaced by reading stored image bytes — the decoder and
+    everything after it are the production path."""
+    sigs = bmp_dhash(synth_bmp(documents)).localCheckpoint(eager=False)
+    seg_w = 56 // PHASH_SEGS
+    segs = sigs.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.expr(f"(sig >> {seg_w * s}) & {(1 << seg_w) - 1}")
+                     .alias("v"))
+            for s in range(PHASH_SEGS)])).alias("seg"))
+    a = segs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("sig").alias("sig_a"),
+                    F.col("seg.s").alias("s"), F.col("seg.v").alias("v"))
+    b = segs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("sig").alias("sig_b"),
+                    F.col("seg.s").alias("s"), F.col("seg.v").alias("v"))
+    return (
+        a.join(b, ["s", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                F.expr("bit_count(sig_a ^ sig_b)").cast("int")
+                .alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= hamming_max)
+        .orderBy("doc_a", "doc_b")
+    )

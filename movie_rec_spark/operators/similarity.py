@@ -823,7 +823,7 @@ def q_hyperlsh_eval(embeddings: DataFrame,
     ).select("vec_id", F.col("sp.p").alias("pv"),
              F.lit(1).alias("g"))
 
-    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         order = np.argsort(ids)
         ids = ids[order]

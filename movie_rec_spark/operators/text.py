@@ -288,6 +288,66 @@ def q_quality_gopher(documents: DataFrame,
     )
 
 
+# Hashed linear quality classifier (q_quality_classifier): the third
+# member of the filter family — q_quality_score/q_quality_gopher are
+# RULES, q_unigram/bigram_logprob are LM perplexity, this is the
+# fastText-style LEARNED-classifier slot (CCNet's quality filter).
+# The weight table is what a trained model ships: QCL_BUCKETS hashed
+# feature buckets, one integer weight each. Here the weights are
+# md5-derived stand-ins (this container trains nothing), but the
+# PLUMBING is the production shape — a materialized weight table
+# broadcast-joined onto hashed token features — and every step is
+# integer arithmetic both engines compute identically, so the filter
+# margin is oracle-exact (the multimodal stub-decode posture applied
+# to classifier inference).
+QCL_BUCKETS = 8192
+QCL_WRANGE = 17  # weights in [-8, 8]
+
+
+def classifier_weights(spark) -> DataFrame:
+    """(bucket, weight) — the broadcastable weight table. weight =
+    md5('qw:'+bucket) mod 17 − 8; swap this constructor for a real
+    trained table (parquet read) without touching the query."""
+    return spark.range(QCL_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (F.conv(F.substring(F.md5(F.concat(
+            F.lit("qw:"), F.col("id").cast("string")).cast("binary")),
+            1, 14), 16, 10).cast("long") % QCL_WRANGE - 8)
+        .alias("weight"))
+
+
+def q_quality_classifier(documents: DataFrame) -> DataFrame:
+    """Declared query: linear classifier scoring over hashed unigram
+    features — per doc, tokens hash into QCL_BUCKETS buckets (56-bit
+    md5 prefix mod buckets, the shared portable recipe), bucket
+    weights broadcast-join on, and the doc's margin is the integer
+    weight sum. Output: doc_id, n_tokens, margin, kept (margin > 0).
+
+    Scale shape: one map-side token explode + ONE broadcast join (the
+    weight table is QCL_BUCKETS rows — KBs at any corpus size) + one
+    doc-keyed sum; no shuffle moves more than (doc_id, weight) rows.
+    This is exactly the inference plan of a fastText/logistic filter
+    over a 100 TB corpus: the model broadcasts, the corpus streams.
+    Duplicate tokens keep their multiplicity (bag-of-words, not set).
+    """
+    spark = documents.sparkSession
+    tok = documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    bucket = (F.conv(F.substring(F.md5(F.col("t").cast("binary")),
+                                 1, 14), 16, 10).cast("long")
+              % QCL_BUCKETS)
+    feats = tok.select("doc_id", bucket.alias("bucket"))
+    return (
+        feats.join(F.broadcast(classifier_weights(spark)), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+             F.sum("weight").cast("long").alias("margin"))
+        .select("doc_id", "n_tokens", "margin",
+                (F.col("margin") > 0).cast("int").alias("kept"))
+        .orderBy("doc_id")
+    )
+
+
 def q_sample_stable(documents: DataFrame) -> DataFrame:
     """Deterministic content-hash sampling / dataset splitting — the
     production alternative to ``df.sample`` (whose RNG stream is

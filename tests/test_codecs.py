@@ -173,3 +173,77 @@ def test_stdlib_wave_decode_always_runs(spark):
     assert row.n_samples == n
     assert row.duration_sec == pytest.approx(1.0)
     assert row.rms == pytest.approx(amp / math.sqrt(2), abs=2e-3)
+
+
+def _dhash_mirror(doc_ids):
+    """Independent pure-Python mirror of the q_image_neardup pipeline
+    (hashlib pixels via MM._synth_pixel's definitional form, block
+    floor-means, dHash packing) — never touches BMP bytes, so engine
+    agreement proves the encode->parse roundtrip is the identity."""
+    from movie_rec_spark.operators import multimodal as MM
+
+    gw, gh, blk = MM.PHASH_GRID_W, MM.PHASH_GRID_H, MM.PHASH_BLOCK
+    sigs = {}
+    for d in doc_ids:
+        g = [[sum(MM._synth_pixel(d, r * blk + i, c * blk + j)
+                  for i in range(blk) for j in range(blk)) // (blk * blk)
+              for c in range(gw)] for r in range(gh)]
+        s = 0
+        for r in range(gh):
+            for c in range(gw - 1):
+                if g[r][c] < g[r][c + 1]:
+                    s |= 1 << (r * 8 + c)
+        sigs[d] = s
+    return sigs
+
+
+def test_image_neardup_matches_pure_python_mirror(spark):
+    """Engine dHash signatures (through REAL BMP encode + byte-parse)
+    equal the mirror that computes the math directly, and the declared
+    query's pairs equal brute-forced mirror hamming <= PHASH_HMAX."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(48)])
+    sigs = {r.doc_id: r.sig
+            for r in MM.bmp_dhash(MM.synth_bmp(docs)).collect()}
+    mirror = _dhash_mirror(range(48))
+    assert sigs == mirror
+    want = {(a, b) for a, b in itertools.combinations(range(48), 2)
+            if bin(mirror[a] ^ mirror[b]).count("1") <= MM.PHASH_HMAX}
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in MM.q_image_neardup(docs).collect()}
+    assert set(got) == want
+    for (a, b), h in got.items():
+        assert h == bin(mirror[a] ^ mirror[b]).count("1")
+    # non-vacuous both ways: real near-dups found, and the planted
+    # groups dominate them
+    assert len(got) > 0
+    assert all(a // MM.PHASH_GROUP == b // MM.PHASH_GROUP
+               for a, b in got)
+
+
+def test_bmp_dhash_rejects_corrupt_payloads(spark):
+    """bmp_dhash is a decoder, not a fallback: wrong magic and wrong
+    dimensions raise instead of producing fake signatures."""
+    from pyspark.sql import Row
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([Row(doc_id=0)])
+    good = bytes(MM.synth_bmp(docs).collect()[0].payload)
+
+    bad_magic = b"XX" + good[2:]
+    df = spark.createDataFrame([Row(doc_id=0, payload=bad_magic)])
+    with pytest.raises(Exception, match="BMP"):
+        MM.bmp_dhash(df).collect()
+
+    bad_dims = bytearray(good)
+    bad_dims[18:22] = (7).to_bytes(4, "little")
+    df2 = spark.createDataFrame(
+        [Row(doc_id=0, payload=bytes(bad_dims))])
+    with pytest.raises(Exception, match="dimensions|truncated"):
+        MM.bmp_dhash(df2).collect()

@@ -271,6 +271,21 @@ def test_new_operator_shuffle_budgets(spark):
         "q_bloom_audit": 5,      # bit-set distinct + probe agg + the
                                  # digest truth join; the probe side
                                  # joins the filter BROADCAST
+        # round-8 additions
+        "q_hll_audit": 7,        # (day,idx) max agg + per-day/global
+                                 # countDistinct pairs + the tiny
+                                 # merged-register agg; joins broadcast
+        "q_hyperlsh_eval": 9,    # id-rank window + sig/bucket aggs +
+                                 # bucket self-join + audit full-outer;
+                                 # the GEMM truth is ONE checkpointed
+                                 # task, the 8.4M-row position join it
+                                 # replaced is gone
+        "q_image_neardup": 2,    # synth+dhash are map-only Arrow
+                                 # stages behind the checkpoint; only
+                                 # the segment self-join + pair dedup
+                                 # move
+        "q_quality_classifier": 2,  # weights broadcast; one doc-keyed
+                                    # agg + the presentation sort
     }
     qs = E.queries()
     for name, budget in budgets.items():

@@ -34,6 +34,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 from movie_rec_spark.operators import dedup as D  # noqa: E402
+from movie_rec_spark.operators import multimodal as MM  # noqa: E402
 from movie_rec_spark.operators import similarity as S  # noqa: E402
 from movie_rec_spark.operators import text as T  # noqa: E402
 from movie_rec_spark.session import get_spark  # noqa: E402
@@ -149,6 +150,15 @@ def measure(spark, sf_dir: str) -> dict:
         # scan (IVF-PQ); wall must track rows
         "q_pq_knn": lambda: S.q_pq_knn(emb),
         "q_ivfpq_knn": lambda: S.q_ivfpq_knn(emb),
+        # round 8: the hyperplane-LSH audit runs on its FIXED
+        # 512-vector md5-ranked sample, so its wall must be
+        # ~scale-INVARIANT (only the rank-and-sample scan grows); the
+        # image near-dup is two map-only Arrow stages + segment
+        # blocking (linear); classifier inference is explode +
+        # broadcast join + doc agg (linear in tokens)
+        "q_hyperlsh_eval": lambda: S.q_hyperlsh_eval(emb),
+        "q_image_neardup": lambda: MM.q_image_neardup(docs),
+        "q_quality_classifier": lambda: T.q_quality_classifier(docs),
     }
     # SCALE_SKIP_WALL: comma list of queries whose WALL run is skipped
     # (their candidate counts below still get measured — blocking_stats
@@ -160,8 +170,12 @@ def measure(spark, sf_dir: str) -> dict:
     # result, not something to re-crash the heap proving.
     skip_wall = set(filter(None, os.environ.get(
         "SCALE_SKIP_WALL", "").split(",")))
+    # SCALE_ONLY_WALL: comma allowlist — time ONLY these queries (for
+    # adding new members' rows without re-running the whole family)
+    only_wall = set(filter(None, os.environ.get(
+        "SCALE_ONLY_WALL", "").split(",")))
     for name, fn in queries.items():
-        if name in skip_wall:
+        if name in skip_wall or (only_wall and name not in only_wall):
             out["wall"][name] = None
             continue
         out["wall"][name] = round(_time(fn), 1)
@@ -181,6 +195,9 @@ def measure(spark, sf_dir: str) -> dict:
             ["tbl", "bucket"]),
     }
     for name, (b, cols) in blocked.items():
+        if only_wall:  # new-member-only run: skip the blocking stats
+            out["cand"][name] = (0, 0)
+            continue
         r = D.blocking_stats(b, cols).collect()[0]
         out["cand"][name] = (int(r.candidate_pairs), int(r.max_occ))
     return out
