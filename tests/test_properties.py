@@ -973,3 +973,56 @@ def test_simhash_eval_matches_python_mirror_property(spark, words):
                                 r.n_inter, r.n_union)
            for r in D.q_simhash_eval(df).collect()}
     assert got == want
+
+
+@given(st.integers(min_value=1, max_value=1000),
+       st.integers(min_value=1, max_value=1000),
+       st.fractions(min_value=__import__("fractions").Fraction(1, 100),
+                    max_value=__import__("fractions").Fraction(99, 100),
+                    max_denominator=100))
+def test_jaccard_threshold_frac_is_boundary_exact(i, extra, thr):
+    """The rational cut i*den >= union*num must agree with EXACT
+    fraction comparison i/union >= thr for every (i, union) and every
+    small-denominator threshold — including pairs exactly AT the
+    threshold, the class int(1/t*1000) silently excluded (ADVICE r7:
+    t=0.9 rejected Jaccard exactly 9/10). Pure integer model, no
+    Spark."""
+    from fractions import Fraction
+
+    from movie_rec_spark.operators.dedup import jaccard_threshold_frac
+
+    union = i + extra - 1  # union >= i always
+    num, den = jaccard_threshold_frac(float(thr))
+    got = i * den >= union * num
+    want = Fraction(i, union) >= Fraction(num, den)
+    assert got == want
+    # limit_denominator recovers small-denominator thresholds exactly
+    assert Fraction(num, den) == thr
+
+
+@given(st.integers(min_value=0, max_value=(1 << 56) - 1))
+def test_hll_rho_formula_matches_bit_length(h):
+    """rho = 49 - len(bin(w)) (the engines' length(bin(w)) arithmetic,
+    with the w=0 -> 49 special case) must equal the definitional
+    leading-zero count of the 48-bit suffix + 1 for EVERY 56-bit
+    hash. Pure-integer model of relational.q_hll_audit's kernel."""
+    from movie_rec_spark.operators.relational import (
+        HLL_AUDIT_HASH_BITS,
+        HLL_AUDIT_P,
+    )
+
+    p = HLL_AUDIT_P
+    w = h >> p  # suffix (engine uses h div 2^p; same for nonneg)
+    suffix_bits = HLL_AUDIT_HASH_BITS - p
+    # engine formula: special-case 0, else 49 - length(bin(w));
+    # Python's bin() prefixes '0b', SQL bin() does not
+    rho_engine = (suffix_bits + 1 if w == 0
+                  else suffix_bits + 1 - (len(bin(w)) - 2))
+    # definition: leading zeros in the suffix_bits-wide window + 1
+    rho_def = 1
+    for bit in range(suffix_bits - 1, -1, -1):
+        if w >> bit & 1:
+            break
+        rho_def += 1
+    assert rho_engine == rho_def
+    assert 1 <= rho_engine <= suffix_bits + 1
