@@ -40,6 +40,7 @@ from movie_rec_spark.sources import layout as L  # noqa: E402
 from movie_rec_spark.sources import restds as RD  # noqa: E402
 from movie_rec_spark.sources.catalog import load_table, table_rows  # noqa: E402
 from movie_rec_spark.streaming import anomaly as SA  # noqa: E402
+from movie_rec_spark.streaming import dedupe as SD  # noqa: E402
 from movie_rec_spark.streaming import joins as SJ  # noqa: E402
 from movie_rec_spark.streaming import lakehouse as SL  # noqa: E402
 from movie_rec_spark.streaming import sessions as SS  # noqa: E402
@@ -243,6 +244,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # at-least-once contract driver-verified against the same
         # oracle as q_merge_events (streaming/lakehouse.py)
         "q_merge_stream": lambda s, d: SL.q_merge_stream(
+            _t("events")(s, d)),
+        # streaming ingestion dedup: first occurrence per key emitted
+        # once, replayed in-order with one batch delivered TWICE; the
+        # pinned arrival order makes min(event_id) the exact oracle
+        "q_stream_dedup": lambda s, d: SD.q_stream_dedup(
             _t("events")(s, d)),
         "q_scd2": lambda s, d: TP.q_scd2(_t("events")(s, d)),
         # leakage-safe time-series CV: expanding-window backtest folds
@@ -581,16 +587,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   1. q_kcore / q_label_prop lead — both gained unrolled-round
     #      DuckDB oracles this round (previously rows-only), so their
     #      first ORACLE driver rows land now;
-    #   2. the 4 queries new this round, never recorded: q_hll_audit /
+    #   2. the 5 queries new this round, never recorded: q_hll_audit /
     #      q_hyperlsh_eval (oracle-exact audit twins for the last two
     #      un-audited approximate families), q_image_neardup (the
-    #      BMP-roundtrip-proving image near-dup), and
-    #      q_quality_classifier (hashed-linear filter inference);
+    #      BMP-roundtrip-proving image near-dup), q_quality_classifier
+    #      (hashed-linear filter inference), and q_stream_dedup
+    #      (stateful streaming ingestion dedup, duplicate-batch
+    #      idempotence driver-proven);
     #   3. the 24-query r04-stale tail (q_dedup_simhash .. q_profile,
     #      named by the r07 coverage note), three rounds of kernel
     #      churn since their last driver row;
-    #   4. the remaining 20 slots go to the next-oldest block (last
-    #      recorded r05), in declaration order; the other 27
+    #   4. the remaining 19 slots go to the next-oldest block (last
+    #      recorded r05), in declaration order; the other 28
     #      r05-recorded queries rotate into the r09 window.
     # After r08 every declared query's latest driver row is ≤3 rounds
     # old, and every query touched by the r07 exact-rational /
@@ -601,7 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore", "q_label_prop",
         # -- new this round, never recorded
         "q_hll_audit", "q_hyperlsh_eval", "q_image_neardup",
-        "q_quality_classifier",
+        "q_quality_classifier", "q_stream_dedup",
         # -- r04-stale tail, declaration order
         "q_dedup_simhash", "q_dedup_groups", "q_dedup_char_jaccard",
         "q_cc_chain_star", "q_cc_chain_minlabel", "q_chunk_dedup",
@@ -617,7 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_window", "q_scd2", "q_resample", "q_percentiles",
         "q_outliers", "q_window_analytics", "q_range_join",
         "q_tfidf_top_terms", "q_quality_score", "q_quality_gopher",
-        "q_weighted_sample", "q_sample_stable", "q_chunk_knn",
+        "q_weighted_sample", "q_chunk_knn",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -1792,6 +1800,16 @@ def oracle_sql() -> dict[str, str]:
         # delivery is a no-op by the ts guard (one shared constant,
         # three views of one scenario)
         "q_merge_stream": _MERGE_EVENTS_SQL,
+        # streaming first-occurrence dedup: in-order event_id-range
+        # staging pins first-arrived == global min per key, and the
+        # twice-delivered batch must change nothing
+        "q_stream_dedup": """
+            SELECT user_id, event_type,
+                   CAST(min(event_id) AS BIGINT) AS first_event_id
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
         "q_snapshot_asof": _SNAPSHOT_ASOF_SQL,
         "q_snapshot_cdf": _SNAPSHOT_CDF_SQL,
         # The maintained view must equal a PLAIN GROUP BY over the v2

@@ -1,0 +1,118 @@
+"""Streaming ingestion dedup — emit each key's FIRST occurrence only.
+
+The ingestion-dedup stage of a training-data pipeline: upstream
+delivery is at-least-once (retries, replayed partitions), downstream
+wants exactly-one row per logical key. State per key is a single
+first-seen marker, so this is the minimal stateful operator: the
+at-scale cost model is |distinct keys| state rows (the
+tools/stream_state_scale.py regime analysis applies verbatim — state
+tracks KEYS, never events).
+
+Two implementations of the same processor:
+
+- ``stream_dedup_first`` — `applyInPandasWithState` (GroupState), the
+  API this container fully supports; backs the DECLARED oracle-backed
+  q_stream_dedup.
+- ``FirstSeenProcessor`` (tests/test_streaming.py) — the SAME logic on
+  Spark 4's `transformWithStateInPandas` StatefulProcessor API.
+  ENVIRONMENT-BOUND: the TWS Python runner imports google.protobuf,
+  which this container does not ship (and installs are forbidden), so
+  the TWS twin is `skipif`-gated exactly like the PIL/soundfile codec
+  branches (tests/test_codecs.py posture) and runs automatically in
+  any image that has protobuf.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+DEDUP_OUTPUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("first_event_id", LongType()),
+])
+
+# state: the first event_id seen for this key
+DEDUP_STATE = StructType([StructField("first_event_id", LongType())])
+
+
+def _first_seen(key: tuple, pdfs: Iterable[pd.DataFrame],
+                state: Any) -> Iterator[pd.DataFrame]:
+    """Emit the key's first-arrived event once; suppress everything
+    after. Within a micro-batch 'first' is the min event_id (a batch
+    has no intra-order); across batches the state marker wins."""
+    if state.exists:
+        return
+    first = None
+    for pdf in pdfs:
+        m = int(pdf["event_id"].min())
+        if first is None or m < first:
+            first = m
+    if first is None:
+        return
+    state.update((first,))
+    user_id, event_type = key
+    yield pd.DataFrame({
+        "user_id": [int(user_id)],
+        "event_type": [str(event_type)],
+        "first_event_id": [first],
+    })
+
+
+def stream_dedup_first(stream: DataFrame) -> DataFrame:
+    """(user_id, event_type)-keyed first-occurrence filter over a
+    stream of events. O(1) state per key, NoTimeout (ingestion dedup
+    keys live as long as the pipeline; production would add a TTL
+    timer sized to the upstream's replay horizon)."""
+    return (
+        stream.select("user_id", "event_type", "event_id")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _first_seen,
+            outputStructType=DEDUP_OUTPUT,
+            stateStructType=DEDUP_STATE,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def q_stream_dedup(events: DataFrame) -> DataFrame:
+    """Declared query: streaming ingestion dedup replayed over the
+    events table in FOUR in-order event_id-range micro-batches, with
+    the second batch delivered TWICE (the at-least-once simulation —
+    q_merge_stream's staging trick applied to a stateful operator).
+    Emitted rows are each (user_id, event_type)'s first occurrence.
+
+    ORACLE-EXACT because arrival order is pinned by the staging: the
+    batches partition event_id space in increasing ranges, so the
+    first-ARRIVED event per key is the globally minimal event_id, and
+    the duplicate batch must change nothing — the oracle is the plain
+    ``min(event_id) GROUP BY user_id, event_type``. A dedup that ever
+    re-emits (state lost, wrong key, duplicate delivery leaking
+    through) produces extra rows and fails the row-count check before
+    the hash is even compared.
+
+    Scale shape: state is one marker row per distinct key (measured
+    regime: state tracks keys, never events — SCALE.md §Round 8);
+    the emitted stream is exactly |keys| rows.
+    """
+    from movie_rec_spark.streaming.replay import replay_file_stream
+
+    schema = "event_id bigint, user_id bigint, event_type string"
+    ev = events.select("event_id", "user_id", "event_type")
+    n = ev.agg(F.max("event_id")).first()[0] or 0
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n + 1]
+    batches = [ev.filter((F.col("event_id") >= lo)
+                         & (F.col("event_id") < hi))
+               for lo, hi in zip(cuts, cuts[1:])]
+    batches.insert(2, batches[1])  # batch 2 delivered twice
+    out = replay_file_stream(
+        batches, schema, stream_dedup_first, prefix="mrs_dedup_")
+    return out.orderBy("user_id", "event_type")

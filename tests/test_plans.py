@@ -286,6 +286,8 @@ def test_new_operator_shuffle_budgets(spark):
                                  # move
         "q_quality_classifier": 2,  # weights broadcast; one doc-keyed
                                     # agg + the presentation sort
+        "q_stream_dedup": 1,     # checkpointed stream output + the
+                                 # presentation sort only
     }
     qs = E.queries()
     for name, budget in budgets.items():

@@ -667,3 +667,106 @@ def test_heavy_hitters_stream_query_equals_batch(spark):
     want = {(r.user_id, r.n_occurrences)
             for r in q_heavy_hitters(ev).collect()}
     assert got == want and got
+
+
+def test_stream_dedup_first_occurrence_and_idempotence(spark):
+    """q_stream_dedup emits exactly one row per (user_id, event_type)
+    — the key's globally minimal event_id under the pinned in-order
+    staging — and the TWICE-delivered batch changes nothing (the
+    at-least-once contract). Checked against a plain batch min()."""
+    from pyspark.sql import functions as F
+
+    from movie_rec_spark.streaming.dedupe import q_stream_dedup
+
+    ev = load_table(spark, SF, "events")
+    got = {(r.user_id, r.event_type): r.first_event_id
+           for r in q_stream_dedup(ev).collect()}
+    want = {(r.user_id, r.event_type): r.m
+            for r in ev.groupBy("user_id", "event_type")
+            .agg(F.min("event_id").alias("m")).collect()}
+    assert got == want
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+import pytest as _pytest  # noqa: E402
+
+
+@_pytest.mark.skipif(not _has_protobuf(), reason=(
+    "ENVIRONMENT-BOUND (the tests/test_codecs.py posture): Spark 4's "
+    "transformWithStateInPandas runner imports google.protobuf, which "
+    "this container does not ship and installs are forbidden "
+    "(measured: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / "
+    "ImportError google.protobuf.descriptor). The GroupState twin "
+    "stream_dedup_first runs the same logic above; any image with "
+    "protobuf runs this TWS version automatically."))
+def test_stream_dedup_transform_with_state_twin(spark, tmp_path):
+    """The SAME first-seen dedup on the transformWithStateInPandas
+    StatefulProcessor API — must equal the GroupState implementation
+    row for row."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.types import StructType as ST
+
+    from movie_rec_spark.streaming.replay import stage_batches
+
+    class FirstSeen(StatefulProcessor):
+        def init(self, handle):
+            self.seen = handle.getValueState(
+                "seen", ST([StructField("first_event_id", LongType())]))
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self.seen.exists():
+                return
+            first = None
+            for pdf in rows:
+                m = int(pdf["event_id"].min())
+                if first is None or m < first:
+                    first = m
+            if first is None:
+                return
+            self.seen.update((first,))
+            yield pd.DataFrame({"user_id": [int(key[0])],
+                                "event_type": [str(key[1])],
+                                "first_event_id": [first]})
+
+        def close(self):
+            pass
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type")
+    n = ev.agg(F.max("event_id")).first()[0]
+    batches = [ev.filter((F.col("event_id") >= lo)
+                         & (F.col("event_id") < hi))
+               for lo, hi in ((0, n // 2), (n // 2, n + 1))]
+    src = stage_batches(str(tmp_path / "src"), batches)
+    out_schema = ST([StructField("user_id", LongType()),
+                     StructField("event_type", StringType()),
+                     StructField("first_event_id", LongType())])
+    q = (spark.readStream
+         .schema("event_id bigint, user_id bigint, event_type string")
+         .option("maxFilesPerTrigger", "1").parquet(src)
+         .groupBy("user_id", "event_type")
+         .transformWithStateInPandas(
+             FirstSeen(), outputStructType=out_schema,
+             outputMode="append", timeMode="none")
+         .writeStream.format("memory").queryName("tws_dedup")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.event_type): r.first_event_id
+           for r in spark.table("tws_dedup").collect()}
+    want = {(r.user_id, r.event_type): r.m
+            for r in ev.groupBy("user_id", "event_type")
+            .agg(F.min("event_id").alias("m")).collect()}
+    assert got == want
