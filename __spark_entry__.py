@@ -534,6 +534,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-match proves the codec roundtrip byte-exactly
         "q_image_neardup": lambda s, d: MM.q_image_neardup(
             _t("documents")(s, d)),
+        # audio fingerprint near-dup over REAL stdlib-wave WAV bytes:
+        # the oracle computes the ideal sample->energy->bit math, so
+        # the hash-match proves the WAV roundtrip byte-exactly
+        "q_audio_neardup": lambda s, d: MM.q_audio_neardup(
+            _t("documents")(s, d)),
         "q_recommend": lambda s, d: R.q_recommend(
             _t("lineitem")(s, d), _t("orders")(s, d)),
         # S4/S5 as a REGISTERED Spark-4 Python Data Source: planned id
@@ -587,18 +592,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   1. q_kcore / q_label_prop lead — both gained unrolled-round
     #      DuckDB oracles this round (previously rows-only), so their
     #      first ORACLE driver rows land now;
-    #   2. the 5 queries new this round, never recorded: q_hll_audit /
+    #   2. the 6 queries new this round, never recorded: q_hll_audit /
     #      q_hyperlsh_eval (oracle-exact audit twins for the last two
-    #      un-audited approximate families), q_image_neardup (the
-    #      BMP-roundtrip-proving image near-dup), q_quality_classifier
-    #      (hashed-linear filter inference), and q_stream_dedup
-    #      (stateful streaming ingestion dedup, duplicate-batch
-    #      idempotence driver-proven);
+    #      un-audited approximate families), q_image_neardup /
+    #      q_audio_neardup (the BMP/WAV-roundtrip-proving codec
+    #      near-dups), q_quality_classifier (hashed-linear filter
+    #      inference), and q_stream_dedup (stateful streaming
+    #      ingestion dedup, duplicate-batch idempotence driver-proven);
     #   3. the 24-query r04-stale tail (q_dedup_simhash .. q_profile,
     #      named by the r07 coverage note), three rounds of kernel
     #      churn since their last driver row;
-    #   4. the remaining 19 slots go to the next-oldest block (last
-    #      recorded r05), in declaration order; the other 28
+    #   4. the remaining 18 slots go to the next-oldest block (last
+    #      recorded r05), in declaration order; the other 29
     #      r05-recorded queries rotate into the r09 window.
     # After r08 every declared query's latest driver row is ≤3 rounds
     # old, and every query touched by the r07 exact-rational /
@@ -609,7 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore", "q_label_prop",
         # -- new this round, never recorded
         "q_hll_audit", "q_hyperlsh_eval", "q_image_neardup",
-        "q_quality_classifier", "q_stream_dedup",
+        "q_audio_neardup", "q_quality_classifier", "q_stream_dedup",
         # -- r04-stale tail, declaration order
         "q_dedup_simhash", "q_dedup_groups", "q_dedup_char_jaccard",
         "q_cc_chain_star", "q_cc_chain_minlabel", "q_chunk_dedup",
@@ -625,7 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_window", "q_scd2", "q_resample", "q_percentiles",
         "q_outliers", "q_window_analytics", "q_range_join",
         "q_tfidf_top_terms", "q_quality_score", "q_quality_gopher",
-        "q_weighted_sample", "q_chunk_knn",
+        "q_chunk_knn",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -2481,6 +2486,58 @@ def oracle_sql() -> dict[str, str]:
                        AS hamming
             FROM cand
             WHERE bit_count(xor(sig_a, sig_b)) <= {MM.PHASH_HMAX}
+            ORDER BY doc_a, doc_b
+        """,
+        # q_audio_neardup oracle: the ideal md5->int16-sample->frame-
+        # energy->envelope-bit arithmetic, computed directly — the
+        # engine reaches the same rows only if its stdlib-wave WAV
+        # write and read invert each other exactly (LE int16 packing,
+        # header layout). Same pigeonhole/verify tail as the image
+        # oracle.
+        "q_audio_neardup": f"""
+            WITH d AS (SELECT doc_id FROM documents),
+            sm AS (SELECT d.doc_id, i.i,
+                      CASE WHEN i.i // {MM.AFP_FRAME}
+                                = 3 * (d.doc_id % {MM.AFP_GROUP})
+                           THEN CAST('0x' || substring(md5(concat_ws(
+                                ':', 'paud', d.doc_id, i.i // 8)),
+                                4 * (i.i % 8) + 1, 4) AS BIGINT)
+                                - 32768
+                           ELSE CAST('0x' || substring(md5(concat_ws(
+                                ':', 'aud',
+                                d.doc_id // {MM.AFP_GROUP}, i.i // 8)),
+                                4 * (i.i % 8) + 1, 4) AS BIGINT)
+                                - 32768
+                      END AS v
+                   FROM d,
+                        (SELECT unnest(range(0,
+                            {MM.AFP_FRAMES * MM.AFP_FRAME})) AS i) i),
+            e AS (SELECT doc_id, i // {MM.AFP_FRAME} AS f,
+                         sum(v * v) AS e
+                  FROM sm GROUP BY 1, 2),
+            sig AS (SELECT a.doc_id,
+                           CAST(sum(CASE WHEN a.e < b.e
+                                    THEN (CAST(1 AS BIGINT) << a.f)
+                                    ELSE 0 END) AS BIGINT) AS sig
+                    FROM e a JOIN e b
+                      ON b.doc_id = a.doc_id AND b.f = a.f + 1
+                    GROUP BY 1),
+            segs AS (SELECT doc_id, sig, s.s,
+                            (sig >> ({56 // MM.PHASH_SEGS} * s.s))
+                            & {(1 << (56 // MM.PHASH_SEGS)) - 1} AS v
+                     FROM sig,
+                          (SELECT unnest(range(0, {MM.PHASH_SEGS}))
+                              AS s) s),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a,
+                            b.doc_id AS doc_b, b.sig AS sig_b
+                     FROM segs a JOIN segs b
+                       ON a.s = b.s AND a.v = b.v
+                          AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER)
+                       AS hamming
+            FROM cand
+            WHERE bit_count(xor(sig_a, sig_b)) <= {MM.AFP_HMAX}
             ORDER BY doc_a, doc_b
         """,
         # Chain graph = maximal runs of consecutive ids inside an

@@ -602,6 +602,41 @@ def bmp_dhash(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(fn, DHASH_SCHEMA)
 
 
+def sig_neardup_pairs(sigs: DataFrame, hamming_max: int = PHASH_HMAX,
+                      sig_bits: int = 56,
+                      n_segs: int = PHASH_SEGS) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within ``hamming_max`` over a
+    (doc_id, sig) frame — pigeonhole segment blocking + exact
+    bit_count verify, shared by the image (dHash) and audio
+    (energy-envelope) fingerprint near-dups. Exact for hamming_max <
+    n_segs (a pair within the radius cannot differ in every
+    segment)."""
+    seg_w = sig_bits // n_segs
+    segs = sigs.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.expr(f"(sig >> {seg_w * s}) & {(1 << seg_w) - 1}")
+                     .alias("v"))
+            for s in range(n_segs)])).alias("seg"))
+    a = segs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("sig").alias("sig_a"),
+                    F.col("seg.s").alias("s"), F.col("seg.v").alias("v"))
+    b = segs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("sig").alias("sig_b"),
+                    F.col("seg.s").alias("s"), F.col("seg.v").alias("v"))
+    return (
+        a.join(b, ["s", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                F.expr("bit_count(sig_a ^ sig_b)").cast("int")
+                .alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= hamming_max)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q_image_neardup(documents: DataFrame,
                     hamming_max: int = PHASH_HMAX) -> DataFrame:
     """Declared query: perceptual-hash image near-dup pairs over the
@@ -625,27 +660,129 @@ def q_image_neardup(documents: DataFrame,
     stage is replaced by reading stored image bytes — the decoder and
     everything after it are the production path."""
     sigs = bmp_dhash(synth_bmp(documents)).localCheckpoint(eager=False)
-    seg_w = 56 // PHASH_SEGS
-    segs = sigs.select(
-        "doc_id", "sig",
-        F.explode(F.array(*[
-            F.struct(F.lit(s).alias("s"),
-                     F.expr(f"(sig >> {seg_w * s}) & {(1 << seg_w) - 1}")
-                     .alias("v"))
-            for s in range(PHASH_SEGS)])).alias("seg"))
-    a = segs.select(F.col("doc_id").alias("doc_a"),
-                    F.col("sig").alias("sig_a"),
-                    F.col("seg.s").alias("s"), F.col("seg.v").alias("v"))
-    b = segs.select(F.col("doc_id").alias("doc_b"),
-                    F.col("sig").alias("sig_b"),
-                    F.col("seg.s").alias("s"), F.col("seg.v").alias("v"))
-    return (
-        a.join(b, ["s", "v"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b",
-                F.expr("bit_count(sig_a ^ sig_b)").cast("int")
-                .alias("hamming"))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .filter(F.col("hamming") <= hamming_max)
-        .orderBy("doc_a", "doc_b")
-    )
+    return sig_neardup_pairs(sigs, hamming_max)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup (q_audio_neardup) — q_image_neardup's
+# sibling for the WAV codec: md5-derived int16 PCM -> REAL RIFF/WAV
+# bytes via the stdlib `wave` writer -> `wave` reader back to samples
+# -> 16-sample frame energies -> 56-bit energy-envelope fingerprint
+# (energy[f] < energy[f+1], the 1-D dHash) -> the shared pigeonhole
+# blocking. The oracle computes the ideal sample->energy->bit math
+# from the md5 arithmetic directly, so the driver hash-match proves
+# the WAV encode/parse roundtrip byte-exactly (sample packing,
+# little-endian int16, header layout). Groups of AFP_GROUP docs share
+# a base clip; each doc perturbs ONE frame (index 3·(doc_id%4),
+# non-adjacent), touching <= 2 envelope comparisons — measured intra
+# hamming <= 3, cross-group minimum 13.
+# ---------------------------------------------------------------------------
+AFP_FRAMES = 57   # 57 frames -> 56 envelope comparisons
+AFP_FRAME = 16    # samples per frame
+AFP_GROUP = 4
+AFP_HMAX = 3
+AFP_RATE = 16_000
+
+
+def _synth_sample(doc_id: int, i: int) -> int:
+    """int16 PCM sample i: md5-derived from the doc's GROUP base clip
+    (one digest per 8 samples: bytes 2j,2j+1 big-endian - 32768),
+    except inside the doc's own perturbed frame."""
+    if i // AFP_FRAME == 3 * (doc_id % AFP_GROUP):
+        key = f"paud:{doc_id}:{i // 8}"
+    else:
+        key = f"aud:{doc_id // AFP_GROUP}:{i // 8}"
+    d = hashlib.md5(key.encode()).digest()
+    j = (i % 8) * 2
+    return (d[j] << 8 | d[j + 1]) - 32768
+
+
+def synth_wav(documents: DataFrame) -> DataFrame:
+    """(doc_id, payload) — REAL 16-bit mono PCM WAV bytes (stdlib
+    `wave` writer) for each doc's deterministic synthetic clip."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    n = AFP_FRAMES * AFP_FRAME
+
+    def encode(doc_id: int) -> bytes:
+        pcm = struct.pack(
+            f"<{n}h", *(_synth_sample(doc_id, i) for i in range(n)))
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(AFP_RATE)
+            w.writeframes(pcm)
+        return buf.getvalue()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [encode(int(d)) for d in pdf["doc_id"]],
+            })
+
+    return documents.select("doc_id").mapInPandas(
+        fn, StructType([StructField("doc_id", LongType()),
+                        StructField("payload", BinaryType())]))
+
+
+def wav_fingerprint(payloads: DataFrame) -> DataFrame:
+    """(doc_id, sig) — parse each WAV back to int16 samples with the
+    stdlib `wave` reader (a decoder: wrong format raises), sum squared
+    samples per AFP_FRAME-sample frame, pack the 56 envelope
+    comparison bits into a BIGINT."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    n = AFP_FRAMES * AFP_FRAME
+
+    def fingerprint(payload: bytes) -> int:
+        with wave_mod.open(io.BytesIO(payload), "rb") as w:
+            if (w.getnchannels(), w.getsampwidth()) != (1, 2):
+                raise ValueError(
+                    "wav_fingerprint expects 16-bit mono PCM")
+            if w.getnframes() != n:
+                raise ValueError(
+                    f"unexpected clip length {w.getnframes()}")
+            raw = w.readframes(n)
+        samples = struct.unpack(f"<{n}h", raw)
+        e = [sum(s * s for s in
+                 samples[f * AFP_FRAME:(f + 1) * AFP_FRAME])
+             for f in range(AFP_FRAMES)]
+        sig = 0
+        for b in range(AFP_FRAMES - 1):
+            if e[b] < e[b + 1]:
+                sig |= 1 << b
+        return sig
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sig": [fingerprint(bytes(b)) for b in pdf["payload"]],
+            })
+
+    return payloads.mapInPandas(fn, DHASH_SCHEMA)
+
+
+def q_audio_neardup(documents: DataFrame,
+                    hamming_max: int = AFP_HMAX) -> DataFrame:
+    """Declared query: audio fingerprint near-dup pairs over the
+    synthetic WAV corpus — (doc_a, doc_b, hamming) within
+    ``hamming_max`` envelope bits. The DuckDB oracle computes the
+    ideal md5→sample→energy→bit arithmetic, so the hash-match proves
+    the stdlib WAV roundtrip byte-exactly (see the block comment).
+
+    Scale shape: identical to q_image_neardup — two map-only Arrow
+    stages + the shared pigeonhole blocking (same fixed-hash-width
+    chance-collision floor, same hash-width knob, SCALE.md §Round 8);
+    on a real corpus the synth stage is replaced by reading stored
+    audio bytes and the fingerprint by a real chromaprint-class
+    kernel in the same Arrow slot."""
+    sigs = wav_fingerprint(synth_wav(documents)) \
+        .localCheckpoint(eager=False)
+    return sig_neardup_pairs(sigs, hamming_max)

@@ -247,3 +247,70 @@ def test_bmp_dhash_rejects_corrupt_payloads(spark):
         [Row(doc_id=0, payload=bytes(bad_dims))])
     with pytest.raises(Exception, match="dimensions|truncated"):
         MM.bmp_dhash(df2).collect()
+
+
+def test_audio_neardup_matches_pure_python_mirror(spark):
+    """Engine energy-envelope fingerprints (through REAL stdlib-wave
+    WAV write + read) equal a mirror computing the math directly from
+    _synth_sample, and q_audio_neardup's pairs equal brute-forced
+    mirror hamming <= AFP_HMAX."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    def mirror_sig(d):
+        e = [sum(MM._synth_sample(d, f * MM.AFP_FRAME + k) ** 2
+                 for k in range(MM.AFP_FRAME))
+             for f in range(MM.AFP_FRAMES)]
+        s = 0
+        for b in range(MM.AFP_FRAMES - 1):
+            if e[b] < e[b + 1]:
+                s |= 1 << b
+        return s
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(48)])
+    sigs = {r.doc_id: r.sig
+            for r in MM.wav_fingerprint(MM.synth_wav(docs)).collect()}
+    mirror = {d: mirror_sig(d) for d in range(48)}
+    assert sigs == mirror
+    want = {(a, b) for a, b in itertools.combinations(range(48), 2)
+            if bin(mirror[a] ^ mirror[b]).count("1") <= MM.AFP_HMAX}
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in MM.q_audio_neardup(docs).collect()}
+    assert set(got) == want
+    assert len(got) > 0
+    assert all(a // MM.AFP_GROUP == b // MM.AFP_GROUP for a, b in got)
+
+
+def test_wav_fingerprint_rejects_wrong_format(spark):
+    """wav_fingerprint is a decoder: stereo/wrong-length clips raise
+    instead of producing fake fingerprints."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    from pyspark.sql import Row
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(2)           # stereo — refused
+        w.setsampwidth(2)
+        w.setframerate(MM.AFP_RATE)
+        w.writeframes(struct.pack("<4h", 1, 2, 3, 4))
+    df = spark.createDataFrame([Row(doc_id=0, payload=buf.getvalue())])
+    with pytest.raises(Exception, match="16-bit mono"):
+        MM.wav_fingerprint(df).collect()
+
+    buf2 = io.BytesIO()
+    with wave_mod.open(buf2, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(MM.AFP_RATE)
+        w.writeframes(struct.pack("<4h", 1, 2, 3, 4))  # wrong length
+    df2 = spark.createDataFrame([Row(doc_id=0, payload=buf2.getvalue())])
+    with pytest.raises(Exception, match="clip length"):
+        MM.wav_fingerprint(df2).collect()

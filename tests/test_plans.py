@@ -288,6 +288,9 @@ def test_new_operator_shuffle_budgets(spark):
                                     # agg + the presentation sort
         "q_stream_dedup": 1,     # checkpointed stream output + the
                                  # presentation sort only
+        "q_audio_neardup": 2,    # same shape as q_image_neardup:
+                                 # map-only Arrow stages behind the
+                                 # checkpoint; segment join + dedup
     }
     qs = E.queries()
     for name, budget in budgets.items():
