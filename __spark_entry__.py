@@ -539,6 +539,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the hash-match proves the WAV roundtrip byte-exactly
         "q_audio_neardup": lambda s, d: MM.q_audio_neardup(
             _t("documents")(s, d)),
+        # video scene-cut detection over a REAL frame container:
+        # MRSV parse -> per-frame BMP dHash (shared core) -> lag
+        # hamming; the oracle computes the ideal math end to end
+        "q_video_scenes": lambda s, d: MM.q_video_scenes(
+            _t("documents")(s, d)),
         "q_recommend": lambda s, d: R.q_recommend(
             _t("lineitem")(s, d), _t("orders")(s, d)),
         # S4/S5 as a REGISTERED Spark-4 Python Data Source: planned id
@@ -592,18 +597,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   1. q_kcore / q_label_prop lead — both gained unrolled-round
     #      DuckDB oracles this round (previously rows-only), so their
     #      first ORACLE driver rows land now;
-    #   2. the 6 queries new this round, never recorded: q_hll_audit /
+    #   2. the 7 queries new this round, never recorded: q_hll_audit /
     #      q_hyperlsh_eval (oracle-exact audit twins for the last two
     #      un-audited approximate families), q_image_neardup /
-    #      q_audio_neardup (the BMP/WAV-roundtrip-proving codec
-    #      near-dups), q_quality_classifier (hashed-linear filter
-    #      inference), and q_stream_dedup (stateful streaming
-    #      ingestion dedup, duplicate-batch idempotence driver-proven);
+    #      q_audio_neardup / q_video_scenes (the BMP/WAV/container-
+    #      roundtrip-proving codec family), q_quality_classifier
+    #      (hashed-linear filter inference), and q_stream_dedup
+    #      (stateful streaming ingestion dedup, duplicate-batch
+    #      idempotence driver-proven);
     #   3. the 24-query r04-stale tail (q_dedup_simhash .. q_profile,
     #      named by the r07 coverage note), three rounds of kernel
     #      churn since their last driver row;
-    #   4. the remaining 18 slots go to the next-oldest block (last
-    #      recorded r05), in declaration order; the other 29
+    #   4. the remaining 17 slots go to the next-oldest block (last
+    #      recorded r05), in declaration order; the other 30
     #      r05-recorded queries rotate into the r09 window.
     # After r08 every declared query's latest driver row is ≤3 rounds
     # old, and every query touched by the r07 exact-rational /
@@ -614,7 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore", "q_label_prop",
         # -- new this round, never recorded
         "q_hll_audit", "q_hyperlsh_eval", "q_image_neardup",
-        "q_audio_neardup", "q_quality_classifier", "q_stream_dedup",
+        "q_audio_neardup", "q_video_scenes", "q_quality_classifier",
+        "q_stream_dedup",
         # -- r04-stale tail, declaration order
         "q_dedup_simhash", "q_dedup_groups", "q_dedup_char_jaccard",
         "q_cc_chain_star", "q_cc_chain_minlabel", "q_chunk_dedup",
@@ -629,8 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize", "q_funnel", "q_funnel_window", "q_cohort",
         "q_rolling_window", "q_scd2", "q_resample", "q_percentiles",
         "q_outliers", "q_window_analytics", "q_range_join",
-        "q_tfidf_top_terms", "q_quality_score", "q_quality_gopher",
-        "q_chunk_knn",
+        "q_tfidf_top_terms", "q_quality_score", "q_chunk_knn",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -2539,6 +2545,62 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             WHERE bit_count(xor(sig_a, sig_b)) <= {MM.AFP_HMAX}
             ORDER BY doc_a, doc_b
+        """,
+        # q_video_scenes oracle: ideal per-frame pixel->dHash->lag-
+        # hamming math from the md5 arithmetic — the engine reaches
+        # the same rows only if MRSV container framing AND every
+        # frame's BMP roundtrip are byte-exact.
+        "q_video_scenes": f"""
+            WITH d AS (SELECT doc_id FROM documents),
+            fr AS (SELECT d.doc_id, f.f,
+                          2 + CAST('0x' || substring(md5('cut:'
+                              || CAST(d.doc_id AS VARCHAR)), 1, 2)
+                              AS BIGINT) % 5 AS cut
+                   FROM d,
+                        (SELECT unnest(range(0, {MM.VID_FRAMES}))
+                            AS f) f),
+            px AS (SELECT fr.doc_id, fr.f, y.y, x.x,
+                      CASE WHEN y.y // {MM.PHASH_BLOCK}
+                                = fr.f % {MM.PHASH_GRID_H}
+                            AND x.x // {MM.PHASH_BLOCK}
+                                = 2 * (fr.f % 4)
+                           THEN CAST('0x' || substring(md5(concat_ws(
+                                ':', 'vp', fr.doc_id, fr.f,
+                                y.y, x.x // 16)),
+                                2 * (x.x % 16) + 1, 2) AS BIGINT)
+                           ELSE CAST('0x' || substring(md5(concat_ws(
+                                ':', 'vs', fr.doc_id,
+                                CASE WHEN fr.f < fr.cut
+                                     THEN 0 ELSE 1 END,
+                                y.y, x.x // 16)),
+                                2 * (x.x % 16) + 1, 2) AS BIGINT)
+                      END AS v
+                   FROM fr,
+                        (SELECT unnest(range(0,
+                            {MM.PHASH_GRID_H * MM.PHASH_BLOCK})) AS y) y,
+                        (SELECT unnest(range(0,
+                            {MM.PHASH_GRID_W * MM.PHASH_BLOCK})) AS x) x),
+            g AS (SELECT doc_id, f, y // {MM.PHASH_BLOCK} AS r,
+                         x // {MM.PHASH_BLOCK} AS c,
+                         sum(v) // {MM.PHASH_BLOCK * MM.PHASH_BLOCK} AS g
+                  FROM px GROUP BY 1, 2, 3, 4),
+            sig AS (SELECT a.doc_id, a.f,
+                           CAST(sum(CASE WHEN a.g < b.g
+                                    THEN (CAST(1 AS BIGINT)
+                                          << (a.r * 8 + a.c))
+                                    ELSE 0 END) AS BIGINT) AS sig
+                    FROM g a JOIN g b
+                      ON b.doc_id = a.doc_id AND b.f = a.f
+                         AND b.r = a.r AND b.c = a.c + 1
+                    GROUP BY 1, 2)
+            SELECT s.doc_id, s.f AS frame_idx,
+                   CAST(bit_count(xor(s.sig, p.sig)) AS INTEGER)
+                       AS hamming,
+                   CAST(bit_count(xor(s.sig, p.sig)) > {MM.VSC_HMAX}
+                        AS INTEGER) AS is_cut
+            FROM sig s JOIN sig p
+              ON p.doc_id = s.doc_id AND p.f = s.f - 1
+            ORDER BY s.doc_id, frame_idx
         """,
         # Chain graph = maximal runs of consecutive ids inside an
         # id-block, so CC reduces to gaps-and-islands SQL — no recursion

@@ -28,6 +28,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -497,51 +498,61 @@ def _synth_pixel(doc_id: int, y: int, x: int) -> int:
     return hashlib.md5(key.encode()).digest()[x % 16]
 
 
+def _bmp_bytes(base_key, pert_key, pert_cell: tuple[int, int]) -> bytes:
+    """REAL 24-bit BI_RGB BMP bytes (bottom-up rows, BGR triples,
+    4-byte stride) whose grayscale pixel (y, x) is byte x%16 of
+    md5(base_key(y, x//16)) — or of md5(pert_key(y, x//16)) inside
+    the perturbed grid cell. The encode core shared by the image
+    near-dup and the video scene detector."""
+    w = PHASH_GRID_W * PHASH_BLOCK
+    h = PHASH_GRID_H * PHASH_BLOCK
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    pad = b"\x00" * (stride - row_bytes)
+    px_size = stride * h
+    header = (b"BM"
+              + (54 + px_size).to_bytes(4, "little")
+              + b"\x00\x00\x00\x00"
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little")
+              + h.to_bytes(4, "little")             # positive: bottom-up
+              + (1).to_bytes(2, "little")
+              + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little")           # BI_RGB
+              + px_size.to_bytes(4, "little")
+              + b"\x00" * 16)
+    pr, pc = pert_cell
+    py0, px0 = pr * PHASH_BLOCK, pc * PHASH_BLOCK
+    rows = []
+    for r_file in range(h):                         # bottom row first
+        y = h - 1 - r_file
+        in_prow = py0 <= y < py0 + PHASH_BLOCK
+        row = bytearray()
+        for chunk in range((w + 15) // 16):
+            img_d = hashlib.md5(base_key(y, chunk).encode()).digest()
+            pert_d = (hashlib.md5(pert_key(y, chunk).encode()).digest()
+                      if in_prow else None)
+            for x in range(chunk * 16, min((chunk + 1) * 16, w)):
+                d = (pert_d if in_prow
+                     and px0 <= x < px0 + PHASH_BLOCK else img_d)
+                v = d[x % 16]
+                row += bytes((v, v, v))             # B, G, R (equal)
+        rows.append(bytes(row) + pad)
+    return header + b"".join(rows)
+
+
 def synth_bmp(documents: DataFrame) -> DataFrame:
     """(doc_id, payload) — REAL 24-bit BI_RGB BMP bytes (bottom-up
     rows, BGR triples, 4-byte row stride) for the deterministic
     synthetic image of each doc. Arrow-batched; ~1k md5 calls per doc."""
-    w = PHASH_GRID_W * PHASH_BLOCK
-    h = PHASH_GRID_H * PHASH_BLOCK
 
     def encode(doc_id: int) -> bytes:
-        row_bytes = w * 3
-        stride = (row_bytes + 3) & ~3
-        pad = b"\x00" * (stride - row_bytes)
-        px_size = stride * h
-        header = (b"BM"
-                  + (54 + px_size).to_bytes(4, "little")
-                  + b"\x00\x00\x00\x00"
-                  + (54).to_bytes(4, "little")
-                  + (40).to_bytes(4, "little")
-                  + w.to_bytes(4, "little")
-                  + h.to_bytes(4, "little")         # positive: bottom-up
-                  + (1).to_bytes(2, "little")
-                  + (24).to_bytes(2, "little")
-                  + (0).to_bytes(4, "little")       # BI_RGB
-                  + px_size.to_bytes(4, "little")
-                  + b"\x00" * 16)
         o = doc_id % PHASH_GROUP
-        py0, px0 = o * PHASH_BLOCK, 2 * o * PHASH_BLOCK  # perturbed cell
-        rows = []
-        for r_file in range(h):                     # file order: bottom row first
-            y = h - 1 - r_file
-            in_prow = py0 <= y < py0 + PHASH_BLOCK
-            row = bytearray()
-            for chunk in range((w + 15) // 16):
-                img_d = hashlib.md5(
-                    f"img:{doc_id // PHASH_GROUP}:{y}:{chunk}"
-                    .encode()).digest()
-                pert_d = (hashlib.md5(
-                    f"pert:{doc_id}:{y}:{chunk}".encode()).digest()
-                    if in_prow else None)
-                for x in range(chunk * 16, min((chunk + 1) * 16, w)):
-                    d = (pert_d if in_prow
-                         and px0 <= x < px0 + PHASH_BLOCK else img_d)
-                    v = d[x % 16]
-                    row += bytes((v, v, v))         # B, G, R (equal)
-            rows.append(bytes(row) + pad)
-        return header + b"".join(rows)
+        return _bmp_bytes(
+            lambda y, c: f"img:{doc_id // PHASH_GROUP}:{y}:{c}",
+            lambda y, c: f"pert:{doc_id}:{y}:{c}",
+            (o, 2 * o))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -560,46 +571,50 @@ def bmp_dhash(payloads: DataFrame) -> DataFrame:
     grid (this is a decoder: wrong magic/compression raises), floor-
     mean every PHASH_BLOCK x PHASH_BLOCK block, pack the 56 dHash
     comparison bits into a BIGINT."""
-    gw, gh, blk = PHASH_GRID_W, PHASH_GRID_H, PHASH_BLOCK
-
-    def dhash(payload: bytes) -> int:
-        if payload[:2] != b"BM":
-            raise ValueError("bmp_dhash expects BMP payloads")
-        pixel_off = int.from_bytes(payload[10:14], "little")
-        w = int.from_bytes(payload[18:22], "little", signed=True)
-        h = int.from_bytes(payload[22:26], "little", signed=True)
-        bpp = int.from_bytes(payload[28:30], "little")
-        comp = int.from_bytes(payload[30:34], "little")
-        if comp != 0 or bpp != 24 or h <= 0:
-            raise ValueError("bmp_dhash supports bottom-up BI_RGB 24-bit")
-        if (w, h) != (gw * blk, gh * blk):
-            raise ValueError(f"unexpected dimensions {w}x{h}")
-        stride = (w * 3 + 3) & ~3
-        sums = [[0] * gw for _ in range(gh)]
-        for r_file in range(h):
-            y = h - 1 - r_file
-            base = pixel_off + r_file * stride
-            row = payload[base:base + w * 3]
-            gy = y // blk
-            for x in range(w):
-                sums[gy][x // blk] += row[x * 3]    # blue == gray here
-        n = blk * blk
-        g = [[s // n for s in row] for row in sums]
-        sig = 0
-        for r in range(gh):
-            for c in range(gw - 1):
-                if g[r][c] < g[r][c + 1]:
-                    sig |= 1 << (r * 8 + c)
-        return sig
-
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
-                "sig": [dhash(bytes(b)) for b in pdf["payload"]],
+                "sig": [_bmp_sig(bytes(b)) for b in pdf["payload"]],
             })
 
     return payloads.mapInPandas(fn, DHASH_SCHEMA)
+
+
+def _bmp_sig(payload: bytes) -> int:
+    """Byte-parse one 24-bit bottom-up BMP to its grayscale grid and
+    return the 56-bit dHash — the decode core shared by bmp_dhash and
+    the video scene detector. A decoder: wrong magic / compression /
+    dimensions raise."""
+    gw, gh, blk = PHASH_GRID_W, PHASH_GRID_H, PHASH_BLOCK
+    if payload[:2] != b"BM":
+        raise ValueError("bmp_dhash expects BMP payloads")
+    pixel_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if comp != 0 or bpp != 24 or h <= 0:
+        raise ValueError("bmp_dhash supports bottom-up BI_RGB 24-bit")
+    if (w, h) != (gw * blk, gh * blk):
+        raise ValueError(f"unexpected dimensions {w}x{h}")
+    stride = (w * 3 + 3) & ~3
+    sums = [[0] * gw for _ in range(gh)]
+    for r_file in range(h):
+        y = h - 1 - r_file
+        base = pixel_off + r_file * stride
+        row = payload[base:base + w * 3]
+        gy = y // blk
+        for x in range(w):
+            sums[gy][x // blk] += row[x * 3]        # blue == gray here
+    n = blk * blk
+    g = [[s // n for s in row] for row in sums]
+    sig = 0
+    for r in range(gh):
+        for c in range(gw - 1):
+            if g[r][c] < g[r][c + 1]:
+                sig |= 1 << (r * 8 + c)
+    return sig
 
 
 def sig_neardup_pairs(sigs: DataFrame, hamming_max: int = PHASH_HMAX,
@@ -786,3 +801,128 @@ def q_audio_neardup(documents: DataFrame,
     sigs = wav_fingerprint(synth_wav(documents)) \
         .localCheckpoint(eager=False)
     return sig_neardup_pairs(sigs, hamming_max)
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection (q_video_scenes) — the temporal member of
+# the codec family: a REAL container format (MRSV: magic + u32 frame
+# count + u32 frame lengths + concatenated 24-bit BMP frames) is
+# synthesized per doc, parsed back, every frame runs through the
+# SHARED _bmp_sig dHash core, and scene cuts are frames whose dHash
+# hamming vs the previous frame exceeds VSC_HMAX. Each clip has
+# VID_FRAMES frames drawn from scene base 0 before a md5-derived cut
+# index (2..6) and scene base 1 after it; every frame additionally
+# perturbs one grid cell (motion), so within-scene hamming stays ≤ 4
+# (measured) while the cut measures ≥ 19 — VSC_HMAX = 8 splits them
+# with margin. The oracle computes the ideal per-frame pixel→hash→
+# hamming math directly, so the hash-match proves container parsing
+# AND the per-frame BMP roundtrip (frame-sampling/scene-detection is
+# the video stage of a multimodal curation pipeline).
+# ---------------------------------------------------------------------------
+VID_FRAMES = 8
+VSC_HMAX = 8          # hamming > VSC_HMAX ⇒ scene cut
+VID_MAGIC = b"MRSV"
+
+
+def _video_cut(doc_id: int) -> int:
+    """md5-derived cut index in [2, 6]."""
+    return 2 + hashlib.md5(f"cut:{doc_id}".encode()).digest()[0] % 5
+
+
+def _video_frame_keys(doc_id: int, f: int):
+    """(base_key, pert_key, pert_cell) for frame f of doc doc_id."""
+    scene = 0 if f < _video_cut(doc_id) else 1
+    return (lambda y, c: f"vs:{doc_id}:{scene}:{y}:{c}",
+            lambda y, c: f"vp:{doc_id}:{f}:{y}:{c}",
+            (f % PHASH_GRID_H, 2 * (f % 4)))
+
+
+def synth_video(documents: DataFrame) -> DataFrame:
+    """(doc_id, payload) — REAL MRSV container bytes: magic, u32 LE
+    frame count, u32 LE per-frame byte lengths, then the BMP frames."""
+
+    def encode(doc_id: int) -> bytes:
+        frames = [_bmp_bytes(*_video_frame_keys(doc_id, f))
+                  for f in range(VID_FRAMES)]
+        head = (VID_MAGIC + len(frames).to_bytes(4, "little")
+                + b"".join(len(fr).to_bytes(4, "little")
+                           for fr in frames))
+        return head + b"".join(frames)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [encode(int(d)) for d in pdf["doc_id"]],
+            })
+
+    return documents.select("doc_id").mapInPandas(
+        fn, StructType([StructField("doc_id", LongType()),
+                        StructField("payload", BinaryType())]))
+
+
+VIDEO_SIG_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("sig", LongType()),
+])
+
+
+def video_frame_sigs(payloads: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, sig) — parse the MRSV container (a
+    decoder: wrong magic / truncated frames raise), run every frame
+    through the shared _bmp_sig core. 1→N Arrow stage."""
+
+    def parse(payload: bytes):
+        if payload[:4] != VID_MAGIC:
+            raise ValueError("video_frame_sigs expects MRSV payloads")
+        n = int.from_bytes(payload[4:8], "little")
+        lens = [int.from_bytes(payload[8 + 4 * i:12 + 4 * i], "little")
+                for i in range(n)]
+        off = 8 + 4 * n
+        sigs = []
+        for ln in lens:
+            fr = payload[off:off + ln]
+            if len(fr) != ln:
+                raise ValueError("truncated MRSV frame")
+            sigs.append(_bmp_sig(fr))
+            off += ln
+        return sigs
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sigs = [], [], []
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                for i, s in enumerate(parse(bytes(b))):
+                    ids.append(int(d))
+                    idxs.append(i)
+                    sigs.append(s)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "sig": sigs})
+
+    return payloads.mapInPandas(fn, VIDEO_SIG_SCHEMA)
+
+
+def q_video_scenes(documents: DataFrame,
+                   hamming_max: int = VSC_HMAX) -> DataFrame:
+    """Declared query: per-frame scene-cut detection over the
+    synthetic MRSV clips — (doc_id, frame_idx 1.., hamming vs the
+    previous frame, is_cut). See the block comment: the DuckDB oracle
+    computes the ideal math, so the hash-match proves the container
+    parse + per-frame BMP roundtrip end to end. Exactly one cut per
+    clip by construction (pytest-gated).
+
+    Scale shape: synth+sig are map-only Arrow stages (1→N on frames);
+    the only Exchange is the doc-keyed lag window over
+    |docs|·VID_FRAMES tiny rows."""
+    sigs = video_frame_sigs(synth_video(documents))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    return (sigs
+            .withColumn("prev_sig", F.lag("sig").over(w))
+            .filter(F.col("prev_sig").isNotNull())
+            .select("doc_id", "frame_idx",
+                    F.expr("bit_count(sig ^ prev_sig)").cast("int")
+                    .alias("hamming"))
+            .withColumn("is_cut",
+                        (F.col("hamming") > hamming_max).cast("int"))
+            .orderBy("doc_id", "frame_idx"))

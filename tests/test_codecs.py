@@ -314,3 +314,73 @@ def test_wav_fingerprint_rejects_wrong_format(spark):
     df2 = spark.createDataFrame([Row(doc_id=0, payload=buf2.getvalue())])
     with pytest.raises(Exception, match="clip length"):
         MM.wav_fingerprint(df2).collect()
+
+
+def test_video_scenes_exactly_one_cut_and_mirror(spark):
+    """Every clip detects EXACTLY ONE scene cut, at the md5-derived
+    cut index; per-frame hamming values match a pure-Python mirror
+    computing the math without touching container/BMP bytes."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    def mirror_sig(d, f):
+        cut = MM._video_cut(d)
+        scene = 0 if f < cut else 1
+        blk, gw, gh = MM.PHASH_BLOCK, MM.PHASH_GRID_W, MM.PHASH_GRID_H
+
+        def px(y, x):
+            if (y // blk, x // blk) == (f % gh, 2 * (f % 4)):
+                key = f"vp:{d}:{f}:{y}:{x // 16}"
+            else:
+                key = f"vs:{d}:{scene}:{y}:{x // 16}"
+            return hashlib.md5(key.encode()).digest()[x % 16]
+
+        g = [[sum(px(r * blk + i, c * blk + j)
+                  for i in range(blk) for j in range(blk))
+              // (blk * blk) for c in range(gw)] for r in range(gh)]
+        s = 0
+        for r in range(gh):
+            for c in range(gw - 1):
+                if g[r][c] < g[r][c + 1]:
+                    s |= 1 << (r * 8 + c)
+        return s
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(20)])
+    out = MM.q_video_scenes(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in range(20):
+        rows = sorted(by_doc[d], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rows] == list(
+            range(1, MM.VID_FRAMES))
+        cuts = [r.frame_idx for r in rows if r.is_cut]
+        assert cuts == [MM._video_cut(d)], (d, cuts)
+        for r in rows:
+            want = bin(mirror_sig(d, r.frame_idx - 1)
+                       ^ mirror_sig(d, r.frame_idx)).count("1")
+            assert r.hamming == want, (d, r.frame_idx)
+
+
+def test_video_frame_sigs_rejects_corrupt_container(spark):
+    """video_frame_sigs is a decoder: wrong magic and truncated
+    frames raise instead of producing fake signatures."""
+    from pyspark.sql import Row
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([Row(doc_id=0)])
+    good = bytes(MM.synth_video(docs).collect()[0].payload)
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, payload=b"XXXX" + good[4:])])
+    with pytest.raises(Exception, match="MRSV"):
+        MM.video_frame_sigs(df).collect()
+
+    df2 = spark.createDataFrame(
+        [Row(doc_id=0, payload=good[:-10])])   # truncated last frame
+    with pytest.raises(Exception, match="truncated"):
+        MM.video_frame_sigs(df2).collect()

@@ -220,15 +220,16 @@ def main() -> int:
             "coverage_note": (
                 "r08 window = q_kcore + q_label_prop (newly "
                 "oracle-exact via unrolled-round DuckDB CTEs, first "
-                "oracle driver rows) + the 6 new r08 queries "
+                "oracle driver rows) + the 7 new r08 queries "
                 "(q_hll_audit, q_hyperlsh_eval, q_image_neardup, "
-                "q_audio_neardup, q_quality_classifier, "
-                "q_stream_dedup) + the 24-query r04-stale tail "
-                "(q_dedup_simhash..q_profile) + the 18 oldest "
+                "q_audio_neardup, q_video_scenes, "
+                "q_quality_classifier, q_stream_dedup) + the "
+                "24-query r04-stale tail "
+                "(q_dedup_simhash..q_profile) + the 17 oldest "
                 "r05-recorded queries in declaration order. After "
                 "r08 every declared query's latest driver row is "
-                "<=3 rounds old; the 29 remaining r05-recorded "
-                "queries (q_weighted_sample..q_recommend) rotate "
+                "<=3 rounds old; the 30 remaining r05-recorded "
+                "queries (q_quality_gopher..q_recommend) rotate "
                 "into r09."),
         }}
         artifact.update(results)
