@@ -522,24 +522,32 @@ def _bmp_bytes(base_key, pert_key, pert_cell: tuple[int, int]) -> bytes:
               + (0).to_bytes(4, "little")           # BI_RGB
               + px_size.to_bytes(4, "little")
               + b"\x00" * 16)
+    import numpy as np
+
     pr, pc = pert_cell
     py0, px0 = pr * PHASH_BLOCK, pc * PHASH_BLOCK
-    rows = []
-    for r_file in range(h):                         # bottom row first
-        y = h - 1 - r_file
-        in_prow = py0 <= y < py0 + PHASH_BLOCK
+    n_chunks = (w + 15) // 16
+    gray_rows = []
+    for y in range(h):                              # top-down first
         row = bytearray()
-        for chunk in range((w + 15) // 16):
-            img_d = hashlib.md5(base_key(y, chunk).encode()).digest()
-            pert_d = (hashlib.md5(pert_key(y, chunk).encode()).digest()
-                      if in_prow else None)
-            for x in range(chunk * 16, min((chunk + 1) * 16, w)):
-                d = (pert_d if in_prow
-                     and px0 <= x < px0 + PHASH_BLOCK else img_d)
-                v = d[x % 16]
-                row += bytes((v, v, v))             # B, G, R (equal)
-        rows.append(bytes(row) + pad)
-    return header + b"".join(rows)
+        for chunk in range(n_chunks):
+            row += hashlib.md5(base_key(y, chunk).encode()).digest()
+        row = row[:w]
+        if py0 <= y < py0 + PHASH_BLOCK:
+            pert = bytearray()
+            for chunk in range(n_chunks):
+                pert += hashlib.md5(
+                    pert_key(y, chunk).encode()).digest()
+            row[px0:px0 + PHASH_BLOCK] = pert[px0:px0 + PHASH_BLOCK]
+        gray_rows.append(bytes(row))
+    # bottom-up file order, gray byte tripled to BGR (vectorized —
+    # the per-pixel Python loop was the measured scale constant)
+    gray = np.frombuffer(b"".join(gray_rows[::-1]), dtype=np.uint8)
+    bgr = np.repeat(gray, 3).reshape(h, row_bytes)
+    if stride != row_bytes:
+        bgr = np.hstack([bgr, np.zeros((h, stride - row_bytes),
+                                       dtype=np.uint8)])
+    return header + bgr.tobytes()
 
 
 def synth_bmp(documents: DataFrame) -> DataFrame:
@@ -598,23 +606,18 @@ def _bmp_sig(payload: bytes) -> int:
         raise ValueError("bmp_dhash supports bottom-up BI_RGB 24-bit")
     if (w, h) != (gw * blk, gh * blk):
         raise ValueError(f"unexpected dimensions {w}x{h}")
+    import numpy as np
+
     stride = (w * 3 + 3) & ~3
-    sums = [[0] * gw for _ in range(gh)]
-    for r_file in range(h):
-        y = h - 1 - r_file
-        base = pixel_off + r_file * stride
-        row = payload[base:base + w * 3]
-        gy = y // blk
-        for x in range(w):
-            sums[gy][x // blk] += row[x * 3]        # blue == gray here
-    n = blk * blk
-    g = [[s // n for s in row] for row in sums]
-    sig = 0
-    for r in range(gh):
-        for c in range(gw - 1):
-            if g[r][c] < g[r][c + 1]:
-                sig |= 1 << (r * 8 + c)
-    return sig
+    arr = np.frombuffer(payload, np.uint8, count=stride * h,
+                        offset=pixel_off).reshape(h, stride)
+    img = arr[::-1, 0:w * 3:3]                      # top-down, blue=gray
+    sums = img.astype(np.int64).reshape(gh, blk, gw, blk).sum(axis=(1, 3))
+    g = sums // (blk * blk)
+    bits = g[:, :-1] < g[:, 1:]
+    weights = np.int64(1) << (8 * np.arange(gh, dtype=np.int64)[:, None]
+                              + np.arange(gw - 1, dtype=np.int64)[None, :])
+    return int((bits * weights).sum())
 
 
 def sig_neardup_pairs(sigs: DataFrame, hamming_max: int = PHASH_HMAX,
@@ -719,11 +722,27 @@ def synth_wav(documents: DataFrame) -> DataFrame:
     import struct
     import wave as wave_mod
 
+    import numpy as np
+
     n = AFP_FRAMES * AFP_FRAME
 
     def encode(doc_id: int) -> bytes:
-        pcm = struct.pack(
-            f"<{n}h", *(_synth_sample(doc_id, i) for i in range(n)))
+        # one digest per 8 samples; the perturbed FRAME (16 samples)
+        # is chunk-aligned, so chunk c belongs to frame c//2.
+        # Vectorized big-endian-uint16 -> int16 conversion (the
+        # per-sample Python loop was the measured scale constant);
+        # values identical to _synth_sample by construction.
+        pf = 3 * (doc_id % AFP_GROUP)
+        dig = b"".join(
+            hashlib.md5(
+                (f"paud:{doc_id}:{c}" if c // 2 == pf
+                 else f"aud:{doc_id // AFP_GROUP}:{c}").encode()
+            ).digest()
+            for c in range(n // 8))
+        vals = (np.frombuffer(dig, dtype=">u2").astype(np.int32)
+                - 32768).astype("<i2")
+        pcm = vals.tobytes()
+        assert struct.calcsize(f"<{n}h") == len(pcm)
         buf = io.BytesIO()
         with wave_mod.open(buf, "wb") as w:
             w.setnchannels(1)
@@ -764,15 +783,14 @@ def wav_fingerprint(payloads: DataFrame) -> DataFrame:
                 raise ValueError(
                     f"unexpected clip length {w.getnframes()}")
             raw = w.readframes(n)
-        samples = struct.unpack(f"<{n}h", raw)
-        e = [sum(s * s for s in
-                 samples[f * AFP_FRAME:(f + 1) * AFP_FRAME])
-             for f in range(AFP_FRAMES)]
-        sig = 0
-        for b in range(AFP_FRAMES - 1):
-            if e[b] < e[b + 1]:
-                sig |= 1 << b
-        return sig
+        import numpy as np
+
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        e = (samples * samples).reshape(AFP_FRAMES, AFP_FRAME).sum(axis=1)
+        bits = e[:-1] < e[1:]
+        weights = np.int64(1) << np.arange(AFP_FRAMES - 1,
+                                           dtype=np.int64)
+        return int((bits * weights).sum())
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -159,6 +159,10 @@ def measure(spark, sf_dir: str) -> dict:
         "q_hyperlsh_eval": lambda: S.q_hyperlsh_eval(emb),
         "q_image_neardup": lambda: MM.q_image_neardup(docs),
         "q_quality_classifier": lambda: T.q_quality_classifier(docs),
+        # audio shares image's blocking floor; video is map-only
+        # synth/parse/sig + a doc-keyed lag window (strictly linear)
+        "q_audio_neardup": lambda: MM.q_audio_neardup(docs),
+        "q_video_scenes": lambda: MM.q_video_scenes(docs),
     }
     # SCALE_SKIP_WALL: comma list of queries whose WALL run is skipped
     # (their candidate counts below still get measured — blocking_stats
