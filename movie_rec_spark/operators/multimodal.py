@@ -569,7 +569,13 @@ def synth_bmp(documents: DataFrame) -> DataFrame:
                 "payload": [encode(int(d)) for d in pdf["doc_id"]],
             })
 
-    return documents.select("doc_id").mapInPandas(
+    # repartition the id-only frame (a tiny Exchange) so the synth
+    # stage parallelizes even when the source is one parquet file —
+    # measured: the single-file sf0.1 scan otherwise serializes the
+    # whole Arrow stage into ONE task
+    ids = documents.select("doc_id")
+    ids = ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+    return ids.mapInPandas(
         fn, StructType([StructField("doc_id", LongType()),
                         StructField("payload", BinaryType())]))
 
@@ -758,7 +764,13 @@ def synth_wav(documents: DataFrame) -> DataFrame:
                 "payload": [encode(int(d)) for d in pdf["doc_id"]],
             })
 
-    return documents.select("doc_id").mapInPandas(
+    # repartition the id-only frame (a tiny Exchange) so the synth
+    # stage parallelizes even when the source is one parquet file —
+    # measured: the single-file sf0.1 scan otherwise serializes the
+    # whole Arrow stage into ONE task
+    ids = documents.select("doc_id")
+    ids = ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+    return ids.mapInPandas(
         fn, StructType([StructField("doc_id", LongType()),
                         StructField("payload", BinaryType())]))
 
@@ -874,7 +886,13 @@ def synth_video(documents: DataFrame) -> DataFrame:
                 "payload": [encode(int(d)) for d in pdf["doc_id"]],
             })
 
-    return documents.select("doc_id").mapInPandas(
+    # repartition the id-only frame (a tiny Exchange) so the synth
+    # stage parallelizes even when the source is one parquet file —
+    # measured: the single-file sf0.1 scan otherwise serializes the
+    # whole Arrow stage into ONE task
+    ids = documents.select("doc_id")
+    ids = ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+    return ids.mapInPandas(
         fn, StructType([StructField("doc_id", LongType()),
                         StructField("payload", BinaryType())]))
 

@@ -291,9 +291,10 @@ def test_new_operator_shuffle_budgets(spark):
         "q_audio_neardup": 2,    # same shape as q_image_neardup:
                                  # map-only Arrow stages behind the
                                  # checkpoint; segment join + dedup
-        "q_video_scenes": 2,     # map-only synth+parse+sig stages;
-                                 # doc-keyed lag window + the
-                                 # presentation sort
+        "q_video_scenes": 3,     # tiny id repartition (unlocks 32-way
+                                 # synth parallelism on single-file
+                                 # sources) + doc-keyed lag window +
+                                 # the presentation sort
     }
     qs = E.queries()
     for name, budget in budgets.items():
