@@ -469,10 +469,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ivf": lambda s, d: S.q_knn_ivf(_t("embeddings")(s, d)),
         "q_semdedup": lambda s, d: S.q_semdedup(
             _t("embeddings")(s, d), n_vecs=table_rows(d, "embeddings")),
-        # rows-only: in-degree > 1 reorders float sums so no bit-exact
-        # SQL oracle exists; tolerance-checked vs a pure-Python
-        # reference in tests/test_text_dedup.py (chain variant keeps
-        # the hash-checked oracle)
+        # ORACLE-EXACT since r09: fixed-point integer rounds (int64
+        # numerators, damping 17/20), so in-degree > 1 no longer
+        # reorders anything — both engines compute the same integer
+        # function, oracle unrolls the 5 rounds as CTEs; pure-Python
+        # integer-mirror + float-tolerance pytest keeps semantics
+        # honest (tests/test_text_dedup.py)
         "q_pagerank_general": lambda s, d: D.q_pagerank_general(
             _t("documents")(s, d)),
         # degree-ordered triangle counting; the oracle is the NAIVE
@@ -1507,6 +1509,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, round(rank, 6) AS pr
             FROM pr{D.PAGERANK_ITERS}
     """
+    # q_pagerank_general oracle: the FIXED-POINT INTEGER rounds of
+    # dedup.pagerank_exact unrolled as CTEs (the q_kcore/q_label_prop
+    # doctrine). Every quantity is an integer — r0 = scale // N, per
+    # round r' = (3·scale·6 + 17·N·C_v + 102·DM) // (120·N) with
+    # C_v = Σ_in r·(6 // outdeg) and DM = Σ r over dangling nodes —
+    # so in-degree > 1 cannot reorder anything; DuckDB's HUGEINT sums
+    # are CAST back to BIGINT (all values < 2^63 by the engine's
+    # guarded budget, so the cast is lossless). general_edges
+    # re-synthesized in SQL: doc x → x+1, x+4, x+9 where the target
+    # exists, ids ≡ 0 (mod 10) emit nothing (true dangling sinks).
+    _pg_scale = D.PAGERANK_SCALE
+    _pg_unit = _pg_scale // 10 ** 6
+    _pg_steps = "".join(
+        f""",
+            c{i} AS (
+                SELECT ge.doc_b AS node,
+                       CAST(sum(p.r * dg.w) AS BIGINT) AS c
+                FROM ge JOIN gr{i - 1} p ON p.node = ge.doc_a
+                JOIN gdg dg ON dg.doc_a = ge.doc_a
+                GROUP BY ge.doc_b),
+            dm{i} AS (
+                SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm
+                FROM gr{i - 1}
+                WHERE node NOT IN (SELECT doc_a FROM gdg)),
+            gr{i} AS (
+                SELECT gn.node,
+                       CAST((CAST({3 * _pg_scale * 6} AS BIGINT)
+                             + 17 * (SELECT cnt FROM gnn)
+                               * coalesce(c.c, 0)
+                             + 102 * (SELECT dm FROM dm{i}))
+                            // (120 * (SELECT cnt FROM gnn))
+                            AS BIGINT) AS r
+                FROM gn LEFT JOIN c{i} c USING (node))"""
+        for i in range(1, D.PAGERANK_ITERS + 1))
+    pagerank_general_sql = f"""
+            WITH ge AS (
+                SELECT a.doc_id AS doc_a, a.doc_id + o.off AS doc_b
+                FROM documents a
+                CROSS JOIN (VALUES (1), (4), (9)) AS o(off)
+                JOIN documents b ON b.doc_id = a.doc_id + o.off
+                WHERE a.doc_id % 10 <> 0),
+            gn AS (SELECT doc_a AS node FROM ge
+                   UNION SELECT doc_b FROM ge),
+            gnn AS (SELECT count(*) AS cnt FROM gn),
+            gdg AS (SELECT doc_a,
+                           CAST(6 // count(*) AS BIGINT) AS w
+                    FROM ge GROUP BY doc_a),
+            gr0 AS (SELECT node,
+                           CAST({_pg_scale} // (SELECT cnt FROM gnn)
+                                AS BIGINT) AS r
+                    FROM gn){_pg_steps}
+            SELECT node AS doc_id,
+                   CAST((2 * r + {_pg_unit}) // {2 * _pg_unit}
+                        AS BIGINT) AS pr_micros
+            FROM gr{D.PAGERANK_ITERS}
+            ORDER BY doc_id
+    """
     # core_edges re-synthesized in SQL (dedup.core_edges): even blocks
     # of CORE_BLOCK ids are cliques, odd blocks are id-chains,
     # consecutive ids bridge the blocks; in-even-block consecutive
@@ -1537,8 +1596,11 @@ def oracle_sql() -> dict[str, str]:
     # degree ≤ 2 + bridges < KCORE_K and peels in round 1, full clique
     # blocks keep in-block degree CORE_BLOCK-1 ≥ KCORE_K forever, and a
     # trailing partial clique block cascades at most 2 more rounds —
-    # KCORE_ORACLE_ROUNDS=4 covers that at every sf (the engine's
-    # max_rounds guard would raise long before 4 became insufficient).
+    # 4 unrolled rounds cover that at every sf. If the structural
+    # argument ever broke (peel depth > 4), the net that catches it is
+    # THIS oracle: the engine runs to its own fixpoint (max_rounds=100)
+    # while the unroll stops at 4, so the selfcheck/driver hash would
+    # mismatch — the divergence cannot pass silently.
     _kc_rounds = 4
     _kc_steps = "".join(f""",
             deg{r} AS (SELECT node, count(*) AS deg
@@ -2282,6 +2344,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a
         """,
         "q_pagerank_chain": pagerank_sql,
+        "q_pagerank_general": pagerank_general_sql,
         # canonical = argmax(quality, tie -> min doc_id) inside each
         # recursive-CTE component; quality expression matches
         # q_quality_score's indicator arithmetic (bit-deterministic).

@@ -96,6 +96,29 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # Drift tripwire: diff per-query against the newest committed
+    # round artifact (BENCH_local_r0N.json) and announce any query
+    # >1.5x its prior min as a WARNING block. This makes a silent
+    # host-contention run (the r08 +6.6% diffuse drift) visible at
+    # run time instead of burying +seconds across 40 queries. The
+    # block prints ABOVE the totals lines so the driver's tail parse
+    # (last stdout line) is unaffected.
+    import glob
+    prior_files = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_local_r0*.json")))
+    if prior_files:
+        with open(prior_files[-1]) as fh:
+            prior = json.load(fh).get("queries", {})
+        drifted = {k: (prior[k], v) for k, v in timings.items()
+                   if k in prior and prior[k] > 0.05 and v > 1.5 * prior[k]}
+        if drifted:
+            print(f"WARNING: {len(drifted)} queries >1.5x their "
+                  f"{os.path.basename(prior_files[-1])} min:")
+            for k, (p, v) in sorted(drifted.items(),
+                                    key=lambda kv: -kv[1][1] / kv[1][0]):
+                print(f"WARNING:   {k}: {p:.3f}s -> {v:.3f}s "
+                      f"({v / p:.2f}x)")
     print(json.dumps(out))
     # The driver records only a fixed-size TAIL of stdout and parses
     # the last JSON it can find; the full per-query line above has

@@ -1163,20 +1163,111 @@ def general_edges(documents: DataFrame, fan: int = 3) -> DataFrame:
     )
 
 
+PAGERANK_SCALE = 10 ** 11  # fixed-point denominator for pagerank_exact
+
+
+def pagerank_exact(edges: DataFrame, n_iter: int = PAGERANK_ITERS,
+                   scale: int = PAGERANK_SCALE,
+                   lcm_out: int = 6) -> DataFrame:
+    """Fixed-point INTEGER PageRank with dangling-mass redistribution
+    — the oracle-exact formulation of ``pagerank(dangling=
+    'redistribute')``. Float PageRank on in-degree > 1 graphs is
+    engine-dependent (the per-round sum reorders), so instead of
+    asking two engines to agree on floats, both compute the SAME
+    deterministic integer function: ranks live as int64 numerators
+    ``r ≈ rank·scale`` and each round is pure integer arithmetic that
+    any SQL engine reproduces bit-for-bit.
+
+    Per round, with damping pinned at 17/20 (= PAGERANK_DAMPING
+    exactly), N nodes, per-edge weight ``w = lcm_out div outdeg``
+    (exact because every out-degree divides lcm_out — checked), C_v =
+    Σ_in r_u·w_u and DM = Σ r over dangling nodes::
+
+        r'_v = (3·scale·lcm_out + 17·N·C_v + 17·lcm_out·DM)
+               div (20·N·lcm_out)
+
+    which is floor(scale·[(1-d)/N + d·(C_v/(lcm_out·scale) +
+    DM/(scale·N))]) — textbook redistribution, truncated to the
+    fixed-point grid each round (error ≤ n_iter/scale ≪ any output
+    rounding). Init r0 = scale div N. Mass Σr only shrinks under
+    floor, so C_v ≤ lcm_out·scale and the largest intermediate is
+    17·N·lcm_out·scale — guarded < 2^63 (at the default scale that
+    admits N up to ~9·10⁵; shrink ``scale`` beyond that, the grid is
+    still 10⁵× finer than 6-decimal output needs).
+
+    Scale shape: identical to ``pagerank`` — one id-keyed equi-join +
+    one agg per round, a 1-row broadcast for the dangling mass, lazy
+    localCheckpoint per round so plans don't accrete. The out-degree
+    divisibility check and N are the same bounded scalar syncs the
+    float path already pays.
+    """
+    assert PAGERANK_DAMPING == 0.85  # 17/20 — the literals below
+    edges = edges.select("doc_a", "doc_b").localCheckpoint(eager=False)
+    nodes = (edges.select(F.col("doc_a").alias("node"))
+             .union(edges.select(F.col("doc_b"))).distinct()
+             .localCheckpoint(eager=False))
+    n = nodes.count()
+    if 17 * n * lcm_out * scale >= 2 ** 63:
+        raise ValueError(
+            f"pagerank_exact int64 budget exceeded: 17·N·lcm_out·scale"
+            f" must stay under 2^63 (N={n}, scale={scale}) — pass a"
+            f" smaller scale")
+    outdeg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("od"))
+    bad = outdeg.filter(F.lit(lcm_out) % F.col("od") != 0).count()
+    if bad:
+        raise ValueError(
+            f"pagerank_exact: {bad} nodes have out-degree not dividing"
+            f" lcm_out={lcm_out} — per-edge weights would not be exact")
+    w = outdeg.select("doc_a",
+                      F.expr(f"CAST({lcm_out} div od AS BIGINT)")
+                      .alias("w"))
+    ranks = nodes.withColumn("r", F.lit(scale // n).cast("long"))
+    num_base = 3 * scale * lcm_out
+    den = 20 * n * lcm_out
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks, edges["doc_a"] == ranks["node"])
+            .join(w, "doc_a")
+            .select(F.col("doc_b").alias("node"),
+                    (F.col("r") * F.col("w")).alias("cw"))
+            .groupBy("node").agg(F.sum("cw").alias("c"))
+        )
+        dang = (
+            ranks.join(w, ranks["node"] == w["doc_a"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long")
+                 .alias("_dm"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select("node",
+                    F.expr(f"({num_base}L + 17L * {n} * coalesce(c, 0L)"
+                           f" + {17 * lcm_out}L * _dm) div {den}L")
+                    .alias("r"))
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
 def q_pagerank_general(documents: DataFrame) -> DataFrame:
     """Declared query: PageRank with dangling-mass redistribution on
     the deterministic general graph (general_edges: in-degree up to 3,
-    ~10% dangling sinks). Rows-only BY DESIGN: in-degree > 1 makes the
-    per-round float sum order engine-dependent, so no bit-exact SQL
-    oracle exists — the correctness gate is the pytest tolerance check
-    against an independent pure-Python reference implementation plus
-    the Σ rank ≈ 1 mass-conservation invariant
-    (tests/test_text_dedup.py). The chain variant (q_pagerank_chain)
-    keeps the hash-checked oracle for the engine-exact path."""
+    ~10% dangling sinks). ORACLE-EXACT since r09 via pagerank_exact:
+    ranks are int64 fixed-point numerators and every round is integer
+    arithmetic both engines reproduce bit-for-bit — the DuckDB oracle
+    unrolls the same five integer rounds as CTEs (the
+    q_kcore/q_label_prop doctrine). Output is rank in HALF_UP
+    microunits (pr_micros = round(rank·10⁶)). The pytest gates keep
+    the semantics honest: exact equality against a pure-Python integer
+    mirror AND closeness of pr_micros/10⁶ to an independent float
+    reference implementation plus its Σ rank ≈ 1 mass-conservation
+    invariant (tests/test_text_dedup.py)."""
+    unit = PAGERANK_SCALE // 10 ** 6
     return (
-        pagerank(general_edges(documents), dangling="redistribute")
+        pagerank_exact(general_edges(documents))
         .select(F.col("node").alias("doc_id"),
-                F.round("rank", 6).alias("pr"))
+                F.expr(f"(2L * r + {unit}L) div {2 * unit}L")
+                .alias("pr_micros"))
         .orderBy("doc_id")
     )
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 
 from movie_rec_spark.operators import dedup as D
@@ -686,12 +687,37 @@ def test_pagerank_redistribute_matches_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def _pagerank_exact_py(out: dict, n_iter: int, scale: int,
+                       lcm_out: int = 6) -> dict:
+    """Independent pure-Python mirror of the FIXED-POINT INTEGER
+    rounds (dedup.pagerank_exact): the Spark engine must match this
+    EXACTLY — no tolerance — because both are the same deterministic
+    integer function."""
+    nodes = sorted(out)
+    n = len(nodes)
+    w = {u: lcm_out // len(v) for u, v in out.items() if v}
+    r = {v: scale // n for v in nodes}
+    for _ in range(n_iter):
+        c = {v: 0 for v in nodes}
+        for u, targets in out.items():
+            for t in targets:
+                c[t] += r[u] * w[u]
+        dm = sum(r[u] for u in nodes if not out[u])
+        r = {v: (3 * scale * lcm_out + 17 * n * c[v]
+                 + 17 * lcm_out * dm) // (20 * n * lcm_out)
+             for v in nodes}
+    return r
+
+
 def test_pagerank_general_query(spark, sf_docs):
     """q_pagerank_general on the real corpus: every edge-touched doc
-    gets a rank, mass is conserved to 1 within rounding, the graph is
-    genuinely general (in-degree > 1 and ≥1 dangling node exist), and
-    the Spark ranks match the pure-Python reference on the SAME edge
-    set within float-reorder tolerance."""
+    gets a rank, the graph is genuinely general (in-degree > 1 and ≥1
+    dangling node exist), the Spark integer ranks match the
+    pure-Python integer mirror EXACTLY (same fixed-point function —
+    this is what makes the query oracle-able), and the fixed-point
+    result still tracks the independent FLOAT reference (textbook
+    redistribution semantics) within grid tolerance, with mass
+    conserved to 1."""
     edges = [(r.doc_a, r.doc_b)
              for r in D.general_edges(sf_docs).collect()]
     assert edges, "general_edges produced no edges on the sf corpus"
@@ -701,14 +727,36 @@ def test_pagerank_general_query(spark, sf_docs):
         out.setdefault(a, []).append(b)
         out.setdefault(b, [])
         indeg[b] = indeg.get(b, 0) + 1
-    assert max(indeg.values()) > 1            # float sums genuinely reorder
+    assert max(indeg.values()) > 1            # genuine fan-in
     assert any(not v for v in out.values())   # real dangling sinks
+    scale = D.PAGERANK_SCALE
+    unit = scale // 10 ** 6
+    ref_int = _pagerank_exact_py(out, D.PAGERANK_ITERS, scale)
+    exp = {v: (2 * r + unit) // (2 * unit) for v, r in ref_int.items()}
+    got = {r.doc_id: r.pr_micros
+           for r in D.q_pagerank_general(sf_docs).collect()}
+    assert got == exp                          # bit-exact, no tolerance
+    # semantics gate: fixed-point tracks the float textbook reference
     ref = _pagerank_py(out, D.PAGERANK_ITERS, D.PAGERANK_DAMPING)
-    got = {r.doc_id: r.pr for r in D.q_pagerank_general(sf_docs).collect()}
-    assert got.keys() == ref.keys()
     for v in ref:
-        assert abs(got[v] - ref[v]) < 1e-6, (v, got[v], ref[v])
-    assert abs(sum(got.values()) - 1.0) < 1e-3  # 6-decimal rounding slack
+        assert abs(got[v] / 1e6 - ref[v]) < 2e-6, (v, got[v], ref[v])
+    assert abs(sum(got.values()) / 1e6 - 1.0) < 1e-3
+
+
+def test_pagerank_exact_guards(spark):
+    """The int64-budget and out-degree-divisibility guards raise
+    instead of silently overflowing / mis-weighting."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 1)],
+        "doc_a bigint, doc_b bigint")
+    with pytest.raises(ValueError, match="budget"):
+        D.pagerank_exact(edges, scale=2 ** 62)
+    with pytest.raises(ValueError, match="out-degree"):
+        D.pagerank_exact(edges)  # node 1 has out-degree 4, 6 % 4 != 0
+    # lcm_out covering the degrees present works fine
+    got = {r.node: r.r
+           for r in D.pagerank_exact(edges, lcm_out=4).collect()}
+    assert set(got) == {1, 2, 3, 4, 5} and all(v > 0 for v in got.values())
 
 
 def test_chunk_knn_finds_identical_paragraph(spark):

@@ -200,7 +200,9 @@ def measure(spark, sf_dir: str) -> dict:
     }
     for name, (b, cols) in blocked.items():
         if only_wall:  # new-member-only run: skip the blocking stats
-            out["cand"][name] = (0, 0)
+            # None marks "not measured this run" — distinguishable in
+            # SCALE.md source data from a genuine zero-candidate result
+            out["cand"][name] = None
             continue
         r = D.blocking_stats(b, cols).collect()[0]
         out["cand"][name] = (int(r.candidate_pairs), int(r.max_occ))
@@ -232,10 +234,13 @@ def main() -> None:
     for q in base_m["wall"]:
         w1, wn = base_m["wall"][q], big_m["wall"][q]
         ck = cand_for.get(q)
-        if ck:
+        if ck and base_m["cand"].get(ck) and big_m["cand"].get(ck):
             c1, cn = base_m["cand"][ck][0], big_m["cand"][ck][0]
             occ = big_m["cand"][ck][1]
             cr = f"{cn / max(c1, 1):.1f}x"
+        elif ck:  # SCALE_ONLY_WALL run recorded None (not measured)
+            c1 = cn = occ = "(skipped)"
+            cr = "-"
         else:
             c1 = cn = occ = "-"
             cr = "-"
