@@ -1184,7 +1184,8 @@ def oracle_sql() -> dict[str, str]:
                        FROM sc JOIN nrm xn ON xn.vec_id = sc.vec_a
                                JOIN nrm yn ON yn.vec_id = sc.vec_b),
             tp AS (SELECT vec_a, vec_b FROM scored
-                   WHERE dot >= 0
+                   WHERE na > 0 AND nb > 0  -- cosine undefined at norm 0
+                     AND dot >= 0
                      AND dot * dot * {_hl_td * _hl_td}
                          >= {_hl_tn * _hl_tn} * na * nb),
             pairs AS (SELECT coalesce(c.vec_a, t.vec_a) AS vec_a,

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -498,14 +499,18 @@ def _synth_pixel(doc_id: int, y: int, x: int) -> int:
     return hashlib.md5(key.encode()).digest()[x % 16]
 
 
-def _bmp_bytes(base_key, pert_key, pert_cell: tuple[int, int]) -> bytes:
+def _bmp_bytes(base_key, pert_key, pert_cell: tuple[int, int],
+               grid_w: int = PHASH_GRID_W,
+               grid_h: int = PHASH_GRID_H) -> bytes:
     """REAL 24-bit BI_RGB BMP bytes (bottom-up rows, BGR triples,
     4-byte stride) whose grayscale pixel (y, x) is byte x%16 of
     md5(base_key(y, x//16)) — or of md5(pert_key(y, x//16)) inside
     the perturbed grid cell. The encode core shared by the image
-    near-dup and the video scene detector."""
-    w = PHASH_GRID_W * PHASH_BLOCK
-    h = PHASH_GRID_H * PHASH_BLOCK
+    near-dup and the video scene detector. grid_w/grid_h size the
+    dHash grid (default 9x7 = 56 bits); the WIDTH KNOB (SCALE.md
+    §Round 8/9) passes a taller grid for a 128-bit hash."""
+    w = grid_w * PHASH_BLOCK
+    h = grid_h * PHASH_BLOCK
     row_bytes = w * 3
     stride = (row_bytes + 3) & ~3
     pad = b"\x00" * (stride - row_bytes)
@@ -550,17 +555,20 @@ def _bmp_bytes(base_key, pert_key, pert_cell: tuple[int, int]) -> bytes:
     return header + bgr.tobytes()
 
 
-def synth_bmp(documents: DataFrame) -> DataFrame:
+def synth_bmp(documents: DataFrame,
+              grid_h: int = PHASH_GRID_H) -> DataFrame:
     """(doc_id, payload) — REAL 24-bit BI_RGB BMP bytes (bottom-up
     rows, BGR triples, 4-byte row stride) for the deterministic
-    synthetic image of each doc. Arrow-batched; ~1k md5 calls per doc."""
+    synthetic image of each doc. Arrow-batched; ~1k md5 calls per doc.
+    ``grid_h`` picks the dHash grid height (7 -> 56-bit default,
+    16 -> 128-bit production width)."""
 
     def encode(doc_id: int) -> bytes:
         o = doc_id % PHASH_GROUP
         return _bmp_bytes(
             lambda y, c: f"img:{doc_id // PHASH_GROUP}:{y}:{c}",
             lambda y, c: f"pert:{doc_id}:{y}:{c}",
-            (o, 2 * o))
+            (o, 2 * o), grid_h=grid_h)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -595,12 +603,15 @@ def bmp_dhash(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(fn, DHASH_SCHEMA)
 
 
-def _bmp_sig(payload: bytes) -> int:
+def _bmp_sig(payload: bytes, grid_w: int = PHASH_GRID_W,
+             grid_h: int = PHASH_GRID_H) -> int:
     """Byte-parse one 24-bit bottom-up BMP to its grayscale grid and
-    return the 56-bit dHash — the decode core shared by bmp_dhash and
-    the video scene detector. A decoder: wrong magic / compression /
-    dimensions raise."""
-    gw, gh, blk = PHASH_GRID_W, PHASH_GRID_H, PHASH_BLOCK
+    return the grid_h·(grid_w-1)-bit dHash (56-bit at the defaults) —
+    the decode core shared by bmp_dhash and the video scene detector.
+    A decoder: wrong magic / compression / dimensions raise. Returns a
+    Python int (arbitrary precision — callers pack wider-than-63-bit
+    hashes into segment arrays, see bmp_dhash_segs)."""
+    gw, gh, blk = grid_w, grid_h, PHASH_BLOCK
     if payload[:2] != b"BM":
         raise ValueError("bmp_dhash expects BMP payloads")
     pixel_off = int.from_bytes(payload[10:14], "little")
@@ -621,9 +632,16 @@ def _bmp_sig(payload: bytes) -> int:
     sums = img.astype(np.int64).reshape(gh, blk, gw, blk).sum(axis=(1, 3))
     g = sums // (blk * blk)
     bits = g[:, :-1] < g[:, 1:]
-    weights = np.int64(1) << (8 * np.arange(gh, dtype=np.int64)[:, None]
-                              + np.arange(gw - 1, dtype=np.int64)[None, :])
-    return int((bits * weights).sum())
+    nb = gh * (gw - 1)                  # bit i = (gw-1)·row + col
+    if nb <= 63:                        # fits a sign-safe int64 shift
+        weights = np.int64(1) << (
+            (gw - 1) * np.arange(gh, dtype=np.int64)[:, None]
+            + np.arange(gw - 1, dtype=np.int64)[None, :])
+        return int((bits * weights).sum())
+    # wide hashes (e.g. 128-bit): packbits keeps the stage vectorized;
+    # little-endian bit/byte order preserves the same bit-i numbering
+    packed = np.packbits(bits.reshape(-1), bitorder="little")
+    return int.from_bytes(packed.tobytes(), "little")
 
 
 def sig_neardup_pairs(sigs: DataFrame, hamming_max: int = PHASH_HMAX,
@@ -685,6 +703,94 @@ def q_image_neardup(documents: DataFrame,
     everything after it are the production path."""
     sigs = bmp_dhash(synth_bmp(documents)).localCheckpoint(eager=False)
     return sig_neardup_pairs(sigs, hamming_max)
+
+
+# --- the hash-WIDTH knob (SCALE.md §Round 8/9) made real -------------------
+# q_image_neardup's measured 100×-docs cliff is the n²·segs/2^(seg_bits+1)
+# chance-collision floor of pigeonhole blocking at FIXED 56-bit width.
+# The production fix is a WIDER hash: a 128-bit dHash (16×9 grid) keeps
+# hamming_max+1 = 4 segments but at 32 bits each, pushing the floor to
+# ~n²·4/2^33 — negligible to ~10M images. These operators are that knob:
+# signatures wider than 63 bits live as ARRAYS of per-segment BIGINTs
+# (the segment array IS the blocking representation), hamming is the
+# zip-wise bit_count sum, and blocking exactness is pinned by pytest
+# (tests/test_codecs.py) against brute-force all-pairs hamming.
+
+WIDE_GRID_H = 16   # 16 rows x 8 comparisons = 128-bit dHash
+
+
+def bmp_dhash_segs(payloads: DataFrame, grid_h: int = WIDE_GRID_H,
+                   n_segs: int = PHASH_SEGS) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — the width-parameterized dHash:
+    decode each BMP at a grid_h-row grid and pack the grid_h·8 dHash
+    bits into ``n_segs`` equal segments (seg s = bits [s·w, (s+1)·w),
+    w = grid_h·8/n_segs — must divide evenly and fit 63 bits). At the
+    128-bit default: 4 segments of 32 bits."""
+    bits = grid_h * (PHASH_GRID_W - 1)
+    seg_w = bits // n_segs
+    if seg_w * n_segs != bits or seg_w > 63:
+        raise ValueError(f"{bits} bits cannot split into {n_segs} "
+                         f"<=63-bit segments")
+    mask = (1 << seg_w) - 1
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = [_bmp_sig(bytes(b), grid_h=grid_h)
+                    for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sig": [[(s >> (seg_w * i)) & mask
+                         for i in range(n_segs)] for s in sigs],
+            })
+
+    return payloads.mapInPandas(
+        fn, StructType([StructField("doc_id", LongType()),
+                        StructField("sig", ArrayType(LongType()))]))
+
+
+def sig_array_neardup_pairs(sigs: DataFrame,
+                            hamming_max: int = PHASH_HMAX) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within ``hamming_max`` over a
+    (doc_id, sig array<bigint>) frame — pigeonhole blocking where the
+    segment ARRAY is the signature: explode (idx, value), equi-join,
+    exact hamming = Σ bit_count(seg_a[i] ^ seg_b[i]). Exact for
+    hamming_max < len(sig), same pigeonhole argument as
+    sig_neardup_pairs; identical scale shape (one (s, v)-keyed
+    equi-join), but the chance-collision volume divides by
+    2^(seg_bits−14) vs the 56-bit default."""
+    segs = sigs.select(
+        "doc_id", "sig",
+        F.posexplode("sig").alias("s", "v"))
+    a = segs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("sig").alias("sig_a"), "s", "v")
+    b = segs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("sig").alias("sig_b"), "s", "v")
+    return (
+        a.join(b, ["s", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                F.expr("aggregate(zip_with(sig_a, sig_b, "
+                       "(x, y) -> bit_count(x ^ y)), 0, "
+                       "(acc, h) -> acc + h)").cast("int")
+                .alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= hamming_max)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def image_neardup_wide(documents: DataFrame,
+                       hamming_max: int = PHASH_HMAX,
+                       grid_h: int = WIDE_GRID_H) -> DataFrame:
+    """q_image_neardup at PRODUCTION hash width (128-bit dHash by
+    default) — same synth→decode→block→verify pipeline, wider grid.
+    Not a declared query (the 56-bit q_image_neardup keeps the stable
+    oracle); this is the measured scale path: SCALE.md §Round 9 shows
+    the 100×-docs chance-collision floor gone at this width."""
+    sigs = (bmp_dhash_segs(synth_bmp(documents, grid_h=grid_h),
+                           grid_h=grid_h)
+            .localCheckpoint(eager=False))
+    return sig_array_neardup_pairs(sigs, hamming_max)
 
 
 # ---------------------------------------------------------------------------

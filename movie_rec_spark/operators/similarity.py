@@ -842,8 +842,12 @@ def q_hyperlsh_eval(embeddings: DataFrame,
         .localCheckpoint(eager=False))
     frac = Fraction(threshold).limit_denominator(10**6)
     tn, td = frac.numerator, frac.denominator
+    # na > 0 AND nb > 0: cosine is undefined for a zero-norm quantized
+    # vector — without the guard such pairs pass as 0 >= 0 and is_true
+    # would mark a semantically-undefined similarity as true
     truth = (scored.filter(
-        (F.col("dot") >= 0)
+        (F.col("na") > 0) & (F.col("nb") > 0)
+        & (F.col("dot") >= 0)
         & (F.col("dot") * F.col("dot") * F.lit(td * td)
            >= F.lit(tn * tn) * F.col("na") * F.col("nb")))
         .select("vec_a", "vec_b").withColumn("tflag", F.lit(1)))

@@ -226,6 +226,71 @@ def test_image_neardup_matches_pure_python_mirror(spark):
                for a, b in got)
 
 
+def test_image_neardup_wide_128bit_blocking_exact(spark):
+    """The hash-WIDTH knob (SCALE.md §Round 9): at the 128-bit dHash
+    (16×9 grid, 4 segments of 32 bits) the segment-array pipeline is
+    still pigeonhole-EXACT — Spark's blocked pairs equal brute-forced
+    all-pairs hamming <= PHASH_HMAX over the mirror signatures, with
+    per-pair hamming values identical. Also pins the wide roundtrip:
+    engine sigs (REAL BMP encode + byte-parse + segment packing) equal
+    the pure-Python mirror, segments reassemble to the full 128-bit
+    hash, and planted intra-group pairs exist."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    n = 48
+    gh = MM.WIDE_GRID_H
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(n)])
+    got_sigs = {r.doc_id: list(r.sig)
+                for r in MM.bmp_dhash_segs(
+                    MM.synth_bmp(docs, grid_h=gh), grid_h=gh).collect()}
+
+    def mirror_sig(doc_id: int) -> int:
+        o = doc_id % MM.PHASH_GROUP
+        payload = MM._bmp_bytes(
+            lambda y, c: f"img:{doc_id // MM.PHASH_GROUP}:{y}:{c}",
+            lambda y, c: f"pert:{doc_id}:{y}:{c}",
+            (o, 2 * o), grid_h=gh)
+        return MM._bmp_sig(payload, grid_h=gh)
+
+    mirror = {d: mirror_sig(d) for d in range(n)}
+    seg_w = gh * 8 // MM.PHASH_SEGS          # 32-bit segments
+    assert seg_w == 32
+    for d in range(n):
+        segs = [(mirror[d] >> (seg_w * i)) & ((1 << seg_w) - 1)
+                for i in range(MM.PHASH_SEGS)]
+        assert got_sigs[d] == segs, d
+        # segments reassemble to the full wide hash
+        assert sum(s << (seg_w * i) for i, s in enumerate(segs)) \
+            == mirror[d]
+
+    want = {(a, b) for a, b in itertools.combinations(range(n), 2)
+            if bin(mirror[a] ^ mirror[b]).count("1") <= MM.PHASH_HMAX}
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in MM.image_neardup_wide(docs).collect()}
+    assert set(got) == want                   # blocking is EXACT
+    for (a, b), h in got.items():
+        assert h == bin(mirror[a] ^ mirror[b]).count("1")
+    assert len(got) > 0                       # non-vacuous
+    assert all(a // MM.PHASH_GROUP == b // MM.PHASH_GROUP
+               for a, b in got)
+
+
+def test_bmp_dhash_segs_width_guard(spark):
+    """Widths that cannot split into <=63-bit equal segments raise."""
+    from pyspark.sql import Row
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([Row(doc_id=0)])
+    with pytest.raises(ValueError, match="segments"):
+        MM.bmp_dhash_segs(MM.synth_bmp(docs, grid_h=16),
+                          grid_h=16, n_segs=3)  # 128 % 3 != 0
+
+
 def test_bmp_dhash_rejects_corrupt_payloads(spark):
     """bmp_dhash is a decoder, not a fallback: wrong magic and wrong
     dimensions raise instead of producing fake signatures."""
