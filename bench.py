@@ -53,7 +53,11 @@ EXCLUDE = {"q_candidates", "q_dedup_char_jaccard",
            "q_cc_chain_star", "q_cc_chain_minlabel",
            # same chain-graph diagnostic family: 5 fixed rounds of
            # join+agg whose cost is driver round latency at test scale
-           "q_pagerank_chain", "q_pagerank_general"}
+           "q_pagerank_chain", "q_pagerank_general",
+           # 8 CV ALS fits: the ALS cost class is already benched via
+           # q_als_recs/q_als_implicit; a CV grid in the headline set
+           # would just re-time the same fits x8
+           "q_grid_search"}
 
 
 def main() -> None:

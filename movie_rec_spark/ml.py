@@ -234,6 +234,43 @@ def grid_search(ratings: DataFrame,
     return cv.fit(ratings)
 
 
+def q_grid_search(lineitem: DataFrame, orders: DataFrame,
+                  ranks: tuple[int, ...] = (2, 4),
+                  regs: tuple[float, ...] = (0.2, 0.4),
+                  iters: tuple[int, ...] = (4,),
+                  num_folds: int = 2) -> DataFrame:
+    """Declared query (rows-only: ML training is not SQL-expressible):
+    ML2 as a queries() citizen — a genuine (small) hyperparameter grid
+    + k-fold CV over the corpus ratings, returning the scored combo
+    table (rank, max_iter, reg_param, avg_rmse, is_best). The
+    reference's full 144-combo regime (trainer.py:45-66) is the same
+    code path via kwargs; its sf0.1 sweep is committed in
+    GRID_SEARCH.md and gated by
+    tests/test_ml.py::test_grid_artifact_defaults_within_gate.
+
+    Scale shape: CrossValidator fans the fits out (parallelism), each
+    fit is MLlib ALS — distributed by construction; the returned table
+    is |grid| rows assembled from avgMetrics on the driver (a scalar
+    per combo, not data). Deterministic under the fixed seed (the ALS
+    determinism gate pins same-seed refits)."""
+    ratings = build_ratings(lineitem, orders)
+    cv = grid_search(ratings, ranks=ranks, regs=regs, iters=iters,
+                     num_folds=num_folds, parallelism=4)
+    best_rmse = min(cv.avgMetrics)
+    rows = []
+    for pm, rmse in zip(cv.getEstimatorParamMaps(), cv.avgMetrics):
+        by_name = {p.name: v for p, v in pm.items()}
+        rows.append((int(by_name["rank"]), int(by_name["maxIter"]),
+                     float(by_name["regParam"]),
+                     round(float(rmse), 4),
+                     1 if rmse == best_rmse else 0))
+    spark = ratings.sparkSession
+    return (spark.createDataFrame(
+        rows, "rank bigint, max_iter bigint, reg_param double, "
+              "avg_rmse double, is_best int")
+        .orderBy("avg_rmse", "rank", "max_iter", "reg_param"))
+
+
 def q_als_recs(lineitem: DataFrame, orders: DataFrame,
                n: int = 5) -> DataFrame:
     """Declared query (rows-only: ML is not SQL-expressible): full

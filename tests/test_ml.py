@@ -133,6 +133,25 @@ def test_serve_overlay_both_branches(spark):
     assert out[1].score < out[2].score
 
 
+def test_q_grid_search_declared_query(spark):
+    """The declared ML2 query: one row per grid combo, exactly one
+    is_best row and it carries the minimum avg_rmse, params come from
+    the declared grid, and RMSE sits in the plausible rating-scale
+    band (the full-regime artifact gate below covers the production
+    sweep)."""
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    out = ML.q_grid_search(li, orders).collect()
+    assert len(out) == 4                      # 2 ranks x 2 regs x 1 iter
+    assert [r.avg_rmse for r in out] == sorted(r.avg_rmse for r in out)
+    best = [r for r in out if r.is_best == 1]
+    assert len(best) == 1
+    assert best[0].avg_rmse == min(r.avg_rmse for r in out)
+    assert {(r.rank, r.max_iter) for r in out} <= {(2, 4), (4, 4)}
+    assert {r.reg_param for r in out} == {0.2, 0.4}
+    assert all(0.0 < r.avg_rmse < 5.0 for r in out)
+
+
 def test_grid_artifact_defaults_within_gate():
     """The committed full-grid sweep (GRID_SEARCH.md, reference regime:
     trainer.py:45-66) must stay consistent with the production

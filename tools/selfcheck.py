@@ -221,14 +221,16 @@ def main() -> int:
                 "r09 window = the 30 r05-stale queries "
                 "(q_quality_gopher..q_recommend, declaration order) "
                 "- among them q_pagerank_general, newly oracle-exact "
-                "this round via an unrolled-round integer-rational "
-                "DuckDB CTE, first oracle driver row - plus the 20 "
-                "oldest r06-recorded queries in declaration order "
-                "(q_negative_sample..q_active_users). After r09 "
-                "every declared query's latest driver row is <=3 "
-                "rounds old (the floor a 50-wide window over 178 "
-                "declared queries allows); the 30 remaining "
-                "r06-recorded queries rotate into r10."),
+                "this round via an unrolled-round fixed-point-integer "
+                "DuckDB CTE, first oracle driver row - plus "
+                "q_grid_search (new this round, first driver row) "
+                "plus the 19 oldest r06-recorded queries in "
+                "declaration order (q_negative_sample.."
+                "q_cumulative_users). After r09 every declared "
+                "query's latest driver row is <=3 rounds old (the "
+                "floor a 50-wide window over 179 declared queries "
+                "allows); the 31 remaining r06-recorded queries "
+                "(q_active_users onward) rotate into r10."),
         }}
         artifact.update(results)
         with open(emit, "w") as fh:
