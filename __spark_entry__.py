@@ -175,6 +175,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_chunk_dedup": lambda s, d: D.q_chunk_dedup(_t("documents")(s, d)),
         "q_chunk_prune": lambda s, d: D.q_chunk_prune(_t("documents")(s, d)),
+        # ExactSubstr (Lee et al. 2022): sliding-window duplicated-span
+        # finder + its prune action — catches shared passages at ANY
+        # alignment, where stride-chunk dedup needs boundary luck
+        "q_dedup_substring": lambda s, d: D.q_dedup_substring(
+            _t("documents")(s, d)),
+        "q_substring_prune": lambda s, d: D.q_substring_prune(
+            _t("documents")(s, d)),
         "q_pagerank_chain": lambda s, d: D.q_pagerank_chain(
             _t("documents")(s, d)),
         "q_dedup_canonical": lambda s, d: D.q_dedup_canonical(
@@ -361,6 +368,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # buckets + broadcast weight table, integer margin (weights
         # md5-derived stand-ins; the plumbing is the production shape)
         "q_quality_classifier": lambda s, d: T.q_quality_classifier(
+            _t("documents")(s, d)),
+        # DSIR importance resampling: integer-margin hashed-unigram
+        # target-vs-raw scoring, top-1/5 selection (oracle-exact)
+        "q_importance_resample": lambda s, d: T.q_importance_resample(
             _t("documents")(s, d)),
         "q_dataset_fingerprint": lambda s, d: T.q_dataset_fingerprint(
             _t("documents")(s, d)),
@@ -612,12 +623,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      so its first oracle driver row lands now;
     #   2. q_grid_search, new this round (ML2's queries() presence),
     #      takes one slot so its FIRST driver row lands immediately;
-    #   3. the remaining 19 slots go to the oldest r06-recorded
-    #      queries in declaration order (q_negative_sample ..
-    #      q_cumulative_users); the other 31 r06-recorded queries
-    #      (q_active_users onward) rotate into the r10 window.
+    #   3. the next 16 slots go to the oldest r06-recorded queries in
+    #      declaration order (q_negative_sample .. q_session_paths);
+    #   4. the three oracle-exact queries declared mid-r09
+    #      (q_dedup_substring, q_substring_prune,
+    #      q_importance_resample) take the last three slots so their
+    #      FIRST driver rows land immediately, displacing q_ab_test /
+    #      q_corr_matrix / q_cumulative_users (r06-recorded) into the
+    #      r10 window with the other 31 r06-recorded queries.
     # After r09 every declared query's latest driver row is ≤3 rounds
-    # old — the floor a 50-wide window over 179 declared queries
+    # old except those three displaced r06 rows (refreshed first in
+    # r10) — the floor a 50-wide window over 182 declared queries
     # allows.
     keys = list(q)
     priority = [
@@ -633,16 +649,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank_general", "q_top_movies_bucketed",
         "q_merge_snapshot", "q_image_features", "q_audio_features",
         "q_recommend",
-        # -- oldest r06-recorded block, declaration order (20)
+        # -- oldest r06-recorded block, declaration order (16)
         "q_negative_sample", "q_incremental_view", "q_rrf",
         "q_bpe_merges", "q_bpe_encode", "q_length_buckets",
         "q_dedup_containment", "q_hard_negatives",
         "q_sessionize_stream", "q_anomaly", "q_anomaly_stream_et",
         "q_walkforward_splits", "q_event_transitions", "q_rfm",
-        "q_histogram", "q_session_paths", "q_ab_test",
-        "q_corr_matrix", "q_cumulative_users",
-        # -- new this round, never recorded (1)
-        "q_grid_search",
+        "q_histogram", "q_session_paths",
+        # -- new this round, never recorded (4)
+        "q_grid_search", "q_dedup_substring", "q_substring_prune",
+        "q_importance_resample",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -2453,6 +2469,103 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
                                 FILTER (WHERE rn = 1), '') AS cleaned_text
             FROM ranked GROUP BY doc_id
+        """,
+        # ExactSubstr findings: sliding k-token windows at every
+        # offset (per-row unnest(range(...)) replicates doc context;
+        # DuckDB list slice t[a:b] is 1-based inclusive), duplicate =
+        # fp seen in >1 doc (min<>max over the fp partition), maximal
+        # spans via gaps-and-islands with break at start-gap > k
+        # (coverage stays contiguous up to exactly k).
+        "q_dedup_substring": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents),
+            wins AS (
+                SELECT doc_id, t,
+                       CAST(unnest(range(0, greatest(
+                           len(t) - {D.SUBSTR_K} + 1, 0))) AS INT)
+                           AS start
+                FROM toks),
+            fps AS (
+                SELECT doc_id, start,
+                       md5(array_to_string(
+                           t[start + 1 : start + {D.SUBSTR_K}], ' '))
+                           AS fp
+                FROM wins),
+            d AS (
+                SELECT doc_id, start,
+                       min(doc_id) OVER (PARTITION BY fp)
+                           <> max(doc_id) OVER (PARTITION BY fp) AS dup
+                FROM fps),
+            isl AS (
+                SELECT doc_id, start,
+                       CASE WHEN lag(start) OVER w IS NULL
+                                 OR start - lag(start) OVER w
+                                    > {D.SUBSTR_K}
+                            THEN 1 ELSE 0 END AS brk
+                FROM d WHERE dup
+                WINDOW w AS (PARTITION BY doc_id ORDER BY start)),
+            g AS (
+                SELECT doc_id, start,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                                      ROWS UNBOUNDED PRECEDING) AS island
+                FROM isl)
+            SELECT doc_id, CAST(min(start) AS INT) AS span_start,
+                   CAST(max(start) + {D.SUBSTR_K} - min(start) AS INT)
+                       AS span_len,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM g GROUP BY doc_id, island
+            ORDER BY doc_id, span_start
+        """,
+        # The prune action: canonical occurrence of each duplicated fp
+        # = (doc_id, start)-minimal; every token position covered by a
+        # non-canonical duplicated window is dropped, short/no-window
+        # docs pass through via the left join.
+        "q_substring_prune": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents),
+            wins AS (
+                SELECT doc_id, t,
+                       CAST(unnest(range(0, greatest(
+                           len(t) - {D.SUBSTR_K} + 1, 0))) AS INT)
+                           AS start
+                FROM toks),
+            fps AS (
+                SELECT doc_id, start,
+                       md5(array_to_string(
+                           t[start + 1 : start + {D.SUBSTR_K}], ' '))
+                           AS fp
+                FROM wins),
+            flagged AS (
+                SELECT doc_id, start,
+                       min(doc_id) OVER (PARTITION BY fp)
+                           <> max(doc_id) OVER (PARTITION BY fp) AS dup,
+                       row_number() OVER (PARTITION BY fp
+                                          ORDER BY doc_id, start) AS rn
+                FROM fps),
+            rmpos AS (
+                SELECT DISTINCT doc_id, start + u.i AS pos
+                FROM (SELECT doc_id, start FROM flagged
+                      WHERE dup AND rn > 1) nc,
+                     (SELECT unnest(range(0, {D.SUBSTR_K})) AS i) u),
+            tokpos AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           - 1 AS pos
+                FROM documents),
+            kept AS (
+                SELECT tp.doc_id, tp.tok, tp.pos,
+                       CASE WHEN r.pos IS NULL THEN 1 ELSE 0 END AS keep
+                FROM tokpos tp LEFT JOIN rmpos r
+                  ON tp.doc_id = r.doc_id AND tp.pos = r.pos)
+            SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+                   CAST(count(*) - sum(keep) AS INT) AS n_removed,
+                   coalesce(string_agg(tok, ' ' ORDER BY pos)
+                                FILTER (WHERE keep = 1), '')
+                       AS cleaned_text
+            FROM kept GROUP BY doc_id ORDER BY doc_id
         """,
         # The multimodal stub decodes are deterministic functions of the
         # payload bytes (md5-derived header fields + byte statistics),
@@ -4361,6 +4474,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(w.weight) > 0 AS INTEGER) AS kept
             FROM f JOIN w USING (bucket)
             GROUP BY 1 ORDER BY 1
+        """,
+        # DSIR importance resampling mirrored: same 56-bit md5 bucket
+        # recipe; per-bucket weight = add-one-smoothed probability
+        # difference over the common denominator (integer), doc score
+        # = bag-of-words sum, top-1/5 by (score DESC, doc_id) selected.
+        "q_importance_resample": f"""
+            WITH tok AS (SELECT doc_id, source,
+                                unnest(string_split(text, ' ')) AS t
+                         FROM documents),
+            f AS (SELECT doc_id, source,
+                         CAST('0x' || substring(md5(t), 1, 14)
+                              AS BIGINT) % {T.DSIR_BUCKETS} AS bucket
+                  FROM tok),
+            s AS (SELECT bucket,
+                         sum(CASE WHEN source = '{T.DSIR_TARGET_SOURCE}'
+                                  THEN 1 ELSE 0 END) AS ct,
+                         count(*) AS cr
+                  FROM f GROUP BY bucket),
+            tt AS (SELECT sum(ct) AS t_tot, sum(cr) AS r_tot FROM s),
+            w AS (SELECT bucket,
+                         (ct + 1) * (r_tot + {T.DSIR_BUCKETS})
+                         - (cr + 1) * (t_tot + {T.DSIR_BUCKETS}) AS w
+                  FROM s, tt),
+            sc AS (SELECT f.doc_id, f.source,
+                          CAST(count(*) AS BIGINT) AS n_tokens,
+                          CAST(sum(w.w) AS BIGINT) AS score
+                   FROM f JOIN w USING (bucket) GROUP BY 1, 2),
+            r AS (SELECT *,
+                         row_number() OVER (ORDER BY score DESC, doc_id)
+                             AS imp_rank,
+                         count(*) OVER () AS n
+                  FROM sc)
+            SELECT doc_id, source, n_tokens, score,
+                   CAST(imp_rank AS INT) AS imp_rank,
+                   CAST(imp_rank * {T.DSIR_KEEP_DEN}
+                        <= n * {T.DSIR_KEEP_NUM} AS INT) AS selected
+            FROM r ORDER BY doc_id
         """,
         # Same RANGE frame as q_rolling_window; z rounds to 2dp BEFORE
         # the threshold compare on BOTH engines so the flag is stable

@@ -2128,3 +2128,153 @@ def q_bloom_audit(documents: DataFrame,
             .crossJoin(F.broadcast(n_bits))
             .select("doc_id", "bloom_hit", "is_member", "n_bits_set")
             .orderBy("doc_id"))
+
+
+SUBSTR_K = 8  # sliding-window length in tokens (ExactSubstr span unit)
+
+
+def substring_windows(documents: DataFrame,
+                      k: int = SUBSTR_K) -> DataFrame:
+    """(doc_id, start, fp) for EVERY k-token sliding window (stride 1,
+    0-based token offset) — the suffix-array stand-in of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"
+    (ExactSubstr). Where chunk_rows cuts stride-k paragraphs, this
+    fingerprints all |tokens|-k+1 offsets, so a verbatim span is found
+    at ANY alignment, not only on chunk boundaries.
+
+    Built map-side in one codegen expression (split once, sequence +
+    slice + concat_ws + md5) — no explode-then-self-join; the window
+    count is |tokens|-k+1 per doc, so total work is corpus token count
+    x 1, the same linear scan class the paper's suffix array achieves
+    and the shape that survives 100 TB. Docs shorter than k produce no
+    windows (guarded sequence).
+    """
+    w = F.split("text", " ")
+    n_wins = F.size(w) - F.lit(k - 1)
+    wins = F.when(
+        n_wins > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_wins - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("start"),
+                F.md5(F.concat_ws(" ", F.slice(w, i + 1, k))
+                      .cast("binary")).alias("fp")),
+        )).otherwise(F.array())
+    return (
+        documents
+        .select("doc_id", F.explode(wins).alias("wn"))
+        .select("doc_id", F.col("wn.start").alias("start"),
+                F.col("wn.fp").alias("fp"))
+    )
+
+
+def q_dedup_substring(documents: DataFrame,
+                      k: int = SUBSTR_K) -> DataFrame:
+    """Declared query: maximal cross-document duplicated spans —
+    ExactSubstr's findings table. A window is duplicated when its
+    fingerprint occurs in MORE THAN ONE document; overlapping or
+    touching duplicated windows within a doc merge (gaps-and-islands,
+    break when the next start is > k past the previous — coverage
+    would no longer be contiguous) into one maximal span. Output one
+    row per span: (doc_id, span_start, span_len, n_windows), token
+    offsets — the byte-range artifact of the paper, in token units.
+
+    This catches what BOTH whole-doc dedup and stride-chunk dedup
+    miss: a shared passage at different offsets in two documents
+    lands on different chunk boundaries (q_chunk_dedup finds nothing)
+    while document Jaccard stays low (q_dedup_jaccard finds nothing);
+    here the interior windows of the shared passage collide at every
+    alignment.
+
+    Scale shape: map-side windowing (substring_windows), then ONE
+    shuffle keyed on the window fingerprint (the min!=max-over-fp
+    duplicate test runs inside that exchange — no groupBy+join round
+    trip), then ONE shuffle keyed on doc_id for the island merge.
+    Cost tracks corpus token count, never document pairs. The paper's
+    suffix array is a single-machine construction; fp-keyed shuffles
+    are the distributed equivalent with the same O(corpus) work.
+
+    Reference analogue: none (`web/app/controller.py` has no dedup);
+    corpus-hygiene extension of the q_chunk_dedup digest machinery.
+    """
+    wins = substring_windows(documents, k)
+    wfp = Window.partitionBy("fp")
+    dup = (wins
+           .withColumn(
+               "dup",
+               F.min("doc_id").over(wfp) != F.max("doc_id").over(wfp))
+           .filter("dup"))
+    wdoc = Window.partitionBy("doc_id").orderBy("start")
+    brk = F.when(
+        F.lag("start").over(wdoc).isNull()
+        | (F.col("start") - F.lag("start").over(wdoc) > k),
+        1).otherwise(0)
+    isl = (dup.select("doc_id", "start")
+           .withColumn("brk", brk)
+           .withColumn("island", F.sum("brk").over(
+               wdoc.rowsBetween(Window.unboundedPreceding, 0))))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("start").cast("int").alias("span_start"),
+             (F.max("start") + F.lit(k) - F.min("start")).cast("int")
+             .alias("span_len"),
+             F.count(F.lit(1)).cast("long").alias("n_windows"))
+        .select("doc_id", "span_start", "span_len", "n_windows")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def q_substring_prune(documents: DataFrame,
+                      k: int = SUBSTR_K) -> DataFrame:
+    """Declared query: the action on q_dedup_substring's findings —
+    rebuild every document with the tokens covered by NON-CANONICAL
+    duplicated windows removed. The canonical occurrence of each
+    duplicated fingerprint is its (doc_id, start)-minimal window
+    (row_number = 1 in that order), so exactly one copy of every
+    duplicated passage survives corpus-wide and the canonical copy is
+    deterministic — the sliding-window counterpart of q_chunk_prune
+    and the scrub step of Lee et al.'s ExactSubstr pipeline.
+
+    Scale shape: windows shuffle ONCE on fp (duplicate test + the
+    canonical row_number share the exchange), removed positions
+    aggregate ONCE on doc_id into a per-doc array (bounded by doc
+    length), and the rebuild is map-side codegen — filter the token
+    index sequence against the removed-position array and concat. No
+    token-level anti-join; nothing shuffles more than (doc_id, pos).
+
+    Output: (doc_id, n_tokens, n_removed, cleaned_text), every doc
+    present (short/no-window docs pass through untouched).
+    """
+    wins = substring_windows(documents, k)
+    wfp = Window.partitionBy("fp")
+    word = Window.partitionBy("fp").orderBy("doc_id", "start")
+    flagged = wins.select(
+        "doc_id", "start",
+        (F.min("doc_id").over(wfp) != F.max("doc_id").over(wfp))
+        .alias("dup"),
+        F.row_number().over(word).alias("rn"))
+    rmpos = (flagged.filter("dup AND rn > 1")
+             .select("doc_id",
+                     F.explode(F.sequence(
+                         F.col("start"),
+                         F.col("start") + F.lit(k - 1))).alias("pos"))
+             .groupBy("doc_id")
+             .agg(F.array_sort(F.collect_set(F.col("pos").cast("int")))
+                  .alias("rm")))
+    toks = F.split("text", " ")
+    rm = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda i: ~F.array_contains(rm, i.cast("int")))
+    return (
+        documents.join(rmpos, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(toks).cast("int").alias("n_tokens"),
+            F.size(rm).cast("int").alias("n_removed"),
+            F.concat_ws(" ", F.transform(
+                kept_idx,
+                lambda i: F.element_at(toks, i + 1)))
+            .alias("cleaned_text"))
+        .orderBy("doc_id")
+    )

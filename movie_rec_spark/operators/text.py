@@ -1389,3 +1389,82 @@ def q_length_buckets(documents: DataFrame,
         cap.alias("capacity"),
         ((cap - F.col("n_tokens")) / cap).alias("waste_ratio"))
         .orderBy("bucket"))
+
+
+# DSIR-style data selection (Xie et al., "Data Selection for Language
+# Models via Importance Resampling"): score every raw document by how
+# much more target-like than raw-like its hashed n-gram features are,
+# then keep the top slice. The production form uses float log-ratio
+# bag-of-words scores; here the per-bucket weight is the add-one-
+# smoothed probability DIFFERENCE cleared to a common denominator —
+# pure int64, so the ranking is oracle-exact cross-engine (the
+# q_quality_classifier integer-margin doctrine applied to importance
+# weighting). int64-safe to ~1e8 corpus tokens; beyond that the float
+# log-ratio path takes over (the plan shape is identical).
+DSIR_BUCKETS = 4096
+DSIR_TARGET_SOURCE = "src0"  # in-domain proxy: one source plays target
+DSIR_KEEP_NUM, DSIR_KEEP_DEN = 1, 5  # keep the top 1/5 by importance
+
+
+def q_importance_resample(documents: DataFrame,
+                          target_source: str = DSIR_TARGET_SOURCE,
+                          b: int = DSIR_BUCKETS) -> DataFrame:
+    """Declared query: hashed-unigram importance resampling. Tokens
+    hash into ``b`` buckets (56-bit md5 prefix mod b, the shared
+    portable recipe); the target distribution is the ``target_source``
+    slice, raw is the whole corpus. Per-bucket weight
+
+        w[bkt] = (ct+1)*(R+b) - (cr+1)*(T+b)
+
+    (ct/cr = target/raw token counts in the bucket, T/R the totals) is
+    the sign-and-magnitude of smoothed p_target(bkt) - p_raw(bkt) over
+    the common denominator (T+b)(R+b); a doc's importance score is the
+    bag-of-words weight sum. Docs rank by (score DESC, doc_id) and the
+    top KEEP_NUM/KEEP_DEN are selected.
+
+    Scale shape: one map-side token explode feeds BOTH sides — the
+    bucket stats are ONE groupBy over at most ``b`` keys (KBs at any
+    corpus size, conditional sums split target from raw in the same
+    pass), which broadcast-joins back onto the token stream; the doc
+    score is one doc_id-keyed sum. The final rank is over DOC-level
+    rows; at 100 TB the global row_number becomes an approx-quantile
+    threshold on score (one pass, no total sort) — the rank form here
+    is what makes the selection oracle-exact at test scale.
+
+    Output: (doc_id, source, n_tokens, score, imp_rank, selected).
+    Reference analogue: none; beyond-reference LLM-pipeline member.
+    """
+    from pyspark.sql.window import Window
+
+    tok = documents.select(
+        "doc_id", "source",
+        F.explode(_tokens(F.col("text"))).alias("t"))
+    bucket = (F.conv(F.substring(F.md5(F.col("t").cast("binary")),
+                                 1, 14), 16, 10).cast("long") % b)
+    feats = tok.select("doc_id", "source", bucket.alias("bucket"))
+    stats = (feats.groupBy("bucket")
+             .agg(F.sum((F.col("source") == target_source)
+                        .cast("long")).alias("ct"),
+                  F.count(F.lit(1)).cast("long").alias("cr")))
+    tot = stats.agg(F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot"))
+    w = (stats.crossJoin(F.broadcast(tot))
+         .select("bucket",
+                 ((F.col("ct") + 1) * (F.col("r_tot") + b)
+                  - (F.col("cr") + 1) * (F.col("t_tot") + b))
+                 .alias("w")))
+    scored = (feats.join(F.broadcast(w), "bucket")
+              .groupBy("doc_id", "source")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                   F.sum("w").cast("long").alias("score")))
+    wr = Window.orderBy(F.desc("score"), "doc_id")
+    wall = Window.partitionBy()
+    return (
+        scored
+        .withColumn("imp_rank", F.row_number().over(wr).cast("int"))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .select("doc_id", "source", "n_tokens", "score", "imp_rank",
+                (F.col("imp_rank") * DSIR_KEEP_DEN
+                 <= F.col("_n") * DSIR_KEEP_NUM).cast("int")
+                .alias("selected"))
+        .orderBy("doc_id")
+    )

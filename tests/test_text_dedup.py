@@ -1159,3 +1159,76 @@ def test_bloom_audit_matches_python_mirror_and_fp_behavior(spark):
             D.q_bloom_audit(_docs(spark, texts), m=16, k=2).collect()}
     assert any(r.bloom_hit == 1 and r.is_member == 0
                for r in tiny.values())
+
+
+def test_substring_windows_every_offset_and_short_doc(spark):
+    """Sliding k=3 windows fingerprint every offset (stride 1); a doc
+    shorter than k yields no windows at all."""
+    docs = _docs(spark, ["a b c d e", "x y"])
+    rows = sorted((r.doc_id, r.start)
+                  for r in D.substring_windows(docs, k=3).collect())
+    assert rows == [(0, 0), (0, 1), (0, 2)]
+
+
+def test_dedup_substring_finds_misaligned_shared_span(spark):
+    """The ExactSubstr point: a passage shared at DIFFERENT offsets in
+    two docs (so stride-chunking never aligns on it) is reported as
+    one maximal span per doc with the right offsets, length, and
+    window count."""
+    shared = "p1 p2 p3 p4"
+    docs = _docs(spark, [
+        "x1 x2 " + shared + " y1",
+        "z1 " + shared,
+        "u1 u2 u3 u4 u5 u6 u7",
+    ])
+    out = sorted((r.doc_id, r.span_start, r.span_len, r.n_windows)
+                 for r in D.q_dedup_substring(docs, k=3).collect())
+    assert out == [(0, 2, 4, 2), (1, 1, 4, 2)]
+
+
+def test_dedup_substring_gap_splits_islands(spark):
+    """Two duplicated windows whose starts are more than k apart have
+    non-contiguous coverage and must stay separate spans."""
+    docs = _docs(spark, [
+        "p1 p2 p3 f1 f2 f3 f4 q1 q2 q3",
+        "p1 p2 p3 u1 u2 u3 u4 q1 q2 q3",
+    ])
+    out = sorted((r.doc_id, r.span_start, r.span_len, r.n_windows)
+                 for r in D.q_dedup_substring(docs, k=3).collect())
+    assert out == [(0, 0, 3, 1), (0, 7, 3, 1),
+                   (1, 0, 3, 1), (1, 7, 3, 1)]
+
+
+def test_substring_prune_keeps_canonical_copy(spark):
+    """The (doc_id, start)-minimal occurrence of a duplicated span
+    survives; every other copy's tokens are removed; docs shorter
+    than k pass through untouched."""
+    docs = _docs(spark, ["a b c d", "a b c d", "z"])
+    out = {r.doc_id: r
+           for r in D.q_substring_prune(docs, k=4).collect()}
+    assert (out[0].n_removed, out[0].cleaned_text) == (0, "a b c d")
+    assert (out[1].n_removed, out[1].cleaned_text) == (4, "")
+    assert (out[2].n_tokens, out[2].n_removed, out[2].cleaned_text) == (
+        1, 0, "z")
+
+
+def test_importance_resample_ranks_target_like_docs_first(spark):
+    """Docs made of the target source's vocabulary outrank docs made
+    of raw-only vocabulary; the top-1/5 selection picks exactly
+    ceil-free n*NUM/DEN docs with the (score DESC, doc_id) tiebreak."""
+    rows = [
+        (0, "tgt tgt", "src0"),
+        (1, "tgt tgt", "s1"),
+        (2, "oth oth", "s1"),
+        (3, "oth oth", "s1"),
+        (4, "oth oth", "s1"),
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source=s, n_chars=len(t))
+         for i, t, s in rows])
+    out = {r.doc_id: r for r in T.q_importance_resample(docs).collect()}
+    # target-vocab docs strictly above raw-vocab docs
+    assert out[0].score == out[1].score > out[2].score
+    # tie broken by doc_id: doc0 is rank 1 and the single selected doc
+    assert out[0].imp_rank == 1 and out[1].imp_rank == 2
+    assert [d for d, r in out.items() if r.selected] == [0]

@@ -222,15 +222,18 @@ def main() -> int:
                 "(q_quality_gopher..q_recommend, declaration order) "
                 "- among them q_pagerank_general, newly oracle-exact "
                 "this round via an unrolled-round fixed-point-integer "
-                "DuckDB CTE, first oracle driver row - plus "
-                "q_grid_search (new this round, first driver row) "
-                "plus the 19 oldest r06-recorded queries in "
-                "declaration order (q_negative_sample.."
-                "q_cumulative_users). After r09 every declared "
-                "query's latest driver row is <=3 rounds old (the "
-                "floor a 50-wide window over 179 declared queries "
-                "allows); the 31 remaining r06-recorded queries "
-                "(q_active_users onward) rotate into r10."),
+                "DuckDB CTE, first oracle driver row - plus the "
+                "four queries declared in r09 (q_grid_search, "
+                "q_dedup_substring, q_substring_prune, "
+                "q_importance_resample; first driver rows) plus the "
+                "16 oldest r06-recorded queries in declaration "
+                "order (q_negative_sample..q_session_paths). After "
+                "r09 every declared query's latest driver row is "
+                "<=3 rounds old (the floor a 50-wide window over "
+                "182 declared queries allows) except q_ab_test/"
+                "q_corr_matrix/q_cumulative_users, displaced by the "
+                "mid-round additions and refreshed first in r10 "
+                "with the 31 remaining r06-recorded queries."),
         }}
         artifact.update(results)
         with open(emit, "w") as fh:
