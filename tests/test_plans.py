@@ -295,6 +295,21 @@ def test_new_operator_shuffle_budgets(spark):
                                  # synth parallelism on single-file
                                  # sources) + doc-keyed lag window +
                                  # the presentation sort
+        # round-9 additions
+        "q_dedup_substring": 3,  # windows shuffle ONCE on fp (dup
+                                 # test inside the exchange), island
+                                 # merge ONCE on doc_id, + the
+                                 # presentation sort
+        "q_substring_prune": 4,  # fp-keyed rank/dup window + the
+                                 # doc-keyed removed-positions agg +
+                                 # join-back (broadcast at test scale;
+                                 # headroom if AQE un-broadcasts) +
+                                 # presentation sort
+        "q_importance_resample": 5,  # bucket stats agg + totals agg
+                                     # (both <=B rows, broadcast back)
+                                     # + doc-keyed score agg + the
+                                     # doc-cardinality global rank +
+                                     # presentation sort
     }
     qs = E.queries()
     for name, budget in budgets.items():
