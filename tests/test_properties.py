@@ -1026,3 +1026,140 @@ def test_hll_rho_formula_matches_bit_length(h):
         rho_def += 1
     assert rho_engine == rho_def
     assert 1 <= rho_engine <= suffix_bits + 1
+
+
+# ---- round-9 kernels vs pure-Python mirrors ----------------------------
+
+def _model_substr_windows(texts, k):
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for d, t in enumerate(texts):
+        toks = t.split(" ")
+        for i in range(len(toks) - k + 1):
+            occ[" ".join(toks[i:i + k])].append((d, i))
+    return occ
+
+
+def _model_spans(texts, k):
+    from collections import defaultdict
+
+    occ = _model_substr_windows(texts, k)
+    by_doc = defaultdict(list)
+    for lst in occ.values():
+        if len({d for d, _ in lst}) > 1:
+            for d, i in lst:
+                by_doc[d].append(i)
+    spans = []
+    for d, starts in by_doc.items():
+        starts.sort()
+        cur = [starts[0]]
+        for s in starts[1:]:
+            if s - cur[-1] > k:
+                spans.append((d, cur[0], cur[-1] + k - cur[0], len(cur)))
+                cur = [s]
+            else:
+                cur.append(s)
+        spans.append((d, cur[0], cur[-1] + k - cur[0], len(cur)))
+    return sorted(spans)
+
+
+def _model_prune(texts, k):
+    from collections import defaultdict
+
+    occ = _model_substr_windows(texts, k)
+    removed = defaultdict(set)
+    for lst in occ.values():
+        if len({d for d, _ in lst}) > 1:
+            for d, s in sorted(lst)[1:]:
+                removed[d].update(range(s, s + k))
+    out = []
+    for d, t in enumerate(texts):
+        toks = t.split(" ")
+        keep = [w for i, w in enumerate(toks) if i not in removed[d]]
+        out.append((d, len(toks), len(removed[d]), " ".join(keep)))
+    return out
+
+
+def _mk_docs(spark, texts, sources=None):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en",
+             source=(sources[i] if sources else "s"), n_chars=len(t))
+         for i, t in enumerate(texts)])
+
+
+_tok_doc = st.lists(st.sampled_from(["a", "b", "c"]), min_size=0,
+                    max_size=10).map(" ".join)
+
+
+@SLOW
+@given(st.lists(_tok_doc, min_size=1, max_size=5))
+def test_dedup_substring_matches_python_mirror(spark, texts):
+    """Maximal cross-doc duplicated spans agree with a brute-force
+    pure-Python mirror on tiny-vocab corpora (vocab of 3 forces heavy
+    window collisions, exercising merge and gap-split paths)."""
+    from movie_rec_spark.operators.dedup import q_dedup_substring
+
+    got = sorted((r.doc_id, r.span_start, r.span_len, r.n_windows)
+                 for r in q_dedup_substring(
+                     _mk_docs(spark, texts), k=3).collect())
+    assert got == _model_spans(texts, 3)
+
+
+@SLOW
+@given(st.lists(_tok_doc, min_size=1, max_size=5))
+def test_substring_prune_matches_python_mirror(spark, texts):
+    """Pruned corpora agree with the mirror: canonical (doc_id,
+    start)-minimal occurrence survives, removed-position union
+    accounting is exact, short docs pass through."""
+    from movie_rec_spark.operators.dedup import q_substring_prune
+
+    got = sorted((r.doc_id, r.n_tokens, r.n_removed, r.cleaned_text)
+                 for r in q_substring_prune(
+                     _mk_docs(spark, texts), k=3).collect())
+    assert got == _model_prune(texts, 3)
+
+
+@SLOW
+@given(st.lists(
+    st.tuples(_tok_doc, st.sampled_from(["src0", "s1"])),
+    min_size=1, max_size=6))
+def test_importance_resample_matches_python_mirror(spark, rows):
+    """DSIR integer margins, ranks, and the top-1/5 cut agree with a
+    pure-Python md5-bucket mirror (independent of both engines)."""
+    from hashlib import md5
+
+    from movie_rec_spark.operators.text import (
+        DSIR_BUCKETS, DSIR_KEEP_DEN, DSIR_KEEP_NUM, q_importance_resample)
+
+    texts = [t for t, _ in rows]
+    sources = [s for _, s in rows]
+
+    def bucket(tok):
+        return int(md5(tok.encode()).hexdigest()[:14], 16) % DSIR_BUCKETS
+
+    from collections import Counter
+
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    for t, s in rows:
+        for tok in t.split(" "):
+            b = bucket(tok)
+            cr[b] += 1
+            if s == "src0":
+                ct[b] += 1
+    t_tot, r_tot = sum(ct.values()), sum(cr.values())
+    w = {b: (ct[b] + 1) * (r_tot + DSIR_BUCKETS)
+         - (cr[b] + 1) * (t_tot + DSIR_BUCKETS) for b in cr}
+    scores = [(d, sum(w[bucket(tok)] for tok in t.split(" ")))
+              for d, t in enumerate(texts)]
+    order = sorted(scores, key=lambda x: (-x[1], x[0]))
+    n = len(order)
+    model = {d: (s, i + 1, int((i + 1) * DSIR_KEEP_DEN <= n * DSIR_KEEP_NUM))
+             for i, (d, s) in enumerate(order)}
+    got = {r.doc_id: (r.score, r.imp_rank, r.selected)
+           for r in q_importance_resample(
+               _mk_docs(spark, texts, sources)).collect()}
+    assert got == model
