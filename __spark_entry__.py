@@ -469,6 +469,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_data_quality": lambda s, d: Q.q_data_quality(
             _t("orders")(s, d), _t("customer")(s, d),
             _t("lineitem")(s, d)),
+        # k-anonymity governance pair (operators/quality.py): the
+        # quasi-identifier audit + the fixed generalization ladder
+        "q_kanon": lambda s, d: Q.q_kanon(_t("customer")(s, d)),
+        "q_kanon_generalize": lambda s, d: Q.q_kanon_generalize(
+            _t("customer")(s, d)),
         # --- similarity scale paths (rows-only: seeded-random LSH planes /
         # KMeans centroids are engine-specific; recall vs the exact
         # baselines is asserted in tests/test_similarity_multimodal.py).
@@ -623,17 +628,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      so its first oracle driver row lands now;
     #   2. q_grid_search, new this round (ML2's queries() presence),
     #      takes one slot so its FIRST driver row lands immediately;
-    #   3. the next 16 slots go to the oldest r06-recorded queries in
-    #      declaration order (q_negative_sample .. q_session_paths);
-    #   4. the three oracle-exact queries declared mid-r09
+    #   3. the next 14 slots go to the oldest r06-recorded queries in
+    #      declaration order (q_negative_sample .. q_rfm);
+    #   4. the five oracle-exact queries declared mid-r09
     #      (q_dedup_substring, q_substring_prune,
-    #      q_importance_resample) take the last three slots so their
-    #      FIRST driver rows land immediately, displacing q_ab_test /
-    #      q_corr_matrix / q_cumulative_users (r06-recorded) into the
-    #      r10 window with the other 31 r06-recorded queries.
+    #      q_importance_resample, q_kanon, q_kanon_generalize) take
+    #      the last five slots so their FIRST driver rows land
+    #      immediately, displacing q_histogram / q_session_paths /
+    #      q_ab_test / q_corr_matrix / q_cumulative_users
+    #      (r06-recorded) into the r10 window with the other 31
+    #      r06-recorded queries.
     # After r09 every declared query's latest driver row is ≤3 rounds
-    # old except those three displaced r06 rows (refreshed first in
-    # r10) — the floor a 50-wide window over 182 declared queries
+    # old except those five displaced r06 rows (refreshed first in
+    # r10) — the floor a 50-wide window over 184 declared queries
     # allows.
     keys = list(q)
     priority = [
@@ -655,10 +662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_containment", "q_hard_negatives",
         "q_sessionize_stream", "q_anomaly", "q_anomaly_stream_et",
         "q_walkforward_splits", "q_event_transitions", "q_rfm",
-        "q_histogram", "q_session_paths",
-        # -- new this round, never recorded (4)
+        # -- new this round, never recorded (6)
         "q_grid_search", "q_dedup_substring", "q_substring_prune",
-        "q_importance_resample",
+        "q_importance_resample", "q_kanon", "q_kanon_generalize",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -3998,6 +4004,55 @@ def oracle_sql() -> dict[str, str]:
         # synchronous LPA as one materialized CTE pair per round
         "q_kcore": kcore_sql,
         "q_label_prop": label_prop_sql,
+        # k-anonymity pair mirrored: same integer-cents banding
+        # (CAST(round(bal*100) AS BIGINT), floor-div by band width),
+        # same fixed generalization ladder.
+        "q_kanon": f"""
+            WITH b AS (
+                SELECT c_nationkey, c_mktsegment,
+                       CAST(floor(CAST(round(c_acctbal * 100, 0)
+                                       AS BIGINT)
+                                  / {Q.KANON_BAND_FINE}.0) AS INT)
+                           AS bal_band
+                FROM customer)
+            SELECT c_nationkey, c_mktsegment, bal_band,
+                   CAST(count(*) AS BIGINT) AS group_size,
+                   CAST(count(*) < {Q.KANON_K} AS INT) AS violates
+            FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q_kanon_generalize": f"""
+            WITH r AS (
+                SELECT c_custkey, c_nationkey, c_mktsegment,
+                       CAST(floor(CAST(round(c_acctbal * 100, 0)
+                                       AS BIGINT)
+                                  / {Q.KANON_BAND_FINE}.0) AS INT)
+                           AS band0,
+                       CAST(floor(CAST(round(c_acctbal * 100, 0)
+                                       AS BIGINT)
+                                  / {Q.KANON_BAND_COARSE}.0) AS INT)
+                           AS band1
+                FROM customer),
+            s0 AS (SELECT c_nationkey, c_mktsegment, band0,
+                          count(*) AS n0
+                   FROM r GROUP BY 1, 2, 3),
+            s1 AS (SELECT c_mktsegment, band1, count(*) AS n1
+                   FROM r GROUP BY 1, 2),
+            s2 AS (SELECT c_mktsegment, count(*) AS n2
+                   FROM r GROUP BY 1)
+            SELECT r.c_custkey,
+                   CAST(CASE WHEN n0 >= {Q.KANON_K} THEN 0
+                             WHEN n1 >= {Q.KANON_K} THEN 1
+                             WHEN n2 >= {Q.KANON_K} THEN 2
+                             ELSE 3 END AS INT) AS level,
+                   CAST(CASE WHEN n0 >= {Q.KANON_K} THEN n0
+                             WHEN n1 >= {Q.KANON_K} THEN n1
+                             ELSE n2 END AS BIGINT) AS group_size
+            FROM r
+            JOIN s0 USING (c_nationkey, c_mktsegment, band0)
+            JOIN s1 USING (c_mktsegment, band1)
+            JOIN s2 USING (c_mktsegment)
+            ORDER BY r.c_custkey
+        """,
         # One SELECT per constraint row, scalar subqueries for the
         # counts; NOT-EXISTS for the FK orphans (null-safe); violations
         # use the same null semantics as the operator (nulls are

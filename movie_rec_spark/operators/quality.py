@@ -164,3 +164,97 @@ def q_data_quality(orders: DataFrame, customer: DataFrame,
                     "lineitem.l_orderkey -> orders"),
     ])
     return rep_o.unionByName(rep_l)
+
+
+# k-anonymity audit + generalization (Sweeney/Samarati): before a
+# customer-attribute table can feed a training pipeline, every
+# quasi-identifier combination must be shared by >= K rows — otherwise
+# the row re-identifies a person even with the direct identifiers
+# stripped. The cents/banding arithmetic follows the repo's
+# integer-cents doctrine so both engines band identically.
+KANON_K = 5
+KANON_BAND_FINE = 100_000    # $1,000 bands (level-0 qid)
+KANON_BAND_COARSE = 500_000  # $5,000 bands (level-1 qid)
+
+
+def _acct_band(width_cents: int):
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    return F.floor(cents / F.lit(width_cents)).cast("int")
+
+
+def q_kanon(customer: DataFrame, k: int = KANON_K) -> DataFrame:
+    """Declared query: the k-anonymity AUDIT — one row per
+    quasi-identifier equivalence class (nation, market segment,
+    $1,000 account-balance band) with its group size and a violation
+    flag (size < k). The governance report a privacy review reads
+    before approving a table for training use; the metadata-level
+    complement of q_pii_redact's content-level scrub.
+
+    Scale shape: row-local banding fused into the scan, then ONE
+    shuffle keyed on the qid (map-side partial counts — the exchange
+    moves at most |distinct qids| rows per task). Reference analogue:
+    none (`web/app/models.py` stores raw user rows; no privacy
+    surface).
+    """
+    band = _acct_band(KANON_BAND_FINE)
+    return (
+        customer
+        .select("c_nationkey", "c_mktsegment", band.alias("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .withColumn("violates",
+                    (F.col("group_size") < k).cast("int"))
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    )
+
+
+def q_kanon_generalize(customer: DataFrame,
+                       k: int = KANON_K) -> DataFrame:
+    """Declared query: the ACTION on q_kanon's findings — a fixed
+    generalization ladder assigns every row the MINIMAL coarsening
+    whose equivalence class reaches k:
+
+      level 0: (nation, segment, $1k band)   — full precision
+      level 1: (segment, $5k band)           — nation dropped, band coarsened
+      level 2: (segment)                     — segment only
+      level 3: suppressed                    — even the segment class is < k
+
+    Output: (c_custkey, level, group_size) with group_size = the size
+    of the chosen class (level-3 rows report the failing segment
+    size). Deterministic — no Mondrian-style data-dependent cuts, so
+    the ladder is oracle-exact and the levels are auditable.
+
+    Scale shape: the three class-size tables are tiny aggregates
+    (|distinct qids| rows each) that broadcast back onto the row
+    stream — three cheap exchanges on shrinking key sets, zero
+    row-stream shuffles; the standard audit-then-annotate plan at
+    any corpus size.
+    """
+    f0 = _acct_band(KANON_BAND_FINE).alias("band0")
+    f1 = _acct_band(KANON_BAND_COARSE).alias("band1")
+    rows = customer.select("c_custkey", "c_nationkey", "c_mktsegment",
+                           f0, f1)
+    s0 = (rows.groupBy("c_nationkey", "c_mktsegment", "band0")
+          .agg(F.count(F.lit(1)).cast("long").alias("n0")))
+    s1 = (rows.groupBy("c_mktsegment", "band1")
+          .agg(F.count(F.lit(1)).cast("long").alias("n1")))
+    s2 = (rows.groupBy("c_mktsegment")
+          .agg(F.count(F.lit(1)).cast("long").alias("n2")))
+    level = (
+        F.when(F.col("n0") >= k, 0)
+        .when(F.col("n1") >= k, 1)
+        .when(F.col("n2") >= k, 2)
+        .otherwise(3))
+    size = (
+        F.when(F.col("n0") >= k, F.col("n0"))
+        .when(F.col("n1") >= k, F.col("n1"))
+        .otherwise(F.col("n2")))
+    return (
+        rows
+        .join(F.broadcast(s0), ["c_nationkey", "c_mktsegment", "band0"])
+        .join(F.broadcast(s1), ["c_mktsegment", "band1"])
+        .join(F.broadcast(s2), ["c_mktsegment"])
+        .select("c_custkey", level.cast("int").alias("level"),
+                size.alias("group_size"))
+        .orderBy("c_custkey")
+    )

@@ -310,6 +310,12 @@ def test_new_operator_shuffle_budgets(spark):
                                      # + doc-keyed score agg + the
                                      # doc-cardinality global rank +
                                      # presentation sort
+        "q_kanon": 2,            # one qid-keyed agg (map-side
+                                 # partials) + the O(classes)
+                                 # presentation sort
+        "q_kanon_generalize": 4,  # three shrinking class-size aggs
+                                  # (broadcast back onto the row
+                                  # stream) + presentation sort
     }
     qs = E.queries()
     for name, budget in budgets.items():
