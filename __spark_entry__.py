@@ -474,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kanon": lambda s, d: Q.q_kanon(_t("customer")(s, d)),
         "q_kanon_generalize": lambda s, d: Q.q_kanon_generalize(
             _t("customer")(s, d)),
+        "q_ldiversity": lambda s, d: Q.q_ldiversity(_t("customer")(s, d)),
         # --- similarity scale paths (rows-only: seeded-random LSH planes /
         # KMeans centroids are engine-specific; recall vs the exact
         # baselines is asserted in tests/test_similarity_multimodal.py).
@@ -628,19 +629,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      so its first oracle driver row lands now;
     #   2. q_grid_search, new this round (ML2's queries() presence),
     #      takes one slot so its FIRST driver row lands immediately;
-    #   3. the next 14 slots go to the oldest r06-recorded queries in
-    #      declaration order (q_negative_sample .. q_rfm);
-    #   4. the five oracle-exact queries declared mid-r09
+    #   3. the next 13 slots go to the oldest r06-recorded queries in
+    #      declaration order (q_negative_sample .. q_event_transitions);
+    #   4. the six oracle-exact queries declared mid-r09
     #      (q_dedup_substring, q_substring_prune,
-    #      q_importance_resample, q_kanon, q_kanon_generalize) take
-    #      the last five slots so their FIRST driver rows land
-    #      immediately, displacing q_histogram / q_session_paths /
-    #      q_ab_test / q_corr_matrix / q_cumulative_users
-    #      (r06-recorded) into the r10 window with the other 31
-    #      r06-recorded queries.
+    #      q_importance_resample, q_kanon, q_kanon_generalize,
+    #      q_ldiversity) take the last six slots so their FIRST
+    #      driver rows land immediately, displacing q_rfm /
+    #      q_histogram / q_session_paths / q_ab_test / q_corr_matrix /
+    #      q_cumulative_users (r06-recorded) into the r10 window with
+    #      the other 31 r06-recorded queries.
     # After r09 every declared query's latest driver row is ≤3 rounds
-    # old except those five displaced r06 rows (refreshed first in
-    # r10) — the floor a 50-wide window over 184 declared queries
+    # old except those six displaced r06 rows (refreshed first in
+    # r10) — the floor a 50-wide window over 185 declared queries
     # allows.
     keys = list(q)
     priority = [
@@ -661,10 +662,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_merges", "q_bpe_encode", "q_length_buckets",
         "q_dedup_containment", "q_hard_negatives",
         "q_sessionize_stream", "q_anomaly", "q_anomaly_stream_et",
-        "q_walkforward_splits", "q_event_transitions", "q_rfm",
-        # -- new this round, never recorded (6)
+        "q_walkforward_splits", "q_event_transitions",
+        # -- new this round, never recorded (7)
         "q_grid_search", "q_dedup_substring", "q_substring_prune",
         "q_importance_resample", "q_kanon", "q_kanon_generalize",
+        "q_ldiversity",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -4052,6 +4054,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN s1 USING (c_mktsegment, band1)
             JOIN s2 USING (c_mktsegment)
             ORDER BY r.c_custkey
+        """,
+        # l-diversity: sensitive attribute (segment) EXCLUDED from the
+        # qid; two-phase distinct agg mirrored exactly.
+        "q_ldiversity": f"""
+            WITH b AS (
+                SELECT c_nationkey,
+                       CAST(floor(CAST(round(c_acctbal * 100, 0)
+                                       AS BIGINT)
+                                  / {Q.KANON_BAND_FINE}.0) AS INT)
+                           AS bal_band,
+                       c_mktsegment
+                FROM customer)
+            SELECT c_nationkey, bal_band,
+                   CAST(count(*) AS BIGINT) AS group_size,
+                   CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+                       AS n_sensitive,
+                   CAST(count(DISTINCT c_mktsegment) < {Q.LDIV_L}
+                        AS INT) AS violates
+            FROM b GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # One SELECT per constraint row, scalar subqueries for the
         # counts; NOT-EXISTS for the FK orphans (null-safe); violations

@@ -258,3 +258,34 @@ def q_kanon_generalize(customer: DataFrame,
                 size.alias("group_size"))
         .orderBy("c_custkey")
     )
+
+
+LDIV_L = 3
+
+
+def q_ldiversity(customer: DataFrame, l_min: int = LDIV_L) -> DataFrame:
+    """Declared query: the l-diversity audit (Machanavajjhala et al.)
+    — k-anonymity's required companion: a class can be k-large yet
+    still leak if everyone in it shares the same SENSITIVE value
+    (homogeneity attack). Here the quasi-identifier is (nation, $1k
+    balance band) and the sensitive attribute is the market segment —
+    the attribute deliberately EXCLUDED from this qid (unlike
+    q_kanon's, which includes it): one row per class with its size,
+    distinct-sensitive count, and violation flag (distinct < l).
+
+    Scale shape: one two-phase distinct aggregate keyed on the qid
+    (partial distinct map-side) — the same exchange discipline as
+    q_domain_stats. Reference analogue: none.
+    """
+    band = _acct_band(KANON_BAND_FINE)
+    return (
+        customer
+        .select("c_nationkey", band.alias("bal_band"), "c_mktsegment")
+        .groupBy("c_nationkey", "bal_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"),
+             F.countDistinct("c_mktsegment").cast("long")
+             .alias("n_sensitive"))
+        .withColumn("violates",
+                    (F.col("n_sensitive") < l_min).cast("int"))
+        .orderBy("c_nationkey", "bal_band")
+    )

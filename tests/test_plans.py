@@ -316,6 +316,8 @@ def test_new_operator_shuffle_budgets(spark):
         "q_kanon_generalize": 4,  # three shrinking class-size aggs
                                   # (broadcast back onto the row
                                   # stream) + presentation sort
+        "q_ldiversity": 3,       # two-phase distinct agg pair on the
+                                 # qid + the O(classes) sort
     }
     qs = E.queries()
     for name, budget in budgets.items():

@@ -137,3 +137,19 @@ def test_kanon_generalize_ladder_all_levels(spark):
     for i in (20, 21, 22):
         assert got[i] == (2, 3)
     assert got[30] == (3, 1)
+
+
+def test_ldiversity_flags_homogeneous_classes(spark):
+    """A class whose members all share one sensitive value violates
+    even when it is k-large (the homogeneity attack k-anonymity
+    misses); a class with >= l distinct sensitive values passes."""
+    from movie_rec_spark.operators.quality import q_ldiversity
+
+    rows = ([(i, 1, 100.0, "AUTO") for i in range(5)]        # 5 rows, 1 segment
+            + [(10, 2, 100.0, "AUTO"), (11, 2, 200.0, "BLDG"),
+               (12, 2, 300.0, "MACH")])                      # 3 rows, 3 segments
+    out = {(r.c_nationkey, r.bal_band):
+           (r.group_size, r.n_sensitive, r.violates)
+           for r in q_ldiversity(_cust(spark, rows), l_min=3).collect()}
+    assert out[(1, 0)] == (5, 1, 1)
+    assert out[(2, 0)] == (3, 3, 0)
