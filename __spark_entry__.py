@@ -437,6 +437,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one all-integer table (q_minhash_eval's embedding sibling)
         "q_hyperlsh_eval": lambda s, d: S.q_hyperlsh_eval(
             _t("embeddings")(s, d)),
+        # JL ±1 sign-projection audit: exact cosine witnesses in both
+        # the original and the 4x-compressed space (the dim-reduction
+        # slot of the audit family)
+        "q_jl_eval": lambda s, d: S.q_jl_eval(_t("embeddings")(s, d)),
         # KMV distinct sketch: k-minimum md5 hashes per day + merged
         # window row — the sketch whose state AND estimate the oracle
         # hash-checks (q_hll_union's verifiable twin)
@@ -629,19 +633,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      so its first oracle driver row lands now;
     #   2. q_grid_search, new this round (ML2's queries() presence),
     #      takes one slot so its FIRST driver row lands immediately;
-    #   3. the next 13 slots go to the oldest r06-recorded queries in
-    #      declaration order (q_negative_sample .. q_event_transitions);
-    #   4. the six oracle-exact queries declared mid-r09
+    #   3. the next 12 slots go to the oldest r06-recorded queries in
+    #      declaration order (q_negative_sample .. q_walkforward_splits);
+    #   4. the seven oracle-exact queries declared mid-r09
     #      (q_dedup_substring, q_substring_prune,
     #      q_importance_resample, q_kanon, q_kanon_generalize,
-    #      q_ldiversity) take the last six slots so their FIRST
-    #      driver rows land immediately, displacing q_rfm /
-    #      q_histogram / q_session_paths / q_ab_test / q_corr_matrix /
+    #      q_ldiversity, q_jl_eval) take the last seven slots so
+    #      their FIRST driver rows land immediately, displacing
+    #      q_event_transitions / q_rfm / q_histogram /
+    #      q_session_paths / q_ab_test / q_corr_matrix /
     #      q_cumulative_users (r06-recorded) into the r10 window with
     #      the other 31 r06-recorded queries.
     # After r09 every declared query's latest driver row is ≤3 rounds
-    # old except those six displaced r06 rows (refreshed first in
-    # r10) — the floor a 50-wide window over 185 declared queries
+    # old except those seven displaced r06 rows (refreshed first in
+    # r10) — the floor a 50-wide window over 186 declared queries
     # allows.
     keys = list(q)
     priority = [
@@ -662,11 +667,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_merges", "q_bpe_encode", "q_length_buckets",
         "q_dedup_containment", "q_hard_negatives",
         "q_sessionize_stream", "q_anomaly", "q_anomaly_stream_et",
-        "q_walkforward_splits", "q_event_transitions",
-        # -- new this round, never recorded (7)
+        "q_walkforward_splits",
+        # -- new this round, never recorded (8)
         "q_grid_search", "q_dedup_substring", "q_substring_prune",
         "q_importance_resample", "q_kanon", "q_kanon_generalize",
-        "q_ldiversity",
+        "q_ldiversity", "q_jl_eval",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -1237,6 +1242,74 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p JOIN scored s
               ON s.vec_a = p.vec_a AND s.vec_b = p.vec_b
             ORDER BY p.vec_a, p.vec_b
+    """
+    # q_jl_eval oracle: the same sample/grid/rational-cut doctrine,
+    # one squaring deeper — md5-parity ±1 signs project the grid
+    # vectors to JLE_K integer dims, and both spaces' cosine cuts are
+    # BIGINT (bounds documented at similarity.JLE_SCALE). Dense 64-dim
+    # vectors mean every pair shares every position, so the pair joins
+    # are total and inner joins suffice.
+    jl_eval_sql = f"""
+            WITH samp AS (SELECT vec_id FROM (
+                     SELECT vec_id, row_number() OVER (
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS rn
+                     FROM embeddings) WHERE rn <= {S.JLE_AUDIT_N}),
+            pts AS (
+                SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+                       CAST(round(v[CAST(i AS INT)]
+                                  * {S.JLE_SCALE}) AS BIGINT) AS p
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                             unnest(range(1, len(embedding) + 1)) AS i
+                      FROM embeddings JOIN samp USING (vec_id))),
+            signs AS (
+                SELECT j.j, s.pos,
+                       (CAST('0x' || substring(md5(concat_ws(':',
+                            'jl', CAST(j.j AS VARCHAR),
+                            CAST(s.pos AS VARCHAR))), 1, 1) AS BIGINT)
+                        % 2) * 2 - 1 AS w
+                FROM (SELECT unnest(range(0, {S.JLE_K})) AS j) j,
+                     (SELECT unnest(range(0, 64)) AS pos) s),
+            proj AS (SELECT p.vec_id, sg.j, sum(sg.w * p.p) AS y
+                     FROM pts p JOIN signs sg ON sg.pos = p.pos
+                     GROUP BY 1, 2),
+            nrm AS (SELECT vec_id, CAST(sum(p * p) AS BIGINT) AS nrm
+                    FROM pts GROUP BY 1),
+            sc AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                          CAST(sum(a.p * b.p) AS BIGINT) AS dot
+                   FROM pts a JOIN pts b
+                     ON a.pos = b.pos AND a.vec_id < b.vec_id
+                   GROUP BY 1, 2),
+            pnrm AS (SELECT vec_id, CAST(sum(y * y) AS BIGINT) AS nrm
+                     FROM proj GROUP BY 1),
+            psc AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                           CAST(sum(a.y * b.y) AS BIGINT) AS pdot
+                    FROM proj a JOIN proj b
+                      ON a.j = b.j AND a.vec_id < b.vec_id
+                    GROUP BY 1, 2),
+            allp AS (SELECT sc.vec_a, sc.vec_b, sc.dot,
+                            xn.nrm AS na, yn.nrm AS nb,
+                            psc.pdot, px.nrm AS pna, py.nrm AS pnb
+                     FROM sc JOIN nrm xn ON xn.vec_id = sc.vec_a
+                             JOIN nrm yn ON yn.vec_id = sc.vec_b
+                             JOIN psc ON psc.vec_a = sc.vec_a
+                                     AND psc.vec_b = sc.vec_b
+                             JOIN pnrm px ON px.vec_id = sc.vec_a
+                             JOIN pnrm py ON py.vec_id = sc.vec_b),
+            flags AS (SELECT *,
+                       CAST(na > 0 AND nb > 0 AND dot >= 0
+                            AND dot * dot * {_hl_td * _hl_td}
+                                >= {_hl_tn * _hl_tn} * na * nb
+                            AS INT) AS is_true,
+                       CAST(pna > 0 AND pnb > 0 AND pdot >= 0
+                            AND pdot * pdot * {_hl_td * _hl_td}
+                                >= {_hl_tn * _hl_tn} * pna * pnb
+                            AS INT) AS proj_hit
+                      FROM allp)
+            SELECT vec_a, vec_b, is_true, proj_hit,
+                   dot, na, nb, pdot, pna, pnb
+            FROM flags WHERE is_true = 1 OR proj_hit = 1
+            ORDER BY vec_a, vec_b
     """
     # q_simhash_eval oracle: the portable 56-bit simhash in SQL (md5
     # token hashes, 56 vote sums, positive-vote bits), with candidates
@@ -2242,6 +2315,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pq_knn": pq_knn_sql,
         "q_ivfpq_knn": ivfpq_knn_sql,
         "q_hyperlsh_eval": hyperlsh_eval_sql,
+        "q_jl_eval": jl_eval_sql,
         # KMV: identical hash recipe, per-day k-min ranking, distinct
         # pooled merge, and the pure-integer (K-1)*M // kth estimator
         "q_kmv_distinct": f"""

@@ -1782,3 +1782,141 @@ def q_ivfpq_knn(embeddings: DataFrame,
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# Johnson–Lindenstrauss sign-projection audit — the dimensionality-
+# reduction slot of the ANN family (quantization: q_knn_int8/q_pq_knn;
+# hashing: q_neardup_lsh/q_hyperlsh_eval; coarse partitioning:
+# q_knn_ivf; THIS: dense dim reduction, the Achlioptas ±1 form of JL).
+# JLE_SCALE is chosen by the same 63-bit budget discipline as
+# HLE_SCALE, but one squaring deeper: a projected coordinate is a sum
+# of dim grid values (|y| ≤ 64·2·S), the projected dot sums JLE_K of
+# their products (|pdot| ≤ 16·(64·2·S)²), and the rational cut squares
+# THAT — at S=30, pdot ≤ 2.4e8, td²·pdot² ≤ 25·5.6e16 = 1.4e18 < 2^63.
+JLE_SCALE = 30
+JLE_K = 16          # 64 → 16 dims: 4× compression
+JLE_AUDIT_N = 512   # same fixed md5-ranked sample as q_hyperlsh_eval
+
+
+def q_jl_eval(embeddings: DataFrame,
+              threshold: float = NEARDUP_THRESHOLD,
+              k_out: int = JLE_K,
+              sample_n: int = JLE_AUDIT_N) -> DataFrame:
+    """JL projection audit: does cosine survive a 4× ±1 sign
+    projection? One all-integer row per sample pair with the exact
+    cosine witnesses in BOTH spaces:
+
+      vec_a, vec_b | is_true (grid cosine ≥ threshold, original
+      space) | proj_hit (same cut in the 16-dim projected space) |
+      dot, na, nb | pdot, pna, pnb
+
+    Recall/precision of the projection (and hence the JL distortion
+    the downstream prefilter pays) are exact ratios over the flag
+    columns. The projection matrix is md5-derived ±1 (Achlioptas
+    sign-JL — the database-friendly form: no floats, no RNG state),
+    so projection, cuts, and witnesses are BIGINT arithmetic both
+    engines compute identically; the rational threshold cut is the
+    jaccard_threshold_frac doctrine with the zero-norm guard.
+
+    Scale shape: sf-INVARIANT by the fixed-sample construction
+    (q_hyperlsh_eval's argument verbatim); the projection itself is
+    one broadcast of k_out·dim sign rows + one (vec, j)-keyed
+    aggregate; each all-pairs side is ONE int64 GEMM task over a
+    512-row matrix (the sanctioned dense-linear-algebra pattern). The
+    production use is prefilter-then-rerank: project the corpus
+    map-side (zero shuffles, 4× less data through every downstream
+    exchange), candidate in projected space, rerank exact — this
+    audit measures exactly the recall that pipeline would pay.
+
+    Reference analogue: none (SURVEY §2 has no ANN); completes the
+    dimensionality-reduction slot of the audit family.
+    """
+    from fractions import Fraction
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    spark = embeddings.sparkSession
+    ranked = (embeddings.select(
+        "vec_id",
+        F.md5(F.col("vec_id").cast("string").cast("binary"))
+        .alias("hk"))
+        .withColumn("rn", F.row_number().over(
+            Window.orderBy("hk", "vec_id")))
+        .filter(F.col("rn") <= sample_n).select("vec_id"))
+    e = _as_double(embeddings.join(F.broadcast(ranked), "vec_id",
+                                   "left_semi"))
+    dim = e.select(F.size("embedding")).first()[0]  # O(1) driver sync
+    pts = (e.select("vec_id",
+                    F.posexplode("embedding").alias("pos", "x"))
+           .select("vec_id", F.col("pos").cast("long").alias("pos"),
+                   F.round(F.col("x") * JLE_SCALE, 0)
+                   .cast("long").alias("p"))
+           .localCheckpoint(eager=False))
+    signs = (spark.range(k_out * dim)
+             .select(F.expr(f"id div {dim}").alias("j"),
+                     (F.col("id") % dim).alias("pos"))
+             .select("j", "pos",
+                     ((F.conv(F.substring(F.md5(F.concat_ws(
+                         ":", F.lit("jl"), F.col("j").cast("string"),
+                         F.col("pos").cast("string")).cast("binary")),
+                         1, 1), 16, 10).cast("long") % 2) * 2 - 1)
+                     .alias("w")))
+    proj = (pts.join(F.broadcast(signs), "pos")
+            .groupBy("vec_id", "j")
+            .agg(F.sum(F.col("w") * F.col("p")).alias("y")))
+
+    def gemm(cols):
+        val, a, b, d, na, nb = cols
+
+        def inner(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            mat = np.stack([np.asarray(v, dtype=np.int64)
+                            for v in pdf[val].to_numpy()[order]])
+            g = mat @ mat.T
+            ia, ib = np.triu_indices(len(ids), 1)
+            nrm = np.diag(g)
+            return pd.DataFrame({a: ids[ia], b: ids[ib],
+                                 d: g[ia, ib],
+                                 na: nrm[ia], nb: nrm[ib]})
+
+        return inner
+
+    def vecs(src, value_col):
+        return src.groupBy("vec_id").agg(
+            F.array_sort(F.collect_list(
+                F.struct("pos", value_col))).alias("sp")
+        ).select("vec_id", F.col(f"sp.{value_col}").alias("pv"),
+                 F.lit(1).alias("g"))
+
+    orig = (vecs(pts, "p").groupBy("g").applyInPandas(
+        gemm(("pv", "vec_a", "vec_b", "dot", "na", "nb")),
+        "vec_a bigint, vec_b bigint, dot bigint, na bigint, nb bigint"))
+    pview = (vecs(proj.withColumnRenamed("j", "pos"), "y")
+             .groupBy("g").applyInPandas(
+        gemm(("pv", "vec_a", "vec_b", "pdot", "pna", "pnb")),
+        "vec_a bigint, vec_b bigint, pdot bigint, pna bigint, "
+        "pnb bigint"))
+    frac = Fraction(threshold).limit_denominator(10**6)
+    tn, td = frac.numerator, frac.denominator
+
+    def cut(d, a, b):
+        return ((F.col(a) > 0) & (F.col(b) > 0) & (F.col(d) >= 0)
+                & (F.col(d) * F.col(d) * F.lit(td * td)
+                   >= F.lit(tn * tn) * F.col(a) * F.col(b)))
+
+    return (orig.join(pview, ["vec_a", "vec_b"])
+            .select("vec_a", "vec_b",
+                    cut("dot", "na", "nb").cast("int").alias("is_true"),
+                    cut("pdot", "pna", "pnb").cast("int")
+                    .alias("proj_hit"),
+                    "dot", "na", "nb", "pdot", "pna", "pnb")
+            # the union-of-flags shape (q_hyperlsh_eval doctrine):
+            # recall/precision need only flagged rows; true negatives
+            # are derivable from the fixed sample size
+            .filter((F.col("is_true") == 1) | (F.col("proj_hit") == 1))
+            .orderBy("vec_a", "vec_b"))

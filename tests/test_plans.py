@@ -318,6 +318,12 @@ def test_new_operator_shuffle_budgets(spark):
                                   # stream) + presentation sort
         "q_ldiversity": 3,       # two-phase distinct agg pair on the
                                  # qid + the O(classes) sort
+        "q_jl_eval": 9,          # sample rank window + projection agg
+                                 # + two vector-assembly aggs feeding
+                                 # the single-task GEMMs + pair join +
+                                 # presentation sort — all sized by
+                                 # the FIXED 512-vector sample, never
+                                 # the corpus
     }
     qs = E.queries()
     for name, budget in budgets.items():

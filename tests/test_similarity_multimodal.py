@@ -672,3 +672,60 @@ def test_hyperlsh_eval_sample_is_md5_ranked_prefix(spark):
     # with 10 vectors and 4 tables of 3 bits, collisions are certain
     # enough that the sample is non-trivially exercised
     assert len(out) > 0
+
+
+def test_jl_eval_matches_python_mirror(spark):
+    """The JL audit pinned against pure Python: md5-parity ±1 signs,
+    integer projection, and BOTH spaces' witnesses and rational cuts
+    recomputed independently. Identical vectors must survive the
+    projection exactly (pdot = pna = pnb → proj_hit = 1)."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+    from hashlib import md5
+
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(25)]
+    vecs.append(list(vecs[0]))          # exact dup: both flags fire
+    vecs.append([x * 1.002 for x in vecs[1]])  # near-dup
+    e = _emb(spark, vecs)
+    out = {(r.vec_a, r.vec_b): r for r in S.q_jl_eval(e).collect()}
+
+    def grid(v):
+        return [int(Decimal(repr(x * S.JLE_SCALE)).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP)) for x in v]
+
+    def sign(j, pos):
+        return int(md5(f"jl:{j}:{pos}".encode())
+                   .hexdigest()[0], 16) % 2 * 2 - 1
+
+    g = [grid(v) for v in vecs]
+    y = [[sum(sign(j, p) * gv[p] for p in range(8))
+          for j in range(S.JLE_K)] for gv in g]
+    tn, td = Fraction(S.NEARDUP_THRESHOLD).limit_denominator(
+        10**6).as_integer_ratio()
+
+    def cut(d, a, b):
+        return int(a > 0 and b > 0 and d >= 0
+                   and d * d * td * td >= tn * tn * a * b)
+
+    expected = {}
+    for ia in range(len(vecs)):
+        for ib in range(ia + 1, len(vecs)):
+            dot = sum(p * q for p, q in zip(g[ia], g[ib]))
+            na = sum(p * p for p in g[ia])
+            nb = sum(q * q for q in g[ib])
+            pdot = sum(p * q for p, q in zip(y[ia], y[ib]))
+            pna = sum(p * p for p in y[ia])
+            pnb = sum(q * q for q in y[ib])
+            t, h = cut(dot, na, nb), cut(pdot, pna, pnb)
+            if t or h:
+                expected[(ia, ib)] = (t, h, dot, na, nb,
+                                      pdot, pna, pnb)
+    got = {k: (r.is_true, r.proj_hit, r.dot, r.na, r.nb,
+               r.pdot, r.pna, r.pnb) for k, r in out.items()}
+    assert got == expected
+    # the exact-dup pair survives projection exactly
+    dup = out[(0, len(vecs) - 2)]
+    assert (dup.is_true, dup.proj_hit) == (1, 1)
+    assert dup.pdot == dup.pna == dup.pnb

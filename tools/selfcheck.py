@@ -223,16 +223,17 @@ def main() -> int:
                 "- among them q_pagerank_general, newly oracle-exact "
                 "this round via an unrolled-round fixed-point-integer "
                 "DuckDB CTE, first oracle driver row - plus the "
-                "seven queries declared in r09 (q_grid_search, "
+                "eight queries declared in r09 (q_grid_search, "
                 "q_dedup_substring, q_substring_prune, "
                 "q_importance_resample, q_kanon, q_kanon_generalize, "
-                "q_ldiversity; first driver rows) plus the "
-                "13 oldest r06-recorded queries in declaration "
-                "order (q_negative_sample..q_event_transitions). "
+                "q_ldiversity, q_jl_eval; first driver rows) plus "
+                "the 12 oldest r06-recorded queries in declaration "
+                "order (q_negative_sample..q_walkforward_splits). "
                 "After r09 every declared query's latest driver row "
                 "is <=3 rounds old (the floor a 50-wide window over "
-                "185 declared queries allows) except q_rfm/"
-                "q_histogram/q_session_paths/q_ab_test/q_corr_matrix/"
+                "186 declared queries allows) except "
+                "q_event_transitions/q_rfm/q_histogram/"
+                "q_session_paths/q_ab_test/q_corr_matrix/"
                 "q_cumulative_users, displaced by the mid-round "
                 "additions and refreshed first in r10 with the 31 "
                 "remaining r06-recorded queries."),
