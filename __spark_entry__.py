@@ -373,6 +373,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # target-vs-raw scoring, top-1/5 selection (oracle-exact)
         "q_importance_resample": lambda s, d: T.q_importance_resample(
             _t("documents")(s, d)),
+        # the at-scale pairing of the above (q_candidates/_scalable
+        # doctrine): identical selection set via two-level exact score
+        # histogram + map-side threshold — no corpus-cardinality
+        # unpartitioned window anywhere (oracle proves set equality)
+        "q_importance_threshold": lambda s, d: T.q_importance_threshold(
+            _t("documents")(s, d)),
         "q_dataset_fingerprint": lambda s, d: T.q_dataset_fingerprint(
             _t("documents")(s, d)),
         "q_weighted_sample": lambda s, d: T.q_weighted_sample(
@@ -4658,6 +4664,41 @@ def oracle_sql() -> dict[str, str]:
                   FROM sc)
             SELECT doc_id, source, n_tokens, score,
                    CAST(imp_rank AS INT) AS imp_rank,
+                   CAST(imp_rank * {T.DSIR_KEEP_DEN}
+                        <= n * {T.DSIR_KEEP_NUM} AS INT) AS selected
+            FROM r ORDER BY doc_id
+        """,
+        # The at-scale twin proves SET EQUALITY with the rank form:
+        # the oracle ranks (Spark never does at corpus cardinality) —
+        # a hash match means threshold+tie-rank == global top-k.
+        "q_importance_threshold": f"""
+            WITH tok AS (SELECT doc_id, source,
+                                unnest(string_split(text, ' ')) AS t
+                         FROM documents),
+            f AS (SELECT doc_id, source,
+                         CAST('0x' || substring(md5(t), 1, 14)
+                              AS BIGINT) % {T.DSIR_BUCKETS} AS bucket
+                  FROM tok),
+            s AS (SELECT bucket,
+                         sum(CASE WHEN source = '{T.DSIR_TARGET_SOURCE}'
+                                  THEN 1 ELSE 0 END) AS ct,
+                         count(*) AS cr
+                  FROM f GROUP BY bucket),
+            tt AS (SELECT sum(ct) AS t_tot, sum(cr) AS r_tot FROM s),
+            w AS (SELECT bucket,
+                         (ct + 1) * (r_tot + {T.DSIR_BUCKETS})
+                         - (cr + 1) * (t_tot + {T.DSIR_BUCKETS}) AS w
+                  FROM s, tt),
+            sc AS (SELECT f.doc_id, f.source,
+                          CAST(count(*) AS BIGINT) AS n_tokens,
+                          CAST(sum(w.w) AS BIGINT) AS score
+                   FROM f JOIN w USING (bucket) GROUP BY 1, 2),
+            r AS (SELECT *,
+                         row_number() OVER (ORDER BY score DESC, doc_id)
+                             AS imp_rank,
+                         count(*) OVER () AS n
+                  FROM sc)
+            SELECT doc_id, source, n_tokens, score,
                    CAST(imp_rank * {T.DSIR_KEEP_DEN}
                         <= n * {T.DSIR_KEEP_NUM} AS INT) AS selected
             FROM r ORDER BY doc_id

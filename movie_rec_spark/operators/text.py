@@ -1399,11 +1399,52 @@ def q_length_buckets(documents: DataFrame,
 # smoothed probability DIFFERENCE cleared to a common denominator —
 # pure int64, so the ranking is oracle-exact cross-engine (the
 # q_quality_classifier integer-margin doctrine applied to importance
-# weighting). int64-safe to ~1e8 corpus tokens; beyond that the float
-# log-ratio path takes over (the plan shape is identical).
+# weighting). int64 safety is bounded by the LARGEST bucket, not the
+# corpus: a doc's score ≤ n_tokens_doc · max|w| and max|w| ≤
+# (max_bucket_count+1)·(T+R+2b), so with roughly uniform occupancy
+# (max bucket ≈ tokens/b) the bound is ~ n_doc·tokens²/b — safe to
+# ~1e8 corpus tokens at b=4096 — but a pathologically skewed bucket
+# (all tokens hashing together) tightens that to ~√(2^63/n_doc)
+# tokens; beyond either bound the float log-ratio path takes over
+# (the plan shape is identical).
 DSIR_BUCKETS = 4096
 DSIR_TARGET_SOURCE = "src0"  # in-domain proxy: one source plays target
 DSIR_KEEP_NUM, DSIR_KEEP_DEN = 1, 5  # keep the top 1/5 by importance
+DSIR_COARSE_CELLS = 65536  # coarse score-grid width for the threshold form
+
+
+def dsir_scored(documents: DataFrame,
+                target_source: str = DSIR_TARGET_SOURCE,
+                b: int = DSIR_BUCKETS) -> DataFrame:
+    """Shared DSIR scoring kernel: (doc_id, source, n_tokens, score)
+    with the int64 common-denominator importance score described in
+    the module comment above. One map-side token explode feeds BOTH
+    sides — the bucket stats are ONE groupBy over at most ``b`` keys
+    (KBs at any corpus size, conditional sums split target from raw in
+    the same pass), which broadcast-joins back onto the token stream;
+    the doc score is one doc_id-keyed sum. Both declared forms
+    (q_importance_resample's oracle-exact global rank and
+    q_importance_threshold's at-scale threshold cut) build on this."""
+    tok = documents.select(
+        "doc_id", "source",
+        F.explode(_tokens(F.col("text"))).alias("t"))
+    bucket = (F.conv(F.substring(F.md5(F.col("t").cast("binary")),
+                                 1, 14), 16, 10).cast("long") % b)
+    feats = tok.select("doc_id", "source", bucket.alias("bucket"))
+    stats = (feats.groupBy("bucket")
+             .agg(F.sum((F.col("source") == target_source)
+                        .cast("long")).alias("ct"),
+                  F.count(F.lit(1)).cast("long").alias("cr")))
+    tot = stats.agg(F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot"))
+    w = (stats.crossJoin(F.broadcast(tot))
+         .select("bucket",
+                 ((F.col("ct") + 1) * (F.col("r_tot") + b)
+                  - (F.col("cr") + 1) * (F.col("t_tot") + b))
+                 .alias("w")))
+    return (feats.join(F.broadcast(w), "bucket")
+            .groupBy("doc_id", "source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum("w").cast("long").alias("score")))
 
 
 def q_importance_resample(documents: DataFrame,
@@ -1422,40 +1463,23 @@ def q_importance_resample(documents: DataFrame,
     bag-of-words weight sum. Docs rank by (score DESC, doc_id) and the
     top KEEP_NUM/KEEP_DEN are selected.
 
-    Scale shape: one map-side token explode feeds BOTH sides — the
-    bucket stats are ONE groupBy over at most ``b`` keys (KBs at any
-    corpus size, conditional sums split target from raw in the same
-    pass), which broadcast-joins back onto the token stream; the doc
-    score is one doc_id-keyed sum. The final rank is over DOC-level
-    rows; at 100 TB the global row_number becomes an approx-quantile
-    threshold on score (one pass, no total sort) — the rank form here
-    is what makes the selection oracle-exact at test scale.
+    Scale shape: scoring is ``dsir_scored`` (bucket stats broadcast
+    back onto the token stream, one doc-keyed sum). The final rank
+    HERE is a global unpartitioned row_number over doc rows — a
+    single-task sort at corpus scale, kept because the explicit rank
+    column is what makes this form oracle-exact at test scale. The
+    AT-SCALE default is ``q_importance_threshold``: the identical
+    selection set via a two-level exact score histogram and a
+    map-side threshold compare, with no corpus-cardinality window
+    anywhere (the q_candidates / q_candidates_scalable pairing
+    doctrine applied to selection).
 
     Output: (doc_id, source, n_tokens, score, imp_rank, selected).
     Reference analogue: none; beyond-reference LLM-pipeline member.
     """
     from pyspark.sql.window import Window
 
-    tok = documents.select(
-        "doc_id", "source",
-        F.explode(_tokens(F.col("text"))).alias("t"))
-    bucket = (F.conv(F.substring(F.md5(F.col("t").cast("binary")),
-                                 1, 14), 16, 10).cast("long") % b)
-    feats = tok.select("doc_id", "source", bucket.alias("bucket"))
-    stats = (feats.groupBy("bucket")
-             .agg(F.sum((F.col("source") == target_source)
-                        .cast("long")).alias("ct"),
-                  F.count(F.lit(1)).cast("long").alias("cr")))
-    tot = stats.agg(F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot"))
-    w = (stats.crossJoin(F.broadcast(tot))
-         .select("bucket",
-                 ((F.col("ct") + 1) * (F.col("r_tot") + b)
-                  - (F.col("cr") + 1) * (F.col("t_tot") + b))
-                 .alias("w")))
-    scored = (feats.join(F.broadcast(w), "bucket")
-              .groupBy("doc_id", "source")
-              .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
-                   F.sum("w").cast("long").alias("score")))
+    scored = dsir_scored(documents, target_source, b)
     wr = Window.orderBy(F.desc("score"), "doc_id")
     wall = Window.partitionBy()
     return (
@@ -1466,5 +1490,108 @@ def q_importance_resample(documents: DataFrame,
                 (F.col("imp_rank") * DSIR_KEEP_DEN
                  <= F.col("_n") * DSIR_KEEP_NUM).cast("int")
                 .alias("selected"))
+        .orderBy("doc_id")
+    )
+
+
+def q_importance_threshold(documents: DataFrame,
+                           target_source: str = DSIR_TARGET_SOURCE,
+                           b: int = DSIR_BUCKETS,
+                           cells: int = DSIR_COARSE_CELLS) -> DataFrame:
+    """Declared query: DSIR selection at scale — the SAME top
+    KEEP_NUM/KEEP_DEN set as ``q_importance_resample`` (bit-identical
+    selection, proven by the shared DuckDB oracle) with NO global
+    rank: the keep/drop decision becomes a map-side comparison against
+    an exactly-computed score threshold, so no corpus-cardinality rows
+    ever pass through an unpartitioned window.
+
+    Threshold discovery is a two-level exact selection (the
+    q_quantile_bins histogram doctrine, hardened for unbounded score
+    variety by a coarse grid):
+
+    1. score histogram — ONE score-keyed groupBy (cells bounded by
+       score VARIETY; map-side partials collapse doc rows first);
+    2. coarse pass — histogram cells fold onto a ≤``cells``-wide
+       integer grid (width = (max−min) DIV cells + 1, integer DIV so
+       no float precision loss above 2^53); a cumulative count over
+       the ≤65536 grid rows (bounded by CONSTRUCTION, not by data)
+       locates the one grid cell containing the k-th score and the
+       count m0 strictly above it;
+    3. fine pass — only histogram cells inside that ONE grid cell
+       (expected corpus/65536, re-coarsenable recursively if ever
+       skewed) rank exactly → the threshold score t and the count m
+       of docs strictly above t;
+    4. selection — selected := score > t OR (score = t AND m +
+       tie_rank ≤ k), where tie_rank is a row_number PARTITIONED BY
+       score (partition size = tie mass, never corpus size): exactly
+       the (score DESC, doc_id) rank semantics, map-side for every
+       non-tie row.
+
+    k = ⌊N·KEEP_NUM/KEEP_DEN⌋ matches the rank form's
+    ``imp_rank·DEN ≤ N·NUM`` predicate exactly. All arithmetic is
+    int64 (integer DIV, no float division anywhere), so the threshold
+    — and therefore the selection set — is oracle-exact cross-engine.
+
+    Output: (doc_id, source, n_tokens, score, selected) — the rank
+    form minus the global-rank column it exists to avoid.
+    Reference analogue: none; beyond-reference LLM-pipeline member.
+    """
+    from pyspark.sql.window import Window
+
+    scored = dsir_scored(documents, target_source, b) \
+        .localCheckpoint(eager=False)
+    hist = (scored.groupBy("score")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .localCheckpoint(eager=False))
+    tot = hist.agg(
+        F.sum("_cnt").alias("_n"),
+        F.min("score").alias("_smin"),
+        F.max("score").alias("_smax"))
+    # integer grid width; DIV keeps exactness for |score| beyond 2^53
+    tot = tot.select(
+        "_smin",
+        F.expr(f"(_n * {DSIR_KEEP_NUM}) DIV {DSIR_KEEP_DEN}").alias("_k"),
+        F.expr(f"(_smax - _smin) DIV {cells} + 1").alias("_w"))
+    cb = F.expr("(score - _smin) DIV _w")
+    coarse = (hist.crossJoin(F.broadcast(tot))
+              .groupBy(cb.alias("_cb"))
+              .agg(F.sum("_cnt").alias("_cnt"),
+                   F.max("_k").alias("_k"), F.max("_smin").alias("_smin"),
+                   F.max("_w").alias("_w")))
+    w_desc = (Window.orderBy(F.desc("_cb"))
+              .rowsBetween(Window.unboundedPreceding, 0))
+    coarse_cum = coarse.select(
+        "_cb", "_k", "_smin", "_w",
+        F.sum("_cnt").over(w_desc).alias("_cum"),
+        (F.sum("_cnt").over(w_desc) - F.col("_cnt")).alias("_m0"))
+    cell = coarse_cum.filter(
+        (F.col("_m0") < F.col("_k")) & (F.col("_cum") >= F.col("_k")))
+    fine = (hist.join(F.broadcast(cell),
+                      cb == F.col("_cb"), "inner"))
+    wf_desc = (Window.orderBy(F.desc("score"))
+               .rowsBetween(Window.unboundedPreceding, 0))
+    fine_cum = fine.select(
+        F.col("score").alias("_t"), "_k",
+        (F.col("_m0") + F.sum("_cnt").over(wf_desc)).alias("_cum2"),
+        (F.col("_m0") + F.sum("_cnt").over(wf_desc) - F.col("_cnt"))
+        .alias("_m"))
+    # aggregate to EXACTLY one row (nulls when k=0 selects nothing),
+    # so the broadcast join below never drops the corpus
+    thr = (fine_cum.filter((F.col("_m") < F.col("_k"))
+                           & (F.col("_cum2") >= F.col("_k")))
+           .agg(F.max("_t").alias("_t"), F.max("_m").alias("_m"),
+                F.max("_k").alias("_k")))
+    w_tie = Window.partitionBy("score").orderBy("doc_id")
+    return (
+        scored
+        .withColumn("_tie", F.row_number().over(w_tie).cast("long"))
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id", "source", "n_tokens", "score",
+            F.coalesce(
+                (F.col("score") > F.col("_t"))
+                | ((F.col("score") == F.col("_t"))
+                   & (F.col("_m") + F.col("_tie") <= F.col("_k"))),
+                F.lit(False)).cast("int").alias("selected"))
         .orderBy("doc_id")
     )

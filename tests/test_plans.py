@@ -310,6 +310,16 @@ def test_new_operator_shuffle_budgets(spark):
                                      # + doc-keyed score agg + the
                                      # doc-cardinality global rank +
                                      # presentation sort
+        # round-10 additions
+        "q_importance_threshold": 3,  # score-keyed tie window +
+                                      # single-partition grid/fine cell
+                                      # windows (bounded by the 65536
+                                      # grid, never doc rows) + the
+                                      # presentation sort; dsir_scored
+                                      # and the score histogram sit
+                                      # behind localCheckpoints with
+                                      # their own budget (3: bucket
+                                      # stats, doc score, score hist)
         "q_kanon": 2,            # one qid-keyed agg (map-side
                                  # partials) + the O(classes)
                                  # presentation sort
@@ -330,6 +340,47 @@ def test_new_operator_shuffle_budgets(spark):
         df = qs[name](spark, "/root/testdata/sf0.001")
         got = count_exchanges(df)
         assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
+
+
+def test_importance_threshold_no_unpartitioned_corpus_window(spark):
+    """r09-verdict scale-killer guard for the at-scale DSIR form: any
+    window that could see corpus-cardinality rows must be
+    key-partitioned; windows with an EMPTY partition spec may only
+    consume post-aggregation histogram/grid cells (bounded by the
+    65536-cell coarse grid, never by doc volume). Checked structurally
+    on the optimized logical plan: every unpartitioned Window node
+    must have an Aggregate strictly below it, and every row_number
+    window (the tie-ranker over doc rows) must carry a partition
+    spec."""
+    import json as _json
+
+    import __spark_entry__ as E
+
+    df = E.queries()["q_importance_threshold"](
+        spark, "/root/testdata/sf0.001")
+    nodes = _json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+
+    def span(i):  # pre-order flat list -> index one past node i's subtree
+        j = i + 1
+        for _ in range(nodes[i]["num-children"]):
+            j = span(j)
+        return j
+
+    saw_partitioned_rownum = False
+    for i, n in enumerate(nodes):
+        if not n.get("class", "").endswith("logical.Window"):
+            continue
+        exprs = _json.dumps(n.get("windowExpressions", ""))
+        if "RowNumber" in exprs:
+            assert n.get("partitionSpec"), \
+                "row_number over doc rows must be key-partitioned"
+            saw_partitioned_rownum = True
+        if not n.get("partitionSpec"):
+            sub = nodes[i + 1:span(i)]
+            assert any(c.get("class", "").endswith("logical.Aggregate")
+                       for c in sub), \
+                "unpartitioned window consumes un-aggregated rows"
+    assert saw_partitioned_rownum
 
 
 def test_runtime_bloom_filter_prunes_shuffle_join(spark):

@@ -1232,3 +1232,38 @@ def test_importance_resample_ranks_target_like_docs_first(spark):
     # tie broken by doc_id: doc0 is rank 1 and the single selected doc
     assert out[0].imp_rank == 1 and out[1].imp_rank == 2
     assert [d for d, r in out.items() if r.selected] == [0]
+
+
+def test_importance_threshold_equals_rank_form_with_ties(spark):
+    """The at-scale threshold form selects the EXACT set the global
+    rank form selects, including when tied scores straddle the k-th
+    position (the tie group must split by doc_id, not by value):
+    12 docs / k=2 with a 4-doc tie at the top means the threshold
+    score t is the tie score, m=0 above it, and only the 2 smallest
+    doc_ids inside the tie survive."""
+    rows = ([(i, "tgt tgt", "s1") for i in range(4)]       # 4-way tie
+            + [(i, "oth oth", "s1") for i in range(4, 11)]
+            + [(11, "tgt oth", "src0")])
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source=s, n_chars=len(t))
+         for i, t, s in rows])
+    rank = {r.doc_id: r for r in T.q_importance_resample(docs).collect()}
+    thr = {r.doc_id: r for r in T.q_importance_threshold(docs).collect()}
+    assert set(rank) == set(thr) and len(thr) == 12
+    for d in rank:
+        assert (rank[d].source, rank[d].n_tokens, rank[d].score,
+                rank[d].selected) == (
+            thr[d].source, thr[d].n_tokens, thr[d].score, thr[d].selected)
+    # k = 12//5 = 2; the tie group splits by doc_id
+    assert sum(r.selected for r in thr.values()) == 2
+
+
+def test_importance_threshold_k_zero_selects_nothing(spark):
+    """N < KEEP_DEN ⇒ k=0: the threshold row aggregates to all-NULL
+    and the coalesce keeps every doc with selected=0 (the broadcast
+    join must not drop the corpus)."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="tgt", lang="en", source="src0", n_chars=3)
+         for i in range(4)])
+    out = T.q_importance_threshold(docs).collect()
+    assert len(out) == 4 and all(r.selected == 0 for r in out)
