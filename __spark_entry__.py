@@ -485,9 +485,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kanon_generalize": lambda s, d: Q.q_kanon_generalize(
             _t("customer")(s, d)),
         "q_ldiversity": lambda s, d: Q.q_ldiversity(_t("customer")(s, d)),
-        # --- similarity scale paths (rows-only: seeded-random LSH planes /
-        # KMeans centroids are engine-specific; recall vs the exact
-        # baselines is asserted in tests/test_similarity_multimodal.py).
+        # --- similarity scale paths. q_neardup_lsh is ORACLE-EXACT
+        # since r10 (portable md5-integer planes by default); q_knn_ivf
+        # and q_semdedup stay rows-only (float KMeans centroids), with
+        # recall vs the exact baselines asserted in
+        # tests/test_similarity_multimodal.py.
         # n_vecs from parquet footer metadata (catalog.table_rows):
         # auto-sizing needs the corpus size, not a count() scan per call ---
         "q_neardup_lsh": lambda s, d: S.lsh_neardup(
@@ -1248,6 +1250,61 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p JOIN scored s
               ON s.vec_a = p.vec_a AND s.vec_b = p.vec_b
             ORDER BY p.vec_a, p.vec_b
+    """
+    # q_neardup_lsh oracle (ORACLE-EXACT since r10): the DECLARED
+    # production pipeline, not an audit — portable md5-integer planes
+    # (same 'hp:t:b:pos' recipe as q_hyperlsh_eval) bucket the
+    # HLE_SCALE-quantized corpus, candidates are the distinct
+    # same-(table,bucket) id pairs, verify is the 4-dp-rounded float
+    # cosine already hash-proven by q_embed_neardup. (n_tables, n_bits)
+    # must equal what the Spark side auto-sizes, so the oracle calls
+    # the SAME lsh_sized_params on the sf0.01 corpus count (the driver
+    # contract pins oracle runs to sf0.01); if the fixture is absent
+    # the committed 500-row count stands in.
+    try:
+        _lsh_n = table_rows("/root/testdata/sf0.01", "embeddings")
+    except Exception:
+        _lsh_n = 500
+    _lsh_L, _lsh_B = S.lsh_sized_params(_lsh_n, S.NEARDUP_THRESHOLD)
+    neardup_lsh_sql = f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            pts AS (
+                SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+                       CAST(round(v[CAST(i AS INT)]
+                                  * {S.HLE_SCALE}) AS BIGINT) AS p
+                FROM (SELECT vec_id, v,
+                             unnest(range(1, len(v) + 1)) AS i
+                      FROM e)),
+            planes AS (
+                SELECT t.t, b.b, s.pos,
+                       CAST('0x' || substring(md5(concat_ws(':', 'hp',
+                            CAST(t.t AS VARCHAR), CAST(b.b AS VARCHAR),
+                            CAST(s.pos AS VARCHAR))), 1, 8) AS BIGINT)
+                       - 2147483648 AS w
+                FROM (SELECT unnest(range(0, {_lsh_L})) AS t) t,
+                     (SELECT unnest(range(0, {_lsh_B})) AS b) b,
+                     (SELECT unnest(range(0, {S.EMBED_DIM})) AS pos) s),
+            sb AS (SELECT p.vec_id, pl.t, pl.b,
+                          sum(pl.w * p.p) AS pdot
+                   FROM pts p JOIN planes pl ON pl.pos = p.pos
+                   GROUP BY 1, 2, 3),
+            bk AS (SELECT vec_id, t,
+                          sum(CASE WHEN pdot >= 0
+                              THEN (CAST(1 AS BIGINT) << b)
+                              ELSE 0 END) AS bucket
+                   FROM sb GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT x.vec_id AS vec_a,
+                            y.vec_id AS vec_b
+                     FROM bk x JOIN bk y
+                       ON x.t = y.t AND x.bucket = y.bucket
+                          AND x.vec_id < y.vec_id)
+            SELECT c.vec_a, c.vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS sim
+            FROM cand c JOIN e a ON a.vec_id = c.vec_a
+                        JOIN e b ON b.vec_id = c.vec_b
+            WHERE round(list_cosine_similarity(a.v, b.v), 4)
+                  >= {S.NEARDUP_THRESHOLD}
     """
     # q_jl_eval oracle: the same sample/grid/rational-cut doctrine,
     # one squaring deeper — md5-parity ±1 signs project the grid
@@ -2321,6 +2378,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pq_knn": pq_knn_sql,
         "q_ivfpq_knn": ivfpq_knn_sql,
         "q_hyperlsh_eval": hyperlsh_eval_sql,
+        "q_neardup_lsh": neardup_lsh_sql,
         "q_jl_eval": jl_eval_sql,
         # KMV: identical hash recipe, per-day k-min ranking, distinct
         # pooled merge, and the pure-integer (K-1)*M // kth estimator

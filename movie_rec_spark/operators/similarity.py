@@ -445,9 +445,30 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def portable_planes(dim: int, n_tables: int, n_bits: int):
+    """The md5-derived integer hyperplanes of the q_hyperlsh_eval
+    doctrine as a dense numpy matrix: w(t,b,pos) = first 32 md5 bits of
+    "hp:t:b:pos" minus 2^31 — deterministic, seedless, and computable
+    bit-identically by Spark SQL, DuckDB, and hashlib, which is what
+    lets the DECLARED q_neardup_lsh pipeline carry a DuckDB hash row
+    (r09 verdict item 4). Returned shape (n_tables*n_bits, dim), row
+    order (t major, b minor) matching lsh_bucketed's bit packing."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [[int(hashlib.md5(f"hp:{t}:{b}:{pos}".encode())
+              .hexdigest()[:8], 16) - 2147483648
+          for pos in range(dim)]
+         for t in range(n_tables) for b in range(n_bits)],
+        dtype=np.int64)
+
+
 def lsh_bucketed(embeddings: DataFrame, dim: int, n_tables: int = 8,
                  n_bits: int = 3, seed: int = 42,
-                 carry_vectors: bool = False) -> DataFrame:
+                 carry_vectors: bool = False,
+                 portable: bool = True) -> DataFrame:
     """Multi-table random-hyperplane LSH (OR-amplification).
 
     Each of ``n_tables`` tables hashes a vector to an ``n_bits`` sign-bit
@@ -458,6 +479,16 @@ def lsh_bucketed(embeddings: DataFrame, dim: int, n_tables: int = 8,
     re-join — shuffle volume is n_tables·|corpus| vector rows, linear in
     the corpus (the id-pair alternative ships O(candidate pairs)).
 
+    Default ``portable=True``: plane weights are the md5-derived
+    integers of ``portable_planes`` and the sign test runs on the
+    HLE_SCALE integer grid — quantization happens SPARK-SIDE
+    (``F.round``, the established cross-engine HALF_UP) so every
+    bucket key is bit-identical to what the DuckDB oracle computes;
+    the projections are still ONE int64 numpy matmul per Arrow batch
+    (exact: |dot| ≤ dim·2·HLE_SCALE·2^31 ≈ 2^48+ « 2^63).
+    ``portable=False`` keeps the seeded float-numpy planes for
+    isolation probes that sweep seeds.
+
     All n_tables·n_bits projections happen in ONE numpy matmul per Arrow
     batch (mapInPandas). The expression-fold formulation (24 interpreted
     aggregate() folds per row) measured ~50× slower — dense linear
@@ -466,7 +497,12 @@ def lsh_bucketed(embeddings: DataFrame, dim: int, n_tables: int = 8,
     import numpy as np
     import pandas as pd
 
-    planes = np.array(_hyperplanes(dim, n_tables * n_bits, seed))  # (L*b, d)
+    if portable:
+        planes = portable_planes(dim, n_tables, n_bits)  # (L*b, d) int64
+        vcol = "qv"
+    else:
+        planes = np.array(_hyperplanes(dim, n_tables * n_bits, seed))
+        vcol = "embedding"
     powers = 1 << np.arange(n_bits)
 
     def fn(batches):
@@ -474,8 +510,8 @@ def lsh_bucketed(embeddings: DataFrame, dim: int, n_tables: int = 8,
             if not len(pdf):
                 continue
             ids = pdf["vec_id"].to_numpy()
-            mat = np.stack([np.asarray(v, dtype=np.float64)
-                            for v in pdf["embedding"]])
+            mat = np.stack([np.asarray(v, dtype=planes.dtype)
+                            for v in pdf[vcol]])
             bits = (mat @ planes.T) >= 0            # (n, L*b)
             n = len(ids)
             bkt = np.empty((n, n_tables), dtype=np.int64)
@@ -494,9 +530,16 @@ def lsh_bucketed(embeddings: DataFrame, dim: int, n_tables: int = 8,
     schema = "vec_id bigint, tbl int, bucket bigint"
     if carry_vectors:
         schema += ", embedding array<double>"
-    return embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    ).mapInPandas(fn, schema)
+    sel = [F.col("vec_id")]
+    if portable:
+        sel.append(F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * HLE_SCALE, 0)
+            .cast("long")).alias("qv"))
+    if (not portable) or carry_vectors:
+        sel.append(F.col("embedding").cast("array<double>")
+                   .alias("embedding"))
+    return embeddings.select(*sel).mapInPandas(fn, schema)
 
 
 LSH_OCC_TARGET = 64     # occupancy pin when recall forces the table clamp
@@ -569,13 +612,23 @@ def lsh_neardup(embeddings: DataFrame, dim: int,
                 threshold: float = NEARDUP_THRESHOLD,
                 n_tables: int | None = None, n_bits: int | None = None,
                 seed: int = 42, verify: str = "bucket",
-                n_vecs: int | None = None) -> DataFrame:
+                n_vecs: int | None = None,
+                portable: bool = True) -> DataFrame:
     """Near-dup pairs via LSH blocking: group on (table, bucket), exact
     cosine verify inside buckets, dedup across tables.
 
     No false positives (verify step) and tunable recall (tested ≥0.5 vs
     q_embed_neardup ground truth). Cost scales with bucket occupancy,
     not |corpus|² — the 100 TB path.
+
+    ORACLE-EXACT since r10: with the default ``portable=True`` the
+    buckets come from md5-derived integer hyperplanes over the
+    HLE_SCALE grid (``lsh_bucketed`` portable mode) and the verify
+    cosine is the 4-dp-rounded float GEMM already hash-proven by
+    q_embed_neardup — so the ENTIRE declared pipeline (blocking +
+    verify) reproduces in DuckDB and carries a driver hash row. The
+    seeded float-plane form stays available via ``portable=False``
+    for seed-sweep isolation probes.
 
     By default (``n_bits=None``) the operator AUTO-SIZES itself with
     ``lsh_sized_params``: one O(1)-bytes ``count()`` driver sync (same
@@ -621,7 +674,7 @@ def lsh_neardup(embeddings: DataFrame, dim: int,
 
     if verify == "bucket":
         buck = lsh_bucketed(embeddings, dim, n_tables, n_bits, seed,
-                            carry_vectors=True)
+                            carry_vectors=True, portable=portable)
 
         def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
@@ -645,7 +698,8 @@ def lsh_neardup(embeddings: DataFrame, dim: int,
             .dropDuplicates(["vec_a", "vec_b"])
         )
 
-    buck = lsh_bucketed(embeddings, dim, n_tables, n_bits, seed)
+    buck = lsh_bucketed(embeddings, dim, n_tables, n_bits, seed,
+                        portable=portable)
     a = buck.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
     b = buck.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
     pairs = (
