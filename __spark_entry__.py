@@ -485,11 +485,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kanon_generalize": lambda s, d: Q.q_kanon_generalize(
             _t("customer")(s, d)),
         "q_ldiversity": lambda s, d: Q.q_ldiversity(_t("customer")(s, d)),
-        # --- similarity scale paths. q_neardup_lsh is ORACLE-EXACT
-        # since r10 (portable md5-integer planes by default); q_knn_ivf
-        # and q_semdedup stay rows-only (float KMeans centroids), with
-        # recall vs the exact baselines asserted in
-        # tests/test_similarity_multimodal.py.
+        # --- similarity scale paths. q_neardup_lsh and q_semdedup are
+        # ORACLE-EXACT since r10 (portable md5-integer planes /
+        # integer-Lloyd flat cells); q_knn_ivf stays rows-only (float
+        # MLlib centroids), with recall vs the exact baseline asserted
+        # in tests/test_similarity_multimodal.py.
         # n_vecs from parquet footer metadata (catalog.table_rows):
         # auto-sizing needs the corpus size, not a count() scan per call ---
         "q_neardup_lsh": lambda s, d: S.lsh_neardup(
@@ -1305,6 +1305,78 @@ def oracle_sql() -> dict[str, str]:
                         JOIN e b ON b.vec_id = c.vec_b
             WHERE round(list_cosine_similarity(a.v, b.v), 4)
                   >= {S.NEARDUP_THRESHOLD}
+    """
+    # q_semdedup oracle (ORACLE-EXACT since r10, flat regime): the
+    # q_kmeans unrolled integer-Lloyd doctrine builds the cells (dense
+    # 0..k-1 ids in seed order — portable_cells mirrors this exactly),
+    # then the within-cell prune is the q_embed_neardup 4-dp float
+    # cosine with the min-lower-id keep rule. k auto-sizes from the
+    # sf0.01 corpus count exactly as the Spark side does.
+    _sd_k = max(2, -(-_lsh_n // S.SEMDEDUP_CELL_TARGET))
+    _sd_rounds = []
+    _prev = "c0"
+    for _r in range(1, S.KMEANS_ITERS):
+        _sd_rounds.append(f"""
+            d{_r} AS (SELECT p.vec_id, c.cid,
+                          sum((p.p - c.c) * (p.p - c.c)) AS d
+                   FROM p JOIN {_prev} c ON p.pos = c.pos
+                   GROUP BY p.vec_id, c.cid),
+            a{_r} AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY d, cid) AS rn
+                       FROM d{_r}) WHERE rn = 1),
+            u{_r} AS (SELECT a{_r}.cid, p.pos,
+                          CAST(sum(p.p) AS BIGINT) AS s,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM p JOIN a{_r} USING (vec_id)
+                   GROUP BY a{_r}.cid, p.pos),
+            c{_r} AS (SELECT {_prev}.cid, {_prev}.pos,
+                          CASE WHEN u{_r}.s IS NULL THEN {_prev}.c
+                               ELSE CAST(floor((2.0 * u{_r}.s + u{_r}.n)
+                                         / (2.0 * u{_r}.n)) AS BIGINT)
+                          END AS c
+                   FROM {_prev} LEFT JOIN u{_r}
+                     ON {_prev}.cid = u{_r}.cid
+                        AND {_prev}.pos = u{_r}.pos),""")
+        _prev = f"c{_r}"
+    semdedup_sql = f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            p AS (
+                SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+                       CAST(round(v[CAST(i AS INT)]
+                                  * {S.KMEANS_SCALE}) AS BIGINT) AS p
+                FROM (SELECT vec_id, v,
+                             unnest(range(1, len(v) + 1)) AS i
+                      FROM e)),
+            seeds AS (SELECT vec_id,
+                             CAST(row_number() OVER (ORDER BY vec_id)
+                                  - 1 AS INTEGER) AS cid
+                      FROM (SELECT vec_id FROM embeddings
+                            ORDER BY vec_id LIMIT {_sd_k})),
+            c0 AS (SELECT s.cid, p.pos, p.p AS c
+                   FROM p JOIN seeds s USING (vec_id)),
+            {"".join(_sd_rounds)}
+            df AS (SELECT p.vec_id, c.cid,
+                          sum((p.p - c.c) * (p.p - c.c)) AS d
+                   FROM p JOIN {_prev} c ON p.pos = c.pos
+                   GROUP BY p.vec_id, c.cid),
+            af AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY d, cid) AS rn
+                       FROM df) WHERE rn = 1),
+            dup AS (SELECT b.vec_id AS vec_id,
+                           min(a.vec_id) AS dup_of
+                    FROM af a JOIN af b
+                      ON a.cid = b.cid AND a.vec_id < b.vec_id
+                    JOIN e ea ON ea.vec_id = a.vec_id
+                    JOIN e eb ON eb.vec_id = b.vec_id
+                    WHERE round(list_cosine_similarity(ea.v, eb.v), 4)
+                          >= {S.SEMDEDUP_THRESHOLD}
+                    GROUP BY b.vec_id)
+            SELECT af.vec_id, af.cid AS cell,
+                   (dup.dup_of IS NULL) AS keep, dup.dup_of
+            FROM af LEFT JOIN dup USING (vec_id)
     """
     # q_jl_eval oracle: the same sample/grid/rational-cut doctrine,
     # one squaring deeper — md5-parity ±1 signs project the grid
@@ -2379,6 +2451,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ivfpq_knn": ivfpq_knn_sql,
         "q_hyperlsh_eval": hyperlsh_eval_sql,
         "q_neardup_lsh": neardup_lsh_sql,
+        "q_semdedup": semdedup_sql,
         "q_jl_eval": jl_eval_sql,
         # KMV: identical hash recipe, per-day k-min ranking, distinct
         # pooled merge, and the pure-integer (K-1)*M // kth estimator
