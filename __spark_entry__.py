@@ -1203,7 +1203,7 @@ def oracle_sql() -> dict[str, str]:
                        - 2147483648 AS w
                 FROM (SELECT unnest(range(0, {S.HLE_TABLES})) AS t) t,
                      (SELECT unnest(range(0, {S.HLE_BITS})) AS b) b,
-                     (SELECT unnest(range(0, 64)) AS pos) s),
+                     (SELECT unnest(range(0, {S.EMBED_DIM})) AS pos) s),
             sb AS (SELECT p.vec_id, pl.t, pl.b,
                           sum(pl.w * p.p) AS pdot
                    FROM pts p JOIN planes pl ON pl.pos = p.pos
@@ -1404,7 +1404,7 @@ def oracle_sql() -> dict[str, str]:
                             CAST(s.pos AS VARCHAR))), 1, 1) AS BIGINT)
                         % 2) * 2 - 1 AS w
                 FROM (SELECT unnest(range(0, {S.JLE_K})) AS j) j,
-                     (SELECT unnest(range(0, 64)) AS pos) s),
+                     (SELECT unnest(range(0, {S.EMBED_DIM})) AS pos) s),
             proj AS (SELECT p.vec_id, sg.j, sum(sg.w * p.p) AS y
                      FROM pts p JOIN signs sg ON sg.pos = p.pos
                      GROUP BY 1, 2),

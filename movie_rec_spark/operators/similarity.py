@@ -826,7 +826,12 @@ def q_hyperlsh_eval(embeddings: DataFrame,
         .filter(F.col("rn") <= sample_n).select("vec_id"))
     e = _as_double(embeddings.join(F.broadcast(ranked), "vec_id",
                                    "left_semi"))
-    dim = e.select(F.size("embedding")).first()[0]  # O(1) driver sync
+    # EMBED_DIM constant, not a data sniff: a .first() here would
+    # eagerly trigger a job at plan-construction time (queries()
+    # builders must stay lazy) and raise on an empty table, while
+    # the oracle SQL pins the same constant in its range() — using
+    # one shared constant keeps operator and oracle in lockstep
+    dim = EMBED_DIM
     pts = (e.select("vec_id",
                     F.posexplode("embedding").alias("pos", "x"))
            .select("vec_id", F.col("pos").cast("long").alias("pos"),
@@ -1999,7 +2004,12 @@ def q_jl_eval(embeddings: DataFrame,
         .filter(F.col("rn") <= sample_n).select("vec_id"))
     e = _as_double(embeddings.join(F.broadcast(ranked), "vec_id",
                                    "left_semi"))
-    dim = e.select(F.size("embedding")).first()[0]  # O(1) driver sync
+    # EMBED_DIM constant, not a data sniff: a .first() here would
+    # eagerly trigger a job at plan-construction time (queries()
+    # builders must stay lazy) and raise on an empty table, while
+    # the oracle SQL pins the same constant in its range() — using
+    # one shared constant keeps operator and oracle in lockstep
+    dim = EMBED_DIM
     pts = (e.select("vec_id",
                     F.posexplode("embedding").alias("pos", "x"))
            .select("vec_id", F.col("pos").cast("long").alias("pos"),
