@@ -107,6 +107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delete_antijoin": lambda s, d: M.q_delete_antijoin(_t("events")(s, d)),
         "q_implicit_fill": lambda s, d: M.q_implicit_fill(_t("events")(s, d)),
         "q_merge_events": lambda s, d: M.q_merge_events(_t("events")(s, d)),
+        # M1 sequence assignment in statement form: the at-scale
+        # two-pass id stamper (no batch-cardinality window); the
+        # oracle's global rank proves the id multiset is the serial one
+        "q_assign_ids": lambda s, d: M.q_assign_ids(_t("events")(s, d)),
         "q_snapshot_diff": lambda s, d: M.q_snapshot_diff(_t("events")(s, d)),
         # CDF consumption: a per-user additive view maintained from the
         # row-level change feed must equal a full recompute bit-for-bit
@@ -2147,6 +2151,23 @@ def oracle_sql() -> dict[str, str]:
                 WHERE t.event_type = 'error'
                   AND t.user_id = e.user_id
                   AND CAST(t.ts AS DATE) = CAST(e.ts AS DATE))
+        """,
+        # The oracle ranks GLOBALLY (the serial form); Spark never
+        # does — a hash match proves the two-pass scalable stamper
+        # assigns the identical id multiset. Duplicate attribute rows
+        # swap ids freely between engines, but the OUTPUT tuple
+        # multiset is invariant under such swaps.
+        "q_assign_ids": """
+            WITH ex AS (SELECT coalesce(max(event_id), 0) AS m
+                        FROM events WHERE event_id % 2 = 0),
+            new AS (SELECT user_id, event_type, value, ts
+                    FROM events WHERE event_id % 2 = 1),
+            r AS (SELECT *, row_number() OVER (
+                      ORDER BY user_id, event_type, value, ts) AS rn
+                  FROM new)
+            SELECT CAST(ex.m + r.rn AS BIGINT) AS event_id,
+                   user_id, event_type, value, ts
+            FROM r, ex ORDER BY event_id
         """,
         "q_implicit_fill": f"""
             SELECT e.event_id, e.user_id,

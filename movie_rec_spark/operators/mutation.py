@@ -152,6 +152,79 @@ def assign_dense_ids(new_rows: DataFrame, existing: DataFrame,
     )
 
 
+def assign_dense_ids_scalable(new_rows: DataFrame, existing: DataFrame,
+                              id_col: str,
+                              partitions: int | None = None) -> DataFrame:
+    """M1 serial-id assignment at BATCH scale — the same ids as
+    ``assign_dense_ids`` (rank in the all-columns total order, offset
+    by max(existing)+1; property-tested identical) without its
+    single-task global window, which is batch-sized and fine for the
+    reference's insert sizes but a 100×-batch scale-killer.
+
+    zipWithIndex semantics in DataFrame terms, two passes:
+
+    1. range-repartition the batch on ALL columns (so physical
+       partitions are contiguous slices of the total order) and count
+       rows per partition — the counts table is ≤``partitions`` rows;
+       its cumulative offsets come from a window over THAT table, never
+       over batch rows;
+    2. rank within each partition (a window PARTITIONED by the range
+       bucket id — per-task work is one partition's slice, bounded by
+       batch/partitions) and add offset + max(existing) map-side.
+
+    Equal full rows are interchangeable under any total order, so the
+    (row → id) multiset is identical to the window form's even though
+    range boundaries are sampled. Cost: two batch-row Exchanges (range
+    + the pid hash) and one tiny agg — no stage ever holds more than
+    one slice.
+    """
+    cols = list(new_rows.columns)
+    if partitions is None:
+        partitions = int(new_rows.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+    srt = (new_rows.repartitionByRange(partitions, *cols)
+           .withColumn("_pid", F.spark_partition_id())
+           .localCheckpoint(eager=False))
+    w_off = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (srt.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+            .select("_pid",
+                    F.coalesce(F.sum("_c").over(w_off), F.lit(0))
+                    .alias("_off")))
+    base = existing.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m"))
+    w_loc = Window.partitionBy("_pid").orderBy(
+        *[F.col(c) for c in cols])
+    return (
+        srt.withColumn("_rn", F.row_number().over(w_loc))
+        .join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(base))
+        .withColumn(id_col,
+                    (F.col("m") + F.col("_off") + F.col("_rn"))
+                    .cast("bigint"))
+        .drop("_pid", "_rn", "_off", "m")
+    )
+
+
+def q_assign_ids(events: DataFrame) -> DataFrame:
+    """Declared M1 query (r10): sequence-id assignment in statement
+    form — the even-event_id half of the events table plays the
+    resident log (its max id is the sequence cursor, PG semantics per
+    prepare_dataset.py:185-193 / controller.py:23-32), the odd half
+    plays an incoming id-less batch, and ``assign_dense_ids_scalable``
+    stamps dense ids max+1.. in the all-columns total order via the
+    two-pass range-partition form — so the DECLARED path is the
+    100×-batch shape (no batch-cardinality window; plan-tested), while
+    the oracle's global row_number proves the id multiset equals the
+    serial form's. Output ordered by event_id (unique by
+    construction)."""
+    ex = events.filter(F.col("event_id") % 2 == 0).select("event_id")
+    new = (events.filter(F.col("event_id") % 2 == 1)
+           .select("user_id", "event_type", "value", "ts"))
+    return (assign_dense_ids_scalable(new, ex, "event_id")
+            .select("event_id", "user_id", "event_type", "value", "ts")
+            .orderBy("event_id"))
+
+
 def q_merge_events(events: DataFrame) -> DataFrame:
     """Declared MERGE query (SURVEY §2.9 M2/M3 in statement form,
     reference analogue ``session.merge`` + delete,

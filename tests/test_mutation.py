@@ -102,6 +102,71 @@ def test_assign_dense_ids(spark):
     assert sorted(r.user_id for r in out2) == [1, 2, 3]
 
 
+def test_assign_dense_ids_scalable_matches_window_form(spark):
+    """The two-pass (range-partition + per-slice rank + offset) form
+    assigns the IDENTICAL (row → id) multiset as the global-window
+    form on a seeded batch — including duplicate rows, which are
+    interchangeable under the all-columns total order — and its ids
+    stay dense from max(existing)+1."""
+    import random
+
+    rng = random.Random(42)
+    rows = [Row(user_id=rng.randint(1, 40),
+                val=round(rng.uniform(0, 9), 2))
+            for _ in range(500)]
+    rows += rows[:25]  # duplicates: any total order must still agree
+    new = spark.createDataFrame(rows)
+    existing = spark.createDataFrame(
+        [Row(event_id=i, user_id=1, val=0.0) for i in range(1, 78)])
+    a = sorted(tuple(r) for r in
+               M.assign_dense_ids(new, existing, "event_id").collect())
+    b = sorted(tuple(r) for r in
+               M.assign_dense_ids_scalable(
+                   new, existing, "event_id", partitions=8).collect())
+    assert a == b
+    ids = sorted(r[-1] for r in a)
+    assert ids == list(range(78, 78 + len(rows)))
+
+
+def test_assign_dense_ids_scalable_no_batch_cardinality_window(spark):
+    """Scale guard (same structural check as the DSIR threshold form):
+    every unpartitioned Window in the scalable plan sits above an
+    Aggregate (the ≤partitions-row offsets table), and the per-slice
+    row_number is key-partitioned — no batch-cardinality rows pass
+    through a single-task sort."""
+    import json as _json
+
+    new = spark.createDataFrame([Row(user_id=i % 7, val=float(i))
+                                 for i in range(100)])
+    existing = spark.createDataFrame([Row(event_id=5, user_id=0,
+                                          val=0.0)])
+    df = M.assign_dense_ids_scalable(new, existing, "event_id",
+                                     partitions=4)
+    nodes = _json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+
+    def span(i):
+        j = i + 1
+        for _ in range(nodes[i]["num-children"]):
+            j = span(j)
+        return j
+
+    saw_partitioned_rownum = False
+    for i, n in enumerate(nodes):
+        if not n.get("class", "").endswith("logical.Window"):
+            continue
+        exprs = _json.dumps(n.get("windowExpressions", ""))
+        if "RowNumber" in exprs:
+            assert n.get("partitionSpec"), \
+                "row_number over batch rows must be key-partitioned"
+            saw_partitioned_rownum = True
+        if not n.get("partitionSpec"):
+            sub = nodes[i + 1:span(i)]
+            assert any(c.get("class", "").endswith("logical.Aggregate")
+                       for c in sub), \
+                "unpartitioned window consumes un-aggregated rows"
+    assert saw_partitioned_rownum
+
+
 def test_merge_frames_semantics(spark):
     """MERGE kernel unit check on crafted rows: winning update
     replaces, stale update is ignored, tombstone deletes, stale

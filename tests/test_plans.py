@@ -311,6 +311,9 @@ def test_new_operator_shuffle_budgets(spark):
                                      # doc-cardinality global rank +
                                      # presentation sort
         # round-10 additions
+        "q_assign_ids": 3,      # batch range-repartition + pid-keyed
+                                # rank window + presentation sort; the
+                                # ≤P-row offsets agg is broadcast back
         "q_importance_threshold": 3,  # score-keyed tie window +
                                       # single-partition grid/fine cell
                                       # windows (bounded by the 65536
