@@ -424,6 +424,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d)),
         "q_epoch_mix": lambda s, d: T.q_epoch_mix(
             _t("documents")(s, d)),
+        # r10 data-mixing/layout family: temperature (α=1/2) source
+        # sampling weights, writer-shard balance audit, length-banded
+        # curriculum order, duplication-factor histogram
+        "q_mixture_weights": lambda s, d: T.q_mixture_weights(
+            _t("documents")(s, d)),
+        "q_shard_balance": lambda s, d: T.q_shard_balance(
+            _t("documents")(s, d)),
+        "q_curriculum_order": lambda s, d: T.q_curriculum_order(
+            _t("documents")(s, d)),
+        "q_dup_stats": lambda s, d: D.q_dup_stats(
+            _t("documents")(s, d)),
         "q_unigram_logprob": lambda s, d: T.q_unigram_logprob(
             _t("documents")(s, d)),
         "q_bigram_logprob": lambda s, d: T.q_bigram_logprob(
@@ -629,61 +640,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grid_search": lambda s, d: ML.q_grid_search(
             _t("lineitem")(s, d), _t("orders")(s, d)),
     }
-    # Driver-window rotation, round 9 (disclosed; the committed
+    # Driver-window rotation, round 10 (disclosed; the committed
     # CORRECTNESS_local.json selfcheck covers the FULL set every round
     # regardless — its `_meta.driver_window_first_50` /
     # `_meta.not_recorded_this_round` lists make the rotation
     # auditable). The external driver records only the first 50
-    # entries, so the window closes the freshness gap the r08 verdict
-    # named as the entire remaining correctness item:
-    #   1. the 30 queries whose latest driver row is r05
-    #      (q_quality_gopher .. q_recommend) — three-plus rounds of
-    #      kernel churn since their last driver record; among them
-    #      q_pagerank_general, which graduates from rows-only to
-    #      ORACLE-EXACT this round (unrolled-round integer-rational
-    #      DuckDB CTE, same doctrine as q_kcore/q_label_prop in r08),
-    #      so its first oracle driver row lands now;
-    #   2. q_grid_search, new this round (ML2's queries() presence),
-    #      takes one slot so its FIRST driver row lands immediately;
-    #   3. the next 12 slots go to the oldest r06-recorded queries in
-    #      declaration order (q_negative_sample .. q_walkforward_splits);
-    #   4. the seven oracle-exact queries declared mid-r09
-    #      (q_dedup_substring, q_substring_prune,
-    #      q_importance_resample, q_kanon, q_kanon_generalize,
-    #      q_ldiversity, q_jl_eval) take the last seven slots so
-    #      their FIRST driver rows land immediately, displacing
-    #      q_event_transitions / q_rfm / q_histogram /
-    #      q_session_paths / q_ab_test / q_corr_matrix /
-    #      q_cumulative_users (r06-recorded) into the r10 window with
-    #      the other 31 r06-recorded queries.
-    # After r09 every declared query's latest driver row is ≤3 rounds
-    # old except those seven displaced r06 rows (refreshed first in
-    # r10) — the floor a 50-wide window over 186 declared queries
+    # entries. The r10 window is exactly the r09 verdict's item 2:
+    #   1. ALL 38 queries whose latest driver row is r06 — the 31
+    #      never displaced plus the 7 displaced by mid-r09 additions
+    #      (q_event_transitions .. q_cumulative_users) — in
+    #      declaration order, so after r10 no driver row is older
+    #      than r07;
+    #   2. q_neardup_lsh and q_semdedup, GRADUATED to oracle-exact
+    #      this round (portable md5-integer planes / integer-Lloyd
+    #      flat cells): their first HASH rows land now (both were
+    #      rows-only in r09);
+    #   3. the six queries declared this round — first driver rows
+    #      land immediately: q_importance_threshold (DSIR at-scale
+    #      pairing), q_assign_ids (M1 two-pass id stamper), and the
+    #      data-mixing/layout family (q_mixture_weights,
+    #      q_shard_balance, q_curriculum_order, q_dup_stats);
+    #   4. the remaining 4 slots go to the oldest r07-recorded
+    #      queries in declaration order (q_top_movies ..
+    #      q_movie_stats); the other 44 r07-recorded queries (3
+    #      rounds old after r10) rotate in r11.
+    # After r10 every declared query's latest driver row is ≤3 rounds
+    # old — the floor a 50-wide window over 192 declared queries
     # allows.
     keys = list(q)
     priority = [
-        # -- r05-stale block, declaration order (30)
-        "q_quality_gopher", "q_weighted_sample", "q_sample_stable",
-        "q_text_embed", "q_knn_text", "q_corpus_clean",
-        "q_embed_quantize", "q_repetition", "q_decontaminate",
-        "q_decontaminate_k8", "q_split_repair", "q_ngram_counts",
-        "q_domain_stats", "q_dedup_incremental", "q_source_overlap",
-        "q_source_balance", "q_epoch_mix", "q_unigram_logprob",
-        "q_bigram_logprob", "q_knn_int8", "q_embed_centroids",
-        "q_neardup_lsh", "q_knn_ivf", "q_semdedup",
-        "q_pagerank_general", "q_top_movies_bucketed",
-        "q_merge_snapshot", "q_image_features", "q_audio_features",
-        "q_recommend",
-        # -- oldest r06-recorded block, declaration order (16)
-        "q_negative_sample", "q_incremental_view", "q_rrf",
-        "q_bpe_merges", "q_bpe_encode", "q_length_buckets",
-        "q_dedup_containment", "q_hard_negatives",
-        "q_sessionize_stream", "q_anomaly", "q_anomaly_stream_et",
-        "q_walkforward_splits",
-        # -- new this round, never recorded (8)
-        "q_grid_search", "q_dedup_substring", "q_substring_prune",
-        "q_importance_resample", "q_kanon", "q_kanon_generalize",
-        "q_ldiversity", "q_jl_eval",
+        # -- r06-stale block, declaration order (38)
+        "q_event_transitions", "q_rfm", "q_histogram",
+        "q_session_paths", "q_ab_test", "q_corr_matrix",
+        "q_cumulative_users", "q_active_users", "q_trend",
+        "q_autocorr", "q_ewma", "q_skyline", "q_grouping_sets",
+        "q_mode", "q_json_decode", "q_attribution", "q_changepoint",
+        "q_heavy_hitters", "q_quantile_bins", "q_dataset_fingerprint",
+        "q_source_divergence", "q_pack_sequences", "q_kmeans",
+        "q_semantic_decontam", "q_vocab_coverage", "q_passages",
+        "q_data_quality", "q_triangles", "q_bucketed_join",
+        "q_snapshot_asof", "q_snapshot_cdf", "q_rest_enrichment",
+        "q_spatial_join", "q_item_cooccurrence", "q_star_revenue",
+        "q_hll_union", "q_minhash_groups", "q_als_implicit",
+        # -- graduated to oracle-exact this round (2)
+        "q_neardup_lsh", "q_semdedup",
+        # -- new this round, never recorded (6)
+        "q_importance_threshold", "q_assign_ids", "q_mixture_weights",
+        "q_shard_balance", "q_curriculum_order", "q_dup_stats",
+        # -- oldest r07-recorded block, declaration order (4)
+        "q_top_movies", "q_user_latest_ratings", "q_user_top_ratings",
+        "q_movie_stats",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -3299,6 +3305,78 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY tfidf DESC, term) AS rn
                   FROM scored)
             WHERE rn <= 3
+        """,
+        # α=1/2 temperature mixing: sqrt is IEEE-correctly-rounded so
+        # the micro-unit grid snap is bit-identical; the weight is an
+        # exact-int64 ratio rounded at 6dp (no float sum anywhere)
+        "q_mixture_weights": f"""
+            WITH per AS (SELECT source,
+                                CAST(count(*) AS BIGINT) AS n_docs,
+                                CAST(sum(len(string_split(text, ' ')))
+                                     AS BIGINT) AS n_tokens
+                         FROM documents GROUP BY source),
+            m AS (SELECT source, n_docs, n_tokens,
+                         CAST(round(sqrt(CAST(n_tokens AS DOUBLE))
+                                    * {T.MIX_MICRO}) AS BIGINT) AS micro
+                  FROM per),
+            t AS (SELECT CAST(sum(micro) AS BIGINT) AS tot FROM m)
+            SELECT source, n_docs, n_tokens,
+                   round(micro / tot, 6) AS sampling_weight
+            FROM m, t ORDER BY source
+        """,
+        # same stable-bucket recipe as q_sample_stable, folded mod
+        # n_shards; the load ratio is an exact int64 product over an
+        # exact int64 total (double division, identical both engines)
+        "q_shard_balance": f"""
+            WITH d AS (SELECT CAST(CAST('0x' || substring(
+                              md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                              AS BIGINT) % 10000 % {T.SHARD_N}
+                              AS INTEGER) AS shard,
+                              CAST(len(string_split(text, ' '))
+                                   AS BIGINT) AS nt
+                       FROM documents),
+            per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(nt) AS BIGINT) AS n_tokens
+                    FROM d GROUP BY shard),
+            t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
+            SELECT shard, n_docs, n_tokens,
+                   round((n_tokens * {T.SHARD_N}) / tot, 6)
+                       AS load_ratio
+            FROM per, t ORDER BY shard
+        """,
+        # band = len(bin(n))-1 = floor(log2 n) in pure integer/string
+        # arithmetic (no float log at the power-of-two band edges)
+        "q_curriculum_order": f"""
+            WITH d AS (SELECT doc_id,
+                              CAST(length(bin(greatest(
+                                  CAST(len(string_split(text, ' '))
+                                       AS BIGINT), 1))) - 1
+                                  AS INTEGER) AS band,
+                              md5(CAST(doc_id AS VARCHAR)) AS hk,
+                              CAST(CAST('0x' || substring(
+                                  md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                  AS BIGINT) % 10000
+                                  % {T.CURRICULUM_SHARDS}
+                                  AS INTEGER) AS shard
+                       FROM documents)
+            SELECT doc_id, band, shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY shard
+                       ORDER BY band, hk, doc_id) AS BIGINT) AS pos
+            FROM d ORDER BY doc_id
+        """,
+        # duplication-factor histogram over the q_dedup_exact digest
+        # groups (same md5(text) fp)
+        "q_dup_stats": """
+            WITH g AS (SELECT md5(text) AS fp,
+                              CAST(count(*) AS BIGINT) AS n_copies
+                       FROM documents GROUP BY md5(text))
+            SELECT n_copies AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sum(n_copies) AS BIGINT) AS n_docs,
+                   CAST(sum(n_copies) - count(*) AS BIGINT)
+                       AS n_removable
+            FROM g GROUP BY n_copies ORDER BY cluster_size
         """,
         "q_sample_stable": """
             SELECT doc_id, lang, bucket,

@@ -2278,3 +2278,29 @@ def q_substring_prune(documents: DataFrame,
             .alias("cleaned_text"))
         .orderBy("doc_id")
     )
+
+
+def q_dup_stats(documents: DataFrame) -> DataFrame:
+    """Declared query: duplication-factor histogram — the corpus-level
+    summary a dedup run is judged by (how much mass sits in clusters
+    of each size, hence how many tokens dedup will reclaim). One row
+    per exact-duplicate cluster size: how many clusters have that many
+    copies, the documents they hold, and the docs that exact dedup
+    would REMOVE at that size (n_docs − n_clusters, min-id keep rule).
+
+    Scale shape: the q_dedup_exact digest aggregate (one digest-keyed
+    shuffle of (fp, doc_id) scan-side pairs) collapsed one level
+    further by a ≤max-cluster-size-key aggregate — the histogram
+    shuffle moves cluster-count rows, not documents. Both levels get
+    map-side partials.
+
+    Reference analogue: none; beyond-reference LLM-pipeline member
+    (composes q_dedup_exact, dedup.py:283).
+    """
+    groups = q_dedup_exact(documents)
+    return (groups.groupBy(F.col("n_copies").alias("cluster_size"))
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 F.sum("n_copies").alias("n_docs"),
+                 (F.sum("n_copies") - F.count(F.lit(1)))
+                 .alias("n_removable"))
+            .orderBy("cluster_size"))

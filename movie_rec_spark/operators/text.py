@@ -1595,3 +1595,137 @@ def q_importance_threshold(documents: DataFrame,
                 F.lit(False)).cast("int").alias("selected"))
         .orderBy("doc_id")
     )
+
+
+# Temperature-based source sampling (the multilingual / data-mixing
+# formula: p_s ∝ n_s^α with α < 1 flattening the source distribution
+# toward uniform). α is fixed at 1/2 because sqrt is the ONE power
+# IEEE-754 specifies correctly-rounded — bit-identical in the JVM,
+# DuckDB, and numpy — so the weights are cross-engine exact without
+# the ulp lottery of pow(x, 0.7); other temperatures take the same
+# plan with a documented float tolerance instead of a hash row.
+MIX_ALPHA_NUM, MIX_ALPHA_DEN = 1, 2
+MIX_MICRO = 1_000_000  # weight grid: micro-units of sqrt(tokens)
+
+
+def q_mixture_weights(documents: DataFrame) -> DataFrame:
+    """Declared query: temperature-sampled source mixture weights —
+    the step that decides how often a training loader draws from each
+    source (Lample & Conneau 2019's α-smoothing; the soft companion of
+    q_source_balance's hard cap and q_epoch_mix's quality upweight).
+
+    Exactness: per-source token counts are int64; s = sqrt(n_tokens)
+    is IEEE-correctly-rounded on both engines; s snaps to the
+    MIX_MICRO integer grid (round half-away on the identical double),
+    and the final weight is the int64/int64 ratio micro_s / Σ micro
+    rounded at 6 dp — no order-dependent float sum anywhere (the
+    denominator is an exact integer sum).
+
+    Scale shape: ONE sources-sized groupBy (map-side partials collapse
+    the token stream) and a broadcast total — the corpus is scanned
+    once, nothing else moves. Output: (source, n_docs, n_tokens,
+    sampling_weight) ordered by source.
+    Reference analogue: none; beyond-reference LLM-pipeline member.
+    """
+    per = (documents
+           .select("source", F.size(_tokens(F.col("text")))
+                   .cast("long").alias("nt"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("nt").alias("n_tokens")))
+    micro = F.round(F.sqrt(F.col("n_tokens").cast("double"))
+                    * MIX_MICRO, 0).cast("long")
+    w = per.select("source", "n_docs", "n_tokens",
+                   micro.alias("micro"))
+    tot = w.agg(F.sum("micro").alias("tot"))
+    return (w.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs", "n_tokens",
+                    F.round(F.col("micro") / F.col("tot"), 6)
+                    .alias("sampling_weight"))
+            .orderBy("source"))
+
+
+SHARD_N = 32  # training-shard fan-out for the balance audit
+
+
+def q_shard_balance(documents: DataFrame,
+                    n_shards: int = SHARD_N) -> DataFrame:
+    """Declared query: training-shard balance audit — hash-assign every
+    document to one of ``n_shards`` writer shards (the stable md5
+    recipe, reshard-proof) and report each shard's document and token
+    load plus its load ratio vs the ideal 1/n_shards share. The audit a
+    distributed tokenizer/writer job runs BEFORE burning cluster-days
+    on a skewed layout (hot shards gate the whole epoch's wall-clock).
+
+    Exactness: loads are int64 sums; load_ratio = (n_tokens·n_shards)
+    / total — an int64·int32 product (exact to ~3e14 tokens/shard at
+    32 shards, documented bound) divided by an exact int64, both
+    engines computing the same double, rounded at 6 dp.
+
+    Scale shape: map-side shard expression fused into the scan + ONE
+    ≤n_shards-key aggregate + a broadcast total. Nothing else moves.
+    Reference analogue: none; beyond-reference LLM-pipeline member.
+    """
+    from movie_rec_spark.functions import stable_bucket
+
+    shard = (stable_bucket(F.col("doc_id"), 10000)
+             % n_shards).cast("int")
+    per = (documents
+           .select(shard.alias("shard"),
+                   F.size(_tokens(F.col("text"))).cast("long")
+                   .alias("nt"))
+           .groupBy("shard")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("nt").alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").alias("tot"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("shard", "n_docs", "n_tokens",
+                    F.round((F.col("n_tokens") * n_shards)
+                            / F.col("tot"), 6).alias("load_ratio"))
+            .orderBy("shard"))
+
+
+CURRICULUM_SHARDS = 16
+
+
+def q_curriculum_order(documents: DataFrame,
+                       n_shards: int = CURRICULUM_SHARDS) -> DataFrame:
+    """Declared query: length-curriculum training order — documents
+    are banded by ⌊log2(n_tokens)⌋ (short→long curriculum, the
+    sequence-length warmup schedule), shuffled WITHIN each band by the
+    stable md5 hash (deterministic, reshard-proof — no RNG stream),
+    and assigned a per-shard position so ``n_shards`` loader workers
+    can stream their slices independently.
+
+    Scale shape: the global order is never materialized — band and
+    hash are map-side expressions, the shard assignment is a hash
+    bucket, and the position is a row_number PARTITIONED BY shard
+    (per-task work = one shard's slice, the q_assign_ids discipline:
+    no corpus-cardinality unpartitioned window). One shard-keyed
+    Exchange total.
+
+    Output: (doc_id, band, shard, pos) — pos orders (band ASC,
+    hash, doc_id) within the shard. All integer/string comparisons,
+    engine-exact: the band is ⌊log2 n⌋ computed as
+    len(binary-repr(n)) − 1 (conv base-2 / bin()), NOT a float log2 —
+    float logs carry no correct-rounding guarantee AT the power-of-two
+    band edges, exactly where the floor flips.
+    Reference analogue: none; beyond-reference LLM-pipeline member.
+    """
+    from pyspark.sql.window import Window
+
+    from movie_rec_spark.functions import stable_bucket
+
+    nt = F.size(_tokens(F.col("text"))).cast("long")
+    band = (F.length(F.conv(F.greatest(nt, F.lit(1)).cast("string"),
+                            10, 2)) - 1).cast("int")
+    hk = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    shard = (stable_bucket(F.col("doc_id"), 10000)
+             % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("band", "hk", "doc_id")
+    return (documents
+            .select("doc_id", band.alias("band"), hk.alias("hk"),
+                    shard.alias("shard"))
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .select("doc_id", "band", "shard", "pos")
+            .orderBy("doc_id"))

@@ -314,6 +314,15 @@ def test_new_operator_shuffle_budgets(spark):
         "q_assign_ids": 3,      # batch range-repartition + pid-keyed
                                 # rank window + presentation sort; the
                                 # ≤P-row offsets agg is broadcast back
+        "q_mixture_weights": 3,  # sources-sized agg + tiny total agg
+                                 # + O(sources) presentation sort
+        "q_shard_balance": 3,   # ≤n_shards-key agg + tiny total agg
+                                # + O(shards) presentation sort
+        "q_curriculum_order": 2,  # ONE shard-keyed window Exchange
+                                  # (per-task = one shard's slice) +
+                                  # presentation sort
+        "q_dup_stats": 3,       # digest agg + cluster-size histogram
+                                # agg + O(sizes) presentation sort
         "q_importance_threshold": 3,  # score-keyed tie window +
                                       # single-partition grid/fine cell
                                       # windows (bounded by the 65536

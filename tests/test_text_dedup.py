@@ -1258,6 +1258,94 @@ def test_importance_threshold_equals_rank_form_with_ties(spark):
     assert sum(r.selected for r in thr.values()) == 2
 
 
+def test_mixture_weights_alpha_half(spark):
+    """Sources with 4/16/36 tokens give sqrt masses 2:4:6, so the
+    α=1/2 temperature weights are exactly 1/6, 1/3, 1/2 at the 6-dp
+    grid — and they flatten the raw 4:16:36 skew as α-smoothing
+    promises (the smallest source gains share)."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text=" ".join(["w"] * 4), lang="en",
+             source="a", n_chars=7),
+         Row(doc_id=1, text=" ".join(["w"] * 16), lang="en",
+             source="b", n_chars=31),
+         Row(doc_id=2, text=" ".join(["w"] * 36), lang="en",
+             source="c", n_chars=71)])
+    out = {r.source: r for r in T.q_mixture_weights(docs).collect()}
+    assert (out["a"].n_tokens, out["b"].n_tokens,
+            out["c"].n_tokens) == (4, 16, 36)
+    assert out["a"].sampling_weight == round(1 / 6, 6)
+    assert out["b"].sampling_weight == round(1 / 3, 6)
+    assert out["c"].sampling_weight == 0.5
+    # α-smoothing: source a's weight share exceeds its token share
+    assert out["a"].sampling_weight > 4 / 56
+
+
+def test_shard_balance_loads_and_ratio(spark):
+    """Shard assignment matches the hashlib md5 mirror of
+    stable_bucket % n_shards; per-shard token loads sum to the corpus
+    total and the load ratio is load·n_shards/total at 6 dp."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * (i + 1)), lang="en",
+             source="s", n_chars=2 * (i + 1) - 1)
+         for i in range(40)])
+    out = T.q_shard_balance(docs).collect()
+
+    def shard(i):
+        return (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                % 10000) % T.SHARD_N
+
+    want = {}
+    for i in range(40):
+        s = shard(i)
+        d, t = want.get(s, (0, 0))
+        want[s] = (d + 1, t + i + 1)
+    got = {r.shard: (r.n_docs, r.n_tokens) for r in out}
+    assert got == want
+    total = sum(t for _, t in want.values())
+    for r in out:
+        assert r.load_ratio == round(r.n_tokens * T.SHARD_N / total, 6)
+
+
+def test_curriculum_order_bands_and_positions(spark):
+    """Bands are exact ⌊log2(n_tokens)⌋ (the power-of-two edges land
+    in the HIGHER band's floor: 4 tokens → band 2), and positions are
+    dense 1..n within each shard following (band, md5(doc_id),
+    doc_id)."""
+    import hashlib
+
+    lens = {0: 1, 1: 2, 2: 3, 3: 4, 4: 8, 5: 9}
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * n), lang="en",
+             source="s", n_chars=2 * n - 1) for i, n in lens.items()])
+    out = {r.doc_id: r for r in T.q_curriculum_order(docs).collect()}
+    assert {d: r.band for d, r in out.items()} == {
+        0: 0, 1: 1, 2: 1, 3: 2, 4: 3, 5: 3}
+    by_shard = {}
+    for d, r in out.items():
+        by_shard.setdefault(r.shard, []).append(
+            (r.band, hashlib.md5(str(d).encode()).hexdigest(), d, r.pos))
+    for rows in by_shard.values():
+        rows.sort()
+        assert [p for *_, p in rows] == list(range(1, len(rows) + 1))
+
+
+def test_dup_stats_histogram(spark):
+    """Cluster-size histogram over exact-digest groups: 3 copies of
+    one text, 2 of another, 1 singleton → one row per size with the
+    removable count = n_docs − n_clusters."""
+    texts = ["a a", "a a", "a a", "b", "b", "c"]
+    out = {r.cluster_size: r for r in D.q_dup_stats(
+        _docs(spark, texts)).collect()}
+    assert (out[1].n_clusters, out[1].n_docs, out[1].n_removable) == (
+        1, 1, 0)
+    assert (out[2].n_clusters, out[2].n_docs, out[2].n_removable) == (
+        1, 2, 1)
+    assert (out[3].n_clusters, out[3].n_docs, out[3].n_removable) == (
+        1, 3, 2)
+
+
 def test_importance_threshold_k_zero_selects_nothing(spark):
     """N < KEEP_DEN ⇒ k=0: the threshold row aggregates to all-NULL
     and the coalesce keeps every doc with selected=0 (the broadcast

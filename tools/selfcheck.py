@@ -218,25 +218,22 @@ def main() -> int:
             # this round (every one is strict-checked in THIS file)
             "not_recorded_this_round": names[50:],
             "coverage_note": (
-                "r09 window = the 30 r05-stale queries "
-                "(q_quality_gopher..q_recommend, declaration order) "
-                "- among them q_pagerank_general, newly oracle-exact "
-                "this round via an unrolled-round fixed-point-integer "
-                "DuckDB CTE, first oracle driver row - plus the "
-                "eight queries declared in r09 (q_grid_search, "
-                "q_dedup_substring, q_substring_prune, "
-                "q_importance_resample, q_kanon, q_kanon_generalize, "
-                "q_ldiversity, q_jl_eval; first driver rows) plus "
-                "the 12 oldest r06-recorded queries in declaration "
-                "order (q_negative_sample..q_walkforward_splits). "
-                "After r09 every declared query's latest driver row "
-                "is <=3 rounds old (the floor a 50-wide window over "
-                "186 declared queries allows) except "
-                "q_event_transitions/q_rfm/q_histogram/"
-                "q_session_paths/q_ab_test/q_corr_matrix/"
-                "q_cumulative_users, displaced by the mid-round "
-                "additions and refreshed first in r10 with the 31 "
-                "remaining r06-recorded queries."),
+                "r10 window = ALL 38 r06-recorded queries "
+                "(q_event_transitions..q_als_implicit, declaration "
+                "order, including the 7 displaced by mid-r09 "
+                "additions), plus q_neardup_lsh and q_semdedup "
+                "(graduated rows-only -> ORACLE-EXACT this round: "
+                "portable md5-integer planes / integer-Lloyd flat "
+                "cells; first hash rows), plus the six queries "
+                "declared in r10 (q_importance_threshold, "
+                "q_assign_ids, q_mixture_weights, q_shard_balance, "
+                "q_curriculum_order, q_dup_stats; first driver "
+                "rows), plus the 4 oldest r07-recorded queries in "
+                "declaration order (q_top_movies..q_movie_stats). "
+                "After r10 every declared query's latest driver row "
+                "is <=3 rounds old - the floor a 50-wide window over "
+                "192 declared queries allows. The remaining 44 "
+                "r07-recorded queries rotate in r11."),
         }}
         artifact.update(results)
         with open(emit, "w") as fh:

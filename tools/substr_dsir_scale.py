@@ -57,6 +57,10 @@ def measure(spark, sf_dir: str) -> dict:
     n_removed = pruned.agg(F.sum("n_removed")).collect()[0][0]
     dsir = T.q_importance_resample(docs)
     n_sel = dsir.agg(F.sum("selected")).collect()[0][0]
+    # the r10 at-scale form must select the SAME count (set equality
+    # is oracle-proven at sf0.01; the counter cross-checks it at Nx)
+    n_sel_thr = (T.q_importance_threshold(docs)
+                 .agg(F.sum("selected")).collect()[0][0])
     return {
         "n_docs": docs.count(),
         "n_wins": n_wins,
@@ -64,6 +68,7 @@ def measure(spark, sf_dir: str) -> dict:
         "n_spans": n_spans,
         "n_removed": int(n_removed),
         "n_selected": int(n_sel),
+        "n_selected_thr": int(n_sel_thr),
         "wall": {
             "q_dedup_substring": _wall(
                 lambda: D.q_dedup_substring(docs)),
@@ -71,6 +76,8 @@ def measure(spark, sf_dir: str) -> dict:
                 lambda: D.q_substring_prune(docs)),
             "q_importance_resample": _wall(
                 lambda: T.q_importance_resample(docs)),
+            "q_importance_threshold": _wall(
+                lambda: T.q_importance_threshold(docs)),
         },
     }
 
@@ -90,7 +97,7 @@ def main() -> None:
     print("| metric | 1x | %dx | ratio |" % mult)
     print("|---|---|---|---|")
     for k in ("n_wins", "n_dup_wins", "n_spans", "n_removed",
-              "n_selected"):
+              "n_selected", "n_selected_thr"):
         print(f"| {k} | {m1[k]} | {mn[k]} | "
               f"{mn[k] / max(m1[k], 1):.1f}x |")
     for q in m1["wall"]:
