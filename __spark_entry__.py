@@ -616,10 +616,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_unshipped": lambda s, d: R.q_top_unshipped(
             _t("customer")(s, d), _t("orders")(s, d),
             _t("lineitem")(s, d)),
-        # rows-only (HLL registers / xxhash64 minhash signatures are
-        # engine-specific; error-bound + exact-Jaccard-agreement pytest
-        # gates) — parked after the oracle-backed block so the driver's
-        # 50-row window spends its slots on hash-checkable queries first
+        # q_hll_union stays rows-only (Datasketches HLL registers are
+        # engine-specific; error-bound pytest gates + the q_hll_audit
+        # register-exact twin); q_minhash_groups is ORACLE-EXACT since
+        # r10 (portable signatures + recursive-CTE closure)
         "q_hll_union": lambda s, d: R.q_hll_union(_t("events")(s, d)),
         "q_minhash_groups": lambda s, d: D.q_minhash_groups(
             _t("documents")(s, d)),
@@ -1022,6 +1022,75 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON p.doc_a = sa.doc_id
             JOIN sz sb ON p.doc_b = sb.doc_id
             ORDER BY p.doc_a, p.doc_b
+    """
+    # q_dedup_minhash / q_minhash_groups oracles (ORACLE-EXACT since
+    # r10): the DECLARED pipeline at its production config
+    # (MINHASH_PERMS=32, 8 bands of 4) with the same portable
+    # universal-hash signature family the audit uses — mh_coeffs
+    # inlined, ':'-joined band keys, the 4-dp agreement estimate, and
+    # (for groups) the recursive-CTE transitive closure of
+    # q_dedup_groups applied to the estimate-verified pairs.
+    _dm_a, _dm_b = D.mh_coeffs(D.MINHASH_PERMS)
+    _dm_mins = ",\n                   ".join(
+        f"min(({_dm_a[p]} * h + {_dm_b[p]}) % {D.MHP_P}) AS h{p}"
+        for p in range(D.MINHASH_PERMS))
+    _dm_rows = D.MINHASH_PERMS // D.MINHASH_BANDS
+    _dm_bands = "\n                 UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(':', {cols}) AS key "
+        "FROM sig".format(
+            b=b, cols=", ".join(f"h{b * _dm_rows + r}"
+                                for r in range(_dm_rows)))
+        for b in range(D.MINHASH_BANDS))
+    _dm_nmatch = " + ".join(
+        f"(CASE WHEN sa.h{p} = sb.h{p} THEN 1 ELSE 0 END)"
+        for p in range(D.MINHASH_PERMS))
+    _dm_pipeline = f"""
+            toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents),
+            shm AS (SELECT DISTINCT doc_id,
+                           array_to_string(list_slice(w, CAST(i AS INT),
+                               CAST(i AS INT) + 2), ' ') AS g
+                    FROM (SELECT doc_id, w,
+                                 unnest(range(1, greatest(len(w) - 2, 1)
+                                              + 1)) AS i
+                          FROM toks)),
+            hs AS (SELECT doc_id,
+                          CAST('0x' || substring(md5(g), 1, 15)
+                               AS BIGINT) % {D.MHP_P} AS h
+                   FROM shm),
+            sig AS (SELECT doc_id,
+                   {_dm_mins}
+                    FROM hs GROUP BY doc_id),
+            banded AS ({_dm_bands}),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a,
+                            b.doc_id AS doc_b
+                     FROM banded a JOIN banded b
+                       ON a.band = b.band AND a.key = b.key
+                      AND a.doc_id < b.doc_id),
+            est AS (SELECT c.doc_a, c.doc_b,
+                           round(({_dm_nmatch})
+                                 / {D.MINHASH_PERMS}.0, 4)
+                               AS est_jaccard
+                    FROM cand c
+                    JOIN sig sa ON sa.doc_id = c.doc_a
+                    JOIN sig sb ON sb.doc_id = c.doc_b)"""
+    dedup_minhash_sql = f"""
+            WITH {_dm_pipeline}
+            SELECT doc_a, doc_b, est_jaccard FROM est
+            WHERE est_jaccard >= {D.JACCARD_THRESHOLD}
+    """
+    minhash_groups_sql = f"""
+            WITH RECURSIVE {_dm_pipeline},
+            mp AS (SELECT doc_a, doc_b FROM est
+                   WHERE est_jaccard >= {D.JACCARD_THRESHOLD}),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM mp
+                  UNION SELECT doc_b, doc_a FROM mp),
+            reach(a, b) AS (
+                SELECT a, a FROM (SELECT a FROM e UNION SELECT b FROM e)
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+            )
+            SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a
     """
     # q_pq_knn / q_ivfpq_knn oracles: the q_kmeans unrolled-Lloyd
     # pattern widened by the subspace column — per-subspace codebooks,
@@ -2403,6 +2472,8 @@ def oracle_sql() -> dict[str, str]:
         # semantics change: same answer, same oracle
         "q_dedup_prefix": jaccard_pairs,
         "q_minhash_eval": minhash_eval_sql,
+        "q_dedup_minhash": dedup_minhash_sql,
+        "q_minhash_groups": minhash_groups_sql,
         # q_quantile_merge: both branches rank RAW rows (per-day and the
         # whole window) — the Spark side computes the '__all__' row from
         # MERGED daily histograms, so the hash-match proves

@@ -456,13 +456,26 @@ def q_dedup_prefix(documents: DataFrame,
 
 
 def minhash_signatures(documents: DataFrame,
-                       num_perms: int = MINHASH_PERMS) -> DataFrame:
+                       num_perms: int = MINHASH_PERMS,
+                       portable: bool = True) -> DataFrame:
     """Per-doc MinHash signature as array<bigint> of length num_perms.
 
-    Permutation hashes are xxhash64(shingle, seed=p) — built-in, seeded,
-    64-bit. min over the doc's shingle set per permutation approximates
-    Jaccard: P[min_a = min_b] = J(a, b).
+    Default ``portable=True`` (ORACLE-EXACT since r10): permutation
+    hashes are the universal-hash family over the md5-prefix base hash
+    mod the Mersenne prime 2^31−1 — the q_minhash_eval recipe
+    (``minhash_portable_sigs``), bit-identical in Spark and DuckDB, so
+    the DECLARED q_dedup_minhash / q_minhash_groups pipelines carry
+    driver hash rows. ``portable=False`` keeps the original
+    xxhash64(shingle, seed=p) signatures (one JVM hash per perm
+    instead of one md5 + 64-bit affine maps) for probes that want
+    engine-native speed. min over the doc's shingle set per
+    permutation approximates Jaccard: P[min_a = min_b] = J(a, b).
     """
+    if portable:
+        cols = minhash_portable_sigs(documents, num_perms=num_perms)
+        return cols.select(
+            "doc_id",
+            F.array(*[f"h{p}" for p in range(num_perms)]).alias("sig"))
     sh = _shingle_rows(documents)
     hashed = sh.select(
         "doc_id",
@@ -481,22 +494,32 @@ def minhash_signatures(documents: DataFrame,
 
 def minhash_banded(documents: DataFrame,
                    num_perms: int = MINHASH_PERMS,
-                   bands: int = MINHASH_BANDS) -> DataFrame:
+                   bands: int = MINHASH_BANDS,
+                   portable: bool = True) -> DataFrame:
     """Banded MinHash signatures: (doc_id, sig, band, bh) rows — the
     blocked intermediate of q_dedup_minhash, exposed so its bucket
-    occupancy is observable via ``blocking_stats``."""
+    occupancy is observable via ``blocking_stats``. Portable mode
+    (default) keys each band with the ':'-joined signature slice —
+    a deterministic string both engines build identically — instead
+    of an xxhash64 of the slice; the join cost is the same equi-join
+    on a slightly wider key."""
     rows_per_band = num_perms // bands
-    sig = minhash_signatures(documents, num_perms)
+    sig = minhash_signatures(documents, num_perms, portable=portable)
+    if portable:
+        bb = [F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(":", *[F.col("sig")[b * rows_per_band + r]
+                               for r in range(rows_per_band)])
+            .alias("bh")) for b in range(bands)]
+    else:
+        bb = [F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                         for r in range(rows_per_band)])
+            .cast("string").alias("bh")) for b in range(bands)]
     return sig.select(
         "doc_id", "sig",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                             for r in range(rows_per_band)]).alias("bh"),
-            )
-            for b in range(bands)
-        ])).alias("bb"),
+        F.explode(F.array(*bb)).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"),
              F.col("bb.bh").alias("bh"))
 
@@ -512,6 +535,13 @@ def q_dedup_minhash(documents: DataFrame,
     identical. The join is on (band_id, band_hash) — an equi-join, so at
     100 TB it's a plain shuffle-hash join whose cost tracks true
     near-dup density instead of |docs|².
+
+    ORACLE-EXACT since r10: signatures default to the portable
+    universal-hash family of q_minhash_eval (md5 base hash mod 2^31−1
+    + affine permutations — one md5 per shingle replacing 32 xxhash64
+    calls, same one-doc-keyed-shuffle plan), so the full declared
+    shingle→signature→band→candidate→estimate pipeline reproduces in
+    DuckDB and carries a driver hash row.
     """
     banded = minhash_banded(documents, num_perms, bands)
     a, b = banded.alias("a"), banded.alias("b")
@@ -861,10 +891,10 @@ def q_dedup_groups(documents: DataFrame) -> DataFrame:
 
 
 def q_minhash_groups(documents: DataFrame) -> DataFrame:
-    """Declared query (rows-only: minhash signatures are xxhash64-seeded
-    and not reproducible in the SQL oracle): the FULL approximate dedup
-    pipeline composed end-to-end — MinHash banding candidates →
-    signature-verified pairs → connected components → (doc_id, comp).
+    """Declared query (ORACLE-EXACT since r10, with q_dedup_minhash's
+    portable signatures): the FULL approximate dedup pipeline composed
+    end-to-end — MinHash banding candidates → signature-verified
+    pairs → connected components → (doc_id, comp).
 
     This is the pipeline that actually runs at 100 TB, where the exact
     Jaccard ground truth (q_dedup_groups' input) is unaffordable: every
@@ -1740,9 +1770,9 @@ def q_label_prop(documents: DataFrame) -> DataFrame:
 # mod P. Everything stays below 2^62 (a_p, h < 2^31 so the product
 # fits a BIGINT on both engines, no overflow under ANSI), and every
 # step — md5 prefix, integer mod, min — is bit-identical in Spark and
-# DuckDB, which is the point: unlike the xxhash64 signatures of
-# q_dedup_minhash (Spark-only, rows-only checked), this pipeline is
-# hash-checkable end to end. 16 perms / 2 bands of 8 rows: a
+# DuckDB, which is the point — and since r10 this portable family
+# IS q_dedup_minhash's default signature kernel, so the declared
+# pipeline is hash-checkable end to end too. 16 perms / 2 bands of 8 rows: a
 # deliberately precision-tight config — collision prob J^8 per band
 # (J=0.9 → 43%/band, ~68% over 2 bands; J=0.5 → 0.4%) — so the audit
 # has REAL misses to count (a 4-row-band config finds every sf0.01
@@ -1750,24 +1780,40 @@ def q_label_prop(documents: DataFrame) -> DataFrame:
 MHP_P = 2_147_483_647
 MHP_PERMS = 16
 MHP_BANDS = 2  # rows per band = 16/2 = 8
-MHP_A = [(1103515245 * (p + 1) + 12345) % MHP_P for p in range(MHP_PERMS)]
-MHP_B = [(69069 * (p + 1) + 1) % MHP_P for p in range(MHP_PERMS)]
+
+
+def mh_coeffs(n: int) -> tuple[list[int], list[int]]:
+    """Universal-hash coefficient pairs (a_p, b_p) mod the Mersenne
+    prime for ``n`` permutations — fixed LCG-multiplier formulas, so
+    Spark, DuckDB SQL generators, and pure-Python test mirrors all
+    derive the identical family from the permutation index alone."""
+    a = [(1103515245 * (p + 1) + 12345) % MHP_P for p in range(n)]
+    b = [(69069 * (p + 1) + 1) % MHP_P for p in range(n)]
+    return a, b
+
+
+MHP_A, MHP_B = mh_coeffs(MHP_PERMS)
 
 
 def minhash_portable_sigs(documents: DataFrame,
-                          sh: DataFrame | None = None) -> DataFrame:
-    """(doc_id, h0..h{PERMS-1}) portable minhash signatures — the
-    cross-engine-deterministic twin of minhash_signatures. Pass a
+                          sh: DataFrame | None = None,
+                          num_perms: int = MHP_PERMS) -> DataFrame:
+    """(doc_id, h0..h{num_perms-1}) portable minhash signatures — the
+    cross-engine-deterministic twin of the xxhash64 form (and, since
+    r10, the DEFAULT signature kernel of minhash_signatures). Pass a
     prepared (doc_id, g) frame via ``sh`` to share one shingle scan
-    with other pipeline stages (q_minhash_eval's pattern)."""
+    with other pipeline stages (q_minhash_eval's pattern). a_p·h+b_p
+    stays < 2^62 (both factors < 2^31), so the mins are int64-exact.
+    """
     if sh is None:
         sh = _shingle_rows(documents)
+    a_c, b_c = mh_coeffs(num_perms)
     h = (F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 15),
                 16, 10).cast("long") % MHP_P)
     hs = sh.select("doc_id", h.alias("h"))
-    mins = [F.min((F.lit(MHP_A[p]) * F.col("h") + F.lit(MHP_B[p]))
+    mins = [F.min((F.lit(a_c[p]) * F.col("h") + F.lit(b_c[p]))
                   % MHP_P).alias(f"h{p}")
-            for p in range(MHP_PERMS)]
+            for p in range(num_perms)]
     return hs.groupBy("doc_id").agg(*mins)
 
 
@@ -1795,7 +1841,8 @@ def q_minhash_eval(documents: DataFrame,
     The signature pipeline is the PORTABLE integer minhash
     (minhash_portable_sigs): md5-prefix base hash + universal-hash
     permutations mod the Mersenne prime 2^31-1 — bit-identical in
-    Spark and DuckDB, so unlike q_dedup_minhash (xxhash64, rows-only)
+    Spark and DuckDB — and, since r10, also q_dedup_minhash's
+    default kernel — so
     the full shingle->signature->band->candidate path is oracle-exact.
 
     Scale shape: signatures are ONE doc-keyed shuffle (16 mins in one
