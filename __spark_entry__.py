@@ -500,10 +500,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kanon_generalize": lambda s, d: Q.q_kanon_generalize(
             _t("customer")(s, d)),
         "q_ldiversity": lambda s, d: Q.q_ldiversity(_t("customer")(s, d)),
-        # --- similarity scale paths. q_neardup_lsh and q_semdedup are
-        # ORACLE-EXACT since r10 (portable md5-integer planes /
-        # integer-Lloyd flat cells); q_knn_ivf stays rows-only (float
-        # MLlib centroids), with recall vs the exact baseline asserted
+        # --- similarity scale paths: q_neardup_lsh, q_semdedup, and
+        # q_knn_ivf are all ORACLE-EXACT since r10 (portable
+        # md5-integer planes / integer-Lloyd cells / exact-int-L2
+        # probe ranking), with recall vs the exact baselines asserted
         # in tests/test_similarity_multimodal.py.
         # n_vecs from parquet footer metadata (catalog.table_rows):
         # auto-sizing needs the corpus size, not a count() scan per call ---
@@ -651,19 +651,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      (q_event_transitions .. q_cumulative_users) — in
     #      declaration order, so after r10 no driver row is older
     #      than r07;
-    #   2. q_neardup_lsh and q_semdedup, GRADUATED to oracle-exact
-    #      this round (portable md5-integer planes / integer-Lloyd
-    #      flat cells): their first HASH rows land now (both were
-    #      rows-only in r09);
+    #   2. the six queries GRADUATED to oracle-exact this round —
+    #      q_neardup_lsh (portable md5-integer planes), q_semdedup
+    #      (integer-Lloyd flat cells), q_knn_ivf (integer-Lloyd
+    #      quantizer + exact-int-L2 probe), q_dedup_minhash and
+    #      q_minhash_groups (portable universal-hash signatures),
+    #      q_dedup_simhash (portable 56-bit signatures): their
+    #      first HASH rows land now;
     #   3. the six queries declared this round — first driver rows
     #      land immediately: q_importance_threshold (DSIR at-scale
     #      pairing), q_assign_ids (M1 two-pass id stamper), and the
     #      data-mixing/layout family (q_mixture_weights,
     #      q_shard_balance, q_curriculum_order, q_dup_stats);
-    #   4. the remaining 4 slots go to the oldest r07-recorded
-    #      queries in declaration order (q_top_movies ..
-    #      q_movie_stats); the other 44 r07-recorded queries (3
-    #      rounds old after r10) rotate in r11.
+    #   4. the one remaining slot goes to the oldest r07-recorded
+    #      query (q_top_movies); the other 46 r07-recorded queries
+    #      (3 rounds old after r10) rotate in r11.
     # After r10 every declared query's latest driver row is ≤3 rounds
     # old — the floor a 50-wide window over 192 declared queries
     # allows.
@@ -682,14 +684,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_asof", "q_snapshot_cdf", "q_rest_enrichment",
         "q_spatial_join", "q_item_cooccurrence", "q_star_revenue",
         "q_hll_union", "q_minhash_groups", "q_als_implicit",
-        # -- graduated to oracle-exact this round (2)
-        "q_neardup_lsh", "q_semdedup",
+        # -- graduated to oracle-exact this round (5 more;
+        # q_minhash_groups, also graduated, already sits in the
+        # r06-stale block above)
+        "q_neardup_lsh", "q_semdedup", "q_knn_ivf",
+        "q_dedup_minhash", "q_dedup_simhash",
         # -- new this round, never recorded (6)
         "q_importance_threshold", "q_assign_ids", "q_mixture_weights",
         "q_shard_balance", "q_curriculum_order", "q_dup_stats",
-        # -- oldest r07-recorded block, declaration order (4)
-        "q_top_movies", "q_user_latest_ratings", "q_user_top_ratings",
-        "q_movie_stats",
+        # -- oldest r07-recorded block, declaration order (1)
+        "q_top_movies",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
@@ -1385,42 +1389,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.v, b.v), 4)
                   >= {S.NEARDUP_THRESHOLD}
     """
-    # q_semdedup oracle (ORACLE-EXACT since r10, flat regime): the
-    # q_kmeans unrolled integer-Lloyd doctrine builds the cells (dense
-    # 0..k-1 ids in seed order — portable_cells mirrors this exactly),
-    # then the within-cell prune is the q_embed_neardup 4-dp float
-    # cosine with the min-lower-id keep rule. k auto-sizes from the
-    # sf0.01 corpus count exactly as the Spark side does.
-    _sd_k = max(2, -(-_lsh_n // S.SEMDEDUP_CELL_TARGET))
-    _sd_rounds = []
-    _prev = "c0"
-    for _r in range(1, S.KMEANS_ITERS):
-        _sd_rounds.append(f"""
-            d{_r} AS (SELECT p.vec_id, c.cid,
+    # Shared unrolled integer-Lloyd CTE chain (the q_kmeans doctrine;
+    # portable_cells_centers mirrors it exactly): p (grid points),
+    # seeds/c0 (k smallest vec_ids, dense 0..k-1 cids), KMEANS_ITERS-1
+    # update rounds, df/af (final assignment vs the last centers).
+    # Used by the q_semdedup oracle (cells) and the q_knn_ivf oracle
+    # (cells + probe ranking against the same last-centers table).
+    def _lloyd_cte(k: int) -> tuple[str, str]:
+        rounds = []
+        prev = "c0"
+        for r in range(1, S.KMEANS_ITERS):
+            rounds.append(f"""
+            d{r} AS (SELECT p.vec_id, c.cid,
                           sum((p.p - c.c) * (p.p - c.c)) AS d
-                   FROM p JOIN {_prev} c ON p.pos = c.pos
+                   FROM p JOIN {prev} c ON p.pos = c.pos
                    GROUP BY p.vec_id, c.cid),
-            a{_r} AS (SELECT vec_id, cid FROM (
+            a{r} AS (SELECT vec_id, cid FROM (
                        SELECT vec_id, cid, row_number() OVER (
                            PARTITION BY vec_id ORDER BY d, cid) AS rn
-                       FROM d{_r}) WHERE rn = 1),
-            u{_r} AS (SELECT a{_r}.cid, p.pos,
+                       FROM d{r}) WHERE rn = 1),
+            u{r} AS (SELECT a{r}.cid, p.pos,
                           CAST(sum(p.p) AS BIGINT) AS s,
                           CAST(count(*) AS BIGINT) AS n
-                   FROM p JOIN a{_r} USING (vec_id)
-                   GROUP BY a{_r}.cid, p.pos),
-            c{_r} AS (SELECT {_prev}.cid, {_prev}.pos,
-                          CASE WHEN u{_r}.s IS NULL THEN {_prev}.c
-                               ELSE CAST(floor((2.0 * u{_r}.s + u{_r}.n)
-                                         / (2.0 * u{_r}.n)) AS BIGINT)
+                   FROM p JOIN a{r} USING (vec_id)
+                   GROUP BY a{r}.cid, p.pos),
+            c{r} AS (SELECT {prev}.cid, {prev}.pos,
+                          CASE WHEN u{r}.s IS NULL THEN {prev}.c
+                               ELSE CAST(floor((2.0 * u{r}.s + u{r}.n)
+                                         / (2.0 * u{r}.n)) AS BIGINT)
                           END AS c
-                   FROM {_prev} LEFT JOIN u{_r}
-                     ON {_prev}.cid = u{_r}.cid
-                        AND {_prev}.pos = u{_r}.pos),""")
-        _prev = f"c{_r}"
-    semdedup_sql = f"""
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                       FROM embeddings),
+                   FROM {prev} LEFT JOIN u{r}
+                     ON {prev}.cid = u{r}.cid
+                        AND {prev}.pos = u{r}.pos),""")
+            prev = f"c{r}"
+        cte = f"""
             p AS (
                 SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
                        CAST(round(v[CAST(i AS INT)]
@@ -1432,18 +1434,31 @@ def oracle_sql() -> dict[str, str]:
                              CAST(row_number() OVER (ORDER BY vec_id)
                                   - 1 AS INTEGER) AS cid
                       FROM (SELECT vec_id FROM embeddings
-                            ORDER BY vec_id LIMIT {_sd_k})),
+                            ORDER BY vec_id LIMIT {k})),
             c0 AS (SELECT s.cid, p.pos, p.p AS c
                    FROM p JOIN seeds s USING (vec_id)),
-            {"".join(_sd_rounds)}
+            {"".join(rounds)}
             df AS (SELECT p.vec_id, c.cid,
                           sum((p.p - c.c) * (p.p - c.c)) AS d
-                   FROM p JOIN {_prev} c ON p.pos = c.pos
+                   FROM p JOIN {prev} c ON p.pos = c.pos
                    GROUP BY p.vec_id, c.cid),
             af AS (SELECT vec_id, cid FROM (
                        SELECT vec_id, cid, row_number() OVER (
                            PARTITION BY vec_id ORDER BY d, cid) AS rn
-                       FROM df) WHERE rn = 1),
+                       FROM df) WHERE rn = 1)"""
+        return cte, prev
+
+    # q_semdedup oracle (ORACLE-EXACT since r10, flat regime): the
+    # shared Lloyd chain builds the cells, then the within-cell prune
+    # is the q_embed_neardup 4-dp float cosine with the min-lower-id
+    # keep rule. k auto-sizes from the sf0.01 corpus count exactly as
+    # the Spark side does.
+    _sd_k = max(2, -(-_lsh_n // S.SEMDEDUP_CELL_TARGET))
+    _sd_lloyd, _ = _lloyd_cte(_sd_k)
+    semdedup_sql = f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            {_sd_lloyd},
             dup AS (SELECT b.vec_id AS vec_id,
                            min(a.vec_id) AS dup_of
                     FROM af a JOIN af b
@@ -1456,6 +1471,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT af.vec_id, af.cid AS cell,
                    (dup.dup_of IS NULL) AS keep, dup.dup_of
             FROM af LEFT JOIN dup USING (vec_id)
+    """
+    # q_knn_ivf oracle (ORACLE-EXACT since r10): the same Lloyd chain
+    # at the IVF cell count, probe = nprobe cells nearest the
+    # grid-quantized query by EXACT integer L2 (ties to lower cid),
+    # scoring = 4-dp float cosine over the probed cells only.
+    _ivf_lloyd, _ivf_c = _lloyd_cte(8)
+    knn_ivf_sql = f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            {_ivf_lloyd},
+            qp AS (SELECT pos, p FROM p
+                   WHERE vec_id = {S.QUERY_VEC_ID}),
+            cd AS (SELECT c.cid,
+                          sum((q.p - c.c) * (q.p - c.c)) AS d
+                   FROM qp q JOIN {_ivf_c} c ON c.pos = q.pos
+                   GROUP BY c.cid),
+            probe AS (SELECT cid FROM cd ORDER BY d, cid LIMIT 3),
+            qv AS (SELECT v FROM e WHERE vec_id = {S.QUERY_VEC_ID})
+            SELECT af.vec_id,
+                   round(list_cosine_similarity(e.v, qv.v), 4) AS sim
+            FROM af JOIN probe ON af.cid = probe.cid
+            JOIN e ON e.vec_id = af.vec_id, qv
+            WHERE af.vec_id <> {S.QUERY_VEC_ID}
+            ORDER BY sim DESC, af.vec_id LIMIT {S.KNN_K}
     """
     # q_jl_eval oracle: the same sample/grid/rational-cut doctrine,
     # one squaring deeper — md5-parity ±1 signs project the grid
@@ -1537,6 +1576,29 @@ def oracle_sql() -> dict[str, str]:
     _sh_sig = " + ".join(
         f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) "
         f"ELSE CAST(0 AS BIGINT) END)" for i in range(D.SHP_BITS))
+    # q_dedup_simhash oracle (ORACLE-EXACT since r10): the declared
+    # query's SEMANTICS — all pairs within hamming_max of the portable
+    # 56-bit signatures. The Spark side blocks by pigeonhole segments;
+    # set equality with this all-pairs filter is exactly what the
+    # pigeonhole argument guarantees, so the hash match certifies the
+    # blocking too.
+    dedup_simhash_sql = f"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                          FROM documents),
+            tk AS (SELECT DISTINCT doc_id, unnest(w) AS t FROM toks),
+            th AS (SELECT doc_id,
+                          CAST('0x' || substring(md5(t), 1, 14)
+                           AS BIGINT) AS h
+                   FROM tk),
+            vt AS (SELECT doc_id,
+                   {_sh_votes}
+                    FROM th GROUP BY doc_id),
+            sig AS (SELECT doc_id, {_sh_sig} AS sig FROM vt)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= {D.SHP_HMAX}
+    """
     simhash_eval_sql = f"""
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
                           FROM documents),
@@ -2501,6 +2563,7 @@ def oracle_sql() -> dict[str, str]:
             FROM bb ORDER BY day
         """,
         "q_simhash_eval": simhash_eval_sql,
+        "q_dedup_simhash": dedup_simhash_sql,
         # q_bloom_audit: identical md5 position recipe, distinct
         # set-bit state, probe with all-k-positions-present test,
         # digest semi-join truth — per-probe integer rows
@@ -2550,6 +2613,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hyperlsh_eval": hyperlsh_eval_sql,
         "q_neardup_lsh": neardup_lsh_sql,
         "q_semdedup": semdedup_sql,
+        "q_knn_ivf": knn_ivf_sql,
         "q_jl_eval": jl_eval_sql,
         # KMV: identical hash recipe, per-day k-min ranking, distinct
         # pooled merge, and the pure-integer (K-1)*M // kth estimator

@@ -562,13 +562,20 @@ def q_dedup_minhash(documents: DataFrame,
     )
 
 
-def simhash_signatures(documents: DataFrame) -> DataFrame:
-    """Per-doc 64-bit SimHash signature as (doc_id, sig bigint).
+def simhash_signatures(documents: DataFrame,
+                       portable: bool = True) -> DataFrame:
+    """Per-doc SimHash signature as (doc_id, sig bigint).
 
     Per bit position: +1 vote if the token-hash bit is set else -1;
-    positive vote total sets the signature bit. All built-in expressions
-    (xxhash64 + shifts inside a 64-way agg) — one shuffle on doc_id.
+    positive vote total sets the signature bit; one shuffle on doc_id
+    either way. Default ``portable=True`` (ORACLE-EXACT since r10):
+    the 56-bit md5-prefix form of q_simhash_eval
+    (``simhash_portable_sigs``), bit-identical in DuckDB, so the
+    declared q_dedup_simhash carries a driver hash row.
+    ``portable=False`` keeps the original 64-bit xxhash64 signatures.
     """
+    if portable:
+        return simhash_portable_sigs(documents)
     toks = documents.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
     )
@@ -588,13 +595,17 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     )
 
 
-def simhash_segments(documents: DataFrame, hamming_max: int = 3) -> DataFrame:
+def simhash_segments(documents: DataFrame, hamming_max: int = 3,
+                     portable: bool = True) -> DataFrame:
     """Segmented SimHash signatures: (doc_id, sig, q, qh) rows over
     ``hamming_max + 1`` contiguous bit segments — the blocked
-    intermediate of q_dedup_simhash, exposed for ``blocking_stats``."""
-    sig = simhash_signatures(documents)
+    intermediate of q_dedup_simhash, exposed for ``blocking_stats``.
+    Segment widths split the signature's ACTUAL bit width (56
+    portable / 64 xxhash), so the pigeonhole guarantee is exact in
+    both modes."""
+    sig = simhash_signatures(documents, portable=portable)
     n_blocks = hamming_max + 1
-    base, rem = divmod(64, n_blocks)
+    base, rem = divmod(SHP_BITS if portable else 64, n_blocks)
     widths = [base + 1 if q < rem else base for q in range(n_blocks)]
     offsets = [sum(widths[:q]) for q in range(n_blocks)]
     return sig.select(
@@ -612,10 +623,15 @@ def simhash_segments(documents: DataFrame, hamming_max: int = 3) -> DataFrame:
              F.col("qq.qh").alias("qh"))
 
 
-def q_dedup_simhash(documents: DataFrame, hamming_max: int = 3) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature per doc; pairs within
-    ``hamming_max`` bits. Signature = sign-aggregated token-hash bits —
-    all built-in expressions (xxhash64 + bit ops inside transform).
+def q_dedup_simhash(documents: DataFrame, hamming_max: int = 3,
+                    portable: bool = True) -> DataFrame:
+    """SimHash near-dup pairs: signature per doc (56-bit portable
+    md5 by default — ORACLE-EXACT since r10, the q_simhash_eval
+    recipe, so the declared query hash-checks; 64-bit xxhash64 via
+    ``portable=False``); pairs within ``hamming_max`` bits. The
+    oracle states the SEMANTICS (all-pairs hamming filter) — the
+    pigeonhole blocking below provably returns the identical set, so
+    the hash match also certifies the blocking's exactness.
 
     Pair generation blocks on ``hamming_max + 1`` contiguous bit
     segments: a pair differing in ≤ ``hamming_max`` bits cannot touch
@@ -626,7 +642,8 @@ def q_dedup_simhash(documents: DataFrame, hamming_max: int = 3) -> DataFrame:
     k=3 (the standard 64-bit simhash near-dup radius) keeps 16-bit
     segments; k=8 would mean 7-bit segments and ~2^9× the collisions.
     """
-    segments = simhash_segments(documents, hamming_max)
+    segments = simhash_segments(documents, hamming_max,
+                                portable=portable)
     a, b = segments.alias("a"), segments.alias("b")
     ham = F.expr("bit_count(asig ^ bsig)")
     # Filter BEFORE the cross-segment dedup: the hamming test is a

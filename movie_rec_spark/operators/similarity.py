@@ -1019,32 +1019,69 @@ def q_knn_ivf(embeddings: DataFrame, query_vec_id: int | None = QUERY_VEC_ID,
               k: int = KNN_K, n_cells: int = 8,
               nprobe: int = 3,
               query_vec: list[float] | None = None) -> DataFrame:
-    """Declared query (rows-only: KMeans centroids are engine-specific):
-    IVF top-k for the stored query vector. Scoring touches only
-    ``nprobe``/``n_cells`` of the corpus; recall vs q_knn_brute is
-    asserted in tests/test_similarity_multimodal.py. nprobe is the
-    recall/cost knob: on the near-uniform synthetic corpus (cells
-    poorly separated — worst case for IVF) measured top-10 overlap is
-    4/10 at nprobe=2, 5-6 at 3, 7 at 4; 3/8 of the corpus per search
-    is the chosen trade.
+    """Declared query (ORACLE-EXACT since r10): IVF top-k for the
+    stored query vector. Scoring touches only ``nprobe``/``n_cells``
+    of the corpus; recall vs q_knn_brute is asserted in
+    tests/test_similarity_multimodal.py.
 
-    Search-only at steady state: the index covers the FULL corpus (so it
-    is query-independent and cacheable via ``ivf_build``) and the query
-    vector excludes itself at scoring time instead of at fit time.
+    The coarse quantizer is ``portable_cells_centers`` (the q_kmeans
+    integer-Lloyd doctrine), cell probing ranks cells by the EXACT
+    int64 squared distance between the grid-quantized query and the
+    integer centers (FAISS's L2 probe rule; ties to the lower cell
+    id — a pure integer order both engines reproduce, where the old
+    float-cosine probe order was ulp-fragile), and within-cell
+    scoring is the 4-dp float cosine of q_embed_neardup. Every stage
+    of the declared pipeline therefore unrolls into the DuckDB
+    oracle. The MLlib float path stays available through
+    ivf_build/ivf_search for probes that want engine-native KMeans.
+
+    Search-only at steady state: the index covers the FULL corpus (so
+    it is query-independent and cacheable) and the query vector
+    excludes itself at scoring time instead of at fit time.
 
     Serving path: pass ``query_vec`` to search for an EXTERNAL request
     vector (no corpus point-lookup); ``query_vec_id`` then only names
-    the corpus row to exclude (None keeps every row).
+    the corpus row to exclude (None keeps every row). The stored-query
+    path quantizes the query IN Spark (same F.round the index used);
+    the external path snaps driver-side via Decimal HALF_UP on
+    repr(x·scale) — equal to the engine round for every double (repr
+    round-trips, so both sit on the same side of any .5 boundary).
     """
     e = _as_double(embeddings)
     if query_vec is not None:
+        from decimal import ROUND_HALF_UP, Decimal
+
         qv = [float(x) for x in query_vec]
+        q_int = [int(Decimal(repr(x * KMEANS_SCALE)).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP)) for x in qv]
     else:
-        qv = list(e.filter(F.col("vec_id") == query_vec_id)
-                  .select("embedding").first()[0])
-    assigned, centers = ivf_build(e, n_cells)
-    return ivf_search(assigned, centers, qv, k, nprobe,
-                      exclude_id=query_vec_id)
+        row = (e.filter(F.col("vec_id") == query_vec_id)
+               .select(
+                   "embedding",
+                   F.transform(
+                       "embedding",
+                       lambda x: F.round(x * KMEANS_SCALE, 0)
+                       .cast("long")).alias("q_int"))
+               .first())
+        qv, q_int = list(row[0]), list(row[1])
+    assigned, centers = portable_cells_centers(e, n_cells)
+    # probe pick: exact integer L2 to each center, ties to lower cid —
+    # driver-side over the bounded k×dim matrix
+    dists = sorted(
+        (sum((int(q) - int(c)) ** 2 for q, c in zip(q_int, row)), cid)
+        for cid, row in enumerate(centers))
+    probe = [cid for _, cid in dists[:nprobe]]
+    scored = assigned.filter(F.col("cell").isin(probe))
+    if query_vec_id is not None:
+        scored = scored.filter(F.col("vec_id") != query_vec_id)
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        scored
+        .select("vec_id",
+                F.round(cosine(F.col("embedding"), qcol), 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
 
 
 def ivf_search(assigned: DataFrame, centers: list[list[float]],
@@ -1341,17 +1378,20 @@ SEMDEDUP_FLAT_MAX_CELLS = 64
 _HIER_CACHE: dict[tuple, tuple] = {}
 
 
-def portable_cells(embeddings: DataFrame, n_cells: int,
-                   iters: int = KMEANS_ITERS) -> DataFrame:
+def portable_cells_centers(embeddings: DataFrame, n_cells: int,
+                           iters: int = KMEANS_ITERS):
     """Flat cell assignment by ENGINE-EXACT integer Lloyd — the
     q_kmeans doctrine (KMEANS_SCALE grid, exact int64 distances,
     argmin ties to the lowest cell id, half-up integer centroid
     rounding, k smallest vec_ids as seeds, fixed ``iters`` rounds)
     packaged as an assignment operator, so q_semdedup's flat regime
-    is bit-reproducible in DuckDB (r09 verdict item 6). Cells are
-    densely numbered 0..k-1 in seed (vec_id) order.
+    and q_knn_ivf's coarse quantizer are bit-reproducible in DuckDB
+    (r09 verdict item 6). Cells are densely numbered 0..k-1 in seed
+    (vec_id) order.
 
-    Returns (vec_id, cell int, embedding array<double>).
+    Returns (assigned, centers): (vec_id, cell int, embedding
+    array<double>) plus the final k×dim int64 grid-center matrix
+    (driver-side, bounded — the probe-ranking input of ivf search).
 
     Scale shape: the per-iteration state that touches the driver is
     BOUNDED — the k·dim seed vectors once, then one k·dim-row sum
@@ -1421,9 +1461,18 @@ def portable_cells(embeddings: DataFrame, n_cells: int,
         for (cid, pos), (s, n) in sums.items():
             new[cid, pos] = (2 * int(s) + int(n)) // (2 * int(n))
         centers = new
-    return q.mapInPandas(assigner(centers, True),
-                         "vec_id bigint, cell int, "
-                         "embedding array<double>")
+    assigned = q.mapInPandas(assigner(centers, True),
+                             "vec_id bigint, cell int, "
+                             "embedding array<double>")
+    return assigned, centers
+
+
+def portable_cells(embeddings: DataFrame, n_cells: int,
+                   iters: int = KMEANS_ITERS) -> DataFrame:
+    """Assignment-only view of ``portable_cells_centers`` (the
+    q_semdedup entry point; q_knn_ivf's probe ranking needs the
+    integer center matrix too)."""
+    return portable_cells_centers(embeddings, n_cells, iters)[0]
 
 
 def semdedup_cells(embeddings: DataFrame, n_cells: int,

@@ -221,19 +221,20 @@ def main() -> int:
                 "r10 window = ALL 38 r06-recorded queries "
                 "(q_event_transitions..q_als_implicit, declaration "
                 "order, including the 7 displaced by mid-r09 "
-                "additions), plus q_neardup_lsh and q_semdedup "
-                "(graduated rows-only -> ORACLE-EXACT this round: "
-                "portable md5-integer planes / integer-Lloyd flat "
-                "cells; first hash rows), plus the six queries "
-                "declared in r10 (q_importance_threshold, "
-                "q_assign_ids, q_mixture_weights, q_shard_balance, "
+                "additions), plus the six queries graduated "
+                "rows-only -> ORACLE-EXACT this round "
+                "(q_neardup_lsh, q_semdedup, q_knn_ivf, "
+                "q_dedup_minhash, q_minhash_groups, q_dedup_simhash; "
+                "first hash rows), plus the six queries declared in "
+                "r10 (q_importance_threshold, q_assign_ids, "
+                "q_mixture_weights, q_shard_balance, "
                 "q_curriculum_order, q_dup_stats; first driver "
-                "rows), plus the 4 oldest r07-recorded queries in "
-                "declaration order (q_top_movies..q_movie_stats). "
-                "After r10 every declared query's latest driver row "
-                "is <=3 rounds old - the floor a 50-wide window over "
-                "192 declared queries allows. The remaining 44 "
-                "r07-recorded queries rotate in r11."),
+                "rows), plus the oldest r07-recorded query "
+                "(q_top_movies). After r10 every declared query's "
+                "latest driver row is <=3 rounds old - the floor a "
+                "50-wide window over 192 declared queries allows. "
+                "The remaining 46 r07-recorded queries rotate in "
+                "r11."),
         }}
         artifact.update(results)
         with open(emit, "w") as fh:
