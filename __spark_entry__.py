@@ -1344,9 +1344,13 @@ def oracle_sql() -> dict[str, str]:
     # the SAME lsh_sized_params on the sf0.01 corpus count (the driver
     # contract pins oracle runs to sf0.01); if the fixture is absent
     # the committed 500-row count stands in.
+    # narrow catch: only a genuinely-absent fixture falls back to the
+    # committed 500-row count — any other failure (corrupt footer, a
+    # table_rows bug) must propagate rather than silently desync the
+    # oracle's (n_tables, n_bits) from the Spark side's
     try:
         _lsh_n = table_rows("/root/testdata/sf0.01", "embeddings")
-    except Exception:
+    except (FileNotFoundError, OSError):
         _lsh_n = 500
     _lsh_L, _lsh_B = S.lsh_sized_params(_lsh_n, S.NEARDUP_THRESHOLD)
     neardup_lsh_sql = f"""
@@ -3442,8 +3446,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 3
         """,
         # α=1/2 temperature mixing: sqrt is IEEE-correctly-rounded so
-        # the micro-unit grid snap is bit-identical; the weight is an
-        # exact-int64 ratio rounded at 6dp (no float sum anywhere)
+        # the micro-unit grid snap is bit-identical; the weight is the
+        # PURE-INTEGER floor ratio (micro·1e6) // Σmicro — no float
+        # division anywhere (the 6-dp-round form was the shortest-repr
+        # divergence class; r10 review finding)
         "q_mixture_weights": f"""
             WITH per AS (SELECT source,
                                 CAST(count(*) AS BIGINT) AS n_docs,
@@ -3456,12 +3462,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM per),
             t AS (SELECT CAST(sum(micro) AS BIGINT) AS tot FROM m)
             SELECT source, n_docs, n_tokens,
-                   round(micro / tot, 6) AS sampling_weight
+                   CAST((micro * 1000000) // tot AS BIGINT)
+                       AS weight_ppm
             FROM m, t ORDER BY source
         """,
         # same stable-bucket recipe as q_sample_stable, folded mod
-        # n_shards; the load ratio is an exact int64 product over an
-        # exact int64 total (double division, identical both engines)
+        # n_shards; the load share is the pure-integer floor ppm
+        # (n_tokens·1e6) // total — no float division
         "q_shard_balance": f"""
             WITH d AS (SELECT CAST(CAST('0x' || substring(
                               md5(CAST(doc_id AS VARCHAR)), 1, 8)
@@ -3475,8 +3482,8 @@ def oracle_sql() -> dict[str, str]:
                     FROM d GROUP BY shard),
             t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
             SELECT shard, n_docs, n_tokens,
-                   round((n_tokens * {T.SHARD_N}) / tot, 6)
-                       AS load_ratio
+                   CAST((n_tokens * 1000000) // tot AS BIGINT)
+                       AS load_ppm
             FROM per, t ORDER BY shard
         """,
         # band = len(bin(n))-1 = floor(log2 n) in pure integer/string

@@ -527,7 +527,8 @@ def minhash_banded(documents: DataFrame,
 def q_dedup_minhash(documents: DataFrame,
                     threshold: float = JACCARD_THRESHOLD,
                     num_perms: int = MINHASH_PERMS,
-                    bands: int = MINHASH_BANDS) -> DataFrame:
+                    bands: int = MINHASH_BANDS,
+                    portable: bool = True) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified by estimated
     Jaccard (signature agreement rate).
 
@@ -543,7 +544,8 @@ def q_dedup_minhash(documents: DataFrame,
     shingle→signature→band→candidate→estimate pipeline reproduces in
     DuckDB and carries a driver hash row.
     """
-    banded = minhash_banded(documents, num_perms, bands)
+    banded = minhash_banded(documents, num_perms, bands,
+                            portable=portable)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))

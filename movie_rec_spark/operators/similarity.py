@@ -1378,6 +1378,9 @@ SEMDEDUP_FLAT_MAX_CELLS = 64
 _HIER_CACHE: dict[tuple, tuple] = {}
 
 
+_PC_CACHE: dict[tuple, tuple] = {}
+
+
 def portable_cells_centers(embeddings: DataFrame, n_cells: int,
                            iters: int = KMEANS_ITERS):
     """Flat cell assignment by ENGINE-EXACT integer Lloyd — the
@@ -1411,9 +1414,21 @@ def portable_cells_centers(embeddings: DataFrame, n_cells: int,
     half-up update (2s+n)//(2n) is Python big-int exact and agrees
     with the oracle's floor((2.0s+n)/(2.0n)) while |2s+n| < 2^53
     (the q_kmeans parity bound, documented there).
+
+    The Lloyd rounds run EAGER driver-synced jobs at build time (the
+    sanctioned bounded-collect loop); results memoize per (input
+    files, n_cells, iters) — the ivf_build discipline — so a
+    bench/selfcheck session pays each fit once, not per reference.
+    The fit is fully deterministic (seedless: min-vec_id seeding), so
+    the cache can never serve a stale-seed answer.
     """
     import numpy as np
     import pandas as pd
+
+    files = tuple(sorted(embeddings.inputFiles()))
+    key = (files or ("obj", id(embeddings)), n_cells, iters)
+    if key in _PC_CACHE:
+        return _PC_CACHE[key]
 
     e = _as_double(embeddings)
     q = e.select(
@@ -1463,7 +1478,8 @@ def portable_cells_centers(embeddings: DataFrame, n_cells: int,
         centers = new
     assigned = q.mapInPandas(assigner(centers, True),
                              "vec_id bigint, cell int, "
-                             "embedding array<double>")
+                             "embedding array<double>").persist()
+    _PC_CACHE[key] = (assigned, centers)
     return assigned, centers
 
 
@@ -1588,9 +1604,12 @@ def q_semdedup(embeddings: DataFrame, n_cells: int | None = None,
     exclusive-run trend table: 3.1 s at 10× with sized cells (8→79) vs
     12.5 s fixed at 8. Per-task memory is one cell; one shuffle keys
     vectors by cell (applyInPandas group); nothing returns to the
-    driver but the tiny centroid list, and the KMeans fit memoizes
-    through ivf_build's (input files, params) cache so repeated calls
-    on the same table pay only the column-pruned count().
+    driver but the tiny centroid list, and the flat fit memoizes
+    through portable_cells' (input files, params) cache so repeated
+    calls on the same table pay only the column-pruned count(). The
+    ``seed`` parameter applies to the TWO-LEVEL path only — the flat
+    integer Lloyd is deliberately seedless (min-vec_id seeding is
+    part of its cross-engine determinism contract).
 
     Above SEMDEDUP_FLAT_MAX_CELLS the cell ASSIGNMENT itself is the
     quadratic term (flat KMeans is O(n·k) = n²/256 at the sized cell

@@ -1617,14 +1617,18 @@ def q_mixture_weights(documents: DataFrame) -> DataFrame:
     Exactness: per-source token counts are int64; s = sqrt(n_tokens)
     is IEEE-correctly-rounded on both engines; s snaps to the
     MIX_MICRO integer grid (round half-away on the identical double),
-    and the final weight is the int64/int64 ratio micro_s / Σ micro
-    rounded at 6 dp — no order-dependent float sum anywhere (the
-    denominator is an exact integer sum).
+    and the final weight is the PURE-INTEGER floor ratio
+    (micro_s·10⁶) DIV Σmicro — no float division or 6-dp round at
+    all, because rounding a raw double ratio is exactly the
+    Spark-vs-DuckDB shortest-repr divergence class this repo's
+    doctrine forbids (see the module-top comment). int64-exact while
+    micro·10⁶ < 2^63, i.e. to ~8·10¹³ tokens in any ONE source.
 
     Scale shape: ONE sources-sized groupBy (map-side partials collapse
     the token stream) and a broadcast total — the corpus is scanned
     once, nothing else moves. Output: (source, n_docs, n_tokens,
-    sampling_weight) ordered by source.
+    weight_ppm) ordered by source; weights sum to ≤10⁶ (floor slack
+    < n_sources ppm).
     Reference analogue: none; beyond-reference LLM-pipeline member.
     """
     per = (documents
@@ -1640,8 +1644,8 @@ def q_mixture_weights(documents: DataFrame) -> DataFrame:
     tot = w.agg(F.sum("micro").alias("tot"))
     return (w.crossJoin(F.broadcast(tot))
             .select("source", "n_docs", "n_tokens",
-                    F.round(F.col("micro") / F.col("tot"), 6)
-                    .alias("sampling_weight"))
+                    F.expr("(micro * 1000000) DIV tot")
+                    .alias("weight_ppm"))
             .orderBy("source"))
 
 
@@ -1657,10 +1661,12 @@ def q_shard_balance(documents: DataFrame,
     distributed tokenizer/writer job runs BEFORE burning cluster-days
     on a skewed layout (hot shards gate the whole epoch's wall-clock).
 
-    Exactness: loads are int64 sums; load_ratio = (n_tokens·n_shards)
-    / total — an int64·int32 product (exact to ~3e14 tokens/shard at
-    32 shards, documented bound) divided by an exact int64, both
-    engines computing the same double, rounded at 6 dp.
+    Exactness: loads are int64 sums; the skew metric is the
+    PURE-INTEGER floor share (n_tokens·10⁶) DIV total ppm — no float
+    division or 6-dp round (the shortest-repr divergence class the
+    module-top comment documents). int64-exact while n_tokens·10⁶ <
+    2^63, i.e. to ~9·10¹² tokens in any ONE shard; the ideal share is
+    10⁶ DIV n_shards ppm (31250 at 32 shards).
 
     Scale shape: map-side shard expression fused into the scan + ONE
     ≤n_shards-key aggregate + a broadcast total. Nothing else moves.
@@ -1680,8 +1686,8 @@ def q_shard_balance(documents: DataFrame,
     tot = per.agg(F.sum("n_tokens").alias("tot"))
     return (per.crossJoin(F.broadcast(tot))
             .select("shard", "n_docs", "n_tokens",
-                    F.round((F.col("n_tokens") * n_shards)
-                            / F.col("tot"), 6).alias("load_ratio"))
+                    F.expr("(n_tokens * 1000000) DIV tot")
+                    .alias("load_ppm"))
             .orderBy("shard"))
 
 

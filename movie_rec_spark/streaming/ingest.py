@@ -288,7 +288,8 @@ def _dir_stats(spark: SparkSession, roots: list[str]) -> tuple[int, int]:
 def run_incremental_neardup(spark: SparkSession, src_dir: str,
                             checkpoint_dir: str, state_dir: str,
                             log_dir: str, threshold: float = 0.5,
-                            max_files_per_trigger: int | None = 1) -> None:
+                            max_files_per_trigger: int | None = 1,
+                            portable: bool = True) -> None:
     """Streaming NEAR-dup detection — the MinHash twin of
     ``run_incremental_ingest``: each micro-batch's banded signatures
     join the persistent band state for cross-batch near-dups, the
@@ -298,10 +299,22 @@ def run_incremental_neardup(spark: SparkSession, src_dir: str,
     only batches ``< batch_id``; writes are idempotent-by-batch_id.
 
     State layout (each signature stored ONCE, not once per band):
+      state_dir/family/         one-row signature-family marker
       state_dir/bands/batch_N   (doc_id, band, bh)      bands·|batch| rows
       state_dir/sigs/batch_N    (doc_id, sig)           |batch| rows
       state_dir/metrics/batch_N one telemetry row (see read_state_metrics)
+
+    Signature-family versioning: persisted band keys and signatures
+    are only comparable WITHIN one hash family, so the state dir
+    carries a family marker (written on first use, checked on every
+    resume). Resuming a pre-marker (r09 xxhash64) or cross-family
+    state raises instead of silently joining STRING portable band
+    keys against BIGINT xxhash ones — which would report every
+    cross-batch duplicate as absent. Rebuild the state dir (replay
+    the stream) or pass the matching ``portable`` flag to continue.
     """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     from movie_rec_spark.operators.dedup import (
         MINHASH_PERMS,
         minhash_banded,
@@ -312,9 +325,33 @@ def run_incremental_neardup(spark: SparkSession, src_dir: str,
     sigs_dir = os.path.join(state_dir, "sigs")
     metrics_dir = os.path.join(state_dir, "metrics")
 
+    family = ("minhash-portable-v1" if portable
+              else "minhash-xxhash64-v0")
+    fam_dir = os.path.join(state_dir, "family")
+    try:
+        existing = spark.read.parquet(fam_dir).first()[0]
+        if existing != family:
+            raise ValueError(
+                f"near-dup state at {state_dir} was written with "
+                f"signature family {existing!r}; resuming with "
+                f"{family!r} would silently miss every cross-batch "
+                f"duplicate. Rebuild the state dir or pass the "
+                f"matching portable= flag.")
+    except AnalysisException:
+        if _list_prior_batches(spark, bands_dir, 1 << 62):
+            raise ValueError(
+                f"near-dup state at {state_dir} predates family "
+                f"markers (r09 xxhash64 signatures); its band keys "
+                f"cannot be compared with {family!r}. Rebuild the "
+                f"state dir (replay the stream) or resume with "
+                f"portable=False.") from None
+        (spark.createDataFrame([(family,)], "family string")
+         .coalesce(1).write.mode("overwrite").parquet(fam_dir))
+
     def apply(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        banded = minhash_banded(batch).localCheckpoint(eager=False)
+        banded = minhash_banded(batch, portable=portable) \
+            .localCheckpoint(eager=False)
         prior_bands = _list_prior_batches(s, bands_dir, batch_id)
         prior_sigs = _list_prior_batches(s, sigs_dir, batch_id)
         if prior_bands and prior_sigs:
@@ -324,7 +361,8 @@ def run_incremental_neardup(spark: SparkSession, src_dir: str,
         else:
             cross = s.createDataFrame(
                 [], "new_doc bigint, old_doc bigint, est_jaccard double")
-        within = q_dedup_minhash(batch, threshold).select(
+        within = q_dedup_minhash(batch, threshold,
+                                 portable=portable).select(
             F.col("doc_a").alias("new_doc"),
             F.col("doc_b").alias("old_doc"),
             "est_jaccard")

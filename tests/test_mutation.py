@@ -129,12 +129,14 @@ def test_assign_dense_ids_scalable_matches_window_form(spark):
 
 
 def test_assign_dense_ids_scalable_no_batch_cardinality_window(spark):
-    """Scale guard (same structural check as the DSIR threshold form):
-    every unpartitioned Window in the scalable plan sits above an
-    Aggregate (the ≤partitions-row offsets table), and the per-slice
-    row_number is key-partitioned — no batch-cardinality rows pass
-    through a single-task sort."""
-    import json as _json
+    """Scale guard (the shared tests/plan_guards.py walker, same
+    contract as the DSIR threshold form): every unpartitioned Window
+    in the scalable plan sits above an Aggregate (the ≤partitions-row
+    offsets table), and the per-slice row_number is key-partitioned —
+    no batch-cardinality rows pass through a single-task sort."""
+    from tests.plan_guards import (
+        assert_no_unpartitioned_fullcardinality_window,
+    )
 
     new = spark.createDataFrame([Row(user_id=i % 7, val=float(i))
                                  for i in range(100)])
@@ -142,29 +144,7 @@ def test_assign_dense_ids_scalable_no_batch_cardinality_window(spark):
                                           val=0.0)])
     df = M.assign_dense_ids_scalable(new, existing, "event_id",
                                      partitions=4)
-    nodes = _json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
-
-    def span(i):
-        j = i + 1
-        for _ in range(nodes[i]["num-children"]):
-            j = span(j)
-        return j
-
-    saw_partitioned_rownum = False
-    for i, n in enumerate(nodes):
-        if not n.get("class", "").endswith("logical.Window"):
-            continue
-        exprs = _json.dumps(n.get("windowExpressions", ""))
-        if "RowNumber" in exprs:
-            assert n.get("partitionSpec"), \
-                "row_number over batch rows must be key-partitioned"
-            saw_partitioned_rownum = True
-        if not n.get("partitionSpec"):
-            sub = nodes[i + 1:span(i)]
-            assert any(c.get("class", "").endswith("logical.Aggregate")
-                       for c in sub), \
-                "unpartitioned window consumes un-aggregated rows"
-    assert saw_partitioned_rownum
+    assert_no_unpartitioned_fullcardinality_window(df)
 
 
 def test_merge_frames_semantics(spark):

@@ -359,40 +359,18 @@ def test_importance_threshold_no_unpartitioned_corpus_window(spark):
     window that could see corpus-cardinality rows must be
     key-partitioned; windows with an EMPTY partition spec may only
     consume post-aggregation histogram/grid cells (bounded by the
-    65536-cell coarse grid, never by doc volume). Checked structurally
-    on the optimized logical plan: every unpartitioned Window node
-    must have an Aggregate strictly below it, and every row_number
-    window (the tie-ranker over doc rows) must carry a partition
-    spec."""
-    import json as _json
-
+    65536-cell coarse grid, never by doc volume). The structural
+    walker lives in tests/plan_guards.py (shared with the
+    assign_dense_ids_scalable guard)."""
     import __spark_entry__ as E
+
+    from tests.plan_guards import (
+        assert_no_unpartitioned_fullcardinality_window,
+    )
 
     df = E.queries()["q_importance_threshold"](
         spark, "/root/testdata/sf0.001")
-    nodes = _json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
-
-    def span(i):  # pre-order flat list -> index one past node i's subtree
-        j = i + 1
-        for _ in range(nodes[i]["num-children"]):
-            j = span(j)
-        return j
-
-    saw_partitioned_rownum = False
-    for i, n in enumerate(nodes):
-        if not n.get("class", "").endswith("logical.Window"):
-            continue
-        exprs = _json.dumps(n.get("windowExpressions", ""))
-        if "RowNumber" in exprs:
-            assert n.get("partitionSpec"), \
-                "row_number over doc rows must be key-partitioned"
-            saw_partitioned_rownum = True
-        if not n.get("partitionSpec"):
-            sub = nodes[i + 1:span(i)]
-            assert any(c.get("class", "").endswith("logical.Aggregate")
-                       for c in sub), \
-                "unpartitioned window consumes un-aggregated rows"
-    assert saw_partitioned_rownum
+    assert_no_unpartitioned_fullcardinality_window(df)
 
 
 def test_runtime_bloom_filter_prunes_shuffle_join(spark):

@@ -350,6 +350,43 @@ def test_neardup_state_metrics_and_single_sig_storage(spark, tmp_path):
     assert m[1].state_files > 0
 
 
+def test_neardup_state_family_guard(spark, tmp_path):
+    """r10 review finding: persisted band keys are only comparable
+    within one signature family. Resuming a portable-family state with
+    portable=False must raise (not silently join STRING keys against
+    BIGINT ones), and a legacy pre-marker state (bands exist, no
+    family dir) must raise with the rebuild guidance."""
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import Row
+
+    from movie_rec_spark.streaming.ingest import run_incremental_neardup
+
+    src = str(tmp_path / "f_src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta", lang="en",
+             source="s", n_chars=22)]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    state = str(tmp_path / "f_state")
+    run_incremental_neardup(
+        spark, src, str(tmp_path / "f_ckpt"), state,
+        str(tmp_path / "f_log"))
+    assert spark.read.parquet(state + "/family").first()[0] \
+        == "minhash-portable-v1"
+    with pytest.raises(ValueError, match="signature family"):
+        run_incremental_neardup(
+            spark, src, str(tmp_path / "f_ckpt2"), state,
+            str(tmp_path / "f_log2"), portable=False)
+    shutil.rmtree(state + "/family")  # simulate a pre-r10 state dir
+    with pytest.raises(ValueError, match="predates family markers"):
+        run_incremental_neardup(
+            spark, src, str(tmp_path / "f_ckpt3"), state,
+            str(tmp_path / "f_log3"))
+
+
 def test_rocksdb_state_conf_shape():
     """The RocksDB posture helper pins the provider class and a
     bounded compaction cadence (snapshot every N deltas)."""

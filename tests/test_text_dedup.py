@@ -1273,17 +1273,19 @@ def test_mixture_weights_alpha_half(spark):
     out = {r.source: r for r in T.q_mixture_weights(docs).collect()}
     assert (out["a"].n_tokens, out["b"].n_tokens,
             out["c"].n_tokens) == (4, 16, 36)
-    assert out["a"].sampling_weight == round(1 / 6, 6)
-    assert out["b"].sampling_weight == round(1 / 3, 6)
-    assert out["c"].sampling_weight == 0.5
+    # floor-ppm of the exact rationals 1/6, 1/3, 1/2 (pure integer —
+    # no float ratio rounding anywhere)
+    assert out["a"].weight_ppm == 166666
+    assert out["b"].weight_ppm == 333333
+    assert out["c"].weight_ppm == 500000
     # α-smoothing: source a's weight share exceeds its token share
-    assert out["a"].sampling_weight > 4 / 56
+    assert out["a"].weight_ppm > 1_000_000 * 4 // 56
 
 
 def test_shard_balance_loads_and_ratio(spark):
     """Shard assignment matches the hashlib md5 mirror of
     stable_bucket % n_shards; per-shard token loads sum to the corpus
-    total and the load ratio is load·n_shards/total at 6 dp."""
+    total and the load share is the exact floor ppm of load/total."""
     import hashlib
 
     docs = spark.createDataFrame(
@@ -1305,7 +1307,7 @@ def test_shard_balance_loads_and_ratio(spark):
     assert got == want
     total = sum(t for _, t in want.values())
     for r in out:
-        assert r.load_ratio == round(r.n_tokens * T.SHARD_N / total, 6)
+        assert r.load_ppm == r.n_tokens * 1_000_000 // total
 
 
 def test_curriculum_order_bands_and_positions(spark):
