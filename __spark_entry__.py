@@ -1350,10 +1350,18 @@ def oracle_sql() -> dict[str, str]:
     # oracle's (n_tables, n_bits) from the Spark side's
     try:
         _lsh_n = table_rows("/root/testdata/sf0.01", "embeddings")
+        _lsh_n_marker = ""
     except (FileNotFoundError, OSError):
         _lsh_n = 500
+        # marker travels INSIDE the SQL so a driver artifact built from
+        # the fallback is self-identifying: if the fixture is ever
+        # regenerated with a different row count, the mismatch is
+        # visible in the recorded oracle text instead of silently
+        # desyncing (n_tables, n_bits) / k from the Spark auto-sizing
+        _lsh_n_marker = ("\n            -- WARNING: sized from FALLBACK"
+                         " n=500 (sf0.01 fixture absent at build)")
     _lsh_L, _lsh_B = S.lsh_sized_params(_lsh_n, S.NEARDUP_THRESHOLD)
-    neardup_lsh_sql = f"""
+    neardup_lsh_sql = f"""{_lsh_n_marker}
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),
             pts AS (
@@ -1459,7 +1467,7 @@ def oracle_sql() -> dict[str, str]:
     # the Spark side does.
     _sd_k = max(2, -(-_lsh_n // S.SEMDEDUP_CELL_TARGET))
     _sd_lloyd, _ = _lloyd_cte(_sd_k)
-    semdedup_sql = f"""
+    semdedup_sql = f"""{_lsh_n_marker}
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),
             {_sd_lloyd},
@@ -2304,7 +2312,8 @@ def oracle_sql() -> dict[str, str]:
             new AS (SELECT user_id, event_type, value, ts
                     FROM events WHERE event_id % 2 = 1),
             r AS (SELECT *, row_number() OVER (
-                      ORDER BY user_id, event_type, value, ts) AS rn
+                      ORDER BY user_id NULLS FIRST, event_type NULLS FIRST,
+                               value NULLS FIRST, ts NULLS FIRST) AS rn
                   FROM new)
             SELECT CAST(ex.m + r.rn AS BIGINT) AS event_id,
                    user_id, event_type, value, ts
@@ -3466,13 +3475,15 @@ def oracle_sql() -> dict[str, str]:
                        AS weight_ppm
             FROM m, t ORDER BY source
         """,
-        # same stable-bucket recipe as q_sample_stable, folded mod
-        # n_shards; the load share is the pure-integer floor ppm
-        # (n_tokens·1e6) // total — no float division
+        # same stable-bucket recipe as q_sample_stable, hashed DIRECTLY
+        # mod n_shards (2^32 % 32 == 0 → exactly uniform; a folded
+        # % 10000 % 32 would bias the audit itself); the load share is
+        # the pure-integer floor ppm (n_tokens·1e6) // total — no float
+        # division
         "q_shard_balance": f"""
             WITH d AS (SELECT CAST(CAST('0x' || substring(
                               md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                              AS BIGINT) % 10000 % {T.SHARD_N}
+                              AS BIGINT) % {T.SHARD_N}
                               AS INTEGER) AS shard,
                               CAST(len(string_split(text, ' '))
                                    AS BIGINT) AS nt

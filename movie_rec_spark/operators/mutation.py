@@ -177,6 +177,10 @@ def assign_dense_ids_scalable(new_rows: DataFrame, existing: DataFrame,
     range boundaries are sampled. Cost: two batch-row Exchanges (range
     + the pid hash) and one tiny agg — no stage ever holds more than
     one slice.
+
+    NULL ordering: Spark sorts ASC NULLS FIRST, so a cross-engine
+    oracle for this operator must pin ``NULLS FIRST`` on every ORDER BY
+    key (DuckDB defaults to NULLS LAST) — q_assign_ids' oracle does.
     """
     cols = list(new_rows.columns)
     if partitions is None:

@@ -828,7 +828,10 @@ def q_hyperlsh_eval(embeddings: DataFrame,
                                    "left_semi"))
     # EMBED_DIM constant, not a data sniff: a .first() here would
     # eagerly trigger a job at plan-construction time (queries()
-    # builders must stay lazy) and raise on an empty table, while
+    # builders must stay lazy — the one sanctioned exception is a
+    # bounded-collect iterative FIT like portable_cells_centers /
+    # ivf_build, whose O(K) driver sync is the algorithm, memoized
+    # so a session pays it once) and raise on an empty table, while
     # the oracle SQL pins the same constant in its range() — using
     # one shared constant keeps operator and oracle in lockstep
     dim = EMBED_DIM
@@ -1428,7 +1431,7 @@ def portable_cells_centers(embeddings: DataFrame, n_cells: int,
     files = tuple(sorted(embeddings.inputFiles()))
     key = (files or ("obj", id(embeddings)), n_cells, iters)
     if key in _PC_CACHE:
-        return _PC_CACHE[key]
+        return _PC_CACHE[key][:2]
 
     e = _as_double(embeddings)
     q = e.select(
@@ -1479,7 +1482,10 @@ def portable_cells_centers(embeddings: DataFrame, n_cells: int,
     assigned = q.mapInPandas(assigner(centers, True),
                              "vec_id bigint, cell int, "
                              "embedding array<double>").persist()
-    _PC_CACHE[key] = (assigned, centers)
+    # Pin the source frame in the value: an id()-keyed entry must never
+    # outlive the object it keys (the _IVF_CACHE discipline), else CPython
+    # id reuse could serve a different in-memory frame stale results.
+    _PC_CACHE[key] = (assigned, centers, embeddings)
     return assigned, centers
 
 
@@ -2074,7 +2080,10 @@ def q_jl_eval(embeddings: DataFrame,
                                    "left_semi"))
     # EMBED_DIM constant, not a data sniff: a .first() here would
     # eagerly trigger a job at plan-construction time (queries()
-    # builders must stay lazy) and raise on an empty table, while
+    # builders must stay lazy — the one sanctioned exception is a
+    # bounded-collect iterative FIT like portable_cells_centers /
+    # ivf_build, whose O(K) driver sync is the algorithm, memoized
+    # so a session pays it once) and raise on an empty table, while
     # the oracle SQL pins the same constant in its range() — using
     # one shared constant keeps operator and oracle in lockstep
     dim = EMBED_DIM

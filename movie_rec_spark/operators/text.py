@@ -1674,8 +1674,12 @@ def q_shard_balance(documents: DataFrame,
     """
     from movie_rec_spark.functions import stable_bucket
 
-    shard = (stable_bucket(F.col("doc_id"), 10000)
-             % n_shards).cast("int")
+    # hash directly mod n_shards: 2^32 % 32 == 0 so the assignment is
+    # EXACTLY uniform over the hash space — a two-step % 10000 %
+    # n_shards would bake a ~0.3% bias (313 vs 312 buckets per shard)
+    # into the very skew this audit measures, since 32 does not divide
+    # 10000 (q_curriculum_order's 16 does, so it keeps the folded form)
+    shard = stable_bucket(F.col("doc_id"), n_shards)
     per = (documents
            .select(shard.alias("shard"),
                    F.size(_tokens(F.col("text"))).cast("long")
