@@ -160,7 +160,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # broadcast probe join
         "q_bloom_audit": lambda s, d: D.q_bloom_audit(
             _t("documents")(s, d)),
-        "q_dedup_simhash": lambda s, d: D.q_dedup_simhash(_t("documents")(s, d)),
+        # auto-sizes signature/segment width from the footer row count
+        # (simhash_sized_params, r11): at test scale the sizer's floor
+        # IS the 56-bit/14-bit oracle-exact form, at 10^9 docs the
+        # segments widen so chance candidates stay linear
+        "q_dedup_simhash": lambda s, d: D.q_dedup_simhash(
+            _t("documents")(s, d), n_docs=table_rows(d, "documents")),
         "q_dedup_groups": lambda s, d: D.q_dedup_groups(_t("documents")(s, d)),
         "q_dedup_char_jaccard": lambda s, d: D.q_dedup_char_jaccard(
             _t("documents")(s, d)),
@@ -1588,28 +1593,60 @@ def oracle_sql() -> dict[str, str]:
     _sh_sig = " + ".join(
         f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) "
         f"ELSE CAST(0 AS BIGINT) END)" for i in range(D.SHP_BITS))
-    # q_dedup_simhash oracle (ORACLE-EXACT since r10): the declared
-    # query's SEMANTICS — all pairs within hamming_max of the portable
-    # 56-bit signatures. The Spark side blocks by pigeonhole segments;
-    # set equality with this all-pairs filter is exactly what the
-    # pigeonhole argument guarantees, so the hash match certifies the
-    # blocking too.
+    # q_dedup_simhash oracle (ORACLE-EXACT since r10; SIZED since r11):
+    # the declared query's SEMANTICS — all pairs within hamming_max of
+    # the portable signatures. (sig_bits, seg_width) must equal what
+    # the Spark side auto-sizes, so the oracle calls the SAME
+    # simhash_sized_params on the sf0.01 documents count (the
+    # q_neardup_lsh sizing doctrine; the fallback reuses the lsh
+    # marker discipline). At the committed 500-doc count the sizer's
+    # floor yields exactly the r10 56-bit/14-bit form. The Spark side
+    # blocks by pigeonhole segments; set equality with this all-pairs
+    # filter is exactly what the pigeonhole argument guarantees, so
+    # the hash match certifies the blocking too. Signatures are built
+    # per-SEGMENT (w-bit bigints from consecutive 14-hex md5 limbs) —
+    # bit-identical to the scalar 56-bit recipe below the floor, and
+    # hamming is the sum of per-segment bit_counts (the segments
+    # partition the signature).
+    try:
+        _sh_n = table_rows("/root/testdata/sf0.01", "documents")
+    except (FileNotFoundError, OSError):
+        _sh_n = 500
+    _sh_bits, _sh_w = D.simhash_sized_params(_sh_n, D.SHP_HMAX)
+    _sh_nseg = _sh_bits // _sh_w
+    _sh_votes_sized = ",\n                   ".join(
+        f"sum(CASE WHEN (h{i // 56} >> {i % 56}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(_sh_bits))
+    _sh_limbs = ",\n                          ".join(
+        f"CAST('0x' || substring(md5(t), {1 + 14 * j}, 14)"
+        f" AS BIGINT) AS h{j}"
+        for j in range(-(-_sh_bits // 56)))
+    _sh_segs = ",\n                    ".join(
+        "(" + " + ".join(
+            f"(CASE WHEN v{q * _sh_w + t} > 0 THEN CAST({1 << t} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)" for t in range(_sh_w))
+        + f") AS s{q}"
+        for q in range(_sh_nseg))
+    _sh_ham = " + ".join(
+        f"bit_count(xor(a.s{q}, b.s{q}))" for q in range(_sh_nseg))
     dedup_simhash_sql = f"""
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
                           FROM documents),
             tk AS (SELECT DISTINCT doc_id, unnest(w) AS t FROM toks),
             th AS (SELECT doc_id,
-                          CAST('0x' || substring(md5(t), 1, 14)
-                           AS BIGINT) AS h
+                          {_sh_limbs}
                    FROM tk),
             vt AS (SELECT doc_id,
-                   {_sh_votes}
+                   {_sh_votes_sized}
                     FROM th GROUP BY doc_id),
-            sig AS (SELECT doc_id, {_sh_sig} AS sig FROM vt)
+            sig AS (SELECT doc_id,
+                    {_sh_segs}
+                    FROM vt)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+                   CAST({_sh_ham} AS INT) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.sig, b.sig)) <= {D.SHP_HMAX}
+            WHERE {_sh_ham} <= {D.SHP_HMAX}
     """
     simhash_eval_sql = f"""
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -1357,3 +1357,91 @@ def test_importance_threshold_k_zero_selects_nothing(spark):
          for i in range(4)])
     out = T.q_importance_threshold(docs).collect()
     assert len(out) == 4 and all(r.selected == 0 for r in out)
+
+
+def test_simhash_sized_params_floor_growth_cap():
+    """The r11 sizer (VERDICT r10 item 1): floor = the declared
+    56-bit/14-bit form, growth pins chance occupancy n/2^w <= 1, cap =
+    the md5 two-limb entropy ceiling."""
+    assert D.simhash_sized_params(500) == (56, 14)
+    assert D.simhash_sized_params(16384) == (56, 14)
+    assert D.simhash_sized_params(16385) == (60, 15)
+    assert D.simhash_sized_params(50_000) == (64, 16)
+    assert D.simhash_sized_params(10**9) == (112, 28)
+    assert D.simhash_sized_params(2**40) == (112, 28)
+    for k in (1, 2, 3, 5):
+        bits, w = D.simhash_sized_params(10**7, k)
+        assert bits == (k + 1) * w
+        assert bits <= D.SHP_MAX_BITS
+        # occupancy pin holds whenever the cap hasn't bitten
+        if bits < D.SHP_MAX_BITS - k:
+            assert 2 ** w >= 10**7
+
+
+def test_simhash_sized_collapses_to_declared_form(spark, sf_docs):
+    """Below the sizer floor the sized operator (the n_docs route the
+    entry point now declares) must return EXACTLY the 56-bit/14-bit
+    result set — the driver-hash-invariance claim."""
+    legacy = {(r.doc_a, r.doc_b): r.hamming
+              for r in D.q_dedup_simhash(sf_docs).collect()}
+    sized = {(r.doc_a, r.doc_b): r.hamming
+             for r in D.q_dedup_simhash(
+                 sf_docs, n_docs=sf_docs.count()).collect()}
+    assert sized == legacy and len(sized) > 0
+
+
+def test_simhash_sized_sigs_python_mirror(spark):
+    """Sized signatures at the 112-bit cap vs an independent pure-Python
+    md5 mirror: verifies the second-limb extraction (hex chars 15-28
+    feed bits 56-111) and the per-segment assembly."""
+    import hashlib
+
+    texts = ["alpha beta gamma", "alpha beta delta epsilon",
+             "unrelated words entirely here"]
+    sig_bits, w = 112, 28
+
+    def mirror(text):
+        votes = [0] * sig_bits
+        for t in set(text.split(" ")):
+            hx = hashlib.md5(t.encode()).hexdigest()
+            limbs = [int(hx[14 * j:14 * j + 14], 16) for j in range(2)]
+            for i in range(sig_bits):
+                votes[i] += 1 if (limbs[i // 56] >> (i % 56)) & 1 else -1
+        return [sum(1 << t for t in range(w) if votes[q * w + t] > 0)
+                for q in range(sig_bits // w)]
+
+    got = {r.doc_id: list(r.segs)
+           for r in D.simhash_sized_sigs(
+               _docs(spark, texts), sig_bits, w).collect()}
+    for i, tx in enumerate(texts):
+        assert got[i] == mirror(tx), f"doc {i}"
+
+
+def test_simhash_sized_blocking_exact_vs_brute_force(spark, sf_docs):
+    """At a sized width beyond the floor (96/24 — both md5 limbs
+    engaged, segments straddling the limb boundary) the pigeonhole
+    blocking must equal brute-force hamming over the sized sigs."""
+    sigs = {r.doc_id: list(r.segs)
+            for r in D.simhash_sized_sigs(sf_docs, 96, 24).collect()}
+    ids = sorted(sigs)
+    truth = {}
+    for i, a_ in enumerate(ids):
+        for b_ in ids[i + 1:]:
+            h = sum(bin(x ^ y).count("1")
+                    for x, y in zip(sigs[a_], sigs[b_]))
+            if h <= 3:
+                truth[(a_, b_)] = h
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in D.simhash_neardup(
+               sf_docs, sig_bits=96, seg_width=24).collect()}
+    assert got == truth
+
+
+def test_simhash_sized_keeps_exchange_budget(spark, sf_docs):
+    """The sized route must keep the declared form's 2-Exchange plan
+    (vote aggregate + cross-segment dedup) — widening signatures may
+    not add shuffles."""
+    from movie_rec_spark.plans import count_exchanges
+
+    sized = D.q_dedup_simhash(sf_docs, n_docs=10**9)
+    assert count_exchanges(sized) == 2
