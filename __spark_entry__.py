@@ -621,10 +621,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_unshipped": lambda s, d: R.q_top_unshipped(
             _t("customer")(s, d), _t("orders")(s, d),
             _t("lineitem")(s, d)),
-        # q_hll_union stays rows-only (Datasketches HLL registers are
-        # engine-specific; error-bound pytest gates + the q_hll_audit
-        # register-exact twin); q_minhash_groups is ORACLE-EXACT since
-        # r10 (portable signatures + recursive-CTE closure)
+        # q_hll_union is ORACLE-EXACT since r11: portable md5 registers
+        # (the q_hll_audit family) merged by register-wise max + the
+        # hash-exact integer/lookup estimator (hll_portable_estimate);
+        # q_minhash_groups is ORACLE-EXACT since r10 (portable
+        # signatures + recursive-CTE closure)
         "q_hll_union": lambda s, d: R.q_hll_union(_t("events")(s, d)),
         "q_minhash_groups": lambda s, d: D.q_minhash_groups(
             _t("documents")(s, d)),
@@ -921,6 +922,12 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each queries() entry."""
     QM = R.QM_PCTS
     K = R.FOCUS_CUSTKEY
+    # portable-HLL estimator fragments (q_approx_distinct /
+    # q_hll_union): the register recipe of q_hll_audit plus the shared
+    # Python-computed estimator literals (HLL_EST_C, the LC lookup)
+    _HLL_M = R.HLL_EST_M
+    _HLL_RMAX = R.HLL_AUDIT_HASH_BITS - R.HLL_AUDIT_P + 1
+    _HLL_LC = R.hll_lc_case_sql("v")
     # q_corr_matrix: one select per pair over the shared sums CTE,
     # formula text identical to the Spark expression (same association)
     corr_names = list(R.CORR_COLS)
@@ -3340,9 +3347,78 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
         """,
-        # q_approx_distinct intentionally has NO oracle entry: HLL
-        # sketches differ across engines by design (rows-only check;
-        # tests/test_relational.py asserts the 5% band).
+        # q_approx_distinct (ORACLE-EXACT since r11): the portable md5
+        # register family + the hash-exact Flajolet estimator — raw
+        # regime is HUGEINT floor division by the exact integer
+        # denominator-numerator S, linear-counting regime is the shared
+        # precomputed CASE lookup (the ln never runs in-engine).
+        "q_approx_distinct": f"""
+            WITH base AS (SELECT CAST('0x' || substring(
+                              md5(CAST(o_custkey AS VARCHAR)), 1, 14)
+                              AS BIGINT) AS h
+                          FROM orders),
+            rg AS (SELECT h % {_HLL_M} AS idx,
+                          CAST(max(CASE WHEN h // {_HLL_M} = 0
+                                   THEN {_HLL_RMAX}
+                                   ELSE {_HLL_RMAX} - length(bin(
+                                        h // {_HLL_M})) END)
+                               AS BIGINT) AS reg
+                   FROM base GROUP BY 1),
+            s AS (SELECT count(*) AS t,
+                         coalesce(sum(CAST(1 AS BIGINT)
+                                      << ({_HLL_RMAX} - reg)), 0) AS st
+                  FROM rg),
+            e AS (SELECT {_HLL_M} - t AS v,
+                         st + ({_HLL_M} - t)
+                              * (CAST(1 AS BIGINT) << 49) AS den
+                  FROM s),
+            r AS (SELECT v, CAST(CAST('{R.HLL_EST_C}' AS HUGEINT)
+                                 // den AS BIGINT) AS raw
+                  FROM e)
+            SELECT CASE WHEN raw <= {5 * _HLL_M // 2} AND v > 0
+                        THEN {_HLL_LC} ELSE raw END AS approx_users,
+                   (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+                    FROM orders) AS exact_users
+            FROM r
+        """,
+        # q_hll_union (ORACLE-EXACT since r11): per-day portable
+        # registers merged by register-wise max (exactly associative —
+        # never rescans events), then the same shared estimator.
+        "q_hll_union": f"""
+            WITH base AS (SELECT CAST(ts AS DATE) AS d, user_id,
+                              CAST('0x' || substring(
+                                  md5(CAST(user_id AS VARCHAR)), 1, 14)
+                              AS BIGINT) AS h
+                          FROM events),
+            rg AS (SELECT d, h % {_HLL_M} AS idx,
+                          CAST(max(CASE WHEN h // {_HLL_M} = 0
+                                   THEN {_HLL_RMAX}
+                                   ELSE {_HLL_RMAX} - length(bin(
+                                        h // {_HLL_M})) END)
+                               AS BIGINT) AS reg
+                   FROM base GROUP BY 1, 2),
+            mg AS (SELECT idx, max(reg) AS reg FROM rg GROUP BY idx),
+            s AS (SELECT count(*) AS t,
+                         coalesce(sum(CAST(1 AS BIGINT)
+                                      << ({_HLL_RMAX} - reg)), 0) AS st
+                  FROM mg),
+            e AS (SELECT {_HLL_M} - t AS v,
+                         st + ({_HLL_M} - t)
+                              * (CAST(1 AS BIGINT) << 49) AS den
+                  FROM s),
+            r AS (SELECT v, CAST(CAST('{R.HLL_EST_C}' AS HUGEINT)
+                                 // den AS BIGINT) AS raw
+                  FROM e),
+            de AS (SELECT d, count(DISTINCT user_id) AS cnt
+                   FROM base GROUP BY d)
+            SELECT (SELECT CAST(count(*) AS INT) FROM de) AS n_days,
+                   CASE WHEN raw <= {5 * _HLL_M // 2} AND v > 0
+                        THEN {_HLL_LC} ELSE raw END
+                       AS est_distinct_users,
+                   (SELECT CAST(sum(cnt) AS BIGINT) FROM de)
+                       AS sum_daily_exact
+            FROM r
+        """,
         "q_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
                    sum(l_quantity) AS sum_qty, avg(l_quantity) AS avg_qty

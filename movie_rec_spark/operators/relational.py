@@ -21,6 +21,8 @@ Reference sites cited per query for parity checking.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -419,13 +421,25 @@ def q_cube(lineitem: DataFrame) -> DataFrame:
 
 
 def q_approx_distinct(orders: DataFrame) -> DataFrame:
-    """Approximate aggregates (rows-only: HLL sketches differ across
-    engines by design): approx_count_distinct + exact, side by side.
-    tests/test_relational.py asserts the approx lands within 5%."""
-    return orders.select(
-        F.approx_count_distinct("o_custkey").alias("approx_users"),
-        F.countDistinct("o_custkey").alias("exact_users"),
-    )
+    """Approximate distinct count — ORACLE-EXACT since r11: the sketch
+    is the PORTABLE md5 register family of q_hll_audit (not Spark's
+    engine-private Datasketches binaries), and the estimate is the
+    classic Flajolet HLL estimator made hash-exact cross-engine
+    (``hll_portable_estimate``: integer raw floor-division + the
+    precomputed linear-counting lookup), so the declared query carries
+    a DuckDB hash row instead of the old rows-only mark. Exact count
+    alongside, as before; pytest asserts the estimate lands within the
+    HLL error band.
+
+    Scale shape: ONE map-combinable ≤2^p-key register aggregate (max
+    is duplicate-insensitive — no distinct pre-pass) + the exact
+    count's distinct; the estimator itself runs on ≤256 rows."""
+    regs = hll_portable_registers(orders, "o_custkey")
+    exact = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_users"))
+    return (hll_portable_estimate(regs)
+            .select(F.col("est").alias("approx_users"))
+            .crossJoin(F.broadcast(exact)))
 
 
 EVENT_TYPES = ["view", "click", "purchase", "rate", "error"]
@@ -891,41 +905,36 @@ def q_outer_join(orders: DataFrame, events: DataFrame) -> DataFrame:
     )
 
 
-def daily_user_sketches(events: DataFrame) -> DataFrame:
-    """Per-day HLL sketches of active users — the MERGEABLE partial
-    state for incremental distinct counting: one binary sketch per day
-    (Datasketches HLL, lgConfigK default 12 ≈ 2.5% rel. error). At
-    100 TB, daily jobs persist these tiny sketches and any window's
-    distinct-user count is a sketch union — no rescan of history, the
-    same partial-aggregate discipline as a sum but for DISTINCT."""
-    return (
-        events.groupBy(F.to_date("ts").alias("d"))
-        .agg(F.hll_sketch_agg("user_id").alias("sketch"),
-             F.countDistinct("user_id").alias("exact_day"))
-    )
-
-
 def q_hll_union(events: DataFrame) -> DataFrame:
-    """Declared query (rows-only: sketch binaries are
-    implementation-defined): distinct active users over the whole
-    window computed by UNIONING the per-day sketches — never
-    re-scanning events — next to the exact count's per-day sum
-    baseline. Pytest pins the estimate within HLL error of the true
-    distinct count and within the same error of sketching the raw
-    stream directly (merge soundness — union promotes sketch
-    representations, so estimates agree closely rather than
-    bit-equal; that bound is what makes incremental maintenance safe).
+    """Declared query — ORACLE-EXACT since r11: distinct active users
+    over the whole window computed by UNIONING per-day sketches —
+    never re-scanning events — next to the exact count's per-day sum
+    baseline. The sketches are the PORTABLE md5 register family
+    (q_hll_audit doctrine) instead of Datasketches binaries, merged by
+    register-wise max (exactly associative — the union estimate is
+    BIT-equal to sketching the raw stream, a stronger property than
+    the old representation-promoting union), and the estimate is the
+    hash-exact ``hll_portable_estimate``, so the query carries a
+    DuckDB hash row. Pytest keeps the error-band and merge-soundness
+    gates (incl. agreement with Spark's own Datasketches estimate).
 
-    Scale shape: one shuffle builds the daily sketches (partial
-    sketches combine map-side like any aggregate); the union step
-    aggregates |days| rows of a few KB each — effectively free."""
-    daily = daily_user_sketches(events)
-    return daily.agg(
+    Scale shape: one (day, idx)-keyed map-combinable register
+    aggregate (≤ |days|·2^p rows out) + the per-day exact distinct for
+    the baseline column; the merge maxes |days|·2^p tiny rows and the
+    estimator runs on ≤ 2^p. At 100 TB the per-day register sets are
+    the persisted incremental state — the q_hll_audit posture."""
+    base = events.select(F.to_date("ts").alias("d"), "user_id")
+    regs = hll_portable_registers(base, "user_id", "d")
+    merged = regs.groupBy("idx").agg(F.max("reg").alias("reg"))
+    daily_exact = base.groupBy("d").agg(
+        F.countDistinct("user_id").alias("exact_day"))
+    days = daily_exact.agg(
         F.count(F.lit(1)).cast("int").alias("n_days"),
-        F.hll_sketch_estimate(
-            F.hll_union_agg("sketch")).alias("est_distinct_users"),
-        F.sum("exact_day").alias("sum_daily_exact"),
-    )
+        F.sum("exact_day").alias("sum_daily_exact"))
+    return (hll_portable_estimate(merged)
+            .select(F.col("est").alias("est_distinct_users"))
+            .crossJoin(F.broadcast(days))
+            .select("n_days", "est_distinct_users", "sum_daily_exact"))
 
 
 # KMV sketch: k minimum 56-bit md5-prefix hash values. 2^56 is the
@@ -1077,6 +1086,89 @@ def q_hll_audit(events: DataFrame, p: int = HLL_AUDIT_P) -> DataFrame:
             .select("day", F.col("idx").cast("long").alias("idx"),
                     "reg", "day_exact")
             .orderBy("day", "idx"))
+
+
+# --- Portable HLL ESTIMATE (r11: the q_approx_distinct / q_hll_union
+# graduation). The classic Flajolet estimator has two regimes; both are
+# made hash-exact cross-engine by keeping every data-dependent input an
+# INTEGER and baking the only float work into shared Python-computed
+# literals:
+#   raw:  alpha_m·m²/Σ2^(-M_j)  →  HLL_EST_C div S, where
+#         S = Σ_touched 2^(49-reg) + V·2^49 is the exact integer
+#         numerator of Σ2^(-M_j) over denominator 2^49 (≤ 2^57, int64)
+#         and HLL_EST_C = round(alpha_m·m²·2^49) is a Python-computed
+#         DECIMAL(38,0)/HUGEINT literal (~2.65e19 > int64) — integral
+#         floor division on both engines;
+#   linear counting (raw ≤ 5m/2 and V > 0): m·ln(m/V) has only m
+#         possible inputs, so the ln never runs in either engine —
+#         HLL_LC_TABLE is the precomputed round(m·ln(m/V)) for every
+#         V, emitted as an identical CASE literal in plan and oracle.
+# The 2^32/30 large-range correction is for 32-bit hashes and does not
+# apply to this 56-bit family (documented, not implemented).
+HLL_EST_M = 1 << HLL_AUDIT_P
+HLL_EST_C = round(0.7213 / (1 + 1.079 / HLL_EST_M)
+                  * HLL_EST_M * HLL_EST_M * 2 ** 49)
+HLL_LC_TABLE = tuple(
+    round(HLL_EST_M * math.log(HLL_EST_M / v))
+    for v in range(1, HLL_EST_M))
+
+
+def hll_lc_case_sql(v_col: str = "v") -> str:
+    """The linear-counting lookup as a shared CASE literal (identical
+    text works in Spark SQL and DuckDB; ELSE covers V = m → 0)."""
+    whens = " ".join(
+        f"WHEN {v + 1} THEN CAST({e} AS BIGINT)"
+        for v, e in enumerate(HLL_LC_TABLE))
+    return (f"CASE {v_col} {whens} "
+            f"ELSE CAST(0 AS BIGINT) END")
+
+
+def hll_portable_estimate(regs: DataFrame) -> DataFrame:
+    """ONE-row (est bigint) from portable (idx, reg) register rows —
+    the estimator half of the q_hll_audit register doctrine. Input is
+    ≤ m rows (post-aggregate), so this is driver-free bounded work on
+    top of whatever shuffle built the registers."""
+    m = HLL_EST_M
+    one = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.coalesce(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                         f"{HLL_AUDIT_HASH_BITS - HLL_AUDIT_P + 1} "
+                         "- reg)")),
+            F.lit(0)).cast("long").alias("st"))
+    return (one
+            .select((F.lit(m) - F.col("t")).alias("v"),
+                    (F.col("st") + (F.lit(m) - F.col("t"))
+                     * F.lit(1 << 49)).alias("s"))
+            .select("v", F.expr(
+                f"CAST('{HLL_EST_C}' AS DECIMAL(38,0)) div s")
+                .cast("long").alias("raw"))
+            .select(F.when((F.col("raw") <= F.lit(5 * m // 2))
+                           & (F.col("v") > 0),
+                           F.expr(hll_lc_case_sql()))
+                    .otherwise(F.col("raw"))
+                    .cast("long").alias("est")))
+
+
+def hll_portable_registers(df: DataFrame, key: str,
+                           *group_cols: str) -> DataFrame:
+    """(group_cols..., idx, reg) portable registers of ``key`` — the
+    q_hll_audit kernel as a reusable builder (register max is
+    duplicate-insensitive, so no distinct pass: ONE map-combinable
+    aggregate on (group, idx))."""
+    m = HLL_EST_M
+    rho_max = HLL_AUDIT_HASH_BITS - HLL_AUDIT_P + 1
+    h = (F.conv(F.substring(F.md5(F.col(key).cast("string")
+                                  .cast("binary")), 1, 14), 16, 10)
+         .cast("long"))
+    w = F.expr(f"h div {m}")
+    rho = (F.when(w == 0, F.lit(rho_max))
+           .otherwise(F.lit(rho_max) - F.length(F.bin(w))))
+    return (df.select(*group_cols, h.alias("h"))
+            .select(*group_cols, (F.col("h") % m).alias("idx"),
+                    rho.alias("rho"))
+            .groupBy(*group_cols, "idx")
+            .agg(F.max("rho").cast("long").alias("reg")))
 
 
 def q_outliers(events: DataFrame, k: float = 1.5) -> DataFrame:

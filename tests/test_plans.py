@@ -127,7 +127,13 @@ def test_new_operator_shuffle_budgets(spark):
         "q_cohort": 3,           # first-seen agg, join-back, matrix agg
         "q_rolling_window": 1,   # one user-keyed window, two-pointer frame
         "q_outer_join": 2,       # agg-before-join on both sides, then join
-        "q_hll_union": 2,        # daily sketch agg + tiny union agg
+        "q_hll_union": 4,        # portable-register (day,idx) agg +
+                                 # tiny idx merge/estimator aggs + the
+                                 # per-day exact-distinct baseline
+                                 # column's two-phase distinct (r11
+                                 # graduation; was 2 with Datasketches
+                                 # binaries — the extra exchanges move
+                                 # <=|days|*2^p register rows)
         "q_chunk_knn": 3,        # sparse scoring over the checkpointed
                                  # flat index: dot agg + n2 agg + their
                                  # doc-keyed join (all nnz-row-sized;

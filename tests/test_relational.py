@@ -547,3 +547,48 @@ def test_hll_audit_estimate_within_error_band(spark):
     assert exact == n
     band = 4 * 1.04 / math.sqrt(m)
     assert abs(est - exact) / exact < band, (est, exact, band)
+
+
+def _hll_mirror_estimate(keys):
+    """Pure-Python mirror of hll_portable_estimate: integer raw floor
+    division by the exact denominator-numerator S, or the precomputed
+    linear-counting lookup — BIT-exact, not just within-band."""
+    regs = _hll_mirror_registers(set(keys))
+    m = R.HLL_EST_M
+    t, v = len(regs), m - len(regs)
+    rmax = R.HLL_AUDIT_HASH_BITS - R.HLL_AUDIT_P + 1
+    s = sum(1 << (rmax - r) for r in regs.values()) + v * (1 << 49)
+    raw = R.HLL_EST_C // s
+    if raw <= 5 * m // 2 and v > 0:
+        return R.HLL_LC_TABLE[v - 1]
+    return raw
+
+
+def test_portable_hll_estimate_bit_exact_vs_mirror(spark):
+    """q_approx_distinct's estimate equals the pure-Python mirror
+    EXACTLY in both regimes (r11 graduation: the estimate is
+    deterministic integer arithmetic, not an engine sketch) — raw
+    regime at 5000 keys, linear counting at 60."""
+    from pyspark.sql import functions as F
+
+    for n in (60, 5000):
+        orders = spark.range(0, 3 * n).select(
+            (F.col("id") % n).alias("o_custkey"))
+        row = R.q_approx_distinct(orders).collect()[0]
+        assert row.exact_users == n
+        assert row.approx_users == _hll_mirror_estimate(range(n)), n
+
+
+def test_hll_union_merge_is_bit_exact(spark):
+    """Portable-register union: est over per-day-merged registers is
+    BIT-equal to estimating the pooled stream directly (register max
+    is associative) — stronger than the old within-band promotion."""
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2024, 1, 1 + (i % 9)), i % 700)
+            for i in range(5000)]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint")
+    got = R.q_hll_union(ev).collect()[0]
+    assert got.n_days == 9
+    assert got.est_distinct_users == _hll_mirror_estimate(range(700))
