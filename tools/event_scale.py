@@ -41,6 +41,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from movie_rec_spark.operators import mutation as M  # noqa: E402
 from movie_rec_spark.operators import relational as R  # noqa: E402
 from movie_rec_spark.operators import skew as SK  # noqa: E402
 from movie_rec_spark.operators import temporal as TP  # noqa: E402
@@ -96,8 +97,29 @@ def measure(spark, events) -> dict:
         # input GROWS only with types×days, never with raw rows)
         "q_autocorr": lambda: TP.q_autocorr(events),
         "q_ewma": lambda: TP.q_ewma(events),
+        # round 11: the M1 batch id stamper at event scale — two
+        # batch-row Exchanges (range + pid hash), no batch-cardinality
+        # window; the density counters below carry the claim
+        "q_assign_ids": lambda: M.q_assign_ids(events),
     }
-    return {name: round(_time(fn), 1) for name, fn in queries.items()}
+    # EVENT_ONLY_WALL: comma allowlist — time ONLY these queries (for
+    # adding new members' rows without re-running the whole family)
+    only = set(filter(None, os.environ.get(
+        "EVENT_ONLY_WALL", "").split(",")))
+    walls = {name: (round(_time(fn), 1)
+                    if not only or name in only else None)
+             for name, fn in queries.items()}
+    # q_assign_ids density counters: ids must be EXACTLY dense
+    # max(existing)+1 .. max+N at any batch scale (the property test's
+    # invariant, measured instead of assumed at 100x)
+    out = M.q_assign_ids(events).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("event_id").alias("n_distinct"),
+        (F.max("event_id") - F.min("event_id") + 1).alias("span"))
+    r = out.collect()[0]
+    walls["_assign_ids_density"] = (
+        int(r.n), int(r.n_distinct), int(r.span))
+    return walls
 
 
 def main() -> None:
@@ -119,6 +141,12 @@ def main() -> None:
     print("|---|---|---|---|")
     for q in base_m:
         w1, wn = base_m[q], big_m[q]
+        if w1 is None and q != "_assign_ids_density":
+            continue
+        if q == "_assign_ids_density":
+            print(f"| q_assign_ids density (n, n_distinct, span) | "
+                  f"{w1} | {wn} | dense iff n==n_distinct==span |")
+            continue
         print(f"| {q} | {w1} s | {wn} s | {wn / max(w1, 0.1):.1f}x |")
 
 

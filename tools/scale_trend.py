@@ -174,6 +174,13 @@ def measure(spark, sf_dir: str) -> dict:
         # the previous stage's SHRUNK survivor set, so the wall must
         # track the clean+scrub scans, not multiply across stages
         "q_pipeline_llm": lambda: T.q_pipeline_llm(docs),
+        # round 11: the r10 data-mixing/layout family's missing scale
+        # rows — ≤sources/≤shards-key aggs (mixture/shard/dup) and ONE
+        # shard-keyed window (curriculum): walls must track the scan
+        "q_mixture_weights": lambda: T.q_mixture_weights(docs),
+        "q_shard_balance": lambda: T.q_shard_balance(docs),
+        "q_curriculum_order": lambda: T.q_curriculum_order(docs),
+        "q_dup_stats": lambda: D.q_dup_stats(docs),
     }
     # SCALE_SKIP_WALL: comma list of queries whose WALL run is skipped
     # (their candidate counts below still get measured — blocking_stats
