@@ -346,6 +346,24 @@ def test_new_operator_shuffle_budgets(spark):
                                   # stream) + presentation sort
         "q_ldiversity": 3,       # two-phase distinct agg pair on the
                                  # qid + the O(classes) sort
+        # round-11 additions
+        "q_simhash_sized": 2,    # vote aggregate + cross-segment
+                                 # dedup — widening the signature to
+                                 # 96/24 adds NO exchange vs the
+                                 # declared 56/14 form
+        "q_approx_distinct": 2,  # ≤2^p-key register agg (max is
+                                 # duplicate-insensitive, no distinct
+                                 # pre-pass) + the exact baseline's
+                                 # two-phase distinct
+        "q_pipeline_llm": 130,   # PLAN-TEXT count, not executed
+                                 # shuffles: the DSIR stage's
+                                 # localCheckpoint-cut branches each
+                                 # re-print the clean→scrub→decon
+                                 # upstream (executed once — wall
+                                 # 8.9 s at sf0.1 confirms no blowup);
+                                 # the budget guards against a stage
+                                 # gaining exchanges, which multiplies
+                                 # this count by the branch fan-out
         "q_jl_eval": 9,          # sample rank window + projection agg
                                  # + two vector-assembly aggs feeding
                                  # the single-task GEMMs + pair join +
