@@ -218,23 +218,23 @@ def main() -> int:
             # this round (every one is strict-checked in THIS file)
             "not_recorded_this_round": names[50:],
             "coverage_note": (
-                "r10 window = ALL 38 r06-recorded queries "
-                "(q_event_transitions..q_als_implicit, declaration "
-                "order, including the 7 displaced by mid-r09 "
-                "additions), plus the six queries graduated "
-                "rows-only -> ORACLE-EXACT this round "
-                "(q_neardup_lsh, q_semdedup, q_knn_ivf, "
-                "q_dedup_minhash, q_minhash_groups, q_dedup_simhash; "
-                "first hash rows), plus the six queries declared in "
-                "r10 (q_importance_threshold, q_assign_ids, "
-                "q_mixture_weights, q_shard_balance, "
-                "q_curriculum_order, q_dup_stats; first driver "
-                "rows), plus the oldest r07-recorded query "
-                "(q_top_movies). After r10 every declared query's "
-                "latest driver row is <=3 rounds old - the floor a "
-                "50-wide window over 192 declared queries allows. "
-                "The remaining 46 r07-recorded queries rotate in "
-                "r11."),
+                "r11 window = ALL 46 queries whose latest driver row "
+                "is r07 (the r10 coverage_note's named rotation set, "
+                "executed), plus the two queries graduated rows-only "
+                "-> ORACLE-EXACT this round (q_approx_distinct, "
+                "q_hll_union - portable HLL registers + the "
+                "hash-exact estimator; first hash rows), plus the "
+                "two queries declared in r11 (q_pipeline_llm - the "
+                "composed clean->scrub->decontaminate->select->"
+                "mix+pack pipeline; q_simhash_sized - the sized "
+                "simhash family's beyond-floor 96/24 two-limb form; "
+                "first driver rows). After r11 every declared "
+                "query's latest driver row is <=3 rounds old: r10 "
+                "recorded the r06-stale block + the r10 "
+                "graduations/declarations, r09/r08 cover the rest, "
+                "and the 46 r07-stale queries land now. Next "
+                "rotation (r12): the 49 queries last recorded in "
+                "r08, then the r09 block in r13."),
         }}
         artifact.update(results)
         with open(emit, "w") as fh:
