@@ -471,6 +471,16 @@ def resize_images(with_payload_df: DataFrame, target: int = 32,
 # segments of 14 bits is then the exact pigeonhole guarantee — a pair
 # within the radius cannot differ in every segment (q_dedup_simhash's
 # blocking, same constants).
+#
+# SCALE NOTE (the simhash_sized_params doctrine, dedup.py): fixed
+# 14-bit segments carry an n²/2^14 chance-candidate term. Unlike text
+# simhash — whose signature widens freely from md5 limbs — a
+# perceptual hash's width is a QUALITY knob (more grid rows = finer
+# sensitivity), so the at-scale path is the tested 128-bit grid
+# (grid_h=16 width knob, SCALE.md §Round 8/9) with 32-bit segments:
+# chance occupancy n/2^32 stays <1 to ~4·10⁹ images. At test scale the
+# 56/14 form is the declared oracle-exact query; a corpus-sized
+# deployment passes the wider grid through q_image_neardup's grid_h.
 # ---------------------------------------------------------------------------
 PHASH_GRID_W = 9   # dHash grid: 9 cols -> 8 comparisons per row
 PHASH_GRID_H = 7   # 7 rows -> 56 bits (sign-safe in a BIGINT)
