@@ -1769,10 +1769,15 @@ def q_pipeline_llm(documents: DataFrame) -> DataFrame:
     ordered by doc_id. The DuckDB oracle chains the stage oracles as
     CTEs, so a hash match certifies every inter-stage handoff.
 
-    Scale shape: no driver action anywhere in the chain (plan-tested:
-    building this query runs ZERO Spark jobs — the only checkpoints
-    are lazy); each stage keeps its own declared exchange discipline,
-    and every stage after clean operates on the SHRUNK survivor set.
+    Scale shape: no driver COLLECT anywhere in the chain (plan-tested
+    via a collect/head/first/toPandas spy); each stage keeps its own
+    declared exchange discipline, and every stage after clean operates
+    on the SHRUNK survivor set. Each stage handoff is localCheckpointed
+    (executor-side materialization, nothing to the driver): the
+    handoffs are multiply-referenced (docs3 feeds weights + packing +
+    the final join; kept feeds scrub twice), so without the lineage
+    cut Catalyst re-executes clean→scrub→decon once per branch —
+    measured 17–21 s vs 8–9 s with the cuts at sf0.1.
     Reference analogue: the LLM-data counterpart of pipeline.py's
     reference-parity composition (prepare_dataset.py:88-160 chains
     clean → transform → load the same way for ratings).
@@ -1795,24 +1800,28 @@ def q_pipeline_llm(documents: DataFrame) -> DataFrame:
             .withColumn("_mi", F.min("doc_id").over(
                 Window.partitionBy("fp")))
             .filter(F.col("doc_id") == F.col("_mi"))
-            .select("doc_id", "source", "text"))
+            .select("doc_id", "source", "text")
+            .localCheckpoint(eager=False))
     # 2. scrub: the ExactSubstr prune's cleaned_text is the working
     # text from here on (the pipeline audits what it ships)
     scrub = q_substring_prune(kept)
     docs2 = (scrub
              .join(kept.select("doc_id", "source"), "doc_id")
              .select("doc_id", F.col("cleaned_text").alias("text"),
-                     "source"))
+                     "source")
+             .localCheckpoint(eager=False))
     # 3. decontaminate: drop flagged train docs, ship the train split
     contam = (q_decontaminate(docs2)
               .select(F.col("train_doc").alias("doc_id")).distinct())
     train = (docs2
              .filter(stable_bucket(F.col("doc_id")) < TRAIN_MAX_BUCKET)
-             .join(contam, "doc_id", "left_anti"))
+             .join(contam, "doc_id", "left_anti")
+             .localCheckpoint(eager=False))
     # 4. DSIR threshold selection (map-side keep/drop, no global rank)
     sel = (q_importance_threshold(train)
            .filter(F.col("selected") == 1).select("doc_id"))
-    docs3 = train.join(sel, "doc_id", "left_semi")
+    docs3 = (train.join(sel, "doc_id", "left_semi")
+             .localCheckpoint(eager=False))
     # 5. mixture weights + packing manifest over the shipped set
     weights = q_mixture_weights(docs3).select("source", "weight_ppm")
     packed = q_pack_sequences(docs3)

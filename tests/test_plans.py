@@ -355,15 +355,15 @@ def test_new_operator_shuffle_budgets(spark):
                                  # duplicate-insensitive, no distinct
                                  # pre-pass) + the exact baseline's
                                  # two-phase distinct
-        "q_pipeline_llm": 130,   # PLAN-TEXT count, not executed
-                                 # shuffles: the DSIR stage's
-                                 # localCheckpoint-cut branches each
-                                 # re-print the clean→scrub→decon
-                                 # upstream (executed once — wall
-                                 # 8.9 s at sf0.1 confirms no blowup);
-                                 # the budget guards against a stage
-                                 # gaining exchanges, which multiplies
-                                 # this count by the branch fan-out
+        "q_pipeline_llm": 6,     # every stage handoff is
+                                 # localCheckpointed (kept, docs2,
+                                 # train, docs3 — the multiply-
+                                 # referenced frames), so the final
+                                 # plan is: pack's shard window + the
+                                 # weights agg/total + the three
+                                 # output joins' exchanges; each
+                                 # stage's own budget is asserted on
+                                 # its declared query
         "q_jl_eval": 9,          # sample rank window + projection agg
                                  # + two vector-assembly aggs feeding
                                  # the single-task GEMMs + pair join +
