@@ -595,6 +595,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # image perceptual-hash near-dup over REAL BMP bytes: the
         # oracle computes the ideal md5->block->dHash math, so the
         # hash-match proves the codec roundtrip byte-exactly
+        # r11: pairs -> groups manifest over the image edge set
+        # (q_embed_dedup_groups' multimodal sibling)
+        "q_image_dedup_groups": lambda s, d: MM.q_image_dedup_groups(
+            _t("documents")(s, d)),
         "q_image_neardup": lambda s, d: MM.q_image_neardup(
             _t("documents")(s, d)),
         # audio fingerprint near-dup over REAL stdlib-wave WAV bytes:
@@ -1659,6 +1663,56 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE {ham} <= {D.SHP_HMAX}
     """
+
+    # shared image-pair CTE text: the ideal md5->block->dHash pipeline
+    # to candidate pairs - q_image_neardup and q_image_dedup_groups
+    # compose the SAME SQL body (the jaccard_pairs sharing
+    # discipline), so the codec-roundtrip proof carries over to the
+    # groups manifest
+    _img_pair_ctes = f"""d AS (SELECT doc_id FROM documents),
+            px AS (SELECT d.doc_id, y.y, x.x,
+                      CASE WHEN y.y // {MM.PHASH_BLOCK}
+                                = d.doc_id % {MM.PHASH_GROUP}
+                            AND x.x // {MM.PHASH_BLOCK}
+                                = 2 * (d.doc_id % {MM.PHASH_GROUP})
+                           THEN CAST('0x' || substring(md5(concat_ws(
+                                ':', 'pert', d.doc_id, y.y, x.x // 16)),
+                                2 * (x.x % 16) + 1, 2) AS BIGINT)
+                           ELSE CAST('0x' || substring(md5(concat_ws(
+                                ':', 'img',
+                                d.doc_id // {MM.PHASH_GROUP}, y.y,
+                                x.x // 16)),
+                                2 * (x.x % 16) + 1, 2) AS BIGINT)
+                      END AS v
+                   FROM d,
+                        (SELECT unnest(range(0,
+                            {MM.PHASH_GRID_H * MM.PHASH_BLOCK})) AS y) y,
+                        (SELECT unnest(range(0,
+                            {MM.PHASH_GRID_W * MM.PHASH_BLOCK})) AS x) x),
+            g AS (SELECT doc_id, y // {MM.PHASH_BLOCK} AS r,
+                         x // {MM.PHASH_BLOCK} AS c,
+                         sum(v) // {MM.PHASH_BLOCK * MM.PHASH_BLOCK} AS g
+                  FROM px GROUP BY 1, 2, 3),
+            sig AS (SELECT a.doc_id,
+                           CAST(sum(CASE WHEN a.g < b.g
+                                    THEN (CAST(1 AS BIGINT)
+                                          << (a.r * 8 + a.c))
+                                    ELSE 0 END) AS BIGINT) AS sig
+                    FROM g a JOIN g b
+                      ON b.doc_id = a.doc_id AND b.r = a.r
+                         AND b.c = a.c + 1
+                    GROUP BY 1),
+            segs AS (SELECT doc_id, sig, s.s,
+                            (sig >> ({56 // MM.PHASH_SEGS} * s.s))
+                            & {(1 << (56 // MM.PHASH_SEGS)) - 1} AS v
+                     FROM sig,
+                          (SELECT unnest(range(0, {MM.PHASH_SEGS}))
+                              AS s) s),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a,
+                            b.doc_id AS doc_b, b.sig AS sig_b
+                     FROM segs a JOIN segs b
+                       ON a.s = b.s AND a.v = b.v
+                          AND a.doc_id < b.doc_id)"""
 
     dedup_simhash_sql = _simhash_sql(
         *D.simhash_sized_params(_sh_n, D.SHP_HMAX))
@@ -3074,56 +3128,31 @@ def oracle_sql() -> dict[str, str]:
         # this hash-match is a codec-roundtrip proof (multimodal.py
         # block comment).
         "q_image_neardup": f"""
-            WITH d AS (SELECT doc_id FROM documents),
-            px AS (SELECT d.doc_id, y.y, x.x,
-                      CASE WHEN y.y // {MM.PHASH_BLOCK}
-                                = d.doc_id % {MM.PHASH_GROUP}
-                            AND x.x // {MM.PHASH_BLOCK}
-                                = 2 * (d.doc_id % {MM.PHASH_GROUP})
-                           THEN CAST('0x' || substring(md5(concat_ws(
-                                ':', 'pert', d.doc_id, y.y, x.x // 16)),
-                                2 * (x.x % 16) + 1, 2) AS BIGINT)
-                           ELSE CAST('0x' || substring(md5(concat_ws(
-                                ':', 'img',
-                                d.doc_id // {MM.PHASH_GROUP}, y.y,
-                                x.x // 16)),
-                                2 * (x.x % 16) + 1, 2) AS BIGINT)
-                      END AS v
-                   FROM d,
-                        (SELECT unnest(range(0,
-                            {MM.PHASH_GRID_H * MM.PHASH_BLOCK})) AS y) y,
-                        (SELECT unnest(range(0,
-                            {MM.PHASH_GRID_W * MM.PHASH_BLOCK})) AS x) x),
-            g AS (SELECT doc_id, y // {MM.PHASH_BLOCK} AS r,
-                         x // {MM.PHASH_BLOCK} AS c,
-                         sum(v) // {MM.PHASH_BLOCK * MM.PHASH_BLOCK} AS g
-                  FROM px GROUP BY 1, 2, 3),
-            sig AS (SELECT a.doc_id,
-                           CAST(sum(CASE WHEN a.g < b.g
-                                    THEN (CAST(1 AS BIGINT)
-                                          << (a.r * 8 + a.c))
-                                    ELSE 0 END) AS BIGINT) AS sig
-                    FROM g a JOIN g b
-                      ON b.doc_id = a.doc_id AND b.r = a.r
-                         AND b.c = a.c + 1
-                    GROUP BY 1),
-            segs AS (SELECT doc_id, sig, s.s,
-                            (sig >> ({56 // MM.PHASH_SEGS} * s.s))
-                            & {(1 << (56 // MM.PHASH_SEGS)) - 1} AS v
-                     FROM sig,
-                          (SELECT unnest(range(0, {MM.PHASH_SEGS}))
-                              AS s) s),
-            cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a,
-                            b.doc_id AS doc_b, b.sig AS sig_b
-                     FROM segs a JOIN segs b
-                       ON a.s = b.s AND a.v = b.v
-                          AND a.doc_id < b.doc_id)
+            WITH {_img_pair_ctes}
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER)
                        AS hamming
             FROM cand
             WHERE bit_count(xor(sig_a, sig_b)) <= {MM.PHASH_HMAX}
             ORDER BY doc_a, doc_b
+        """,
+        # r11: the pairs -> groups manifest (recursive-CTE closure over
+        # the SAME shared pair CTEs; the q_embed_dedup_groups doctrine)
+        "q_image_dedup_groups": f"""
+            WITH RECURSIVE {_img_pair_ctes},
+            pairs AS (SELECT doc_a, doc_b FROM cand
+                      WHERE bit_count(xor(sig_a, sig_b))
+                            <= {MM.PHASH_HMAX}),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+            reach(a, b) AS (
+                SELECT a, a FROM (SELECT a FROM e UNION SELECT b FROM e)
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+            )
+            SELECT a AS doc_id, min(b) AS comp,
+                   CAST(a = min(b) AS INTEGER) AS keep
+            FROM reach GROUP BY a ORDER BY doc_id
         """,
         # q_audio_neardup oracle: the ideal md5->int16-sample->frame-
         # energy->envelope-bit arithmetic, computed directly — the

@@ -715,6 +715,41 @@ def q_image_neardup(documents: DataFrame,
     return sig_neardup_pairs(sigs, hamming_max)
 
 
+def q_image_dedup_groups(documents: DataFrame,
+                         hamming_max: int = PHASH_HMAX) -> DataFrame:
+    """Declared query (r11): image near-dup PAIRS → canonical dedup
+    GROUPS — the keep-one-per-group manifest of an image-dedup
+    pipeline (q_embed_dedup_groups' multimodal sibling, completing
+    the pairs→groups symmetry across the text / embedding / image
+    families; pairs alone under-delete — transitive near-dups A~B~C
+    must collapse to ONE survivor). Connected components over the
+    q_image_neardup edge set via min-label propagation
+    (``dedup_components`` — the synthetic image graph is PHASH_GROUP-
+    sized cliques, the near-clique regime where min-label converges in
+    1-2 pointer-jump rounds, same choice as q_dedup_groups).
+
+    Output: (doc_id, comp, keep) for every doc in the edge set —
+    comp = min reachable doc_id, keep = 1 iff the doc IS its group's
+    canonical (min-id) representative. The oracle recomputes the
+    whole chain: the ideal md5→block→dHash arithmetic (shared CTE
+    text with q_image_neardup, so the codec-roundtrip proof carries
+    over) plus a recursive-CTE transitive closure.
+
+    Scale shape: two map-only Arrow stages + the segment blocking
+    equi-join (q_image_neardup's budget) feeding bounded CC rounds
+    (eager-checkpointed, O(1)-scalar driver sync).
+    """
+    from movie_rec_spark.operators.dedup import dedup_components
+
+    pairs = q_image_neardup(documents, hamming_max).select(
+        "doc_a", "doc_b")
+    comp = dedup_components(pairs)
+    return (comp.select(
+        "doc_id", "comp",
+        (F.col("doc_id") == F.col("comp")).cast("int").alias("keep"))
+        .orderBy("doc_id"))
+
+
 # --- the hash-WIDTH knob (SCALE.md §Round 8/9) made real -------------------
 # q_image_neardup's measured 100×-docs cliff is the n²·segs/2^(seg_bits+1)
 # chance-collision floor of pigeonhole blocking at FIXED 56-bit width.

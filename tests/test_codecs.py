@@ -449,3 +449,46 @@ def test_video_frame_sigs_rejects_corrupt_container(spark):
         [Row(doc_id=0, payload=good[:-10])])   # truncated last frame
     with pytest.raises(Exception, match="truncated"):
         MM.video_frame_sigs(df2).collect()
+
+
+def test_image_dedup_groups_canonical_manifest(spark):
+    """Pairs -> groups (r11): components over the image edge set equal
+    the transitive closure of the brute-forced mirror pairs, comp is
+    the min member, and keep flags exactly one canonical per group."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    n = 32
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(n)])
+    mirror = _dhash_mirror(range(n))
+    pairs = {(a, b) for a, b in itertools.combinations(range(n), 2)
+             if bin(mirror[a] ^ mirror[b]).count("1") <= MM.PHASH_HMAX}
+    # transitive closure via union-find over the mirror pairs
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    in_edges = {d for p in pairs for d in p}
+    want = {d: find(d) for d in in_edges}
+    out = MM.q_image_dedup_groups(docs).collect()
+    got = {r.doc_id: r.comp for r in out}
+    assert got == want
+    for r in out:
+        assert r.keep == (1 if r.doc_id == r.comp else 0)
+    # exactly one canonical per component
+    comps = {r.comp for r in out}
+    assert sum(r.keep for r in out) == len(comps)
+    # the planted structure: groups are PHASH_GROUP-sized id blocks
+    assert all(c == (d // MM.PHASH_GROUP) * MM.PHASH_GROUP
+               for d, c in got.items())

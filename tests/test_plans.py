@@ -347,6 +347,10 @@ def test_new_operator_shuffle_budgets(spark):
         "q_ldiversity": 3,       # two-phase distinct agg pair on the
                                  # qid + the O(classes) sort
         # round-11 additions
+        "q_image_dedup_groups": 1,  # CC rounds checkpointed (the
+                                    # q_dedup_canonical shape): only
+                                    # the comp presentation sort
+                                    # remains in the final plan
         "q_simhash_sized": 2,    # vote aggregate + cross-segment
                                  # dedup — widening the signature to
                                  # 96/24 adds NO exchange vs the
