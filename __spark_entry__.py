@@ -1618,8 +1618,16 @@ def oracle_sql() -> dict[str, str]:
     # partition the signature).
     try:
         _sh_n = table_rows("/root/testdata/sf0.01", "documents")
+        _sh_n_marker = ""
     except (FileNotFoundError, OSError):
         _sh_n = 500
+        # same self-identifying discipline as _lsh_n_marker: a driver
+        # artifact built from the fallback carries the warning INSIDE
+        # the SQL, so a regenerated fixture with a different doc count
+        # can never silently desync (sig_bits, seg_width) from the
+        # Spark side's n_docs auto-sizing
+        _sh_n_marker = ("\n            -- WARNING: sized from FALLBACK"
+                        " n=500 (sf0.01 fixture absent at build)")
 
     def _simhash_sql(sig_bits: int, seg_width: int) -> str:
         """Width-parametric portable-simhash oracle (segment-value
@@ -1714,7 +1722,7 @@ def oracle_sql() -> dict[str, str]:
                        ON a.s = b.s AND a.v = b.v
                           AND a.doc_id < b.doc_id)"""
 
-    dedup_simhash_sql = _simhash_sql(
+    dedup_simhash_sql = _sh_n_marker + _simhash_sql(
         *D.simhash_sized_params(_sh_n, D.SHP_HMAX))
     simhash_eval_sql = f"""
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -650,7 +650,10 @@ def q_dedup_simhash(documents: DataFrame, hamming_max: int = 3,
     2^SHP_SEG_MIN-doc floor it returns exactly the 56-bit/14-bit
     declared form, so the driver hash row is unchanged at test scale.
     """
-    if portable and n_docs is not None and hamming_max == SHP_HMAX:
+    # sizing applies at ANY radius (simhash_sized_params takes
+    # hamming_max) — gating on the default radius would silently drop
+    # non-default callers back onto the fixed-width quadratic path
+    if portable and n_docs is not None:
         return simhash_neardup(documents, hamming_max, n_docs=n_docs)
     segments = simhash_segments(documents, hamming_max,
                                 portable=portable)

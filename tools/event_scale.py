@@ -111,14 +111,17 @@ def measure(spark, events) -> dict:
              for name, fn in queries.items()}
     # q_assign_ids density counters: ids must be EXACTLY dense
     # max(existing)+1 .. max+N at any batch scale (the property test's
-    # invariant, measured instead of assumed at 100x)
-    out = M.q_assign_ids(events).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct("event_id").alias("n_distinct"),
-        (F.max("event_id") - F.min("event_id") + 1).alias("span"))
-    r = out.collect()[0]
-    walls["_assign_ids_density"] = (
-        int(r.n), int(r.n_distinct), int(r.span))
+    # invariant, measured instead of assumed at 100x). Gated on the
+    # same `only` allowlist as the walls: a targeted single-query
+    # re-timing run must not pay an unrelated full-scale id job.
+    if not only or "q_assign_ids" in only:
+        out = M.q_assign_ids(events).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("event_id").alias("n_distinct"),
+            (F.max("event_id") - F.min("event_id") + 1).alias("span"))
+        r = out.collect()[0]
+        walls["_assign_ids_density"] = (
+            int(r.n), int(r.n_distinct), int(r.span))
     return walls
 
 
