@@ -597,10 +597,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-match proves the codec roundtrip byte-exactly
         # r11: pairs -> groups manifest over the image edge set
         # (q_embed_dedup_groups' multimodal sibling)
+        # r12: both pass the footer row count so the operator default
+        # is the SIZED hash width (image_sized_grid — 56-bit declared
+        # form below the 16k-doc floor, so the oracle is unchanged at
+        # test scale; 128-bit+ above it, floor-free at 100x docs)
         "q_image_dedup_groups": lambda s, d: MM.q_image_dedup_groups(
-            _t("documents")(s, d)),
+            _t("documents")(s, d), n_docs=table_rows(d, "documents")),
         "q_image_neardup": lambda s, d: MM.q_image_neardup(
-            _t("documents")(s, d)),
+            _t("documents")(s, d), n_docs=table_rows(d, "documents")),
         # audio fingerprint near-dup over REAL stdlib-wave WAV bytes:
         # the oracle computes the ideal sample->energy->bit math, so
         # the hash-match proves the WAV roundtrip byte-exactly
@@ -1672,6 +1676,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE {ham} <= {D.SHP_HMAX}
     """
 
+    # r12 width guard: the Spark side auto-sizes the dHash grid from
+    # the documents footer count (image_sized_grid); this SQL is
+    # pinned at the declared 56-bit form, valid below the sizer's
+    # 16k-doc floor (the committed sf0.01 fixture is 500). A fixture
+    # regenerated above the floor would widen the Spark side — the
+    # marker makes that recorded-artifact state self-identifying (the
+    # _lsh_n_marker discipline) instead of a silent desync.
+    _img_width_marker = (
+        "" if MM.image_sized_grid(_sh_n) == MM.PHASH_GRID_H
+        else "\n            -- WARNING: Spark side sized to grid_h="
+             f"{MM.image_sized_grid(_sh_n)} (n={_sh_n} docs) but this"
+             " oracle is pinned 56-bit")
     # shared image-pair CTE text: the ideal md5->block->dHash pipeline
     # to candidate pairs - q_image_neardup and q_image_dedup_groups
     # compose the SAME SQL body (the jaccard_pairs sharing
@@ -3134,8 +3150,12 @@ def oracle_sql() -> dict[str, str]:
         # reaches the same rows only if its BMP encode (BGR bottom-up
         # rows, stride) and byte-parser invert each other exactly, so
         # this hash-match is a codec-roundtrip proof (multimodal.py
-        # block comment).
-        "q_image_neardup": f"""
+        # block comment). This SQL is pinned to the 56-bit declared
+        # width; the Spark side sizes from the footer count
+        # (image_sized_grid), whose floor covers the committed
+        # fixtures — _img_width_marker makes any future above-floor
+        # fixture self-identifying instead of silently desyncing.
+        "q_image_neardup": f"""{_img_width_marker}
             WITH {_img_pair_ctes}
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER)
@@ -3146,7 +3166,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # r11: the pairs -> groups manifest (recursive-CTE closure over
         # the SAME shared pair CTEs; the q_embed_dedup_groups doctrine)
-        "q_image_dedup_groups": f"""
+        "q_image_dedup_groups": f"""{_img_width_marker}
             WITH RECURSIVE {_img_pair_ctes},
             pairs AS (SELECT doc_a, doc_b FROM cand
                       WHERE bit_count(xor(sig_a, sig_b))
@@ -4160,8 +4180,26 @@ def oracle_sql() -> dict[str, str]:
                            md5(CAST(s.doc_id AS VARCHAR)), 1, 8)
                            AS BIGINT) % 100 AS INTEGER) AS bucket
                 FROM scrub s JOIN kept k USING (doc_id)),
+            ndtk AS (SELECT DISTINCT doc_id,
+                            unnest(string_split(text, ' ')) AS t
+                     FROM docs2),
+            ndth AS (SELECT doc_id,
+                            CAST('0x' || substring(md5(t), 1, 14)
+                                 AS BIGINT) AS h
+                     FROM ndtk),
+            ndvt AS (SELECT doc_id,
+                   {_sh_votes}
+                     FROM ndth GROUP BY doc_id),
+            ndsig AS (SELECT doc_id, {_sh_sig} AS sig FROM ndvt),
+            nddup AS (SELECT DISTINCT b.doc_id
+                      FROM ndsig a JOIN ndsig b ON a.doc_id < b.doc_id
+                      WHERE bit_count(xor(a.sig, b.sig))
+                            <= {D.SHP_HMAX}),
+            docs2nd AS MATERIALIZED (
+                SELECT * FROM docs2
+                WHERE doc_id NOT IN (SELECT doc_id FROM nddup)),
             dtoks AS (SELECT doc_id, bucket, string_split(text, ' ') AS w
-                      FROM docs2),
+                      FROM docs2nd),
             dsh AS (SELECT DISTINCT doc_id, bucket,
                            array_to_string(list_slice(w, CAST(i AS INT),
                                CAST(i AS INT) + 2), ' ') AS g
@@ -4183,7 +4221,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM dinter JOIN dev_sz USING (eval_doc)
                 WHERE n_common * 1.0 / n_ev >= {D.DECON_THRESHOLD}),
             train AS MATERIALIZED (
-                SELECT doc_id, text, source FROM docs2
+                SELECT doc_id, text, source FROM docs2nd
                 WHERE bucket < {D.TRAIN_MAX_BUCKET}
                   AND doc_id NOT IN (SELECT doc_id FROM contam)),
             itok AS (SELECT doc_id, source,

@@ -689,8 +689,40 @@ def sig_neardup_pairs(sigs: DataFrame, hamming_max: int = PHASH_HMAX,
     )
 
 
+def image_sized_grid(n_docs: int, hamming_max: int = PHASH_HMAX) -> int:
+    """dHash grid height sized to the corpus — ``simhash_sized_params``
+    applied to the image family. Pigeonhole blocking puts ~n/2^w docs
+    in every chance segment bucket (w = segment width = grid_h·8 /
+    (hamming_max+1) at the 9-col grid), so FIXED width is quadratic in
+    corpus size; holding w ≥ ⌈log2 n⌉ pins chance occupancy at ≤1 and
+    the chance term at (k+1)·n/2 pairs for any n. Returns the smallest
+    grid height ≥ the declared 7-row floor whose bit count splits into
+    hamming_max+1 equal ≤63-bit segments of ≥ ⌈log2 n⌉ bits — the
+    floor keeps the declared 56-bit form (and its DuckDB hash row) at
+    test scale; the 63-bit segment cap (grid_h 31 at the default
+    radius: 248-bit hash, 62-bit segments) is BIGINT arithmetic, hit
+    at 2^62 docs, i.e. never."""
+    import math
+
+    n_segs = hamming_max + 1
+    row_bits = PHASH_GRID_W - 1
+    target = math.ceil(math.log2(max(n_docs, 2)))
+    best = PHASH_GRID_H
+    for gh in range(PHASH_GRID_H, 64):
+        bits = gh * row_bits
+        if bits % n_segs:
+            continue
+        if bits // n_segs > 63:
+            break
+        best = gh
+        if bits // n_segs >= target:
+            return gh
+    return best
+
+
 def q_image_neardup(documents: DataFrame,
-                    hamming_max: int = PHASH_HMAX) -> DataFrame:
+                    hamming_max: int = PHASH_HMAX,
+                    n_docs: int | None = None) -> DataFrame:
     """Declared query: perceptual-hash image near-dup pairs over the
     synthetic BMP corpus — (doc_a, doc_b, hamming) for every pair
     within ``hamming_max`` dHash bits. See the module-level block
@@ -705,18 +737,29 @@ def q_image_neardup(documents: DataFrame,
     multi-index hamming at FIXED hash width (pigeonhole exactness
     pins segments = hamming_max+1 over all 56 bits, so unlike LSH
     this cannot be occupancy-resized). The production knob is hash
-    WIDTH: a 128/256-bit dHash (finer grid) gives 32/64-bit segments
-    and a n²/2^33 floor, negligible to ~10M images; real image
-    corpora are also far kinder than this uniform-random synthetic
-    (true pHashes cluster on near-dups). On real corpora the synth
-    stage is replaced by reading stored image bytes — the decoder and
-    everything after it are the production path."""
+    WIDTH, and since r12 the operator sizes it: pass ``n_docs``
+    (parquet-footer count, the q_neardup_lsh discipline) and
+    ``image_sized_grid`` picks the narrowest grid whose segments hold
+    chance occupancy ≤1 (56-bit to 16k docs, 128-bit to 4G — measured
+    floor-free at 100× docs, SCALE.md §Round 9/12); below the floor
+    it returns exactly the declared 56-bit form, so the driver hash
+    row is unchanged at test scale. Real image corpora are also far
+    kinder than this uniform-random synthetic (true pHashes cluster
+    on near-dups). On real corpora the synth stage is replaced by
+    reading stored image bytes — the decoder and everything after it
+    are the production path."""
+    if n_docs is not None:
+        gh = image_sized_grid(n_docs, hamming_max)
+        if gh != PHASH_GRID_H:
+            return image_neardup_wide(documents, hamming_max,
+                                      grid_h=gh)
     sigs = bmp_dhash(synth_bmp(documents)).localCheckpoint(eager=False)
     return sig_neardup_pairs(sigs, hamming_max)
 
 
 def q_image_dedup_groups(documents: DataFrame,
-                         hamming_max: int = PHASH_HMAX) -> DataFrame:
+                         hamming_max: int = PHASH_HMAX,
+                         n_docs: int | None = None) -> DataFrame:
     """Declared query (r11): image near-dup PAIRS → canonical dedup
     GROUPS — the keep-one-per-group manifest of an image-dedup
     pipeline (q_embed_dedup_groups' multimodal sibling, completing
@@ -737,12 +780,14 @@ def q_image_dedup_groups(documents: DataFrame,
 
     Scale shape: two map-only Arrow stages + the segment blocking
     equi-join (q_image_neardup's budget) feeding bounded CC rounds
-    (eager-checkpointed, O(1)-scalar driver sync).
+    (eager-checkpointed, O(1)-scalar driver sync). ``n_docs`` sizes
+    the pair stage's hash width via ``image_sized_grid`` (the r12
+    sized default — 56-bit declared form below the 16k-doc floor).
     """
     from movie_rec_spark.operators.dedup import dedup_components
 
-    pairs = q_image_neardup(documents, hamming_max).select(
-        "doc_a", "doc_b")
+    pairs = q_image_neardup(documents, hamming_max,
+                            n_docs=n_docs).select("doc_a", "doc_b")
     comp = dedup_components(pairs)
     return (comp.select(
         "doc_id", "comp",
@@ -828,12 +873,17 @@ def image_neardup_wide(documents: DataFrame,
                        hamming_max: int = PHASH_HMAX,
                        grid_h: int = WIDE_GRID_H) -> DataFrame:
     """q_image_neardup at PRODUCTION hash width (128-bit dHash by
-    default) — same synth→decode→block→verify pipeline, wider grid.
-    Not a declared query (the 56-bit q_image_neardup keeps the stable
-    oracle); this is the measured scale path: SCALE.md §Round 9 shows
-    the 100×-docs chance-collision floor gone at this width."""
+    default) — same synth→decode→block→verify pipeline, wider grid;
+    segments = hamming_max+1 (PHASH_SEGS at the default radius — the
+    pigeonhole minimum, so each segment is as wide, and chance
+    collisions as rare, as exactness allows). Not a declared query
+    (the 56-bit q_image_neardup keeps the stable oracle) but the
+    operator's sized default routes here above the width floor;
+    SCALE.md §Round 9 shows the 100×-docs chance-collision floor gone
+    at the 128-bit width."""
+    n_segs = hamming_max + 1
     sigs = (bmp_dhash_segs(synth_bmp(documents, grid_h=grid_h),
-                           grid_h=grid_h)
+                           grid_h=grid_h, n_segs=n_segs)
             .localCheckpoint(eager=False))
     return sig_array_neardup_pairs(sigs, hamming_max)
 

@@ -1741,11 +1741,13 @@ def q_curriculum_order(documents: DataFrame,
             .orderBy("doc_id"))
 
 
-def q_pipeline_llm(documents: DataFrame) -> DataFrame:
-    """Declared query (r11): the COMPOSED LLM-data pipeline — every
-    stage an already-declared operator, chained as ONE lazy plan, so
-    the hash row proves the operators compose (which no single-family
-    query does):
+def q_pipeline_llm(documents: DataFrame,
+                   stage_dir: str | None = None,
+                   n_docs: int | None = None) -> DataFrame:
+    """Declared query (r11; near-dedup stage added r12): the COMPOSED
+    LLM-data pipeline — every stage an already-declared operator,
+    chained as ONE lazy plan, so the hash row proves the operators
+    compose (which no single-family query does):
 
         1. clean      — quality gate ≥ 0.75 + language filter 'en' +
                         exact dedup keep-min-id (q_corpus_clean's
@@ -1753,14 +1755,26 @@ def q_pipeline_llm(documents: DataFrame) -> DataFrame:
         2. scrub      — ExactSubstr duplicate-span removal
                         (q_substring_prune); cleaned_text becomes the
                         working text
-        3. decontam   — train docs containing ≥ DECON_THRESHOLD of any
+        3. near-dedup — drop every doc within SHP_HMAX hamming bits
+                        (portable simhash over the SCRUBBED text, the
+                        q_dedup_simhash family) of a smaller-id
+                        survivor: the kept set is pairwise
+                        near-dup-free. The greedy smaller-partner
+                        rule, not connected components, keeps the
+                        stage a LAZY plan (the CC closure needs an
+                        iterative driver loop — q_minhash_groups
+                        exists for component-canonical semantics);
+                        it also drops strictly fewer docs than CC
+                        canonicalization (one survivor per simhash
+                        star, not per component).
+        4. decontam   — train docs containing ≥ DECON_THRESHOLD of any
                         held-out doc's shingles are DROPPED
                         (q_decontaminate findings applied; the
                         pipeline ships the train split)
-        4. select     — DSIR importance threshold keeps the top
+        5. select     — DSIR importance threshold keeps the top
                         KEEP_NUM/KEEP_DEN (q_importance_threshold, the
                         at-scale no-global-rank form)
-        5. mix + pack — temperature mixture weights per source
+        6. mix + pack — temperature mixture weights per source
                         (q_mixture_weights) joined onto the sequence
                         packing manifest (q_pack_sequences)
 
@@ -1772,12 +1786,33 @@ def q_pipeline_llm(documents: DataFrame) -> DataFrame:
     Scale shape: no driver COLLECT anywhere in the chain (plan-tested
     via a collect/head/first/toPandas spy); each stage keeps its own
     declared exchange discipline, and every stage after clean operates
-    on the SHRUNK survivor set. Each stage handoff is localCheckpointed
-    (executor-side materialization, nothing to the driver): the
-    handoffs are multiply-referenced (docs3 feeds weights + packing +
-    the final join; kept feeds scrub twice), so without the lineage
-    cut Catalyst re-executes clean→scrub→decon once per branch —
-    measured 17–21 s vs 8–9 s with the cuts at sf0.1.
+    on the SHRUNK survivor set. Each multiply-referenced stage handoff
+    (kept feeds scrub twice; docs2 feeds the simhash pairs + the
+    anti-join; docs2nd feeds decontaminate + the train filter; docs3
+    feeds weights + packing + the final join) is cut — without the
+    cuts Catalyst re-executes clean→scrub→decontam once per branch
+    (measured 17–21 s vs 8–9 s at sf0.1). Two staging modes:
+
+    - ``stage_dir=None`` (default): ``localCheckpoint(eager=False)``.
+      Executor-side materialization, nothing to the driver — but the
+      blocks are EXECUTOR-LOCAL and non-replicated, and on Spark 4.1
+      even ``eager=False`` runs the materialization jobs at builder
+      time. Right for tests/benches; at cluster scale one lost
+      executor makes the checkpointed blocks unrecoverable and fails
+      the whole composed run.
+    - ``stage_dir=<path>``: each handoff is written once as parquet
+      under ``stage_dir/<stage>`` and read back — durable staging on
+      whatever storage the path lives on (HDFS/S3 in production), so
+      executor loss costs one stage recompute at most, and every
+      stage output is independently inspectable/resumable. Costs one
+      fs round-trip per handoff; hash-equality with the checkpointed
+      mode is pytest-pinned (test_text_dedup.py).
+
+    ``n_docs`` (parquet-footer corpus count) sizes the near-dedup
+    signatures via ``simhash_sized_params`` so chance candidates stay
+    linear at scale; ``None`` keeps the pinned 56/14 declared form —
+    which is exactly what the sizer returns below its floor, so the
+    declared query and the oracle agree at test scale.
     Reference analogue: the LLM-data counterpart of pipeline.py's
     reference-parity composition (prepare_dataset.py:88-160 chains
     clean → transform → load the same way for ratings).
@@ -1787,7 +1822,15 @@ def q_pipeline_llm(documents: DataFrame) -> DataFrame:
     from movie_rec_spark.functions import stable_bucket
     from movie_rec_spark.operators.dedup import (TRAIN_MAX_BUCKET,
                                                  q_decontaminate,
-                                                 q_substring_prune)
+                                                 q_substring_prune,
+                                                 simhash_neardup)
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        if stage_dir is None:
+            return df.localCheckpoint(eager=False)
+        path = f"{stage_dir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
 
     # 1. clean (q_corpus_clean's gates, text carried forward)
     score = _quality_score(F.col("text"))
@@ -1796,33 +1839,44 @@ def q_pipeline_llm(documents: DataFrame) -> DataFrame:
                      F.md5(F.col("text").cast("binary")).alias("fp"))
              .filter((score >= 0.75)
                      & (_guessed_lang(F.col("text")) == "en")))
-    kept = (gated
-            .withColumn("_mi", F.min("doc_id").over(
-                Window.partitionBy("fp")))
-            .filter(F.col("doc_id") == F.col("_mi"))
-            .select("doc_id", "source", "text")
-            .localCheckpoint(eager=False))
+    kept = _stage(
+        gated
+        .withColumn("_mi", F.min("doc_id").over(
+            Window.partitionBy("fp")))
+        .filter(F.col("doc_id") == F.col("_mi"))
+        .select("doc_id", "source", "text"),
+        "clean")
     # 2. scrub: the ExactSubstr prune's cleaned_text is the working
     # text from here on (the pipeline audits what it ships)
     scrub = q_substring_prune(kept)
-    docs2 = (scrub
-             .join(kept.select("doc_id", "source"), "doc_id")
-             .select("doc_id", F.col("cleaned_text").alias("text"),
-                     "source")
-             .localCheckpoint(eager=False))
-    # 3. decontaminate: drop flagged train docs, ship the train split
-    contam = (q_decontaminate(docs2)
+    docs2 = _stage(
+        scrub
+        .join(kept.select("doc_id", "source"), "doc_id")
+        .select("doc_id", F.col("cleaned_text").alias("text"),
+                "source"),
+        "scrub")
+    # 3. near-dedup on the scrubbed text: a doc with ANY smaller-id
+    # survivor within the hamming radius is dropped, so every
+    # within-radius pair loses its larger member and the shipped set
+    # contains no near-dup pair. Blocked pigeonhole equi-join
+    # (simhash_neardup) — cost tracks near-dup density, never |docs|².
+    dups = (simhash_neardup(docs2, n_docs=n_docs)
+            .select(F.col("doc_b").alias("doc_id")).distinct())
+    docs2nd = _stage(docs2.join(dups, "doc_id", "left_anti"),
+                     "neardup")
+    # 4. decontaminate: drop flagged train docs, ship the train split
+    contam = (q_decontaminate(docs2nd)
               .select(F.col("train_doc").alias("doc_id")).distinct())
-    train = (docs2
-             .filter(stable_bucket(F.col("doc_id")) < TRAIN_MAX_BUCKET)
-             .join(contam, "doc_id", "left_anti")
-             .localCheckpoint(eager=False))
-    # 4. DSIR threshold selection (map-side keep/drop, no global rank)
+    train = _stage(
+        docs2nd
+        .filter(stable_bucket(F.col("doc_id")) < TRAIN_MAX_BUCKET)
+        .join(contam, "doc_id", "left_anti"),
+        "train")
+    # 5. DSIR threshold selection (map-side keep/drop, no global rank)
     sel = (q_importance_threshold(train)
            .filter(F.col("selected") == 1).select("doc_id"))
-    docs3 = (train.join(sel, "doc_id", "left_semi")
-             .localCheckpoint(eager=False))
-    # 5. mixture weights + packing manifest over the shipped set
+    docs3 = _stage(train.join(sel, "doc_id", "left_semi"), "select")
+    # 6. mixture weights + packing manifest over the shipped set
     weights = q_mixture_weights(docs3).select("source", "weight_ppm")
     packed = q_pack_sequences(docs3)
     return (packed

@@ -226,6 +226,83 @@ def test_image_neardup_matches_pure_python_mirror(spark):
                for a, b in got)
 
 
+def test_image_sized_grid_occupancy_and_floor():
+    """The r12 sized default's math: below 2^14 docs the sizer returns
+    the declared 7-row/56-bit form (driver hash row unchanged); above
+    it the chosen grid's segment width w holds chance occupancy
+    n/2^w <= 1; widths are monotone in n and capped at <=63-bit
+    segments (BIGINT arithmetic)."""
+    import math
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    assert MM.image_sized_grid(500) == MM.PHASH_GRID_H
+    assert MM.image_sized_grid(2 ** 14) == MM.PHASH_GRID_H
+    prev_w = 0
+    for n in (2 ** 14 + 1, 10 ** 6, 10 ** 9, 2 ** 40, 2 ** 70):
+        gh = MM.image_sized_grid(n)
+        bits = gh * (MM.PHASH_GRID_W - 1)
+        n_segs = MM.PHASH_HMAX + 1
+        assert bits % n_segs == 0
+        w = bits // n_segs
+        assert w <= 63
+        assert w >= prev_w
+        prev_w = w
+        if n <= 2 ** 63:
+            assert w >= math.ceil(math.log2(n)) or w == 62  # cap
+    # radius widens the segment count, never breaks divisibility
+    gh5 = MM.image_sized_grid(10 ** 6, hamming_max=5)
+    assert (gh5 * (MM.PHASH_GRID_W - 1)) % 6 == 0
+
+
+def test_image_neardup_sized_route_recovers_groups(spark):
+    """q_image_neardup with n_docs above the floor routes to the wide
+    segment-array pipeline and still recovers exactly the planted
+    intra-group structure: blocking stays pigeonhole-exact at the
+    sized width (pairs equal brute-forced wide-mirror hamming), and
+    below the floor the sized call is bit-identical to the declared
+    56-bit query."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    n = 32
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(n)])
+    # below the floor: identical to the declared form
+    base = {(r.doc_a, r.doc_b, r.hamming)
+            for r in MM.q_image_neardup(docs).collect()}
+    sized_floor = {(r.doc_a, r.doc_b, r.hamming)
+                   for r in MM.q_image_neardup(
+                       docs, n_docs=1000).collect()}
+    assert sized_floor == base
+    # above the floor: the sized route at its chosen width equals
+    # brute-force hamming over the wide mirror signatures
+    n_docs = 10 ** 6
+    gh = MM.image_sized_grid(n_docs)
+    assert gh > MM.PHASH_GRID_H
+
+    def mirror_sig(doc_id: int) -> int:
+        o = doc_id % MM.PHASH_GROUP
+        payload = MM._bmp_bytes(
+            lambda y, c: f"img:{doc_id // MM.PHASH_GROUP}:{y}:{c}",
+            lambda y, c: f"pert:{doc_id}:{y}:{c}",
+            (o, 2 * o), grid_h=gh)
+        return MM._bmp_sig(payload, grid_h=gh)
+
+    mirror = {d: mirror_sig(d) for d in range(n)}
+    want = {(a, b, bin(mirror[a] ^ mirror[b]).count("1"))
+            for a, b in itertools.combinations(range(n), 2)
+            if bin(mirror[a] ^ mirror[b]).count("1") <= MM.PHASH_HMAX}
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in MM.q_image_neardup(docs, n_docs=n_docs).collect()}
+    assert got == want
+    assert got, "sized route found no planted near-dups"
+    assert all(a // MM.PHASH_GROUP == b // MM.PHASH_GROUP
+               for a, b, _ in got)
+
+
 def test_image_neardup_wide_128bit_blocking_exact(spark):
     """The hash-WIDTH knob (SCALE.md §Round 9): at the 128-bit dHash
     (16×9 grid, 4 segments of 32 bits) the segment-array pipeline is

@@ -361,11 +361,14 @@ def test_new_operator_shuffle_budgets(spark):
                                  # two-phase distinct
         "q_pipeline_llm": 6,     # every stage handoff is
                                  # localCheckpointed (kept, docs2,
-                                 # train, docs3 — the multiply-
-                                 # referenced frames), so the final
-                                 # plan is: pack's shard window + the
-                                 # weights agg/total + the three
-                                 # output joins' exchanges; each
+                                 # docs2nd — the r12 near-dedup
+                                 # stage — train, docs3: the
+                                 # multiply-referenced frames), so
+                                 # the final plan is: pack's shard
+                                 # window + the weights agg/total +
+                                 # the three output joins' exchanges
+                                 # (the near-dup stage sits entirely
+                                 # behind the docs2nd cut); each
                                  # stage's own budget is asserted on
                                  # its declared query
         "q_jl_eval": 9,          # sample rank window + projection agg

@@ -1474,6 +1474,49 @@ def test_pipeline_llm_builds_without_driver_collect(spark, sf_docs,
                           "crosses_boundary", "weight_ppm"]
 
 
+def test_pipeline_llm_staged_mode_equals_checkpointed(spark, sf_docs,
+                                                      tmp_path):
+    """The durable staging mode (stage_dir= parquet handoffs — the
+    cluster-scale answer to localCheckpoint's executor-local,
+    non-replicated blocks) must be a pure execution-strategy choice:
+    byte-identical rows to the default checkpointed mode, and every
+    stage written under stage_dir as an independently inspectable
+    parquet table."""
+    base = [tuple(r) for r in sorted(
+        T.q_pipeline_llm(sf_docs).collect())]
+    staged_dir = str(tmp_path / "stages")
+    staged = [tuple(r) for r in sorted(
+        T.q_pipeline_llm(sf_docs, stage_dir=staged_dir).collect())]
+    assert staged == base
+    import os
+    for stage in ("clean", "scrub", "neardup", "train", "select"):
+        assert os.path.isdir(os.path.join(staged_dir, stage)), stage
+
+
+def test_pipeline_llm_neardup_stage_drops_simhash_dups(spark, sf_docs):
+    """Stage-3 semantics: no shipped doc may be within SHP_HMAX
+    hamming bits of a smaller-id scrub survivor (the greedy
+    smaller-partner rule), and the shipped set itself is pairwise
+    near-dup-free under the portable simhash."""
+    from pyspark.sql import functions as F
+
+    out = T.q_pipeline_llm(sf_docs).collect()
+    shipped = {r.doc_id for r in out}
+    # rebuild the scrub survivor set exactly as the pipeline does
+    clean = {r.doc_id for r in T.q_corpus_clean(sf_docs).collect()}
+    scrubbed = D.q_substring_prune(
+        sf_docs.filter(F.col("doc_id").isin([int(d) for d in clean])))
+    docs2 = scrubbed.select(
+        "doc_id", F.col("cleaned_text").alias("text"))
+    pairs = D.simhash_neardup(docs2).collect()
+    dropped = {r.doc_b for r in pairs}
+    assert not (shipped & dropped), \
+        "shipped doc has a smaller-id near-dup survivor"
+    for r in pairs:
+        assert not (r.doc_a in shipped and r.doc_b in shipped), \
+            f"near-dup pair shipped: {(r.doc_a, r.doc_b)}"
+
+
 def test_pipeline_llm_stage_handoffs(spark, sf_docs):
     """Integration semantics on the real sf0.001 corpus: every shipped
     doc (1) survives the clean gates + exact dedup, (2) is in the
