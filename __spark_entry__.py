@@ -659,6 +659,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_als_recs": lambda s, d: ML.q_als_recs(
             _t("lineitem")(s, d), _t("orders")(s, d)),
         "q_als_implicit": lambda s, d: ML.q_als_implicit(_t("events")(s, d)),
+        # r12, ORACLE-EXACT: the ML4 serving path (score -> ML5 clamp
+        # -> exclude-seen -> per-user top-N) under md5-derived integer
+        # pseudo-factors both engines rebuild independently — the
+        # q_hll_audit doctrine applied to recommendation serving; the
+        # FIT itself stays rows-only by necessity (SURVEY §4.3)
+        "q_als_audit": lambda s, d: ML.q_als_audit(
+            _t("lineitem")(s, d), _t("orders")(s, d)),
         # ML2's queries() presence (r08 verdict stretch item): a
         # genuine small CV grid in-query returning the scored combo
         # table; the full reference-regime sweep is the same code path
@@ -1688,6 +1695,22 @@ def oracle_sql() -> dict[str, str]:
         else "\n            -- WARNING: Spark side sized to grid_h="
              f"{MM.image_sized_grid(_sh_n)} (n={_sh_n} docs) but this"
              " oracle is pinned 56-bit")
+    # q_als_audit factor expressions: ml._pseudo_factor's md5
+    # hex-parse recipe — first 4 hex chars of '<prefix>:<id>:<f>',
+    # mod 17, shifted into [-8, 8]
+    def _als_factor(prefix: str, id_col: str, f: int) -> str:
+        return (f"CAST('0x' || substring(md5(concat_ws(':', "
+                f"'{prefix}', {id_col}, {f})), 1, 4) AS BIGINT) "
+                f"% 17 - 8")
+
+    _als_p_exprs = ",\n                  ".join(
+        f"{_als_factor('alsp', 'user_id', f)} AS p{f}"
+        for f in range(ML.AUDIT_K))
+    _als_q_exprs = ",\n                  ".join(
+        f"{_als_factor('alsq', 'item_id', f)} AS q{f}"
+        for f in range(ML.AUDIT_K))
+    _als_dot = " + ".join(f"p{f} * q{f}" for f in range(ML.AUDIT_K))
+
     # shared image-pair CTE text: the ideal md5->block->dHash pipeline
     # to candidate pairs - q_image_neardup and q_image_dedup_groups
     # compose the SAME SQL body (the jaccard_pairs sharing
@@ -4294,6 +4317,48 @@ def oracle_sql() -> dict[str, str]:
                    w.weight_ppm
             FROM pc JOIN weights w USING (source)
             ORDER BY pc.doc_id
+        """,
+        # q_als_audit oracle (r12): the serving-path audit under
+        # engine-portable integer pseudo-factors — same md5 hex-parse
+        # recipe as ml._pseudo_factor, same build_ratings seen set,
+        # ML5 clamp + shifted nonnegative grid division (truncation ==
+        # floor on both engines), per-user (score DESC, item_id) rank.
+        "q_als_audit": f"""
+            WITH r AS (SELECT o_custkey AS user_id,
+                              l_partkey AS item_id
+                       FROM lineitem
+                       JOIN orders ON l_orderkey = o_orderkey
+                       GROUP BY 1, 2),
+            u AS (SELECT DISTINCT user_id FROM r
+                  WHERE user_id % {ML.AUDIT_MOD} = 0),
+            i AS (SELECT DISTINCT item_id FROM r
+                  WHERE item_id % {ML.AUDIT_MOD} = 0),
+            p AS (SELECT user_id,
+                  {_als_p_exprs}
+                  FROM u),
+            q AS (SELECT item_id,
+                  {_als_q_exprs}
+                  FROM i),
+            s AS (SELECT p.user_id, q.item_id,
+                         ({_als_dot}) AS score
+                  FROM p CROSS JOIN q),
+            ns AS (SELECT s.user_id, s.item_id, s.score
+                   FROM s LEFT JOIN r
+                     ON s.user_id = r.user_id
+                    AND s.item_id = r.item_id
+                   WHERE r.user_id IS NULL),
+            rk AS (SELECT user_id, item_id,
+                          ({ML.AUDIT_CLAMP} + least(greatest(score,
+                               {-ML.AUDIT_CLAMP}), {ML.AUDIT_CLAMP}))
+                              // {ML.AUDIT_GRID} AS pred_q,
+                          row_number() OVER (PARTITION BY user_id
+                              ORDER BY score DESC, item_id) AS rnk
+                   FROM ns)
+            SELECT user_id, item_id,
+                   CAST(pred_q AS BIGINT) AS pred_q,
+                   CAST(rnk AS INTEGER) AS rank
+            FROM rk WHERE rnk <= {ML.AUDIT_TOPN}
+            ORDER BY user_id, rank
         """,
         "q_pack_sequences": """
             WITH d AS (

@@ -286,6 +286,92 @@ def q_als_recs(lineitem: DataFrame, orders: DataFrame,
 # pipeline.serve_recommendations applies the same overlay to this
 # module's PRECOMPUTED ALS recs (run_pipeline's gold table).
 
+# --- q_als_audit: the ML4 scoring path made hash-checkable ----------------
+# The ALS FIT is information-theoretically unhashable cross-engine
+# (float least-squares whose bit pattern depends on seed, block
+# topology, and BLAS accumulation order — SURVEY §4.3), but everything
+# AFTER the fit is deterministic plumbing: score = user·item dot
+# product, ML5 clamp, exclude-seen anti-join, per-user dense top-N.
+# The audit replaces the fitted factors with md5-derived INTEGER
+# pseudo-factors both engines can rebuild independently (the
+# q_hll_audit doctrine applied to ML4), so the driver hash row
+# certifies the serving plumbing end-to-end while the real fit keeps
+# its RMSE/structure/determinism pytest gates.
+
+AUDIT_K = 4       # pseudo-factor rank
+AUDIT_MOD = 20    # user/item sampling modulus (bounds the dense GEMM)
+AUDIT_TOPN = 3
+AUDIT_CLAMP = 256  # integer clamp bound (the ML5 clamp, pre-scale)
+AUDIT_GRID = 8     # coarse quantization grid for the declared pred_q
+
+
+def _pseudo_factor(prefix: str, id_col, f: int):
+    """Deterministic integer factor in [-8, 8]: first 4 md5 hex chars
+    of '<prefix>:<id>:<f>' mod 17, shifted — the portable-signature
+    hex-parse recipe (same arithmetic in the DuckDB oracle)."""
+    key = F.concat_ws(":", F.lit(prefix), id_col.cast("string"),
+                      F.lit(str(f)))
+    return (F.conv(F.substring(F.md5(key.cast("binary")), 1, 4),
+                   16, 10).cast("long") % 17 - 8)
+
+
+def q_als_audit(lineitem: DataFrame, orders: DataFrame,
+                n: int = AUDIT_TOPN) -> DataFrame:
+    """Declared query (r12, ORACLE-EXACT): the recommendForAllUsers
+    serving path under engine-portable pseudo-factors — score every
+    (sampled user, sampled item) pair by the rank-AUDIT_K integer dot
+    product, clamp (ML5), quantize onto the AUDIT_GRID, drop seen
+    pairs (the exclude_seen contract), and keep each user's dense
+    top-``n`` by (score DESC, item_id).
+
+    Output: (user_id, item_id, pred_q, rank), ordered by
+    (user_id, rank). Integer arithmetic end-to-end, so the DuckDB
+    oracle reproduces it bit-exactly — the hash row certifies the
+    scoring join, clamp, anti-join, and ranking window that the real
+    ALS recs flow through (q_als_recs stays rows-only by necessity).
+
+    Scale shape: the modulus sample bounds the dense score block
+    (users/MOD × items/MOD — the blocked-GEMM audit harness, not the
+    production sparse path); factors are map-side expressions; one
+    broadcast cross attach + the seen anti-join + one user-keyed rank
+    window. Reference analogue: estimator.py:56,63 (score unseen) +
+    trainer.py:37 (clamp)."""
+    from pyspark.sql.window import Window
+
+    ratings = build_ratings(lineitem, orders)
+    seen = ratings.select("user_id", "item_id")
+    users = (seen.select("user_id").distinct()
+             .filter(F.col("user_id") % AUDIT_MOD == 0))
+    items = (seen.select("item_id").distinct()
+             .filter(F.col("item_id") % AUDIT_MOD == 0))
+    p = users.select(
+        "user_id", *[_pseudo_factor("alsp", F.col("user_id"), f)
+                     .alias(f"p{f}") for f in range(AUDIT_K)])
+    q = items.select(
+        "item_id", *[_pseudo_factor("alsq", F.col("item_id"), f)
+                     .alias(f"q{f}") for f in range(AUDIT_K)])
+    score = sum(F.col(f"p{f}") * F.col(f"q{f}")
+                for f in range(AUDIT_K)).alias("score")
+    # ML5 clamp + grid quantization: shifted non-negative before the
+    # integer div so truncation == floor in both engines
+    scored = (p.crossJoin(F.broadcast(q))    # bounded item block
+              .select("user_id", "item_id", score)
+              .join(seen, ["user_id", "item_id"], "left_anti")
+              .select("user_id", "item_id", "score",
+                      F.expr(f"({AUDIT_CLAMP} + "
+                             f"least(greatest(score, {-AUDIT_CLAMP}),"
+                             f" {AUDIT_CLAMP})) div {AUDIT_GRID}")
+                      .alias("pred_q")))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), "item_id")
+    return (scored
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= n)
+            .select("user_id", "item_id",
+                    F.col("pred_q").cast("long").alias("pred_q"),
+                    "rank")
+            .orderBy("user_id", "rank"))
+
 def build_implicit_events(events: DataFrame) -> DataFrame:
     """Implicit-feedback interaction strengths from the event stream:
     confidence = weighted interaction count per (user, item-proxy).

@@ -312,3 +312,27 @@ def test_q_als_implicit_declared_config_deterministic(spark):
     h1 = _roundtrip_hash(ML.q_als_implicit(ev))
     h2 = _roundtrip_hash(ML.q_als_implicit(ev))
     assert h1 == h2
+
+
+def test_als_audit_serving_invariants(spark, ratings):
+    """q_als_audit (the ML4 serving-path audit twin): per-user ranks
+    are dense 1..n ordered by the underlying score; no (user, item)
+    pair from the seen set leaks through the exclude-seen anti-join;
+    pred_q stays inside the shifted clamp grid; users/items respect
+    the sampling modulus. The cross-engine exactness itself is the
+    driver/selfcheck hash row — this pins the serving contract."""
+    out = ML.q_als_audit(load_table(spark, SF, "lineitem"),
+                         load_table(spark, SF, "orders")).collect()
+    assert out, "audit produced no rows at sf0.001"
+    seen = {(r.user_id, r.item_id) for r in ratings.collect()}
+    by_user: dict[int, list] = {}
+    for r in out:
+        assert r.user_id % ML.AUDIT_MOD == 0
+        assert r.item_id % ML.AUDIT_MOD == 0
+        assert (r.user_id, r.item_id) not in seen
+        assert 0 <= r.pred_q <= (2 * ML.AUDIT_CLAMP) // ML.AUDIT_GRID
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, rows in by_user.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1)), u
+        assert len(rows) <= ML.AUDIT_TOPN
