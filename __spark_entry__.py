@@ -673,45 +673,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grid_search": lambda s, d: ML.q_grid_search(
             _t("lineitem")(s, d), _t("orders")(s, d)),
     }
-    # Driver-window rotation, round 11 (disclosed; the committed
+    # Driver-window rotation, round 12 (disclosed; the committed
     # CORRECTNESS_local.json selfcheck covers the FULL set every round
     # regardless — its `_meta.driver_window_first_50` /
     # `_meta.not_recorded_this_round` lists make the rotation
     # auditable). The external driver records only the first 50
-    # entries. The r11 window is exactly the r10 verdict's item 3:
-    #   1. ALL 46 queries whose latest driver row is r07 (the set
-    #      named in CORRECTNESS_local.json `_meta.coverage_note`),
-    #      so after r11 every declared query's latest driver row is
-    #      again ≤3 rounds old;
-    #   2. the two queries GRADUATED rows-only → oracle-exact this
-    #      round (q_approx_distinct, q_hll_union — portable HLL
-    #      registers + the hash-exact estimator): first HASH rows;
-    #   3. the two queries DECLARED this round: q_pipeline_llm (the
-    #      composed clean→scrub→decontaminate→select→mix+pack
-    #      pipeline) and q_simhash_sized (the sized simhash family's
-    #      beyond-floor 96/24 two-limb form).
+    # entries. The r12 window is exactly the r11 verdict's item 1:
+    #   1. q_image_dedup_groups FIRST — declared at 7e6ea5f after the
+    #      r11 window was fixed, the only query with no driver row;
+    #   2. ALL 48 queries whose latest driver row is r08, so after
+    #      r12 every declared query's latest driver row is again ≤3
+    #      rounds old (the floor a 50-wide window over 196 queries
+    #      allows);
+    #   3. q_pipeline_llm — its r11 row predates the r12 near-dedup
+    #      stage (new semantics need a fresh hash row; the oracle now
+    #      chains the nd CTEs).
+    # q_als_audit (declared r12 after this window was planned to
+    # capacity) is covered by the committed local selfcheck artifact;
+    # its first driver row leads the r13 window — the
+    # q_image_dedup_groups precedent.
     keys = list(q)
     priority = [
-        # -- r07-stale block (46), declaration order
-        "q_user_latest_ratings", "q_user_top_ratings", "q_movie_stats",
-        "q_user_rated_movies", "q_avg_recommendations",
-        "q_distinct_users", "q_candidates", "q_candidates_scalable",
-        "q_user_topn", "q_scalar_funcs", "q_set_ops", "q_upsert_latest",
-        "q_delete_antijoin", "q_implicit_fill", "q_merge_events",
-        "q_snapshot_diff", "q_text_stats", "q_token_counts",
-        "q_lang_id", "q_doc_fingerprint", "q_pii_redact", "q_bm25",
-        "q_dedup_exact", "q_dedup_jaccard", "q_minhash_eval",
-        "q_simhash_eval", "q_dedup_prefix", "q_pq_knn", "q_ivfpq_knn",
-        "q_kmv_distinct", "q_quantile_merge", "q_bloom_audit",
-        "q_twap", "q_audience_overlap", "q_seasonal_naive",
-        "q_new_vs_returning", "q_lag_features", "q_rolling_percentiles",
-        "q_interpolate", "q_winsorize", "q_khop",
-        "q_heavy_hitters_stream", "q_merge_stream", "q_stream_join_et",
-        "q_top_unshipped", "q_als_recs",
-        # -- graduated rows-only → oracle-exact this round (2)
-        "q_approx_distinct", "q_hll_union",
-        # -- new this round, never recorded (2)
-        "q_pipeline_llm", "q_simhash_sized",
+        # -- never recorded (declared post-r11-window)
+        "q_image_dedup_groups",
+        # -- r08-stale block (48), declaration order
+        "q_dedup_groups", "q_dedup_char_jaccard", "q_cc_chain_star",
+        "q_cc_chain_minlabel", "q_chunk_dedup", "q_chunk_prune",
+        "q_pagerank_chain", "q_dedup_canonical", "q_fuzzy_match",
+        "q_knn_brute", "q_embed_neardup", "q_embed_dedup_groups",
+        "q_multimodal_meta", "q_json_encode", "q_event_counters",
+        "q_event_windowed", "q_event_sliding", "q_pivot", "q_unpivot",
+        "q_rollup", "q_cube", "q_profile", "q_outer_join",
+        "q_asof_join", "q_salted_count", "q_sessionize", "q_funnel",
+        "q_funnel_window", "q_cohort", "q_rolling_window",
+        "q_stream_dedup", "q_scd2", "q_resample", "q_percentiles",
+        "q_outliers", "q_window_analytics", "q_range_join",
+        "q_tfidf_top_terms", "q_quality_score", "q_quality_classifier",
+        "q_chunk_knn", "q_hyperlsh_eval", "q_hll_audit", "q_kcore",
+        "q_label_prop", "q_image_neardup", "q_audio_neardup",
+        "q_video_scenes",
+        # -- semantics changed this round (r12 near-dedup stage)
+        "q_pipeline_llm",
     ]
     assert len(priority) == 50
     order = priority + [k for k in keys if k not in priority]
