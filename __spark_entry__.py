@@ -450,6 +450,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # already-declared operators chained as one lazy plan; the
         # oracle chains the stage oracles as CTEs, so the hash match
         # certifies every inter-stage handoff
+        # r12: + near-dedup stage (greedy smaller-partner simhash over
+        # the scrubbed text, oracle CTEs chained in) and the durable
+        # stage_dir= staging mode; declared at the pinned 56/14 nd
+        # width (the oracle's form — n_docs= is the at-scale sizing
+        # knob, measured in SCALE.md §Round 12)
         "q_pipeline_llm": lambda s, d: T.q_pipeline_llm(
             _t("documents")(s, d)),
         "q_unigram_logprob": lambda s, d: T.q_unigram_logprob(

@@ -371,6 +371,14 @@ def test_new_operator_shuffle_budgets(spark):
                                  # behind the docs2nd cut); each
                                  # stage's own budget is asserted on
                                  # its declared query
+        # round-12 additions
+        "q_als_audit": 6,        # ratings agg + user/item distincts
+                                 # (the bounded sample frames) +
+                                 # exclude-seen anti-join + the
+                                 # user-keyed rank window (WGL) +
+                                 # presentation sort; the score block
+                                 # itself is a broadcast cross attach
+                                 # — no exchange
         "q_jl_eval": 9,          # sample rank window + projection agg
                                  # + two vector-assembly aggs feeding
                                  # the single-task GEMMs + pair join +

@@ -218,23 +218,20 @@ def main() -> int:
             # this round (every one is strict-checked in THIS file)
             "not_recorded_this_round": names[50:],
             "coverage_note": (
-                "r11 window = ALL 46 queries whose latest driver row "
-                "is r07 (the r10 coverage_note's named rotation set, "
-                "executed), plus the two queries graduated rows-only "
-                "-> ORACLE-EXACT this round (q_approx_distinct, "
-                "q_hll_union - portable HLL registers + the "
-                "hash-exact estimator; first hash rows), plus the "
-                "two queries declared in r11 (q_pipeline_llm - the "
-                "composed clean->scrub->decontaminate->select->"
-                "mix+pack pipeline; q_simhash_sized - the sized "
-                "simhash family's beyond-floor 96/24 two-limb form; "
-                "first driver rows). After r11 every declared "
-                "query's latest driver row is <=3 rounds old: r10 "
-                "recorded the r06-stale block + the r10 "
-                "graduations/declarations, r09/r08 cover the rest, "
-                "and the 46 r07-stale queries land now. Next "
-                "rotation (r12): the 49 queries last recorded in "
-                "r08, then the r09 block in r13."),
+                "r12 window = q_image_dedup_groups FIRST (declared "
+                "at 7e6ea5f after the r11 window was fixed - the "
+                "only query with no driver row), plus ALL 48 queries "
+                "whose latest driver row is r08, plus q_pipeline_llm "
+                "(its r11 row predates the r12 near-dedup stage - "
+                "new semantics, fresh hash row; the oracle chains "
+                "the nd CTEs). After r12 every declared query's "
+                "latest driver row is <=3 rounds old EXCEPT "
+                "q_als_audit, declared in r12 after this window was "
+                "planned to capacity - it is strict-checked in THIS "
+                "file and leads the r13 window (the "
+                "q_image_dedup_groups precedent). Next rotation "
+                "(r13): q_als_audit first, then the 47-query r09 "
+                "block."),
         }}
         artifact.update(results)
         with open(emit, "w") as fh:
