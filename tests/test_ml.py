@@ -14,9 +14,16 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def ratings(spark):
-    return ML.build_ratings(
+    df = ML.build_ratings(
         load_table(spark, SF, "lineitem"), load_table(spark, SF, "orders")
     ).cache()
+    yield df
+    # Unpersist at module teardown: Spark's cache manager substitutes
+    # any LATER query whose plan contains this fragment (q_als_audit
+    # composes build_ratings on the same tables), which changes its
+    # physical plan and broke test_plans' exchange budgets when the
+    # whole suite runs in one session.
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
@@ -37,12 +44,17 @@ def test_ratings_domain(ratings):
 
 def test_topn_structure(model, ratings):
     recs = ML.recommend_top_n(model, n=5).cache()
-    per_user = recs.groupBy("user_id").count()
-    assert per_user.filter("count != 5").count() == 0
-    # scores clamped into rating domain (ML5)
-    assert recs.filter((F.col("score") < 0.5) | (F.col("score") > 5.0)).count() == 0
-    # ranks are 1..5
-    assert recs.filter((F.col("rank") < 1) | (F.col("rank") > 5)).count() == 0
+    try:
+        per_user = recs.groupBy("user_id").count()
+        assert per_user.filter("count != 5").count() == 0
+        # scores clamped into rating domain (ML5)
+        assert recs.filter(
+            (F.col("score") < 0.5) | (F.col("score") > 5.0)).count() == 0
+        # ranks are 1..5
+        assert recs.filter(
+            (F.col("rank") < 1) | (F.col("rank") > 5)).count() == 0
+    finally:
+        recs.unpersist()
     # every user with ratings got recs
     n_users = ratings.select("user_id").distinct().count()
     assert per_user.count() == n_users

@@ -88,6 +88,14 @@ def test_new_operator_shuffle_budgets(spark):
 
     from movie_rec_spark.plans import count_exchanges
 
+    # The budgets are statements about the UNCACHED plans: a .cache()
+    # leaked by an earlier suite file substitutes InMemoryRelation into
+    # any later query sharing the fragment (Spark's cache manager
+    # matches plan subtrees), and the serialized cached plan carries
+    # its own Exchange lines — q_als_audit measured 9 > 6 with
+    # test_ml's ratings cache live. Start from a clean cache.
+    spark.catalog.clearCache()
+
     budgets = {
         "q_asof_join": 1,       # single fused window
         "q_sessionize": 1,      # session_window agg
