@@ -620,6 +620,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hamming; the oracle computes the ideal math end to end
         "q_video_scenes": lambda s, d: MM.q_video_scenes(
             _t("documents")(s, d)),
+        # r12: the COMPOSED multimodal curation pipeline — image +
+        # audio near-dup union -> greedy smaller-partner drop ->
+        # video scene metadata on the SURVIVOR set -> shard layout,
+        # one lazy plan; the footer count sizes the image hash width
+        # (floor = the declared 56-bit form at test scale)
+        "q_pipeline_media": lambda s, d: MM.q_pipeline_media(
+            _t("documents")(s, d), n_docs=table_rows(d, "documents")),
         "q_recommend": lambda s, d: R.q_recommend(
             _t("lineitem")(s, d), _t("orders")(s, d)),
         # S4/S5 as a REGISTERED Spark-4 Python Data Source: planned id
@@ -1767,6 +1774,198 @@ def oracle_sql() -> dict[str, str]:
                      FROM segs a JOIN segs b
                        ON a.s = b.s AND a.v = b.v
                           AND a.doc_id < b.doc_id)"""
+
+    # The three codec-family oracles as reusable locals: each declared
+    # query binds one verbatim, and q_pipeline_media chains all three
+    # as nested CTE subqueries — the SAME SQL text, so the composed
+    # hash row inherits each family's codec-roundtrip proof.
+    img_neardup_sql = f"""{_img_width_marker}
+            WITH {_img_pair_ctes}
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER)
+                       AS hamming
+            FROM cand
+            WHERE bit_count(xor(sig_a, sig_b)) <= {MM.PHASH_HMAX}
+            ORDER BY doc_a, doc_b
+        """
+
+    def _aud_neardup_sql(src: str) -> str:
+        # q_audio_neardup oracle body over ``src`` (a table or an
+        # outer CTE): the ideal md5->int16-sample->frame-energy->
+        # envelope-bit arithmetic, computed directly — the engine
+        # reaches the same rows only if its stdlib-wave WAV write and
+        # read invert each other exactly (LE int16 packing, header
+        # layout). Same pigeonhole/verify tail as the image oracle.
+        return f"""
+            WITH d AS (SELECT doc_id FROM {src}),
+            sm AS (SELECT d.doc_id, i.i,
+                      CASE WHEN i.i // {MM.AFP_FRAME}
+                                = 3 * (d.doc_id % {MM.AFP_GROUP})
+                           THEN CAST('0x' || substring(md5(concat_ws(
+                                ':', 'paud', d.doc_id, i.i // 8)),
+                                4 * (i.i % 8) + 1, 4) AS BIGINT)
+                                - 32768
+                           ELSE CAST('0x' || substring(md5(concat_ws(
+                                ':', 'aud',
+                                d.doc_id // {MM.AFP_GROUP}, i.i // 8)),
+                                4 * (i.i % 8) + 1, 4) AS BIGINT)
+                                - 32768
+                      END AS v
+                   FROM d,
+                        (SELECT unnest(range(0,
+                            {MM.AFP_FRAMES * MM.AFP_FRAME})) AS i) i),
+            e AS (SELECT doc_id, i // {MM.AFP_FRAME} AS f,
+                         sum(v * v) AS e
+                  FROM sm GROUP BY 1, 2),
+            sig AS (SELECT a.doc_id,
+                           CAST(sum(CASE WHEN a.e < b.e
+                                    THEN (CAST(1 AS BIGINT) << a.f)
+                                    ELSE 0 END) AS BIGINT) AS sig
+                    FROM e a JOIN e b
+                      ON b.doc_id = a.doc_id AND b.f = a.f + 1
+                    GROUP BY 1),
+            segs AS (SELECT doc_id, sig, s.s,
+                            (sig >> ({56 // MM.PHASH_SEGS} * s.s))
+                            & {(1 << (56 // MM.PHASH_SEGS)) - 1} AS v
+                     FROM sig,
+                          (SELECT unnest(range(0, {MM.PHASH_SEGS}))
+                              AS s) s),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a,
+                            b.doc_id AS doc_b, b.sig AS sig_b
+                     FROM segs a JOIN segs b
+                       ON a.s = b.s AND a.v = b.v
+                          AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER)
+                       AS hamming
+            FROM cand
+            WHERE bit_count(xor(sig_a, sig_b)) <= {MM.AFP_HMAX}
+            ORDER BY doc_a, doc_b
+        """
+
+    def _vid_scenes_sql(src: str) -> str:
+        # q_video_scenes oracle body over ``src``: ideal per-frame
+        # pixel->dHash->lag-hamming math from the md5 arithmetic —
+        # the engine reaches the same rows only if MRSV container
+        # framing AND every frame's BMP roundtrip are byte-exact.
+        return f"""
+            WITH d AS (SELECT doc_id FROM {src}),
+            fr AS (SELECT d.doc_id, f.f,
+                          2 + CAST('0x' || substring(md5('cut:'
+                              || CAST(d.doc_id AS VARCHAR)), 1, 2)
+                              AS BIGINT) % 5 AS cut
+                   FROM d,
+                        (SELECT unnest(range(0, {MM.VID_FRAMES}))
+                            AS f) f),
+            px AS (SELECT fr.doc_id, fr.f, y.y, x.x,
+                      CASE WHEN y.y // {MM.PHASH_BLOCK}
+                                = fr.f % {MM.PHASH_GRID_H}
+                            AND x.x // {MM.PHASH_BLOCK}
+                                = 2 * (fr.f % 4)
+                           THEN CAST('0x' || substring(md5(concat_ws(
+                                ':', 'vp', fr.doc_id, fr.f,
+                                y.y, x.x // 16)),
+                                2 * (x.x % 16) + 1, 2) AS BIGINT)
+                           ELSE CAST('0x' || substring(md5(concat_ws(
+                                ':', 'vs', fr.doc_id,
+                                CASE WHEN fr.f < fr.cut
+                                     THEN 0 ELSE 1 END,
+                                y.y, x.x // 16)),
+                                2 * (x.x % 16) + 1, 2) AS BIGINT)
+                      END AS v
+                   FROM fr,
+                        (SELECT unnest(range(0,
+                            {MM.PHASH_GRID_H * MM.PHASH_BLOCK})) AS y) y,
+                        (SELECT unnest(range(0,
+                            {MM.PHASH_GRID_W * MM.PHASH_BLOCK})) AS x) x),
+            g AS (SELECT doc_id, f, y // {MM.PHASH_BLOCK} AS r,
+                         x // {MM.PHASH_BLOCK} AS c,
+                         sum(v) // {MM.PHASH_BLOCK * MM.PHASH_BLOCK} AS g
+                  FROM px GROUP BY 1, 2, 3, 4),
+            sig AS (SELECT a.doc_id, a.f,
+                           CAST(sum(CASE WHEN a.g < b.g
+                                    THEN (CAST(1 AS BIGINT)
+                                          << (a.r * 8 + a.c))
+                                    ELSE 0 END) AS BIGINT) AS sig
+                    FROM g a JOIN g b
+                      ON b.doc_id = a.doc_id AND b.f = a.f
+                         AND b.r = a.r AND b.c = a.c + 1
+                    GROUP BY 1, 2)
+            SELECT s.doc_id, s.f AS frame_idx,
+                   CAST(bit_count(xor(s.sig, p.sig)) AS INTEGER)
+                       AS hamming,
+                   CAST(bit_count(xor(s.sig, p.sig)) > {MM.VSC_HMAX}
+                        AS INTEGER) AS is_cut
+            FROM sig s JOIN sig p
+              ON p.doc_id = s.doc_id AND p.f = s.f - 1
+            ORDER BY s.doc_id, frame_idx
+        """
+
+    # q_pipeline_media: the composed multimodal curation pipeline —
+    # image + audio near-dup oracles (nested verbatim) feed the
+    # greedy smaller-partner drop; the video oracle runs over the
+    # SURVIVOR set (an outer CTE as its source — dedup before the
+    # most expensive per-frame analysis, mirroring the Spark plan);
+    # stable-bucket shard + per-shard dense position close the
+    # manifest. The per-modality hamming sums are the certification
+    # columns (the drop sets coincide on the committed fixtures —
+    # membership alone would not prove the audio math participates).
+    pipeline_media_sql = f"""
+            WITH ip AS (SELECT doc_a, doc_b, hamming
+                        FROM ({img_neardup_sql})),
+            ap AS (SELECT doc_a, doc_b, hamming
+                   FROM ({_aud_neardup_sql('documents')})),
+            dropped AS (SELECT DISTINCT doc_b AS doc_id
+                        FROM (SELECT doc_b FROM ip
+                              UNION ALL SELECT doc_b FROM ap)),
+            kept AS (SELECT d.doc_id FROM documents d
+                     LEFT JOIN dropped x ON d.doc_id = x.doc_id
+                     WHERE x.doc_id IS NULL),
+            img AS (SELECT doc_a AS doc_id,
+                           CAST(sum(hamming) AS INTEGER) AS img_ham
+                    FROM ip GROUP BY doc_a),
+            aud AS (SELECT doc_a AS doc_id,
+                           CAST(sum(hamming) AS INTEGER) AS aud_ham
+                    FROM ap GROUP BY doc_a),
+            nd AS (SELECT doc_a AS doc_id,
+                          CAST(count(DISTINCT doc_b) AS INTEGER)
+                              AS n_dups
+                   FROM (SELECT doc_a, doc_b FROM ip
+                         UNION ALL SELECT doc_a, doc_b FROM ap)
+                   GROUP BY doc_a),
+            scn AS (SELECT doc_id, frame_idx, is_cut
+                    FROM ({_vid_scenes_sql('kept')})),
+            vid AS (SELECT doc_id,
+                           CAST(sum(is_cut) AS INTEGER) AS n_cuts,
+                           CAST(max(CASE WHEN is_cut = 1
+                                    THEN frame_idx END) AS INTEGER)
+                               AS cut_frame
+                    FROM scn GROUP BY doc_id),
+            lay AS (SELECT doc_id,
+                           CAST(CAST('0x' || substring(
+                               md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                               AS BIGINT) % {MM.MEDIA_SHARDS}
+                               AS INTEGER) AS shard
+                    FROM kept),
+            pos AS (SELECT doc_id, shard,
+                           CAST(row_number() OVER (
+                               PARTITION BY shard ORDER BY doc_id)
+                               AS INTEGER) AS pos
+                    FROM lay)
+            SELECT p.doc_id,
+                   CAST(coalesce(nd.n_dups, 0) AS INTEGER) AS n_dups,
+                   CAST(coalesce(img.img_ham, 0) AS INTEGER)
+                       AS img_ham,
+                   CAST(coalesce(aud.aud_ham, 0) AS INTEGER)
+                       AS aud_ham,
+                   vid.n_cuts, vid.cut_frame, p.shard, p.pos
+            FROM pos p
+            LEFT JOIN nd ON nd.doc_id = p.doc_id
+            LEFT JOIN img ON img.doc_id = p.doc_id
+            LEFT JOIN aud ON aud.doc_id = p.doc_id
+            JOIN vid ON vid.doc_id = p.doc_id
+            ORDER BY p.doc_id
+        """
 
     dedup_simhash_sql = _sh_n_marker + _simhash_sql(
         *D.simhash_sized_params(_sh_n, D.SHP_HMAX))
@@ -3185,15 +3384,7 @@ def oracle_sql() -> dict[str, str]:
         # (image_sized_grid), whose floor covers the committed
         # fixtures — _img_width_marker makes any future above-floor
         # fixture self-identifying instead of silently desyncing.
-        "q_image_neardup": f"""{_img_width_marker}
-            WITH {_img_pair_ctes}
-            SELECT doc_a, doc_b,
-                   CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER)
-                       AS hamming
-            FROM cand
-            WHERE bit_count(xor(sig_a, sig_b)) <= {MM.PHASH_HMAX}
-            ORDER BY doc_a, doc_b
-        """,
+        "q_image_neardup": img_neardup_sql,
         # r11: the pairs -> groups manifest (recursive-CTE closure over
         # the SAME shared pair CTEs; the q_embed_dedup_groups doctrine)
         "q_image_dedup_groups": f"""{_img_width_marker}
@@ -3218,108 +3409,17 @@ def oracle_sql() -> dict[str, str]:
         # write and read invert each other exactly (LE int16 packing,
         # header layout). Same pigeonhole/verify tail as the image
         # oracle.
-        "q_audio_neardup": f"""
-            WITH d AS (SELECT doc_id FROM documents),
-            sm AS (SELECT d.doc_id, i.i,
-                      CASE WHEN i.i // {MM.AFP_FRAME}
-                                = 3 * (d.doc_id % {MM.AFP_GROUP})
-                           THEN CAST('0x' || substring(md5(concat_ws(
-                                ':', 'paud', d.doc_id, i.i // 8)),
-                                4 * (i.i % 8) + 1, 4) AS BIGINT)
-                                - 32768
-                           ELSE CAST('0x' || substring(md5(concat_ws(
-                                ':', 'aud',
-                                d.doc_id // {MM.AFP_GROUP}, i.i // 8)),
-                                4 * (i.i % 8) + 1, 4) AS BIGINT)
-                                - 32768
-                      END AS v
-                   FROM d,
-                        (SELECT unnest(range(0,
-                            {MM.AFP_FRAMES * MM.AFP_FRAME})) AS i) i),
-            e AS (SELECT doc_id, i // {MM.AFP_FRAME} AS f,
-                         sum(v * v) AS e
-                  FROM sm GROUP BY 1, 2),
-            sig AS (SELECT a.doc_id,
-                           CAST(sum(CASE WHEN a.e < b.e
-                                    THEN (CAST(1 AS BIGINT) << a.f)
-                                    ELSE 0 END) AS BIGINT) AS sig
-                    FROM e a JOIN e b
-                      ON b.doc_id = a.doc_id AND b.f = a.f + 1
-                    GROUP BY 1),
-            segs AS (SELECT doc_id, sig, s.s,
-                            (sig >> ({56 // MM.PHASH_SEGS} * s.s))
-                            & {(1 << (56 // MM.PHASH_SEGS)) - 1} AS v
-                     FROM sig,
-                          (SELECT unnest(range(0, {MM.PHASH_SEGS}))
-                              AS s) s),
-            cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a,
-                            b.doc_id AS doc_b, b.sig AS sig_b
-                     FROM segs a JOIN segs b
-                       ON a.s = b.s AND a.v = b.v
-                          AND a.doc_id < b.doc_id)
-            SELECT doc_a, doc_b,
-                   CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER)
-                       AS hamming
-            FROM cand
-            WHERE bit_count(xor(sig_a, sig_b)) <= {MM.AFP_HMAX}
-            ORDER BY doc_a, doc_b
-        """,
+        "q_audio_neardup": _aud_neardup_sql("documents"),
         # q_video_scenes oracle: ideal per-frame pixel->dHash->lag-
         # hamming math from the md5 arithmetic — the engine reaches
         # the same rows only if MRSV container framing AND every
         # frame's BMP roundtrip are byte-exact.
-        "q_video_scenes": f"""
-            WITH d AS (SELECT doc_id FROM documents),
-            fr AS (SELECT d.doc_id, f.f,
-                          2 + CAST('0x' || substring(md5('cut:'
-                              || CAST(d.doc_id AS VARCHAR)), 1, 2)
-                              AS BIGINT) % 5 AS cut
-                   FROM d,
-                        (SELECT unnest(range(0, {MM.VID_FRAMES}))
-                            AS f) f),
-            px AS (SELECT fr.doc_id, fr.f, y.y, x.x,
-                      CASE WHEN y.y // {MM.PHASH_BLOCK}
-                                = fr.f % {MM.PHASH_GRID_H}
-                            AND x.x // {MM.PHASH_BLOCK}
-                                = 2 * (fr.f % 4)
-                           THEN CAST('0x' || substring(md5(concat_ws(
-                                ':', 'vp', fr.doc_id, fr.f,
-                                y.y, x.x // 16)),
-                                2 * (x.x % 16) + 1, 2) AS BIGINT)
-                           ELSE CAST('0x' || substring(md5(concat_ws(
-                                ':', 'vs', fr.doc_id,
-                                CASE WHEN fr.f < fr.cut
-                                     THEN 0 ELSE 1 END,
-                                y.y, x.x // 16)),
-                                2 * (x.x % 16) + 1, 2) AS BIGINT)
-                      END AS v
-                   FROM fr,
-                        (SELECT unnest(range(0,
-                            {MM.PHASH_GRID_H * MM.PHASH_BLOCK})) AS y) y,
-                        (SELECT unnest(range(0,
-                            {MM.PHASH_GRID_W * MM.PHASH_BLOCK})) AS x) x),
-            g AS (SELECT doc_id, f, y // {MM.PHASH_BLOCK} AS r,
-                         x // {MM.PHASH_BLOCK} AS c,
-                         sum(v) // {MM.PHASH_BLOCK * MM.PHASH_BLOCK} AS g
-                  FROM px GROUP BY 1, 2, 3, 4),
-            sig AS (SELECT a.doc_id, a.f,
-                           CAST(sum(CASE WHEN a.g < b.g
-                                    THEN (CAST(1 AS BIGINT)
-                                          << (a.r * 8 + a.c))
-                                    ELSE 0 END) AS BIGINT) AS sig
-                    FROM g a JOIN g b
-                      ON b.doc_id = a.doc_id AND b.f = a.f
-                         AND b.r = a.r AND b.c = a.c + 1
-                    GROUP BY 1, 2)
-            SELECT s.doc_id, s.f AS frame_idx,
-                   CAST(bit_count(xor(s.sig, p.sig)) AS INTEGER)
-                       AS hamming,
-                   CAST(bit_count(xor(s.sig, p.sig)) > {MM.VSC_HMAX}
-                        AS INTEGER) AS is_cut
-            FROM sig s JOIN sig p
-              ON p.doc_id = s.doc_id AND p.f = s.f - 1
-            ORDER BY s.doc_id, frame_idx
-        """,
+        "q_video_scenes": _vid_scenes_sql("documents"),
+        # r12: the composed multimodal curation pipeline — the three
+        # codec oracles chained (audio/image pairs -> greedy drop ->
+        # video over survivors -> shard layout); ONE hash row
+        # certifies the codec families compose
+        "q_pipeline_media": pipeline_media_sql,
         # Chain graph = maximal runs of consecutive ids inside an
         # id-block, so CC reduces to gaps-and-islands SQL — no recursion
         # needed; comp = min id of the run. Both CC variants share it.

@@ -656,13 +656,17 @@ def _bmp_sig(payload: bytes, grid_w: int = PHASH_GRID_W,
 
 def sig_neardup_pairs(sigs: DataFrame, hamming_max: int = PHASH_HMAX,
                       sig_bits: int = 56,
-                      n_segs: int = PHASH_SEGS) -> DataFrame:
+                      n_segs: int = PHASH_SEGS,
+                      sort: bool = True) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs within ``hamming_max`` over a
     (doc_id, sig) frame — pigeonhole segment blocking + exact
     bit_count verify, shared by the image (dHash) and audio
     (energy-envelope) fingerprint near-dups. Exact for hamming_max <
     n_segs (a pair within the radius cannot differ in every
-    segment)."""
+    segment). ``sort=False`` skips the presentation sort for
+    compositions that consume the pair SET (q_pipeline_media) — a
+    global range Exchange over the candidate pairs bought nothing
+    there."""
     seg_w = sig_bits // n_segs
     segs = sigs.select(
         "doc_id", "sig",
@@ -677,7 +681,7 @@ def sig_neardup_pairs(sigs: DataFrame, hamming_max: int = PHASH_HMAX,
     b = segs.select(F.col("doc_id").alias("doc_b"),
                     F.col("sig").alias("sig_b"),
                     F.col("seg.s").alias("s"), F.col("seg.v").alias("v"))
-    return (
+    out = (
         a.join(b, ["s", "v"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b",
@@ -685,8 +689,8 @@ def sig_neardup_pairs(sigs: DataFrame, hamming_max: int = PHASH_HMAX,
                 .alias("hamming"))
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= hamming_max)
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if sort else out
 
 
 def image_sized_grid(n_docs: int, hamming_max: int = PHASH_HMAX) -> int:
@@ -722,7 +726,8 @@ def image_sized_grid(n_docs: int, hamming_max: int = PHASH_HMAX) -> int:
 
 def q_image_neardup(documents: DataFrame,
                     hamming_max: int = PHASH_HMAX,
-                    n_docs: int | None = None) -> DataFrame:
+                    n_docs: int | None = None,
+                    sort: bool = True) -> DataFrame:
     """Declared query: perceptual-hash image near-dup pairs over the
     synthetic BMP corpus — (doc_a, doc_b, hamming) for every pair
     within ``hamming_max`` dHash bits. See the module-level block
@@ -752,9 +757,9 @@ def q_image_neardup(documents: DataFrame,
         gh = image_sized_grid(n_docs, hamming_max)
         if gh != PHASH_GRID_H:
             return image_neardup_wide(documents, hamming_max,
-                                      grid_h=gh)
+                                      grid_h=gh, sort=sort)
     sigs = bmp_dhash(synth_bmp(documents)).localCheckpoint(eager=False)
-    return sig_neardup_pairs(sigs, hamming_max)
+    return sig_neardup_pairs(sigs, hamming_max, sort=sort)
 
 
 def q_image_dedup_groups(documents: DataFrame,
@@ -839,7 +844,8 @@ def bmp_dhash_segs(payloads: DataFrame, grid_h: int = WIDE_GRID_H,
 
 
 def sig_array_neardup_pairs(sigs: DataFrame,
-                            hamming_max: int = PHASH_HMAX) -> DataFrame:
+                            hamming_max: int = PHASH_HMAX,
+                            sort: bool = True) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs within ``hamming_max`` over a
     (doc_id, sig array<bigint>) frame — pigeonhole blocking where the
     segment ARRAY is the signature: explode (idx, value), equi-join,
@@ -855,7 +861,7 @@ def sig_array_neardup_pairs(sigs: DataFrame,
                     F.col("sig").alias("sig_a"), "s", "v")
     b = segs.select(F.col("doc_id").alias("doc_b"),
                     F.col("sig").alias("sig_b"), "s", "v")
-    return (
+    out = (
         a.join(b, ["s", "v"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b",
@@ -865,13 +871,14 @@ def sig_array_neardup_pairs(sigs: DataFrame,
                 .alias("hamming"))
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= hamming_max)
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if sort else out
 
 
 def image_neardup_wide(documents: DataFrame,
                        hamming_max: int = PHASH_HMAX,
-                       grid_h: int = WIDE_GRID_H) -> DataFrame:
+                       grid_h: int = WIDE_GRID_H,
+                       sort: bool = True) -> DataFrame:
     """q_image_neardup at PRODUCTION hash width (128-bit dHash by
     default) — same synth→decode→block→verify pipeline, wider grid;
     segments = hamming_max+1 (PHASH_SEGS at the default radius — the
@@ -885,7 +892,7 @@ def image_neardup_wide(documents: DataFrame,
     sigs = (bmp_dhash_segs(synth_bmp(documents, grid_h=grid_h),
                            grid_h=grid_h, n_segs=n_segs)
             .localCheckpoint(eager=False))
-    return sig_array_neardup_pairs(sigs, hamming_max)
+    return sig_array_neardup_pairs(sigs, hamming_max, sort=sort)
 
 
 # ---------------------------------------------------------------------------
@@ -1016,7 +1023,8 @@ def wav_fingerprint(payloads: DataFrame) -> DataFrame:
 
 
 def q_audio_neardup(documents: DataFrame,
-                    hamming_max: int = AFP_HMAX) -> DataFrame:
+                    hamming_max: int = AFP_HMAX,
+                    sort: bool = True) -> DataFrame:
     """Declared query: audio fingerprint near-dup pairs over the
     synthetic WAV corpus — (doc_a, doc_b, hamming) within
     ``hamming_max`` envelope bits. The DuckDB oracle computes the
@@ -1031,7 +1039,7 @@ def q_audio_neardup(documents: DataFrame,
     kernel in the same Arrow slot."""
     sigs = wav_fingerprint(synth_wav(documents)) \
         .localCheckpoint(eager=False)
-    return sig_neardup_pairs(sigs, hamming_max)
+    return sig_neardup_pairs(sigs, hamming_max, sort=sort)
 
 
 # ---------------------------------------------------------------------------
@@ -1141,7 +1149,8 @@ def video_frame_sigs(payloads: DataFrame) -> DataFrame:
 
 
 def q_video_scenes(documents: DataFrame,
-                   hamming_max: int = VSC_HMAX) -> DataFrame:
+                   hamming_max: int = VSC_HMAX,
+                   sort: bool = True) -> DataFrame:
     """Declared query: per-frame scene-cut detection over the
     synthetic MRSV clips — (doc_id, frame_idx 1.., hamming vs the
     previous frame, is_cut). See the block comment: the DuckDB oracle
@@ -1154,12 +1163,130 @@ def q_video_scenes(documents: DataFrame,
     |docs|·VID_FRAMES tiny rows."""
     sigs = video_frame_sigs(synth_video(documents))
     w = Window.partitionBy("doc_id").orderBy("frame_idx")
-    return (sigs
-            .withColumn("prev_sig", F.lag("sig").over(w))
-            .filter(F.col("prev_sig").isNotNull())
-            .select("doc_id", "frame_idx",
-                    F.expr("bit_count(sig ^ prev_sig)").cast("int")
-                    .alias("hamming"))
-            .withColumn("is_cut",
-                        (F.col("hamming") > hamming_max).cast("int"))
-            .orderBy("doc_id", "frame_idx"))
+    out = (sigs
+           .withColumn("prev_sig", F.lag("sig").over(w))
+           .filter(F.col("prev_sig").isNotNull())
+           .select("doc_id", "frame_idx",
+                   F.expr("bit_count(sig ^ prev_sig)").cast("int")
+                   .alias("hamming"))
+           .withColumn("is_cut",
+                       (F.col("hamming") > hamming_max).cast("int")))
+    return out.orderBy("doc_id", "frame_idx") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# q_pipeline_media — the COMPOSED multimodal curation pipeline
+# ---------------------------------------------------------------------------
+MEDIA_SHARDS = 8
+
+
+def q_pipeline_media(documents: DataFrame,
+                     hamming_max: int = PHASH_HMAX,
+                     audio_hmax: int = AFP_HMAX,
+                     n_docs: int | None = None,
+                     n_shards: int = MEDIA_SHARDS,
+                     stage_dir: str | None = None) -> DataFrame:
+    """Declared query (r12): the COMPOSED multimodal curation
+    pipeline — q_pipeline_llm's sibling for the codec families. Every
+    stage is an already-declared operator, chained as ONE lazy plan,
+    so a single hash row certifies that the three codec paths (BMP
+    image, WAV audio, MRSV video container) COMPOSE — which no
+    single-modality query proves:
+
+        1. image near-dup  — q_image_neardup (real BMP encode→parse→
+                             dHash→pigeonhole blocking)
+        2. audio near-dup  — q_audio_neardup (real WAV roundtrip→
+                             energy envelope→same blocking)
+        3. cross-modal     — a doc within radius of a smaller-id doc
+           near-dedup        in EITHER modality is DROPPED (the
+                             greedy smaller-partner rule of
+                             q_pipeline_llm's nd stage: every
+                             within-radius pair loses its larger
+                             member, lazily — no iterative closure;
+                             q_image_dedup_groups exists for
+                             component-canonical semantics)
+        4. video metadata  — q_video_scenes runs ONLY on the shrunk
+                             survivor set (dedup before the most
+                             expensive per-frame analysis — the
+                             curation-order scale rule), aggregated
+                             to per-clip (n_cuts, cut_frame)
+        5. layout          — stable-bucket shard + dense per-shard
+                             position (the shipping manifest)
+
+    Output: one row per SHIPPED media doc — (doc_id, n_dups, img_ham,
+    aud_ham, n_cuts, cut_frame, shard, pos), ordered by doc_id.
+    n_dups = distinct larger-id within-radius partners this survivor
+    absorbed (either modality); img_ham / aud_ham = the sum of
+    per-modality hamming distances to those partners. The hamming
+    sums are the CERTIFICATION columns: on the committed fixtures the
+    image and audio DROP sets coincide (both synth families group
+    docs 4-by-4), so kept-set membership alone would not prove the
+    audio arithmetic participates — but any error in either
+    modality's signature math changes its hamming sum. The DuckDB
+    oracle chains the three codec oracles (ideal md5→pixel/sample→
+    hash math) as CTEs, so the hash row certifies every inter-stage
+    handoff AND each codec roundtrip.
+
+    Scale shape: no driver collect anywhere (spy-tested); synth/
+    decode/fingerprint are map-only Arrow stages; both pair stages
+    are blocked pigeonhole equi-joins (``n_docs`` sizes the image
+    hash width via ``image_sized_grid`` — 56-bit declared form below
+    the 16k-doc floor); video — the heaviest per-doc stage — sees
+    only survivors. Multiply-referenced handoffs (each pair set feeds
+    its hamming agg + the drop union; kept feeds video, layout, and
+    the output joins) are cut via ``stage_dir`` parquet staging
+    (durable, resumable) or ``localCheckpoint`` (test-scale default)
+    — the q_pipeline_llm staging contract, same trade documented
+    there.
+
+    Reference analogue: prepare_dataset.py:88-160 chains clean →
+    transform → load for ratings; this is that composition for the
+    multimodal corpus."""
+    from movie_rec_spark.functions import stable_bucket
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        if stage_dir is None:
+            return df.localCheckpoint(eager=False)
+        path = f"{stage_dir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    ip = _stage(q_image_neardup(documents, hamming_max,
+                                n_docs=n_docs, sort=False),
+                "image_pairs")
+    ap = _stage(q_audio_neardup(documents, audio_hmax, sort=False),
+                "audio_pairs")
+    dropped = (ip.select(F.col("doc_b").alias("doc_id"))
+               .union(ap.select(F.col("doc_b").alias("doc_id")))
+               .distinct())
+    kept = _stage(
+        documents.select("doc_id").join(dropped, "doc_id", "left_anti"),
+        "kept")
+    img = ip.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.sum("hamming").cast("int").alias("img_ham"))
+    aud = ap.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.sum("hamming").cast("int").alias("aud_ham"))
+    nd = (ip.select("doc_a", "doc_b")
+          .union(ap.select("doc_a", "doc_b"))
+          .groupBy(F.col("doc_a").alias("doc_id"))
+          .agg(F.countDistinct("doc_b").cast("int").alias("n_dups")))
+    vid = (q_video_scenes(kept, sort=False)
+           .groupBy("doc_id")
+           .agg(F.sum("is_cut").cast("int").alias("n_cuts"),
+                F.max(F.when(F.col("is_cut") == 1, F.col("frame_idx")))
+                .cast("int").alias("cut_frame")))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    return (kept
+            .withColumn("shard",
+                        stable_bucket(F.col("doc_id"), n_shards))
+            .withColumn("pos", F.row_number().over(w))
+            .join(nd, "doc_id", "left")
+            .join(img, "doc_id", "left")
+            .join(aud, "doc_id", "left")
+            .join(vid, "doc_id")
+            .select("doc_id",
+                    F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+                    F.coalesce("img_ham", F.lit(0)).alias("img_ham"),
+                    F.coalesce("aud_ham", F.lit(0)).alias("aud_ham"),
+                    "n_cuts", "cut_frame", "shard", "pos")
+            .orderBy("doc_id"))

@@ -569,3 +569,123 @@ def test_image_dedup_groups_canonical_manifest(spark):
     # the planted structure: groups are PHASH_GROUP-sized id blocks
     assert all(c == (d // MM.PHASH_GROUP) * MM.PHASH_GROUP
                for d, c in got.items())
+
+
+def _media_mirror(n):
+    """Independent pure-Python mirror of the COMPOSED media pipeline:
+    brute-force both modality pair sets from the definitional math
+    (_synth_pixel / _synth_sample — never the codec bytes), apply the
+    greedy smaller-partner drop on the union, then rebuild the
+    manifest columns (dup counts, per-modality hamming sums, the
+    md5-derived cut frame, stable-bucket shard, per-shard dense
+    position)."""
+    import hashlib
+    import itertools
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    isigs = _dhash_mirror(range(n))
+
+    def audio_sig(d):
+        e = [sum(MM._synth_sample(d, f * MM.AFP_FRAME + k) ** 2
+                 for k in range(MM.AFP_FRAME))
+             for f in range(MM.AFP_FRAMES)]
+        s = 0
+        for b in range(MM.AFP_FRAMES - 1):
+            if e[b] < e[b + 1]:
+                s |= 1 << b
+        return s
+
+    asigs = {d: audio_sig(d) for d in range(n)}
+    ip = {(a, b): bin(isigs[a] ^ isigs[b]).count("1")
+          for a, b in itertools.combinations(range(n), 2)
+          if bin(isigs[a] ^ isigs[b]).count("1") <= MM.PHASH_HMAX}
+    ap = {(a, b): bin(asigs[a] ^ asigs[b]).count("1")
+          for a, b in itertools.combinations(range(n), 2)
+          if bin(asigs[a] ^ asigs[b]).count("1") <= MM.AFP_HMAX}
+    dropped = {b for _, b in ip} | {b for _, b in ap}
+    kept = sorted(set(range(n)) - dropped)
+    rows = {}
+    for d in kept:
+        partners = ({b for a, b in ip if a == d}
+                    | {b for a, b in ap if a == d})
+        rows[d] = {
+            "n_dups": len(partners),
+            "img_ham": sum(h for (a, _), h in ip.items() if a == d),
+            "aud_ham": sum(h for (a, _), h in ap.items() if a == d),
+            "n_cuts": 1,
+            "cut_frame": MM._video_cut(d),
+            "shard": int(hashlib.md5(str(d).encode())
+                         .hexdigest()[:8], 16) % MM.MEDIA_SHARDS,
+        }
+    for shard in range(MM.MEDIA_SHARDS):
+        pos = 0
+        for d in kept:
+            if rows[d]["shard"] == shard:
+                pos += 1
+                rows[d]["pos"] = pos
+    return rows
+
+
+def test_pipeline_media_matches_pure_python_mirror(spark):
+    """The composed multimodal pipeline equals the independent mirror
+    on every manifest column — kept-set membership (greedy
+    smaller-partner drop over the UNION of both modality pair sets),
+    the per-modality hamming certification sums, the video cut
+    metadata, and the shard/pos layout."""
+    from pyspark.sql import Row
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    n = 48
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(n)])
+    want = _media_mirror(n)
+    out = {r.doc_id: r for r in MM.q_pipeline_media(docs).collect()}
+    assert set(out) == set(want), "kept set diverges from mirror"
+    for d, w in want.items():
+        got = out[d]
+        for col, val in w.items():
+            assert getattr(got, col) == val, (d, col, getattr(got, col), val)
+
+
+def test_pipeline_media_staged_equals_checkpointed(spark, tmp_path):
+    """stage_dir= parquet staging (the durable cluster-scale handoff
+    mode, q_pipeline_llm's contract) is a pure execution-strategy
+    choice: identical rows, every stage independently inspectable."""
+    import os
+
+    from pyspark.sql import Row
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(32)])
+    base = [tuple(r) for r in MM.q_pipeline_media(docs).collect()]
+    staged_dir = str(tmp_path / "media_stages")
+    staged = [tuple(r) for r in MM.q_pipeline_media(
+        docs, stage_dir=staged_dir).collect()]
+    assert staged == base
+    for stage in ("image_pairs", "audio_pairs", "kept"):
+        assert os.path.isdir(os.path.join(staged_dir, stage)), stage
+
+
+def test_pipeline_media_builds_without_driver_collect(spark, monkeypatch):
+    """No driver action during build — the composed plan stays lazy
+    (localCheckpoint materializations are executor-side)."""
+    from pyspark.sql import DataFrame, Row
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    calls = []
+    for name in ("collect", "toPandas", "head", "first"):
+        orig = getattr(DataFrame, name)
+
+        def spy(self, *a, _n=name, _o=orig, **kw):
+            calls.append(_n)
+            return _o(self, *a, **kw)
+
+        monkeypatch.setattr(DataFrame, name, spy)
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(16)])
+    df = MM.q_pipeline_media(docs)
+    assert calls == [], f"driver action during build: {calls}"
+    assert df.columns == ["doc_id", "n_dups", "img_ham", "aud_ham",
+                          "n_cuts", "cut_frame", "shard", "pos"]

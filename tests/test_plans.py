@@ -387,6 +387,15 @@ def test_new_operator_shuffle_budgets(spark):
                                  # presentation sort; the score block
                                  # itself is a broadcast cross attach
                                  # — no exchange
+        "q_pipeline_media": 9,   # pair sets + kept behind stage cuts;
+                                 # the final plan: union n_dups
+                                 # distinct-agg pair + img/aud hamming
+                                 # aggs + video's id repartition +
+                                 # doc-keyed lag window (the per-clip
+                                 # agg reuses its partitioning) + the
+                                 # shard window + presentation sort;
+                                 # kept broadcasts into the output
+                                 # joins at test scale
         "q_jl_eval": 9,          # sample rank window + projection agg
                                  # + two vector-assembly aggs feeding
                                  # the single-task GEMMs + pair join +

@@ -226,12 +226,12 @@ def main() -> int:
                 "new semantics, fresh hash row; the oracle chains "
                 "the nd CTEs). After r12 every declared query's "
                 "latest driver row is <=3 rounds old EXCEPT "
-                "q_als_audit, declared in r12 after this window was "
-                "planned to capacity - it is strict-checked in THIS "
-                "file and leads the r13 window (the "
-                "q_image_dedup_groups precedent). Next rotation "
-                "(r13): q_als_audit first, then the 47-query r09 "
-                "block."),
+                "q_als_audit and q_pipeline_media, declared in r12 "
+                "after this window was planned to capacity - both "
+                "are strict-checked in THIS file and lead the r13 "
+                "window (the q_image_dedup_groups precedent). Next "
+                "rotation (r13): q_als_audit + q_pipeline_media "
+                "first, then the r09 block."),
         }}
         artifact.update(results)
         with open(emit, "w") as fh:
