@@ -1185,7 +1185,8 @@ def q_pipeline_media(documents: DataFrame,
                      audio_hmax: int = AFP_HMAX,
                      n_docs: int | None = None,
                      n_shards: int = MEDIA_SHARDS,
-                     stage_dir: str | None = None) -> DataFrame:
+                     stage_dir: str | None = None,
+                     resume: bool = False) -> DataFrame:
     """Declared query (r12): the COMPOSED multimodal curation
     pipeline — q_pipeline_llm's sibling for the codec families. Every
     stage is an already-declared operator, chained as ONE lazy plan,
@@ -1243,13 +1244,19 @@ def q_pipeline_media(documents: DataFrame,
     transform → load for ratings; this is that composition for the
     multimodal corpus."""
     from movie_rec_spark.functions import stable_bucket
+    from movie_rec_spark.operators.staging import make_stage
 
-    def _stage(df: DataFrame, name: str) -> DataFrame:
-        if stage_dir is None:
-            return df.localCheckpoint(eager=False)
-        path = f"{stage_dir}/{name}"
-        df.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.parquet(path)
+    # ``resume=True`` (staged mode only) restarts a failed composed
+    # run from its last completed stage — operators/staging.py has
+    # the fingerprint/stale-marker contract.
+    # n_shards is omitted from the fingerprint: it shapes only the
+    # final (never-staged) layout, so a resume may legitimately
+    # re-shard the same staged survivor set
+    _stage = make_stage(stage_dir, resume=resume,
+                        params={"pipeline": "media",
+                                "hamming_max": hamming_max,
+                                "audio_hmax": audio_hmax,
+                                "n_docs": n_docs})
 
     ip = _stage(q_image_neardup(documents, hamming_max,
                                 n_docs=n_docs, sort=False),

@@ -1743,7 +1743,8 @@ def q_curriculum_order(documents: DataFrame,
 
 def q_pipeline_llm(documents: DataFrame,
                    stage_dir: str | None = None,
-                   n_docs: int | None = None) -> DataFrame:
+                   n_docs: int | None = None,
+                   resume: bool = False) -> DataFrame:
     """Declared query (r11; near-dedup stage added r12): the COMPOSED
     LLM-data pipeline — every stage an already-declared operator,
     chained as ONE lazy plan, so the hash row proves the operators
@@ -1806,7 +1807,12 @@ def q_pipeline_llm(documents: DataFrame,
       executor loss costs one stage recompute at most, and every
       stage output is independently inspectable/resumable. Costs one
       fs round-trip per handoff; hash-equality with the checkpointed
-      mode is pytest-pinned (test_text_dedup.py).
+      mode is pytest-pinned (test_text_dedup.py). ``resume=True``
+      additionally makes the staged run RESTARTABLE: completed stages
+      (parquet ``_SUCCESS`` + matching parameter-fingerprint marker)
+      are read back instead of recomputed, so a mid-pipeline failure
+      costs only the missing suffix (operators/staging.py documents
+      the fingerprint and stale-input contract).
 
     ``n_docs`` (parquet-footer corpus count) sizes the near-dedup
     signatures via ``simhash_sized_params`` so chance candidates stay
@@ -1824,13 +1830,13 @@ def q_pipeline_llm(documents: DataFrame,
                                                  q_decontaminate,
                                                  q_substring_prune,
                                                  simhash_neardup)
+    from movie_rec_spark.operators.staging import make_stage
 
-    def _stage(df: DataFrame, name: str) -> DataFrame:
-        if stage_dir is None:
-            return df.localCheckpoint(eager=False)
-        path = f"{stage_dir}/{name}"
-        df.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.parquet(path)
+    # ``resume=True`` (staged mode only) restarts a failed composed
+    # run from its last completed stage — see operators/staging.py
+    # for the fingerprint/stale-marker contract.
+    _stage = make_stage(stage_dir, resume=resume,
+                        params={"pipeline": "llm", "n_docs": n_docs})
 
     # 1. clean (q_corpus_clean's gates, text carried forward)
     score = _quality_score(F.col("text"))
