@@ -612,9 +612,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d), n_docs=table_rows(d, "documents")),
         # audio fingerprint near-dup over REAL stdlib-wave WAV bytes:
         # the oracle computes the ideal sample->energy->bit math, so
-        # the hash-match proves the WAV roundtrip byte-exactly
+        # the hash-match proves the WAV roundtrip byte-exactly.
+        # r12: the footer count makes the SIZED fingerprint window
+        # the operator default (audio_sized_frames — 57-frame
+        # declared form below the 16k-doc floor, longer clips above)
         "q_audio_neardup": lambda s, d: MM.q_audio_neardup(
-            _t("documents")(s, d)),
+            _t("documents")(s, d), n_docs=table_rows(d, "documents")),
         # video scene-cut detection over a REAL frame container:
         # MRSV parse -> per-frame BMP dHash (shared core) -> lag
         # hamming; the oracle computes the ideal math end to end
@@ -1709,6 +1712,14 @@ def oracle_sql() -> dict[str, str]:
         else "\n            -- WARNING: Spark side sized to grid_h="
              f"{MM.image_sized_grid(_sh_n)} (n={_sh_n} docs) but this"
              " oracle is pinned 56-bit")
+    # the audio twin: q_audio_neardup's oracle is pinned at the
+    # 57-frame/56-bit envelope, valid below audio_sized_frames'
+    # 16k-doc floor (same desync-protection discipline)
+    _aud_width_marker = (
+        "" if MM.audio_sized_frames(_sh_n) == MM.AFP_FRAMES
+        else "\n            -- WARNING: Spark side sized to n_frames="
+             f"{MM.audio_sized_frames(_sh_n)} (n={_sh_n} docs) but"
+             " this oracle is pinned 57-frame/56-bit")
     # q_als_audit factor expressions: ml._pseudo_factor's md5
     # hex-parse recipe — first 4 hex chars of '<prefix>:<id>:<f>',
     # mod 17, shifted into [-8, 8]
@@ -1796,7 +1807,7 @@ def oracle_sql() -> dict[str, str]:
         # reaches the same rows only if its stdlib-wave WAV write and
         # read invert each other exactly (LE int16 packing, header
         # layout). Same pigeonhole/verify tail as the image oracle.
-        return f"""
+        return f"""{_aud_width_marker}
             WITH d AS (SELECT doc_id FROM {src}),
             sm AS (SELECT d.doc_id, i.i,
                       CASE WHEN i.i // {MM.AFP_FRAME}

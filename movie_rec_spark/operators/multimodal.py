@@ -929,16 +929,21 @@ def _synth_sample(doc_id: int, i: int) -> int:
     return (d[j] << 8 | d[j + 1]) - 32768
 
 
-def synth_wav(documents: DataFrame) -> DataFrame:
+def synth_wav(documents: DataFrame,
+              n_frames: int = AFP_FRAMES) -> DataFrame:
     """(doc_id, payload) — REAL 16-bit mono PCM WAV bytes (stdlib
-    `wave` writer) for each doc's deterministic synthetic clip."""
+    `wave` writer) for each doc's deterministic synthetic clip.
+    ``n_frames`` picks the clip length (57 → the declared 56-bit
+    envelope; longer clips carry the sized-width fingerprints — the
+    first 57 frames are bit-identical to the default clip, the
+    extension just continues the same md5 sample stream)."""
     import io
     import struct
     import wave as wave_mod
 
     import numpy as np
 
-    n = AFP_FRAMES * AFP_FRAME
+    n = n_frames * AFP_FRAME
 
     def encode(doc_id: int) -> bytes:
         # one digest per 8 samples; the perturbed FRAME (16 samples)
@@ -1024,6 +1029,7 @@ def wav_fingerprint(payloads: DataFrame) -> DataFrame:
 
 def q_audio_neardup(documents: DataFrame,
                     hamming_max: int = AFP_HMAX,
+                    n_docs: int | None = None,
                     sort: bool = True) -> DataFrame:
     """Declared query: audio fingerprint near-dup pairs over the
     synthetic WAV corpus — (doc_a, doc_b, hamming) within
@@ -1032,14 +1038,107 @@ def q_audio_neardup(documents: DataFrame,
     the stdlib WAV roundtrip byte-exactly (see the block comment).
 
     Scale shape: identical to q_image_neardup — two map-only Arrow
-    stages + the shared pigeonhole blocking (same fixed-hash-width
-    chance-collision floor, same hash-width knob, SCALE.md §Round 8);
-    on a real corpus the synth stage is replaced by reading stored
-    audio bytes and the fingerprint by a real chromaprint-class
-    kernel in the same Arrow slot."""
+    stages + the shared pigeonhole blocking, and since r12 the same
+    SIZED hash width: pass ``n_docs`` (parquet-footer count) and
+    ``audio_sized_frames`` lengthens the fingerprint window so every
+    segment holds chance occupancy ≤1 (57 frames / 56 bits to 16k
+    docs — exactly the declared form, so the driver hash row is
+    unchanged at fixture scale; 4·w+1 frames above it). On a real
+    corpus the synth stage is replaced by reading stored audio bytes
+    and the fingerprint by a real chromaprint-class kernel in the
+    same Arrow slot — a LONGER analysis window is exactly how those
+    kernels widen too."""
+    if n_docs is not None:
+        nf = audio_sized_frames(n_docs, hamming_max)
+        if nf != AFP_FRAMES:
+            return audio_neardup_wide(documents, hamming_max,
+                                      n_frames=nf, sort=sort)
     sigs = wav_fingerprint(synth_wav(documents)) \
         .localCheckpoint(eager=False)
     return sig_neardup_pairs(sigs, hamming_max, sort=sort)
+
+
+def audio_sized_frames(n_docs: int,
+                       hamming_max: int = AFP_HMAX) -> int:
+    """``image_sized_grid``'s audio analogue: the smallest clip
+    length (in AFP_FRAME-sample frames) ≥ the declared 57-frame floor
+    whose envelope bits (frames−1) split into hamming_max+1 equal
+    segments of ≥ ⌈log2 n⌉ bits — chance bucket occupancy ≤1 at any
+    corpus size, so blocked candidates stay linear. Frames = k·w+1
+    by construction always splits evenly; the 63-bit segment cap is
+    BIGINT arithmetic, reached at 2^63 docs, i.e. never."""
+    import math
+
+    n_segs = hamming_max + 1
+    w_floor = max(1, -(-(AFP_FRAMES - 1) // n_segs))
+    target = math.ceil(math.log2(max(n_docs, 2)))
+    w = max(w_floor, min(target, 63))
+    return n_segs * w + 1
+
+
+def wav_fingerprint_segs(payloads: DataFrame,
+                         n_frames: int,
+                         n_segs: int = PHASH_SEGS) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — the width-parameterized energy
+    envelope: parse each n_frames-frame WAV, pack the n_frames−1
+    envelope comparison bits into ``n_segs`` equal segments (seg s =
+    bits [s·w, (s+1)·w) — ``bmp_dhash_segs``' packing convention, so
+    the shared ``sig_array_neardup_pairs`` blocking applies)."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    bits = n_frames - 1
+    seg_w = bits // n_segs
+    if seg_w * n_segs != bits or seg_w > 63:
+        raise ValueError(f"{bits} envelope bits cannot split into "
+                         f"{n_segs} <=63-bit segments")
+    n = n_frames * AFP_FRAME
+
+    def segs(payload: bytes) -> list[int]:
+        with wave_mod.open(io.BytesIO(payload), "rb") as w:
+            if (w.getnchannels(), w.getsampwidth()) != (1, 2):
+                raise ValueError(
+                    "wav_fingerprint_segs expects 16-bit mono PCM")
+            if w.getnframes() != n:
+                raise ValueError(
+                    f"unexpected clip length {w.getnframes()}")
+            raw = w.readframes(n)
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        e = (samples * samples).reshape(n_frames, AFP_FRAME).sum(axis=1)
+        b = e[:-1] < e[1:]
+        return [int(sum(1 << i for i in range(seg_w)
+                        if b[s * seg_w + i]))
+                for s in range(n_segs)]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sig": [segs(bytes(b)) for b in pdf["payload"]],
+            })
+
+    return payloads.mapInPandas(
+        fn, StructType([StructField("doc_id", LongType()),
+                        StructField("sig", ArrayType(LongType()))]))
+
+
+def audio_neardup_wide(documents: DataFrame,
+                       hamming_max: int = AFP_HMAX,
+                       n_frames: int = 4 * 32 + 1,
+                       sort: bool = True) -> DataFrame:
+    """q_audio_neardup at a sized fingerprint width — longer clips,
+    per-segment BIGINT arrays, the shared array blocking. Not a
+    declared query (the 57-frame q_audio_neardup keeps the stable
+    oracle); the operator's sized default routes here above the
+    width floor."""
+    n_segs = hamming_max + 1
+    sigs = (wav_fingerprint_segs(
+        synth_wav(documents, n_frames=n_frames),
+        n_frames=n_frames, n_segs=n_segs)
+        .localCheckpoint(eager=False))
+    return sig_array_neardup_pairs(sigs, hamming_max, sort=sort)
 
 
 # ---------------------------------------------------------------------------
@@ -1230,10 +1329,11 @@ def q_pipeline_media(documents: DataFrame,
 
     Scale shape: no driver collect anywhere (spy-tested); synth/
     decode/fingerprint are map-only Arrow stages; both pair stages
-    are blocked pigeonhole equi-joins (``n_docs`` sizes the image
-    hash width via ``image_sized_grid`` — 56-bit declared form below
-    the 16k-doc floor); video — the heaviest per-doc stage — sees
-    only survivors. Multiply-referenced handoffs (each pair set feeds
+    are blocked pigeonhole equi-joins (``n_docs`` sizes BOTH hash
+    widths — ``image_sized_grid`` for the dHash grid and
+    ``audio_sized_frames`` for the fingerprint window; the declared
+    56-bit forms below the 16k-doc floors); video — the heaviest
+    per-doc stage — sees only survivors. Multiply-referenced handoffs (each pair set feeds
     its hamming agg + the drop union; kept feeds video, layout, and
     the output joins) are cut via ``stage_dir`` parquet staging
     (durable, resumable) or ``localCheckpoint`` (test-scale default)
@@ -1261,7 +1361,8 @@ def q_pipeline_media(documents: DataFrame,
     ip = _stage(q_image_neardup(documents, hamming_max,
                                 n_docs=n_docs, sort=False),
                 "image_pairs")
-    ap = _stage(q_audio_neardup(documents, audio_hmax, sort=False),
+    ap = _stage(q_audio_neardup(documents, audio_hmax,
+                                n_docs=n_docs, sort=False),
                 "audio_pairs")
     dropped = (ip.select(F.col("doc_b").alias("doc_id"))
                .union(ap.select(F.col("doc_b").alias("doc_id")))

@@ -689,3 +689,73 @@ def test_pipeline_media_builds_without_driver_collect(spark, monkeypatch):
     assert calls == [], f"driver action during build: {calls}"
     assert df.columns == ["doc_id", "n_dups", "img_ham", "aud_ham",
                           "n_cuts", "cut_frame", "shard", "pos"]
+
+
+def test_audio_sized_frames_occupancy_and_floor():
+    """The audio sizer (r12, image_sized_grid's analogue): below 2^14
+    docs it returns the declared 57-frame/56-bit form (driver hash
+    row unchanged); above it the chosen clip's segment width w holds
+    chance occupancy n/2^w <= 1, frames = (hmax+1)*w + 1 split
+    evenly, widths are monotone and capped at <=63-bit segments."""
+    import math
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    assert MM.audio_sized_frames(500) == MM.AFP_FRAMES
+    assert MM.audio_sized_frames(2 ** 14) == MM.AFP_FRAMES
+    prev_w = 0
+    for n in (2 ** 14 + 1, 10 ** 6, 10 ** 9, 2 ** 40, 2 ** 62):
+        nf = MM.audio_sized_frames(n)
+        n_segs = MM.AFP_HMAX + 1
+        bits = nf - 1
+        assert bits % n_segs == 0
+        w = bits // n_segs
+        assert w <= 63
+        assert w >= prev_w
+        prev_w = w
+        if n <= 2 ** 63:
+            assert n / 2 ** w <= 1 or w == 63
+
+
+def test_audio_neardup_sized_route_recovers_pairs(spark):
+    """q_audio_neardup with n_docs above the floor routes to the
+    longer-clip segment-array pipeline and returns EXACTLY the
+    declared form's pairs with identical hammings: within-group docs
+    share the base sample stream beyond their perturbed frames, so
+    the envelope extension adds only identical bits (pair set
+    invariant in width), while the wider segments kill the chance
+    blocking floor. Below the floor the sized call is bit-identical
+    to the declared query."""
+    from pyspark.sql import Row
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    n = 32
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(n)])
+    base = {(r.doc_a, r.doc_b, r.hamming)
+            for r in MM.q_audio_neardup(docs).collect()}
+    sized_floor = {(r.doc_a, r.doc_b, r.hamming)
+                   for r in MM.q_audio_neardup(
+                       docs, n_docs=1000).collect()}
+    assert sized_floor == base
+    wide = {(r.doc_a, r.doc_b, r.hamming)
+            for r in MM.q_audio_neardup(
+                docs, n_docs=500_000).collect()}
+    assert wide == base
+    nf = MM.audio_sized_frames(500_000)
+    assert nf > MM.AFP_FRAMES and (nf - 1) % (MM.AFP_HMAX + 1) == 0
+
+
+def test_wav_fingerprint_segs_width_guard(spark):
+    """Envelope bits that cannot split into equal <=63-bit segments
+    are refused loudly."""
+    import pytest
+
+    from pyspark.sql import Row
+
+    from movie_rec_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([Row(doc_id=0)])
+    with pytest.raises(ValueError, match="cannot split"):
+        MM.wav_fingerprint_segs(
+            MM.synth_wav(docs, n_frames=58), n_frames=58, n_segs=4)
