@@ -99,3 +99,17 @@ def test_pipeline_llm_resume_equals_fresh(spark, tmp_path):
     resumed = [tuple(r) for r in T.q_pipeline_llm(
         docs, stage_dir=d, resume=True).collect()]
     assert resumed == base
+
+
+def test_resume_recomputes_partial_stage_without_success_marker(
+        spark, tmp_path):
+    """A stage directory left by a run that died mid-write (parquet
+    files present, no _SUCCESS) is NOT trusted: resume recomputes and
+    overwrites it."""
+    d = str(tmp_path / "stages")
+    params = {"p": 1}
+    make_stage(d, params=params)(_df(spark, [1, 2]), "s1")
+    os.remove(os.path.join(d, "s1", "_SUCCESS"))
+    resumed = make_stage(d, resume=True, params=params)(
+        _df(spark, [7, 8]), "s1")
+    assert sorted(r.doc_id for r in resumed.collect()) == [7, 8]
