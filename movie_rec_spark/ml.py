@@ -338,13 +338,44 @@ def q_als_audit(lineitem: DataFrame, orders: DataFrame,
     trainer.py:37 (clamp)."""
     from pyspark.sql.window import Window
 
-    ratings = build_ratings(lineitem, orders)
-    seen = ratings.select("user_id", "item_id")
-    users = (seen.select("user_id").distinct()
-             .filter(F.col("user_id") % AUDIT_MOD == 0))
-    items = (seen.select("item_id").distinct()
-             .filter(F.col("item_id") % AUDIT_MOD == 0))
-    p = users.select(
+    # Raw (user_id, item_id) interaction pairs == build_ratings'
+    # grouping keys, built WITHOUT the rating aggregate (only pair
+    # membership is used here) and cut once: the naive
+    # `build_ratings(...)` formulation re-executed the lineitem⋈orders
+    # join + aggregation THREE times (users-distinct, items-distinct,
+    # and the anti-join feed) — measured 9.95 s at sf0.1. The
+    # broadcast dim join has no shuffle, so the checkpointed handoff
+    # costs one scan; every consumer below filters it by the audit
+    # modulus FIRST, so the downstream exchanges move 1/MOD (users,
+    # items) or 1/MOD² (anti-join build) of the pairs.
+    o = orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                      "o_custkey")
+    pairs = (lineitem.select("l_orderkey", "l_partkey")
+             .join(o, "l_orderkey", "inner")
+             .select(F.col("o_custkey").alias("user_id"),
+                     F.col("l_partkey").alias("item_id"))
+             .localCheckpoint(eager=False))
+    users = (pairs.filter(F.col("user_id") % AUDIT_MOD == 0)
+             .select("user_id").distinct())
+    items = (pairs.filter(F.col("item_id") % AUDIT_MOD == 0)
+             .select("item_id").distinct())
+    # the anti-join can only ever match sampled (user, item) pairs, so
+    # the build side shrinks by MOD² BEFORE it moves — small enough to
+    # BROADCAST at any scale (guide §3.1/§3.2; without the hint the
+    # stats-less checkpoint scan planned a SortMergeJoin that shuffled
+    # and sorted both the 750k-row score block and the full pair set)
+    seen = F.broadcast(
+        pairs.filter((F.col("user_id") % AUDIT_MOD == 0)
+                     & (F.col("item_id") % AUDIT_MOD == 0)))
+    # spread the dense score block across the cluster: the sampled
+    # user side comes out of its distinct aggregate AQE-coalesced to
+    # ONE partition (it is tiny), which would make the
+    # user×item cross product — the only O(|users|·|items|) stage —
+    # single-threaded (measured 2.5 s of the 8.8 s wall at sf0.1).
+    # Round-robin the stream side over the scheduler's parallelism
+    # (cluster-adaptive, not a constant) so the GEMM fans out.
+    n_blocks = users.sparkSession.sparkContext.defaultParallelism
+    p = users.repartition(n_blocks).select(
         "user_id", *[_pseudo_factor("alsp", F.col("user_id"), f)
                      .alias(f"p{f}") for f in range(AUDIT_K)])
     q = items.select(

@@ -306,5 +306,11 @@ def q_anomaly_stream_et(events: DataFrame) -> DataFrame:
         batches, schema,
         lambda s: anomaly_stream_eventtime(s,
                                            watermark=f"{wm_days} days"),
-        prefix="mrs_anom_et_")
+        prefix="mrs_anom_et_",
+        # Python-stateful scorer: per-(user, batch) work runs in the
+        # Python workers, so ask for enough state partitions to spread
+        # the groups (half the scheduler parallelism measured best at
+        # sf0.1 — the other half is state-commit overhead headroom)
+        state_parallelism=max(
+            2, spark.sparkContext.defaultParallelism // 2))
     return out.filter(F.col("user_id") >= 0)

@@ -113,6 +113,12 @@ def q_stream_dedup(events: DataFrame) -> DataFrame:
                          & (F.col("event_id") < hi))
                for lo, hi in zip(cuts, cuts[1:])]
     batches.insert(2, batches[1])  # batch 2 delivered twice
+    spark = events.sparkSession
     out = replay_file_stream(
-        batches, schema, stream_dedup_first, prefix="mrs_dedup_")
+        batches, schema, stream_dedup_first, prefix="mrs_dedup_",
+        # Python-stateful first-seen filter: one 1-row pandas frame per
+        # (key, batch) — Python per-group overhead dominates, spread
+        # the groups (see replay_file_stream docstring)
+        state_parallelism=max(
+            2, spark.sparkContext.defaultParallelism // 2))
     return out.orderBy("user_id", "event_type")

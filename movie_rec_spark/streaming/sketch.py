@@ -144,7 +144,10 @@ def q_heavy_hitters_stream(events: DataFrame,
     emitted = replay_file_stream(
         batches, schema,
         lambda s: heavy_hitters_stream(s, capacity, n_shards),
-        prefix="mrs_hh_", output_mode="update")
+        prefix="mrs_hh_", output_mode="update",
+        # the sketch groups by shard: more partitions than shards buy
+        # nothing, so floor exactly there
+        state_parallelism=n_shards)
     w = Window.partitionBy("shard")
     final = (emitted
              .withColumn("_maxn", F.max("n_shard").over(w))
