@@ -681,8 +681,84 @@ def q_dedup_simhash(documents: DataFrame, hamming_max: int = 3,
 #: benchmark. Driver-local telemetry, not part of any query result.
 CC_ROUNDS: dict[str, int] = {}
 
+# Below this many edges, connected components run as ONE vectorized
+# single-task pass instead of the O(log d)-round distributed iteration
+# (guide §1.2: fix the distributed algorithm first — at small edge
+# counts the iteration's wall is pure per-round scheduling/shuffle
+# overhead, 6-11 driver-synchronized jobs for graphs a single core
+# labels in milliseconds). 2M edges is ~32 MB of id pairs — trivially
+# within one task's memory anywhere. Scale-adaptive, not local-tuned:
+# a 100 TB corpus's near-dup graph exceeds the cap and takes the
+# iterative path unchanged. MRS_CC_LOCAL_EDGES overrides for cluster
+# tuning (0 disables the local path).
+CC_LOCAL_EDGE_CAP = 2_000_000
 
-def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+
+def _cc_effective_cap(local_edge_cap: int | None) -> int:
+    if local_edge_cap is not None:
+        return local_edge_cap
+    import os
+
+    return int(os.environ.get("MRS_CC_LOCAL_EDGES", CC_LOCAL_EDGE_CAP))
+
+
+def _cc_local_labels(edges: DataFrame, a: str, b: str) -> DataFrame | None:
+    """Single-task connected components for edge sets under the local
+    cap: min-label propagation with pointer jumping, vectorized in
+    NumPy over the whole edge array (guide §4.2 — hand the batch to
+    native code). Exactly the iterative kernels' fixpoint — per-edge
+    ``comp[u] = comp[v] = min`` plus ``comp := comp[comp]`` — so the
+    labeling (comp = minimum reachable id) is identical; the unique
+    fixpoint is pinned by tests either way. Returns None when the edge
+    columns are not one shared integral type (caller falls back to the
+    distributed iteration)."""
+    ta = edges.schema[a].dataType.simpleString()
+    tb = edges.schema[b].dataType.simpleString()
+    np_types = {"smallint": "int16", "int": "int32", "bigint": "int64"}
+    if ta != tb or ta not in np_types:
+        return None
+    out_schema = f"doc_id {ta}, comp {ta}"
+    np_t = np_types[ta]
+
+    def comp_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        eas: list = []
+        ebs: list = []
+        for pdf in batches:
+            eas.append(pdf.iloc[:, 0].to_numpy(dtype=np.int64))
+            ebs.append(pdf.iloc[:, 1].to_numpy(dtype=np.int64))
+        if not eas:
+            return
+        ea = np.concatenate(eas)
+        eb = np.concatenate(ebs)
+        ids, inv = np.unique(np.concatenate([ea, eb]),
+                             return_inverse=True)
+        if ids.size == 0:
+            return
+        ea_i = inv[:ea.size]
+        eb_i = inv[ea.size:]
+        # comp[x] <= x elementwise throughout (labels only decrease and
+        # ids are sorted, so index order == id order); the fixpoint is
+        # uniform labels per component equal to the min member index.
+        comp = np.arange(ids.size, dtype=np.int64)
+        while True:
+            before = comp.copy()
+            np.minimum.at(comp, ea_i, comp[eb_i])
+            np.minimum.at(comp, eb_i, comp[ea_i])
+            comp = comp[comp]  # pointer jump: horizon doubles per pass
+            if np.array_equal(comp, before):
+                break
+        yield pd.DataFrame({"doc_id": ids.astype(np_t),
+                            "comp": ids[comp].astype(np_t)})
+
+    return (edges.select(a, b).coalesce(1)
+            .mapInPandas(comp_fn, out_schema))
+
+
+def dedup_components(pairs: DataFrame, max_iter: int = 20,
+                     local_edge_cap: int | None = None) -> DataFrame:
     """Connected components over near-dup pairs — the step that turns
     pairwise matches into dedup GROUPS (keep one canonical doc per
     component). Iterative min-label propagation: every node repeatedly
@@ -707,6 +783,16 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # the 30x trend corpus. Fixed here, at the double reference, so
     # every caller gets it.
     edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
+    # Size-adaptive route (the simhash_sized_params doctrine applied to
+    # CC): count the checkpointed edges — one cheap job over blocks the
+    # iteration would materialize anyway — and label small graphs in a
+    # single vectorized task. CC_ROUNDS = 0 marks the local path.
+    cap = _cc_effective_cap(local_edge_cap)
+    if cap and edges.count() <= cap:
+        local = _cc_local_labels(edges, "doc_a", "doc_b")
+        if local is not None:
+            CC_ROUNDS["minlabel"] = 0
+            return local.localCheckpoint(eager=False)
     # Eager checkpoint of sym BEFORE iterating, not just after: the
     # edge set may be the output of an arbitrarily deep plan, and every
     # round's join would otherwise embed that full plan — so the
@@ -810,7 +896,8 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-def dedup_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+def dedup_components_star(pairs: DataFrame, max_iter: int = 30,
+                          local_edge_cap: int | None = None) -> DataFrame:
     """Connected components by alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     the O(log n)-round alternative to ``dedup_components``' min-label
@@ -831,6 +918,14 @@ def dedup_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")) \
         .localCheckpoint(eager=True)
+    # Same size-adaptive route as dedup_components: small graphs label
+    # in one vectorized task (identical fixpoint), large graphs iterate.
+    cap = _cc_effective_cap(local_edge_cap)
+    if cap and edges.count() <= cap:
+        local = _cc_local_labels(edges, "u", "v")
+        if local is not None:
+            CC_ROUNDS["star"] = 0
+            return local.localCheckpoint(eager=False)
     nodes = (edges.select(F.col("u").alias("doc_id"))
              .unionByName(edges.select(F.col("v").alias("doc_id")))
              .distinct().localCheckpoint(eager=True))
@@ -2370,6 +2465,13 @@ def substring_windows(documents: DataFrame,
     x 1, the same linear scan class the paper's suffix array achieves
     and the shape that survives 100 TB. Docs shorter than k produce no
     windows (guarded sequence).
+
+    fp is the md5 UNHEXED to 16 binary bytes, not the 32-char hex
+    string (guide §2.3, narrower types): both consumers shuffle every
+    window row keyed on fp and only ever compare fp for equality —
+    unhex is a bijection of the hex form, so the grouping is
+    bit-identical while the dominant shuffle carries half the key
+    bytes.
     """
     w = F.split("text", " ")
     n_wins = F.size(w) - F.lit(k - 1)
@@ -2379,8 +2481,8 @@ def substring_windows(documents: DataFrame,
             F.sequence(F.lit(0), n_wins - 1),
             lambda i: F.struct(
                 i.cast("int").alias("start"),
-                F.md5(F.concat_ws(" ", F.slice(w, i + 1, k))
-                      .cast("binary")).alias("fp")),
+                F.unhex(F.md5(F.concat_ws(" ", F.slice(w, i + 1, k))
+                              .cast("binary"))).alias("fp")),
         )).otherwise(F.array())
     return (
         documents

@@ -204,7 +204,9 @@ def test_dedup_components_warns_when_not_converged(spark):
         [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long")
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        dedup_components(pairs, max_iter=1)
+        # local_edge_cap=0 pins the distributed iteration (the local
+        # single-task path labels any small graph exactly)
+        dedup_components(pairs, max_iter=1, local_edge_cap=0)
     assert any("did not converge" in str(x.message) for x in w)
 
 
@@ -486,14 +488,55 @@ def test_cc_chain_round_budgets(spark, sf_docs):
 
     star = {r.doc_id: r.comp
             for r in D.q_cc_chain_star(sf_docs).collect()}
-    star_rounds = D.CC_ROUNDS["star"]
     ml = {r.doc_id: r.comp
           for r in D.q_cc_chain_minlabel(sf_docs).collect()}
+    assert star == ml
+
+    # Round budgets are a property of the DISTRIBUTED iterations, so pin
+    # them with local_edge_cap=0 (the declared queries above route small
+    # graphs through the single-task local pass, CC_ROUNDS == 0).
+    edges = D.chain_edges(sf_docs)
+    it_star = {r.doc_id: r.comp for r in D.dedup_components_star(
+        edges, local_edge_cap=0).collect()}
+    star_rounds = D.CC_ROUNDS["star"]
+    it_ml = {r.doc_id: r.comp for r in D.dedup_components(
+        edges, max_iter=30, local_edge_cap=0).collect()}
     ml_rounds = D.CC_ROUNDS["minlabel"]
 
-    assert star == ml
-    assert star_rounds <= budget, (star_rounds, budget)
-    assert ml_rounds <= budget, (ml_rounds, budget)
+    assert star_rounds >= 1 and star_rounds <= budget, (star_rounds, budget)
+    assert ml_rounds >= 1 and ml_rounds <= budget, (ml_rounds, budget)
+    # and the iterative labelings agree with the declared (local-path)
+    # queries on every edge endpoint
+    assert all(star[k] == v for k, v in it_star.items())
+    assert all(ml[k] == v for k, v in it_ml.items())
+
+
+def test_cc_local_path_matches_iterative(spark):
+    """The size-adaptive single-task CC pass must produce the identical
+    (doc_id, comp = min reachable id) labeling as both distributed
+    iterations, on mixed shapes incl. a deep chain, and must mark the
+    local route via CC_ROUNDS == 0."""
+    from movie_rec_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)]          # chain diameter 39
+        + [(100, 101), (200, 201), (201, 202), (200, 202),
+           (300, 300)],                              # pair/triangle/self
+        "doc_a long, doc_b long")
+    local = {r.doc_id: r.comp
+             for r in D.dedup_components(pairs).collect()}
+    assert D.CC_ROUNDS["minlabel"] == 0
+    it_ml = {r.doc_id: r.comp
+             for r in D.dedup_components(pairs, max_iter=30,
+                                         local_edge_cap=0).collect()}
+    it_star = {r.doc_id: r.comp
+               for r in D.dedup_components_star(pairs,
+                                                local_edge_cap=0).collect()}
+    assert local == it_ml == it_star
+    local_star = {r.doc_id: r.comp
+                  for r in D.dedup_components_star(pairs).collect()}
+    assert D.CC_ROUNDS["star"] == 0
+    assert local_star == local
 
 
 def test_chain_edges_split_on_gaps_and_blocks(spark):
