@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from movie_rec_spark.functions import word_shingles
+from movie_rec_spark.operators.skew import fanout_scan
 
 JACCARD_THRESHOLD = 0.5
 
@@ -60,7 +61,12 @@ TRAIN_MAX_BUCKET = 80  # train side is bucket < 80
 
 
 def _shingle_rows(documents: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) rows, distinct per doc."""
+    """(doc_id, shingle) rows, distinct per doc. Fans the input out
+    first (``fanout_scan``): shingle assembly (and the per-shingle md5
+    most consumers apply) is the family's dominant map cost and the
+    corpus arrives as a single-task scan at test scale — a no-op
+    wherever the table already has scan parallelism."""
+    documents = fanout_scan(documents.select("doc_id", "text"))
     toks = documents.select("doc_id", F.split("text", " ").alias("w"))
     return toks.select(
         "doc_id", F.explode(word_shingles(F.col("w"), k)).alias("g")
@@ -578,7 +584,7 @@ def simhash_signatures(documents: DataFrame,
     """
     if portable:
         return simhash_portable_sigs(documents)
-    toks = documents.select(
+    toks = fanout_scan(documents.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
     )
     hashed = toks.select("doc_id", F.xxhash64("t").alias("h"))
@@ -2086,8 +2092,10 @@ SHP_HMAX = 3  # pigeonhole: SHP_HMAX+1 segments of 14 bits
 def simhash_portable_sigs(documents: DataFrame) -> DataFrame:
     """(doc_id, sig) portable 56-bit simhash — md5-hashed distinct
     tokens, per-bit ±1 votes, bit set iff the vote sum is positive
-    (a zero vote leaves the bit 0, deterministically)."""
-    toks = documents.select(
+    (a zero vote leaves the bit 0, deterministically). Input fanned
+    out (``fanout_scan``): per-token md5 dominates the map side and the
+    corpus arrives as a single-task scan at test scale."""
+    toks = fanout_scan(documents.select("doc_id", "text")).select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
     h = (F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 14),
@@ -2280,7 +2288,7 @@ def simhash_sized_sigs(documents: DataFrame, sig_bits: int,
     """
     n_seg = sig_bits // seg_width
     assert n_seg * seg_width == sig_bits <= SHP_MAX_BITS
-    toks = documents.select(
+    toks = fanout_scan(documents.select("doc_id", "text")).select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
     md5c = F.md5(F.col("t").cast("binary"))
@@ -2472,7 +2480,13 @@ def substring_windows(documents: DataFrame,
     unhex is a bijection of the hex form, so the grouping is
     bit-identical while the dominant shuffle carries half the key
     bytes.
+
+    The input fans out first (``fanout_scan``): per-window md5 is the
+    family's dominant map cost and the corpus arrives as a single-task
+    scan at test scale — a no-op wherever the table already has
+    scan parallelism.
     """
+    documents = fanout_scan(documents.select("doc_id", "text"))
     w = F.split("text", " ")
     n_wins = F.size(w) - F.lit(k - 1)
     wins = F.when(
@@ -2587,11 +2601,18 @@ def q_substring_prune(documents: DataFrame,
                   .alias("rm")))
     toks = F.split("text", " ")
     rm = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
-    kept_idx = F.filter(
-        F.sequence(F.lit(0), F.size(toks) - 1),
-        lambda i: ~F.array_contains(rm, i.cast("int")))
+    # array_except builds one hash set over rm per row (O(n_tokens +
+    # |rm|)) where the filter/array_contains form rescanned rm for
+    # every token index (O(n_tokens x |rm|)); order and membership are
+    # identical (the index sequence is already unique and ascending).
+    kept_idx = F.array_except(
+        F.sequence(F.lit(0), F.size(toks) - 1), rm)
     return (
-        documents.join(rmpos, "doc_id", "left")
+        # rebuild side fans out too: token-index filtering + concat is
+        # the second per-row-heavy chain and otherwise runs on the
+        # single-task scan (no-op at production partition counts)
+        fanout_scan(documents.select("doc_id", "text"))
+        .join(rmpos, "doc_id", "left")
         .select(
             "doc_id",
             F.size(toks).cast("int").alias("n_tokens"),

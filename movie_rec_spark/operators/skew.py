@@ -22,6 +22,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def fanout_scan(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Spread an under-partitioned input across the session's cores
+    before an expensive fused map chain (guide §2.5 input skew / §2.6
+    idle capacity — the q_video_scenes synth-repartition doctrine made
+    reusable): a single-file, single-row-group table scans as ONE task
+    no matter how many cores the session has, so every per-row codegen
+    chain fused onto that scan (per-shingle md5, sliding-window
+    fingerprints, codec decodes) runs serially. When the input already
+    carries >= defaultParallelism * factor partitions — every real
+    table at production scale — the frame is returned UNCHANGED: no
+    exchange is added, so the 100 TB plan shape is untouched. Locally
+    the explicit NUMBERED repartition survives AQE coalescing (AQE only
+    coalesces ENSURE_REQUIREMENTS exchanges), so the downstream map
+    work genuinely fans out. The shuffle moves only the columns the
+    caller selected — project before calling (guide §2.3)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def with_salt(df: DataFrame, n_salts: int) -> DataFrame:
     """Deterministic per-row salt in [0, n_salts)."""
     return df.withColumn(

@@ -1838,9 +1838,14 @@ def q_pipeline_llm(documents: DataFrame,
     _stage = make_stage(stage_dir, resume=resume,
                         params={"pipeline": "llm", "n_docs": n_docs})
 
-    # 1. clean (q_corpus_clean's gates, text carried forward)
+    # 1. clean (q_corpus_clean's gates, text carried forward). The
+    # quality/lang regex chain + fp md5 is per-row-heavy and otherwise
+    # runs on the single-task scan at test scale — fan the corpus out
+    # first (no-op wherever the table already has scan parallelism).
+    from movie_rec_spark.operators.skew import fanout_scan
+
     score = _quality_score(F.col("text"))
-    gated = (documents
+    gated = (fanout_scan(documents.select("doc_id", "source", "text"))
              .select("doc_id", "source", "text",
                      F.md5(F.col("text").cast("binary")).alias("fp"))
              .filter((score >= 0.75)

@@ -120,7 +120,14 @@ def test_new_operator_shuffle_budgets(spark):
         "q_source_balance": 1,  # source-count agg; corpus side unshuffled
         "q_embed_centroids": 2,  # (label,pos) mean + per-label count
         "q_source_overlap": 4,   # distinct, fp self-join, pair agg, sizes
-        "q_split_repair": 4,     # decontaminate shuffles + repair join
+        # r12 note: +N on every budget marked [fanout] = the tiny
+        # fanout_scan repartitions (skew.fanout_scan) that spread the
+        # single-task test-scale scan before per-shingle/-window md5
+        # chains; they move only (doc_id, text), are REUSED across
+        # self-join sides at runtime, and vanish at production
+        # partition counts (the conditional never fires).
+        "q_split_repair": 7,     # decontaminate shuffles + repair join
+                                 # [fanout +3]
         "q_epoch_mix": 1,        # source-quality agg; copy explode row-local
         "q_unigram_logprob": 3,  # unigram counts, vocab join, per-doc agg
         "q_chunk_dedup": 2,      # two-phase distinct-doc agg on the digest
@@ -156,7 +163,8 @@ def test_new_operator_shuffle_budgets(spark):
         "q_resample": 2,         # counts agg + span agg, both user-keyed
         # round-5 additions
         "q_funnel_window": 1,    # same single-window shape as q_funnel
-        "q_decontaminate_k8": 2,  # same shape as k=3: shingle join + agg
+        "q_decontaminate_k8": 5,  # same shape as k=3: shingle join + agg
+                                  # [fanout +3]
         "q_pagerank_general": 1,  # final ordered select; rounds checkpointed
         "q_top_movies_bucketed": 0,  # bucketed layout removes the agg Exch
         "q_merge_snapshot": 0,   # checkpointed merge; read is scan-only
@@ -242,7 +250,8 @@ def test_new_operator_shuffle_budgets(spark):
                                  # user-keyed Exchange
         "q_ewma": 2,             # (type, day) count agg + the
                                  # type-keyed lag window
-        "q_dedup_containment": 3,  # shingle self-join + pair agg +
+        "q_dedup_containment": 7,  # [fanout +4]
+                                   # shingle self-join + pair agg +
                                    # sizes agg (sizes broadcast back)
         "q_rrf": 7,              # bm25 arm (tf/df/doc aggs) + fusion;
                                  # dense arm now scores sparsely over
@@ -270,7 +279,8 @@ def test_new_operator_shuffle_budgets(spark):
         # round-7 additions
         "q_minhash_eval": 13,    # sig agg + band self-join + exact
                                  # inverted-index truth + audit joins
-        "q_simhash_eval": 13,    # vote agg + segment self-join + the
+        "q_simhash_eval": 17,    # [fanout +4]
+                                 # vote agg + segment self-join + the
                                  # same truth/audit join shape
         "q_pq_knn": 4,           # checkpointed per-round codebooks;
                                  # encode argmin + ADC sum aggs
@@ -310,11 +320,13 @@ def test_new_operator_shuffle_budgets(spark):
                                  # sources) + doc-keyed lag window +
                                  # the presentation sort
         # round-9 additions
-        "q_dedup_substring": 3,  # windows shuffle ONCE on fp (dup
+        "q_dedup_substring": 4,  # [fanout +1]
+                                 # windows shuffle ONCE on fp (dup
                                  # test inside the exchange), island
                                  # merge ONCE on doc_id, + the
                                  # presentation sort
-        "q_substring_prune": 4,  # fp-keyed rank/dup window + the
+        "q_substring_prune": 6,  # [fanout +2: windows + rebuild side]
+                                 # fp-keyed rank/dup window + the
                                  # doc-keyed removed-positions agg +
                                  # join-back (broadcast at test scale;
                                  # headroom if AQE un-broadcasts) +
@@ -359,7 +371,8 @@ def test_new_operator_shuffle_budgets(spark):
                                     # q_dedup_canonical shape): only
                                     # the comp presentation sort
                                     # remains in the final plan
-        "q_simhash_sized": 2,    # vote aggregate + cross-segment
+        "q_simhash_sized": 4,    # [fanout +2]
+                                 # vote aggregate + cross-segment
                                  # dedup — widening the signature to
                                  # 96/24 adds NO exchange vs the
                                  # declared 56/14 form

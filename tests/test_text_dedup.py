@@ -1484,13 +1484,19 @@ def test_simhash_sized_blocking_exact_vs_brute_force(spark, sf_docs):
 
 
 def test_simhash_sized_keeps_exchange_budget(spark, sf_docs):
-    """The sized route must keep the declared form's 2-Exchange plan
-    (vote aggregate + cross-segment dedup) — widening signatures may
-    not add shuffles."""
+    """The sized route must keep the declared form's plan shape (vote
+    aggregate + cross-segment dedup) — widening signatures may not add
+    shuffles. Since r12 the kernel also fans the single-task test-scale
+    scan out before the per-token md5 (skew.fanout_scan, +2 tiny
+    (doc_id, text) repartitions shared across the self-join sides,
+    absent at production partition counts) — the invariant stays a
+    comparison against the UNSIZED declared form, so a sized-route
+    regression still fails."""
     from movie_rec_spark.plans import count_exchanges
 
     sized = D.q_dedup_simhash(sf_docs, n_docs=10**9)
-    assert count_exchanges(sized) == 2
+    declared = D.q_dedup_simhash(sf_docs)
+    assert count_exchanges(sized) == count_exchanges(declared) == 4
 
 
 def test_pipeline_llm_builds_without_driver_collect(spark, sf_docs,
