@@ -1822,10 +1822,13 @@ def q_pq_knn(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
     (pruning).
     """
     e = _as_double(embeddings)
+    # route gate: one cheap corpus count (parquet metadata at any
+    # scale) bounds the exploded point rows without materializing them
+    n_pts = e.count() * EMBED_DIM
     pts = _pq_split(_grid_pts(e), PQ_SUB_DIM)
     seeds = e.select("vec_id").orderBy("vec_id").limit(PQ_K)
-    centers = _pq_train(pts, seeds, PQ_ITERS)
-    codes = _pq_encode(pts, centers)
+    centers, codes, pts = _pq_train_encode(pts, seeds, PQ_ITERS,
+                                           n_pts=n_pts)
     qpts = (pts.filter(F.col("vec_id") == query_vec_id)
             .select("sub", "spos", F.col("p").alias("q")))
     lut = (centers.join(F.broadcast(qpts), ["sub", "spos"])
@@ -1861,6 +1864,136 @@ def _pq_split(pts: DataFrame, sub_dim: int) -> DataFrame:
         (F.col("pos") / sub_dim).cast("int").alias("sub"),
         (F.col("pos") % sub_dim).cast("int").alias("spos"),
         "p")
+
+
+# Below this many (vec_id, sub, spos, p) rows the quantizer trains AND
+# encodes in ONE vectorized single-task pass instead of iters rounds of
+# driver-synchronized joins/aggs plus a 3-exchange encode (guide §1.2:
+# fix the distributed algorithm first — at small point counts each
+# round's wall is pure scheduling/shuffle overhead for work one core
+# does in milliseconds; the dedup.py CC_LOCAL_EDGE_CAP doctrine applied
+# to quantizer training). 4M rows ≈ 128 MB of scalar columns —
+# trivially within one task. Scale-adaptive, not local-tuned: the gate
+# is the corpus row count × dim, so a 100 TB corpus takes the
+# distributed path unchanged without ever materializing the exploded
+# points. MRS_PQ_LOCAL_POINTS overrides (0 disables the local path).
+PQ_LOCAL_POINT_CAP = 4_000_000
+
+
+def _pq_effective_cap(local_point_cap: int | None) -> int:
+    if local_point_cap is not None:
+        return local_point_cap
+    import os
+
+    return int(os.environ.get("MRS_PQ_LOCAL_POINTS", PQ_LOCAL_POINT_CAP))
+
+
+def _pq_local_kernel(pts_ck: DataFrame, seed_ids: list[int],
+                     iters: int) -> DataFrame:
+    """Single-task integer Lloyd + final-centers encode for point sets
+    under the local cap: the EXACT arithmetic of the distributed path
+    (int64 Σ(p−c)² distances; argmin ties to the LOWEST cid — centers
+    held in ascending-cid order so NumPy's first-occurrence argmin
+    matches min(struct(d, cid)); the floor((2s+n)/(2n)) centroid
+    update as exact integer floor division, which equals the
+    distributed double-division floor while |2s+n| < 2^53 — the
+    documented q_kmeans parity bound; emptied clusters keep their
+    previous centroid; codes assigned under the FINAL codebook),
+    vectorized over the whole point array in one ``mapInPandas`` task
+    (guide §4.2 — hand the batch to native code). ``pts_ck`` MUST be a
+    materialized (eager localCheckpoint) frame so the coalesce(1)
+    below reads cached blocks instead of re-running the upstream
+    explode single-task. Emits a tagged union: kind=0 codebook rows
+    (sub, cid, spos, c), kind=1 code rows (vec_id, sub, cid)."""
+    seed_arr = sorted(int(s) for s in seed_ids)
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        frames = list(batches)
+        if not frames or not seed_arr:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if not len(pdf):
+            return
+        vec = pdf["vec_id"].to_numpy(np.int64)
+        sub = pdf["sub"].to_numpy(np.int64)
+        spos = pdf["spos"].to_numpy(np.int64)
+        p = pdf["p"].to_numpy(np.int64)
+        n_sub = int(sub.max()) + 1
+        sdim = int(spos.max()) + 1
+        vids, vinv = np.unique(vec, return_inverse=True)
+        m = np.zeros((n_sub, vids.size, sdim), np.int64)
+        m[sub, vinv, spos] = p
+        seeds_np = np.asarray(seed_arr, np.int64)
+        sidx = np.searchsorted(vids, seeds_np)
+        cents = m[:, sidx, :].copy()          # (n_sub, k, sdim)
+        k = seeds_np.size
+
+        def assign_all(cs):
+            a = np.empty((n_sub, vids.size), np.int64)
+            for s in range(n_sub):
+                d = ((m[s][:, None, :] - cs[s][None, :, :]) ** 2).sum(-1)
+                a[s] = d.argmin(1)
+            return a
+
+        for _ in range(iters):
+            assign = assign_all(cents)
+            for s in range(n_sub):
+                for j in range(k):
+                    mask = assign[s] == j
+                    n = int(mask.sum())
+                    if n:
+                        ssum = m[s, mask, :].sum(0)
+                        cents[s, j] = (2 * ssum + n) // (2 * n)
+        codes = assign_all(cents)             # encode under FINAL centers
+        yield pd.DataFrame({
+            "kind": np.zeros(n_sub * k * sdim, np.int32),
+            "vec_id": np.zeros(n_sub * k * sdim, np.int64),
+            "sub": np.repeat(np.arange(n_sub, dtype=np.int32), k * sdim),
+            "cid": np.repeat(np.tile(seeds_np, n_sub), sdim),
+            "spos": np.tile(np.arange(sdim, dtype=np.int32), n_sub * k),
+            "c": cents.reshape(-1)})
+        yield pd.DataFrame({
+            "kind": np.ones(n_sub * vids.size, np.int32),
+            "vec_id": np.repeat(vids, n_sub),
+            "sub": np.tile(np.arange(n_sub, dtype=np.int32), vids.size),
+            "cid": seeds_np[codes.T.reshape(-1)],
+            "spos": np.zeros(n_sub * vids.size, np.int32),
+            "c": np.zeros(n_sub * vids.size, np.int64)})
+
+    return pts_ck.select("vec_id", "sub", "spos", "p").coalesce(1) \
+        .mapInPandas(
+            fn, "kind int, vec_id bigint, sub int, cid bigint, "
+                "spos int, c bigint")
+
+
+def _pq_train_encode(pts: DataFrame, seeds: DataFrame, iters: int,
+                     n_pts: int | None = None,
+                     local_point_cap: int | None = None,
+                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(codebook, codes, points) with a size-adaptive route: point
+    sets ≤ the local cap (``n_pts`` is the caller's cheap row-count
+    bound — corpus count × dim, so no materialization is needed to
+    decide) train+encode in ONE vectorized task with bit-identical
+    arithmetic (``_pq_local_kernel``); larger sets run the unchanged
+    distributed rounds, so the 100 TB shape is untouched. The returned
+    points frame is the materialized checkpoint on the local route —
+    callers reuse it so the explode subtree runs once."""
+    cap = _pq_effective_cap(local_point_cap)
+    if cap and n_pts is not None and n_pts <= cap:
+        pts_ck = pts.localCheckpoint(eager=True)
+        seed_ids = [r[0] for r in seeds.collect()]   # bounded: k rows
+        both = _pq_local_kernel(pts_ck, seed_ids, iters) \
+            .localCheckpoint(eager=True)
+        centers = both.filter(F.col("kind") == 0) \
+            .select("sub", "cid", "spos", "c")
+        codes = both.filter(F.col("kind") == 1) \
+            .select("vec_id", "sub", "cid")
+        return centers, codes, pts_ck
+    centers = _pq_train(pts, seeds, iters)
+    return centers, _pq_encode(pts, centers), pts
 
 
 def _pq_train(pts: DataFrame, seeds: DataFrame,
@@ -1956,34 +2089,50 @@ def q_ivfpq_knn(embeddings: DataFrame,
     q_knn_ivf is rows-only.
     """
     e = _as_double(embeddings)
+    # route gate (shared by both trainers): one cheap corpus count
+    # bounds the exploded point rows without materializing them
+    n_pts = e.count() * EMBED_DIM
+    cap = _pq_effective_cap(None)
+    use_local = bool(cap) and n_pts <= cap
     gpts = _grid_pts(e)
     full_dim = EMBED_DIM
     # level 1: coarse cells = the same trainer, one full-width subspace
     cpts = _pq_split(gpts, full_dim)
     cseeds = e.select("vec_id").orderBy("vec_id").limit(n_cells)
-    coarse = _pq_train(cpts, cseeds, PQ_ITERS)
-    cells = (_pq_encode(cpts, coarse)
-             .select("vec_id", F.col("cid").alias("cell"))
-             .localCheckpoint(eager=False))
+    coarse, ccodes, cpts = _pq_train_encode(cpts, cseeds, PQ_ITERS,
+                                            n_pts=n_pts)
+    cells = ccodes.select("vec_id", F.col("cid").alias("cell"))
+    if not use_local:
+        cells = cells.localCheckpoint(eager=False)
     # residuals, re-split into PQ subspaces (spos of the one coarse
     # subspace IS the original pos)
     cvals = coarse.select(F.col("cid").alias("cell"),
                           F.col("spos").alias("pos"),
                           F.col("c").alias("cc"))
-    rpts = (gpts.join(cells, "vec_id")
+    # local route: pos-space points re-read from the MATERIALIZED
+    # full-width split (pos == spos there) instead of re-exploding,
+    # and the small per-vector cell map joins as an explicit
+    # broadcast (≤ cap/dim rows by the gate); at scale the cell map
+    # is corpus-sized, so the distributed route keeps the keyed join
+    psrc = (cpts.select("vec_id", F.col("spos").alias("pos"), "p")
+            if use_local else gpts)
+    rpts = (psrc.join(F.broadcast(cells) if use_local else cells,
+                      "vec_id")
             .join(F.broadcast(cvals), ["cell", "pos"])
             .select("vec_id", "cell",
                     (F.col("pos") / PQ_SUB_DIM).cast("int").alias("sub"),
                     (F.col("pos") % PQ_SUB_DIM).cast("int").alias("spos"),
-                    (F.col("p") - F.col("cc")).alias("p"))
-            # the PQ trainer references residual points 3× per round
-            # and their lineage is the whole coarse level — cut it
-            .localCheckpoint(eager=False))
+                    (F.col("p") - F.col("cc")).alias("p")))
+    if not use_local:
+        # the PQ trainer references residual points 3× per round
+        # and their lineage is the whole coarse level — cut it
+        # (the local route checkpoints inside _pq_train_encode)
+        rpts = rpts.localCheckpoint(eager=False)
     pseeds = e.select("vec_id").orderBy("vec_id").limit(PQ_K)
-    pqc = _pq_train(rpts.drop("cell"), pseeds, PQ_ITERS)
-    codes = _pq_encode(rpts.drop("cell"), pqc)
+    pqc, codes, _ = _pq_train_encode(rpts.drop("cell"), pseeds,
+                                     PQ_ITERS, n_pts=n_pts)
     # query: probe the n_probe nearest cells by exact integer distance
-    qg = gpts.filter(F.col("vec_id") == query_vec_id)
+    qg = psrc.filter(F.col("vec_id") == query_vec_id)
     qcd = (qg.join(F.broadcast(coarse.select(
                F.col("cid").alias("cell"),
                F.col("spos").alias("pos"), "c")), "pos")
@@ -2003,7 +2152,8 @@ def q_ivfpq_knn(embeddings: DataFrame,
            .agg(F.sum((F.col("q") - F.col("c"))
                       * (F.col("q") - F.col("c"))).alias("cellv")))
     return (
-        codes.join(cells, "vec_id")
+        codes.join(F.broadcast(cells) if use_local else cells,
+                   "vec_id")
         .filter(F.col("vec_id") != query_vec_id)
         .join(F.broadcast(lut), ["cell", "sub", "cid"])
         .groupBy("vec_id")

@@ -572,6 +572,28 @@ def test_ivfpq_knn_recall_floor_and_agreement(spark, sf_emb):
     assert len({r.vec_id for r in a} & brute) >= 1
 
 
+def test_pq_local_route_matches_distributed(spark, monkeypatch):
+    """The size-adaptive single-task trainer (r12 optimization) is
+    bit-identical to the distributed Lloyd rounds: q_pq_knn and
+    q_ivfpq_knn return the same (vec_id, distance[, cell]) rows with
+    the local route (default at test scale) and with it disabled
+    (MRS_PQ_LOCAL_POINTS=0 → the unchanged distributed path). Planted
+    interleaved corpus so empty-cluster fallback and cid tie-breaks
+    are exercised (duplicate seeds empty out)."""
+    def pat(seed):
+        return [((seed * 41 + i * 13) % 9 - 4) / 4.0 for i in range(64)]
+
+    vecs = [pat(i % 3) for i in range(18)]
+    e = _emb(spark, vecs)
+    local_pq = [tuple(r) for r in S.q_pq_knn(e, 0, k=12).collect()]
+    local_ivf = [tuple(r) for r in S.q_ivfpq_knn(e, 0, k=12).collect()]
+    monkeypatch.setenv("MRS_PQ_LOCAL_POINTS", "0")
+    dist_pq = [tuple(r) for r in S.q_pq_knn(e, 0, k=12).collect()]
+    dist_ivf = [tuple(r) for r in S.q_ivfpq_knn(e, 0, k=12).collect()]
+    assert local_pq == dist_pq
+    assert local_ivf == dist_ivf
+
+
 def _hyperlsh_mirror(vecs, n_tables, n_bits):
     """Pure-Python mirror of q_hyperlsh_eval's signature pipeline
     (hashlib md5 weights, HALF_UP grid, sign-bit buckets) — an
