@@ -93,17 +93,26 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
         raise ValueError(
             f"update batch lacks required columns {missing_req}")
 
-    dup = (updates.groupBy(*keys).count().filter(F.col("count") > 1)
-           .limit(1).count())
-    if dup:
+    # ONE job for the key-uniqueness gate + the touched-partition
+    # metadata + the null-partition guard (r12, guide §1.2: these were
+    # three separate driver-synchronized jobs per merge batch; a CDC
+    # stream pays them per micro-batch). partition_col is a group key,
+    # so the distinct partition values are collect_set over the group
+    # rows; nulls are counted explicitly because collect_set drops
+    # them (the original distinct() surfaced them).
+    meta = (updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_mrs_c"))
+            .agg(F.max("_mrs_c").alias("maxc"),
+                 F.collect_set(partition_col).alias("parts"),
+                 F.sum(F.col(partition_col).isNull().cast("long"))
+                 .alias("nulls"))
+            .first())
+    if (meta["maxc"] or 0) > 1:
         raise ValueError(
             "update batch is not key-unique; collapse it first "
             "(e.g. mutation.upsert_latest) so the merge is deterministic")
-
-    # partition metadata: the batch's touched partition values
-    parts = [r[0] for r in
-             updates.select(partition_col).distinct().collect()]
-    if any(p is None for p in parts):
+    parts = list(meta["parts"])
+    if (meta["nulls"] or 0) > 0:
         # a null partition value would silently miss the
         # __HIVE_DEFAULT_PARTITION__ directory in both the isin() scan
         # filter and the overwrite — refuse instead of corrupting
@@ -134,7 +143,16 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
           for c in data_cols],
         F.col(DELETED_COL).alias("_u_del"))
     cond = [affected[k] == u[f"_u_{k}"] for k in keys]
-    joined = affected.join(u, cond, "full_outer")
+    # checkpoint the JOIN, not the merged projection: the commit-
+    # summary aggregate below materializes it (one job), after which
+    # both the merged output's write and the summary read cached
+    # blocks — this replaces the former separate stats job +
+    # merged.count() materialization + post-write survivors job
+    # (3 jobs -> 1 per merge batch; r12, guide §1.2). The write still
+    # never races its own input scan: the directories are only read
+    # while the checkpoint materializes, strictly before the write.
+    joined = affected.join(u, cond, "full_outer") \
+        .localCheckpoint(eager=False)
 
     in_t = F.col(keys[0]).isNotNull()
     in_u = F.col(f"_u_{keys[0]}").isNotNull()
@@ -156,20 +174,21 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
             (F.when(u_wins, F.col(f"_u_{c}")).otherwise(F.col(c))
              if c in updates.columns else F.col(c)).alias(c)
             for c in data_cols])
-        # break lineage BEFORE writing: the output plan reads the same
-        # directories the write replaces — without materializing first,
-        # the overwrite would race its own input scan
-        .localCheckpoint(eager=False)
     )
-    # one aggregate pass over the join for the whole commit summary
-    # (materializes the checkpoint at the same time)
+    # one aggregate pass over the checkpointed join for the whole
+    # commit summary AND the surviving-partition set (a surviving
+    # row's partition value is on whichever join side exists; matched
+    # rows agree on it because partition_col is a key)
+    surv_part = F.coalesce(F.col(partition_col),
+                           F.col(f"_u_{partition_col}"))
     stats = joined.agg(
         F.sum((in_t & u_wins & ~F.col("_u_del")).cast("long")).alias("upd"),
         F.sum((in_t & u_wins & F.col("_u_del")).cast("long")).alias("del"),
         F.sum((~in_t & ~F.col("_u_del")).cast("long")).alias("ins"),
         F.sum((in_u & ~u_wins).cast("long")).alias("ign"),
+        F.collect_set(F.when(~(u_wins & F.col("_u_del")), surv_part))
+        .alias("survs"),
     ).collect()[0]
-    merged.count()  # force the checkpoint before touching the files
     (merged.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(partition_col)
@@ -178,8 +197,7 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
     # a partition whose every row was deleted produces no output rows,
     # so its stale directory must be dropped explicitly (the part of
     # the commit a table format would record as removed files)
-    survivors = {r[0] for r in
-                 merged.select(partition_col).distinct().collect()}
+    survivors = set(stats["survs"])
     emptied = [p for p in parts if p not in survivors]
     if emptied:
         jvm = spark._jvm

@@ -30,7 +30,13 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 DEDUP_OUTPUT = StructType([
     StructField("user_id", LongType()),
@@ -38,41 +44,68 @@ DEDUP_OUTPUT = StructType([
     StructField("first_event_id", LongType()),
 ])
 
-# state: the first event_id seen for this key
-DEDUP_STATE = StructType([StructField("first_event_id", LongType())])
+# state: the per-type first-seen markers for ONE user — parallel
+# arrays (event_type, first_event_id). Keying the GroupState at the
+# user level instead of (user, type) is an r12 optimization (guide
+# §1.2 via measurement: the applyInPandasWithState wall scales with
+# GROUP INVOCATIONS — a no-op stateful replay at sf0.1 cost 8.5 s
+# with (user, type) groups vs 4.5 s with user groups — so folding the
+# ~5 types/user into one state row cuts per-(group, batch) protocol +
+# state-store rows 5x while total state content is unchanged: still
+# exactly one marker per logical key).
+DEDUP_STATE = StructType([
+    StructField("types", ArrayType(StringType())),
+    StructField("first_ids", ArrayType(LongType())),
+])
 
 
 def _first_seen(key: tuple, pdfs: Iterable[pd.DataFrame],
                 state: Any) -> Iterator[pd.DataFrame]:
-    """Emit the key's first-arrived event once; suppress everything
-    after. Within a micro-batch 'first' is the min event_id (a batch
-    has no intra-order); across batches the state marker wins."""
+    """Emit each (user, type) key's first-arrived event once; suppress
+    everything after. Within a micro-batch 'first' is the min event_id
+    (a batch has no intra-order); across batches the state marker
+    wins. One invocation per USER per batch; the per-type markers live
+    together in this user's state row."""
+    (user_id,) = key
     if state.exists:
-        return
-    first = None
+        types, first_ids = state.get
+        seen = set(types)
+        types, first_ids = list(types), list(first_ids)
+    else:
+        seen, types, first_ids = set(), [], []
+
+    new: dict[str, int] = {}
     for pdf in pdfs:
-        m = int(pdf["event_id"].min())
-        if first is None or m < first:
-            first = m
-    if first is None:
+        for et, eid in zip(pdf["event_type"], pdf["event_id"]):
+            if et in seen:
+                continue
+            eid = int(eid)
+            if et not in new or eid < new[et]:
+                new[et] = eid
+    if not new:
         return
-    state.update((first,))
-    user_id, event_type = key
+    out_types = sorted(new)
+    for et in out_types:
+        types.append(et)
+        first_ids.append(new[et])
+    state.update((types, first_ids))
     yield pd.DataFrame({
-        "user_id": [int(user_id)],
-        "event_type": [str(event_type)],
-        "first_event_id": [first],
+        "user_id": [int(user_id)] * len(out_types),
+        "event_type": out_types,
+        "first_event_id": [new[et] for et in out_types],
     })
 
 
 def stream_dedup_first(stream: DataFrame) -> DataFrame:
     """(user_id, event_type)-keyed first-occurrence filter over a
-    stream of events. O(1) state per key, NoTimeout (ingestion dedup
-    keys live as long as the pipeline; production would add a TTL
-    timer sized to the upstream's replay horizon)."""
+    stream of events, with GroupState keyed per USER (see DEDUP_STATE:
+    one state row per user carries its per-type markers — O(1) per
+    logical key, 5x fewer group invocations). NoTimeout (ingestion
+    dedup keys live as long as the pipeline; production would add a
+    TTL timer sized to the upstream's replay horizon)."""
     return (
         stream.select("user_id", "event_type", "event_id")
-        .groupBy("user_id", "event_type")
+        .groupBy("user_id")
         .applyInPandasWithState(
             _first_seen,
             outputStructType=DEDUP_OUTPUT,

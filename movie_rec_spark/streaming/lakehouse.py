@@ -177,7 +177,14 @@ def q_merge_stream(events: DataFrame) -> DataFrame:
     base = tempfile.mkdtemp(prefix="mrs_mstream_")
     try:
         path = os.path.join(base, "tbl")
-        t.write.partitionBy("event_type").parquet(path)
+        # cluster by the partition column before the partitioned write
+        # (guide §6 / Iceberg write.distribution-mode=hash): one task
+        # per partition value instead of every shuffle partition
+        # spraying a file into every directory — the seeded table's
+        # footer count is what every subsequent merge's mergeSchema
+        # read and scan pays for
+        t.repartition("event_type").write.partitionBy("event_type") \
+            .parquet(path)
         src = stage_batches(os.path.join(base, "src"), [b1, b1, b2])
         schema = ("event_id bigint, user_id bigint, event_type string, "
                   "value double, ts timestamp, _deleted boolean")
