@@ -435,14 +435,21 @@ def snapshot_merge(spark: SparkSession, path: str, updates: DataFrame,
         raise ValueError(f"update batch lacks required columns {missing}")
     _check_types(man["summary"].get("columns"),
                  updates.drop(DELETED_COL), "snapshot_merge")
-    dup = (updates.groupBy(*keys).count().filter(F.col("count") > 1)
-           .limit(1).count())
-    if dup:
+    # ONE job for the key-uniqueness gate + touched-partition metadata
+    # + null-partition guard (r12 — same consolidation as merge_into;
+    # collect_set drops nulls, so nulls are counted explicitly)
+    meta = (updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_mrs_c"))
+            .agg(F.max("_mrs_c").alias("maxc"),
+                 F.collect_set(partition_col).alias("parts"),
+                 F.sum(F.col(partition_col).isNull().cast("long"))
+                 .alias("nulls"))
+            .first())
+    if (meta["maxc"] or 0) > 1:
         raise ValueError(
             "update batch is not key-unique; collapse it first "
             "(e.g. mutation.upsert_latest) so the merge is deterministic")
-    parts = [r[0] for r in
-             updates.select(partition_col).distinct().collect()]
+    parts = list(meta["parts"]) + ([None] if (meta["nulls"] or 0) else [])
     if any(p is None for p in parts):
         raise ValueError(
             f"update batch contains NULL {partition_col!r} values; "
