@@ -44,6 +44,13 @@ def get_spark(
         # Dimension tables (part/customer/nation/region analogues) are
         # small relative to the fact tables — let Spark broadcast them.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Prefer shuffled-hash over sort-merge when the per-partition
+        # build side fits (guide §3.1/§9): skips both sort steps; AQE
+        # additionally rewrites planned SMJs at runtime when every
+        # post-shuffle partition is under the local-map threshold.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                str(128 * 1024 * 1024))
         # Arrow for any pandas_udf / toPandas boundary (10-100× vs pickle).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
