@@ -379,10 +379,15 @@ def q_repetition(documents: DataFrame) -> DataFrame:
     shuffle, exact int/int arithmetic so the ratios hash-match the
     oracle without rounding."""
     from movie_rec_spark.functions import word_shingles
+    from movie_rec_spark.operators.skew import fanout_scan
 
     w = _tokens(F.col("text"))
     n_tok = F.size(w)
     n_grams = F.greatest(n_tok - F.lit(2), F.lit(1))  # word_shingles card.
+    # map-only, but the tokenize/distinct/shingle chain otherwise runs
+    # entirely in the single scan task at test scale — fan out first
+    # (conditional no-op at real scan parallelism; r12)
+    documents = fanout_scan(documents.select("doc_id", "text"))
     return documents.select(
         "doc_id",
         n_tok.cast("int").alias("n_tokens"),
@@ -410,12 +415,18 @@ def q_ngram_counts(documents: DataFrame, top_k: int = 50) -> DataFrame:
     sort. Ordering ties break on the gram string so the cut is
     deterministic across engines.
     """
+    from movie_rec_spark.operators.skew import fanout_scan
+
     w = _tokens(F.col("text"))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(w, i, 2)))
     return (
-        documents.select(F.explode(grams).alias("gram"))
+        # fan the single-file scan out first (conditional no-op at
+        # real scan parallelism): the tokenize+gram explode AND the
+        # partial-agg combiner otherwise run in ONE task (r12)
+        fanout_scan(documents.select("text"))
+        .select(F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
@@ -781,8 +792,13 @@ def q_text_embed(documents: DataFrame,
     rides the same key. All codegen, no Python.
     """
     from movie_rec_spark.functions import stable_bucket
+    from movie_rec_spark.operators.skew import fanout_scan
 
-    words = documents.select(
+    # fan the (often single-file or freshly-chunked single-task) input
+    # out before the tokenize+hash explode — conditional no-op at real
+    # scan parallelism (r12); serves every embed consumer (q_knn_text,
+    # q_chunk_knn, q_rrf's dense arm)
+    words = fanout_scan(documents.select("doc_id", "text")).select(
         "doc_id", F.explode(F.split("text", " ")).alias("w"))
     c = (words
          .select("doc_id", stable_bucket(F.col("w"), dim).alias("pos"))

@@ -111,7 +111,7 @@ def test_new_operator_shuffle_budgets(spark):
         "q_corpus_clean": 1,    # gates/split row-local; dedup window only
         "q_embed_quantize": 0,  # Arrow-batched map-only pass, no shuffle
         "q_tfidf_top_terms": 4,
-        "q_ngram_counts": 1,    # explode fused into scan; one count agg
+        "q_ngram_counts": 2,    # [fanout +1] explode + one count agg
         "q_domain_stats": 2,    # distinct-digest partial + final, same key
         "q_dedup_incremental": 2,  # fp-keyed join + fp-keyed window
         "q_knn_int8": 0,        # map-only scoring, TakeOrdered finish
