@@ -400,6 +400,32 @@ def q_kmeans(embeddings: DataFrame, k: int = KMEANS_K,
         "vec_id", "pos",
         F.round(F.col("x") * KMEANS_SCALE, 0).cast("long").alias("p"))
     seeds = (e.select("vec_id").orderBy("vec_id").limit(k))
+    # size-adaptive local route (r12 — the _pq_train_encode doctrine;
+    # q_kmeans IS the one-subspace integer Lloyd): under the point cap
+    # the whole train runs in ONE vectorized task with bit-identical
+    # arithmetic, sizes taken from the LAST in-loop assignment exactly
+    # as the loop below does. Gate = corpus count (parquet metadata at
+    # any scale) x the corpus dim contract — conservative for narrower
+    # test vectors, and a 100 TB corpus takes the unchanged rounds.
+    cap = _pq_effective_cap(None)
+    if cap and e.count() * EMBED_DIM <= cap:
+        pts_ck = _pq_split(pts, 1 << 30).localCheckpoint(eager=True)
+        seed_ids = [r[0] for r in seeds.collect()]   # bounded: k rows
+        both = _pq_local_kernel(pts_ck, seed_ids, iters,
+                                encode_final=False) \
+            .localCheckpoint(eager=True)
+        centers_l = both.filter(F.col("kind") == 0).select(
+            F.col("cid"), F.col("spos").alias("pos"), F.col("c"))
+        sizes_l = (both.filter(F.col("kind") == 1)
+                   .groupBy("cid")
+                   .agg(F.count(F.lit(1)).alias("n_vectors")))
+        return (centers_l.join(sizes_l, "cid", "left")
+                .select(F.col("cid").alias("cluster"),
+                        F.col("pos").cast("int").alias("pos"),
+                        (F.col("c") / F.lit(float(KMEANS_SCALE)))
+                        .alias("centroid_val"),
+                        F.coalesce("n_vectors", F.lit(0))
+                        .cast("long").alias("n_vectors")))
     centers = (pts.join(F.broadcast(seeds), "vec_id")
                .select(F.col("vec_id").alias("cid"), "pos",
                        F.col("p").alias("c")))
@@ -1889,7 +1915,8 @@ def _pq_effective_cap(local_point_cap: int | None) -> int:
 
 
 def _pq_local_kernel(pts_ck: DataFrame, seed_ids: list[int],
-                     iters: int) -> DataFrame:
+                     iters: int,
+                     encode_final: bool = True) -> DataFrame:
     """Single-task integer Lloyd + final-centers encode for point sets
     under the local cap: the EXACT arithmetic of the distributed path
     (int64 Σ(p−c)² distances; argmin ties to the LOWEST cid — centers
@@ -1898,7 +1925,9 @@ def _pq_local_kernel(pts_ck: DataFrame, seed_ids: list[int],
     update as exact integer floor division, which equals the
     distributed double-division floor while |2s+n| < 2^53 — the
     documented q_kmeans parity bound; emptied clusters keep their
-    previous centroid; codes assigned under the FINAL codebook),
+    previous centroid; codes assigned under the FINAL codebook — or,
+    with ``encode_final=False``, the LAST in-loop assignment, i.e.
+    the one q_kmeans derives its cluster sizes from),
     vectorized over the whole point array in one ``mapInPandas`` task
     (guide §4.2 — hand the batch to native code). ``pts_ck`` MUST be a
     materialized (eager localCheckpoint) frame so the coalesce(1)
@@ -1938,6 +1967,7 @@ def _pq_local_kernel(pts_ck: DataFrame, seed_ids: list[int],
                 a[s] = d.argmin(1)
             return a
 
+        assign = None
         for _ in range(iters):
             assign = assign_all(cents)
             for s in range(n_sub):
@@ -1947,7 +1977,10 @@ def _pq_local_kernel(pts_ck: DataFrame, seed_ids: list[int],
                     if n:
                         ssum = m[s, mask, :].sum(0)
                         cents[s, j] = (2 * ssum + n) // (2 * n)
-        codes = assign_all(cents)             # encode under FINAL centers
+        if encode_final or assign is None:
+            codes = assign_all(cents)         # encode under FINAL centers
+        else:
+            codes = assign                    # last in-loop assignment
         yield pd.DataFrame({
             "kind": np.zeros(n_sub * k * sdim, np.int32),
             "vec_id": np.zeros(n_sub * k * sdim, np.int64),

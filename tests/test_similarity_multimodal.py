@@ -587,11 +587,14 @@ def test_pq_local_route_matches_distributed(spark, monkeypatch):
     e = _emb(spark, vecs)
     local_pq = [tuple(r) for r in S.q_pq_knn(e, 0, k=12).collect()]
     local_ivf = [tuple(r) for r in S.q_ivfpq_knn(e, 0, k=12).collect()]
+    local_km = sorted(tuple(r) for r in S.q_kmeans(e).collect())
     monkeypatch.setenv("MRS_PQ_LOCAL_POINTS", "0")
     dist_pq = [tuple(r) for r in S.q_pq_knn(e, 0, k=12).collect()]
     dist_ivf = [tuple(r) for r in S.q_ivfpq_knn(e, 0, k=12).collect()]
+    dist_km = sorted(tuple(r) for r in S.q_kmeans(e).collect())
     assert local_pq == dist_pq
     assert local_ivf == dist_ivf
+    assert local_km == dist_km
 
 
 def _hyperlsh_mirror(vecs, n_tables, n_bits):
