@@ -1722,7 +1722,8 @@ KCORE_K = 5  # keeps the clique blocks of core_edges, peels the paths
 
 
 def kcore(edges: DataFrame, k: int = KCORE_K,
-          max_rounds: int = 100) -> DataFrame:
+          max_rounds: int = 100,
+          local_edge_cap: int | None = None) -> DataFrame:
     """k-core decomposition by ITERATIVE PEELING (Matula–Beck): drop
     every node with degree < k, recompute degrees on the induced
     subgraph, repeat until stable. The surviving subgraph is the
@@ -1755,6 +1756,53 @@ def kcore(edges: DataFrame, k: int = KCORE_K,
                       F.greatest("doc_a", "doc_b").alias("b"))
          .filter(F.col("a") != F.col("b"))
          .distinct().localCheckpoint(eager=True))
+    # Size-adaptive route (r12 — the CC_LOCAL_EDGE_CAP doctrine): edge
+    # sets under the cap peel in ONE vectorized task; k-core is
+    # confluent (unique result under any peel schedule), and the local
+    # kernel peels the same synchronous whole rounds, so survivors AND
+    # in-core degrees are identical. Counting the already-materialized
+    # checkpoint is one cheap job; large graphs take the unchanged
+    # iterative rounds.
+    cap = _cc_effective_cap(local_edge_cap)
+    if cap and e.count() <= cap:
+        def peel_fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            eas, ebs = [], []
+            for pdf in batches:
+                eas.append(pdf["a"].to_numpy(np.int64))
+                ebs.append(pdf["b"].to_numpy(np.int64))
+            ea = np.concatenate(eas) if eas else np.empty(0, np.int64)
+            eb = np.concatenate(ebs) if ebs else np.empty(0, np.int64)
+            if ea.size == 0:
+                return
+            ids, inv = np.unique(np.concatenate([ea, eb]),
+                                 return_inverse=True)
+            ai, bi = inv[:ea.size], inv[ea.size:]
+            peels_l = 0
+            while True:
+                deg = (np.bincount(ai, minlength=ids.size)
+                       + np.bincount(bi, minlength=ids.size))
+                low = (deg > 0) & (deg < k)
+                if not low.any():
+                    mask = deg > 0
+                    if mask.any():
+                        yield pd.DataFrame({
+                            "doc_id": ids[mask],
+                            "deg": deg[mask].astype(np.int64)})
+                    return
+                if peels_l >= max_rounds:
+                    raise RuntimeError(
+                        f"kcore did not stabilize in {max_rounds} "
+                        "rounds")
+                peels_l += 1
+                live = deg >= k
+                keep_e = live[ai] & live[bi]
+                ai, bi = ai[keep_e], bi[keep_e]
+
+        return e.coalesce(1).mapInPandas(
+            peel_fn, "doc_id bigint, deg bigint")
     peels = 0
     while True:
         deg = (e.select(F.col("a").alias("node"))
@@ -1838,7 +1886,8 @@ LABELPROP_ITERS = 4  # fixed synchronous rounds (deterministic cut)
 
 
 def label_propagation(edges: DataFrame,
-                      iters: int = LABELPROP_ITERS) -> DataFrame:
+                      iters: int = LABELPROP_ITERS,
+                      local_edge_cap: int | None = None) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan
     et al. 2007) with a deterministic tie rule: each round, every node
     adopts the most frequent label among its NEIGHBORS, ties broken by
@@ -1859,6 +1908,51 @@ def label_propagation(edges: DataFrame,
                                      F.col("doc_a").alias("dst")))
            .filter(F.col("src") != F.col("dst"))
            .distinct().localCheckpoint(eager=True))
+    # Size-adaptive route (r12 — the CC_LOCAL_EDGE_CAP doctrine): the
+    # synchronous rounds with the (cnt DESC, label ASC) argmax are a
+    # pure function of the edge set, so the vectorized single-task
+    # kernel below computes the identical label assignment; large
+    # graphs run the unchanged per-round joins/aggs.
+    cap = _cc_effective_cap(local_edge_cap)
+    if cap and sym.count() <= cap:
+        n_iters = iters
+
+        def lpa_fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            srcs, dsts = [], []
+            for pdf in batches:
+                srcs.append(pdf["src"].to_numpy(np.int64))
+                dsts.append(pdf["dst"].to_numpy(np.int64))
+            src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+            dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+            if src.size == 0:
+                return
+            nodes, inv = np.unique(np.concatenate([src, dst]),
+                                   return_inverse=True)
+            si, di = inv[:src.size], inv[src.size:]
+            labels_a = nodes.copy()          # init: own id
+            for _ in range(n_iters):
+                lbl = labels_a[di]           # dst label per edge
+                order = np.lexsort((lbl, si))
+                so, lo = si[order], lbl[order]
+                brk = (so[1:] != so[:-1]) | (lo[1:] != lo[:-1])
+                starts = np.concatenate(
+                    [[0], np.nonzero(brk)[0] + 1])
+                gi, gl = so[starts], lo[starts]
+                cnt = np.diff(np.concatenate([starts, [so.size]]))
+                # argmax per node by (cnt DESC, label ASC)
+                o2 = np.lexsort((gl, -cnt, gi))
+                gi2, gl2 = gi[o2], gl[o2]
+                first = np.concatenate([[True], gi2[1:] != gi2[:-1]])
+                new = labels_a.copy()
+                new[gi2[first]] = gl2[first]
+                labels_a = new
+            yield pd.DataFrame({"doc_id": nodes, "label": labels_a})
+
+        return sym.coalesce(1).mapInPandas(
+            lpa_fn, "doc_id bigint, label bigint")
     labels = (sym.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))

@@ -120,6 +120,29 @@ def test_q_label_prop_matches_pure_mirror(spark, sf_docs):
     assert len(sizes) > 2                           # chains fragmented
 
 
+def test_graph_local_routes_match_iterative(spark, sf_docs):
+    """The r12 single-task kernels for kcore and label_propagation
+    are pinned against the unchanged iterative paths
+    (local_edge_cap=0 forces the per-round joins/aggs): identical
+    survivors+degrees and identical label assignments on the real
+    community graph."""
+    edges = D.core_edges(sf_docs)
+    loc_kc = {(r.doc_id, r.deg)
+              for r in D.kcore(edges, D.KCORE_K).collect()}
+    it_kc = {(r.doc_id, r.deg)
+             for r in D.kcore(edges, D.KCORE_K,
+                              local_edge_cap=0).collect()}
+    assert loc_kc == it_kc
+    loc_lp = {(r.doc_id, r.label)
+              for r in D.label_propagation(
+                  edges, D.LABELPROP_ITERS).collect()}
+    it_lp = {(r.doc_id, r.label)
+             for r in D.label_propagation(
+                 edges, D.LABELPROP_ITERS,
+                 local_edge_cap=0).collect()}
+    assert loc_lp == it_lp
+
+
 # ---------- containment ----------
 
 def test_containment_catches_subset_jaccard_misses(spark):
