@@ -1518,7 +1518,8 @@ def q_fuzzy_match(part: DataFrame,
 KHOP_K = 3   # neighborhood radius
 
 
-def khop_counts(edges: DataFrame, k: int = KHOP_K) -> DataFrame:
+def khop_counts(edges: DataFrame, k: int = KHOP_K,
+                local_edge_cap: int | None = None) -> DataFrame:
     """Exact ≤k-hop reachability counts per source node — the
     neighborhood-size feature (influence radius, crawl frontier
     sizing, graph embedding context windows) on a directed graph
@@ -1540,10 +1541,55 @@ def khop_counts(edges: DataFrame, k: int = KHOP_K) -> DataFrame:
     hops; nodes that reach nothing are absent (same convention as
     q_triangles).
     """
-    e = edges.select(F.col("doc_a").alias("node"),
-                     F.col("doc_b").alias("nxt"))
-    reach = (edges.select(F.col("doc_a").alias("src"),
-                          F.col("doc_b").alias("node"))
+    # Size-adaptive route (r12 — the CC_LOCAL_EDGE_CAP doctrine): edge
+    # sets under the cap BFS in ONE task, replaying the identical
+    # layered expansion (pandas hash joins stand in for the shuffled
+    # equi/anti joins; reach counts are exact integers, so the result
+    # is the same set either way). Large graphs take the unchanged
+    # iterative path.
+    ecp = edges.select("doc_a", "doc_b").localCheckpoint(eager=False)
+    cap = _cc_effective_cap(local_edge_cap)
+    if cap and all(ecp.schema[c].dataType.simpleString() == "bigint"
+                   for c in ("doc_a", "doc_b")) and \
+            ecp.count() <= cap:
+        def khop_fn(batches):
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            e_pd = pd.concat(parts, ignore_index=True)
+            if not len(e_pd):
+                return
+            adj = e_pd.rename(columns={"doc_a": "node", "doc_b": "nxt"})
+            reach_l = (e_pd.rename(
+                columns={"doc_a": "src", "doc_b": "node"})
+                .drop_duplicates())
+            frontier_l = reach_l
+            for _ in range(k - 1):
+                grown = (frontier_l.merge(adj, on="node")
+                         [["src", "nxt"]]
+                         .rename(columns={"nxt": "node"})
+                         .drop_duplicates())
+                m = grown.merge(reach_l, on=["src", "node"],
+                                how="left", indicator=True)
+                frontier_l = m[m["_merge"] == "left_only"][
+                    ["src", "node"]]
+                reach_l = pd.concat([reach_l, frontier_l],
+                                    ignore_index=True)
+            reach_l = reach_l[reach_l["src"] != reach_l["node"]]
+            out = (reach_l.groupby("src").size()
+                   .reset_index(name="n_reachable"))
+            yield pd.DataFrame({
+                "doc_id": out["src"].astype("int64"),
+                "n_reachable": out["n_reachable"].astype("int64")})
+
+        return ecp.coalesce(1).mapInPandas(
+            khop_fn, "doc_id bigint, n_reachable bigint")
+    e = ecp.select(F.col("doc_a").alias("node"),
+                   F.col("doc_b").alias("nxt"))
+    reach = (ecp.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("node"))
              .distinct().localCheckpoint(eager=False))
     frontier = reach
     for _ in range(k - 1):
@@ -1586,7 +1632,8 @@ def triangle_edges(documents: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame,
+                   local_edge_cap: int | None = None) -> DataFrame:
     """Per-node triangle support (how many triangles each node sits
     in) via DEGREE-ORDERED edge orientation — the standard
     at-scale algorithm (Suri & Vassilvitskii's MapReduce formulation;
@@ -1613,7 +1660,60 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     triangle."""
     e = (edges.select(F.least("doc_a", "doc_b").alias("a"),
                       F.greatest("doc_a", "doc_b").alias("b"))
-         .filter(F.col("a") != F.col("b")).distinct())
+         .filter(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=False))
+    # Size-adaptive route (r12 — the CC_LOCAL_EDGE_CAP doctrine):
+    # canonical edge sets under the cap run the SAME degree-ordered
+    # orientation + wedge close in ONE task (pandas hash joins replay
+    # the shuffled joins; the rank formula deg·2³² + id is computed in
+    # int64 like the JVM, and triangle support is an exact integer, so
+    # the per-node counts are identical by uniqueness of the triangle
+    # set). Large graphs take the unchanged distributed joins.
+    cap = _cc_effective_cap(local_edge_cap)
+    if cap and all(e.schema[c].dataType.simpleString() == "bigint"
+                   for c in ("a", "b")) and e.count() <= cap:
+        def tri_fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            e_pd = pd.concat(parts, ignore_index=True)
+            if not len(e_pd):
+                return
+            a = e_pd["a"].to_numpy(np.int64)
+            b = e_pd["b"].to_numpy(np.int64)
+            ids, inv = np.unique(np.concatenate([a, b]),
+                                 return_inverse=True)
+            ai, bi = inv[:a.size], inv[a.size:]
+            deg = (np.bincount(ai, minlength=ids.size)
+                   + np.bincount(bi, minlength=ids.size))
+            rk = deg.astype(np.int64) * np.int64(1 << 32) + ids
+            lo = rk[ai] < rk[bi]
+            u = np.where(lo, a, b)
+            v = np.where(lo, b, a)
+            rkv = np.maximum(rk[ai], rk[bi])
+            er = pd.DataFrame({"u": u, "v": v, "rkv": rkv})
+            w = er.merge(er, on="u")
+            w = w[w["rkv_x"] < w["rkv_y"]]
+            wedges = pd.DataFrame({"x": w["u"],
+                                   "p": w["v_x"], "q": w["v_y"]})
+            tri = wedges.merge(
+                er[["u", "v"]].rename(columns={"u": "p", "v": "q"}),
+                on=["p", "q"])
+            corners = np.concatenate([
+                tri["x"].to_numpy(np.int64),
+                tri["p"].to_numpy(np.int64),
+                tri["q"].to_numpy(np.int64)])
+            if corners.size == 0:
+                return
+            node, cnt = np.unique(corners, return_counts=True)
+            yield pd.DataFrame({"doc_id": node,
+                                "n_triangles": cnt.astype(np.int64)})
+
+        return e.coalesce(1).mapInPandas(
+            tri_fn, "doc_id bigint, n_triangles bigint")
     deg = (e.select(F.col("a").alias("node"))
            .unionAll(e.select(F.col("b").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))

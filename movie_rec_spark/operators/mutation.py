@@ -266,8 +266,8 @@ def _snapshot_events_scenario(events: DataFrame, reader) -> DataFrame:
     correctness invocations must not leak a table copy per call."""
     import os
     import shutil
-    import tempfile
 
+    from movie_rec_spark.scratch import scratch_dir
     from movie_rec_spark.sources.snapshot import (
         snapshot_create,
         snapshot_merge,
@@ -280,7 +280,7 @@ def _snapshot_events_scenario(events: DataFrame, reader) -> DataFrame:
     u = (upsert_latest(events.filter(F.col("event_id") % 2 == 1))
          .select(*cols)
          .withColumn("_deleted", F.col("event_id") % 5 == 0))
-    base = tempfile.mkdtemp(prefix="mrs_snap_")
+    base = scratch_dir("mrs_snap_")
     try:
         path = os.path.join(base, "tbl")
         snapshot_create(spark, path, t, "event_type")

@@ -1256,7 +1256,8 @@ BPE_ROUNDS = 6  # unrolled merge rounds (the oracle unrolls the same 6)
 
 
 def q_bpe_merges(documents: DataFrame,
-                 rounds: int = BPE_ROUNDS) -> DataFrame:
+                 rounds: int = BPE_ROUNDS,
+                 local_word_cap: int | None = None) -> DataFrame:
     """BPE merge induction — the core step of tokenizer TRAINING
     (Sennrich et al. 2016): repeatedly find the most frequent adjacent
     symbol pair in the corpus and fuse it into a new symbol. Output:
@@ -1271,6 +1272,13 @@ def q_bpe_merges(documents: DataFrame,
     one TakeOrdered argmax collected to the driver (O(1) rows — the CC
     convergence-scalar discipline), and one row-local string replace
     applying the merge. Rounds eager-checkpoint so plans stay flat.
+    Size-adaptive (r12, the CC_LOCAL_EDGE_CAP doctrine): dicts under
+    ``local_word_cap`` (default BPE_LOCAL_WORD_CAP; env
+    MRS_BPE_LOCAL_WORDS, 0 disables) run the whole induction in ONE
+    single-task pass over the materialized dict — identical argmax/
+    replace semantics (see ``_bpe_local``) — instead of ``rounds``
+    driver-synchronized job batches; larger dicts take the unchanged
+    distributed loop.
 
     Determinism across engines: the argmax tie rule is (freq DESC,
     left ASC, right ASC); merge application is PLAIN (non-regex)
@@ -1287,17 +1295,122 @@ def q_bpe_merges(documents: DataFrame,
     vocabulary-induction member of the token family next to
     q_token_counts / q_vocab_coverage / q_unigram_logprob.
     """
-    merges, _ = _bpe_train(documents, rounds)
+    cur = _bpe_word_dict(documents)
+    cap = _bpe_effective_cap(local_word_cap)
+    if cap and cur.count() <= cap:
+        return _bpe_local(cur, rounds, emit="merges")
+    merges, _ = _bpe_train_iter(cur, rounds)
     schema = ("merge_round int, left_sym string, right_sym string, "
               "pair_freq bigint")
     return documents.sparkSession.createDataFrame(merges, schema)
 
 
-def _bpe_train(documents: DataFrame,
-               rounds: int) -> tuple[list[tuple], DataFrame]:
+# Below this many DISTINCT WORDS, the whole merge induction runs in ONE
+# single-task mapInPandas pass over the materialized word dict instead
+# of ``rounds`` driver-synchronized (pair-count agg + TakeOrdered
+# collect + eager checkpoint) jobs (guide §1.2 — the CC_LOCAL_EDGE_CAP
+# doctrine applied to BPE: at test scale the loop's wall is pure
+# per-round scheduling, for a dict one core folds in milliseconds).
+# 2M dict rows is tens of MB — trivially one task's memory; real
+# tokenizer vocabularies (~10^6 words after frequency collapse) fit,
+# which is exactly why classical BPE trainers are single-machine over
+# the dict. A corpus whose SPLIT dict exceeds the cap takes the
+# unchanged distributed loop. MRS_BPE_LOCAL_WORDS overrides
+# (0 disables the local path).
+BPE_LOCAL_WORD_CAP = 2_000_000
+
+
+def _bpe_effective_cap(local_word_cap: int | None) -> int:
+    if local_word_cap is not None:
+        return local_word_cap
+    import os
+
+    return int(os.environ.get("MRS_BPE_LOCAL_WORDS", BPE_LOCAL_WORD_CAP))
+
+
+def _bpe_word_dict(documents: DataFrame) -> DataFrame:
+    """The corpus→word-frequency-dict collapse — the ONLY corpus-sized
+    move of BPE training (identical to a word count); both the local
+    and the iterative route train on this frame alone. Lazily
+    checkpointed: the local route's size gate counts it, and the
+    iterative route references it once per round."""
+    chars = F.array_remove(F.split(F.col("w"), ""), "")
+    return (
+        documents.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+        .select("w", F.array_join(chars, " ").alias("sym"), "freq")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _bpe_local(cur: DataFrame, rounds: int, emit: str) -> DataFrame:
+    """Single-task BPE merge induction over the materialized word dict:
+    the exact iterative semantics — per-round adjacent-pair weighted
+    count, argmax tie rule (freq DESC, left ASC, right ASC), PLAIN
+    left-to-right non-overlapping ' a b '→' ab ' replace on the
+    space-padded symbol string — replicated with Python's own
+    primitives, which share them: ``str.replace`` IS Java
+    ``String.replace`` (literal, left-to-right, pattern consumes the
+    shared delimiter space so 'a a a' fuses only its first pair per
+    pass), and Python's str ordering (code points) equals Spark's
+    UTF8String byte ordering (UTF-8 preserves code-point order).
+    ``emit='merges'`` yields the merge table rows, ``emit='dict'`` the
+    final segmented dict — the two consumers of ``_bpe_train_iter``."""
+    schema = ("merge_round int, left_sym string, right_sym string, "
+              "pair_freq bigint") if emit == "merges" else \
+        "w string, sym string, freq bigint"
+
+    def fn(batches):
+        import pandas as pd
+
+        words: list = []
+        syms: list = []
+        freqs: list = []
+        for pdf in batches:
+            words += pdf["w"].tolist()
+            syms += pdf["sym"].tolist()
+            freqs += pdf["freq"].tolist()
+        merges: list[tuple] = []
+        for r in range(1, rounds + 1):
+            pc: dict = {}
+            for sym, fq in zip(syms, freqs):
+                parts = sym.split(" ")
+                for i in range(len(parts) - 1):
+                    k = (parts[i], parts[i + 1])
+                    pc[k] = pc.get(k, 0) + fq
+            if not pc:
+                break
+            (a, b), pf = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            merges.append((r, a, b, pf))
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            syms = [f" {s} ".replace(pat, rep).strip(" ") for s in syms]
+        if emit == "merges":
+            yield pd.DataFrame({
+                "merge_round": pd.Series(
+                    [m[0] for m in merges], dtype="int32"),
+                "left_sym": pd.Series(
+                    [m[1] for m in merges], dtype="object"),
+                "right_sym": pd.Series(
+                    [m[2] for m in merges], dtype="object"),
+                "pair_freq": pd.Series(
+                    [m[3] for m in merges], dtype="int64")})
+        else:
+            yield pd.DataFrame({
+                "w": pd.Series(words, dtype="object"),
+                "sym": pd.Series(syms, dtype="object"),
+                "freq": pd.Series(freqs, dtype="int64")})
+
+    return cur.coalesce(1).mapInPandas(fn, schema)
+
+
+def _bpe_train_iter(cur: DataFrame,
+                    rounds: int) -> tuple[list[tuple], DataFrame]:
     """The shared BPE training loop: returns (merge table rows, the
     final word-frequency dict with its post-merge segmentation) — the
-    dict is the encode side q_bpe_encode exposes.
+    dict is the encode side q_bpe_encode exposes. Takes the
+    already-built word dict (``_bpe_word_dict``).
 
     Character-split parity caveat: the initial segmentation (Spark
     ``F.split(w, '')`` vs DuckDB ``string_split(w, '')``) is
@@ -1307,14 +1420,6 @@ def _bpe_train(documents: DataFrame,
     silently break oracle parity on such corpora. The documents
     fixture is ASCII; a non-ASCII corpus should pre-normalize or pin
     the behavior per engine before trusting the hashes."""
-    chars = F.array_remove(F.split(F.col("w"), ""), "")
-    cur = (
-        documents.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
-        .select("w", F.array_join(chars, " ").alias("sym"), "freq")
-        .localCheckpoint(eager=False)
-    )
     merges: list[tuple] = []
     for r in range(1, rounds + 1):
         arr = F.split("sym", " ")
@@ -1342,20 +1447,28 @@ def _bpe_train(documents: DataFrame,
 
 
 def q_bpe_encode(documents: DataFrame,
-                 rounds: int = BPE_ROUNDS) -> DataFrame:
+                 rounds: int = BPE_ROUNDS,
+                 local_word_cap: int | None = None) -> DataFrame:
     """The ENCODE half of the tokenizer story: the vocabulary after
     applying the learned merges — each distinct word with its corpus
     frequency, its post-merge segmentation, and its token count before
     (characters) and after. sum(freq·n_tokens)/sum(freq·n_chars) over
     this table is the compression ratio a tokenizer is judged by.
 
-    Identical training loop as q_bpe_merges (shared `_bpe_train`);
-    the oracle unrolls the same rounds carrying the word through, so
+    Identical training loop as q_bpe_merges (shared word dict + the
+    same size-adaptive route: single-task local induction under the
+    word cap, the distributed `_bpe_train_iter` loop above it); the
+    oracle unrolls the same rounds carrying the word through, so
     the final dict CTE IS the expected output. Encoding real corpora
     at serving time is the same chain of ``rounds`` plain replaces —
     row-local, whole-stage codegen, no Python.
     """
-    _, dict_df = _bpe_train(documents, rounds)
+    cur = _bpe_word_dict(documents)
+    cap = _bpe_effective_cap(local_word_cap)
+    if cap and cur.count() <= cap:
+        dict_df = _bpe_local(cur, rounds, emit="dict")
+    else:
+        _, dict_df = _bpe_train_iter(cur, rounds)
     return dict_df.select(
         F.col("w").alias("word"), "freq",
         F.col("sym").alias("encoded"),

@@ -158,8 +158,8 @@ def q_merge_stream(events: DataFrame) -> DataFrame:
     """
     import os
     import shutil
-    import tempfile
 
+    from movie_rec_spark.scratch import scratch_dir
     from movie_rec_spark.streaming.replay import stage_batches
 
     spark = events.sparkSession
@@ -174,7 +174,7 @@ def q_merge_stream(events: DataFrame) -> DataFrame:
         # a bare-parquet table seeded from nothing has no schema to
         # read back — empty in, empty out (the totality contract)
         return t
-    base = tempfile.mkdtemp(prefix="mrs_mstream_")
+    base = scratch_dir("mrs_mstream_")
     try:
         path = os.path.join(base, "tbl")
         # cluster by the partition column before the partitioned write

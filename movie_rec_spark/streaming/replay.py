@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import uuid
 from collections.abc import Callable, Sequence
 
@@ -108,8 +107,10 @@ def replay_file_stream(
     overhead dominates the state-store commits, so the caller asks for
     enough partitions to spread the groups across workers even when
     the replayed bytes alone would size the replay smaller."""
+    from movie_rec_spark.scratch import scratch_dir
+
     spark = batches[0].sparkSession
-    base = tempfile.mkdtemp(prefix=prefix)
+    base = scratch_dir(prefix)
     name = f"{prefix}{uuid.uuid4().hex[:8]}"
     try:
         src = stage_batches(os.path.join(base, "src"), batches)

@@ -143,6 +143,27 @@ def test_graph_local_routes_match_iterative(spark, sf_docs):
     assert loc_lp == it_lp
 
 
+def test_khop_triangles_local_routes_match_iterative(spark, sf_docs):
+    """The r12 single-task kernels for khop_counts and triangle_count
+    are pinned against the unchanged distributed joins
+    (local_edge_cap=0): identical reach counts on the directed
+    general graph and identical triangle support on the offset graph."""
+    gedges = D.general_edges(sf_docs)
+    loc_kh = {(r.doc_id, r.n_reachable)
+              for r in D.khop_counts(gedges, D.KHOP_K).collect()}
+    it_kh = {(r.doc_id, r.n_reachable)
+             for r in D.khop_counts(gedges, D.KHOP_K,
+                                    local_edge_cap=0).collect()}
+    assert loc_kh == it_kh and loc_kh
+    tedges = D.triangle_edges(sf_docs)
+    loc_tr = {(r.doc_id, r.n_triangles)
+              for r in D.triangle_count(tedges).collect()}
+    it_tr = {(r.doc_id, r.n_triangles)
+             for r in D.triangle_count(
+                 tedges, local_edge_cap=0).collect()}
+    assert loc_tr == it_tr and loc_tr
+
+
 # ---------- containment ----------
 
 def test_containment_catches_subset_jaccard_misses(spark):
@@ -369,6 +390,36 @@ def test_bpe_empty_corpus_returns_schema(spark):
     assert out.count() == 0
     assert out.columns == ["merge_round", "left_sym", "right_sym",
                            "pair_freq"]
+
+
+def test_bpe_local_route_matches_distributed(spark):
+    """The single-task local induction (dict under BPE_LOCAL_WORD_CAP)
+    equals the distributed loop (pinned via local_word_cap=0) row for
+    row — merge table AND final encode dict — on a corpus exercising
+    the tricky shapes: back-to-back runs ('aaaa'), compounding merges
+    ('low'/'lower'), a tie broken by (left ASC, right ASC), and a
+    single-symbol word contributing no pairs."""
+    from movie_rec_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa low low lower x", "en", "s", 25),
+         (1, "zb zb ya ya", "en", "s", 11)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    m_local = sorted(
+        (r.merge_round, r.left_sym, r.right_sym, r.pair_freq)
+        for r in T.q_bpe_merges(docs).collect())
+    m_dist = sorted(
+        (r.merge_round, r.left_sym, r.right_sym, r.pair_freq)
+        for r in T.q_bpe_merges(docs, local_word_cap=0).collect())
+    assert m_local == m_dist and len(m_local) == T.BPE_ROUNDS
+    e_local = sorted(
+        (r.word, r.freq, r.encoded, r.n_tokens, r.n_chars)
+        for r in T.q_bpe_encode(docs).collect())
+    e_dist = sorted(
+        (r.word, r.freq, r.encoded, r.n_tokens, r.n_chars)
+        for r in T.q_bpe_encode(docs, local_word_cap=0).collect())
+    assert e_local == e_dist and len(e_local) > 0
 
 
 # ---------- negative sampling ----------
