@@ -551,14 +551,26 @@ def exact_pct_brackets(df: DataFrame, group_cols: list[str],
     brackets with conditional aggregation. The whole kernel is
     codegen'd JVM expressions, no UDFs.
     """
-    # pre-partition by the group key alone: HashPartitioning(group)
-    # satisfies the (group, cents) histogram agg's ClusteredDistribution
-    # (subset rule) AND the group-keyed windows AND the final group
-    # agg, so the whole kernel rides ONE Exchange. Reducer load is
-    # histogram-sized (bounded by value variety per group), because
-    # the map-side partial agg collapses raw rows before the shuffle.
-    src = df.repartition(*group_cols) if group_cols else df
-    hist = (src.groupBy(*group_cols, F.col(cents_col).alias("_c"))
+    # Shuffle discipline (r12): the histogram agg shuffles on its OWN
+    # key (group, cents) — map-side partial aggregation collapses raw
+    # rows to cells per scan task and the exchange spreads over all
+    # partitions. The group-keyed windows then add one more exchange,
+    # but it carries HISTOGRAM CELLS (bounded by value variety), never
+    # raw rows. The previous one-exchange form (repartition(group)
+    # first, agg/windows riding it via the subset rule) funneled every
+    # RAW row into |groups| reducer partitions BEFORE any partial agg
+    # could run — with few groups (q_percentiles has 3) that is the
+    # guide-§2.5 skew anti-pattern: at 100 TB it leaves |groups|
+    # straggler tasks owning the corpus. Bench-neutral at sf0.1
+    # (alternating A/B, min-of-2 ×2 rounds: 4.97/4.45 s vs 4.97/4.56 s
+    # over the three callers). (A fanout_scan before the
+    # partial agg was measured and REJECTED: at sf0.1 the cents-grain
+    # variety nearly saturates the row count, so the partial agg
+    # collapses little and the extra round-robin exchange just moves
+    # the raw rows twice. At real scale variety is bounded by the
+    # value domain while volume is not, so the partial agg does the
+    # collapsing on the scan tasks with no help needed.)
+    hist = (df.groupBy(*group_cols, F.col(cents_col).alias("_c"))
             .agg(F.count(F.lit(1)).alias("_cnt")))
     return pct_brackets_from_hist(hist, group_cols, pcts)
 
