@@ -643,7 +643,10 @@ def q_quantile_merge(events: DataFrame) -> DataFrame:
     daily_hist = (
         events.select(F.to_date("ts").cast("string").alias("day"),
                       cents.alias("_c"))
-        .repartition("day")
+        # shuffle on the agg's own (day, cents) key — map-side partial
+        # agg collapses raw rows to cells; the former repartition("day")
+        # funneled raw rows into |days| partitions before any combine
+        # (the exact_pct_brackets r12 skew fix applied here too)
         .groupBy("day", "_c").agg(F.count(F.lit(1)).alias("_cnt"))
         # the persisted per-day state: built once, read by both the
         # per-day brackets and the merge
