@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from movie_rec_spark.functions import clamp, round_half_up
+from movie_rec_spark.localdf import local_df
 
 # Reference production hyperparameters (web/config.py:29-34): factors=50,
 # epochs=50, lr=0.008, reg=0.2. ALS has no learning rate; rank/reg map
@@ -265,9 +266,9 @@ def q_grid_search(lineitem: DataFrame, orders: DataFrame,
                      round(float(rmse), 4),
                      1 if rmse == best_rmse else 0))
     spark = ratings.sparkSession
-    return (spark.createDataFrame(
-        rows, "rank bigint, max_iter bigint, reg_param double, "
-              "avg_rmse double, is_best int")
+    return (local_df(
+        spark, rows, "rank bigint, max_iter bigint, reg_param double, "
+                     "avg_rmse double, is_best int")
         .orderBy("avg_rmse", "rank", "max_iter", "reg_param"))
 
 

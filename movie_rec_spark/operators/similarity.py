@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from movie_rec_spark.functions import cosine
+from movie_rec_spark.localdf import local_df
 
 KNN_K = 10
 NEARDUP_THRESHOLD = 0.4
@@ -1020,8 +1021,8 @@ def ivf_write(embeddings: DataFrame, path: str, n_cells: int = 8,
     assigned, centers = ivf_index(embeddings, n_cells, seed, max_iter)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     spark = embeddings.sparkSession
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)],
+    local_df(
+        spark, [(i, c) for i, c in enumerate(centers)],
         "cell int, center array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "_centers")
 
@@ -1314,8 +1315,8 @@ def ivf_write_snapshot(embeddings: DataFrame, path: str, n_cells: int = 8,
     spark = embeddings.sparkSession
     assigned, centers = ivf_index(embeddings, n_cells, seed, max_iter)
     out = snapshot_create(spark, path, assigned, "cell")
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)],
+    local_df(
+        spark, [(i, c) for i, c in enumerate(centers)],
         "cell int, center array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "_centers")
     return out

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from movie_rec_spark.localdf import local_df
+
 # Tiny per-language stopword sets for the n-gram/stopword heuristic.
 STOP_EN = ("the", "a", "of", "and")
 STOP_ROMANCE = ("el", "la", "de", "le", "et")
@@ -1209,8 +1211,9 @@ def q_rrf(documents: DataFrame,
     from pyspark.sql.window import Window
 
     spark = documents.sparkSession
-    qrow = spark.createDataFrame(
-        [(-1, " ".join(query_terms))], "doc_id bigint, text string")
+    qrow = local_df(
+        spark, [(-1, " ".join(query_terms))],
+        "doc_id bigint, text string")
     corpus = documents.select("doc_id", "text").unionByName(qrow)
     flat = q_text_embed(corpus, EMBED_HASH_DIM).localCheckpoint(
         eager=False)
@@ -1302,7 +1305,7 @@ def q_bpe_merges(documents: DataFrame,
     merges, _ = _bpe_train_iter(cur, rounds)
     schema = ("merge_round int, left_sym string, right_sym string, "
               "pair_freq bigint")
-    return documents.sparkSession.createDataFrame(merges, schema)
+    return local_df(documents.sparkSession, merges, schema)
 
 
 # Below this many DISTINCT WORDS, the whole merge induction runs in ONE

@@ -20,6 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from movie_rec_spark.localdf import local_df
 
 BATCH_SIZE = 1000  # reference REDIS_CHUNK_SIZE (web/config.py:21)
 
@@ -190,4 +191,4 @@ def read_kv_manifested(spark, path: str) -> DataFrame:
             for line in fh:
                 k, _, v = line.rstrip("\n").partition("\t")
                 rows.append((k, v))
-    return spark.createDataFrame(rows or [], "key string, value string")
+    return local_df(spark, rows or [], "key string, value string")

@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from movie_rec_spark.sources.merge import DELETED_COL, merge_frames
+from movie_rec_spark.localdf import local_df
 
 _PART_DIR = "_p"
 
@@ -372,7 +373,7 @@ def snapshot_read(spark: SparkSession, path: str,
         cols = man["summary"].get("columns")
         if cols:
             ddl = ", ".join(f"`{c}` {t}" for c, t in cols.items())
-            return spark.createDataFrame([], ddl)
+            return local_df(spark, [], ddl)
         raise ValueError(
             f"snapshot v{man['version']} at {path} has no files and "
             "records no schema")

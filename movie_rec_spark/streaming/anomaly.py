@@ -45,6 +45,7 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -54,6 +55,8 @@ from pyspark.sql.types import (
     StructType,
     TimestampType,
 )
+
+from movie_rec_spark.localdf import local_df
 
 from movie_rec_spark.operators.temporal import (
     ANOMALY_MIN_N,
@@ -338,7 +341,7 @@ def q_anomaly_stream_et(events: DataFrame) -> DataFrame:
     batches = [
         ev.filter(F.col("event_id") % 2 == 0),
         ev.filter(F.col("event_id") % 2 == 1),
-        spark.createDataFrame([(-1, -1, sentinel, 0.0)], schema),
+        local_df(spark, [(-1, -1, sentinel, 0.0)], schema),
     ]
     out = replay_file_stream(
         batches, schema,

@@ -49,6 +49,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from movie_rec_spark.localdf import local_df
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -345,7 +346,7 @@ def run_incremental_neardup(spark: SparkSession, src_dir: str,
                 f"cannot be compared with {family!r}. Rebuild the "
                 f"state dir (replay the stream) or resume with "
                 f"portable=False.") from None
-        (spark.createDataFrame([(family,)], "family string")
+        (local_df(spark, [(family,)], "family string")
          .coalesce(1).write.mode("overwrite").parquet(fam_dir))
 
     def apply(batch: DataFrame, batch_id: int) -> None:
@@ -359,8 +360,8 @@ def run_incremental_neardup(spark: SparkSession, src_dir: str,
                 banded, s.read.parquet(*prior_bands),
                 s.read.parquet(*prior_sigs), MINHASH_PERMS, threshold)
         else:
-            cross = s.createDataFrame(
-                [], "new_doc bigint, old_doc bigint, est_jaccard double")
+            cross = local_df(
+                s, [], "new_doc bigint, old_doc bigint, est_jaccard double")
         within = q_dedup_minhash(batch, threshold,
                                  portable=portable).select(
             F.col("doc_a").alias("new_doc"),
@@ -377,9 +378,9 @@ def run_incremental_neardup(spark: SparkSession, src_dir: str,
             os.path.join(sigs_dir, f"batch_{batch_id}"))
         # state telemetry: metadata-only FS stats over the full state
         n_files, n_bytes = _dir_stats(s, [bands_dir, sigs_dir])
-        s.createDataFrame(
-            [(batch_id, band_delta.count(), sig_delta.count(),
-              n_files, n_bytes)],
+        local_df(
+            s, [(batch_id, band_delta.count(), sig_delta.count(),
+                 n_files, n_bytes)],
             "batch_id bigint, band_rows_added bigint, sig_rows_added "
             "bigint, state_files bigint, state_bytes bigint",
         ).coalesce(1).write.mode("overwrite").parquet(
@@ -408,7 +409,7 @@ def _ingest_apply(batch: DataFrame, batch_id: int,
     if prior:
         known = s.read.schema(fp_schema).parquet(*prior).select("fp")
     else:
-        known = s.createDataFrame([], fp_schema)
+        known = local_df(s, [], fp_schema)
     verdicts = dedup_batch_against_state(batch, known)
     verdicts.persist()
     try:

@@ -27,6 +27,7 @@ from typing import Any, Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -34,6 +35,8 @@ from pyspark.sql.types import (
     StructType,
     TimestampType,
 )
+
+from movie_rec_spark.localdf import local_df
 
 SESSION_GAP = "30 minutes"
 GAP_US = 30 * 60 * 1_000_000  # microseconds
@@ -182,7 +185,7 @@ def q_sessionize_stream(events: DataFrame) -> DataFrame:
     batches = [
         ev.filter(F.col("event_id") % 2 == 0),
         ev.filter(F.col("event_id") % 2 == 1),
-        spark.createDataFrame([(-1, -1, sentinel, 0.0)], schema),
+        local_df(spark, [(-1, -1, sentinel, 0.0)], schema),
     ]
     out = replay_file_stream(
         batches, schema,
