@@ -170,7 +170,11 @@ def q_merge_stream(events: DataFrame) -> DataFrame:
          .withColumn("_deleted", F.col("event_id") % 5 == 0))
     b1 = u.filter(F.col("user_id") % 2 == 0)
     b2 = u.filter(F.col("user_id") % 2 == 1)
-    if t.isEmpty() and u.isEmpty():
+    # t (even event_ids) and u (odd) are both empty iff events is —
+    # probe the BASE SCAN once instead of executing the upsert window
+    # + the CDC projection just to test emptiness (r12: two subtree
+    # executions → one limit-1 scan job)
+    if events.isEmpty():
         # a bare-parquet table seeded from nothing has no schema to
         # read back — empty in, empty out (the totality contract)
         return t
