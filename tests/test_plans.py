@@ -101,8 +101,11 @@ def test_new_operator_shuffle_budgets(spark):
         "q_sessionize": 1,      # session_window agg
         "q_salted_count": 2,    # partial + final by design
         "q_window_analytics": 1,
-        "q_percentiles": 2,     # two exact-histogram kernels (price,
-                                # qty), each ONE group-keyed Exchange
+        "q_percentiles": 4,     # two exact-histogram kernels (price,
+                                # qty), each (grp,cents)-keyed agg +
+                                # cell-sized group window exchange
+                                # [r12 skew fix: raw rows no longer
+                                # funnel into |groups| partitions]
         "q_pivot": 1,
         "q_unpivot": 0,         # row-local expand
         "q_range_join": 0,      # broadcast at test scale; equi-join shape
@@ -159,7 +162,8 @@ def test_new_operator_shuffle_budgets(spark):
         "q_dedup_canonical": 1,  # CC checkpointed; comp-keyed window only
         "q_weighted_sample": 1,  # row-local key, source-keyed top-k
         "q_fuzzy_match": 2,      # entity collapse + block-keyed self-join
-        "q_outliers": 1,         # grouped quantiles; fences broadcast back
+        "q_outliers": 2,         # grouped quantiles (agg + cell window
+                                 # [r12 skew fix]); fences broadcast back
         "q_resample": 2,         # counts agg + span agg, both user-keyed
         # round-5 additions
         "q_funnel_window": 1,    # same single-window shape as q_funnel
@@ -232,8 +236,9 @@ def test_new_operator_shuffle_budgets(spark):
         "q_interpolate": 2,      # hourly agg + the lead window over
                                  # observed rows; the dense grid emits
                                  # from a row-local sequence explode
-        "q_winsorize": 2,        # boundary percentile agg (broadcast
-                                 # back) + the audit agg
+        "q_winsorize": 3,        # boundary percentile agg + cell window
+                                 # [r12 skew fix] (broadcast back) + the
+                                 # audit agg
         "q_stream_join_et": 0,   # checkpointed stream output
         "q_heavy_hitters_stream": 3,  # recount of the checkpointed
                                       # candidates (2, the batch shape)
@@ -289,9 +294,11 @@ def test_new_operator_shuffle_budgets(spark):
         "q_kmv_distinct": 7,     # 2 corpus-sized (distinct + the
                                  # WindowGroupLimit day ranking); the
                                  # rest move <= days*K rows
-        "q_quantile_merge": 3,   # 1 corpus-sized day shuffle builds
-                                 # the checkpointed daily histograms;
-                                 # merge + union move histogram rows
+        "q_quantile_merge": 3,   # (day,cents)-keyed agg builds the
+                                 # checkpointed daily histograms [r12
+                                 # skew fix: partial agg collapses rows
+                                 # before the exchange]; merge + union
+                                 # move histogram rows
         "q_bloom_audit": 5,      # bit-set distinct + probe agg + the
                                  # digest truth join; the probe side
                                  # joins the filter BROADCAST
