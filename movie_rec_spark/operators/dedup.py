@@ -588,8 +588,11 @@ def simhash_signatures(documents: DataFrame,
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
     )
     hashed = toks.select("doc_id", F.xxhash64("t").alias("h"))
+    # one F.expr per vote — same parsed plan, ~5× fewer py4j calls
+    # than the Column-chain form (see simhash_sized_sigs)
     bit_votes = [
-        F.sum(F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)).alias(f"v{i}")
+        F.expr(f"sum(CASE WHEN ((h >> {i}) & 1) = 1 "
+               f"THEN 1 ELSE -1 END) AS v{i}")
         for i in range(64)
     ]
     return hashed.groupBy("doc_id").agg(*bit_votes).select(
@@ -2295,9 +2298,11 @@ def simhash_portable_sigs(documents: DataFrame) -> DataFrame:
     h = (F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 14),
                 16, 10).cast("long"))
     hashed = toks.select("doc_id", h.alias("h"))
+    # one F.expr per vote — same parsed plan, ~5× fewer py4j calls
+    # than the Column-chain form (see simhash_sized_sigs)
     votes = [
-        F.sum(F.when(F.expr(f"(h >> {i}) & 1") == 1, 1)
-              .otherwise(-1)).alias(f"v{i}")
+        F.expr(f"sum(CASE WHEN ((h >> {i}) & 1) = 1 "
+               f"THEN 1 ELSE -1 END) AS v{i}")
         for i in range(SHP_BITS)
     ]
     sig = F.expr(" + ".join(
@@ -2491,9 +2496,14 @@ def simhash_sized_sigs(documents: DataFrame, sig_bits: int,
         F.conv(F.substring(md5c, 1 + SHP_LIMB_HEX * j, SHP_LIMB_HEX),
                16, 10).cast("long").alias(f"h{j}")
         for j in range(n_limbs)])
+    # one F.expr per vote (the parsed plan is identical to the former
+    # F.sum(F.when(...)) Column chain): building sig_bits votes as
+    # Column objects cost ~5 py4j round-trips EACH — ~0.5 s of builder
+    # wall at 96 bits, measured via cProfile on q_pipeline_llm's
+    # near-dedup stage
     votes = [
-        F.sum(F.when(F.expr(f"(h{i // 56} >> {i % 56}) & 1") == 1, 1)
-              .otherwise(-1)).alias(f"v{i}")
+        F.expr(f"sum(CASE WHEN ((h{i // 56} >> {i % 56}) & 1) = 1 "
+               f"THEN 1 ELSE -1 END) AS v{i}")
         for i in range(sig_bits)
     ]
     segs = F.array(*[
