@@ -28,10 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     """``spark.createDataFrame(rows, schema)`` with ONE partition."""
     rows = list(rows)
-    if not rows:
-        # parallelize([], 1) yields one empty partition — cheapest
-        # empty frame that still carries the declared schema
-        return spark.createDataFrame(
-            spark.sparkContext.parallelize([], 1), schema)
+    # rows == [] works through the same call: parallelize([], 1) yields
+    # one empty partition that still carries the declared schema
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)

@@ -99,7 +99,10 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
     # stream pays them per micro-batch). partition_col is a group key,
     # so the distinct partition values are collect_set over the group
     # rows; nulls are counted explicitly because collect_set drops
-    # them (the original distinct() surfaced them).
+    # them (the original distinct() surfaced them). The same job also
+    # answers EMPTINESS (parts == [] and maxc null), so callers need
+    # no separate isEmpty() probe (r13: merge_batch's limit-1 scan job
+    # folded in here).
     meta = (updates.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("_mrs_c"))
             .agg(F.max("_mrs_c").alias("maxc"),
@@ -107,6 +110,10 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
                  F.sum(F.col(partition_col).isNull().cast("long"))
                  .alias("nulls"))
             .first())
+    if meta["maxc"] is None and not meta["parts"]:
+        # empty update batch: nothing to read, write, or count
+        return {"partitions": 0, "updated": 0, "deleted": 0,
+                "inserted": 0, "ignored": 0}
     if (meta["maxc"] or 0) > 1:
         raise ValueError(
             "update batch is not key-unique; collapse it first "
@@ -143,14 +150,11 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
           for c in data_cols],
         F.col(DELETED_COL).alias("_u_del"))
     cond = [affected[k] == u[f"_u_{k}"] for k in keys]
-    # checkpoint the JOIN, not the merged projection: the commit-
-    # summary aggregate below materializes it (one job), after which
-    # both the merged output's write and the summary read cached
-    # blocks — this replaces the former separate stats job +
-    # merged.count() materialization + post-write survivors job
-    # (3 jobs -> 1 per merge batch; r12, guide §1.2). The write still
-    # never races its own input scan: the directories are only read
-    # while the checkpoint materializes, strictly before the write.
+    # checkpoint the JOIN, not the merged projection: the checkpoint
+    # cuts the lineage so the overwrite below never races (or trips
+    # Spark's self-overwrite AnalysisException on) its own input scan
+    # — the target directories are only read while the checkpoint
+    # materializes, strictly before the write's commit replaces them.
     joined = affected.join(u, cond, "full_outer") \
         .localCheckpoint(eager=False)
 
@@ -161,10 +165,36 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
         u_wins = in_u & (~in_t | (F.col(f"_u_{ts_col}") >= F.col(ts_col)))
     else:
         u_wins = in_u
+    # the commit summary AND the surviving-partition set ride the
+    # WRITE job as observed metrics (r13, guide §1.2: the former
+    # separate stats job + the write both scanned the checkpointed
+    # join — one driver-synchronized pass per merge batch folded
+    # away). A surviving row's partition value is on whichever join
+    # side exists; matched rows agree on it because partition_col is
+    # a key. collect_set is not a legal observed metric (Spark marks
+    # it non-deterministic), so the bounded partition list from the
+    # meta job expands into one max(when(...)) survivor flag per
+    # touched value — still partition METADATA, never row data.
+    from pyspark.sql import Observation
+
+    surv_part = F.coalesce(F.col(partition_col),
+                           F.col(f"_u_{partition_col}"))
+    survives = ~(u_wins & F.col("_u_del"))
+    obs = Observation()
+    observed = joined.observe(
+        obs,
+        F.sum((in_t & u_wins & ~F.col("_u_del")).cast("long")).alias("upd"),
+        F.sum((in_t & u_wins & F.col("_u_del")).cast("long")).alias("del"),
+        F.sum((~in_t & ~F.col("_u_del")).cast("long")).alias("ins"),
+        F.sum((in_u & ~u_wins).cast("long")).alias("ign"),
+        *[F.max((survives & surv_part.eqNullSafe(F.lit(p)))
+                .cast("long")).alias(f"surv_{i}")
+          for i, p in enumerate(parts)],
+    )
     merged = (
-        joined
+        observed
         # WHEN MATCHED AND _deleted (and winning) THEN DELETE
-        .filter(~(u_wins & F.col("_u_del")))
+        .filter(survives)
         # winning update/insert rows take the update side, keeps and
         # stale-update targets keep the target side; a column the batch
         # does not carry keeps its target value on matched rows (UPDATE
@@ -175,30 +205,17 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
              if c in updates.columns else F.col(c)).alias(c)
             for c in data_cols])
     )
-    # one aggregate pass over the checkpointed join for the whole
-    # commit summary AND the surviving-partition set (a surviving
-    # row's partition value is on whichever join side exists; matched
-    # rows agree on it because partition_col is a key)
-    surv_part = F.coalesce(F.col(partition_col),
-                           F.col(f"_u_{partition_col}"))
-    stats = joined.agg(
-        F.sum((in_t & u_wins & ~F.col("_u_del")).cast("long")).alias("upd"),
-        F.sum((in_t & u_wins & F.col("_u_del")).cast("long")).alias("del"),
-        F.sum((~in_t & ~F.col("_u_del")).cast("long")).alias("ins"),
-        F.sum((in_u & ~u_wins).cast("long")).alias("ign"),
-        F.collect_set(F.when(~(u_wins & F.col("_u_del")), surv_part))
-        .alias("survs"),
-    ).collect()[0]
     (merged.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(partition_col)
      .parquet(target_path))
+    stats = obs.get
     # dynamic overwrite only replaces partitions PRESENT in the output:
     # a partition whose every row was deleted produces no output rows,
     # so its stale directory must be dropped explicitly (the part of
     # the commit a table format would record as removed files)
-    survivors = set(stats["survs"])
-    emptied = [p for p in parts if p not in survivors]
+    emptied = [p for i, p in enumerate(parts)
+               if not (stats[f"surv_{i}"] or 0)]
     if emptied:
         jvm = spark._jvm
         jsc = spark._jsc
@@ -208,10 +225,10 @@ def merge_into(spark: SparkSession, target_path: str, updates: DataFrame,
                 f"{target_path}/{partition_col}={p}")
             fs = hp.getFileSystem(conf)
             fs.delete(hp, True)
-    return {"partitions": len(parts), "updated": int(stats.upd or 0),
+    return {"partitions": len(parts), "updated": int(stats["upd"] or 0),
             "deleted": int(stats["del"] or 0),
-            "inserted": int(stats.ins or 0),
-            "ignored": int(stats.ign or 0)}
+            "inserted": int(stats["ins"] or 0),
+            "ignored": int(stats["ign"] or 0)}
 
 
 def expire_partitions(spark: SparkSession, target_path: str,

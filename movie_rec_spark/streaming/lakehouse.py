@@ -40,10 +40,9 @@ def merge_batch(batch: DataFrame, target_path: str, keys: Sequence[str],
                 tiebreak_col: str) -> dict:
     """One micro-batch of the CDC merge — module-level pure function of
     (batch, current table) so replay idempotency is directly testable
-    (same pattern as ingest._ingest_apply)."""
-    if batch.isEmpty():
-        return {"partitions": 0, "updated": 0, "deleted": 0,
-                "inserted": 0, "ignored": 0}
+    (same pattern as ingest._ingest_apply). No isEmpty() pre-probe:
+    merge_into's meta aggregate answers emptiness in the same job that
+    gates key-uniqueness (r13 — one fewer driver-synced job per batch)."""
     collapsed = upsert_latest(batch, keys=keys, ts_col=ts_col,
                               tiebreak_col=tiebreak_col)
     return merge_into(batch.sparkSession, target_path, collapsed,
@@ -173,7 +172,10 @@ def q_merge_stream(events: DataFrame) -> DataFrame:
     # t (even event_ids) and u (odd) are both empty iff events is —
     # probe the BASE SCAN once instead of executing the upsert window
     # + the CDC projection just to test emptiness (r12: two subtree
-    # executions → one limit-1 scan job)
+    # executions → one limit-1 scan job). ASSUMES event_id is non-null
+    # (true for the generated events table): rows with null event_id
+    # fall out of both parity filters, so an all-null-id frame would
+    # wrongly pass this probe and seed a zero-row table.
     if events.isEmpty():
         # a bare-parquet table seeded from nothing has no schema to
         # read back — empty in, empty out (the totality contract)
