@@ -111,6 +111,16 @@ def _ship_package(spark: SparkSession) -> None:
     sc._movie_rec_spark_shipped = True
 
 
+# Analyzed Spark schema per table PATH, filled on first read. Catalog
+# tables are immutable driver fixtures (same contract as the
+# table_rows footer memo above), so the schema never goes stale; a
+# schema-supplied read skips the JVM's footer-inference pass, which
+# profiling measured at ~80 ms per spark.read.parquet call — the
+# single largest slice of the per-query driver-side floor (a query
+# loading 4 tables paid ~320 ms before its first job).
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Column pruning / predicate pushdown happen at the
     caller's ``select``/``filter`` — never pre-collect or cache here.
@@ -129,7 +139,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ts_cols = _nanos_ts_columns(path)
     if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    sch = _SCHEMA_CACHE.get(path)
+    if sch is None:
+        # first read infers (under the nanosAsLong conf set above) and
+        # memoizes the ANALYZED schema; later reads supply it explicitly
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(sch).parquet(path)
     for c in ts_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     return df
