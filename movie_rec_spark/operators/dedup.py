@@ -377,12 +377,20 @@ def q_dedup_char_jaccard(documents: DataFrame,
 
 def prefix_index(documents: DataFrame,
                  threshold: float = JACCARD_THRESHOLD,
-                 sh: DataFrame | None = None) -> DataFrame:
+                 sh: DataFrame | None = None,
+                 with_pos: bool = False) -> DataFrame:
     """The (doc_id, g) PREFIX rows q_dedup_prefix indexes: each doc's
     first s − ⌈τ·s⌉ + 1 shingles in ascending global-df order (rarest
     first, ties by shingle). Exposed separately so the candidate
     volume of the prefix strategy is observable via ``blocking_stats``
     next to the full-index / minhash / simhash paths.
+
+    ``with_pos=True`` additionally carries ``rn`` (the shingle's
+    1-based position in the doc's global-df order — the SAME total
+    order (df, g) for every doc, which is what makes positions
+    comparable across docs) and ``n`` (the doc's shingle-set size),
+    the inputs of the AllPairs/PPJoin length + positional candidate
+    filters in q_dedup_prefix.
 
     ``sh``: optionally pass an already-materialized ``_shingle_rows``
     frame — this function references it THREE times (rows, df, sizes)
@@ -398,13 +406,14 @@ def prefix_index(documents: DataFrame,
     df_ = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     rn = F.row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "g"))
+    cols = ["doc_id", "g", "rn", "n"] if with_pos else ["doc_id", "g"]
     return (
         sh.join(df_, "g").join(sizes, "doc_id")
         .withColumn("rn", rn)
         .filter(F.col("rn")
                 <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n"))
                 + 1)
-        .select("doc_id", "g")
+        .select(*cols)
         .localCheckpoint(eager=False)
     )
 
@@ -441,15 +450,41 @@ def q_dedup_prefix(documents: DataFrame,
     """
     sh = _shingle_rows(documents).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    prefix = prefix_index(documents, threshold, sh=sh)
+    prefix = prefix_index(documents, threshold, sh=sh, with_pos=True)
+    # AllPairs/PPJoin candidate pruning (r13, guide §2.3 — shuffle
+    # fewer bytes into the verify join). Both filters only drop pairs
+    # that PROVABLY cannot pass the final jaccard >= τ predicate, so
+    # the verified output is bit-identical:
+    # - LENGTH filter: i <= min(na, nb), so the best possible Jaccard
+    #   is min/max — evaluated with the SAME double division/compare
+    #   as _jaccard_finish (correctly-rounded division is monotone in
+    #   an integer numerator, so passing the real filter implies
+    #   passing this one; no epsilon games).
+    # - POSITIONAL filter (PPJoin, Xiao et al. ICDE'08): every doc
+    #   orders its shingles by the same global (df, g) total order, so
+    #   for the FIRST matched prefix pair (minimal rn on both sides —
+    #   the same shingle attains both minima) no common shingle
+    #   precedes it in either doc, hence i <= B := 1 + min(na - pa,
+    #   nb - pb). Keep the pair iff B's Jaccard upper bound passes the
+    #   same double predicate.
+    a, b = prefix.alias("a"), prefix.alias("b")
+    pa, pb = F.min("a.rn"), F.min("b.rn")
+    na, nb = F.min("a.n"), F.min("b.n")  # constant per doc
+    bound = F.lit(1) + F.least(F.col("na") - F.col("pa"),
+                               F.col("nb") - F.col("pb"))
     cands = (
-        prefix.alias("a").join(
-            prefix.alias("b"),
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (F.least(F.col("a.n"), F.col("b.n"))
+                  / F.greatest(F.col("a.n"), F.col("b.n"))
+                  >= F.lit(threshold)))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(pa.alias("pa"), pb.alias("pb"),
+             na.alias("na"), nb.alias("nb"))
+        .filter(bound / (F.col("na") + F.col("nb") - bound)
+                >= F.lit(threshold))
+        .select("doc_a", "doc_b")
     )
     # verify: candidate pairs pick up doc_a's shingles, then count
     # matches against doc_b's set on (doc_b, g) — the true intersection

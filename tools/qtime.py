@@ -29,7 +29,7 @@ def main() -> None:
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--explain", default=None,
-                    help="write plans/r12/<q>_<TAG>.txt explain output")
+                    help="write plans/r13/<q>_<TAG>.txt explain output")
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -53,7 +53,7 @@ def main() -> None:
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted")
             pdir = os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "plans", "r12")
+                os.path.abspath(__file__))), "plans", "r13")
             os.makedirs(pdir, exist_ok=True)
             with open(os.path.join(
                     pdir, f"{name}_{args.explain}.txt"), "w") as fh:
