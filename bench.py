@@ -18,11 +18,16 @@ a one-off host stall — next to 0.4 s siblings; min-of-2 suppresses
 exactly that class of artifact while leaving real plan costs, which
 reproduce in both passes, untouched).
 
-One deliberate consequence: q_knn_ivf's pass 2 hits the ivf_build
-cache, so its min reflects STEADY-STATE search on a built index —
-which is the declared serving model for an ANN index (build once,
-search many; see operators/similarity.py::ivf_build). Every other
-query rebuilds all its state on both passes.
+r13 measurement fix (r12 verdict item 4): q_knn_ivf's pass 2 used to
+hit the portable-fit memo, so its min was a WARM-index search while
+every other query rebuilt its state per pass. The bench now evicts
+that memo entry before each timed q_knn_ivf pass
+(similarity.portable_fit_cache_clear), so its number prices a cold
+build+search under the same min-of-2 meaning as the other 189 —
+the number went UP accordingly (~0.29 -> ~1.33 s cold vs 0.37 warm,
+measured same-host; the old warm-serve figure remains in
+BENCH_local_r13pre.json and earlier artifacts).
+The build-once/serve-many model itself is unchanged in the code.
 """
 
 from __future__ import annotations
@@ -85,9 +90,16 @@ def main() -> None:
     import gc
 
     timings: dict[str, float] = {}
+    from movie_rec_spark.operators.similarity import (
+        portable_fit_cache_clear,
+    )
+
     for npass in (1, 2):
         for name, fn in qs.items():
             print(f"RUN {name} (pass {npass})", file=sys.stderr, flush=True)
+            if name == "q_knn_ivf":
+                # cold build+search on BOTH passes (see module docstring)
+                portable_fit_cache_clear(n_cells=8)
             t0 = time.time()
             run(fn)
             dt = round(time.time() - t0, 3)

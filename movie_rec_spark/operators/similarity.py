@@ -1411,6 +1411,24 @@ _HIER_CACHE: dict[tuple, tuple] = {}
 _PC_CACHE: dict[tuple, tuple] = {}
 
 
+def portable_fit_cache_clear(n_cells: int | None = None) -> int:
+    """Evict portable-Lloyd fit memo entries (all, or one ``n_cells``),
+    unpersisting their assignment frames. Exists for MEASUREMENT: the
+    bench clears q_knn_ivf's entry before each timed pass so its
+    min-of-2 prices a COLD build+search like every other query (r12
+    verdict item 4), instead of pass 2 serving from the warm index.
+    The serving model itself (build once / search many) is unchanged —
+    this is never called on a query path."""
+    keys = [k for k in _PC_CACHE if n_cells is None or k[1] == n_cells]
+    for k in keys:
+        assigned = _PC_CACHE.pop(k)[0]
+        try:
+            assigned.unpersist()
+        except Exception:
+            pass
+    return len(keys)
+
+
 def portable_cells_centers(embeddings: DataFrame, n_cells: int,
                            iters: int = KMEANS_ITERS):
     """Flat cell assignment by ENGINE-EXACT integer Lloyd — the
